@@ -1,13 +1,648 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.MonoidAggregator
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.sources.Crawl
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with ANSI-SQL DuckDB oracle where the semantics are
+  * SQL-expressible (hash/sketch internals are verified through
+  * exact-similarity-verified *outputs* instead, so results stay
+  * deterministic and engine-independent).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q03(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- core --
+
+  private def q01(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").agg(
+      round(sum("l_quantity"), 1).as("s"), count(lit(1)).as("c"))
+
+  private def q02(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("rev"),
+        round(sum("l_quantity"), 1).as("sum_qty"),
+        count(lit(1)).as("c"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val c = t(s, d, "customer")
+    val n = t(s, d, "nation")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("tot"), count(lit(1)).as("c"))
+      .orderBy("n_name")
+  }
+
+  private def q04(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk")
+  }
+
+  private def q06(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("l_linenumber"), round(col("l_extendedprice"), 2).as("p"))
+
+  private def q07(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_custkey").as("k"))
+      .intersect(t(s, d, "orders").select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  private def q08(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .filter(col("ts") >= lit("2024-01-15").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+
+  private def q09(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("h")
+
+  private def q10(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10).as("kb"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("kb")
+
+  private def q11(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy("lang")
+      .agg(countDistinct("source").as("ds"), sum("n_chars").as("ch"))
+      .orderBy("lang")
+
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("text")
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"), count(lit(1)).over(w).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select("doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private def q13(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", Seq(0L), 1)
+      .select(col("neighbor_id").as("vec_id"))
+
+  private def q14(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(20)
+
+  /** Reference-parity crawl (SURVEY §2.3 Q15): recursive JSON crawl of the
+    * reference's own fixture tree; golden result 300 (`cmd/app/app.go:54`).
+    */
+  private def q15(s: SparkSession, d: String): DataFrame =
+    Crawl.crawlRaw(s, "/root/reference/tests",
+        StructType(Seq(StructField("data", LongType))))
+      .agg(sum("data").as("s"))
+
+  /** Typed monoid aggregation through the MonoidAggregator kernel (O3+O4). */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = MonoidAggregator.sumDouble[Double](identity)
+    t(s, d, "lineitem").select(col("l_quantity")).as[Double]
+      .select(agg.column.name("sq"))
+      .select(round(col("sq"), 1).as("s"))
+  }
+
+  private def q17(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 1).as("qty"), count(lit(1)).as("c"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("qty"), col("c"))
+      .orderBy("rf", "ls")
+
+  private def q18(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("tot"), count(lit(1)).as("c"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("tot"), col("c"))
+      .orderBy("st", "pri")
+
+  private def q19(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").cast("int").as("k"))
+      .except(t(s, d, "supplier").select(col("s_nationkey").cast("int").as("k")))
+      .orderBy("k")
+
+  private def q20(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderstatus")).as("st"),
+        substring(col("o_orderpriority"), 1, 3).as("pri"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        // floor, not round: /100 of 2-decimal prices systematically lands on
+        // .xx5 boundaries where Spark (decimal-string HALF_UP) and other
+        // engines (binary) round differently; floor is binary-exact.
+        floor(abs(col("o_totalprice")) / 100.0).cast("long").as("hundredths"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"))
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  private def q21(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("c"))
+      .orderBy("ws")
+
+  private def q22(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("ss"), col("n"))
+      .orderBy("user_id", "ss")
+
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val events = t(s, d, "events").select("event_id", "user_id", "ts")
+    val orders = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    AsOfJoin.asof(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightVals = Seq("o_orderkey"), tieBreak = Some("o_orderkey"))
+      .select("event_id", "o_orderkey")
+      .orderBy("event_id")
+  }
+
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val bands = s.createDataFrame(Seq(
+      (0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1e9, "high")))
+      .toDF("lo", "hi", "band")
+    RangeJoin.banded(t(s, d, "events"), bands, "value", "lo", "hi")
+      .groupBy("band")
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("v"))
+      .orderBy("band")
+  }
+
+  private def q25(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  // --------------------------------------------------------------- dedup --
+
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(t(s, d, "documents"), "doc_id", Seq("text"))
+      .select(col("doc_id"), col("group_size").as("n"))
+      .orderBy("doc_id")
+
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      .orderBy("i", "j")
+
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, blocks = 16, maxHamming = 20, threshold = 0.8)
+      .orderBy("i", "j")
+
+  private def dedupNgram(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      .orderBy("i", "j")
+
+  private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.95)
+      .select(col("i"), col("j"), col("cos").as("sim"))
+      .orderBy("i", "j")
+
+  // ---------------------------------------------------------- similarity --
+
+  private def annTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        Seq(0L, 1L, 2L, 3L, 4L), 3)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+        col("cos").as("sim"))
+      .orderBy("query_id", "rnk")
+
+  private def annLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.srpTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        Seq(0L, 1L, 2L, 3L, 4L), 3, dim = 64)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+        col("cos").as("sim"))
+      .orderBy("query_id", "rnk")
+
+  /** IVF with nprobe = nClusters is exhaustive ⇒ exact — shares the
+    * brute-force oracle while exercising the index path end-to-end.
+    */
+  private def annIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val idx = Similarity.IvfIndex.build(s, emb, "vec_id", "embedding", nClusters = 16)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Array[Double])].collect().toMap
+    idx.search(qs, k = 3, nprobe = 16)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+        col("cos").as("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  // ----------------------------------------------------------------- text --
+
+  private def textLangid(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  private def textQuality(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)
+      .orderBy("doc_id")
+
+  private def textTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id") +: TextAnalysis.tokenCountColumns(col("text")): _*)
+      .orderBy("doc_id")
+
+  private def textFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Winnowing sketch — hash-function-specific, so rows-only check. */
+  private def textWinnow(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.winnow(col("text")).as("sketch"))
+      .orderBy("doc_id")
+
+  // ----------------------------------------------------------- multimodal --
+
+  private def mmFeatures(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.asMedia(docs, "doc_id", "text", "text/plain"))
+    feats.toDF()
+      .select(col("id").as("doc_id"), col("n_bytes"))
+      .join(docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("digest")), Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ streaming --
+
+  /** Tumbling-window streaming aggregation run to completion over the
+    * bounded events fixture (complete output mode ⇒ equals the batch
+    * answer; the oracle is the batch SQL).
+    */
+  private def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    val stream = EventStreams.readEvents(s, d)
+    val agg = EventStreams.tumblingCounts(stream, "1 hour", "2 hours")
+    EventStreams.runToMemory(s, agg, s"stream_tumbling_${System.nanoTime()}", "complete")
+      .select(unix_timestamp(col("window.start")).as("h"), col("event_type"),
+        col("n"), round(col("v"), 2).as("v"))
+      .orderBy("h", "event_type")
+  }
+
+  /** HLL sketch cardinality — implementation-specific, rows-only check. */
+  private def qHll(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+        approx_count_distinct("l_orderkey").as("approx_orders"))
+
+  // ------------------------------------------------------------ registry --
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_sum_count" -> (q01 _),
+    "q02_group_agg" -> (q02 _),
+    "q03_join_agg" -> (q03 _),
+    "q04_anti_join" -> (q04 _),
+    "q05_window_rank" -> (q05 _),
+    "q06_topk" -> (q06 _),
+    "q07_intersect" -> (q07 _),
+    "q08_ts_filter" -> (q08 _),
+    "q09_hour_bucket" -> (q09 _),
+    "q10_json_get" -> (q10 _),
+    "q11_distinct_agg" -> (q11 _),
+    "q12_dup_groups" -> (q12 _),
+    "q13_cosine_top1" -> (q13 _),
+    "q14_token_topk" -> (q14 _),
+    "q15_crawl" -> (q15 _),
+    "q16_monoid" -> (q16 _),
+    "q17_rollup" -> (q17 _),
+    "q18_cube" -> (q18 _),
+    "q19_except" -> (q19 _),
+    "q20_scalar_funcs" -> (q20 _),
+    "q21_sliding_window" -> (q21 _),
+    "q22_session_window" -> (q22 _),
+    "q23_asof_join" -> (q23 _),
+    "q24_range_join" -> (q24 _),
+    "q25_semi_join" -> (q25 _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram" -> (dedupNgram _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "ann_topk" -> (annTopk _),
+    "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_winnow" -> (textWinnow _),
+    "mm_features" -> (mmFeatures _),
+    "stream_tumbling" -> (streamTumbling _),
+    "q_hll" -> (qHll _))
+
+  // ------------------------------------------------------------- oracles --
+
+  /** Shared DuckDB fragment: distinct 3-gram shingle sets per document. */
+  private val duckShingles =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+      |                   for i in range(1, len(l)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      |), pj AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j,
+      |    len(list_intersect(a.s, b.s)) * 1.0
+      |      / len(list_distinct(a.s || b.s)) AS jac
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |)
+      |SELECT i, j, ROUND(jac, 3) AS jac FROM pj WHERE jac >= 0.8
+      |ORDER BY i, j""".stripMargin
+
+  private val duckAnnTopk =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 5
+      |), scored AS (
+      |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+      |  FROM embeddings e, q WHERE e.vec_id <> q.qid
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM scored
+      |)
+      |SELECT query_id, rnk, neighbor_id, ROUND(sim, 3) AS sim
+      |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  private val duckMarkers: Map[String, String] = Map(
+    "en" -> "['the','a','of','and','to','is']",
+    "es" -> "['el','la','de','los','que','y']",
+    "fr" -> "['le','la','et','les','des','un']",
+    "de" -> "['der','die','und','das','ist','ein']")
+
+  private def duckScore(lang: String): String =
+    s"len(list_filter(toks, t -> list_contains(${duckMarkers(lang)}, t)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_sum_count" ->
+      "SELECT ROUND(SUM(l_quantity), 1) AS s, COUNT(*) AS c FROM lineitem",
+    "q02_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS rev,
+        |  ROUND(SUM(l_quantity), 1) AS sum_qty, COUNT(*) AS c
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT n_name, ROUND(SUM(o_totalprice), 2) AS tot, COUNT(*) AS c
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q04_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY 1""".stripMargin,
+    "q05_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q06_topk" ->
+      """SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS p
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "q07_intersect" ->
+      """SELECT c_custkey AS k FROM customer
+        |INTERSECT SELECT o_custkey AS k FROM orders ORDER BY 1""".stripMargin,
+    "q08_ts_filter" ->
+      """SELECT event_type, COUNT(*) AS c, ROUND(SUM(value), 2) AS v
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q09_hour_bucket" ->
+      """SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+        |  COUNT(*) AS c
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_json_get" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kb,
+        |  COUNT(*) AS c
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_distinct_agg" ->
+      """SELECT lang, COUNT(DISTINCT source) AS ds,
+        |  CAST(SUM(n_chars) AS BIGINT) AS ch
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_dup_groups" ->
+      """SELECT doc_id, text FROM (
+        |  SELECT doc_id, text, COUNT(*) OVER (PARTITION BY text) AS cnt
+        |  FROM documents)
+        |WHERE cnt > 1 ORDER BY doc_id""".stripMargin,
+    "q13_cosine_top1" ->
+      """SELECT b.vec_id FROM embeddings a, embeddings b
+        |WHERE a.vec_id = 0 AND b.vec_id <> 0
+        |ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                CAST(b.embedding AS DOUBLE[])) DESC,
+        |         b.vec_id
+        |LIMIT 1""".stripMargin,
+    "q14_token_topk" ->
+      """SELECT token, COUNT(*) AS c FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY 1 ORDER BY c DESC, token LIMIT 20""".stripMargin,
+    "q15_crawl" ->
+      "SELECT CAST(SUM(data) AS BIGINT) AS s FROM read_json_auto('/root/reference/tests/**/*.json')",
+    "q16_monoid" ->
+      "SELECT ROUND(SUM(l_quantity), 1) AS s FROM lineitem",
+    "q17_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  ROUND(SUM(l_quantity), 1) AS qty, COUNT(*) AS c
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q18_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |  COALESCE(o_orderpriority, 'ALL') AS pri,
+        |  ROUND(SUM(o_totalprice), 2) AS tot, COUNT(*) AS c
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
+    "q19_except" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS k FROM customer
+        |EXCEPT SELECT CAST(s_nationkey AS INTEGER) AS k FROM supplier
+        |ORDER BY 1""".stripMargin,
+    "q20_scalar_funcs" ->
+      """SELECT o_orderkey, UPPER(o_orderstatus) AS st,
+        |  SUBSTRING(o_orderpriority, 1, 3) AS pri,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(FLOOR(ABS(o_totalprice) / 100.0) AS BIGINT) AS hundredths,
+        |  o_orderstatus || '-' || o_orderpriority AS tag
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q21_sliding_window" ->
+      """SELECT CAST(FLOOR(epoch(ts) / 300) * 300 - i.i * 300 AS BIGINT) AS ws,
+        |  COUNT(*) AS c
+        |FROM events, (SELECT 0 AS i UNION ALL SELECT 1) i
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e
+        |)
+        |SELECT user_id, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS ss,
+        |  COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, ss""".stripMargin,
+    "q23_asof_join" ->
+      """SELECT e.event_id,
+        |  (SELECT MAX(o.o_orderkey) FROM orders o
+        |   WHERE o.o_custkey = e.user_id
+        |     AND o.o_orderdate = (SELECT MAX(o2.o_orderdate) FROM orders o2
+        |                          WHERE o2.o_custkey = e.user_id
+        |                            AND o2.o_orderdate <= e.ts)) AS o_orderkey
+        |FROM events e ORDER BY e.event_id""".stripMargin,
+    "q24_range_join" ->
+      """SELECT band, COUNT(*) AS c, ROUND(SUM(value), 2) AS v
+        |FROM events
+        |JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+        |             (150.0, 1000000000.0, 'high')) b(lo, hi, band)
+        |  ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q25_semi_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n FROM documents
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_minhash" -> duckShingles,
+    "dedup_simhash" -> duckShingles,
+    "dedup_ngram" -> duckShingles,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 3) AS sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.95
+        |ORDER BY i, j""".stripMargin,
+    "ann_topk" -> duckAnnTopk,
+    "ann_ivf" -> duckAnnTopk,
+    "text_langid" ->
+      s"""SELECT doc_id,
+         |  CASE
+         |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+         |    WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+         |    WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+         |    WHEN s_de > 0 THEN 'de'
+         |    ELSE 'und'
+         |  END AS pred_lang
+         |FROM (
+         |  SELECT doc_id, text,
+         |    ${duckScore("en")} AS s_en, ${duckScore("es")} AS s_es,
+         |    ${duckScore("fr")} AS s_fr, ${duckScore("de")} AS s_de
+         |  FROM (SELECT doc_id, text,
+         |          list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |        FROM documents)
+         |) ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(n_tok AS BIGINT) AS n_tokens,
+        |  ROUND(alpha_ratio, 3) AS alpha_ratio,
+        |  ROUND(stop_ratio, 3) AS stopword_ratio,
+        |  ROUND(distinct_ratio, 3) AS distinct_ratio,
+        |  ROUND(len_ok * 0.4 + alpha_ratio * 0.2 + stop_ratio * 0.2
+        |        + distinct_ratio * 0.2, 3) AS quality_score
+        |FROM (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tok,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |              / length(text) END AS alpha_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(toks, t -> list_contains(
+        |                ['the','a','of','and','to','is','el','la','de','los','que','y',
+        |                 'le','et','les','des','un','der','die','und','das','ist','ein'],
+        |                t))) AS DOUBLE) / len(toks) END AS stop_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END
+        |      AS distinct_ratio,
+        |    CASE WHEN len(toks) >= 10 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END
+        |      AS len_ok
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |        FROM documents)
+        |) ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "stream_tumbling" ->
+      """SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS h, event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)
 }

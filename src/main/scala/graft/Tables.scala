@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet fixture tables
+  * (see TESTDATA.md / FIXTURES.md). One parquet file per table under
+  * `<sfDir>/<name>.parquet`.
+  *
+  * Columnar parquet + Catalyst means projection and predicates push down to
+  * the scan for free — callers should select/filter on the returned frames
+  * directly rather than caching wide frames.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+      // reader rejects; read nanos as long and truncate to microseconds
+      // (all declared queries touch ts at >= second granularity —
+      // FIXTURES.md note).
+      // The conf must stay set for the session: it is consulted again when
+      // the scan executes, not only at schema inference.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(path)
+  }
+
+  /** Register every fixture table as a temp view so `spark.sql` works with
+    * the same table names the DuckDB oracle uses.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

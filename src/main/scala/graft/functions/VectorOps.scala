@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` / `array<double>` columns using
+  * Spark's higher-order functions (`zip_with` + `aggregate`), which stay in
+  * codegen — no UDF, no serialization of the arrays to Scala objects.
+  *
+  * All math is done in double precision regardless of input element type so
+  * results are stable across engines (the fixtures store `array<float>`).
+  */
+object VectorOps {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision; 0.0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign bits against `planes` (a broadcast-side literal array of
+    * hyperplanes): returns a Long whose bit i is 1 iff dot(v, planes(i)) >= 0.
+    * Used for random-hyperplane (SRP) LSH over embeddings.
+    */
+  def srpSignature(v: Column, planes: Seq[Array[Double]]): Column = {
+    require(planes.size <= 63, "at most 63 hyperplanes per signature word")
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit).toIndexedSeq: _*)
+      when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+}

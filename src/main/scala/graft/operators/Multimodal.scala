@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct, and per-item decode /
+  * feature-extraction runs batched inside `mapPartitions` so a real codec
+  * drops in without touching the distributed plan.
+  *
+  * The actual media codecs are STUBBED (this container has no image/audio
+  * libraries): [[Codecs.decodeImage]] is a deterministic fake that derives
+  * "pixels" from the bytes. Everything around it — schema, batch shape,
+  * partition sizing, feature columns — is real and tested.
+  */
+object Multimodal {
+
+  /** Typed media row: id + raw payload + metadata. */
+  final case class MediaItem(id: Long, media: Array[Byte], format: String)
+
+  /** Fixed-width feature record produced by the extract stage. */
+  final case class MediaFeatures(
+      id: Long, format: String, n_bytes: Long,
+      checksum: Long, features: Array[Float])
+
+  object Codecs {
+    /** STUB: real implementation would decode `bytes` with an image codec
+      * and return H×W×C pixels. The fake derives a deterministic byte
+      * histogram so the pipeline stays testable end-to-end.
+      */
+    def decodeImage(bytes: Array[Byte]): Array[Float] = {
+      // ??? <- real codec goes here; deterministic fake below.
+      val hist = new Array[Float](16)
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xff) % 16) += 1f; i += 1 }
+      if (bytes.length > 0) { var j = 0; while (j < 16) { hist(j) /= bytes.length; j += 1 } }
+      hist
+    }
+
+    def checksum(bytes: Array[Byte]): Long = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      h
+    }
+  }
+
+  /** Wrap a string column as a binary media payload (the fixtures carry no
+    * real media; documents.text stands in as the payload bytes).
+    */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String, format: String): Dataset[MediaItem] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      col(idCol).cast("long").as("id"),
+      col(payloadCol).cast("binary").as("media"),
+      lit(format).as("format"))
+      .as[MediaItem]
+  }
+
+  /** Batched decode + feature extraction. Narrow (no shuffle); each task
+    * processes its partition's items in order. `batchHint` only repartitions
+    * when the input has fewer partitions than requested — on a cluster this
+    * is the knob matching decode cost to executor count.
+    */
+  def extractFeatures(items: Dataset[MediaItem], batchHint: Int = 0): Dataset[MediaFeatures] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val sized =
+      if (batchHint > items.rdd.getNumPartitions) items.repartition(batchHint) else items
+    sized.mapPartitions { it =>
+      it.map { m =>
+        val px = Codecs.decodeImage(m.media)
+        MediaFeatures(m.id, m.format, m.media.length.toLong, Codecs.checksum(m.media), px)
+      }
+    }
+  }
+}

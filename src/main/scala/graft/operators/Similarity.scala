@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.functions.{VectorOps => V}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three strategies:
+  *  - [[bruteForceTopK]] — exact: broadcast the (small) query set, score all
+  *    base vectors with codegen'd higher-order functions, per-query top-k
+  *    via window rank. The 100 TB shape: base side never shuffles, queries
+  *    broadcast, one exchange on query_id for the rank.
+  *  - [[srpTopK]] — random-hyperplane LSH bucketing: score only base
+  *    vectors sharing a signature with the query in ≥1 table. Recall < 1;
+  *    the scale path when the base is too large to scan per query batch.
+  *  - [[IvfIndex]] — inverted-file index: k-means coarse quantizer (trained
+  *    on a driver-side sample, broadcast), cluster assignment as a narrow
+  *    map, search probes the `nprobe` nearest centroids.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query id.
+    * Output: (query_id, rank, neighbor_id, cos) — rank by cosine desc,
+    * neighbor id asc (deterministic ties).
+    */
+  def bruteForceTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = emb
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = emb
+      .join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        V.cosine(col(vecCol), col("qv")).as("cos"))
+    topK(scored, k)
+  }
+
+  /** SRP-LSH approximate top-k: candidates share a full signature word with
+    * the query in at least one of `tables` tables; scored exactly, ranked,
+    * truncated to k. Deterministic (seeded hyperplanes) but recall < 1.
+    */
+  def srpTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, dim: Int,
+      planesPerTable: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val sigCols = (0 until tables).map { t =>
+      val planes = Array.fill(planesPerTable)(Array.fill(dim)(rnd.nextGaussian()))
+      V.srpSignature(col(vecCol), planes.toIndexedSeq).as(s"sig$t")
+    }
+    val signed = emb.select(
+      (col(idCol).as("vid") +: col(vecCol).as("v") +: sigCols).toIndexedSeq: _*)
+    val buckets = signed.select(col("vid"), col("v"),
+      posexplode(array((0 until tables).map(t => col(s"sig$t")): _*)).as(Seq("t", "sig")))
+    val qb = buckets.filter(col("vid").isin(queryIds: _*))
+      .withColumnsRenamed(Map("vid" -> "query_id", "v" -> "qv"))
+    val scored = buckets.as("base")
+      .join(broadcast(qb).as("q"),
+        col("base.t") === col("q.t") && col("base.sig") === col("q.sig") &&
+          col("base.vid") =!= col("query_id"))
+      .select(col("query_id"), col("base.vid").as("neighbor_id"),
+        V.cosine(col("base.v"), col("qv")).as("cos"))
+      .distinct()
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 3).as("cos"))
+  }
+
+  /** Inverted-file (IVF) coarse index. Centroids are trained with Lloyd's
+    * algorithm on a driver-side sample (bounded), then broadcast; cluster
+    * assignment is a narrow `mapPartitions` — no shuffle of the base table.
+    */
+  final class IvfIndex private (
+      val centroids: Array[Array[Double]],
+      val assigned: DataFrame) {
+
+    /** Exact search within the `nprobe` clusters nearest to each query. */
+    def search(queries: Map[Long, Array[Double]], k: Int, nprobe: Int): DataFrame = {
+      val probes = queries.toSeq.flatMap { case (qid, qv) =>
+        centroids.indices
+          .sortBy(c => IvfIndex.l2sq(centroids(c), qv))
+          .take(nprobe)
+          .map(c => (qid, c))
+      }
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      val probeDf = probes.toDF("query_id", "cluster")
+      val qDf = queries.toSeq.map { case (qid, qv) => (qid, qv) }.toDF("query_id", "qv")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      assigned
+        .join(broadcast(probeDf), Seq("cluster"))
+        .join(broadcast(qDf), Seq("query_id"))
+        .filter(col("vid") =!= col("query_id"))
+        .select(col("query_id"), col("vid").as("neighbor_id"),
+          V.cosine(col("v"), col("qv")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 3).as("cos"))
+    }
+  }
+
+  object IvfIndex {
+    private[operators] def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    /** Train on ≤ `sampleSize` vectors pulled to the driver; assign every
+      * base vector to its nearest centroid distributed-side.
+      */
+    def build(
+        spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+        nClusters: Int = 16, iters: Int = 5, sampleSize: Int = 10000,
+        seed: Long = 42L): IvfIndex = {
+      import spark.implicits._
+      val base = emb.select(col(idCol).cast("long").as("vid"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+        .as[(Long, Array[Double])]
+      val sample = base.sort("vid").limit(sampleSize).collect().map(_._2)
+      require(sample.nonEmpty, "empty embedding table")
+      val rnd = new scala.util.Random(seed)
+      var cents = rnd.shuffle(sample.toIndexedSeq).take(nClusters).map(_.clone).toArray
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sample.head.length))
+        val counts = new Array[Long](cents.length)
+        sample.foreach { v =>
+          val c = cents.indices.minBy(i => l2sq(cents(i), v))
+          counts(c) += 1
+          var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = base.mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (vid, v) =>
+          (vid, v, cs.indices.minBy(i => l2sq(cs(i), v)))
+        }
+      }.toDF("vid", "v", "cluster")
+      new IvfIndex(cents, assigned)
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * `functions._` expressions (codegen'd, no UDF) except the winnowing
+  * sketch, which is still expression-only via higher-order functions.
+  */
+object TextAnalysis {
+
+  /** Marker stopword lists per language — deliberately tiny and fixed so the
+    * heuristic is reproducible in plain SQL on any engine.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"))
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** N-gram/stopword heuristic language ID. CJK scripts are detected by
+    * codepoint range; otherwise the language with the highest marker-token
+    * count wins (ties: en > es > fr > de, deterministic). Emits "und" when
+    * no marker matches.
+    */
+  def langId(text: Column): Column = {
+    val toks = TF.tokens(text)
+    val s = markers.map { case (l, ws) => l -> markerCount(toks, ws) }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(s("en") >= s("es") && s("en") >= s("fr") && s("en") >= s("de") && s("en") > 0, lit("en"))
+      .when(s("es") >= s("fr") && s("es") >= s("de") && s("es") > 0, lit("es"))
+      .when(s("fr") >= s("de") && s("fr") > 0, lit("fr"))
+      .when(s("de") > 0, lit("de"))
+      .otherwise(lit("und"))
+  }
+
+  /** Heuristic quality features + a composite score in [0, 1]:
+    * length band, alphabetic-character ratio, stopword presence, and
+    * repetition (distinct-token ratio).
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = TF.tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChars = length(text).cast("double")
+    val alphaRatio = when(nChars === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / nChars)
+    val allMarkers = markers.values.flatten.toSeq
+    val stopRatio = when(nTok === 0, 0.0)
+      .otherwise(markerCount(toks, allMarkers).cast("double") / nTok)
+    val distinctRatio = when(nTok === 0, 0.0)
+      .otherwise(size(array_distinct(toks)).cast("double") / nTok)
+    val lengthOk = (nTok >= 10 && nTok <= 100000).cast("double")
+    val score = (lengthOk * 0.4) + (alphaRatio * 0.2) + (stopRatio * 0.2) + (distinctRatio * 0.2)
+    Seq(
+      nTok.cast("long").as("n_tokens"),
+      round(alphaRatio, 3).as("alpha_ratio"),
+      round(stopRatio, 3).as("stopword_ratio"),
+      round(distinctRatio, 3).as("distinct_ratio"),
+      round(score, 3).as("quality_score"))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish regex pieces
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def tokenCountColumns(text: Column): Seq[Column] = Seq(
+    size(TF.tokens(text)).as("ws_tokens"),
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .as("re_tokens"))
+
+  /** Canonical content fingerprint: md5 of the sorted distinct token set.
+    * Robust to token order and duplication — the cheap "same bag of words"
+    * dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(TF.tokens(text)))))
+
+  /** Winnowing sketch (Schleimer et al., SIGMOD'03): hash every k-shingle,
+    * slide a window of `w` hashes, keep each window's minimum; the distinct
+    * minima form the fingerprint. Pure higher-order-function implementation.
+    */
+  def winnow(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val hashes = transform(TF.shingles(text, k), s => xxhash64(s))
+    val nWin = size(hashes) - lit(w - 1)
+    val mins = when(nWin > 0,
+      transform(sequence(lit(1), nWin), i => array_min(slice(hashes, i, lit(w)))))
+      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<bigint>")))
+    array_sort(array_distinct(mins))
+  }
+}

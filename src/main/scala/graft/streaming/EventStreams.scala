@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over `events`-shaped data — the unbounded
+  * analogue of the reference's channel pipeline (its stages stream tuples as
+  * produced, `crawler.go:215-230`, but over bounded input; here the input is
+  * genuinely unbounded with event-time semantics the reference lacks).
+  *
+  * Every transform takes and returns streaming DataFrames so callers compose
+  * them ahead of a `writeStream`. Watermarks bound state; all aggregations
+  * are keyed so state partitions across executors.
+  */
+object EventStreams {
+
+  /** On-disk schema: the fixture stores ts as TIMESTAMP(NANOS), which Spark
+    * reads as a nanosecond Long under `legacy.parquet.nanosAsLong`; the
+    * stream converts to a microsecond timestamp immediately.
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events parquet in `dir` (the file-stream
+    * source requires a directory path, so the table file is glob-filtered).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts with a watermark bounding state. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+
+  /** Sliding-window counts. */
+  def slidingCounts(events: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows per user with an inactivity gap. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Streaming dedup on event_id within the watermark horizon. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  final case class UserState(userId: Long, nEvents: Long, totalValue: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user event
+    * count + value sum, one updated record emitted per batch per active key
+    * (the streaming analogue of the reference's per-worker fold, O3).
+    */
+  def userRunningTotals(spark: SparkSession, events: DataFrame): Dataset[UserState] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) => {
+          val prev = state.getOption.getOrElse(UserState(key, 0L, 0.0))
+          var n = prev.nEvents
+          var tot = prev.totalValue
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserState(key, n, tot)
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+
+  /** Run a (bounded) streaming DataFrame to completion into an in-memory
+    * table and return the materialized result — test/verify harness only.
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}
