@@ -86,10 +86,12 @@ object TextAnalysis {
   def winnow(text: Column, k: Int = 3, w: Int = 4): Column = {
     val hashes = transform(TF.shingles(text, k), s => xxhash64(s))
     val nWin = size(hashes) - lit(w - 1)
+    // Fallbacks keep the sketch total: short docs fingerprint their single
+    // shingle minimum; docs below the shingle size hash the whole text.
     val mins = when(nWin > 0,
       transform(sequence(lit(1), nWin), i => array_min(slice(hashes, i, lit(w)))))
       .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
-        .otherwise(array().cast("array<bigint>")))
+        .otherwise(array(xxhash64(text))))
     array_sort(array_distinct(mins))
   }
 }

@@ -51,15 +51,18 @@ object Crawl {
       .json(root)
       .withColumn("source_file", input_file_name())
 
+  private def typedFrom[T: Encoder](raw: DataFrame, schema: StructType): Dataset[T] =
+    raw
+      .na.fill(0).na.fill(0.0).na.fill("").na.fill(false)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .as[T]
+
   /** Typed crawl with the reference's zero-value substitution for corrupt
     * files (`crawler.go:179,196`): numeric/boolean fields null out on decode
     * failure and are re-zeroed so downstream folds see the monoid identity.
     */
   def crawl[T: Encoder](spark: SparkSession, root: String, schema: StructType): Dataset[T] =
-    crawlRaw(spark, root, schema)
-      .na.fill(0).na.fill(0.0).na.fill("").na.fill(false)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      .as[T]
+    typedFrom[T](crawlRaw(spark, root, schema), schema)
 
   /** Result-plus-error shape of the reference's `Collect`
     * (`crawler.go:253` returns both `finalResult` and the first error).
@@ -75,17 +78,22 @@ object Crawl {
       root: String,
       schema: StructType,
       agg: MonoidAggregator[T, R]): CrawlResult[R] = {
-    val raw = crawlRaw(spark, root, schema)
-    val result = crawl[T](spark, root, schema).select(agg.column).head()
-    val corrupt = raw
-      .filter(col(CorruptCol).isNotNull)
-      .select(min(col("source_file")).as("first"), count(lit(1)).as("n"))
-      .head()
-    val n = corrupt.getLong(1)
-    CrawlResult(
-      result,
-      n,
-      if (n > 0) Some(s"failed to decode: ${corrupt.getString(0)}") else None)
+    // Cache the parsed relation: Spark refuses plans that reference only the
+    // corrupt-record column of a raw JSON scan, and caching also makes the
+    // error pass free of a second file read.
+    val raw = crawlRaw(spark, root, schema).cache()
+    try {
+      val result = typedFrom[T](raw, schema).select(agg.column).head()
+      val corrupt = raw
+        .filter(col(CorruptCol).isNotNull)
+        .select(min(col("source_file")).as("first"), count(lit(1)).as("n"))
+        .head()
+      val n = corrupt.getLong(1)
+      CrawlResult(
+        result,
+        n,
+        if (n > 0) Some(s"failed to decode: ${corrupt.getString(0)}") else None)
+    } finally raw.unpersist()
   }
 
   /** Run `body` under a named job group so it can be cancelled cooperatively

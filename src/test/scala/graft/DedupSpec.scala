@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup operators over synthetic documents with planted near-duplicates:
+  * every LSH variant must recover exactly the brute-force verified pairs.
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val rows = Seq(
+      (0L, base),
+      (1L, base.replace("theta", "THETA")),          // near-dup of 0
+      (2L, base),                                    // exact dup of 0
+      (3L, "completely different words entirely here now today folks yes"),
+      (4L, base.split(" ").reverse.mkString(" ")),   // same tokens, different order
+      (5L, "short doc"))
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+  }
+
+  /** Oracle: brute-force all-pairs exact 3-shingle Jaccard >= 0.8. */
+  private lazy val expectedPairs: Set[(Long, Long)] = {
+    def shingles(t: String): Set[String] =
+      t.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val m = docs.collect().map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    (for {
+      i <- m.keys; j <- m.keys if i < j
+      inter = (m(i) & m(j)).size.toDouble
+      uni = (m(i) | m(j)).size.toDouble
+      if uni > 0 && inter / uni >= 0.8
+    } yield (i, j)).toSet
+  }
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup keeps min key per group with group sizes") {
+    val got = Dedup.exact(docs, "doc_id", Seq("text"))
+      .select("doc_id", "group_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((0L, 2L), (1L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH pairs equal brute-force verified pairs") {
+    assert(pairsOf(Dedup.minHashPairs(docs, "doc_id", "text")) == expectedPairs)
+    // the exact-dup pair must be found; the single-token edit (J≈0.71)
+    // correctly falls below the 0.8 threshold
+    assert(expectedPairs.contains((0L, 2L)) && !expectedPairs.contains((0L, 1L)))
+    // at a 0.7 threshold the edited pair is included too
+    val loose = pairsOf(Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.7))
+    assert(loose.contains((0L, 1L)) && loose.contains((0L, 2L)))
+  }
+
+  test("simhash pairs equal brute-force verified pairs") {
+    assert(pairsOf(Dedup.simHashPairs(docs, "doc_id", "text")) == expectedPairs)
+  }
+
+  test("exact ngram-jaccard pairs equal brute-force verified pairs") {
+    assert(pairsOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text")) == expectedPairs)
+  }
+
+  test("embedding near-dup pairs: planted duplicate vector found, rest rejected") {
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val v0 = vec()
+    val near = v0.map(x => x + 0.001f)
+    val rows = (0 until 20).map(i => (i.toLong, if (i == 1) near else if (i == 0) v0 else vec()))
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingPairs(emb, "vec_id", "embedding", dim = 16, threshold = 0.99)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asof join picks latest right row at or before left time, per key") {
+    val left = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (1L, ts("2024-01-01 12:00:00"), "e2"),
+      (2L, ts("2024-01-01 09:00:00"), "e3"), // before any right row for key 2
+      (3L, ts("2024-01-01 09:00:00"), "e4")  // key with no right rows at all
+    )).toDF("k", "t", "name")
+    val right = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), 200L),
+      (1L, ts("2024-01-01 13:00:00"), 300L),
+      (2L, ts("2024-01-01 10:00:00"), 400L)
+    )).toDF("k", "t", "ref")
+    val got = AsOfJoin.asof(left, right, "k", "k", "t", "t", Seq("ref"))
+      .orderBy("name")
+      .collect().map(r => (r.getAs[String]("name"), Option(r.getAs[Any]("ref"))))
+    assert(got.toSeq == Seq(
+      ("e1", Some(100L)), ("e2", Some(200L)), ("e3", None), ("e4", None)))
+  }
+
+  test("asof join: inclusive at equal timestamps, tie-break by greatest") {
+    val left = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"))).toDF("k", "t", "name")
+    val right = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5L),
+      (1L, ts("2024-01-01 10:00:00"), 9L))).toDF("k", "t", "ref")
+    val got = AsOfJoin.asof(left, right, "k", "k", "t", "t", Seq("ref"),
+      tieBreak = Some("ref")).collect()
+    assert(got.head.getAs[Long]("ref") == 9L)
+  }
+
+  test("banded range join buckets values with half-open intervals") {
+    val facts = spark.createDataFrame(Seq(
+      Tuple1(0.0), Tuple1(49.9), Tuple1(50.0), Tuple1(149.9), Tuple1(150.0)))
+      .toDF("v")
+    val bands = spark.createDataFrame(Seq(
+      (0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1e9, "high")))
+      .toDF("lo", "hi", "band")
+    val got = RangeJoin.banded(facts, bands, "v", "lo", "hi")
+      .groupBy("band").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("low" -> 2L, "mid" -> 2L, "high" -> 1L))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** ANN search: IVF with full probing must equal brute force; SRP-LSH must
+  * keep high recall on the fixture embeddings.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+    df.select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+  test("brute-force top-k is deterministic and self-excluding") {
+    val got = rows(Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L, 1L), 5))
+    assert(got.size == 10)
+    assert(got.forall { case (q, _, n) => q != n })
+    assert(got.map { case (q, r, _) => (q, r) } ==
+      (for (q <- Seq(0L, 1L); r <- 1 to 5) yield (q, r)))
+  }
+
+  test("IVF with nprobe = nClusters equals brute force") {
+    import spark.implicits._
+    val bf = rows(Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L, 1L, 2L), 3))
+    val idx = Similarity.IvfIndex.build(spark, emb, "vec_id", "embedding", nClusters = 8)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Array[Double])].collect().toMap
+    assert(rows(idx.search(qs, k = 3, nprobe = 8)) == bf)
+  }
+
+  test("IVF with nprobe=2 still finds most true neighbors (recall sanity)") {
+    import spark.implicits._
+    val bf = rows(Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L, 1L, 2L), 3))
+    val idx = Similarity.IvfIndex.build(spark, emb, "vec_id", "embedding", nClusters = 8)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Array[Double])].collect().toMap
+    val approx = rows(idx.search(qs, k = 3, nprobe = 2)).map(t => (t._1, t._3)).toSet
+    val truth = bf.map(t => (t._1, t._3)).toSet
+    assert((approx & truth).size >= truth.size / 2)
+  }
+
+  test("SRP-LSH finds genuinely-close neighbors (clustered data)") {
+    // SRP bucketing only pays off when near neighbors are actually near
+    // (cos >> 0): plant 3 tight clusters and require the same-cluster
+    // neighbors to be recovered.
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(3)(Array.fill(32)(rnd.nextGaussian()))
+    val rows0 = for (i <- 0 until 60) yield {
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val clustered = spark.createDataFrame(rows0).toDF("vec_id", "embedding")
+    val got = rows(Similarity.srpTopK(clustered, "vec_id", "embedding",
+      Seq(0L, 1L, 2L), 3, dim = 32, planesPerTable = 6, tables = 8))
+    val bf = rows(Similarity.bruteForceTopK(clustered, "vec_id", "embedding",
+      Seq(0L, 1L, 2L), 3))
+    assert(got.map(t => (t._1, t._3)).toSet == bf.map(t => (t._1, t._3)).toSet)
+  }
+}

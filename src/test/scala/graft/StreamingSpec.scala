@@ -1,0 +1,56 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Streaming surface: every transform run to completion over the bounded
+  * events fixture must agree with its batch equivalent.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val batch = Tables.load(spark, sfDir, "events")
+
+  test("tumbling streaming counts equal batch grouping") {
+    val stream = EventStreams.readEvents(spark, sfDir)
+    val got = EventStreams.runToMemory(spark,
+        EventStreams.tumblingCounts(stream), "t_tumble", "complete")
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+      .orderBy("w", "event_type").collect()
+    val want = batch
+      .groupBy(window(col("ts"), "1 hour").as("window"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("event_type"), col("n"))
+      .orderBy("w", "event_type").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("streaming dedup drops duplicate event ids") {
+    val stream = EventStreams.readEvents(spark, sfDir)
+    val deduped = EventStreams.runToMemory(spark,
+      EventStreams.dedupEvents(stream).select("event_id"), "t_dedup", "append")
+    assert(deduped.count() == batch.select("event_id").distinct().count())
+  }
+
+  test("session windows produce per-user sessions covering all events") {
+    val stream = EventStreams.readEvents(spark, sfDir)
+    val sessions = EventStreams.runToMemory(spark,
+      EventStreams.sessionCounts(stream, gap = "30 minutes"), "t_sess", "complete")
+    assert(sessions.agg(sum("n")).head().getLong(0) == batch.count())
+  }
+
+  test("flatMapGroupsWithState running totals reach the batch totals") {
+    val stream = EventStreams.readEvents(spark, sfDir)
+    val totals = EventStreams.runToMemory(spark,
+      EventStreams.userRunningTotals(spark, stream).toDF(), "t_state", "update")
+    // last update per user == batch per-user counts
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("userId").orderBy(col("nEvents").desc)
+    val latest = totals.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("userId"), col("nEvents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = batch.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest == want)
+  }
+}

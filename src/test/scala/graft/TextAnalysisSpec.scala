@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    spark.createDataFrame(Seq(Tuple1(text))).toDF("text").select(c).head().get(0)
+
+  test("langId picks marker-dominant language; CJK wins; und fallback") {
+    assert(one("the cat of the house and a dog", TextAnalysis.langId(col("text"))) == "en")
+    assert(one("el perro y la casa de los gatos", TextAnalysis.langId(col("text"))) == "es")
+    assert(one("le chien et les chats des villes", TextAnalysis.langId(col("text"))) == "fr")
+    assert(one("der hund und die katze ist ein tier", TextAnalysis.langId(col("text"))) == "de")
+    assert(one("你好世界", TextAnalysis.langId(col("text"))) == "zh")
+    assert(one("xyzzy plugh quux", TextAnalysis.langId(col("text"))) == "und")
+  }
+
+  test("quality score is in [0,1] and penalizes repetition") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1(("good " * 5 + "the and of is a text with many distinct words here now")),
+      Tuple1(("spam " * 50).trim)))
+      .toDF("text")
+      .select(col("text") +: TextAnalysis.qualityColumns(col("text")): _*)
+    val rows = df.collect()
+    val scores = rows.map(_.getAs[Double]("quality_score"))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1)) // repetitive doc scores lower
+  }
+
+  test("token counts: whitespace vs regex pieces") {
+    val df = spark.createDataFrame(Seq(Tuple1("hello world42, foo-bar!")))
+      .toDF("text")
+      .select(TextAnalysis.tokenCountColumns(col("text")): _*)
+    val r = df.head()
+    assert(r.getAs[Int]("ws_tokens") == 3)
+    // hello | world | 42 | , | foo | - | bar | !
+    assert(r.getAs[Int]("re_tokens") == 8)
+  }
+
+  test("fingerprint is invariant to token order and duplication") {
+    val fp = (t: String) => one(t, TextAnalysis.fingerprint(col("text")))
+    assert(fp("a b c") == fp("c b a"))
+    assert(fp("a b c") == fp("a a b b c"))
+    assert(fp("a b c") != fp("a b d"))
+  }
+
+  test("winnow sketch: subset stability under small edits") {
+    val sk = (t: String) =>
+      one(t, TextAnalysis.winnow(col("text")))
+        .asInstanceOf[scala.collection.Seq[Long]].toSet
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val edited = base + " thirteen"
+    val a = sk(base); val b = sk(edited)
+    assert((a & b).size * 2 >= a.size) // most fingerprints survive an append
+    assert(sk("tiny doc").nonEmpty)    // shorter than window still fingerprints
+  }
+}
