@@ -43,4 +43,17 @@ object VectorOps {
       when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
   }
+
+  /** All SRP sign bits at once as a "0101…" string. One literal plane
+    * matrix + a single transform keeps the expression tree (and generated
+    * code) small regardless of how many planes there are — the per-plane
+    * variant above explodes codegen at 32+ planes.
+    */
+  def srpBitString(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val planesLit = typedlit(planes)
+    concat_ws("",
+      transform(planesLit, p =>
+        when(aggregate(zip_with(asDouble(v), p, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0"))))
+  }
 }

@@ -2,27 +2,39 @@ package graft.operators
 
 import graft.functions.{TextFunctions => TF, VectorOps => V}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text/embedding corpora.
   *
   * Five variants, all shuffle-conscious:
-  *  - [[exact]]      — hash-groupBy on the dedup key (one shuffle).
+  *  - [[exact]]        — hash-groupBy on the dedup key (one shuffle).
   *  - [[minHashPairs]] — MinHash + banded LSH over word shingles, exact
   *    Jaccard verification of candidates. The LSH band join is an equi-join
   *    on (band, bandHash) so Spark shuffles only (docId, band) pairs — never
   *    the O(n²) cross product.
   *  - [[simHashPairs]] — 64-bit SimHash, block-LSH candidates, Hamming
   *    pre-filter (`bit_count(xor)`), exact Jaccard verification.
-  *  - [[ngramJaccardPairs]] — exact shingle-Jaccard via an inverted-index
-  *    self-join (only pairs sharing ≥1 shingle are ever materialized).
+  *  - [[ngramJaccardPairs]] — exact shingle-Jaccard via a prefix-filtered
+  *    inverted-index self-join (only pairs sharing a *rare* shingle are
+  *    ever materialized).
   *  - [[embeddingPairs]] — random-hyperplane (SRP) LSH over embeddings,
   *    exact cosine verification.
   *
-  * Every candidate pair is verified against the exact similarity measure, so
-  * the *output* is deterministic (equal to the brute-force answer) as long as
-  * LSH recall holds; band/row counts are chosen so the miss probability at
-  * the default thresholds is < 1e-6.
+  * Implementation notes that matter at scale:
+  *  - Shingles are hashed to 64-bit longs once per document and **cached**
+  *    as sorted distinct arrays. Everything downstream (minhash families,
+  *    simhash bits, inverted index, Jaccard verification) runs on longs.
+  *    Without the cache, every self-join branch would recompute the nested
+  *    shingle expression — and Catalyst collapses projections into
+  *    generators, so an uncached `explode(shingles(...))` re-evaluates the
+  *    whole O(tokens) array expression per *output* row.
+  *  - Set similarity on hashed shingles equals string-set similarity up to
+  *    64-bit collisions (≈ n²/2⁶⁵ — negligible at any realistic corpus).
+  *  - Every candidate pair is verified against the exact similarity
+  *    measure, so the *output* is deterministic (equal to brute force) as
+  *    long as LSH recall holds; band/row counts are chosen so the miss
+  *    probability at the default thresholds is < 1e-6.
   */
 object Dedup {
 
@@ -35,92 +47,108 @@ object Dedup {
     df.groupBy(dedupCols.map(col).toIndexedSeq: _*)
       .agg(min(col(keyCol)).as(keyCol), count(lit(1)).as("group_size"))
 
-  /** Per-doc distinct shingle sets: (doc_id, shingles array). */
-  private def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), TF.shingleSet(col(textCol), n).as("sh"))
-
-  /** MinHash signature matrix: (doc_id, sig array<bigint>[numHashes]).
-    * Computed as `numHashes` column-wise mins over the exploded shingle
-    * relation — Spark's partial aggregation keeps the shuffle at one row
-    * per (doc, partition).
+  /** Per-doc sorted distinct 64-bit shingle hash sets: (doc_id, hs). Cached
+    * — this is the shared input of every pair-finding variant.
     */
+  private def hashedSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        array_sort(array_distinct(transform(
+          TF.shingles(col(textCol), n), s => xxhash64(s)))).as("hs"))
+      .cache()
+
+  /** (doc_id, h) exploded from the cached hash sets. */
+  private def explodedHashes(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(col("hs")).as("h"))
+
+  /** Verify candidate (i, j) pairs with exact shingle Jaccard ≥ threshold,
+    * computed on the hashed sets (two broadcast-friendly joins + one
+    * array intersect/union per pair).
+    */
+  private def verifyHashed(
+      sets: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(sets.as("si"), col("i") === col("si.doc_id"))
+      .join(sets.as("sj"), col("j") === col("sj.doc_id"))
+      .select(col("i"), col("j"),
+        TF.jaccard(col("si.hs"), col("sj.hs")).as("jac"))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), round(col("jac"), 3).as("jac"))
+
+  /** Public variant of the verifier working from raw text. */
+  def verifyJaccard(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      candidates: DataFrame, threshold: Double): DataFrame =
+    verifyHashed(hashedSets(docs, idCol, textCol, shingleN), candidates, threshold)
+
+  /** Tall per-(doc, hash-index) signature mins: (doc_id, k, mh). Narrow
+    * aggregates only — a 128-wide min-agg blows past JIT codegen limits.
+    */
+  private def minHashTall(sets: DataFrame, numHashes: Int): DataFrame =
+    explodedHashes(sets)
+      .select(col("doc_id"),
+        posexplode(array((0 until numHashes).map(i => xxhash64(lit(i), col("h"))): _*))
+          .as(Seq("k", "mk")))
+      .groupBy("doc_id", "k")
+      .agg(min("mk").as("mh"))
+
+  /** MinHash signature matrix: (doc_id, sig array<bigint>[numHashes]). */
   def minHashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 128): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleN)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-    val hashes = TF.hashFamily(col("s"), numHashes)
-    val mins = hashes.zipWithIndex.map { case (h, i) => min(h).as(s"h$i") }
-    sh.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"h$i")).toIndexedSeq: _*).as("sig"))
-  }
+      shingleN: Int = 3, numHashes: Int = 128): DataFrame =
+    minHashTall(hashedSets(docs, idCol, textCol, shingleN), numHashes)
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
 
-  /** LSH candidate pairs (i < j) from banding the signature matrix.
-    * bands × rowsPerBand must equal numHashes.
+  /** Near-duplicate pairs via MinHash LSH, exact-verified.
+    * With b bands of r rows, P(candidate | J) = 1-(1-J^r)^b; the defaults
+    * (128 hashes = 32×4) give P(miss | J=0.8) ≈ 5e-8, so the verified
+    * output equals brute force w.h.p.
     */
-  def minHashCandidates(
+  def minHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minHashSignatures(docs, idCol, textCol, shingleN, numHashes)
-    // One 64-bit hash per band over its slice of the signature.
-    val bandHashes = (0 until bands).map { b =>
-      xxhash64(lit(b) +: (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)
-    }
-    val buckets = sig
-      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
-    buckets.as("a")
+    val sets = hashedSets(docs, idCol, textCol, shingleN)
+    // Band bucket key = hash of the band's sorted (k, min) list; one narrow
+    // aggregation. Cached: the self-join below would recompute the whole
+    // signature pipeline for both sides otherwise.
+    val buckets = minHashTall(sets, numHashes)
+      .withColumn("band", (col("k") / lit(r)).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(xxhash64(array_sort(collect_list(struct(col("k"), col("mh"))))).as("bh"))
+      .cache()
+    val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
+    verifyHashed(sets, candidates, threshold)
   }
-
-  /** Verify candidate (i, j) pairs with exact shingle Jaccard ≥ threshold. */
-  def verifyJaccard(
-      docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
-      candidates: DataFrame, threshold: Double): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, shingleN)
-    candidates
-      .join(sets.as("si"), col("i") === col("si.doc_id"))
-      .join(sets.as("sj"), col("j") === col("sj.doc_id"))
-      .select(col("i"), col("j"),
-        TF.jaccard(col("si.sh"), col("sj.sh")).as("jac"))
-      .filter(col("jac") >= threshold)
-      .select(col("i"), col("j"), round(col("jac"), 3).as("jac"))
-  }
-
-  /** Near-duplicate pairs via MinHash LSH, exact-verified.
-    * Defaults (128 hashes, 32 bands × 4 rows): P(miss | J=0.8) =
-    * (1-0.8^4)^32 ≈ 5e-8 — the verified output equals brute force w.h.p.
-    */
-  def minHashPairs(
-      docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame =
-    verifyJaccard(docs, idCol, textCol, shingleN,
-      minHashCandidates(docs, idCol, textCol, shingleN, numHashes, bands), threshold)
 
   /** 64-bit SimHash per document over word shingles: bit b of the hash is
     * the sign of the sum over shingles of ±1 according to bit b of the
-    * shingle's xxhash64.
+    * shingle's hash. Computed tall — (doc, bit) rows through two narrow
+    * aggregations — because a 64-wide sum-agg exceeds JIT codegen limits.
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleN)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), TF.hash64(col("s")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
-    }
-    val sums = sh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    sums.select(col("doc_id"), sig.as("simhash"))
+  def simHash(docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame =
+    simHashOf(hashedSets(docs, idCol, textCol, shingleN))
+
+  private def simHashOf(sets: DataFrame): DataFrame = {
+    val pmArray = array((0 until 64).map(b =>
+      when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)): _*)
+    explodedHashes(sets)
+      .select(col("doc_id"), posexplode(pmArray).as(Seq("b", "pm")))
+      .groupBy("doc_id", "b")
+      .agg(sum("pm").as("s"))
+      .groupBy("doc_id")
+      // sum of distinct powers of two == bitwise OR; bit 63 maps to
+      // Long.MinValue, the total always stays within Long range.
+      .agg(expr("sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)")
+        .as("simhash"))
   }
 
   /** Near-duplicate pairs via SimHash: block-LSH candidates (16 blocks × 4
@@ -134,7 +162,8 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
     val w = 64 / blocks
-    val sig = simHash(docs, idCol, textCol, shingleN)
+    val sets = hashedSets(docs, idCol, textCol, shingleN)
+    val sig = simHashOf(sets).cache()
     val blockVals = (0 until blocks).map { k =>
       shiftright(col("simhash"), k * w).bitwiseAND(lit((1L << w) - 1L))
     }
@@ -147,31 +176,38 @@ object Dedup {
       .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    verifyJaccard(docs, idCol, textCol, shingleN, candidates, threshold)
+    verifyHashed(sets, candidates, threshold)
   }
 
-  /** Exact n-gram Jaccard pairs via inverted index: explode distinct
-    * shingles, self-join on the shingle (only co-occurring pairs
-    * materialize), count intersections, derive |union| from per-doc set
-    * sizes. No LSH, no recall loss — the exact answer, at the cost of a
-    * join whose size is Σ_shingle df(shingle)².
+  /** Exact n-gram Jaccard pairs via prefix-filtered inverted index
+    * (AllPairs / PPJoin prefix principle, Bayardo et al. WWW'07): order
+    * shingles globally by document frequency (rarest first); a pair with
+    * J ≥ t must share a shingle within each document's first
+    * ⌊(1-t)·n⌋+1 shingles of that order, so only prefixes are indexed and
+    * self-joined. Candidates are then verified with exact set Jaccard —
+    * identical output to the naive Σ df² inverted-index join, but the join
+    * touches rare shingles only, which is what survives a 100× scale-up
+    * (frequent shingles are exactly the ones that explode the naive join).
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleN)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val co = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("c"))
-    co.join(sizes.as("ni"), col("i") === col("ni.doc_id"))
-      .join(sizes.as("nj"), col("j") === col("nj.doc_id"))
-      .select(col("i"), col("j"),
-        (col("c").cast("double") / (col("ni.n") + col("nj.n") - col("c"))).as("jac"))
-      .filter(col("jac") >= threshold)
-      .select(col("i"), col("j"), round(col("jac"), 3).as("jac"))
+    val sets = hashedSets(docs, idCol, textCol, shingleN)
+    val sh = explodedHashes(sets)
+    val byFreq = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
+    val prefixes = sh
+      .join(sh.groupBy("h").agg(count(lit(1)).as("df")), Seq("h"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(byFreq))
+      .filter(col("rk") <= floor((lit(1.0) - lit(threshold)) * col("n")) + 1)
+      .select("doc_id", "h")
+      .cache() // self-joined below; avoid recomputing df-join + windows twice
+    val candidates = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    verifyHashed(sets, candidates, threshold)
   }
 
   /** Near-duplicate embedding pairs (cosine ≥ threshold) via
@@ -184,17 +220,20 @@ object Dedup {
       threshold: Double = 0.95, planesPerTable: Int = 8, tables: Int = 4,
       seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    val sigCols = (0 until tables).map { t =>
-      val planes = Array.fill(planesPerTable)(Array.fill(dim)(rnd.nextGaussian()))
-      V.srpSignature(col(vecCol), planes.toIndexedSeq).as(s"sig$t")
-    }
-    val signed = emb.select(
-      (col(idCol).as("vid") +: col(vecCol).as("v") +: sigCols).toIndexedSeq: _*)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(tables * planesPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
+    val signed = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      V.srpBitString(col(vecCol), planes).as("sig"))
+    // one signature string, sliced into per-table bucket keys; cached for
+    // the self-join (signature computation would otherwise run twice)
     val buckets = signed.select(col("vid"), col("v"),
-      posexplode(array((0 until tables).map(t => col(s"sig$t")): _*)).as(Seq("t", "sig")))
+      posexplode(transform(sequence(lit(0), lit(tables - 1)),
+        t => col("sig").substr(t * lit(planesPerTable) + 1, lit(planesPerTable))))
+        .as(Seq("t", "bk")))
+      .cache()
     buckets.as("a")
       .join(buckets.as("b"),
-        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
           col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("i"), col("b.vid").as("j"),
         V.cosine(col("a.v"), col("b.v")).as("cos"))

@@ -47,19 +47,19 @@ object Similarity {
       queryIds: Seq[Long], k: Int, dim: Int,
       planesPerTable: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    val sigCols = (0 until tables).map { t =>
-      val planes = Array.fill(planesPerTable)(Array.fill(dim)(rnd.nextGaussian()))
-      V.srpSignature(col(vecCol), planes.toIndexedSeq).as(s"sig$t")
-    }
-    val signed = emb.select(
-      (col(idCol).as("vid") +: col(vecCol).as("v") +: sigCols).toIndexedSeq: _*)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(tables * planesPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
+    val signed = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      V.srpBitString(col(vecCol), planes).as("sig"))
     val buckets = signed.select(col("vid"), col("v"),
-      posexplode(array((0 until tables).map(t => col(s"sig$t")): _*)).as(Seq("t", "sig")))
+      posexplode(transform(sequence(lit(0), lit(tables - 1)),
+        t => col("sig").substr(t * lit(planesPerTable) + 1, lit(planesPerTable))))
+        .as(Seq("t", "bk")))
     val qb = buckets.filter(col("vid").isin(queryIds: _*))
       .withColumnsRenamed(Map("vid" -> "query_id", "v" -> "qv"))
     val scored = buckets.as("base")
       .join(broadcast(qb).as("q"),
-        col("base.t") === col("q.t") && col("base.sig") === col("q.sig") &&
+        col("base.t") === col("q.t") && col("base.bk") === col("q.bk") &&
           col("base.vid") =!= col("query_id"))
       .select(col("query_id"), col("base.vid").as("neighbor_id"),
         V.cosine(col("base.v"), col("qv")).as("cos"))
