@@ -236,7 +236,7 @@ object Dedup {
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
           col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("i"), col("b.vid").as("j"),
-        V.cosine(col("a.v"), col("b.v")).as("cos"))
+        graft.plans.GraftFunctions.cosine(col("a.v"), col("b.v")).as("cos"))
       .distinct()
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), round(col("cos"), 3).as("cos"))

@@ -34,7 +34,7 @@ object Similarity {
     val scored = emb
       .join(broadcast(q), col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        V.cosine(col(vecCol), col("qv")).as("cos"))
+        graft.plans.GraftFunctions.cosine(col(vecCol), col("qv")).as("cos"))
     topK(scored, k)
   }
 
@@ -62,7 +62,7 @@ object Similarity {
         col("base.t") === col("q.t") && col("base.bk") === col("q.bk") &&
           col("base.vid") =!= col("query_id"))
       .select(col("query_id"), col("base.vid").as("neighbor_id"),
-        V.cosine(col("base.v"), col("qv")).as("cos"))
+        graft.plans.GraftFunctions.cosine(col("base.v"), col("qv")).as("cos"))
       .distinct()
     topK(scored, k)
   }
@@ -103,7 +103,7 @@ object Similarity {
         .join(broadcast(qDf), Seq("query_id"))
         .filter(col("vid") =!= col("query_id"))
         .select(col("query_id"), col("vid").as("neighbor_id"),
-          V.cosine(col("v"), col("qv")).as("cos"))
+          graft.plans.GraftFunctions.cosine(col("v"), col("qv")).as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 3).as("cos"))
