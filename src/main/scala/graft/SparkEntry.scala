@@ -218,6 +218,24 @@ object SparkEntry {
       .orderBy("band")
   }
 
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("run"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t(s, d, "events")
+      .select(col("event_id"),
+        round(col("value") - lag("value", 1).over(w), 2).as("dv"))
+      .orderBy("event_id")
+  }
+
   private def q25(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer")
       .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
@@ -376,6 +394,8 @@ object SparkEntry {
     "q23_asof_join" -> (q23 _),
     "q24_range_join" -> (q24 _),
     "q25_semi_join" -> (q25 _),
+    "q26_running_sum" -> (q26 _),
+    "q27_lag_diff" -> (q27 _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -567,6 +587,16 @@ object SparkEntry {
       """SELECT c_custkey FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY 1""".stripMargin,
+    "q26_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS run
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q27_lag_diff" ->
+      """SELECT event_id,
+        |  ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id), 2) AS dv
+        |FROM events ORDER BY event_id""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -70,7 +70,7 @@ object Dedup {
       .join(sets.as("si"), col("i") === col("si.doc_id"))
       .join(sets.as("sj"), col("j") === col("sj.doc_id"))
       .select(col("i"), col("j"),
-        TF.jaccard(col("si.hs"), col("sj.hs")).as("jac"))
+        graft.plans.SortedJaccard(col("si.hs"), col("sj.hs")).as("jac"))
       .filter(col("jac") >= threshold)
       .select(col("i"), col("j"), round(col("jac"), 3).as("jac"))
 

@@ -79,19 +79,13 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(TF.tokens(text)))))
 
-  /** Winnowing sketch (Schleimer et al., SIGMOD'03): hash every k-shingle,
-    * slide a window of `w` hashes, keep each window's minimum; the distinct
-    * minima form the fingerprint. Pure higher-order-function implementation.
+  /** Winnowing sketch (Schleimer et al., SIGMOD'03): rolling-hash every
+    * k-shingle, slide a window of `w` hashes, keep each window's minimum;
+    * the sorted distinct minima form the fingerprint. Delegates to the
+    * native [[graft.plans.Winnow]] expression — the equivalent nested
+    * higher-order-function form re-evaluates inner arrays per outer element
+    * (no CSE) and is O(n²·w) per document.
     */
-  def winnow(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val hashes = transform(TF.shingles(text, k), s => xxhash64(s))
-    val nWin = size(hashes) - lit(w - 1)
-    // Fallbacks keep the sketch total: short docs fingerprint their single
-    // shingle minimum; docs below the shingle size hash the whole text.
-    val mins = when(nWin > 0,
-      transform(sequence(lit(1), nWin), i => array_min(slice(hashes, i, lit(w)))))
-      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
-        .otherwise(array(xxhash64(text))))
-    array_sort(array_distinct(mins))
-  }
+  def winnow(text: Column, k: Int = 3, w: Int = 4): Column =
+    graft.plans.Winnow(text, k, w)
 }

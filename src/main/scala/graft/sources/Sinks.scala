@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink surface — the reference's only sink is an in-memory scalar +
+  * stdout (`crawler.go:253`, `cmd/app/app.go:54`); a complete engine needs
+  * durable, partition-aware writers.
+  *
+  * Scale notes baked into the helpers:
+  *  - `partitionBy` on a low-cardinality column gives partition-pruned
+  *    reads downstream (the write-side half of predicate pushdown).
+  *  - `maxRecordsPerFile` bounds file sizes so a 1000-executor read gets
+  *    balanced splits.
+  *  - repartition before write controls file count — the classic
+  *    small-files problem at scale is caused by writing from too many
+  *    tasks.
+  */
+object Sinks {
+
+  /** Columnar write, optionally hive-style partitioned. */
+  def parquet(
+      df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite,
+      maxRecordsPerFile: Long = 5000000L,
+      outputFiles: Int = 0): Unit = {
+    val sized = if (outputFiles > 0) df.repartition(outputFiles) else df
+    val w = sized.write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def csv(df: DataFrame, path: String, header: Boolean = true,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
+
+  def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Force full materialization without retaining output — benchmarking
+    * sink (Spark's built-in `noop` v2 source).
+    */
+  def blackhole(df: DataFrame): Unit =
+    df.write.format("noop").mode(SaveMode.Overwrite).save()
+}
