@@ -242,6 +242,50 @@ object SparkEntry {
       .select("c_custkey")
       .orderBy("c_custkey")
 
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def q28(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(hour(col("ts")).cast("long").as("hr"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .select(col("hr") +: eventTypes.map(e => coalesce(col(e), lit(0L)).as(e)): _*)
+      .orderBy("hr")
+
+  private def q29(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+      .orderBy("o_orderstatus")
+
+  /** SQL front door: the same declared surface through spark.sql over
+    * registered views.
+    */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT n_name, ROUND(SUM(o_totalprice), 2) AS tot, COUNT(*) AS c
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tok"),
+        array_contains(toks, "spark").cast("int").as("has_spark"),
+        concat_ws("|", slice(toks, 1, 3)).as("head3"),
+        element_at(toks, -1).as("last_tok"),
+        size(array_distinct(toks)).as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- dedup --
 
   private def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -360,6 +404,23 @@ object SparkEntry {
       .orderBy("h", "event_type")
   }
 
+  private def streamSliding(s: SparkSession, d: String): DataFrame = {
+    val agg = EventStreams.slidingCounts(EventStreams.readEvents(s, d),
+      "10 minutes", "5 minutes")
+    EventStreams.runToMemory(s, agg, s"stream_sliding_${System.nanoTime()}", "complete")
+      .groupBy(unix_timestamp(col("window.start")).as("ws"))
+      .agg(sum("n").as("c"))
+      .orderBy("ws")
+  }
+
+  private def streamSession(s: SparkSession, d: String): DataFrame = {
+    val agg = EventStreams.sessionCounts(EventStreams.readEvents(s, d), "30 minutes")
+    EventStreams.runToMemory(s, agg, s"stream_session_${System.nanoTime()}", "complete")
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("ss"), col("n"))
+      .orderBy("user_id", "ss")
+  }
+
   /** HLL sketch cardinality — implementation-specific, rows-only check. */
   private def qHll(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -396,6 +457,12 @@ object SparkEntry {
     "q25_semi_join" -> (q25 _),
     "q26_running_sum" -> (q26 _),
     "q27_lag_diff" -> (q27 _),
+    "q28_pivot" -> (q28 _),
+    "q29_percentile" -> (q29 _),
+    "q33_sql_text" -> (q33 _),
+    "q34_array_funcs" -> (q34 _),
+    "stream_sliding" -> (streamSliding _),
+    "stream_session" -> (streamSession _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -587,6 +654,53 @@ object SparkEntry {
       """SELECT c_custkey FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY 1""".stripMargin,
+    "q28_pivot" ->
+      """SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_percentile" ->
+      """SELECT o_orderstatus,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_sql_text" ->
+      """SELECT n_name, ROUND(SUM(o_totalprice), 2) AS tot, COUNT(*) AS c
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_array_funcs" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tok,
+        |  CAST(list_contains(string_split(text, ' '), 'spark') AS INTEGER) AS has_spark,
+        |  array_to_string(string_split(text, ' ')[1:3], '|') AS head3,
+        |  string_split(text, ' ')[-1] AS last_tok,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "stream_sliding" ->
+      """SELECT CAST(FLOOR(epoch(ts) / 300) * 300 - i.i * 300 AS BIGINT) AS ws,
+        |  COUNT(*) AS c
+        |FROM events, (SELECT 0 AS i UNION ALL SELECT 1) i
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e
+        |)
+        |SELECT user_id, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS ss,
+        |  COUNT(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, ss""".stripMargin,
     "q26_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey

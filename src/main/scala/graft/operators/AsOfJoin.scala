@@ -27,6 +27,8 @@ object AsOfJoin {
     * @param tieBreak   column among rightVals that orders right rows sharing
     *                   the same (key, time) — the greatest wins, making the
     *                   picked match deterministic
+    * @param tolerance  optional maximum staleness (e.g. "30 days"): matches
+    *                   older than leftTime - tolerance are nulled out
     * @return left rows + carried right columns (null when no match yet)
     */
   def asof(
@@ -34,7 +36,8 @@ object AsOfJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightVals: Seq[String],
-      tieBreak: Option[String] = None): DataFrame = {
+      tieBreak: Option[String] = None,
+      tolerance: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_k", col(leftKey))
@@ -59,11 +62,18 @@ object AsOfJoin {
     val w = Window.partitionBy("_k")
       .orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, v) =>
+    val unioned = l.unionByName(r)
+      .withColumn("_r_time", when(col("_side") === 0, col("_t")))
+    val carried = (rightVals :+ "time").foldLeft(unioned) { (df, v) =>
       df.withColumn(s"_c_$v", last(col(s"_r_$v"), ignoreNulls = true).over(w))
+    }
+    val fresh = tolerance match {
+      case Some(tol) => col("_c_time") >= col("_t") - expr(s"INTERVAL $tol")
+      case None => lit(true)
     }
     carried
       .filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ rightVals.map(v => col(s"_c_$v").as(v)): _*)
+      .select(leftCols.map(col) ++
+        rightVals.map(v => when(fresh, col(s"_c_$v")).as(v)): _*)
   }
 }

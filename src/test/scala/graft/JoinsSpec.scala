@@ -39,6 +39,21 @@ class JoinsSpec extends SparkSpec {
     assert(got.head.getAs[Long]("ref") == 9L)
   }
 
+  test("asof join tolerance nulls out stale matches") {
+    val left = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 12:00:00"), "fresh"),
+      (2L, ts("2024-01-01 12:00:00"), "stale"))).toDF("k", "t", "name")
+    val right = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 11:30:00"), 1L),   // 30 min old
+      (2L, ts("2024-01-01 09:00:00"), 2L)    // 3 h old
+    )).toDF("k", "t", "ref")
+    val got = AsOfJoin.asof(left, right, "k", "k", "t", "t", Seq("ref"),
+        tolerance = Some("1 HOUR"))
+      .orderBy("name")
+      .collect().map(r => (r.getAs[String]("name"), Option(r.getAs[Any]("ref"))))
+    assert(got.toSeq == Seq(("fresh", Some(1L)), ("stale", None)))
+  }
+
   test("banded range join buckets values with half-open intervals") {
     val facts = spark.createDataFrame(Seq(
       Tuple1(0.0), Tuple1(49.9), Tuple1(50.0), Tuple1(149.9), Tuple1(150.0)))
