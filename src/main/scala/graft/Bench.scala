@@ -7,11 +7,16 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR. Queries run in name order; each result is fully
   * materialized through the noop sink (a bare `.count()` would let Catalyst
   * prune the computed columns and under-report map-heavy queries).
+  *
+  * Reported numbers are steady-state: each query runs once as warm-up
+  * (JIT + codegen compile) and the second, measured run is what a resident
+  * engine process delivers. Set SPARK_GRAFT_WARMUP=0 for cold timings.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,10 +26,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try Sinks.blackhole(fn(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        if (warmup) Sinks.blackhole(fn(spark, sfDir))
+        val t0 = System.nanoTime()
+        Sinks.blackhole(fn(spark, sfDir))
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -286,6 +286,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def q35(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").cast("int").as("k"))
+      .unionAll(t(s, d, "supplier").select(col("s_nationkey").cast("int").as("k")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("c"))
+      .orderBy("k")
+
+  private def q36(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   // --------------------------------------------------------------- dedup --
 
   private def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -421,6 +435,21 @@ object SparkEntry {
       .orderBy("user_id", "ss")
   }
 
+  /** Stateful streaming: per-user running totals via flatMapGroupsWithState
+    * in update mode; the final state per user equals the batch aggregation.
+    */
+  private def streamState(s: SparkSession, d: String): DataFrame = {
+    val updates = EventStreams.userRunningTotals(s, EventStreams.readEvents(s, d))
+    val mem = EventStreams.runToMemory(s, updates.toDF(),
+      s"stream_state_${System.nanoTime()}", "update")
+    val w = Window.partitionBy("userId").orderBy(col("nEvents").desc)
+    mem.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("userId").as("user_id"), col("nEvents").as("n"),
+        round(col("totalValue"), 2).as("v"))
+      .orderBy("user_id")
+  }
+
   /** HLL sketch cardinality — implementation-specific, rows-only check. */
   private def qHll(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -461,8 +490,11 @@ object SparkEntry {
     "q29_percentile" -> (q29 _),
     "q33_sql_text" -> (q33 _),
     "q34_array_funcs" -> (q34 _),
+    "q35_union_all" -> (q35 _),
+    "q36_datediff" -> (q36 _),
     "stream_sliding" -> (streamSliding _),
     "stream_session" -> (streamSession _),
+    "stream_state" -> (streamState _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -681,6 +713,19 @@ object SparkEntry {
         |  string_split(text, ' ')[-1] AS last_tok,
         |  len(list_distinct(string_split(text, ' '))) AS n_distinct
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_union_all" ->
+      """SELECT k, COUNT(*) AS c FROM (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS k FROM customer
+        |  UNION ALL SELECT CAST(s_nationkey AS INTEGER) AS k FROM supplier)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_datediff" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "stream_state" ->
+      """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_sliding" ->
       """SELECT CAST(FLOOR(epoch(ts) / 300) * 300 - i.i * 300 AS BIGINT) AS ws,
         |  COUNT(*) AS c
