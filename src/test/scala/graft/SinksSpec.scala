@@ -32,6 +32,31 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.json(outJ).count() == 500)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val base = Files.createTempDirectory("buckets").toString
+    Sinks.bucketed(Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity"),
+      "li_b", s"$base/li", buckets = 8, bucketCols = Seq("l_orderkey"),
+      sortCols = Seq("l_orderkey"))
+    Sinks.bucketed(Tables.load(spark, sfDir, "orders")
+        .select("o_orderkey", "o_totalprice"),
+      "ord_b", s"$base/ord", buckets = 8, bucketCols = Seq("o_orderkey"),
+      sortCols = Seq("o_orderkey"))
+    // disable auto-broadcast: at fixture size the planner would broadcast
+    // (and skip bucketing); the point here is the shuffle-free sort-merge
+    // join between co-bucketed large tables
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() == Tables.load(spark, sfDir, "lineitem").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("blackhole sink materializes without output") {
     Sinks.blackhole(Tables.load(spark, sfDir, "lineitem").groupBy("l_returnflag").count())
   }
