@@ -300,6 +300,33 @@ object SparkEntry {
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  private def q37(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_id"),
+        from_json(col("props"), lit("map<string,string>")).as("m"))
+      .select(col("event_id"),
+        element_at(col("m"), "k").cast("long").as("kv"),
+        size(map_keys(col("m"))).as("nk"))
+      .orderBy("event_id")
+
+  private def q38(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("mo"))
+      .agg(round(sum("o_totalprice"), 2).as("tot"), count(lit(1)).as("c"))
+      .orderBy("mo")
+
+  private def q39(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        trim(lower(col("c_name"))).as("lname"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        length(col("c_name")).as("len"),
+        reverse(col("c_mktsegment")).as("rseg"))
+      .orderBy("c_custkey")
+      .limit(200)
+
   // --------------------------------------------------------------- dedup --
 
   private def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -456,6 +483,13 @@ object SparkEntry {
       .agg(approx_count_distinct("l_partkey").as("approx_parts"),
         approx_count_distinct("l_orderkey").as("approx_orders"))
 
+  /** KLL/GK-style quantile sketch — implementation-specific, rows-only. */
+  private def qApproxQuantile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile_approx(l_extendedprice, 0.5, 1000)"), 2).as("p50"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------ registry --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -492,6 +526,10 @@ object SparkEntry {
     "q34_array_funcs" -> (q34 _),
     "q35_union_all" -> (q35 _),
     "q36_datediff" -> (q36 _),
+    "q37_map_funcs" -> (q37 _),
+    "q38_month_agg" -> (q38 _),
+    "q39_string_funcs" -> (q39 _),
+    "q_approx_quantile" -> (qApproxQuantile _),
     "stream_sliding" -> (streamSliding _),
     "stream_session" -> (streamSession _),
     "stream_state" -> (streamState _),
@@ -713,6 +751,23 @@ object SparkEntry {
         |  string_split(text, ' ')[-1] AS last_tok,
         |  len(list_distinct(string_split(text, ' '))) AS n_distinct
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q37_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv,
+        |  CAST(len(json_keys(props)) AS INTEGER) AS nk
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q38_month_agg" ->
+      """SELECT CAST(FLOOR(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS mo,
+        |  ROUND(SUM(o_totalprice), 2) AS tot, COUNT(*) AS c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q39_string_funcs" ->
+      """SELECT c_custkey,
+        |  trim(lower(c_name)) AS lname,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  length(c_name) AS len,
+        |  reverse(c_mktsegment) AS rseg
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin,
     "q35_union_all" ->
       """SELECT k, COUNT(*) AS c FROM (
         |  SELECT CAST(c_nationkey AS INTEGER) AS k FROM customer

@@ -1,0 +1,44 @@
+package graft
+
+import graft.sources.Crawl
+
+/** Analogues of the reference's CI-enforced relative assertions
+  * (BASELINE.md): per-stage parallelism must actually help, and
+  * cancellation must interrupt a running job.
+  */
+class ScalingSpec extends SparkSpec {
+
+  test("parallelism scaling: 8 partitions beat 1 partition >=2x on a slow map (crawler_test.go:147-201 analogue)") {
+    import spark.implicits._
+    def run(parts: Int): Double = {
+      val t0 = System.nanoTime()
+      spark.createDataset(1 to 8).repartition(parts)
+        .mapPartitions { it => it.map { i => Thread.sleep(200); i } }
+        .reduce(_ + _)
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(8) // warm
+    val serial = run(1)
+    val parallel = run(8)
+    assert(serial / parallel >= 2.0,
+      f"expected >=2x speedup, got serial=$serial%.2f parallel=$parallel%.2f")
+  }
+
+  test("cancellation interrupts a running job group (O10, pool.go ctx checks)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future {
+      Crawl.cancellable(spark, "cancel-me") {
+        spark.createDataset(1 to 32).repartition(32)
+          .mapPartitions { it => it.map { i => Thread.sleep(30000); i } }
+          .reduce(_ + _)
+      }
+    }
+    Thread.sleep(1500) // let tasks start
+    Crawl.cancel(spark, "cancel-me")
+    val caught = scala.util.Try(Await.result(fut, 20.seconds))
+    assert(caught.isFailure, "cancelled job should fail, not complete")
+  }
+}
