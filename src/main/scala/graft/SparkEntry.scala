@@ -351,6 +351,10 @@ object SparkEntry {
         shingleN = 3, threshold = 0.8)
       .orderBy("i", "j")
 
+  private def dedupCorpus(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupeCorpus(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.95)
@@ -538,6 +542,7 @@ object SparkEntry {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_corpus" -> (dedupCorpus _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -815,6 +820,29 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_minhash" -> duckShingles,
+    "dedup_corpus" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |                   for i in range(1, len(l)-1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |), pj AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s)) * 1.0
+        |        / len(list_distinct(a.s || b.s)) >= 0.8
+        |), e(a, b) AS (
+        |  SELECT i, j FROM pj UNION SELECT j, i FROM pj
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        |), comp AS (
+        |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS c FROM reach GROUP BY a
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> c)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> duckShingles,
     "dedup_ngram" -> duckShingles,
     "dedup_embedding" ->

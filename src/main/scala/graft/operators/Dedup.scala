@@ -210,6 +210,60 @@ object Dedup {
     verifyHashed(sets, candidates, threshold)
   }
 
+  /** Connected components over near-duplicate pairs via distributed label
+    * propagation: every member starts as its own component; each round a
+    * member adopts the minimum label among itself and its neighbors;
+    * converged when no label changes. Diameter-bounded rounds (each round
+    * is one join + one aggregation), lineage cut with localCheckpoint —
+    * the standard large-graph pattern, no driver-side union-find.
+    *
+    * @param pairs (i, j) undirected duplicate edges
+    * @return (doc_id, comp) for every pair member, comp = min id reachable
+    */
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i"), col("j"))
+      .union(pairs.select(col("j").as("i"), col("i").as("j")))
+      .cache()
+    var labels = edges.select(col("i").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIters && changed > 0) {
+      val neighborMin = edges
+        .join(labels, edges("j") === labels("doc_id"))
+        .groupBy(edges("i").as("doc_id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val next = labels.as("l")
+        .join(neighborMin.as("n"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("l.comp"), coalesce(col("n.ncomp"), col("l.comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.as("a").join(labels.as("b"), Seq("doc_id"))
+        .filter(col("a.comp") =!= col("b.comp")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end corpus dedup: find near-dup pairs (MinHash LSH,
+    * exact-verified), group them into components, and keep one document
+    * per component (the minimum id) plus every untouched document.
+    * Returns the surviving doc ids.
+    */
+  def dedupeCorpus(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minHashPairs(docs, idCol, textCol, shingleN, numHashes, bands, threshold)
+    val losers = components(pairs)
+      .filter(col("doc_id") =!= col("comp"))
+      .select(col("doc_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Near-duplicate embedding pairs (cosine ≥ threshold) via
     * random-hyperplane LSH: `tables` independent signature words of
     * `planesPerTable` bits each; candidates share a full word in ≥1 table;

@@ -62,6 +62,24 @@ class DedupSpec extends SparkSpec {
     assert(pairsOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text")) == expectedPairs)
   }
 
+  test("components: chained pairs collapse to one min-labeled component") {
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain 1-2-3-4
+      (10L, 11L)                      // separate pair
+    )).toDF("i", "j")
+    val got = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupeCorpus keeps one doc per duplicate group plus all singletons") {
+    val kept = Dedup.dedupeCorpus(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    // 0,1,2 form one group at 0.7 (0-1 edited, 0-2 exact) -> keep 0;
+    // 3, 4, 5 are singletons
+    assert(kept == Set(0L, 3L, 4L, 5L))
+  }
+
   test("embedding near-dup pairs: planted duplicate vector found, rest rejected") {
     val rnd = new scala.util.Random(7)
     def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
