@@ -200,11 +200,19 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rk", row_number().over(byFreq))
       .filter(col("rk") <= floor((lit(1.0) - lit(threshold)) * col("n")) + 1)
-      .select("doc_id", "h")
+      .select("doc_id", "h", "rk", "n")
       .cache() // self-joined below; avoid recomputing df-join + windows twice
+    // Positional filter (PPJoin): J >= t needs overlap c >= t/(1+t)·(na+nb),
+    // and a match at prefix positions (ra, rb) can contribute at most
+    // 1 + min(na-ra, nb-rb) shared elements. The first shared element of a
+    // qualifying pair always passes, so dropping failing matches loses no
+    // true pair while pruning most spurious rare-shingle collisions.
+    val tFrac = lit(threshold / (1.0 + threshold))
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          (lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))) >=
+            ceil(tFrac * (col("a.n") + col("b.n"))))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
     verifyHashed(sets, candidates, threshold)

@@ -26,10 +26,13 @@ class SinksSpec extends SparkSpec {
     val outC = Files.createTempDirectory("sink_csv").toString
     val outJ = Files.createTempDirectory("sink_json").toString
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
+    val outO = Files.createTempDirectory("sink_orc").toString
     Sinks.csv(docs, outC)
     Sinks.json(docs, outJ)
+    Sinks.orc(docs, outO)
     assert(spark.read.option("header", "true").csv(outC).count() == 500)
     assert(spark.read.json(outJ).count() == 500)
+    assert(spark.read.orc(outO).count() == 500)
   }
 
   test("bucketed tables join without a shuffle exchange") {
