@@ -75,4 +75,45 @@ object Multimodal {
       }
     }
   }
+
+  /** Resize decoded features to `dim` buckets (area-style average pooling —
+    * the STUB image analogue of a bilinear resize; deterministic).
+    */
+  def resize(feats: Dataset[MediaFeatures], dim: Int): Dataset[MediaFeatures] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    feats.map { f =>
+      val src = f.features
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        val lo = i * src.length / dim
+        val hi = math.max((i + 1) * src.length / dim, lo + 1)
+        var s = 0f; var j = lo
+        while (j < hi && j < src.length) { s += src(j); j += 1 }
+        out(i) = s / (hi - lo)
+        i += 1
+      }
+      f.copy(features = out)
+    }
+  }
+
+  final case class MediaFrame(id: Long, frame: Int, payload: Array[Byte])
+
+  /** Sample `n` evenly spaced fixed-size frames from each payload — the
+    * STUB video analogue of frame sampling: real codecs decode at
+    * timestamps; the plumbing (one row per (item, frame), narrow flatMap,
+    * bounded frame size) is what the distributed plan cares about.
+    */
+  def frameSample(items: Dataset[MediaItem], n: Int, frameBytes: Int = 64): Dataset[MediaFrame] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.flatMap { m =>
+      val len = m.media.length
+      (0 until n).iterator.map { f =>
+        val off = if (n == 1) 0 else (f.toLong * math.max(len - frameBytes, 0) / math.max(n - 1, 1)).toInt
+        MediaFrame(m.id, f, m.media.slice(off, math.min(off + frameBytes, len)))
+      }
+    }
+  }
 }
