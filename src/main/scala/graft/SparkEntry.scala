@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object SparkEntry {
 
+  /** Row shape for the q40 typed top-k aggregation (top-level so Spark can
+    * generate its encoder).
+    */
+  case class Ord(o_custkey: Long, o_totalprice: Double, o_orderkey: Long)
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -286,6 +291,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Same result as q05 (top-3 orders per customer) through the bounded
+    * top-k aggregator instead of a window rank — at scale the exchange
+    * carries ≤ k rows per (key, partition) instead of every row.
+    */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Ordering.by[SparkEntry.Ord, (Double, Long)](o => (o.o_totalprice, -o.o_orderkey))
+    val agg = graft.functions.TopKAggregator[SparkEntry.Ord](3, ord)
+    t(s, d, "orders")
+      .select("o_custkey", "o_totalprice", "o_orderkey").as[SparkEntry.Ord]
+      .groupByKey(_.o_custkey)
+      .agg(agg.toColumn.name("top"))
+      .toDF("o_custkey", "top")
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col.o_orderkey").as("o_orderkey"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy("o_custkey", "rnk")
+  }
+
   private def q35(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer").select(col("c_nationkey").cast("int").as("k"))
       .unionAll(t(s, d, "supplier").select(col("s_nationkey").cast("int").as("k")))
@@ -533,6 +557,7 @@ object SparkEntry {
     "q37_map_funcs" -> (q37 _),
     "q38_month_agg" -> (q38 _),
     "q39_string_funcs" -> (q39 _),
+    "q40_topk_agg" -> (q40 _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_sliding" -> (streamSliding _),
     "stream_session" -> (streamSession _),
@@ -773,6 +798,13 @@ object SparkEntry {
         |  length(c_name) AS len,
         |  reverse(c_mktsegment) AS rseg
         |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin,
+    "q40_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
     "q35_union_all" ->
       """SELECT k, COUNT(*) AS c FROM (
         |  SELECT CAST(c_nationkey AS INTEGER) AS k FROM customer
