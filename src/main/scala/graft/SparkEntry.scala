@@ -505,6 +505,13 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Watermarked stream-stream interval join run to completion. */
+  private def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val joined = EventStreams.purchaseAfterClick(EventStreams.readEvents(s, d))
+    EventStreams.runToMemory(s, joined, s"stream_join_${System.nanoTime()}", "append")
+      .orderBy("purchase_id", "click_id")
+  }
+
   /** HLL sketch cardinality — implementation-specific, rows-only check. */
   private def qHll(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -562,6 +569,7 @@ object SparkEntry {
     "stream_sliding" -> (streamSliding _),
     "stream_session" -> (streamSession _),
     "stream_state" -> (streamState _),
+    "stream_join" -> (streamJoin _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -818,6 +826,13 @@ object SparkEntry {
     "stream_state" ->
       """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "stream_sliding" ->
       """SELECT CAST(FLOOR(epoch(ts) / 300) * 300 - i.i * 300 AS BIGINT) AS ws,
         |  COUNT(*) AS c

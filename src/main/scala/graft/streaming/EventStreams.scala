@@ -61,6 +61,28 @@ object EventStreams {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-stream interval self-join: pair each purchase with the clicks
+    * of the same user in the preceding `within` interval. Both sides carry
+    * watermarks so the join state is bounded — the canonical funnel query
+    * shape. Returns (purchase event_id, click event_id).
+    */
+  def purchaseAfterClick(events: DataFrame, within: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $within"))
+      .select(col("purchase_id"), col("click_id"))
+  }
+
   /** Streaming dedup on event_id within the watermark horizon. */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")

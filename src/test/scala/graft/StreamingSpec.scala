@@ -38,6 +38,23 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.agg(sum("n")).head().getLong(0) == batch.count())
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val stream = EventStreams.readEvents(spark, sfDir)
+    val got = EventStreams.runToMemory(spark,
+        EventStreams.purchaseAfterClick(stream), "t_ssjoin", "append")
+      .orderBy("purchase_id", "click_id").collect()
+    val clicks = batch.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val want = batch.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .join(clicks, col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 minutes"))
+      .select("purchase_id", "click_id")
+      .orderBy("purchase_id", "click_id").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     val stream = EventStreams.readEvents(spark, sfDir)
     val totals = EventStreams.runToMemory(spark,
