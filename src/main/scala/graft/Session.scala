@@ -32,12 +32,4 @@ object Session {
     spark
   }
 
-  /** Apply the engine's session-level settings to an externally built
-    * session (used by Verify/Bench, which construct their own).
-    */
-  def tune(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark
-  }
 }

@@ -32,18 +32,6 @@ object VectorOps {
       zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Sign bits against `planes` (a broadcast-side literal array of
-    * hyperplanes): returns a Long whose bit i is 1 iff dot(v, planes(i)) >= 0.
-    * Used for random-hyperplane (SRP) LSH over embeddings.
-    */
-  def srpSignature(v: Column, planes: Seq[Array[Double]]): Column = {
-    require(planes.size <= 63, "at most 63 hyperplanes per signature word")
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit).toIndexedSeq: _*)
-      when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-  }
-
   /** All SRP sign bits at once as a "0101…" string. One literal plane
     * matrix + a single transform keeps the expression tree (and generated
     * code) small regardless of how many planes there are — the per-plane

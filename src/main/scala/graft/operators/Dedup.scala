@@ -60,6 +60,16 @@ object Dedup {
   private def explodedHashes(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"), explode(col("hs")).as("h"))
 
+  /** Materialize the (small) final result eagerly, then release the
+    * operator-internal caches — without this every invocation would pin its
+    * cached shingle sets / buckets for the session lifetime.
+    */
+  private def materialize(result: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    caches.foreach(_.unpersist())
+    out
+  }
+
   /** Verify candidate (i, j) pairs with exact shingle Jaccard ≥ threshold,
     * computed on the hashed sets (two broadcast-friendly joins + one
     * array intersect/union per pair).
@@ -77,8 +87,10 @@ object Dedup {
   /** Public variant of the verifier working from raw text. */
   def verifyJaccard(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
-      candidates: DataFrame, threshold: Double): DataFrame =
-    verifyHashed(hashedSets(docs, idCol, textCol, shingleN), candidates, threshold)
+      candidates: DataFrame, threshold: Double): DataFrame = {
+    val sets = hashedSets(docs, idCol, textCol, shingleN)
+    materialize(verifyHashed(sets, candidates, threshold), sets)
+  }
 
   /** Tall per-(doc, hash-index) signature mins: (doc_id, k, mh). Narrow
     * aggregates only — a 128-wide min-agg blows past JIT codegen limits.
@@ -94,11 +106,15 @@ object Dedup {
   /** MinHash signature matrix: (doc_id, sig array<bigint>[numHashes]). */
   def minHashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 128): DataFrame =
-    minHashTall(hashedSets(docs, idCol, textCol, shingleN), numHashes)
-      .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
+      shingleN: Int = 3, numHashes: Int = 128): DataFrame = {
+    val sets = hashedSets(docs, idCol, textCol, shingleN)
+    materialize(
+      minHashTall(sets, numHashes)
+        .groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
+          x => x.getField("mh")).as("sig")),
+      sets)
+  }
 
   /** Near-duplicate pairs via MinHash LSH, exact-verified.
     * With b bands of r rows, P(candidate | J) = 1-(1-J^r)^b; the defaults
@@ -126,7 +142,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    verifyHashed(sets, candidates, threshold)
+    materialize(verifyHashed(sets, candidates, threshold), sets, buckets)
   }
 
   /** 64-bit SimHash per document over word shingles: bit b of the hash is
@@ -176,7 +192,7 @@ object Dedup {
       .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    verifyHashed(sets, candidates, threshold)
+    materialize(verifyHashed(sets, candidates, threshold), sets, sig)
   }
 
   /** Exact n-gram Jaccard pairs via prefix-filtered inverted index
@@ -215,7 +231,7 @@ object Dedup {
             ceil(tFrac * (col("a.n") + col("b.n"))))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    verifyHashed(sets, candidates, threshold)
+    materialize(verifyHashed(sets, candidates, threshold), sets, prefixes)
   }
 
   /** Connected components over near-duplicate pairs via distributed label
@@ -252,7 +268,13 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels
+    // Silent non-convergence would make dedupeCorpus keep several docs of
+    // one cluster; fail loudly instead (diameter > maxIters is a caller
+    // decision, not a default to paper over).
+    if (changed > 0) throw new IllegalStateException(
+      s"components() did not converge after $maxIters iterations " +
+        s"($changed labels still changing); raise maxIters for graphs of larger diameter")
+    materialize(labels, edges)
   }
 
   /** End-to-end corpus dedup: find near-dup pairs (MinHash LSH,
@@ -302,5 +324,6 @@ object Dedup {
       .distinct()
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), round(col("cos"), 3).as("cos"))
+      .transform(out => materialize(out, buckets))
   }
 }

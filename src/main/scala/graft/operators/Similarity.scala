@@ -128,7 +128,13 @@ object Similarity {
       val base = emb.select(col(idCol).cast("long").as("vid"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
         .as[(Long, Array[Double])]
-      val sample = base.sort("vid").limit(sampleSize).collect().map(_._2)
+      // seeded random sample, NOT first-N-by-id: ids often correlate with
+      // source/time, and centroids trained on one region have no recall
+      // elsewhere
+      val total = base.count()
+      val fraction = math.min(1.0, sampleSize * 1.2 / math.max(total, 1L))
+      val sample = base.sample(withReplacement = false, fraction, seed)
+        .limit(sampleSize).collect().map(_._2)
       require(sample.nonEmpty, "empty embedding table")
       val rnd = new scala.util.Random(seed)
       var cents = rnd.shuffle(sample.toIndexedSeq).take(nClusters).map(_.clone).toArray

@@ -20,6 +20,12 @@ object Skew {
       factKey: String, buildKey: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // Replicating the build side is only sound for join types that never
+    // emit unmatched build rows — a right/full outer would duplicate them
+    // `salts` times.
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+      .contains(joinType.toLowerCase.replaceAll("_", "")),
+      s"saltedJoin does not support join type '$joinType' (build side is replicated)")
     // Deterministic spread: hash the whole fact row's key + a uniform
     // spreader; any stable per-row value works since the salt only balances.
     val salted = facts.withColumn("_salt",

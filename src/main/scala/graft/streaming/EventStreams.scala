@@ -128,6 +128,10 @@ object EventStreams {
       try q.processAllAvailable()
       finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    // detach the result from the memory sink and drop the temp view so the
+    // sink's buffered rows don't stay pinned for the session lifetime
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 }

@@ -54,6 +54,23 @@ class JoinsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("fresh", Some(1L)), ("stale", None)))
   }
 
+  test("asof join carries a consistent snapshot when the latest right row holds nulls") {
+    val left = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 12:00:00"), "e1"))).toDF("k", "t", "name")
+    val right = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(5L), Some("old")),
+      (1L, ts("2024-01-01 11:59:00"), None: Option[Long], Some("new"))
+    )).toDF("k", "t", "price", "tag")
+    // latest row wins as a unit: price must be null (from 11:59), tag "new" —
+    // per-column carry would tear price=5 from 09:00 together with tag "new"
+    val r = AsOfJoin.asof(left, right, "k", "k", "t", "t", Seq("price", "tag")).head()
+    assert(r.isNullAt(r.fieldIndex("price")) && r.getAs[String]("tag") == "new")
+    // and with tolerance, freshness is judged by the carried row's own time
+    val r2 = AsOfJoin.asof(left, right, "k", "k", "t", "t", Seq("price", "tag"),
+      tolerance = Some("1 HOUR")).head()
+    assert(r2.isNullAt(r2.fieldIndex("price")) && r2.getAs[String]("tag") == "new")
+  }
+
   test("banded range join buckets values with half-open intervals") {
     val facts = spark.createDataFrame(Seq(
       Tuple1(0.0), Tuple1(49.9), Tuple1(50.0), Tuple1(149.9), Tuple1(150.0)))
