@@ -35,6 +35,11 @@ import org.apache.spark.sql.functions._
   *    measure, so the *output* is deterministic (equal to brute force) as
   *    long as LSH recall holds; band/row counts are chosen so the miss
   *    probability at the default thresholds is < 1e-6.
+  *  - Operator-internal caches are deliberately retained: Spark's
+  *    CacheManager dedupes identical plans, so repeated calls over the same
+  *    corpus reuse one cached relation (this IS the resident-engine warm
+  *    path) instead of growing. Processing many distinct corpora in one
+  *    long-lived session should `spark.catalog.clearCache()` between them.
   */
 object Dedup {
 
@@ -60,16 +65,6 @@ object Dedup {
   private def explodedHashes(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"), explode(col("hs")).as("h"))
 
-  /** Materialize the (small) final result eagerly, then release the
-    * operator-internal caches — without this every invocation would pin its
-    * cached shingle sets / buckets for the session lifetime.
-    */
-  private def materialize(result: DataFrame, caches: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint()
-    caches.foreach(_.unpersist())
-    out
-  }
-
   /** Verify candidate (i, j) pairs with exact shingle Jaccard ≥ threshold,
     * computed on the hashed sets (two broadcast-friendly joins + one
     * array intersect/union per pair).
@@ -89,7 +84,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
       candidates: DataFrame, threshold: Double): DataFrame = {
     val sets = hashedSets(docs, idCol, textCol, shingleN)
-    materialize(verifyHashed(sets, candidates, threshold), sets)
+    verifyHashed(sets, candidates, threshold)
   }
 
   /** Tall per-(doc, hash-index) signature mins: (doc_id, k, mh). Narrow
@@ -108,12 +103,10 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 128): DataFrame = {
     val sets = hashedSets(docs, idCol, textCol, shingleN)
-    materialize(
-      minHashTall(sets, numHashes)
-        .groupBy("doc_id")
-        .agg(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
-          x => x.getField("mh")).as("sig")),
-      sets)
+    minHashTall(sets, numHashes)
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
   }
 
   /** Near-duplicate pairs via MinHash LSH, exact-verified.
@@ -142,7 +135,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    materialize(verifyHashed(sets, candidates, threshold), sets, buckets)
+    verifyHashed(sets, candidates, threshold)
   }
 
   /** 64-bit SimHash per document over word shingles: bit b of the hash is
@@ -192,7 +185,7 @@ object Dedup {
       .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    materialize(verifyHashed(sets, candidates, threshold), sets, sig)
+    verifyHashed(sets, candidates, threshold)
   }
 
   /** Exact n-gram Jaccard pairs via prefix-filtered inverted index
@@ -231,7 +224,7 @@ object Dedup {
             ceil(tFrac * (col("a.n") + col("b.n"))))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    materialize(verifyHashed(sets, candidates, threshold), sets, prefixes)
+    verifyHashed(sets, candidates, threshold)
   }
 
   /** Connected components over near-duplicate pairs via distributed label
@@ -274,7 +267,8 @@ object Dedup {
     if (changed > 0) throw new IllegalStateException(
       s"components() did not converge after $maxIters iterations " +
         s"($changed labels still changing); raise maxIters for graphs of larger diameter")
-    materialize(labels, edges)
+    edges.unpersist() // labels are checkpointed; the edge cache is internal
+    labels
   }
 
   /** End-to-end corpus dedup: find near-dup pairs (MinHash LSH,
@@ -324,6 +318,5 @@ object Dedup {
       .distinct()
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), round(col("cos"), 3).as("cos"))
-      .transform(out => materialize(out, buckets))
   }
 }
