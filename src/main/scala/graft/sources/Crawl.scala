@@ -31,6 +31,11 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * Spark task per file-split, so a 100 TB tree of JSON documents scans with
   * full cluster parallelism; `spark.sql.files.maxPartitionBytes` controls
   * split size exactly where the reference exposed `FileWorkers`.
+  *
+  * Pluggable filesystems (the reference's `FileSystem` interface,
+  * `internal/fs/filesystem.go:19-41`): `root` is any Hadoop-compatible URI
+  * (`file://`, `hdfs://`, `s3a://`, …) — Spark's FileSystem layer is the
+  * production-grade image of that abstraction, no custom interface needed.
   */
 object Crawl {
 
