@@ -329,7 +329,10 @@ object SparkEntry {
       .select(col("event_id"),
         from_json(col("props"), lit("map<string,string>")).as("m"))
       .select(col("event_id"),
-        element_at(col("m"), "k").cast("long").as("kv"),
+        // try_element_at, not element_at: under ANSI mode the latter throws
+        // MAP_KEY_DOES_NOT_EXIST on a props blob without 'k', while the
+        // DuckDB oracle's json_extract_string returns NULL.
+        try_element_at(col("m"), lit("k")).cast("long").as("kv"),
         size(map_keys(col("m"))).as("nk"))
       .orderBy("event_id")
 
@@ -439,10 +442,17 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
-  /** Winnowing sketch — hash-function-specific, so rows-only check. */
+  /** Winnowing sketch — hash-function-specific, so rows-only check. The
+    * sketch is reduced to scalar columns (size + order-insensitive digest):
+    * the driver's rows-only check sorts result values, which a raw array
+    * column breaks; exploding instead would re-evaluate the kernel per
+    * output row (projections collapse into generators).
+    */
   private def textWinnow(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.winnow(col("text")).as("sketch"))
+      .select(col("doc_id"), size(col("sketch")).as("n"),
+        xxhash64(col("sketch")).as("digest"))
       .orderBy("doc_id")
 
   // ----------------------------------------------------------- multimodal --

@@ -32,11 +32,15 @@ object Skew {
       pmod(hash(col(factKey), spark_partition_id(), monotonically_increasing_id()), lit(salts)))
     val replicated = build.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
+    // Qualify keys through the DataFrame references: with col(...) the join
+    // condition is ambiguous whenever factKey and buildKey share a name —
+    // the most common real usage.
     salted
       .join(replicated,
         salted("_salt") === replicated("_salt") &&
-          col(factKey) === col(buildKey),
+          salted(factKey) === replicated(buildKey),
         joinType)
-      .drop("_salt")
+      .drop(salted("_salt"))
+      .drop(replicated("_salt"))
   }
 }

@@ -83,13 +83,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val denom = ctx.freshName("denom")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double x = ${genGet(elemType(left), a, i)};
-         |  double y = ${genGet(elemType(right), b, i)};
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |  double $x = ${genGet(elemType(left), a, i)};
+         |  double $y = ${genGet(elemType(right), b, i)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;

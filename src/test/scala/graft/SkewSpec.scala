@@ -20,4 +20,30 @@ class SkewSpec extends SparkSpec {
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("salted join works when fact and build key columns share a name") {
+    val facts = spark.createDataFrame((0 until 1000).map(i => (i.toLong, i.toLong % 20)))
+      .toDF("row_id", "k")
+    val build = spark.createDataFrame((0L until 20L).map(k => (k, s"dim$k")))
+      .toDF("k", "label")
+    val plain = facts.join(build, facts("k") === build("k"))
+      .select("row_id", "label")
+    val salted = Skew.saltedJoin(facts, build, "k", "k", salts = 4)
+      .select("row_id", "label")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted left join keeps unmatched fact rows exactly once") {
+    val facts = spark.createDataFrame((0 until 100).map(i => (i.toLong, i.toLong % 30)))
+      .toDF("row_id", "k")
+    val build = spark.createDataFrame((0L until 10L).map(k => (k, s"dim$k")))
+      .toDF("bk", "label")
+    val plain = facts.join(build, col("k") === col("bk"), "left")
+      .select("row_id", "label")
+    val salted = Skew.saltedJoin(facts, build, "k", "bk", salts = 4, joinType = "left")
+      .select("row_id", "label")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
 }
