@@ -33,13 +33,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated filter (same knob as Verify) for iterating
+    // on a single query's plan without paying for the whole suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       try {
         if (warmup) Sinks.blackhole(fn(spark, sfDir))
         if (clearCache) spark.catalog.clearCache()
         val t0 = System.nanoTime()
         Sinks.blackhole(fn(spark, sfDir))
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Drop this query's operator caches before moving on: retained
+        // dead InMemoryRelations from 59 queries otherwise pile up on the
+        // heap and surface as multi-second GC pauses charged to whichever
+        // later query they interrupt. The next query's warm-up rebuilds
+        // its own cache, so measured runs stay cache-warm.
+        spark.catalog.clearCache()
+        name -> sec
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e")

@@ -97,7 +97,11 @@ object SparkEntry {
 
   private def q10(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
-      .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10).as("kb"))
+      // from_json with a single-field schema, not get_json_object: the
+      // JacksonParser skips non-matching fields and reuses the parser per
+      // partition, where the JSON-path evaluator re-tokenizes per row.
+      .groupBy((from_json(col("props"), lit("k string")).getField("k")
+        .cast("long") % 10).as("kb"))
       .agg(count(lit(1)).as("c"))
       .orderBy("kb")
 

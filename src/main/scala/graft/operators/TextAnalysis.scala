@@ -26,9 +26,20 @@ object TextAnalysis {
   /** N-gram/stopword heuristic language ID. CJK scripts are detected by
     * codepoint range; otherwise the language with the highest marker-token
     * count wins (ties: en > es > fr > de, deterministic). Emits "und" when
-    * no marker matches.
+    * no marker matches. Delegates to the native [[graft.plans.LangId]]
+    * kernel — see [[langIdDeclarative]] for why.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = graft.plans.LangId(text)
+
+  /** The same language ID built purely from `functions._`. Kept as the
+    * executable specification for the native kernel (the spec asserts
+    * equality), but not the default: the decision `when`-chain references
+    * each per-language marker count up to four times and lambda-bearing
+    * expressions are excluded from Catalyst's subexpression elimination,
+    * so every reference re-scans all tokens — ~10x the native kernel's
+    * single pass.
+    */
+  def langIdDeclarative(text: Column): Column = {
     val toks = TF.tokens(text)
     val s = markers.map { case (l, ws) => l -> markerCount(toks, ws) }
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
@@ -41,9 +52,28 @@ object TextAnalysis {
 
   /** Heuristic quality features + a composite score in [0, 1]:
     * length band, alphabetic-character ratio, stopword presence, and
-    * repetition (distinct-token ratio).
+    * repetition (distinct-token ratio). Delegates to the single-pass
+    * native [[graft.plans.TextStats]] kernel; see
+    * [[qualityColumnsDeclarative]] for the executable specification.
     */
   def qualityColumns(text: Column): Seq[Column] = {
+    val st = graft.plans.TextStats(text)
+    Seq(
+      st.getField("n_tokens").as("n_tokens"),
+      round(st.getField("alpha_ratio"), 3).as("alpha_ratio"),
+      round(st.getField("stopword_ratio"), 3).as("stopword_ratio"),
+      round(st.getField("distinct_ratio"), 3).as("distinct_ratio"),
+      round(st.getField("quality_score"), 3).as("quality_score"))
+  }
+
+  /** The same quality features built purely from `functions._` — the
+    * executable specification for [[graft.plans.TextStats]] (the spec
+    * asserts equality). Not the default: each ratio and zero-guard
+    * references the token array again and lambda-bearing expressions are
+    * excluded from subexpression elimination, so the text is re-tokenized
+    * ~8x per row, plus a full regexp_replace just to count alpha chars.
+    */
+  def qualityColumnsDeclarative(text: Column): Seq[Column] = {
     val toks = TF.tokens(text)
     val nTok = size(toks).cast("double")
     val nChars = length(text).cast("double")

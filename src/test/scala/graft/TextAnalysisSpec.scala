@@ -17,6 +17,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one("xyzzy plugh quux", TextAnalysis.langId(col("text"))) == "und")
   }
 
+  test("native langId kernel == declarative form on random and edge inputs") {
+    val rnd = new scala.util.Random(11)
+    val vocab = TextAnalysis.markers.values.flatten.toSeq ++
+      Seq("cat", "maison", "hund", "casa", "", "你", "word42", "a-b")
+    val docs = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    } ++ Seq("", " ", "  la  ", "la", "de de des", "the el le der",
+      "mixed 你好 text the", "\tthe\n")
+    val df = spark.createDataFrame(docs.map(Tuple1(_))).toDF("text")
+      .select(
+        TextAnalysis.langId(col("text")).as("native"),
+        TextAnalysis.langIdDeclarative(col("text")).as("decl"))
+    assert(df.filter(col("native") =!= col("decl")).count() == 0)
+  }
+
+  test("native TextStats kernel == declarative quality columns") {
+    val rnd = new scala.util.Random(17)
+    val vocab = TextAnalysis.markers.values.flatten.toSeq ++
+      Seq("cat", "Maison", "WORD42", "a-b!", "你好", "x")
+    val docs = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    } ++ Seq("", " ", "  the the  ", "你好世界", "a" * 50)
+    val df = spark.createDataFrame(docs.map(Tuple1(_))).toDF("text")
+    val native = df.select(col("text") +: TextAnalysis.qualityColumns(col("text")): _*)
+    val decl = df.select(col("text") +: TextAnalysis.qualityColumnsDeclarative(col("text")): _*)
+    assert(native.exceptAll(decl).isEmpty && decl.exceptAll(native).isEmpty)
+  }
+
   test("quality score is in [0,1] and penalizes repetition") {
     val df = spark.createDataFrame(Seq(
       Tuple1(("good " * 5 + "the and of is a text with many distinct words here now")),
