@@ -269,6 +269,44 @@ object SparkEntry {
         round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
       .orderBy("o_orderstatus")
 
+  /** Statistical aggregates: sample stddev/variance, correlation,
+    * covariance — the moments a data-quality pass computes per slice.
+    */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp("l_extendedprice"), 2).as("sd_price"),
+        round(var_samp("l_quantity"), 2).as("var_qty"),
+        round(corr("l_quantity", "l_extendedprice"), 4).as("cr"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("cv"))
+      .orderBy("l_returnflag")
+
+  /** Correlated scalar subquery — Catalyst decorrelates it into an outer
+    * join + aggregate rather than executing per-row.
+    */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |    AS n_orders
+        |FROM customer c ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Ordered string aggregation (listagg/string_agg shape): collect_list
+    * sorted before concat so the result is deterministic under any
+    * partitioning.
+    */
+  private def q32(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("names"),
+        count(lit(1)).as("c"))
+      .orderBy("r_name")
+
   /** SQL front door: the same declared surface through spark.sql over
     * registered views.
     */
@@ -357,6 +395,57 @@ object SparkEntry {
         reverse(col("c_mktsegment")).as("rseg"))
       .orderBy("c_custkey")
       .limit(200)
+
+  /** Argmin/argmax aggregates anchored on the unique order key (the
+    * fixture has duplicate totalprices within a status group, so anchoring
+    * on a non-unique column would be nondeterministic).
+    */
+  private def q41(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        max_by(col("o_orderdate"), col("o_orderkey")).as("latest_key_date"),
+        min_by(col("o_orderdate"), col("o_orderkey")).as("first_key_date"),
+        round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("o_orderstatus")
+
+  /** Conditional aggregation (FILTER clause shape): count_if + filtered
+    * sum/avg in one pass over the fact table.
+    */
+  private def q42(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("count_if(value > 100.0)").as("n_big"),
+        round(sum(when(col("value") > 100.0, col("value"))), 2).as("v_big"),
+        // sum, not avg: events.value has 2 decimals, so an average lands
+        // on .xx5 round() boundaries (Spark HALF_UP vs DuckDB binary)
+        round(sum(when(col("value") <= 100.0, col("value"))), 2).as("v_small"))
+      .orderBy("event_type")
+
+  /** Regex group extraction + null handling scalars. */
+  private def q43(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "Customer#(\\d+)", 1).cast("long").as("cnum"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+        when(col("c_acctbal") < 0, lit("debt")).otherwise(lit("credit")).as("standing"))
+      .orderBy("c_custkey")
+      .limit(300)
+
+  /** LIKE-pattern scan + aggregation over the parts dimension. */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .filter(col("p_type").like("%ECO%") || col("p_name").like("red%"))
+      .groupBy("p_brand")
+      // sum, not avg: an average of 2-decimal prices lands exactly on
+      // .xx5 round() boundaries where Spark (decimal-string HALF_UP) and
+      // DuckDB (binary) disagree; a sum of 2-decimal values never does.
+      .agg(count(lit(1)).as("c"),
+        round(sum("p_retailprice"), 2).as("sum_price"),
+        max("p_size").cast("long").as("max_size"))
+      .orderBy("p_brand")
 
   // --------------------------------------------------------------- dedup --
 
@@ -526,6 +615,18 @@ object SparkEntry {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** Streaming dedup: drop duplicate (user_id, event_type) pairs, then a
+    * complete-mode count per type — whichever physical row survives the
+    * dedup, the count equals the batch COUNT(DISTINCT user_id).
+    */
+  private def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val deduped = EventStreams.dedupEvents(EventStreams.readEvents(s, d),
+      keys = Seq("user_id", "event_type"))
+    val agg = deduped.groupBy("event_type").agg(count(lit(1)).as("n"))
+    EventStreams.runToMemory(s, agg, s"stream_dedup_${System.nanoTime()}", "complete")
+      .orderBy("event_type")
+  }
+
   /** HLL sketch cardinality — implementation-specific, rows-only check. */
   private def qHll(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -571,6 +672,9 @@ object SparkEntry {
     "q27_lag_diff" -> (q27 _),
     "q28_pivot" -> (q28 _),
     "q29_percentile" -> (q29 _),
+    "q30_stats" -> (q30 _),
+    "q31_scalar_subquery" -> (q31 _),
+    "q32_string_agg" -> (q32 _),
     "q33_sql_text" -> (q33 _),
     "q34_array_funcs" -> (q34 _),
     "q35_union_all" -> (q35 _),
@@ -579,7 +683,12 @@ object SparkEntry {
     "q38_month_agg" -> (q38 _),
     "q39_string_funcs" -> (q39 _),
     "q40_topk_agg" -> (q40 _),
+    "q41_minmax_by" -> (q41 _),
+    "q42_cond_agg" -> (q42 _),
+    "q43_regex_null" -> (q43 _),
+    "q44_like_scan" -> (q44 _),
     "q_approx_quantile" -> (qApproxQuantile _),
+    "stream_dedup" -> (streamDedup _),
     "stream_sliding" -> (streamSliding _),
     "stream_session" -> (streamSession _),
     "stream_state" -> (streamState _),
@@ -789,6 +898,51 @@ object SparkEntry {
         |  ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
         |  ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  ROUND(var_samp(l_quantity), 2) AS var_qty,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS cr,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cv
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |    AS n_orders
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
+    "q32_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS names,
+        |  COUNT(*) AS c
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q41_minmax_by" ->
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderdate, o_orderkey) AS latest_key_date,
+        |  arg_min(o_orderdate, o_orderkey) AS first_key_date,
+        |  ROUND(MAX(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_cond_agg" ->
+      """SELECT event_type,
+        |  COUNT(*) FILTER (WHERE value > 100.0) AS n_big,
+        |  ROUND(SUM(value) FILTER (WHERE value > 100.0), 2) AS v_big,
+        |  ROUND(SUM(value) FILTER (WHERE value <= 100.0), 2) AS v_small
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_regex_null" ->
+      """SELECT c_custkey,
+        |  CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS cnum,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |  CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS standing
+        |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin,
+    "q44_like_scan" ->
+      """SELECT p_brand, COUNT(*) AS c,
+        |  ROUND(SUM(p_retailprice), 2) AS sum_price,
+        |  CAST(MAX(p_size) AS BIGINT) AS max_size
+        |FROM part
+        |WHERE p_type LIKE '%ECO%' OR p_name LIKE 'red%'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q33_sql_text" ->
       """SELECT n_name, ROUND(SUM(o_totalprice), 2) AS tot, COUNT(*) AS c
         |FROM orders

@@ -83,9 +83,12 @@ object EventStreams {
       .select(col("purchase_id"), col("click_id"))
   }
 
-  /** Streaming dedup on event_id within the watermark horizon. */
-  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+  /** Streaming dedup on the given key columns within the watermark
+    * horizon — late duplicates beyond it are dropped with their state.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour",
+      keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(keys)
 
   final case class UserState(userId: Long, nEvents: Long, totalValue: Double)
 
