@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       info("graft_winnow", "graft_winnow(text) - winnowing fingerprint sketch (k=3, w=4)"),
       (exprs: Seq[Expression]) => Winnow(exprs.head, 3, 4)))
+    // Optimizer rule: users who write the composable HOF cosine get the
+    // fused native kernel automatically (see RewriteCosine).
+    ext.injectOptimizerRule(_ => RewriteCosine)
   }
 }

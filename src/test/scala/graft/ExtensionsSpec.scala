@@ -27,4 +27,32 @@ class ExtensionsSpec extends SparkSpec {
       assert(sk.nonEmpty)
     } finally ()
   }
+
+  test("RewriteCosine: HOF cosine pattern is fused into the native kernel") {
+    spark.sparkContext
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .create()
+    import org.apache.spark.sql.functions.{col, reverse}
+    // File-backed relation: over a LocalRelation the optimizer would
+    // constant-fold the whole projection away before the rule could show.
+    def q(s: SparkSession) =
+      s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(col("vec_id"),
+          graft.functions.VectorOps.cosine(
+            col("embedding"), reverse(col("embedding"))).as("cos"))
+    val fused = q(s2)
+    assert(fused.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("cosinesimilarity"),
+      s"expected fused kernel in:\n${fused.queryExecution.optimizedPlan}")
+    // and the rewrite preserves results bit-for-bit vs the un-fused session
+    val plain = q(spark)
+    assert(!plain.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("cosinesimilarity"))
+    val want = plain.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = fused.collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getDouble(1) == want(r.getLong(0))))
+  }
 }
