@@ -45,16 +45,45 @@ object Crawl {
     * `source_file` and `_corrupt_record` bookkeeping columns appended.
     */
   def crawlRaw(spark: SparkSession, root: String, schema: StructType): DataFrame =
-    spark.read
-      .schema(schema.add(CorruptCol, StringType))
+    crawlRaw(spark, root, schema, "json", Map.empty)
+
+  /** Format-generic recursive crawl. Text-based formats (`json`, `csv`)
+    * decode PERMISSIVE with per-record corrupt accounting, the reference's
+    * zero-on-decode-failure contract (`crawler.go:179,196`); columnar
+    * formats (`parquet`, `orc`) validate structurally at the footer, so a
+    * readable file has no per-record corruption and the corrupt column is
+    * constant null. Extra `options` pass through to the reader (csv
+    * delimiter, header, …).
+    */
+  def crawlRaw(
+      spark: SparkSession, root: String, schema: StructType,
+      format: String, options: Map[String, String]): DataFrame = {
+    val base = spark.read
       .option("recursiveFileLookup", "true")
-      // One JSON document per file, possibly pretty-printed — the
-      // reference's decode unit (`crawler.go:53-54`).
-      .option("multiLine", "true")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(root)
-      .withColumn("source_file", input_file_name())
+      .options(options)
+    val df = format match {
+      case "json" =>
+        base.schema(schema.add(CorruptCol, StringType))
+          // One JSON document per file, possibly pretty-printed — the
+          // reference's decode unit (`crawler.go:53-54`).
+          .option("multiLine", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", CorruptCol)
+          .json(root)
+      case "csv" =>
+        base.schema(schema.add(CorruptCol, StringType))
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", CorruptCol)
+          .csv(root)
+      case "parquet" | "orc" =>
+        base.schema(schema).format(format).load(root)
+          .withColumn(CorruptCol, lit(null).cast(StringType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported crawl format '$other' (json, csv, parquet, orc)")
+    }
+    df.withColumn("source_file", input_file_name())
+  }
 
   private def typedFrom[T: Encoder](raw: DataFrame, schema: StructType): Dataset[T] =
     raw
@@ -69,6 +98,12 @@ object Crawl {
   def crawl[T: Encoder](spark: SparkSession, root: String, schema: StructType): Dataset[T] =
     typedFrom[T](crawlRaw(spark, root, schema), schema)
 
+  /** Typed format-generic crawl (see the `crawlRaw` overload). */
+  def crawl[T: Encoder](
+      spark: SparkSession, root: String, schema: StructType,
+      format: String, options: Map[String, String] = Map.empty): Dataset[T] =
+    typedFrom[T](crawlRaw(spark, root, schema, format, options), schema)
+
   /** Result-plus-error shape of the reference's `Collect`
     * (`crawler.go:253` returns both `finalResult` and the first error).
     */
@@ -82,11 +117,13 @@ object Crawl {
       spark: SparkSession,
       root: String,
       schema: StructType,
-      agg: MonoidAggregator[T, R]): CrawlResult[R] = {
+      agg: MonoidAggregator[T, R],
+      format: String = "json",
+      options: Map[String, String] = Map.empty): CrawlResult[R] = {
     // Cache the parsed relation: Spark refuses plans that reference only the
     // corrupt-record column of a raw JSON scan, and caching also makes the
     // error pass free of a second file read.
-    val raw = crawlRaw(spark, root, schema).cache()
+    val raw = crawlRaw(spark, root, schema, format, options).cache()
     try {
       val result = typedFrom[T](raw, schema).select(agg.column).head()
       val corrupt = raw

@@ -54,6 +54,30 @@ class CrawlSpec extends SparkSpec {
     assert(res.firstError.exists(_.contains("bad.json")))
   }
 
+  test("csv crawl: recursive tree, corrupt-row accounting, zero substitution") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawlcsv")
+    val inner = Files.createDirectories(root.resolve("a/b"))
+    Files.writeString(root.resolve("one.csv"), "5\n10\n")
+    Files.writeString(inner.resolve("two.csv"), "20\nnot_a_number\n")
+    val res = Crawl.collect[Rec, Long](spark, root.toString, schema,
+      MonoidAggregator.sumLong[Rec](_.data), format = "csv")
+    assert(res.result == 35L) // corrupt row contributed the zero value
+    assert(res.corruptFiles == 1L)
+    assert(res.firstError.exists(_.contains("two.csv")))
+  }
+
+  test("orc crawl: recursive tree reads back the written rows") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawlorc").toString
+    spark.createDataset(Seq(Rec(1), Rec(2))).write.orc(s"$root/x")
+    spark.createDataset(Seq(Rec(39))).write.orc(s"$root/y/z")
+    val res = Crawl.collect[Rec, Long](spark, root, schema,
+      MonoidAggregator.sumLong[Rec](_.data), format = "orc")
+    assert(res.result == 42L)
+    assert(res.corruptFiles == 0L && res.firstError.isEmpty)
+  }
+
   test("typed crawl decodes nested depths recursively") {
     import spark.implicits._
     val ds = Crawl.crawl[Rec](spark, "/root/reference/tests", schema)
