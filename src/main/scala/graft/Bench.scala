@@ -8,23 +8,46 @@ import org.apache.spark.sql.SparkSession
   * materialized through the noop sink (a bare `.count()` would let Catalyst
   * prune the computed columns and under-report map-heavy queries).
   *
-  * Reported numbers are steady-state: each query runs once as warm-up
-  * (JIT + codegen compile) and the second, measured run is what a resident
-  * engine process delivers. Set SPARK_GRAFT_WARMUP=0 for cold timings.
+  * Measurement protocol (designed so the suite number for a query matches
+  * its `SPARK_GRAFT_ONLY` isolated number):
+  *  1. one warm-up run (JIT + codegen compile + operator-cache build);
+  *  2. SPARK_GRAFT_RUNS (default 3) measured runs; the reported figure is
+  *     the MEDIAN and the per-run values are kept in the JSON under "runs";
+  *  3. after the query: drop its operator caches, force a full GC, and
+  *     quiesce briefly — otherwise dead InMemoryRelations from earlier
+  *     queries surface as multi-second GC pauses charged to whichever
+  *     innocent query they interrupt (the round-2 bench artifact).
   *
   * Cache policy: dedup/ann operators retain internal `.cache()`s so that
   * CacheManager's identical-plan dedupe serves repeated runs — i.e. their
   * steady-state numbers are deliberately CACHE-WARM (input parquet read
   * once, like a resident engine with a populated cache). Set
-  * SPARK_GRAFT_CLEAR_CACHE=1 to drop all cached relations between the
-  * warm-up and measured runs for JIT-only warm-up semantics.
+  * SPARK_GRAFT_CLEAR_CACHE=1 to also drop caches before each measured run
+  * for JIT-only warm-up semantics; SPARK_GRAFT_WARMUP=0 for cold timings.
   */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Full GC + short quiesce: settles allocation debt from the previous
+    * query's cache build/drop cycle so its pauses don't land on the next
+    * measured run. System.gc() is advisory but local-mode JVMs honor it.
+    */
+  private def quiesce(): Unit = {
+    System.gc()
+    Thread.sleep(250)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val clearCache = sys.env.getOrElse("SPARK_GRAFT_CLEAR_CACHE", "0") == "1"
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,28 +64,31 @@ object Bench {
       .map { case (name, fn) =>
       try {
         if (warmup) Sinks.blackhole(fn(spark, sfDir))
-        if (clearCache) spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        Sinks.blackhole(fn(spark, sfDir))
-        val sec = (System.nanoTime() - t0) / 1e9
-        // Drop this query's operator caches before moving on: retained
-        // dead InMemoryRelations from 59 queries otherwise pile up on the
-        // heap and surface as multi-second GC pauses charged to whichever
-        // later query they interrupt. The next query's warm-up rebuilds
-        // its own cache, so measured runs stay cache-warm.
+        val runs = (1 to nRuns).map { _ =>
+          if (clearCache) spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          Sinks.blackhole(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }
         spark.catalog.clearCache()
-        name -> sec
+        quiesce()
+        name -> runs
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e")
-          name -> -1.0
+          spark.catalog.clearCache()
+          name -> Seq(-1.0)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = "%.4f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(median(v)) }
       .mkString("{", ",", "}")
+    val raw = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // failures stay visible as -1 per query but must not distort the total
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(r => median(r._2)).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -160,15 +160,14 @@ object Dedup {
         .as("simhash"))
   }
 
-  /** Near-duplicate pairs via SimHash: block-LSH candidates (16 blocks × 4
-    * bits ⇒ any pair with Hamming distance < 16 shares a block; near-dups at
-    * J≥0.8 have expected Hamming ≈ 7), Hamming ≤ maxHamming pre-filter, then
-    * exact Jaccard verification.
+  /** Block-LSH candidate pairs for [[simHashPairs]], exposed so specs can
+    * assert candidate volume stays ≪ n(n−1)/2. Pigeonhole: with `blocks`
+    * equal-width blocks of a 64-bit SimHash, any pair with Hamming
+    * distance < blocks shares at least one identical block.
     */
-  def simHashPairs(
+  def simHashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, blocks: Int = 16, maxHamming: Int = 20,
-      threshold: Double = 0.8): DataFrame = {
+      shingleN: Int = 3, blocks: Int = 8, maxHamming: Int = 20): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
     val w = 64 / blocks
     val sets = hashedSets(docs, idCol, textCol, shingleN)
@@ -178,13 +177,31 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), col("simhash"),
       posexplode(array(blockVals: _*)).as(Seq("blk", "bv")))
-    val candidates = buckets.as("a")
+    buckets.as("a")
       .join(buckets.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
+  }
+
+  /** Near-duplicate pairs via SimHash: block-LSH candidates (default 8
+    * blocks × 8 bits ⇒ any pair with Hamming distance < 8 is guaranteed to
+    * share a block — this covers the J≥0.8 regime, whose expected Hamming
+    * is ≈ 7; pairs farther apart are still found when they happen to share
+    * a block), Hamming ≤ maxHamming pre-filter, then exact Jaccard
+    * verification. 8-bit blocks give 256 bucket values per block, so
+    * expected per-block candidate volume is ~n²/512 on hash-random
+    * corpora — the former 4-bit default (16 values/block) degenerated
+    * toward all-pairs at large n.
+    */
+  def simHashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, blocks: Int = 8, maxHamming: Int = 20,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = hashedSets(docs, idCol, textCol, shingleN)
+    val candidates = simHashCandidates(docs, idCol, textCol, shingleN, blocks, maxHamming)
     verifyHashed(sets, candidates, threshold)
   }
 
@@ -230,20 +247,28 @@ object Dedup {
   /** Connected components over near-duplicate pairs via distributed label
     * propagation: every member starts as its own component; each round a
     * member adopts the minimum label among itself and its neighbors;
-    * converged when no label changes. Diameter-bounded rounds (each round
-    * is one join + one aggregation), lineage cut with localCheckpoint —
-    * the standard large-graph pattern, no driver-side union-find.
+    * converged when no label changes. Diameter-bounded rounds, no
+    * driver-side union-find.
+    *
+    * ONE distributed job per round: the convergence signal is a `chg` flag
+    * column computed in the same pass as the label update, and the round's
+    * single `count` both materializes the persisted next-labels frame and
+    * returns the changed-count (the former separate join+count convergence
+    * job tripled the per-round job bill). Lineage is cut with a lazy
+    * localCheckpoint every [[checkpointEvery]] rounds — materialized by
+    * that same count, so checkpoint rounds stay one job too.
     *
     * @param pairs (i, j) undirected duplicate edges
     * @return (doc_id, comp) for every pair member, comp = min id reachable
     */
-  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 20, checkpointEvery: Int = 3): DataFrame = {
     val edges = pairs.select(col("i"), col("j"))
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
       .cache()
     var labels = edges.select(col("i").as("doc_id")).distinct()
       .withColumn("comp", col("doc_id"))
       .localCheckpoint()
+    var prev: DataFrame = null // superseded persisted frame, unpersisted lazily
     var iter = 0
     var changed = 1L
     while (iter < maxIters && changed > 0) {
@@ -251,14 +276,18 @@ object Dedup {
         .join(labels, edges("j") === labels("doc_id"))
         .groupBy(edges("i").as("doc_id"))
         .agg(min(col("comp")).as("ncomp"))
-      val next = labels.as("l")
+      val stepped = labels.as("l")
         .join(neighborMin.as("n"), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("l.comp"), coalesce(col("n.ncomp"), col("l.comp"))).as("comp"))
-        .localCheckpoint()
-      changed = next.as("a").join(labels.as("b"), Seq("doc_id"))
-        .filter(col("a.comp") =!= col("b.comp")).count()
-      labels = next
+          least(col("l.comp"), coalesce(col("n.ncomp"), col("l.comp"))).as("comp"),
+          (col("n.ncomp").isNotNull && col("n.ncomp") < col("l.comp")).as("chg"))
+      val next =
+        if ((iter + 1) % checkpointEvery == 0) stepped.localCheckpoint(false)
+        else { stepped.persist(); stepped }
+      changed = next.filter(col("chg")).count() // materializes persist/checkpoint
+      if (prev != null) prev.unpersist()
+      prev = next
+      labels = next.drop("chg")
       iter += 1
     }
     // Silent non-convergence would make dedupeCorpus keep several docs of
@@ -267,8 +296,14 @@ object Dedup {
     if (changed > 0) throw new IllegalStateException(
       s"components() did not converge after $maxIters iterations " +
         s"($changed labels still changing); raise maxIters for graphs of larger diameter")
-    edges.unpersist() // labels are checkpointed; the edge cache is internal
-    labels
+    // Detach the result from the loop's caches before releasing them: the
+    // eager checkpoint snapshots the (tiny) label frame, then the last
+    // round's persisted frame and the edge cache can go — components()
+    // leaves no CacheManager entries behind.
+    val out = labels.localCheckpoint()
+    if (prev != null) prev.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** End-to-end corpus dedup: find near-dup pairs (MinHash LSH,
@@ -309,13 +344,21 @@ object Dedup {
         t => col("sig").substr(t * lit(planesPerTable) + 1, lit(planesPerTable))))
         .as(Seq("t", "bk")))
       .cache()
-    buckets.as("a")
+    // Dedup candidate (i, j) ids BEFORE scoring: a pair colliding in k of
+    // the LSH tables would otherwise be cosine-scored k times and deduped
+    // after the fact. Vectors are joined back from the cached buckets.
+    val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
           col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("i"), col("b.vid").as("j"),
-        graft.plans.GraftFunctions.cosine(col("a.v"), col("b.v")).as("cos"))
+      .select(col("a.vid").as("i"), col("b.vid").as("j"))
       .distinct()
+    val vecs = buckets.select(col("vid"), col("v")).dropDuplicates("vid")
+    candidates
+      .join(vecs.as("vi"), col("i") === col("vi.vid"))
+      .join(vecs.as("vj"), col("j") === col("vj.vid"))
+      .select(col("i"), col("j"),
+        graft.plans.GraftFunctions.cosine(col("vi.v"), col("vj.v")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), round(col("cos"), 3).as("cos"))
   }

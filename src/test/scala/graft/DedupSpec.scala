@@ -62,6 +62,24 @@ class DedupSpec extends SparkSpec {
     assert(pairsOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text")) == expectedPairs)
   }
 
+  test("simhash block-LSH candidate volume stays far below all-pairs at 5k docs") {
+    // A corpus of 5k distinct random documents: with 8-bit blocks (256
+    // bucket values per block) plus the Hamming pre-filter, candidate
+    // generation must stay a small fraction of n(n-1)/2 — the former 4-bit
+    // default (16 values per block) degenerated toward all-pairs at scale.
+    val rnd = new scala.util.Random(11)
+    val vocab = Array.fill(2000)("w" + rnd.nextInt(100000))
+    val rows = (0 until 5000).map { i =>
+      (i.toLong, Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val corpus = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val n = 5000L
+    val allPairs = n * (n - 1) / 2
+    val candidates = Dedup.simHashCandidates(corpus, "doc_id", "text").count()
+    assert(candidates < allPairs / 50,
+      s"simhash candidates $candidates not << all-pairs $allPairs")
+  }
+
   test("components: chained pairs collapse to one min-labeled component") {
     val pairs = spark.createDataFrame(Seq(
       (1L, 2L), (2L, 3L), (3L, 4L),   // chain 1-2-3-4
