@@ -30,14 +30,22 @@ object Bfs {
       checkpointEvery: Int = 8): Dataset[T] = {
     var frontier = spark.createDataset(start)
     var all = frontier
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[Dataset[T]]
     var level = 0
     while (level < maxLevels && !frontier.isEmpty) {
       frontier = frontier.flatMap(children)
       if ((level + 1) % checkpointEvery == 0) frontier = frontier.localCheckpoint()
       frontier.persist(StorageLevel.MEMORY_AND_DISK)
+      persisted += frontier
       all = all.union(frontier)
       level += 1
     }
-    all
+    // Snapshot the union, then release every per-level frontier cache: a
+    // deep tree must not leave one persisted dataset per level alive for
+    // the session lifetime — the analogue of the reference's bounded
+    // goroutine-leak invariant (`crawler_test.go:634`).
+    val out = all.localCheckpoint()
+    persisted.foreach(_.unpersist())
+    out
   }
 }

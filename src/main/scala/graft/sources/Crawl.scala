@@ -109,9 +109,143 @@ object Crawl {
     */
   final case class CrawlResult[R](result: R, corruptFiles: Long, firstError: Option[String])
 
+  /** One captured I/O failure during listing: `op` is "list" (a directory
+    * that could not be enumerated — the reference's readdir-error/panic
+    * cases) or "open" (a file that failed the read-access probe — the
+    * open-error/panic cases). Mirrors `crawler_test.go:395-455`.
+    */
+  final case class IoError(op: String, path: String, error: String)
+
+  /** Recursive listing outcome: every readable file plus every captured
+    * error. The crawl continues past errors — partial result + first error,
+    * the reference's `Collect` contract (`crawler.go:253`).
+    */
+  final case class Listing(files: Seq[String], errors: Seq[IoError])
+
+  /** Recursive listing with per-entry error capture. An unlistable subtree
+    * or unreadable file is recorded in [[Listing.errors]] and the walk
+    * continues — unlike Spark's built-in `InMemoryFileIndex`, which fails
+    * the whole query on the first listing exception. Each file is
+    * access-probed (a metadata-only permission check, no open) so
+    * open-permission failures surface here instead of failing tasks
+    * mid-scan.
+    *
+    * `parallelism` bounds the listing thread pool — the per-crawl DOP knob
+    * the reference exposes as `Configuration.SearchWorkers`
+    * (`crawler.go:17-21`). Listing runs on the driver, the same place
+    * Spark's own file index lists; one level per barrier, directories
+    * within a level listed concurrently.
+    *
+    * Scale note: a mid-stream read failure on a file that passed the probe
+    * is NOT zero-substituted — Spark retries the task and then fails the
+    * job. Silently zeroing a half-read 128 MB split would be data loss; the
+    * reference's in-process read-error substitution (`crawler_test.go`
+    * read-error case) maps to cluster task retry, not to dropped data.
+    */
+  def listWithErrors(
+      spark: SparkSession, root: String, parallelism: Int = 8): Listing = {
+    import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+    import org.apache.hadoop.fs.permission.FsAction
+    import scala.jdk.CollectionConverters._
+    val rootPath = new HPath(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism.max(1))
+    val files = Seq.newBuilder[String]
+    val errors = Seq.newBuilder[IoError]
+    def msg(e: Throwable): String =
+      Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    try {
+      var frontier: Seq[HPath] = Seq(rootPath)
+      while (frontier.nonEmpty) {
+        val tasks = frontier.map { dir =>
+          new java.util.concurrent.Callable[(HPath, Either[Throwable, Array[FileStatus]])] {
+            def call() = (dir,
+              try Right(fs.listStatus(dir))
+              catch { case e: Exception => Left(e) })
+          }
+        }
+        val next = Seq.newBuilder[HPath]
+        pool.invokeAll(tasks.asJava).asScala.map(_.get()).foreach {
+          case (dir, Left(e)) =>
+            errors += IoError("list", dir.toString, msg(e))
+          case (_, Right(statuses)) => statuses.foreach { st =>
+            if (st.isDirectory) next += st.getPath
+            else {
+              try { fs.access(st.getPath, FsAction.READ); files += st.getPath.toString }
+              catch { case e: Exception =>
+                errors += IoError("open", st.getPath.toString, msg(e)) }
+            }
+          }
+        }
+        frontier = next.result()
+      }
+    } finally pool.shutdown()
+    Listing(files.result(), errors.result())
+  }
+
+  /** Same PERMISSIVE decode as [[crawlRaw]] but over an explicit file list
+    * (the readable survivors of [[listWithErrors]]).
+    */
+  private def readFiles(
+      spark: SparkSession, files: Seq[String], schema: StructType,
+      format: String, options: Map[String, String]): DataFrame = {
+    val base = spark.read.options(options)
+    val df = format match {
+      case "json" =>
+        base.schema(schema.add(CorruptCol, StringType))
+          .option("multiLine", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", CorruptCol)
+          .json(files: _*)
+      case "csv" =>
+        base.schema(schema.add(CorruptCol, StringType))
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", CorruptCol)
+          .csv(files: _*)
+      case "parquet" | "orc" =>
+        base.schema(schema).format(format).load(files: _*)
+          .withColumn(CorruptCol, lit(null).cast(StringType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported crawl format '$other' (json, csv, parquet, orc)")
+    }
+    df.withColumn("source_file", input_file_name())
+  }
+
+  /** Scope a session conf override to `body` (restores the prior value).
+    * File-source split planning consults the session conf at action time,
+    * so overrides applied around the actions in [[collect]] take effect.
+    */
+  private def withConf[A](spark: SparkSession, key: String, value: Option[String])(body: => A): A =
+    value match {
+      case None => body
+      case Some(v) =>
+        val old = spark.conf.getOption(key)
+        spark.conf.set(key, v)
+        try body
+        finally old match {
+          case Some(o) => spark.conf.set(key, o)
+          case None    => spark.conf.unset(key)
+        }
+    }
+
   /** End-to-end crawl + monoid aggregation — the `Crawler.Collect` analogue
-    * (O7). One aggregation job over the documents; error accounting runs as
-    * a second cheap metadata pass only over corrupt rows.
+    * (O7). Listing runs resiliently ([[listWithErrors]]): an unreadable
+    * file or unlistable subtree is recorded, the readable remainder is
+    * decoded and folded, and the partial result is returned alongside the
+    * first error — the reference's error matrix (`crawler_test.go:395-455`,
+    * result-plus-error at `crawler.go:253`). `corruptFiles` counts files
+    * (not rows) that failed to open or decode; `firstError` is
+    * deterministic — the lexicographically smallest failing path, I/O
+    * errors (discovered during listing, which precedes decode) before
+    * decode errors.
+    *
+    * Per-crawl DOP knobs (the reference's `Configuration{SearchWorkers,
+    * FileWorkers}`, `crawler.go:17-21`): `listingParallelism` bounds the
+    * listing pool; `maxPartitionBytes` overrides
+    * `spark.sql.files.maxPartitionBytes` for this crawl's jobs — smaller
+    * splits mean more, smaller decode tasks, exactly where the reference
+    * exposed `FileWorkers`.
     */
   def collect[T: Encoder, R](
       spark: SparkSession,
@@ -119,23 +253,33 @@ object Crawl {
       schema: StructType,
       agg: MonoidAggregator[T, R],
       format: String = "json",
-      options: Map[String, String] = Map.empty): CrawlResult[R] = {
-    // Cache the parsed relation: Spark refuses plans that reference only the
-    // corrupt-record column of a raw JSON scan, and caching also makes the
-    // error pass free of a second file read.
-    val raw = crawlRaw(spark, root, schema, format, options).cache()
-    try {
-      val result = typedFrom[T](raw, schema).select(agg.column).head()
-      val corrupt = raw
-        .filter(col(CorruptCol).isNotNull)
-        .select(min(col("source_file")).as("first"), count(lit(1)).as("n"))
-        .head()
-      val n = corrupt.getLong(1)
-      CrawlResult(
-        result,
-        n,
-        if (n > 0) Some(s"failed to decode: ${corrupt.getString(0)}") else None)
-    } finally raw.unpersist()
+      options: Map[String, String] = Map.empty,
+      listingParallelism: Int = 8,
+      maxPartitionBytes: Option[Long] = None): CrawlResult[R] = {
+    val listing = listWithErrors(spark, root, listingParallelism)
+    val openFailures = listing.errors.count(_.op == "open")
+    val firstIo = listing.errors.sortBy(_.path).headOption
+      .map(e => s"failed to ${e.op}: ${e.path} (${e.error})")
+    if (listing.files.isEmpty)
+      return CrawlResult(agg.zeroValue, openFailures.toLong, firstIo)
+    withConf(spark, "spark.sql.files.maxPartitionBytes", maxPartitionBytes.map(_.toString)) {
+      // Cache the parsed relation: Spark refuses plans that reference only
+      // the corrupt-record column of a raw JSON scan, and caching also makes
+      // the error pass free of a second file read.
+      val raw = readFiles(spark, listing.files, schema, format, options).cache()
+      try {
+        val result = typedFrom[T](raw, schema).select(agg.column).head()
+        val corrupt = raw
+          .filter(col(CorruptCol).isNotNull)
+          .select(min(col("source_file")).as("first"),
+            countDistinct(col("source_file")).as("n"))
+          .head()
+        val n = corrupt.getLong(1)
+        val firstDecode =
+          if (n > 0) Some(s"failed to decode: ${corrupt.getString(0)}") else None
+        CrawlResult(result, n + openFailures, firstIo.orElse(firstDecode))
+      } finally raw.unpersist()
+    }
   }
 
   /** Run `body` under a named job group so it can be cancelled cooperatively

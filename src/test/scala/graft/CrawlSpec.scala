@@ -78,6 +78,65 @@ class CrawlSpec extends SparkSpec {
     assert(res.corruptFiles == 0L && res.firstError.isEmpty)
   }
 
+  test("io error matrix: unlistable subtrees and unopenable files surface as firstError with a partial result (crawler_test.go:395-455)") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyFs].getName)
+    val root = Files.createTempDirectory("crawlio")
+    val a = Files.createDirectory(root.resolve("a"))
+    Files.writeString(a.resolve("good1.json"), """{"data": 3}""")
+    Files.writeString(root.resolve("good2.json"), """{"data": 4}""")
+    val unlistable = Files.createDirectory(root.resolve("unlistable"))
+    Files.writeString(unlistable.resolve("hidden.json"), """{"data": 50}""")
+    val panicdir = Files.createDirectory(root.resolve("panicdir"))
+    Files.writeString(panicdir.resolve("hidden2.json"), """{"data": 60}""")
+    Files.writeString(root.resolve("noopen.json"), """{"data": 9}""")
+    Files.writeString(root.resolve("nopanic.json"), """{"data": 11}""")
+    val faultyRoot = "faulty:" + root.toString
+
+    // All four injected failures are captured; the walk continues past them.
+    val listing = Crawl.listWithErrors(spark, faultyRoot)
+    assert(listing.errors.count(_.op == "list") == 2)
+    assert(listing.errors.count(_.op == "open") == 2)
+    assert(listing.files.forall(f => f.contains("good1") || f.contains("good2")))
+
+    // Partial result from the readable files + deterministic first error.
+    val res = Crawl.collect[Rec, Long](spark, faultyRoot, schema,
+      MonoidAggregator.sumLong[Rec](_.data))
+    assert(res.result == 7L)         // good1 + good2 only
+    assert(res.corruptFiles == 2L)   // the two unopenable files
+    assert(res.firstError.exists(e =>
+      e.startsWith("failed to open:") && e.contains("noopen.json")))
+  }
+
+  test("io error injection: permission-denied file is skipped, counted, and surfaced (open-error case)") {
+    import spark.implicits._
+    import java.nio.file.attribute.PosixFilePermissions
+    val root = Files.createTempDirectory("crawlperm")
+    Files.writeString(root.resolve("good.json"), """{"data": 30}""")
+    val locked = Files.writeString(root.resolve("locked.json"), """{"data": 99}""")
+    Files.setPosixFilePermissions(locked, PosixFilePermissions.fromString("---------"))
+    val res = Crawl.collect[Rec, Long](spark, root.toString, schema,
+      MonoidAggregator.sumLong[Rec](_.data))
+    assert(res.result == 30L)
+    assert(res.corruptFiles == 1L)
+    assert(res.firstError.exists(e =>
+      e.startsWith("failed to open:") && e.contains("locked.json")))
+  }
+
+  test("io error: fully unlistable root still returns the zero value plus the error") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[FaultyFs].getName)
+    val root = Files.createTempDirectory("crawlroot0")
+    val unlistable = Files.createDirectory(root.resolve("unlistable"))
+    Files.writeString(unlistable.resolve("x.json"), """{"data": 5}""")
+    val res = Crawl.collect[Rec, Long](spark, "faulty:" + unlistable.toString, schema,
+      MonoidAggregator.sumLong[Rec](_.data))
+    assert(res.result == 0L) // the monoid zero — result is still returned
+    assert(res.firstError.exists(_.startsWith("failed to list:")))
+  }
+
   test("typed crawl decodes nested depths recursively") {
     import spark.implicits._
     val ds = Crawl.crawl[Rec](spark, "/root/reference/tests", schema)
@@ -93,5 +152,18 @@ class CrawlSpec extends SparkSpec {
     def walk(n: Int): Set[Int] =
       Set(n) ++ (if (n < 13) (1 to 3).flatMap(i => walk(3 * n + i)) else Nil)
     assert(got == walk(0))
+  }
+
+  test("bfs expand leaves no per-level frontier caches behind (crawler_test.go:634 leak bound analogue)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val all = Bfs.expand[Int](spark, Seq(0),
+      n => if (n < 13) Seq(3 * n + 1, 3 * n + 2, 3 * n + 3) else Seq.empty)
+    assert(all.count() > 0)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // Only the returned snapshot may add storage; the per-level frontier
+    // caches (one per tree depth before the fix) must all be released.
+    assert(after <= before + 1,
+      s"persisted RDDs grew $before -> $after; frontier caches leaked")
   }
 }

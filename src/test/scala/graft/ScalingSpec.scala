@@ -24,6 +24,40 @@ class ScalingSpec extends SparkSpec {
       f"expected >=2x speedup, got serial=$serial%.2f parallel=$parallel%.2f")
   }
 
+  test("maxPartitionBytes knob changes decode task counts (Configuration.FileWorkers analogue, crawler.go:17-21)") {
+    import java.nio.file.Files
+    import graft.functions.MonoidAggregator
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("data", LongType)))
+    val root = Files.createTempDirectory("crawldop")
+    for (i <- 0 until 64)
+      Files.writeString(root.resolve(s"f$i.json"), s"""{"data": $i}""")
+
+    import spark.implicits._
+
+    def countTasks(knob: Option[Long]): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit = counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Crawl.collect[Rec, Long](spark, root.toString, schema,
+          MonoidAggregator.sumLong[Rec](_.data), maxPartitionBytes = knob)
+        Thread.sleep(1500) // drain the async listener bus
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // Default 128 MB splits pack all 64 tiny files into a few partitions;
+    // a 4 MB cap (= the per-file open cost) forces ~one file per partition.
+    val coarse = countTasks(None)
+    val fine = countTasks(Some(4L * 1024 * 1024))
+    assert(fine >= coarse * 3,
+      s"expected the 4MB split cap to multiply task count, got $coarse -> $fine")
+  }
+
   test("cancellation interrupts a running job group (O10, pool.go ctx checks)") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
