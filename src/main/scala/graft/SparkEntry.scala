@@ -501,13 +501,10 @@ object SparkEntry {
     * brute-force oracle while exercising the index path end-to-end.
     */
   private def annIvf(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val emb = t(s, d, "embeddings")
     val idx = Similarity.IvfIndex.build(s, emb, "vec_id", "embedding", nClusters = 16)
-    val qs = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
-      .as[(Long, Array[Double])].collect().toMap
-    idx.search(qs, k = 3, nprobe = 16)
+    // DataFrame query side: no driver materialization of the query vectors
+    idx.search(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, nprobe = 16)
       .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
         col("cos").as("sim"))
       .orderBy("query_id", "rnk")
@@ -536,16 +533,20 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** Winnowing sketch — hash-function-specific, so rows-only check. The
-    * sketch is reduced to scalar columns (size + order-insensitive digest):
-    * the driver's rows-only check sorts result values, which a raw array
-    * column breaks; exploding instead would re-evaluate the kernel per
-    * output row (projections collapse into generators).
+    * sketch is reduced to scalar columns (size + digest): the driver's
+    * rows-only check sorts result values, which a raw array column breaks;
+    * exploding instead would re-evaluate the kernel per output row
+    * (projections collapse into generators). xxhash64 over an array is
+    * order-SENSITIVE, so the digest is taken over array_sort(sketch) —
+    * stable regardless of the kernel's emission order (Winnow happens to
+    * emit sorted distinct minima today, but the digest must not depend on
+    * that coupling).
     */
   private def textWinnow(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.winnow(col("text")).as("sketch"))
       .select(col("doc_id"), size(col("sketch")).as("n"),
-        xxhash64(col("sketch")).as("digest"))
+        xxhash64(array_sort(col("sketch"))).as("digest"))
       .orderBy("doc_id")
 
   // ----------------------------------------------------------- multimodal --
@@ -627,11 +628,15 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
-  /** HLL sketch cardinality — implementation-specific, rows-only check. */
+  /** HLL sketch cardinality — implementation-specific, rows-only check in
+    * the driver gate; SketchSpec bounds it within ±2% of exact. rsd=0.01
+    * (vs the 0.05 default) — a few KB more sketch for percent-level error,
+    * the right trade anywhere near 100 TB cardinalities.
+    */
   private def qHll(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
-      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
-        approx_count_distinct("l_orderkey").as("approx_orders"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
 
   /** KLL/GK-style quantile sketch — implementation-specific, rows-only. */
   private def qApproxQuantile(s: SparkSession, d: String): DataFrame =

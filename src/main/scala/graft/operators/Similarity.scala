@@ -84,23 +84,57 @@ object Similarity {
       val centroids: Array[Array[Double]],
       val assigned: DataFrame) {
 
-    /** Exact search within the `nprobe` clusters nearest to each query. */
+    /** Exact search within the `nprobe` clusters nearest to each query —
+      * driver-Map query side, for small ad-hoc query batches.
+      */
     def search(queries: Map[Long, Array[Double]], k: Int, nprobe: Int): DataFrame = {
       val probes = queries.toSeq.flatMap { case (qid, qv) =>
         centroids.indices
           .sortBy(c => IvfIndex.l2sq(centroids(c), qv))
           .take(nprobe)
-          .map(c => (qid, c))
+          .map(c => (qid, qv, c))
       }
       val spark = assigned.sparkSession
       import spark.implicits._
-      val probeDf = probes.toDF("query_id", "cluster")
-      val qDf = queries.toSeq.map { case (qid, qv) => (qid, qv) }.toDF("query_id", "qv")
+      scoreProbes(probes.toDF("query_id", "qv", "cluster"), k)
+    }
+
+    /** Exact search with a DataFrame query side: probe-cluster selection is
+      * a narrow map against broadcast centroids, so a whole query *table*
+      * works without ever materializing it on the driver. The probe frame
+      * is broadcast to the base side (the query side is the small side by
+      * contract); the base table still never shuffles.
+      *
+      * `queries` must carry `idCol` (castable to long) and `vecCol`
+      * (array of numeric).
+      */
+    def search(
+        queries: DataFrame, idCol: String, vecCol: String,
+        k: Int, nprobe: Int): DataFrame = {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      val q = queries.select(col(idCol).cast("long").as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+        .as[(Long, Array[Double])]
+      val bc = spark.sparkContext.broadcast(centroids)
+      val probes = q.mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (qid, qv) =>
+          cs.indices.sortBy(c => IvfIndex.l2sq(cs(c), qv)).take(nprobe)
+            .map(c => (qid, qv, c))
+        }
+      }.toDF("query_id", "qv", "cluster")
+      scoreProbes(probes, k)
+    }
+
+    /** Shared scoring tail: join probe rows (query_id, qv, cluster) to the
+      * assigned base vectors, exact cosine, per-query top-k.
+      */
+    private def scoreProbes(probes: DataFrame, k: Int): DataFrame = {
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       assigned
-        .join(broadcast(probeDf), Seq("cluster"))
-        .join(broadcast(qDf), Seq("query_id"))
+        .join(broadcast(probes), Seq("cluster"))
         .filter(col("vid") =!= col("query_id"))
         .select(col("query_id"), col("vid").as("neighbor_id"),
           graft.plans.GraftFunctions.cosine(col("v"), col("qv")).as("cos"))

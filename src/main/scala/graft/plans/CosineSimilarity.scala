@@ -19,19 +19,36 @@ import org.apache.spark.sql.types._
   *
   * Semantics (kept bit-identical to the HOF form so either can serve the
   * declared queries): elements are widened to double; result is
-  * dot / (sqrt(na) * sqrt(nb)), 0.0 when either norm is 0; the shorter
-  * length wins if the arrays disagree.
+  * dot / (sqrt(na) * sqrt(nb)), 0.0 when either norm is 0; a null element
+  * anywhere in either array yields NULL (null propagates through the HOF
+  * form's zip_with/aggregate, so the fused kernel must do the same — the
+  * element-null scan is only emitted when the array type says
+  * containsNull, so the codegen fast path for null-free schemas is
+  * unchanged); the shorter length wins if the arrays disagree.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
 
   private def elemType(e: Expression): DataType = e.dataType match {
     case ArrayType(t, _) => t
     case other => throw new IllegalArgumentException(
       s"cosine_similarity expects array arguments, got $other")
+  }
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  private def hasNullElement(ad: ArrayData): Boolean = {
+    var i = 0
+    val n = ad.numElements()
+    while (i < n) { if (ad.isNullAt(i)) return true; i += 1 }
+    false
   }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -55,6 +72,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (la, ta) = (a.asInstanceOf[ArrayData], elemType(left))
     val (lb, tb) = (b.asInstanceOf[ArrayData], elemType(right))
+    if ((elemNullable(left) && hasNullElement(la)) ||
+        (elemNullable(right) && hasNullElement(lb))) return null
     val n = math.min(la.numElements(), lb.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -79,13 +98,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val denom = ctx.freshName("denom")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val hasNull = ctx.freshName("hasNull")
+      // Element-null guard loops are emitted only for containsNull array
+      // types: null-free schemas keep the branch-free fast path.
+      def guard(arr: String, nullable: Boolean): String =
+        if (!nullable) ""
+        else s"""for (int $j = 0; $j < $arr.numElements() && !$hasNull; $j++) {
+                |  $hasNull = $arr.isNullAt($j);
+                |}""".stripMargin
+      val guards =
+        if (!elemNullable(left) && !elemNullable(right)) ""
+        else s"""boolean $hasNull = false;
+                |${guard(a, elemNullable(left))}
+                |${guard(b, elemNullable(right))}
+                |if ($hasNull) { ${ev.isNull} = true; } else {""".stripMargin
+      val close = if (guards.isEmpty) "" else "}"
       s"""
+         |$guards
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
@@ -95,6 +131,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |$close
        """.stripMargin
     })
 

@@ -19,11 +19,15 @@ import org.apache.spark.sql.types.DoubleType
   *
   * The match is deliberately strict — the exact tree `VectorOps.cosine`
   * produces, with lambda-variable identities verified — so it cannot
-  * mis-fire on superficially similar expressions. Caveat: on ragged
-  * pairs (arrays of unequal length) the HOF form yields NULL (zip_with
-  * pads with nulls) while the fused form scores the common prefix; the
-  * rewrite assumes fixed-dimension embedding columns, which is the only
-  * shape `VectorOps.cosine` is documented for.
+  * mis-fire on superficially similar expressions. Null elements are
+  * handled identically by both forms: the HOF form null-propagates
+  * through zip_with/aggregate, and [[CosineSimilarity]] scans for null
+  * elements (only when the array type says containsNull) and yields NULL.
+  * Remaining caveat: on ragged pairs (arrays of unequal length) the HOF
+  * form yields NULL (zip_with pads with nulls) while the fused form
+  * scores the common prefix; the rewrite assumes fixed-dimension
+  * embedding columns, which is the only shape `VectorOps.cosine` is
+  * documented for.
   */
 object RewriteCosine extends Rule[LogicalPlan] {
 

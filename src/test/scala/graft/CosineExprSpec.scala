@@ -39,6 +39,22 @@ class CosineExprSpec extends SparkSpec {
     assert(math.abs(mixed - 1.0) < 1e-12)
   }
 
+  test("null elements: native kernel null-propagates exactly like the HOF form") {
+    val rows: Seq[(Array[java.lang.Double], Array[java.lang.Double])] = Seq(
+      (Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](1.0, 2.0, 3.0)),
+      (Array[java.lang.Double](1.0, 2.0, 3.0), Array[java.lang.Double](null, 2.0, 3.0)),
+      (Array[java.lang.Double](1.0, 2.0, 3.0), Array[java.lang.Double](1.0, 2.0, 3.0)))
+    val df = spark.createDataFrame(rows).toDF("a", "b")
+    val got = df.select(
+        GraftFunctions.cosine(col("a"), col("b")).as("native"),
+        V.cosine(col("a"), col("b")).as("hof"))
+      .collect()
+    got.take(2).foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1), s"expected NULL==NULL, got $r")
+    }
+    assert(!got(2).isNullAt(0) && got(2).getDouble(0) == got(2).getDouble(1))
+  }
+
   test("SQL registration: graft_cosine callable from SQL text") {
     GraftFunctions.register(spark)
     Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("emb_cos_test")
