@@ -217,6 +217,24 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Skew-safe as-of join (segmented prefix scan over month buckets) —
+    * same semantics and oracle as q23, exercising the hot-key escape
+    * hatch end-to-end.
+    */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val events = t(s, d, "events").select("event_id", "user_id", "ts")
+    val orders = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    AsOfJoin.asofBucketed(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightVals = Seq("o_orderkey"),
+        bucketOf = c => date_trunc("month", c),
+        tieBreak = Some("o_orderkey"))
+      .select("event_id", "o_orderkey")
+      .orderBy("event_id")
+  }
+
   private def q24(s: SparkSession, d: String): DataFrame = {
     val bands = s.createDataFrame(Seq(
       (0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1e9, "high")))
@@ -692,6 +710,7 @@ object SparkEntry {
     "q42_cond_agg" -> (q42 _),
     "q43_regex_null" -> (q43 _),
     "q44_like_scan" -> (q44 _),
+    "q45_asof_bucketed" -> (q45 _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (streamDedup _),
     "stream_sliding" -> (streamSliding _),
@@ -945,6 +964,14 @@ object SparkEntry {
         |FROM part
         |WHERE p_type LIKE '%ECO%' OR p_name LIKE 'red%'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q45_asof_bucketed" ->
+      """SELECT e.event_id,
+        |  (SELECT MAX(o.o_orderkey) FROM orders o
+        |   WHERE o.o_custkey = e.user_id
+        |     AND o.o_orderdate = (SELECT MAX(o2.o_orderdate) FROM orders o2
+        |                          WHERE o2.o_custkey = e.user_id
+        |                            AND o2.o_orderdate <= e.ts)) AS o_orderkey
+        |FROM events e ORDER BY e.event_id""".stripMargin,
     "stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -58,6 +58,22 @@ object Multimodal {
       .as[MediaItem]
   }
 
+  /** Media items from a `binaryFile` crawl ([[graft.sources.Crawl.crawlRaw]]
+    * with format "binaryFile": path, length, content, …): id is a stable
+    * 64-bit hash of the path, format is the lower-cased file extension.
+    * This is the real ingestion edge for media payloads — files land as
+    * opaque binary columns with no driver round-trip.
+    */
+  def fromBinaryFiles(df: DataFrame): Dataset[MediaItem] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      xxhash64(col("path")).as("id"),
+      col("content").as("media"),
+      lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("format"))
+      .as[MediaItem]
+  }
+
   /** Batched decode + feature extraction. Narrow (no shuffle); each task
     * processes its partition's items in order. `batchHint` only repartitions
     * when the input has fewer partitions than requested — on a cluster this

@@ -52,8 +52,13 @@ object Crawl {
     * zero-on-decode-failure contract (`crawler.go:179,196`); columnar
     * formats (`parquet`, `orc`) validate structurally at the footer, so a
     * readable file has no per-record corruption and the corrupt column is
-    * constant null. Extra `options` pass through to the reader (csv
-    * delimiter, header, …).
+    * constant null. Two ingestion formats serve LLM-pipeline crawls:
+    * `text` reads each file whole into the schema's single string column
+    * (raw-corpus ingestion), and `binaryFile` yields (path, length,
+    * content) rows for opaque media payloads — `schema` is ignored for
+    * binaryFile, whose source schema is fixed; pair it with
+    * [[graft.operators.Multimodal.fromBinaryFiles]]. Extra `options` pass
+    * through to the reader (csv delimiter, header, pathGlobFilter, …).
     */
   def crawlRaw(
       spark: SparkSession, root: String, schema: StructType,
@@ -78,11 +83,28 @@ object Crawl {
       case "parquet" | "orc" =>
         base.schema(schema).format(format).load(root)
           .withColumn(CorruptCol, lit(null).cast(StringType))
+      case "text" =>
+        textColumn(schema)
+        base.option("wholetext", "true").text(root)
+          .select(col("value").as(schema.fieldNames.head))
+          .withColumn(CorruptCol, lit(null).cast(StringType))
+      case "binaryFile" =>
+        return base.format("binaryFile").load(root)
+          .select(col("path"), col("length"), col("content"))
+          .withColumn(CorruptCol, lit(null).cast(StringType))
+          .withColumn("source_file", col("path"))
       case other =>
         throw new IllegalArgumentException(
-          s"unsupported crawl format '$other' (json, csv, parquet, orc)")
+          s"unsupported crawl format '$other' (json, csv, parquet, orc, text, binaryFile)")
     }
     df.withColumn("source_file", input_file_name())
+  }
+
+  /** `text`-format crawls read whole files into one string column. */
+  private def textColumn(schema: StructType): String = {
+    require(schema.fields.length == 1 && schema.fields.head.dataType == StringType,
+      s"text crawl needs a single string column schema, got $schema")
+    schema.fieldNames.head
   }
 
   private def typedFrom[T: Encoder](raw: DataFrame, schema: StructType): Dataset[T] =
@@ -205,9 +227,19 @@ object Crawl {
       case "parquet" | "orc" =>
         base.schema(schema).format(format).load(files: _*)
           .withColumn(CorruptCol, lit(null).cast(StringType))
+      case "text" =>
+        textColumn(schema)
+        base.option("wholetext", "true").text(files: _*)
+          .select(col("value").as(schema.fieldNames.head))
+          .withColumn(CorruptCol, lit(null).cast(StringType))
+      case "binaryFile" =>
+        return base.format("binaryFile").load(files: _*)
+          .select(col("path"), col("length"), col("content"))
+          .withColumn(CorruptCol, lit(null).cast(StringType))
+          .withColumn("source_file", col("path"))
       case other =>
         throw new IllegalArgumentException(
-          s"unsupported crawl format '$other' (json, csv, parquet, orc)")
+          s"unsupported crawl format '$other' (json, csv, parquet, orc, text, binaryFile)")
     }
     df.withColumn("source_file", input_file_name())
   }

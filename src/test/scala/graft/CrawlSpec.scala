@@ -137,6 +137,35 @@ class CrawlSpec extends SparkSpec {
     assert(res.firstError.exists(_.startsWith("failed to list:")))
   }
 
+  test("wholetext crawl: each file becomes one row holding the full contents") {
+    import org.apache.spark.sql.types.{StringType => SString}
+    val root = Files.createTempDirectory("crawltext")
+    val inner = Files.createDirectory(root.resolve("sub"))
+    Files.writeString(root.resolve("a.txt"), "first doc\nwith two lines")
+    Files.writeString(inner.resolve("b.txt"), "second doc")
+    val textSchema = StructType(Seq(StructField("text", SString)))
+    val got = Crawl.crawlRaw(spark, root.toString, textSchema, "text", Map.empty)
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(got == Set("first doc\nwith two lines", "second doc"))
+  }
+
+  test("binaryFile crawl feeds the multimodal pipeline end-to-end") {
+    import graft.operators.Multimodal
+    val root = Files.createTempDirectory("crawlbin")
+    val payloads = Map("x.img" -> Array[Byte](1, 2, 3, 4),
+      "sub/y.img" -> Array.tabulate[Byte](100)(_.toByte))
+    Files.createDirectory(root.resolve("sub"))
+    payloads.foreach { case (p, bytes) => Files.write(root.resolve(p), bytes) }
+    val raw = Crawl.crawlRaw(spark, root.toString, new StructType(), "binaryFile", Map.empty)
+    val feats = Multimodal.extractFeatures(Multimodal.fromBinaryFiles(raw))
+      .collect().sortBy(_.n_bytes)
+    assert(feats.length == 2)
+    assert(feats.map(_.n_bytes).toSeq == Seq(4L, 100L))
+    assert(feats.forall(_.format == "img"))
+    assert(feats.map(_.id).distinct.length == 2) // stable per-path ids
+    assert(feats.forall(_.features.length == 16))
+  }
+
   test("typed crawl decodes nested depths recursively") {
     import spark.implicits._
     val ds = Crawl.crawl[Rec](spark, "/root/reference/tests", schema)

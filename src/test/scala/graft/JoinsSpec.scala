@@ -71,6 +71,41 @@ class JoinsSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("price")) && r2.getAs[String]("tag") == "new")
   }
 
+  test("bucketed asof (segmented prefix scan) equals the single-window form on a hot key") {
+    // One hot key holding 90% of both sides across many hour buckets, plus
+    // normal keys — the skew shape asofBucketed exists for. Output must be
+    // identical to the full-history window for any monotonic bucketing.
+    val rnd = new scala.util.Random(19)
+    def at(min: Int): Timestamp = ts(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val left = spark.createDataFrame(
+      (0 until 600).map { i =>
+        val k = if (i % 10 == 0) (i % 5).toLong + 2L else 1L
+        (k, at(rnd.nextInt(1200)), s"e$i")
+      }).toDF("k", "t", "name")
+    val right = spark.createDataFrame(
+      (0 until 300).map { i =>
+        val k = if (i % 10 == 0) (i % 5).toLong + 2L else 1L
+        (k, at(rnd.nextInt(1200)), i.toLong)
+      }).toDF("k", "t", "ref")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("name"), Option(r.getAs[Any]("ref")))
+    val plain = AsOfJoin.asof(left, right, "k", "k", "t", "t",
+      Seq("ref"), tieBreak = Some("ref")).collect().map(key).toSet
+    val bucketed = AsOfJoin.asofBucketed(left, right, "k", "k", "t", "t",
+      Seq("ref"), bucketOf = c => date_trunc("hour", c),
+      tieBreak = Some("ref")).collect().map(key).toSet
+    assert(bucketed == plain)
+    // tolerance path agrees too (freshness judged on the carried row)
+    val plainTol = AsOfJoin.asof(left, right, "k", "k", "t", "t",
+      Seq("ref"), tieBreak = Some("ref"), tolerance = Some("2 HOURS"))
+      .collect().map(key).toSet
+    val bucketedTol = AsOfJoin.asofBucketed(left, right, "k", "k", "t", "t",
+      Seq("ref"), bucketOf = c => date_trunc("hour", c),
+      tieBreak = Some("ref"), tolerance = Some("2 HOURS"))
+      .collect().map(key).toSet
+    assert(bucketedTol == plainTol)
+  }
+
   test("banded range join buckets values with half-open intervals") {
     val facts = spark.createDataFrame(Seq(
       Tuple1(0.0), Tuple1(49.9), Tuple1(50.0), Tuple1(149.9), Tuple1(150.0)))
