@@ -567,6 +567,21 @@ object SparkEntry {
         xxhash64(array_sort(col("sketch"))).as("digest"))
       .orderBy("doc_id")
 
+  /** TF-IDF top terms per document — tf/df over the WHOLE corpus, output
+    * truncated to the first 30 docs' top-3 terms (rank ties broken by
+    * term, deterministic).
+    */
+  private def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    TextAnalysis.tfIdf(t(s, d, "documents"), "doc_id", "text")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3 && col("doc_id") < 30)
+      .select(col("doc_id"), col("rnk"), col("term"),
+        round(col("tfidf"), 4).as("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
   // ----------------------------------------------------------- multimodal --
 
   private def mmFeatures(s: SparkSession, d: String): DataFrame = {
@@ -730,6 +745,7 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_tfidf" -> (textTfidf _),
     "text_winnow" -> (textWinnow _),
     "mm_features" -> (mmFeatures _),
     "stream_tumbling" -> (streamTumbling _),
@@ -1159,6 +1175,26 @@ object SparkEntry {
         |  md5(array_to_string(list_sort(list_distinct(
         |    list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT d.doc_id, lower(u.t) AS term
+        |  FROM documents d, unnest(string_split_regex(d.text, '\s+')) AS u(t)
+        |  WHERE regexp_matches(u.t, '^[A-Za-z0-9]+$')
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |), dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfx.df) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfx.df) DESC,
+        |        tf.term ASC) AS rnk
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, rnk, term, ROUND(score, 4) AS score
+        |FROM ranked WHERE rnk <= 3 AND doc_id < 30
+        |ORDER BY doc_id, rnk""".stripMargin,
     "mm_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,

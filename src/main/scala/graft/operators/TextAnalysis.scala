@@ -109,6 +109,31 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(TF.tokens(text)))))
 
+  /** TF-IDF term weights over the corpus: one row per (doc, term) with
+    * tf, df and tf·ln(N/df). Tokenization is whitespace split restricted
+    * to ASCII-alphanumeric tokens then lowered — ASCII lowering is
+    * engine/locale-independent, so the operator is reproducible in plain
+    * SQL on any engine (Unicode `lower()` is not).
+    *
+    * Shuffle shape at scale: one hash-agg on (doc, term) for tf, one on
+    * term for df (counting tf rows — already distinct per doc), a shuffle
+    * join back on term, and the 1-row corpus count broadcast. No window,
+    * no driver state.
+    */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(filter(split(col(textCol), "\\s+"),
+          t => t.rlike("^[A-Za-z0-9]+$"))).as("raw"))
+      .select(col("doc_id"), lower(col("raw")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+  }
+
   /** Winnowing sketch (Schleimer et al., SIGMOD'03): rolling-hash every
     * k-shingle, slide a window of `w` hashes, keep each window's minimum;
     * the sorted distinct minima form the fingerprint. Delegates to the

@@ -76,6 +76,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp("a b c") != fp("a b d"))
   }
 
+  test("tfIdf: corpus-wide term weights match hand computation") {
+    val docs = spark.createDataFrame(Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "cherry cherry date!"))).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    def close(k: (Long, String), tf: Long, df: Long, w: Double): Boolean = {
+      val (gtf, gdf, gw) = got(k)
+      gtf == tf && gdf == df && math.abs(gw - w) < 1e-12
+    }
+    // apple: only doc 0, tf 2 -> 2 * ln(3/1)
+    assert(close((0L, "apple"), 2L, 1L, 2.0 * math.log(3.0)))
+    // banana: docs 0 and 1 -> ln(3/2) each at tf 1
+    assert(close((0L, "banana"), 1L, 2L, math.log(1.5)))
+    assert(close((1L, "banana"), 1L, 2L, math.log(1.5)))
+    // "date!" fails the ASCII-alphanumeric token filter entirely
+    assert(!got.keySet.exists(_._2.contains("date")))
+    // cherry in doc 2 twice
+    assert(close((2L, "cherry"), 2L, 2L, 2.0 * math.log(1.5)))
+  }
+
   test("winnow sketch: subset stability under small edits") {
     val sk = (t: String) =>
       one(t, TextAnalysis.winnow(col("text")))
