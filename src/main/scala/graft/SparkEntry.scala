@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.MonoidAggregator
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 import graft.sources.Crawl
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -567,6 +567,18 @@ object SparkEntry {
         xxhash64(array_sort(col("sketch"))).as("digest"))
       .orderBy("doc_id")
 
+  /** Deterministic hash split at 0.75: counts and key ranges per split.
+    * The oracle re-derives the split by comparing the md5 hex string
+    * lexicographically ('c' = 0.75 of the keyspace) — hex-char order is
+    * ASCII order, so the two predicates are exactly equivalent.
+    */
+  private def q46(s: SparkSession, d: String): DataFrame =
+    Sampling.hashSplit(t(s, d, "documents"), "doc_id", 0.75)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .orderBy("split")
+
   /** TF-IDF top terms per document — tf/df over the WHOLE corpus, output
     * truncated to the first 30 docs' top-3 terms (rank ties broken by
     * term, deterministic).
@@ -726,6 +738,7 @@ object SparkEntry {
     "q43_regex_null" -> (q43 _),
     "q44_like_scan" -> (q44 _),
     "q45_asof_bucketed" -> (q45 _),
+    "q46_hash_split" -> (q46 _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (streamDedup _),
     "stream_sliding" -> (streamSliding _),
@@ -988,6 +1001,11 @@ object SparkEntry {
         |                          WHERE o2.o_custkey = e.user_id
         |                            AND o2.o_orderdate <= e.ts)) AS o_orderkey
         |FROM events e ORDER BY e.event_id""".stripMargin,
+    "q46_hash_split" ->
+      """SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c' THEN 'train'
+        |            ELSE 'val' END AS split,
+        |  COUNT(*) AS n, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

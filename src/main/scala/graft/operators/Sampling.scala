@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * The split decision is a pure function of the row's key — no RNG state,
+  * no partition dependence — so it is reproducible across engines, runs,
+  * cluster sizes, and re-shuffles; new data lands in a stable split and a
+  * row never migrates between train and validation when the corpus grows.
+  * That property is what `df.randomSplit` (seeded per-partition RNG, so
+  * partitioning-dependent) cannot give a long-lived corpus.
+  *
+  * The hash is md5 of the key's string form: cryptographically mixed (any
+  * key skew becomes uniform bucket load) and bit-identical in every engine
+  * that implements standard md5, so the split is SQL-oracle-checkable.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) weight for a key: the first 8 hex chars of md5 as a
+    * 32-bit integer, scaled. conv() parses hex; the value is < 2^32 so the
+    * long math is exact (no ANSI overflow).
+    */
+  def hashWeight(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Tag every row with a stable split label: "train" when the key's hash
+    * weight < trainFrac, else "val". Narrow (no shuffle, no sort).
+    */
+  def hashSplit(df: DataFrame, keyCol: String, trainFrac: Double): DataFrame = {
+    require(trainFrac > 0.0 && trainFrac < 1.0, s"trainFrac out of (0,1): $trainFrac")
+    df.withColumn("split",
+      when(hashWeight(col(keyCol)) < trainFrac, lit("train")).otherwise(lit("val")))
+  }
+}
