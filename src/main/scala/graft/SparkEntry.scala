@@ -579,6 +579,31 @@ object SparkEntry {
         min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .orderBy("split")
 
+  /** The flagship training-corpus prep pipeline, composed from the
+    * library's own operators: language-ID filter (native LangId kernel) →
+    * integer-exact quality gate (n_tokens ≥ 10) → exact dedup (min-id
+    * survivor per text) → deterministic hash split → per-split stats.
+    * Every stage is an operator that is also oracle-certified in
+    * isolation; this query certifies their composition. All filters are
+    * engine-exact (string equality, integer compares, md5) so the oracle
+    * keep-set is bit-identical.
+    */
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val enriched = docs.select(
+      Seq(col("doc_id"), col("text"),
+        TextAnalysis.langId(col("text")).as("lang")) ++
+        TextAnalysis.qualityColumns(col("text")): _*)
+    val filtered = enriched.filter(col("lang") === "en" && col("n_tokens") >= 10)
+    val survivors = Dedup.exact(filtered, "doc_id", Seq("text", "quality_score"))
+    Sampling.hashSplit(survivors, "doc_id", 0.75)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+        round(avg(col("quality_score")), 3).as("avg_q"))
+      .orderBy("split")
+  }
+
   /** TF-IDF top terms per document — tf/df over the WHOLE corpus, output
     * truncated to the first 30 docs' top-3 terms (rank ties broken by
     * term, deterministic).
@@ -739,6 +764,7 @@ object SparkEntry {
     "q44_like_scan" -> (q44 _),
     "q45_asof_bucketed" -> (q45 _),
     "q46_hash_split" -> (q46 _),
+    "q47_corpus_prep" -> (q47 _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (streamDedup _),
     "stream_sliding" -> (streamSliding _),
@@ -1006,6 +1032,54 @@ object SparkEntry {
         |            ELSE 'val' END AS split,
         |  COUNT(*) AS n, MIN(doc_id) AS mn, MAX(doc_id) AS mx
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q47_corpus_prep" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents
+         |), feat AS (
+         |  SELECT doc_id, text, toks,
+         |    ${duckScore("en")} AS s_en, ${duckScore("es")} AS s_es,
+         |    ${duckScore("fr")} AS s_fr, ${duckScore("de")} AS s_de
+         |  FROM base
+         |), scored AS (
+         |  SELECT doc_id, text,
+         |    CASE
+         |      WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+         |      WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+         |      WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+         |      WHEN s_de > 0 THEN 'de'
+         |      ELSE 'und'
+         |    END AS lang,
+         |    len(toks) AS n_tokens,
+         |    ROUND(
+         |      CASE WHEN len(toks) >= 10 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END * 0.4
+         |      + (CASE WHEN length(text) = 0 THEN 0.0
+         |              ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |                   / length(text) END) * 0.2
+         |      + (CASE WHEN len(toks) = 0 THEN 0.0
+         |              ELSE CAST(len(list_filter(toks, t -> list_contains(
+         |                ['the','a','of','and','to','is','el','la','de','los','que','y',
+         |                 'le','et','les','des','un','der','die','und','das','ist','ein'],
+         |                t))) AS DOUBLE) / len(toks) END) * 0.2
+         |      + (CASE WHEN len(toks) = 0 THEN 0.0
+         |              ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END) * 0.2,
+         |      3) AS q
+         |  FROM feat
+         |), filtered AS (
+         |  SELECT doc_id, text, q FROM scored WHERE lang = 'en' AND n_tokens >= 10
+         |), survivors AS (
+         |  SELECT text, q, MIN(doc_id) AS doc_id FROM filtered GROUP BY text, q
+         |), tagged AS (
+         |  SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c' THEN 'train'
+         |              ELSE 'val' END AS split,
+         |    doc_id, q
+         |  FROM survivors
+         |)
+         |SELECT split, COUNT(*) AS n, MIN(doc_id) AS mn, MAX(doc_id) AS mx,
+         |  ROUND(AVG(q), 3) AS avg_q
+         |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
