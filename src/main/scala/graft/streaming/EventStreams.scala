@@ -122,6 +122,26 @@ object EventStreams {
     * parallelism knob: on this single-node harness 8 partitions beat 32 by
     * ~5× on a stream-stream join; on a cluster size it to executor count.
     */
+  /** Drain everything currently available into a durable parquet sink and
+    * stop (AvailableNow trigger). The checkpoint makes restarts
+    * exactly-once: a later call with the same checkpoint processes only
+    * files that arrived since the last run — the resident-engine
+    * durability contract (crash/restart loses nothing, duplicates
+    * nothing). Append-mode, so use with non-aggregated transforms or
+    * watermark-finalized aggregations.
+    */
+  def drainToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+  }
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: String = "complete", statePartitions: Int = 8): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
