@@ -479,6 +479,19 @@ object SparkEntry {
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
       .orderBy("i", "j")
 
+  /** Incremental ingest dedup: docs ≥ 400 arrive as the new batch and are
+    * checked against the 0-399 corpus index — pairs touching ≥1 new doc.
+    * Oracle: brute-force pairs restricted to j ≥ 400 (ids are ordered, so
+    * j ≥ 400 ⟺ at least one member is new).
+    */
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Dedup.incrementalMinHashPairs(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .orderBy("i", "j")
+  }
+
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text",
         shingleN = 3, blocks = 16, maxHamming = 20, threshold = 0.8)
@@ -773,6 +786,7 @@ object SparkEntry {
     "stream_join" -> (streamJoin _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1175,6 +1189,21 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_minhash" -> duckShingles,
+    "dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |                   for i in range(1, len(l)-1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |), pj AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j,
+        |    len(list_intersect(a.s, b.s)) * 1.0
+        |      / len(list_distinct(a.s || b.s)) AS jac
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT i, j, ROUND(jac, 3) AS jac FROM pj
+        |WHERE jac >= 0.8 AND j >= 400
+        |ORDER BY i, j""".stripMargin,
     "dedup_corpus" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,

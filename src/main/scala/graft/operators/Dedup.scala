@@ -138,6 +138,43 @@ object Dedup {
     verifyHashed(sets, candidates, threshold)
   }
 
+  /** Incremental near-dup detection: pairs between an INCOMING batch and
+    * an existing corpus (plus incoming-incoming pairs), without ever
+    * joining corpus×corpus. The corpus side's band buckets are the "index"
+    * relation; the join touches only buckets that an incoming document
+    * hashes into, so per-batch cost scales with |incoming| × collision
+    * rate, not |corpus|² — the shape a continuously-ingesting pipeline
+    * needs. Same LSH parameters and exact verification as
+    * [[minHashPairs]]; ids must be disjoint across the two frames.
+    *
+    * @return (i, j, jac) with i < j, every pair touching ≥1 incoming doc
+    */
+  def incrementalMinHashPairs(
+      corpus: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val all = corpus.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .unionByName(incoming.select(col(idCol).cast("long").as(idCol), col(textCol)))
+    val sets = hashedSets(all, idCol, textCol, shingleN)
+    val buckets = minHashTall(sets, numHashes)
+      .withColumn("band", (col("k") / lit(r)).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(xxhash64(array_sort(collect_list(struct(col("k"), col("mh"))))).as("bh"))
+      .cache()
+    val newIds = incoming.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val bucketsNew = buckets.join(newIds, Seq("doc_id"))
+    val candidates = buckets.as("a")
+      .join(bucketsNew.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
+      .distinct()
+    verifyHashed(sets, candidates, threshold)
+  }
+
   /** 64-bit SimHash per document over word shingles: bit b of the hash is
     * the sign of the sum over shingles of ±1 according to bit b of the
     * shingle's hash. Computed tall — (doc, bit) rows through two narrow

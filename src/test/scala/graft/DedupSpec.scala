@@ -62,6 +62,24 @@ class DedupSpec extends SparkSpec {
     assert(pairsOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text")) == expectedPairs)
   }
 
+  test("incremental minhash pairs equal full pairs restricted to the new batch") {
+    // Split the fixture corpus: docs 0-3 are the existing corpus, 4-5 the
+    // incoming batch. Incremental output must be exactly the brute-force
+    // pairs that touch at least one incoming doc — and must find nothing
+    // here at 0.8 (the only qualifying pair, (0,2), is corpus-internal).
+    val corpus = docs.filter(col("doc_id") < 4)
+    val incoming = docs.filter(col("doc_id") >= 4)
+    val got = pairsOf(Dedup.incrementalMinHashPairs(corpus, incoming, "doc_id", "text"))
+    assert(got == expectedPairs.filter { case (i, j) => i >= 4 || j >= 4 })
+    assert(got.isEmpty)
+    // move the near-dup into the incoming batch: corpus 0-1, incoming 2-5 —
+    // the exact-dup pair (0,2) now crosses the boundary and must surface
+    val got2 = pairsOf(Dedup.incrementalMinHashPairs(
+      docs.filter(col("doc_id") < 2), docs.filter(col("doc_id") >= 2), "doc_id", "text"))
+    assert(got2 == expectedPairs.filter { case (i, j) => i >= 2 || j >= 2 })
+    assert(got2.contains((0L, 2L)))
+  }
+
   test("simhash block-LSH candidate volume stays far below all-pairs at 5k docs") {
     // A corpus of 5k distinct random documents: with 8-bit blocks (256
     // bucket values per block) plus the Hamming pre-filter, candidate
