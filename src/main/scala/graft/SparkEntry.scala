@@ -592,6 +592,39 @@ object SparkEntry {
         min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .orderBy("split")
 
+  /** Repetition metrics per document (the MassiveText/Gopher-style filter
+    * signals): duplicate 3-gram fraction (narrow, per-row arrays) and
+    * top-token concentration (two hash-aggs). Ratios round to 6 digits —
+    * small-integer ratios k/n can terminate with a '5' exactly at digit 4,
+    * where Spark's decimal-string rounding and the oracle's binary
+    * rounding disagree; at digit 7 that needs a 5^7 denominator, which
+    * token counts cannot reach.
+    */
+  private def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val top = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("maxc"), sum(col("c")).as("n"))
+      .select(col("doc_id"),
+        round(col("maxc").cast("double") / col("n"), 6).as("top_token_frac"))
+    val g = graft.functions.TextFunctions.shingles(col("text"), 3)
+    val dup = docs.select(col("doc_id"), g.as("g"))
+      .select(col("doc_id"),
+        round(when(size(col("g")) === 0, 0.0)
+          .otherwise(lit(1.0) -
+            size(array_distinct(col("g"))).cast("double") / size(col("g"))), 6)
+          .as("dup_3gram_frac"))
+    dup.join(top, Seq("doc_id")).orderBy("doc_id")
+  }
+
+  /** Corpus-trained bigram LM score per document (model-based quality
+    * filtering). Output order and rounding as elsewhere.
+    */
+  private def textLmScore(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramLmScore(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** The flagship training-corpus prep pipeline, composed from the
     * library's own operators: language-ID filter (native LangId kernel) →
     * integer-exact quality gate (n_tokens ≥ 10) → exact dedup (min-id
@@ -799,6 +832,8 @@ object SparkEntry {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_tfidf" -> (textTfidf _),
+    "text_repetition" -> (textRepetition _),
+    "text_lm_score" -> (textLmScore _),
     "text_winnow" -> (textWinnow _),
     "mm_features" -> (mmFeatures _),
     "stream_tumbling" -> (streamTumbling _),
@@ -1296,6 +1331,52 @@ object SparkEntry {
         |  md5(array_to_string(list_sort(list_distinct(
         |    list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lm_score" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bg
+        |  FROM base
+        |), bgw AS (
+        |  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg
+        |), c12 AS (SELECT bg, COUNT(*) AS c12 FROM bgw GROUP BY 1),
+        |uni AS (SELECT unnest(toks) AS w FROM base),
+        |c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM uni)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v))), 6) AS avg_logp
+        |FROM bgw JOIN c12 USING (bg) JOIN c1 ON bgw.w1 = c1.w CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents
+        |), gr AS (
+        |  SELECT doc_id,
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)] AS g
+        |  FROM base
+        |), dup AS (
+        |  SELECT doc_id,
+        |    ROUND(CASE WHEN len(g) = 0 THEN 0.0
+        |               ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+        |          END, 6) AS dup_3gram_frac
+        |  FROM gr
+        |), tf AS (
+        |  SELECT doc_id, t, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT doc_id,
+        |    ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_frac
+        |  FROM tf GROUP BY 1
+        |)
+        |SELECT dup.doc_id, dup_3gram_frac, top_token_frac
+        |FROM dup JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT d.doc_id, lower(u.t) AS term

@@ -134,6 +134,41 @@ object TextAnalysis {
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
   }
 
+  /** Model-based quality scoring with a bigram language model trained on
+    * the corpus itself (the CCNet-style filter signal): per document, the
+    * mean add-one-smoothed log probability
+    * `avg over bigrams of ln((c(w1,w2)+1) / (c(w1)+V))`. Gibberish and
+    * boilerplate-repetition both score low against the corpus model.
+    *
+    * Everything is counts + joins: bigram and unigram count tables (two
+    * hash-aggs over exploded tokens), a 1-row vocab size broadcast, and a
+    * per-doc re-join of each bigram occurrence to its counts. Scales as
+    * two shuffles over token volume — no driver-side model state.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // tokenized base is consumed by three branches (bigrams, unigrams,
+    // vocab); cache so the corpus is tokenized once
+    val base = docs.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
+      .cache()
+    val bg = base.select(col("doc_id"),
+        explode(when(size(col("toks")) > 1,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", slice(col("toks"), i, lit(2)))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c12 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val uni = base.select(explode(col("toks")).as("w"))
+    val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1"))
+    val v = uni.agg(countDistinct(col("w")).as("v"))
+    bg.join(c12, Seq("bg"))
+      .join(c1, col("w1") === col("w"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + 1).cast("double") / (col("c1") + col("v")))), 6)
+          .as("avg_logp"))
+  }
+
   /** Winnowing sketch (Schleimer et al., SIGMOD'03): rolling-hash every
     * k-shingle, slide a window of `w` hashes, keep each window's minimum;
     * the sorted distinct minima form the fingerprint. Delegates to the

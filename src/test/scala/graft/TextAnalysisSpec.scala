@@ -101,6 +101,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(close((2L, "cherry"), 2L, 2L, 2.0 * math.log(1.5)))
   }
 
+  test("bigram LM score matches hand computation on a tiny corpus") {
+    val docs = spark.createDataFrame(Seq(
+      (0L, "a b a b"),
+      (1L, "a b c"))).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus counts: c("a b")=3, c("b a")=1, c("b c")=1; c(a)=3, c(b)=3; V=3
+    // every term divides by c(w1)+V where w1 is the FIRST word of the bigram
+    val ab = math.log(4.0 / 6.0); val ba = math.log(2.0 / 6.0)
+    val bc = math.log(2.0 / 6.0)
+    assert(got(0L)._1 == 3 && math.abs(got(0L)._2 - (2 * ab + ba) / 3) < 1e-6)
+    assert(got(1L)._1 == 2 && math.abs(got(1L)._2 - (ab + bc) / 2) < 1e-6)
+  }
+
   test("winnow sketch: subset stability under small edits") {
     val sk = (t: String) =>
       one(t, TextAnalysis.winnow(col("text")))
