@@ -618,6 +618,17 @@ object SparkEntry {
     dup.join(top, Seq("doc_id")).orderBy("doc_id")
   }
 
+  /** PII redaction digest per document. The fixture corpus carries no PII,
+    * so the redaction is the identity here — the oracle still re-runs the
+    * same RE2-compatible patterns, and TextAnalysisSpec plants real
+    * emails/IPs/phones to pin the rewrite behavior.
+    */
+  private def textRedact(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        md5(TextAnalysis.redactPii(col("text"))).as("digest"))
+      .orderBy("doc_id")
+
   /** Corpus-trained bigram LM score per document (model-based quality
     * filtering). Output order and rounding as elsewhere.
     */
@@ -834,6 +845,7 @@ object SparkEntry {
     "text_tfidf" -> (textTfidf _),
     "text_repetition" -> (textRepetition _),
     "text_lm_score" -> (textLmScore _),
+    "text_redact" -> (textRedact _),
     "text_winnow" -> (textWinnow _),
     "mm_features" -> (mmFeatures _),
     "stream_tumbling" -> (streamTumbling _),
@@ -1330,6 +1342,13 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
         |    list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9][0-9()\s.-]{7,}[0-9]', '<PHONE>', 'g')) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_lm_score" ->
       """WITH base AS (

@@ -169,6 +169,24 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** PII redaction for training corpora: emails, IPv4 addresses and
+    * phone-like digit runs are replaced with typed placeholder tokens.
+    * Patterns are deliberately RE2-compatible (no backrefs or lookaround)
+    * so the same regexes run identically on Java-regex (Spark) and
+    * RE2-based engines — which is what makes the operator SQL-oracle
+    * checkable. Pure `regexp_replace` chain: codegen'd, narrow, no UDF.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern = "\\+[0-9][0-9()\\s.-]{7,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
   /** Winnowing sketch (Schleimer et al., SIGMOD'03): rolling-hash every
     * k-shingle, slide a window of `w` hashes, keep each window's minimum;
     * the sorted distinct minima form the fingerprint. Delegates to the

@@ -115,6 +115,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L)._1 == 2 && math.abs(got(1L)._2 - (ab + bc) / 2) < 1e-6)
   }
 
+  test("PII redaction replaces emails, IPs and phone runs, leaves clean text alone") {
+    val rows = Seq(
+      (0L, "contact bob.smith+x@example.co.uk for details"),
+      (1L, "server at 192.168.1.254 responded"),
+      (2L, "call +1 (555) 123-4567 now"),
+      (3L, "nothing sensitive here at all"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "contact <EMAIL> for details")
+    assert(got(1L) == "server at <IP> responded")
+    assert(got(2L) == "call <PHONE> now")
+    assert(got(3L) == "nothing sensitive here at all")
+  }
+
   test("winnow sketch: subset stability under small edits") {
     val sk = (t: String) =>
       one(t, TextAnalysis.winnow(col("text")))
