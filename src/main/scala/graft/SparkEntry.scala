@@ -602,19 +602,24 @@ object SparkEntry {
     */
   private def textRepetition(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val toks = docs.select(col("doc_id"),
-      explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-    val top = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    // Materialize token and shingle arrays ONCE through a cache: both are
+    // lambda-bearing expressions (excluded from subexpression elimination),
+    // so referencing them from collapsed projections or generators would
+    // re-evaluate the whole array per reference / per output row.
+    val arr = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"),
+        graft.functions.TextFunctions.shingles(col("text"), 3).as("g"))
+      .cache()
+    val top = arr.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("maxc"), sum(col("c")).as("n"))
       .select(col("doc_id"),
         round(col("maxc").cast("double") / col("n"), 6).as("top_token_frac"))
-    val g = graft.functions.TextFunctions.shingles(col("text"), 3)
-    val dup = docs.select(col("doc_id"), g.as("g"))
-      .select(col("doc_id"),
-        round(when(size(col("g")) === 0, 0.0)
-          .otherwise(lit(1.0) -
-            size(array_distinct(col("g"))).cast("double") / size(col("g"))), 6)
-          .as("dup_3gram_frac"))
+    val dup = arr.select(col("doc_id"),
+      round(when(size(col("g")) === 0, 0.0)
+        .otherwise(lit(1.0) -
+          size(array_distinct(col("g"))).cast("double") / size(col("g"))), 6)
+        .as("dup_3gram_frac"))
     dup.join(top, Seq("doc_id")).orderBy("doc_id")
   }
 
