@@ -314,6 +314,55 @@ object Crawl {
     }
   }
 
+  /** Unbounded crawl: a streaming Dataset over files appearing under
+    * `root` — the reference's bounded `Collect` pipeline with the bound
+    * removed. New files are discovered per micro-batch (recursive, same
+    * PERMISSIVE zero-substitution decode as [[crawl]]); compose with
+    * watermarks/aggregations and a `writeStream` sink.
+    */
+  def crawlStream[T: Encoder](
+      spark: SparkSession, root: String, schema: StructType,
+      format: String = "json", options: Map[String, String] = Map.empty): Dataset[T] = {
+    val base = spark.readStream
+      .option("recursiveFileLookup", "true")
+      .options(options)
+    val raw = format match {
+      case "json" =>
+        base.schema(schema.add(CorruptCol, StringType))
+          .option("multiLine", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", CorruptCol)
+          .json(root)
+      case "csv" =>
+        base.schema(schema.add(CorruptCol, StringType))
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", CorruptCol)
+          .csv(root)
+      case "parquet" | "orc" =>
+        base.schema(schema).format(format).load(root)
+          .withColumn(CorruptCol, lit(null).cast(StringType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported stream crawl format '$other' (json, csv, parquet, orc)")
+    }
+    typedFrom[T](raw.withColumn("source_file", lit("")), schema)
+  }
+
+  /** Running `Collect`: fold the unbounded crawl with the monoid and keep
+    * the current total in an in-memory table named `name` (complete-mode
+    * global aggregate — one row, updated every micro-batch). Returns the
+    * handle; read the running value via `spark.table(name)`.
+    */
+  def collectStream[T: Encoder, R](
+      spark: SparkSession, root: String, schema: StructType,
+      agg: MonoidAggregator[T, R], name: String,
+      format: String = "json",
+      options: Map[String, String] = Map.empty): org.apache.spark.sql.streaming.StreamingQuery =
+    crawlStream[T](spark, root, schema, format, options)
+      .select(agg.column.name("value"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+
   /** Run `body` under a named job group so it can be cancelled cooperatively
     * from another thread — the `context.Context` analogue (O10,
     * `pool.go:77,86` ctx checks).

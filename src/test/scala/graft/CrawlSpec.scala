@@ -166,6 +166,27 @@ class CrawlSpec extends SparkSpec {
     assert(feats.forall(_.features.length == 16))
   }
 
+  test("streaming crawl: running monoid total grows as files arrive (unbounded Collect)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawlstream")
+    val inner = Files.createDirectory(root.resolve("sub"))
+    Files.writeString(root.resolve("a.json"), """{"data": 10}""")
+    Files.writeString(inner.resolve("b.json"), """{"data": 20}""")
+    val q = Crawl.collectStream[Rec, Long](spark, root.toString, schema,
+      MonoidAggregator.sumLong[Rec](_.data), "crawl_stream_total")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("crawl_stream_total").head().getLong(0) == 30L)
+      // the unbounded part: a file arriving later folds into the running total
+      Files.writeString(inner.resolve("c.json"), """{"data": 12}""")
+      q.processAllAvailable()
+      assert(spark.table("crawl_stream_total").head().getLong(0) == 42L)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("crawl_stream_total")
+    }
+  }
+
   test("typed crawl decodes nested depths recursively") {
     import spark.implicits._
     val ds = Crawl.crawl[Rec](spark, "/root/reference/tests", schema)
