@@ -272,12 +272,18 @@ object Crawl {
     * errors (discovered during listing, which precedes decode) before
     * decode errors.
     *
-    * Per-crawl DOP knobs (the reference's `Configuration{SearchWorkers,
-    * FileWorkers}`, `crawler.go:17-21`): `listingParallelism` bounds the
-    * listing pool; `maxPartitionBytes` overrides
-    * `spark.sql.files.maxPartitionBytes` for this crawl's jobs — smaller
-    * splits mean more, smaller decode tasks, exactly where the reference
-    * exposed `FileWorkers`.
+    * Per-crawl DOP knobs — the `Configuration{SearchWorkers, FileWorkers,
+    * AccumulatorWorkers}` analogue (`crawler.go:17-21`):
+    * `listingParallelism` bounds the listing pool (SearchWorkers);
+    * `maxPartitionBytes` overrides `spark.sql.files.maxPartitionBytes`
+    * for this crawl's jobs — smaller splits mean more, smaller decode
+    * tasks. FileWorkers and AccumulatorWorkers deliberately collapse into
+    * that one knob here: Spark fuses decode and the partial fold into a
+    * single whole-stage-codegen task, so their parallelism is one number
+    * by construction, and the final combine is a single-partition merge
+    * of one partial row per task — the same shape as the reference's
+    * single-threaded combiner (`crawler.go:75-91`), with the per-worker
+    * parallelism where it matters.
     */
   def collect[T: Encoder, R](
       spark: SparkSession,

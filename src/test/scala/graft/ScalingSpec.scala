@@ -58,6 +58,13 @@ class ScalingSpec extends SparkSpec {
       s"expected the 4MB split cap to multiply task count, got $coarse -> $fine")
   }
 
+  // NOTE on the reference's AccumulatorWorkers knob: Spark fuses decode and
+  // the partial fold into one whole-stage-codegen task, so FileWorkers and
+  // AccumulatorWorkers are a single knob (maxPartitionBytes, above) by
+  // construction; the final combine is a single-partition merge of one
+  // partial row per task — the reference's single-threaded combiner shape
+  // (crawler.go:75-91). The >=2x parallelism test covers the fused stage.
+
   test("cancellation interrupts a running job group (O10, pool.go ctx checks)") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
