@@ -62,6 +62,32 @@ class DedupSpec extends SparkSpec {
     assert(pairsOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text")) == expectedPairs)
   }
 
+  test("randomized corpus: minhash pairs equal brute force with planted exact and near dups") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Array.tabulate(500)(i => s"w$i")
+    def mkDoc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val bases = (0 until 80).map(i => (i.toLong, mkDoc(30)))
+    val planted = (0 until 40).map { k =>
+      val (_, text) = bases(rnd.nextInt(bases.length))
+      val toks = text.split(" ")
+      val edited = toks.updated(rnd.nextInt(toks.length),
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (100L + k, if (k % 2 == 0) text else edited)
+    }
+    val corpus = spark.createDataFrame(bases ++ planted).toDF("doc_id", "text")
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val m = corpus.collect().map(r => r.getLong(0) -> shingleSet(r.getString(1))).toMap
+    val brute = (for {
+      i <- m.keys; j <- m.keys if i < j
+      inter = (m(i) & m(j)).size.toDouble
+      uni = (m(i) | m(j)).size.toDouble
+      if uni > 0 && inter / uni >= 0.8
+    } yield (i, j)).toSet
+    assert(brute.nonEmpty, "fixture must plant at least one qualifying pair")
+    assert(pairsOf(Dedup.minHashPairs(corpus, "doc_id", "text")) == brute)
+  }
+
   test("incremental minhash pairs equal full pairs restricted to the new batch") {
     // Split the fixture corpus: docs 0-3 are the existing corpus, 4-5 the
     // incoming batch. Incremental output must be exactly the brute-force

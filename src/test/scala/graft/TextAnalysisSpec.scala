@@ -130,6 +130,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == "nothing sensitive here at all")
   }
 
+  test("dirty corpus: null / empty / whitespace docs flow through every operator without errors") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps the lazy dog again"),
+      (1L, null.asInstanceOf[String]),
+      (2L, ""),
+      (3L, "   ")).toDF("doc_id", "text")
+    // null text null-propagates (SQL semantics); empty/whitespace docs
+    // produce zeros and empties — nothing throws on a dirty corpus.
+    val lang = docs.select(TextAnalysis.langId(col("text"))).collect().map(_.get(0))
+    assert(lang.toSeq == Seq("en", null, "und", "und"))
+    val q = docs.select(TextAnalysis.qualityColumns(col("text")): _*).collect()
+    assert(q(1).isNullAt(0) && q(2).getLong(0) == 0L && q(3).getLong(0) == 0L)
+    assert(docs.select(TextAnalysis.redactPii(col("text"))).collect()(1).isNullAt(0))
+    // corpus-level operators just skip token-less docs
+    assert(TextAnalysis.tfIdf(docs, "doc_id", "text")
+      .select("doc_id").distinct().count() == 1)
+    assert(TextAnalysis.bigramLmScore(docs, "doc_id", "text").count() == 1)
+    assert(graft.operators.Dedup.minHashPairs(docs, "doc_id", "text").count() == 0)
+  }
+
   test("winnow sketch: subset stability under small edits") {
     val sk = (t: String) =>
       one(t, TextAnalysis.winnow(col("text")))
