@@ -623,6 +623,15 @@ object SparkEntry {
     dup.join(top, Seq("doc_id")).orderBy("doc_id")
   }
 
+  /** Top repeated 10-token spans across documents — the exact-substring
+    * duplication signal; only duplicate documents share spans this long
+    * in the fixture corpus.
+    */
+  private def textSpans(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repeatedSpans(t(s, d, "documents"), "doc_id", "text", 10)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("ngram"))
+      .limit(20)
+
   /** PII redaction digest per document. The fixture corpus carries no PII,
     * so the redaction is the identity here — the oracle still re-runs the
     * same RE2-compatible patterns, and TextAnalysisSpec plants real
@@ -851,6 +860,7 @@ object SparkEntry {
     "text_repetition" -> (textRepetition _),
     "text_lm_score" -> (textLmScore _),
     "text_redact" -> (textRedact _),
+    "text_spans" -> (textSpans _),
     "text_winnow" -> (textWinnow _),
     "mm_features" -> (mmFeatures _),
     "stream_tumbling" -> (streamTumbling _),
@@ -1348,6 +1358,19 @@ object SparkEntry {
         |  md5(array_to_string(list_sort(list_distinct(
         |    list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents
+        |), spans AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(toks[i:i+9], ' ')
+        |            for i in range(1, len(toks) - 8)]) AS ngram
+        |  FROM base
+        |)
+        |SELECT ngram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+        |FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+        |ORDER BY n_docs DESC, n_occ DESC, ngram LIMIT 20""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(regexp_replace(text,

@@ -169,6 +169,26 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** Cross-document repeated spans: every k-token n-gram that occurs in
+    * more than one document, with its document and occurrence counts —
+    * the exact-substring-duplication signal (the Lee et al. 2022 "dedup
+    * makes LMs better" filter shape). One explode + two hash-aggs; at
+    * 100 TB you'd group on `xxhash64(ngram)` instead of the string and
+    * accept 64-bit-collision odds, but the string form is what a SQL
+    * oracle can replicate exactly.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // cache barrier: projections collapse into generators, so exploding
+    // the lambda-bearing shingle expression directly would re-evaluate the
+    // whole array per OUTPUT row
+    val arr = docs.select(col(idCol).as("doc_id"),
+      TF.shingles(col(textCol), k).as("g")).cache()
+    arr.select(col("doc_id"), explode(col("g")).as("ngram"))
+      .groupBy("ngram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") > 1)
+  }
+
   /** PII redaction for training corpora: emails, IPv4 addresses and
     * phone-like digit runs are replaced with typed placeholder tokens.
     * Patterns are deliberately RE2-compatible (no backrefs or lookaround)
