@@ -623,6 +623,17 @@ object SparkEntry {
     dup.join(top, Seq("doc_id")).orderBy("doc_id")
   }
 
+  /** BM25 top-15 docs for a fixed 3-term query; ordering uses the ROUNDED
+    * score so near-equal sums (whose last bits depend on summation order)
+    * tie-break on doc_id identically in both engines.
+    */
+  private def textBm25(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25(t(s, d, "documents"), "doc_id", "text",
+        Seq("table", "scan", "join"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(15)
+      .select(col("doc_id"), col("score"))
+
   /** Top repeated 10-token spans across documents — the exact-substring
     * duplication signal; only duplicate documents share spans this long
     * in the fixture corpus.
@@ -861,6 +872,7 @@ object SparkEntry {
     "text_lm_score" -> (textLmScore _),
     "text_redact" -> (textRedact _),
     "text_spans" -> (textSpans _),
+    "text_bm25" -> (textBm25 _),
     "text_winnow" -> (textWinnow _),
     "mm_features" -> (mmFeatures _),
     "stream_tumbling" -> (streamTumbling _),
@@ -1358,6 +1370,29 @@ object SparkEntry {
         |  md5(array_to_string(list_sort(list_distinct(
         |    list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents
+        |), dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+        |stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('table', 'scan', 'join') GROUP BY 1, 2
+        |), dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ROUND(SUM(
+        |      ln(1.0 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+        |      tf.tf * (1.2 + 1.0) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+        |    ), 6) AS score
+        |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, score FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "text_spans" ->
       """WITH base AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks

@@ -189,6 +189,41 @@ object TextAnalysis {
       .filter(col("n_docs") > 1)
   }
 
+  /** BM25 lexical retrieval scores for a term query over the corpus — the
+    * keyword complement to the ANN embedding family. Lucene-form idf
+    * `ln(1 + (N-df+0.5)/(df+0.5))`, standard k1/b length normalization.
+    *
+    * Shuffle shape: token stats (tf per doc for QUERY terms only, df per
+    * term, doc lengths) are three hash-aggs over one exploded token pass;
+    * corpus-level N/avgdl is a 1-row broadcast. Only documents containing
+    * ≥1 query term survive — the inverted-list behavior that keeps the
+    * score join proportional to postings, not corpus size.
+    */
+  def bm25(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // cache barrier: the token array is lambda-bearing (no CSE through
+    // collapsed projections / generators)
+    val arr = docs.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
+      .cache()
+    val toks = arr.select(col("doc_id"), explode(col("toks")).as("term"))
+    val dl = arr.select(col("doc_id"), size(col("toks")).as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * norm).as("w"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("w")), 6).as("score"))
+  }
+
   /** PII redaction for training corpora: emails, IPv4 addresses and
     * phone-like digit runs are replaced with typed placeholder tokens.
     * Patterns are deliberately RE2-compatible (no backrefs or lookaround)
