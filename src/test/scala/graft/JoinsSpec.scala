@@ -106,6 +106,26 @@ class JoinsSpec extends SparkSpec {
     assert(bucketedTol == plainTol)
   }
 
+  test("asof edge cases: empty right side yields all-null carries, in both forms") {
+    val left = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (2L, ts("2024-01-01 11:00:00"), "e2"))).toDF("k", "t", "name")
+    val right = spark.createDataFrame(
+      Seq.empty[(Long, java.sql.Timestamp, Long)]).toDF("k", "t", "ref")
+    val plain = AsOfJoin.asof(left, right, "k", "k", "t", "t", Seq("ref"))
+      .collect().map(r => (r.getAs[String]("name"), r.isNullAt(r.fieldIndex("ref"))))
+    assert(plain.toSet == Set(("e1", true), ("e2", true)))
+    val bucketed = AsOfJoin.asofBucketed(left, right, "k", "k", "t", "t",
+        Seq("ref"), bucketOf = c => date_trunc("hour", c))
+      .collect().map(r => (r.getAs[String]("name"), r.isNullAt(r.fieldIndex("ref"))))
+    assert(bucketed.toSet == Set(("e1", true), ("e2", true)))
+    // and an empty LEFT side returns an empty result, not an error
+    val emptyLeft = spark.createDataFrame(
+      Seq.empty[(Long, java.sql.Timestamp, String)]).toDF("k", "t", "name")
+    assert(AsOfJoin.asof(emptyLeft, left.select(col("k"), col("t"),
+      col("k").as("ref")), "k", "k", "t", "t", Seq("ref")).isEmpty)
+  }
+
   test("banded range join buckets values with half-open intervals") {
     val facts = spark.createDataFrame(Seq(
       Tuple1(0.0), Tuple1(49.9), Tuple1(50.0), Tuple1(149.9), Tuple1(150.0)))
