@@ -295,10 +295,52 @@ object Dedup {
     * localCheckpoint every [[checkpointEvery]] rounds — materialized by
     * that same count, so checkpoint rounds stay one job too.
     *
+    * Small-graph fast path: near-dup edge sets are usually a vanishing
+    * fraction of the corpus (the r-th duplicate pair, not the r-th
+    * document), so when the materialized edge count is provably under
+    * `driverThreshold` the labels come from a driver union-find — two
+    * jobs total instead of one per propagation round. The bound is on the
+    * EDGE LIST (16 bytes/edge; the default caps driver memory at ~16 MB),
+    * never on corpus-sized data; above it the distributed loop runs
+    * unconditionally.
+    *
     * @param pairs (i, j) undirected duplicate edges
     * @return (doc_id, comp) for every pair member, comp = min id reachable
     */
-  def components(pairs: DataFrame, maxIters: Int = 20, checkpointEvery: Int = 3): DataFrame = {
+  def components(
+      pairs: DataFrame, maxIters: Int = 20, checkpointEvery: Int = 3,
+      driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val rawEdges = pairs.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .cache()
+    val nEdges = rawEdges.count() // materializes the cache both paths read
+    if (nEdges <= driverThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      rawEdges.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root so the representative is the min reachable id
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = parent.keys.toSeq.sorted.map(x => (x, find(x)))
+      rawEdges.unpersist()
+      import spark.implicits._
+      return labels.toDF("doc_id", "comp")
+    }
+    distributedComponents(rawEdges, maxIters, checkpointEvery)
+  }
+
+  /** The distributed label-propagation path of [[components]]; `edges0`
+    * must be cached (it is re-read every round).
+    */
+  private def distributedComponents(
+      pairs: DataFrame, maxIters: Int, checkpointEvery: Int): DataFrame = {
     // Both edge directions PLUS a self-loop per node: with self-loops, the
     // label update collapses to one join + one aggregation per round —
     // min(comp over neighbors ∪ self) — instead of a neighbor-min join
@@ -353,6 +395,7 @@ object Dedup {
     val out = labels.localCheckpoint()
     if (prev != null) prev.unpersist()
     edges.unpersist()
+    pairs.unpersist() // the caller-cached raw edge list
     out
   }
 

@@ -124,14 +124,20 @@ class DedupSpec extends SparkSpec {
       s"simhash candidates $candidates not << all-pairs $allPairs")
   }
 
-  test("components: chained pairs collapse to one min-labeled component") {
+  test("components: chained pairs collapse to one min-labeled component (both paths)") {
     val pairs = spark.createDataFrame(Seq(
       (1L, 2L), (2L, 3L), (3L, 4L),   // chain 1-2-3-4
       (10L, 11L)                      // separate pair
     )).toDF("i", "j")
-    val got = Dedup.components(pairs)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    // driver union-find fast path (edge count under the threshold)
+    val fast = Dedup.components(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(fast == want)
+    // distributed label propagation, forced by a zero threshold
+    val dist = Dedup.components(pairs, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == want)
   }
 
   test("dedupeCorpus keeps one doc per duplicate group plus all singletons") {
