@@ -138,6 +138,10 @@ class DedupSpec extends SparkSpec {
     val dist = Dedup.components(pairs, driverThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == want)
+    // a pair-free corpus yields an empty labeling, not an error
+    val empty = spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("i", "j")
+    assert(Dedup.components(empty).isEmpty)
+    assert(Dedup.dedupeCorpus(docs.limit(0), "doc_id", "text").isEmpty)
   }
 
   test("dedupeCorpus keeps one doc per duplicate group plus all singletons") {
