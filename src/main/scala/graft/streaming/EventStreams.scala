@@ -114,14 +114,6 @@ object EventStreams {
         })
   }
 
-  /** Run a (bounded) streaming DataFrame to completion into an in-memory
-    * table and return the materialized result — test/verify harness only.
-    *
-    * Stateful streaming cost is dominated by per-(partition, batch) state
-    * store maintenance, so the number of shuffle partitions IS the state
-    * parallelism knob: on this single-node harness 8 partitions beat 32 by
-    * ~5× on a stream-stream join; on a cluster size it to executor count.
-    */
   /** Drain everything currently available into a durable parquet sink and
     * stop (AvailableNow trigger). The checkpoint makes restarts
     * exactly-once: a later call with the same checkpoint processes only
@@ -142,6 +134,15 @@ object EventStreams {
     finally q.stop()
   }
 
+  /** Run a (bounded) streaming DataFrame to completion into an in-memory
+    * table and return the materialized result — test/verify harness only.
+    *
+    * Stateful streaming cost is dominated by per-(partition, batch) state
+    * store maintenance, so the number of shuffle partitions IS the state
+    * parallelism knob: on this single-node harness 8 partitions beat 32 by
+    * ~5× on a stream-stream join (and 4 measures the same as 8); on a
+    * cluster size it to executor count.
+    */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: String = "complete", statePartitions: Int = 8): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
