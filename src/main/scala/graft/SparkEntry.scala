@@ -580,6 +580,25 @@ object SparkEntry {
         xxhash64(array_sort(col("sketch"))).as("digest"))
       .orderBy("doc_id")
 
+  /** Distribution window functions in one pass — ntile, percent_rank,
+    * cume_dist, nth_value over a per-segment price ordering. Ordering is
+    * made total (acctbal desc, custkey) so every rank function is
+    * deterministic; ratios round to 6 (see the small-int rounding rule).
+    */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(s, d, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        nth_value(col("c_custkey"), 2).over(
+          w.rowsBetween(W.unboundedPreceding, W.currentRow)).as("second_top"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   /** Deterministic hash split at 0.75: counts and key ranges per split.
     * The oracle re-derives the split by comparing the md5 hex string
     * lexicographically ('c' = 0.75 of the keyspace) — hex-char order is
@@ -847,6 +866,7 @@ object SparkEntry {
     "q45_asof_bucketed" -> (q45 _),
     "q46_hash_split" -> (q46 _),
     "q47_corpus_prep" -> (q47 _),
+    "q48_window_dist" -> (q48 _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (streamDedup _),
     "stream_sliding" -> (streamSliding _),
@@ -1115,6 +1135,17 @@ object SparkEntry {
         |                          WHERE o2.o_custkey = e.user_id
         |                            AND o2.o_orderdate <= e.ts)) AS o_orderkey
         |FROM events e ORDER BY e.event_id""".stripMargin,
+    "q48_window_dist" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  NTILE(4) OVER w AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cd,
+        |  NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_top
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q46_hash_split" ->
       """SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'c' THEN 'train'
         |            ELSE 'val' END AS split,
