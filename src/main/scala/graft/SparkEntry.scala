@@ -580,6 +580,26 @@ object SparkEntry {
         xxhash64(array_sort(col("sketch"))).as("digest"))
       .orderBy("doc_id")
 
+  /** Correlated LATERAL subquery — per-order top-2 lineitems through
+    * Catalyst's lateral-join decorrelation (a different planner path than
+    * the window-rank form of the same question).
+    */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT o.o_orderkey, l.l_linenumber, l.p
+        |FROM orders o,
+        |LATERAL (
+        |  SELECT l_linenumber, ROUND(l_extendedprice, 2) AS p
+        |  FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber
+        |  LIMIT 2
+        |) l
+        |WHERE o.o_orderkey < 200
+        |ORDER BY o.o_orderkey, l.p DESC, l.l_linenumber""".stripMargin)
+  }
+
   /** Distribution window functions in one pass — ntile, percent_rank,
     * cume_dist, nth_value over a per-segment price ordering. Ordering is
     * made total (acctbal desc, custkey) so every rank function is
@@ -867,6 +887,7 @@ object SparkEntry {
     "q46_hash_split" -> (q46 _),
     "q47_corpus_prep" -> (q47 _),
     "q48_window_dist" -> (q48 _),
+    "q49_lateral" -> (q49 _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (streamDedup _),
     "stream_sliding" -> (streamSliding _),
@@ -1135,6 +1156,18 @@ object SparkEntry {
         |                          WHERE o2.o_custkey = e.user_id
         |                            AND o2.o_orderdate <= e.ts)) AS o_orderkey
         |FROM events e ORDER BY e.event_id""".stripMargin,
+    "q49_lateral" ->
+      """SELECT o.o_orderkey, l.l_linenumber, l.p
+        |FROM orders o,
+        |LATERAL (
+        |  SELECT l_linenumber, ROUND(l_extendedprice, 2) AS p
+        |  FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber
+        |  LIMIT 2
+        |) l
+        |WHERE o.o_orderkey < 200
+        |ORDER BY o.o_orderkey, l.p DESC, l.l_linenumber""".stripMargin,
     "q48_window_dist" ->
       """SELECT c_mktsegment, c_custkey,
         |  NTILE(4) OVER w AS quartile,
