@@ -600,6 +600,24 @@ object SparkEntry {
         |ORDER BY o.o_orderkey, l.p DESC, l.l_linenumber""".stripMargin)
   }
 
+  /** Unpivot (melt) three measure columns into (metric, value) rows and
+    * re-aggregate — the wide-to-long reshape. The oracle expresses the
+    * same reshape as a UNION ALL of projections, which is what unpivot
+    * desugars to in any engine.
+    */
+  private def q50(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_discount").cast("double").as("l_discount"),
+        col("l_tax").cast("double").as("l_tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(round(sum(col("value")), 2).as("sv"), count(lit(1)).as("c"))
+      .orderBy("metric")
+
   /** Distribution window functions in one pass — ntile, percent_rank,
     * cume_dist, nth_value over a per-segment price ordering. Ordering is
     * made total (acctbal desc, custkey) so every rank function is
@@ -888,6 +906,7 @@ object SparkEntry {
     "q47_corpus_prep" -> (q47 _),
     "q48_window_dist" -> (q48 _),
     "q49_lateral" -> (q49 _),
+    "q50_unpivot" -> (q50 _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (streamDedup _),
     "stream_sliding" -> (streamSliding _),
@@ -1156,6 +1175,12 @@ object SparkEntry {
         |                          WHERE o2.o_custkey = e.user_id
         |                            AND o2.o_orderdate <= e.ts)) AS o_orderkey
         |FROM events e ORDER BY e.event_id""".stripMargin,
+    "q50_unpivot" ->
+      """SELECT metric, ROUND(SUM(v), 2) AS sv, COUNT(*) AS c FROM (
+        |  SELECT 'l_quantity' AS metric, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q49_lateral" ->
       """SELECT o.o_orderkey, l.l_linenumber, l.p
         |FROM orders o,
