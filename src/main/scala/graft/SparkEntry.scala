@@ -600,6 +600,21 @@ object SparkEntry {
         |ORDER BY o.o_orderkey, l.p DESC, l.l_linenumber""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (an irregular set neither rollup nor cube
+    * generates) with grouping_id disambiguating which set each row came
+    * from — the last member of the grouping-analytics family.
+    */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q, COUNT(*) AS c
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** Unpivot (melt) three measure columns into (metric, value) rows and
     * re-aggregate — the wide-to-long reshape. The oracle expresses the
     * same reshape as a UNION ALL of projections, which is what unpivot
@@ -907,6 +922,7 @@ object SparkEntry {
     "q48_window_dist" -> (q48 _),
     "q49_lateral" -> (q49 _),
     "q50_unpivot" -> (q50 _),
+    "q51_grouping_sets" -> (q51 _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (streamDedup _),
     "stream_sliding" -> (streamSliding _),
@@ -1175,6 +1191,13 @@ object SparkEntry {
         |                          WHERE o2.o_custkey = e.user_id
         |                            AND o2.o_orderdate <= e.ts)) AS o_orderkey
         |FROM events e ORDER BY e.event_id""".stripMargin,
+    "q51_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q, COUNT(*) AS c
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q50_unpivot" ->
       """SELECT metric, ROUND(SUM(v), 2) AS sv, COUNT(*) AS c FROM (
         |  SELECT 'l_quantity' AS metric, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
