@@ -13,21 +13,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+  // usage text lives in each expression's scaladoc; the 3-arg constructor
+  // is the one non-deprecated ExpressionInfo form without source/group
+  // validation constraints
+  private def info(clazz: Class[_], name: String) =
+    new ExpressionInfo(clazz.getCanonicalName, null, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", "graft_cosine(a, b) - fused cosine similarity of two numeric arrays"),
+      info(classOf[CosineSimilarity], "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_sorted_jaccard"),
-      info("graft_sorted_jaccard", "graft_sorted_jaccard(a, b) - Jaccard of two sorted distinct bigint arrays"),
+      info(classOf[SortedJaccard], "graft_sorted_jaccard"),
       (exprs: Seq[Expression]) => SortedJaccard(exprs.head, exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow"),
-      info("graft_winnow", "graft_winnow(text) - winnowing fingerprint sketch (k=3, w=4)"),
+      info(classOf[Winnow], "graft_winnow"),
       (exprs: Seq[Expression]) => Winnow(exprs.head, 3, 4)))
     // Optimizer rule: users who write the composable HOF cosine get the
     // fused native kernel automatically (see RewriteCosine).
