@@ -80,15 +80,46 @@ object Bench {
           name -> Seq(-1.0)
       }
     }
-    def fmt(v: Double): String = "%.4f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(median(v)) }
-      .mkString("{", ",", "}")
-    val raw = results.map { case (k, v) =>
-      "\"" + k + "\":[" + v.map(fmt).mkString(",") + "]"
-    }.mkString("{", ",", "}")
+    // Locale.ROOT: the default-locale format emits "0,1234" under
+    // comma-decimal locales, which is malformed JSON.
+    def fmt(v: Double, dec: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, "%." + dec + "f", Double.box(v))
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else s
+    }
     // failures stay visible as -1 per query but must not distort the total
     val total = results.map(r => median(r._2)).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$raw,"sf":"$sfDir"}""")
+    def line(dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(median(v), dec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full detail (per-run values) goes to a file; stdout gets ONE compact
+    // line. The harness that captures this run keeps only the final ~2000
+    // bytes of output, and an sbt epilogue line (~75 bytes) follows us — the
+    // JSON line must fit the remaining window IN FULL or it cannot be parsed
+    // downstream. Degrade decimal precision until it fits.
+    val detail = results.map { case (k, v) =>
+      "\"" + k + "\":{\"median\":" + fmt(median(v), 4) +
+        ",\"runs\":[" + v.map(fmt(_, 4)).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_DETAIL.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$detail,"sf":"$sfDir","cpus":$cpus,"runs_per_query":$nRuns}""")
+      finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    val budget = 1800
+    val out = (4 to 1 by -1).map(line).find(_.length <= budget).getOrElse(line(1))
+    // Stop FIRST, then emit the line last: session shutdown flushes its
+    // async WARN chatter before the JSON, so no late log line lands between
+    // the JSON and the end of output and eats the capture window.
     spark.stop()
+    System.err.flush()
+    Thread.sleep(200)
+    println(out)
+    System.out.flush()
   }
 }

@@ -38,10 +38,34 @@ import org.apache.spark.sql.functions._
   *  - Operator-internal caches are deliberately retained: Spark's
   *    CacheManager dedupes identical plans, so repeated calls over the same
   *    corpus reuse one cached relation (this IS the resident-engine warm
-  *    path) instead of growing. Processing many distinct corpora in one
-  *    long-lived session should `spark.catalog.clearCache()` between them.
+  *    path) instead of growing. A continuously-ingesting session whose
+  *    inputs CHANGE every batch (e.g. [[incrementalMinHashPairs]]) gets no
+  *    reuse from stale entries — call [[releaseCaches]] after each batch's
+  *    result is materialized (finer-grained than
+  *    `spark.catalog.clearCache()`, which would also evict the caller's own
+  *    cached frames).
   */
 object Dedup {
+
+  /** Every frame this object has `.cache()`d, so batch pipelines can drop
+    * exactly the operator-internal caches. Unpersist is safe while a
+    * dependent query runs (Spark recomputes), so a ledger never blocks.
+    */
+  private val cacheLedger = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def ledgered(df: DataFrame): DataFrame = cacheLedger.synchronized {
+    cacheLedger += df
+    df
+  }
+
+  /** Unpersist (non-blocking) every operator-internal cache created by this
+    * object since the last call. Call between ingest batches once the
+    * previous batch's output is materialized.
+    */
+  def releaseCaches(): Unit = cacheLedger.synchronized {
+    cacheLedger.foreach(df => try df.unpersist(blocking = false) catch { case _: Exception => () })
+    cacheLedger.clear()
+  }
 
   /** Exact dedup: one surviving row key per distinct `dedupCols` group —
     * deterministic (keeps the minimum key), unlike `dropDuplicates`, which
@@ -56,10 +80,10 @@ object Dedup {
     * — this is the shared input of every pair-finding variant.
     */
   private def hashedSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    ledgered(docs.select(col(idCol).as("doc_id"),
         array_sort(array_distinct(transform(
           TF.shingles(col(textCol), n), s => xxhash64(s)))).as("hs"))
-      .cache()
+      .cache())
 
   /** (doc_id, h) exploded from the cached hash sets. */
   private def explodedHashes(sets: DataFrame): DataFrame =
@@ -124,11 +148,11 @@ object Dedup {
     // Band bucket key = hash of the band's sorted (k, min) list; one narrow
     // aggregation. Cached: the self-join below would recompute the whole
     // signature pipeline for both sides otherwise.
-    val buckets = minHashTall(sets, numHashes)
+    val buckets = ledgered(minHashTall(sets, numHashes)
       .withColumn("band", (col("k") / lit(r)).cast("int"))
       .groupBy("doc_id", "band")
       .agg(xxhash64(array_sort(collect_list(struct(col("k"), col("mh"))))).as("bh"))
-      .cache()
+      .cache())
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -147,6 +171,12 @@ object Dedup {
     * needs. Same LSH parameters and exact verification as
     * [[minHashPairs]]; ids must be disjoint across the two frames.
     *
+    * Each call caches a buckets frame sized to corpus+batch; because the
+    * input grows every batch, CacheManager can never dedupe successive
+    * calls' plans — call [[releaseCaches]] once a batch's result is
+    * materialized, or a long-lived ingest session retains one dead
+    * InMemoryRelation per batch.
+    *
     * @return (i, j, jac) with i < j, every pair touching ≥1 incoming doc
     */
   def incrementalMinHashPairs(
@@ -158,11 +188,11 @@ object Dedup {
     val all = corpus.select(col(idCol).cast("long").as(idCol), col(textCol))
       .unionByName(incoming.select(col(idCol).cast("long").as(idCol), col(textCol)))
     val sets = hashedSets(all, idCol, textCol, shingleN)
-    val buckets = minHashTall(sets, numHashes)
+    val buckets = ledgered(minHashTall(sets, numHashes)
       .withColumn("band", (col("k") / lit(r)).cast("int"))
       .groupBy("doc_id", "band")
       .agg(xxhash64(array_sort(collect_list(struct(col("k"), col("mh"))))).as("bh"))
-      .cache()
+      .cache())
     val newIds = incoming.select(col(idCol).cast("long").as("doc_id")).distinct()
     val bucketsNew = buckets.join(newIds, Seq("doc_id"))
     val candidates = buckets.as("a")
@@ -208,7 +238,7 @@ object Dedup {
     require(64 % blocks == 0, "blocks must divide 64")
     val w = 64 / blocks
     val sets = hashedSets(docs, idCol, textCol, shingleN)
-    val sig = simHashOf(sets).cache()
+    val sig = ledgered(simHashOf(sets).cache())
     val blockVals = (0 until blocks).map { k =>
       shiftright(col("simhash"), k * w).bitwiseAND(lit((1L << w) - 1L))
     }
@@ -265,6 +295,7 @@ object Dedup {
       .filter(col("rk") <= floor((lit(1.0) - lit(threshold)) * col("n")) + 1)
       .select("doc_id", "h", "rk", "n")
       .cache() // self-joined below; avoid recomputing df-join + windows twice
+      .transform(ledgered)
     // Positional filter (PPJoin): J >= t needs overlap c >= t/(1+t)·(na+nb),
     // and a match at prefix positions (ra, rb) can contribute at most
     // 1 + min(na-ra, nb-rb) shared elements. The first shared element of a
@@ -300,9 +331,11 @@ object Dedup {
     * document), so when the materialized edge count is provably under
     * `driverThreshold` the labels come from a driver union-find — two
     * jobs total instead of one per propagation round. The bound is on the
-    * EDGE LIST (16 bytes/edge; the default caps driver memory at ~16 MB),
-    * never on corpus-sized data; above it the distributed loop runs
-    * unconditionally.
+    * EDGE LIST, never on corpus-sized data; above it the distributed loop
+    * runs unconditionally. Edges stream through `toLocalIterator` (one
+    * partition resident at a time, no all-rows collect) into a primitive
+    * open-addressed LongMap — ~48 bytes/entry of steady driver heap, so the
+    * default 1M-edge cap costs ~100 MB transient, not GB.
     *
     * @param pairs (i, j) undirected duplicate edges
     * @return (doc_id, comp) for every pair member, comp = min id reachable
@@ -315,13 +348,17 @@ object Dedup {
       .cache()
     val nEdges = rawEdges.count() // materializes the cache both paths read
     if (nEdges <= driverThreshold) {
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // LongMap: unboxed keys, open addressing — no per-entry hash nodes.
+      // toLocalIterator keeps at most one (cached) partition of Rows
+      // resident instead of materializing every edge Row at once.
+      val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
         while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
         r
       }
-      rawEdges.collect().foreach { row =>
+      import scala.jdk.CollectionConverters._
+      rawEdges.toLocalIterator().asScala.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
@@ -437,6 +474,7 @@ object Dedup {
         t => col("sig").substr(t * lit(planesPerTable) + 1, lit(planesPerTable))))
         .as(Seq("t", "bk")))
       .cache()
+      .transform(ledgered)
     // Dedup candidate (i, j) ids BEFORE scoring: a pair colliding in k of
     // the LSH tables would otherwise be cosine-scored k times and deduped
     // after the fact. Vectors are joined back from the cached buckets.

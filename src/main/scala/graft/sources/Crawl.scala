@@ -165,7 +165,8 @@ object Crawl {
     * read-error case) maps to cluster task retry, not to dropped data.
     */
   def listWithErrors(
-      spark: SparkSession, root: String, parallelism: Int = 8): Listing = {
+      spark: SparkSession, root: String, parallelism: Int = 8,
+      accessProbe: Boolean = true): Listing = {
     import org.apache.hadoop.fs.{FileStatus, Path => HPath}
     import org.apache.hadoop.fs.permission.FsAction
     import scala.jdk.CollectionConverters._
@@ -176,9 +177,26 @@ object Crawl {
     val errors = Seq.newBuilder[IoError]
     def msg(e: Throwable): String =
       Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+    // Symlink-cycle guard: track each directory's *resolved* identity (real
+    // path on filesystems that support symlinks, identity elsewhere) and
+    // never expand one twice — a `dir -> ancestor` symlink loop would
+    // otherwise make this walk spin forever. Resolution failures fall back
+    // to the raw path string, which still dedupes plain revisits.
+    val visited = scala.collection.mutable.HashSet.empty[String]
+    def realId(p: HPath): String = try {
+      val uri = p.toUri
+      // Local paths: NIO resolves symlinks; Hadoop's resolvePath does not
+      // canonicalize on RawLocalFileSystem. Non-local schemes (object
+      // stores) have no symlinks to chase — the raw path dedupes revisits
+      // without spending a metadata RPC per directory.
+      if (uri.getScheme == null || uri.getScheme == "file")
+        java.nio.file.Paths.get(uri.getPath).toRealPath().toString
+      else p.toString
+    } catch { case _: Exception => p.toString }
     try {
       var frontier: Seq[HPath] = Seq(rootPath)
       while (frontier.nonEmpty) {
+        frontier = frontier.filter(d => visited.add(realId(d)))
         val tasks = frontier.map { dir =>
           new java.util.concurrent.Callable[(HPath, Either[Throwable, Array[FileStatus]])] {
             def call() = (dir,
@@ -192,7 +210,12 @@ object Crawl {
             errors += IoError("list", dir.toString, msg(e))
           case (_, Right(statuses)) => statuses.foreach { st =>
             if (st.isDirectory) next += st.getPath
+            else if (!accessProbe) files += st.getPath.toString
             else {
+              // One metadata RPC per file; on object stores where access()
+              // is advisory (S3A always succeeds) pass accessProbe=false to
+              // skip the round-trips — open failures then surface as task
+              // retries instead of pre-flight IoErrors.
               try { fs.access(st.getPath, FsAction.READ); files += st.getPath.toString }
               catch { case e: Exception =>
                 errors += IoError("open", st.getPath.toString, msg(e)) }

@@ -216,4 +216,33 @@ class CrawlSpec extends SparkSpec {
     assert(after <= before + 1,
       s"persisted RDDs grew $before -> $after; frontier caches leaked")
   }
+
+  test("listing terminates and dedupes through a directory-symlink cycle") {
+    val root = Files.createTempDirectory("crawlsym")
+    val sub = Files.createDirectory(root.resolve("sub"))
+    Files.writeString(root.resolve("top.json"), """{"data": 1}""")
+    Files.writeString(sub.resolve("deep.json"), """{"data": 2}""")
+    // sub/loop -> root: without the resolved-path visited set the walk
+    // descends root/sub/loop/sub/loop/... forever.
+    Files.createSymbolicLink(sub.resolve("loop"), root)
+    val listing = Crawl.listWithErrors(spark, root.toString)
+    assert(listing.errors.isEmpty)
+    // Each real file listed exactly once, under its first-seen path.
+    assert(listing.files.length == 2)
+    assert(listing.files.count(_.endsWith("top.json")) == 1)
+    assert(listing.files.count(_.endsWith("deep.json")) == 1)
+  }
+
+  test("accessProbe=false lists permission-locked files instead of pre-flight erroring") {
+    import java.nio.file.attribute.PosixFilePermissions
+    val root = Files.createTempDirectory("crawlnoprobe")
+    Files.writeString(root.resolve("open.json"), """{"data": 1}""")
+    val locked = Files.writeString(root.resolve("locked.json"), """{"data": 2}""")
+    Files.setPosixFilePermissions(locked, PosixFilePermissions.fromString("---------"))
+    val probed = Crawl.listWithErrors(spark, root.toString)
+    assert(probed.files.length == 1 && probed.errors.count(_.op == "open") == 1)
+    // Object-store mode: no per-file metadata RPC, no pre-flight open check.
+    val unprobed = Crawl.listWithErrors(spark, root.toString, accessProbe = false)
+    assert(unprobed.files.length == 2 && unprobed.errors.isEmpty)
+  }
 }

@@ -163,4 +163,23 @@ class DedupSpec extends SparkSpec {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((0L, 1L)))
   }
+
+  test("releaseCaches drops operator-internal caches (batch-ingest leak bound)") {
+    spark.catalog.clearCache()
+    Dedup.releaseCaches() // empty the ledger of earlier tests' entries
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val batch = docs.filter(col("doc_id") >= 3)
+    val corpus = docs.filter(col("doc_id") < 3)
+    // materialize: builds the ledgered hashedSets + buckets caches
+    Dedup.incrementalMinHashPairs(corpus, batch, "doc_id", "text").count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "expected operator caches to be live after materialization")
+    Dedup.releaseCaches()
+    // non-blocking unpersist: poll briefly for the storage to drain
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.size > before && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "operator caches survived releaseCaches")
+  }
 }
