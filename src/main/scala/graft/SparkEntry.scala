@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.MonoidAggregator
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
 import graft.sources.Crawl
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -615,6 +615,68 @@ object SparkEntry {
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** Group-aware split: the split key is the doc's SOURCE, so every doc of
+    * a source lands in one split (no near-dup leakage across train/val).
+    * `crossing` certifies the invariant inside the query itself — sources
+    * appearing in more than one split, which must be 0.
+    */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val split = Sampling.hashSplit(t(s, d, "documents"), "source", 0.5)
+    val perSource = split.groupBy("source")
+      .agg(countDistinct(col("split")).as("nsplits"), count(lit(1)).as("ndocs"),
+        min(col("split")).as("split"))
+    perSource.groupBy("split")
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("ndocs")).as("n_docs"),
+        sum(when(col("nsplits") > 1, 1L).otherwise(0L)).as("crossing"))
+      .orderBy("split")
+  }
+
+  /** Per-domain cap: keep the 5 longest docs per source (doc_id breaks
+    * ties), the anti-domination filter of a crawl pipeline.
+    */
+  private def q53(s: SparkSession, d: String): DataFrame =
+    Sampling.capPerGroup(t(s, d, "documents"), "source", 5,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "doc_id")
+
+  /** Daily order counts per priority, resampled onto the dense day grid of
+    * the table's full span — gap days appear as explicit zeros. The day
+    * serializes as an ISO string: a DATE-typed result column round-trips
+    * through parquet as a python date object while the oracle side yields
+    * datetime64, and the comparator treats those as unequal dtypes.
+    */
+  private def q54(s: SparkSession, d: String): DataFrame =
+    Resample.dailyCounts(t(s, d, "orders"), "o_orderpriority", "o_orderdate")
+      .select(col("o_orderpriority"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"))
+      .orderBy("o_orderpriority", "day")
+
+  /** Full outer join: nations' high-balance customer counts vs their
+    * high-balance supplier counts; each filter leaves nations the other
+    * side lacks, so both null wings are exercised. Nulls survive to the
+    * output (coalesce would hide the join semantics being tested).
+    */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer").filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val supp = t(s, d, "supplier").filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, Seq("nk"), "full_outer")
+      .select(col("nk").cast("int").as("nk"), col("n_cust"), col("n_supp"))
+      .orderBy("nk")
+  }
+
+  /** Benchmark decontamination over the documents table: docs sharing an
+    * 8-token shingle with the pseudo-holdout (doc_id % 10 = 5), with the
+    * count of distinct contaminating shingles.
+    */
+  private def textDecontaminate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.contamination(t(s, d, "documents"), "doc_id", "text",
+        col("doc_id") % 10 === 5, n = 8)
+      .orderBy("doc_id")
+
   /** Unpivot (melt) three measure columns into (metric, value) rows and
     * re-aggregate — the wide-to-long reshape. The oracle expresses the
     * same reshape as a UNION ALL of projections, which is what unpivot
@@ -923,6 +985,11 @@ object SparkEntry {
     "q49_lateral" -> (q49 _),
     "q50_unpivot" -> (q50 _),
     "q51_grouping_sets" -> (q51 _),
+    "q52_group_split" -> (q52 _),
+    "q53_domain_cap" -> (q53 _),
+    "q54_resample" -> (q54 _),
+    "q55_full_outer" -> (q55 _),
+    "text_decontaminate" -> (textDecontaminate _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (streamDedup _),
     "stream_sliding" -> (streamSliding _),
@@ -1191,6 +1258,67 @@ object SparkEntry {
         |                          WHERE o2.o_custkey = e.user_id
         |                            AND o2.o_orderdate <= e.ts)) AS o_orderkey
         |FROM events e ORDER BY e.event_id""".stripMargin,
+    "q52_group_split" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(DISTINCT split) AS nsplits, COUNT(*) AS ndocs,
+        |    MIN(split) AS split
+        |  FROM (SELECT source,
+        |          CASE WHEN md5(source) < '8' THEN 'train' ELSE 'val' END AS split
+        |        FROM documents)
+        |  GROUP BY source
+        |)
+        |SELECT split, COUNT(*) AS n_sources, CAST(SUM(ndocs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS crossing
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q53_domain_cap" ->
+      """SELECT source, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
+    "q54_resample" ->
+      """WITH span AS (
+        |  SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+        |         CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders
+        |), days AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span
+        |), ks AS (SELECT DISTINCT o_orderpriority FROM orders
+        |), cnt AS (
+        |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT k.o_orderpriority, strftime(d.day, '%Y-%m-%d') AS day,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM ks k CROSS JOIN days d
+        |LEFT JOIN cnt c ON c.o_orderpriority = k.o_orderpriority AND c.day = d.day
+        |ORDER BY 1, 2""".stripMargin,
+    "q55_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer
+        |  WHERE c_acctbal > 9900 GROUP BY 1
+        |), s AS (
+        |  SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier
+        |  WHERE s_acctbal > 9000 GROUP BY 1
+        |)
+        |SELECT CAST(COALESCE(c.nk, s.nk) AS INTEGER) AS nk, c.n_cust, s.n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin,
+    "text_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '
+        |                   ||l[i+4]||' '||l[i+5]||' '||l[i+6]||' '||l[i+7]
+        |                   for i in range(1, len(l)-6)]) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), t -> t <> '') AS l
+        |        FROM documents)
+        |), hold AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 5)
+        |SELECT sh.doc_id, CAST(COUNT(DISTINCT hold.g) AS BIGINT) AS n_shared
+        |FROM sh JOIN hold ON list_contains(sh.s, hold.g)
+        |WHERE sh.doc_id % 10 <> 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q51_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an event table onto a dense,
+  * gap-free calendar grid. The batch analogue of a streaming tumbling
+  * window, with the property streaming can't give you retroactively —
+  * explicit zero rows for buckets where nothing happened (rate
+  * dashboards, anomaly detection, and seasonal models all need the
+  * zeros, not missing rows).
+  *
+  * Plan shape at scale: the only full-data pass is the groupBy count
+  * (one shuffle, map-side combined). The calendar scaffold is
+  * (distinct keys) × (days in span) — bounded by key cardinality, not
+  * by input rows — so the gap-fill join runs on aggregated data only.
+  */
+object Resample {
+
+  /** Zero-filled daily event counts per key over the table's global
+    * [min(ts), max(ts)] day span.
+    *
+    * @return (keyCol, day: date, n: long) — every (key, day) cell of
+    *         the span exactly once, n = 0 where the source has no rows
+    */
+  def dailyCounts(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val counts = df
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .groupBy("k", "day")
+      .agg(count(lit(1)).as("n"))
+    // One row; sequence() expands it to the day axis on the driver-sized
+    // side of the scaffold — never against the raw events.
+    val days = df
+      .agg(to_date(min(col(tsCol))).as("d0"), to_date(max(col(tsCol))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    val keys = df.select(col(keyCol).as("k")).distinct()
+    val scaffold = keys.crossJoin(broadcast(days))
+    // No broadcast hint on the gap-fill join: both sides are bounded by the
+    // (keys × days) grid, which is small for low-cardinality keys (AQE will
+    // broadcast it) but can be huge for e.g. per-user grids — where a forced
+    // broadcast would OOM and the right plan is a co-partitioned join.
+    scaffold
+      .join(counts, Seq("k", "day"), "left")
+      .select(col("k").as(keyCol), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+}

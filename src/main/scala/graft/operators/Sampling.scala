@@ -28,10 +28,36 @@ object Sampling {
 
   /** Tag every row with a stable split label: "train" when the key's hash
     * weight < trainFrac, else "val". Narrow (no shuffle, no sort).
+    *
+    * Passing a GROUP column (domain, author, session) as the key makes this
+    * a leakage-safe group split: the decision depends only on the group
+    * value, so every row of a group lands in the same split — near-dup
+    * documents from one domain can never straddle train and validation.
     */
   def hashSplit(df: DataFrame, keyCol: String, trainFrac: Double): DataFrame = {
     require(trainFrac > 0.0 && trainFrac < 1.0, s"trainFrac out of (0,1): $trainFrac")
     df.withColumn("split",
       when(hashWeight(col(keyCol)) < trainFrac, lit("train")).otherwise(lit("val")))
+  }
+
+  /** Keep at most `n` rows per group, ranked by `ordering` (ties must be
+    * broken by a unique column for determinism). The per-domain cap of a
+    * crawl pipeline: stops one giant domain from dominating the corpus.
+    *
+    * One shuffle on the group key. The window sorts each group; for
+    * power-law groups far larger than memory prefer the bounded
+    * [[graft.functions.TopKAggregator]] shape (heap of n per group,
+    * map-side combined) — at a cap of ~thousands the sort is fine and
+    * keeps the full row without re-join.
+    */
+  def capPerGroup(
+      df: DataFrame, groupCol: String, n: Int,
+      ordering: Seq[Column]): DataFrame = {
+    require(n > 0, s"cap must be positive: $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
   }
 }

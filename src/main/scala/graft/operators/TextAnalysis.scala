@@ -189,6 +189,38 @@ object TextAnalysis {
       .filter(col("n_docs") > 1)
   }
 
+  /** Benchmark decontamination: which corpus documents share at least one
+    * n-token shingle with a holdout/benchmark set (the n-gram-overlap
+    * contamination check run before every serious training run; n = 8–13
+    * in the published recipes). Returns each contaminated corpus doc with
+    * the number of distinct holdout shingles it contains — downstream
+    * either drops the doc or surgically removes the spans.
+    *
+    * Scale shape: both sides shuffle only (doc, shingle-hash) rows from
+    * ONE shared tokenize pass over the corpus (the holdout rows are
+    * filtered from it, not re-tokenized). The distinct holdout-shingle
+    * relation is benchmark-sized — millions of grams, not corpus-sized —
+    * so it is broadcast and the probe stays narrow; 64-bit shingle
+    * hashing keeps the broadcast compact (collision odds ≈ n²/2⁶⁵).
+    *
+    * @param isHoldout predicate column marking benchmark rows inside docs
+    */
+  def contamination(
+      docs: DataFrame, idCol: String, textCol: String,
+      isHoldout: Column, n: Int = 8): DataFrame = {
+    // cache barrier: the shingle array is lambda-bearing (no CSE through
+    // collapsed projections / generators) and feeds two branches
+    val arr = docs.select(col(idCol).as("doc_id"), isHoldout.as("hold"),
+      array_distinct(transform(TF.shingles(col(textCol), n),
+        s => xxhash64(s))).as("g")).cache()
+    val grams = arr.select(col("doc_id"), col("hold"), explode(col("g")).as("h"))
+    val holdGrams = grams.filter(col("hold")).select("h").distinct()
+    grams.filter(!col("hold"))
+      .join(broadcast(holdGrams), Seq("h"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_shared"))
+  }
+
   /** BM25 lexical retrieval scores for a term query over the corpus — the
     * keyword complement to the ANN embedding family. Lucene-form idf
     * `ln(1 + (N-df+0.5)/(df+0.5))`, standard k1/b length normalization.

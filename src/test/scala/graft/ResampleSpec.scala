@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Resample
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** Gap-fill semantics: dense (key × day) grid, explicit zeros, totals
+  * preserved.
+  */
+class ResampleSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dailyCounts emits the dense grid with zero rows for gap days") {
+    import spark.implicits._
+    val events = Seq(
+      ("a", ts("2024-01-01 10:00:00")),
+      ("a", ts("2024-01-01 11:00:00")),
+      ("a", ts("2024-01-03 09:00:00")),
+      ("b", ts("2024-01-02 12:00:00"))
+    ).toDF("k", "ts")
+    val got = Resample.dailyCounts(events, "k", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .toSet
+    val want = Set(
+      ("a", "2024-01-01", 2L), ("a", "2024-01-02", 0L), ("a", "2024-01-03", 1L),
+      ("b", "2024-01-01", 0L), ("b", "2024-01-02", 1L), ("b", "2024-01-03", 0L))
+    assert(got == want)
+  }
+
+  test("grid covers every key times every day in span; totals are preserved") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map { _ =>
+      val day = 1 + rnd.nextInt(28)
+      (s"k${rnd.nextInt(5)}", ts(f"2024-02-$day%02d ${rnd.nextInt(24)}%02d:00:00"))
+    }
+    val df = rows.toDF("k", "ts")
+    val filled = Resample.dailyCounts(df, "k", "ts").cache()
+    val nKeys = df.select("k").distinct().count()
+    val span = df.agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))))
+      .head().getInt(0) + 1
+    assert(filled.count() == nKeys * span, "grid must be keys x days exactly")
+    assert(filled.agg(sum("n")).head().getLong(0) == 500L, "counts must total the input rows")
+    assert(filled.groupBy("k", "day").count().filter(col("count") > 1).count() == 0,
+      "each (key, day) cell appears exactly once")
+    filled.unpersist()
+  }
+}

@@ -33,4 +33,29 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(frac - 0.75) < 0.01, s"train fraction $frac too far from 0.75")
     assert(counts("train") + counts("val") == n)
   }
+
+  test("splitting on a group column keeps every group whole (no leakage)") {
+    import spark.implicits._
+    val rows = (0L until 3000L).map(i => (i, s"group${i % 57}")).toDF("id", "grp")
+    val crossing = Sampling.hashSplit(rows, "grp", 0.5)
+      .groupBy("grp").agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(crossing == 0, "a group straddled train and val")
+  }
+
+  test("capPerGroup keeps exactly the top-n rows per group, deterministically") {
+    import spark.implicits._
+    val rows = (0L until 1000L).map(i => (i, (i % 7).toString, i % 13)).toDF("id", "grp", "score")
+    val capped = Sampling.capPerGroup(rows, "grp", 3,
+      Seq(col("score").desc, col("id").asc))
+    val got = capped.collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    // oracle: per group, sort by (score desc, id) and take 3
+    val want = (0L until 1000L).map(i => (i, (i % 7).toString, i % 13))
+      .groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._3, r._1)).take(3).map(r => (g, r._1))
+      }.toSet
+    assert(got == want)
+    // ties beyond the cap are excluded, row shape is preserved
+    assert(capped.columns.toSeq == Seq("id", "grp", "score"))
+  }
 }

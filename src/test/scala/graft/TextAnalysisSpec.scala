@@ -151,6 +151,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(graft.operators.Dedup.minHashPairs(docs, "doc_id", "text").count() == 0)
   }
 
+  test("contamination flags docs sharing an n-gram with the holdout, and only those") {
+    import spark.implicits._
+    val benchGram = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (0L, s"benchmark question says $benchGram end of prompt"),       // holdout
+      (1L, s"scraped page quoting $benchGram verbatim among text"),    // contaminated
+      (2L, "completely unrelated document with plenty of words here"), // clean
+      (3L, "alpha beta gamma delta epsilon zeta eta iota differs"),    // 8-prefix differs at token 8
+      (4L, "short doc")                                                // < n tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(docs, "doc_id", "text",
+        col("doc_id") === 0L, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L))
+    // an exact duplicate of a holdout doc shares every shingle
+    val withDup = docs.union(Seq((5L,
+      s"benchmark question says $benchGram end of prompt")).toDF("doc_id", "text"))
+    val dup = TextAnalysis.contamination(withDup, "doc_id", "text",
+        col("doc_id") === 0L, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup(5L) == 7L) // 14 tokens -> 7 distinct 8-gram shingles
+  }
+
   test("winnow sketch: subset stability under small edits") {
     val sk = (t: String) =>
       one(t, TextAnalysis.winnow(col("text")))
