@@ -677,6 +677,45 @@ object SparkEntry {
         col("doc_id") % 10 === 5, n = 8)
       .orderBy("doc_id")
 
+  /** Time-RANGE window frame (not ROWS): per user, how many events and how
+    * much floor(value) landed in the trailing hour of each event. The
+    * trailing-window rate signal; integer-exact aggregates (count +
+    * floored sum) so frame-internal summation order cannot matter.
+    */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("uts"))
+      .rangeBetween(-3600L, 0L)
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("uts"), col("value"))
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(floor(col("value")).cast("long")).over(w).as("f_1h"))
+      .orderBy("event_id")
+  }
+
+  /** Stratified downsample: keep half the dominant language, a quarter of
+    * everything else; per-lang survivor stats. The oracle re-derives the
+    * per-stratum keep rule from md5 hex prefixes ('8' = 0.5, '4' = 0.25
+    * of the keyspace).
+    */
+  private def q57(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5), defaultFrac = 0.25)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .orderBy("lang")
+
+  /** Per-label embedding centroids in tall (label, idx) form — the class-
+    * centroid aggregation of a quantizer/cluster-summary pipeline.
+    */
+  private def q58(s: SparkSession, d: String): DataFrame =
+    Similarity.labelCentroids(t(s, d, "embeddings"), "label", "embedding")
+      .select(col("label"), col("idx"),
+        round(col("mean"), 6).as("mean"), col("n"))
+      .orderBy("label", "idx")
+
   /** Unpivot (melt) three measure columns into (metric, value) rows and
     * re-aggregate — the wide-to-long reshape. The oracle expresses the
     * same reshape as a UNION ALL of projections, which is what unpivot
@@ -989,6 +1028,9 @@ object SparkEntry {
     "q53_domain_cap" -> (q53 _),
     "q54_resample" -> (q54 _),
     "q55_full_outer" -> (q55 _),
+    "q56_range_frame" -> (q56 _),
+    "q57_stratified" -> (q57 _),
+    "q58_centroids" -> (q58 _),
     "text_decontaminate" -> (textDecontaminate _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (streamDedup _),
@@ -1305,6 +1347,27 @@ object SparkEntry {
         |SELECT CAST(COALESCE(c.nk, s.nk) AS INTEGER) AS nk, c.n_cust, s.n_supp
         |FROM c FULL OUTER JOIN s ON c.nk = s.nk
         |ORDER BY nk""".stripMargin,
+    "q56_range_frame" ->
+      """SELECT event_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) OVER w AS BIGINT) AS f_1h
+        |FROM (SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS uts, value
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY uts
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q57_stratified" ->
+      """SELECT lang, COUNT(*) AS n, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        |FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE WHEN lang = 'en' THEN '8' ELSE '4' END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_centroids" ->
+      """SELECT label, idx, ROUND(AVG(v), 6) AS mean, COUNT(*) AS n FROM (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |         unnest(range(0, len(embedding))) AS idx
+        |  FROM embeddings
+        |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,

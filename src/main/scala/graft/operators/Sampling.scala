@@ -40,6 +40,23 @@ object Sampling {
       when(hashWeight(col(keyCol)) < trainFrac, lit("train")).otherwise(lit("val")))
   }
 
+  /** Stratified downsample: keep a row when its key's hash weight falls
+    * under the stratum's fraction — per-class rebalancing (e.g. cap the
+    * dominant language while keeping all of a rare one). Same determinism
+    * contract as [[hashSplit]]: pure function of (key, stratum fractions),
+    * stable under reshuffles and growth; narrow, no shuffle.
+    */
+  def stratifiedSample(
+      df: DataFrame, keyCol: String, strataCol: String,
+      fracs: Map[String, Double], defaultFrac: Double): DataFrame = {
+    (fracs.values.toSeq :+ defaultFrac).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction out of [0,1]: $f"))
+    val frac = fracs.foldLeft(lit(defaultFrac)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashWeight(col(keyCol)) < frac)
+  }
+
   /** Keep at most `n` rows per group, ranked by `ordering` (ties must be
     * broken by a unique column for determinism). The per-domain cap of a
     * crawl pipeline: stops one giant domain from dominating the corpus.

@@ -38,6 +38,22 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Per-label mean vectors in tall form: (label, idx, mean, n) — class
+    * centroids for quantizers, cluster summaries, or per-class drift
+    * checks.
+    *
+    * The tall explode looks expensive but is the scalable shape: the
+    * (label, idx) hash-agg partially combines WITHIN each input partition,
+    * so shuffle volume is partitions × labels × dim regardless of row
+    * count — no wide 1-row-per-label array aggregation that would
+    * serialize whole vectors through a single reducer per label.
+    */
+  def labelCentroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    emb.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("idx", "v")))
+      .groupBy("label", "idx")
+      .agg(avg(col("v").cast("double")).as("mean"), count(lit(1)).as("n"))
+
   /** SRP-LSH approximate top-k: candidates share a full signature word with
     * the query in at least one of `tables` tables; scored exactly, ranked,
     * truncated to k. Deterministic (seeded hyperplanes) but recall < 1.

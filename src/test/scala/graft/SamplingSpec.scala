@@ -43,6 +43,25 @@ class SamplingSpec extends SparkSpec {
     assert(crossing == 0, "a group straddled train and val")
   }
 
+  test("stratifiedSample hits per-stratum fractions and nests across fractions") {
+    import spark.implicits._
+    val rows = (0L until 20000L).map(i => (i, if (i % 4 == 0) "big" else "small"))
+      .toDF("id", "cls")
+    def kept(fracBig: Double, fracSmall: Double): Map[String, Set[Long]] =
+      Sampling.stratifiedSample(rows, "id", "cls",
+          Map("big" -> fracBig), defaultFrac = fracSmall)
+        .collect().map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val a = kept(0.5, 0.1)
+    assert(math.abs(a("big").size / 5000.0 - 0.5) < 0.03)
+    assert(math.abs(a("small").size / 15000.0 - 0.1) < 0.02)
+    // same key hash both times: a lower fraction selects a SUBSET of a
+    // higher one (what lets you downsample progressively without churn)
+    val b = kept(0.25, 0.1)
+    assert(b("big").subsetOf(a("big")))
+    assert(b("small") == a("small"))
+  }
+
   test("capPerGroup keeps exactly the top-n rows per group, deterministically") {
     import spark.implicits._
     val rows = (0L until 1000L).map(i => (i, (i % 7).toString, i % 13)).toDF("id", "grp", "score")

@@ -61,4 +61,19 @@ class SimilaritySpec extends SparkSpec {
       Seq(0L, 1L, 2L), 3))
     assert(got.map(t => (t._1, t._3)).toSet == bf.map(t => (t._1, t._3)).toSet)
   }
+
+  test("labelCentroids equals hand-computed per-label dimension means") {
+    val rows = Seq(
+      (0L, Array(1.0f, 2.0f), 0),
+      (1L, Array(3.0f, 6.0f), 0),
+      (2L, Array(10.0f, 20.0f), 1))
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(emb, "label", "embedding")
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      (0, 0) -> (2.0, 2L), (0, 1) -> (4.0, 2L),
+      (1, 0) -> (10.0, 1L), (1, 1) -> (20.0, 1L)))
+  }
 }
