@@ -716,6 +716,37 @@ object SparkEntry {
         round(col("mean"), 6).as("mean"), col("n"))
       .orderBy("label", "idx")
 
+  /** Deterministic MODE: most frequent quantity per return flag. Native
+    * `mode()` leaves ties engine-defined, so the query derives it from
+    * counts with an explicit (count desc, value asc) tie-break — the only
+    * form two engines can agree on.
+    */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val counts = t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag", "q").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("c").desc, col("q").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("q").as("mode_qty"), col("c").as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Equal-width histogram of order totals (50k buckets): bucket id from
+    * floor division — no bucket-boundary function needed, identical
+    * arithmetic in any engine.
+    */
+  private def q60(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy("bucket")
+
   /** Unpivot (melt) three measure columns into (metric, value) rows and
     * re-aggregate — the wide-to-long reshape. The oracle expresses the
     * same reshape as a UNION ALL of projections, which is what unpivot
@@ -1031,6 +1062,8 @@ object SparkEntry {
     "q56_range_frame" -> (q56 _),
     "q57_stratified" -> (q57 _),
     "q58_centroids" -> (q58 _),
+    "q59_mode" -> (q59 _),
+    "q60_histogram" -> (q60 _),
     "text_decontaminate" -> (textDecontaminate _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (streamDedup _),
@@ -1368,6 +1401,20 @@ object SparkEntry {
         |         unnest(range(0, len(embedding))) AS idx
         |  FROM embeddings
         |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q59_mode" ->
+      """SELECT l_returnflag, q AS mode_qty, c AS n FROM (
+        |  SELECT l_returnflag, q, c,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY c DESC, q) AS rn
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |          COUNT(*) AS c
+        |        FROM lineitem GROUP BY 1, 2)
+        |) WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "q60_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, ROUND(MIN(o_totalprice), 2) AS lo,
+        |  ROUND(MAX(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,
