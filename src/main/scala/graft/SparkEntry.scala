@@ -747,6 +747,25 @@ object SparkEntry {
         round(max(col("o_totalprice")), 2).as("hi"))
       .orderBy("bucket")
 
+  /** Int8 scalar quantization of the embedding corpus: per-dimension code
+    * range, reconstruction MSE and worst-case error — the compression
+    * quality report of an ANN index build. floor-binning keeps every
+    * arithmetic step engine-identical; MSE rounds at 1e-8 (summation-order
+    * noise is ~1e-18).
+    */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val codes = Similarity.scalarQuantize(t(s, d, "embeddings"), "vec_id", "embedding")
+    val deq = col("lo") + (col("code") + lit(0.5)) * (col("hi") - col("lo")) / lit(256.0)
+    codes.select(col("idx"), col("lo"), col("hi"), col("code"),
+        (col("v") - deq).as("err"))
+      .groupBy("idx")
+      .agg(round(min(col("lo")), 6).as("lo"), round(max(col("hi")), 6).as("hi"),
+        round(avg(col("err") * col("err")), 8).as("mse"),
+        round(max(abs(col("err"))), 6).as("max_abs_err"),
+        countDistinct(col("code")).as("n_codes"))
+      .orderBy("idx")
+  }
+
   /** Unpivot (melt) three measure columns into (metric, value) rows and
     * re-aggregate — the wide-to-long reshape. The oracle expresses the
     * same reshape as a UNION ALL of projections, which is what unpivot
@@ -1064,6 +1083,7 @@ object SparkEntry {
     "q58_centroids" -> (q58 _),
     "q59_mode" -> (q59 _),
     "q60_histogram" -> (q60 _),
+    "q61_quantize" -> (q61 _),
     "text_decontaminate" -> (textDecontaminate _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (streamDedup _),
@@ -1415,6 +1435,28 @@ object SparkEntry {
         |  COUNT(*) AS n, ROUND(MIN(o_totalprice), 2) AS lo,
         |  ROUND(MAX(o_totalprice), 2) AS hi
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q61_quantize" ->
+      """WITH tall AS (
+        |  SELECT unnest(range(0, len(embedding))) AS idx,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings
+        |), st AS (SELECT idx, MIN(v) AS lo, MAX(v) AS hi FROM tall GROUP BY 1),
+        |coded AS (
+        |  SELECT t.idx, t.v, st.lo, st.hi,
+        |    CASE WHEN st.hi = st.lo THEN 0
+        |         ELSE LEAST(CAST(FLOOR((t.v - st.lo) / (st.hi - st.lo) * 256) AS BIGINT),
+        |                    255) END AS code
+        |  FROM tall t JOIN st USING (idx)
+        |), e AS (
+        |  SELECT idx, lo, hi, code,
+        |    v - (lo + (code + 0.5) * (hi - lo) / 256.0) AS err
+        |  FROM coded
+        |)
+        |SELECT idx, ROUND(MIN(lo), 6) AS lo, ROUND(MAX(hi), 6) AS hi,
+        |  ROUND(AVG(err * err), 8) AS mse,
+        |  ROUND(MAX(ABS(err)), 6) AS max_abs_err,
+        |  CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -54,6 +54,37 @@ object Similarity {
       .groupBy("label", "idx")
       .agg(avg(col("v").cast("double")).as("mean"), count(lit(1)).as("n"))
 
+  /** Uniform scalar quantization of an embedding column to `levels` codes
+    * per dimension (levels=256 ⇒ int8 storage, a 4× memory cut on float32
+    * — the standard ANN-index compression step before PQ).
+    *
+    * Codes come from per-dimension corpus [lo, hi] bins: floor-division
+    * binning (not round-to-nearest-level) so the arithmetic is pure IEEE
+    * ops reproducible in any engine. Constant dimensions (hi == lo)
+    * quantize to code 0.
+    *
+    * Two passes over the tall (id, idx, v) form: a dim-sized min/max agg
+    * (broadcast back) and the narrow code projection — no shuffle of the
+    * full data beyond the explode.
+    *
+    * @return (id, idx, v, lo, hi, code) — dequantize with
+    *         `lo + (code + 0.5) * (hi - lo) / levels`
+    */
+  def scalarQuantize(
+      emb: DataFrame, idCol: String, vecCol: String, levels: Int = 256): DataFrame = {
+    require(levels > 1, s"need at least 2 levels: $levels")
+    val tall = emb
+      .select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("idx", "v")))
+      .select(col("vid"), col("idx"), col("v").cast("double").as("v"))
+    val stats = tall.groupBy("idx").agg(min("v").as("lo"), max("v").as("hi"))
+    tall.join(broadcast(stats), Seq("idx"))
+      .select(col("vid"), col("idx"), col("v"), col("lo"), col("hi"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * levels).cast("long"),
+            lit(levels - 1L))).as("code"))
+  }
+
   /** SRP-LSH approximate top-k: candidates share a full signature word with
     * the query in at least one of `tables` tables; scored exactly, ranked,
     * truncated to k. Deterministic (seeded hyperplanes) but recall < 1.

@@ -217,6 +217,23 @@ class CrawlSpec extends SparkSpec {
       s"persisted RDDs grew $before -> $after; frontier caches leaked")
   }
 
+  test("gzipped files crawl transparently (web-archive ingestion shape)") {
+    import spark.implicits._
+    import java.util.zip.GZIPOutputStream
+    val root = Files.createTempDirectory("crawlgz")
+    def gz(name: String, content: String): Unit = {
+      val out = new GZIPOutputStream(Files.newOutputStream(root.resolve(name)))
+      out.write(content.getBytes("UTF-8")); out.close()
+    }
+    gz("a.json.gz", """{"data": 40}""")
+    gz("b.json.gz", """{"data": 2}""")
+    Files.writeString(root.resolve("c.json"), """{"data": 1}""") // mixed plain
+    val res = Crawl.collect[Rec, Long](spark, root.toString, schema,
+      MonoidAggregator.sumLong[Rec](_.data))
+    assert(res.result == 43L)
+    assert(res.corruptFiles == 0L && res.firstError.isEmpty)
+  }
+
   test("listing terminates and dedupes through a directory-symlink cycle") {
     val root = Files.createTempDirectory("crawlsym")
     val sub = Files.createDirectory(root.resolve("sub"))

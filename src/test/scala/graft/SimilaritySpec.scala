@@ -62,6 +62,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(t => (t._1, t._3)).toSet == bf.map(t => (t._1, t._3)).toSet)
   }
 
+  test("scalarQuantize: codes in range, error bounded by half a bin, constants to 0") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat) :+ 1.5f)) // dim 8 + constant dim
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val q = Similarity.scalarQuantize(emb, "vec_id", "embedding", levels = 256)
+      .collect()
+    assert(q.length == 200 * 9)
+    q.foreach { r =>
+      val (v, lo, hi, code) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))
+      assert(code >= 0 && code <= 255)
+      if (hi == lo) assert(code == 0L)
+      else {
+        // dequantized midpoint is within half a bin of the original
+        val deq = lo + (code + 0.5) * (hi - lo) / 256.0
+        assert(math.abs(v - deq) <= (hi - lo) / 256.0 * 0.5 + 1e-12,
+          s"v=$v deq=$deq lo=$lo hi=$hi code=$code")
+      }
+    }
+    // the constant dimension (idx 8) quantizes to code 0 everywhere
+    assert(q.filter(_.getInt(1) == 8).forall(_.getLong(5) == 0L))
+  }
+
   test("labelCentroids equals hand-computed per-label dimension means") {
     val rows = Seq(
       (0L, Array(1.0f, 2.0f), 0),
