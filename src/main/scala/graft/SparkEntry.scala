@@ -680,7 +680,10 @@ object SparkEntry {
   /** Time-RANGE window frame (not ROWS): per user, how many events and how
     * much floor(value) landed in the trailing hour of each event. The
     * trailing-window rate signal; integer-exact aggregates (count +
-    * floored sum) so frame-internal summation order cannot matter.
+    * floored sum) so frame-internal summation order cannot matter. The
+    * oracle must FLOOR(epoch(ts)) — a bare CAST to BIGINT rounds
+    * half-up there, while `unix_timestamp` floors, and a 1-second uts
+    * disagreement shifts frame membership at the 3600 s boundary.
     */
   private def q56(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("uts"))
@@ -754,8 +757,9 @@ object SparkEntry {
     * noise is ~1e-18).
     */
   private def q61(s: SparkSession, d: String): DataFrame = {
-    val codes = Similarity.scalarQuantize(t(s, d, "embeddings"), "vec_id", "embedding")
-    val deq = col("lo") + (col("code") + lit(0.5)) * (col("hi") - col("lo")) / lit(256.0)
+    val levels = 256
+    val codes = Similarity.scalarQuantize(t(s, d, "embeddings"), "vec_id", "embedding", levels)
+    val deq = col("lo") + (col("code") + lit(0.5)) * (col("hi") - col("lo")) / lit(levels.toDouble)
     codes.select(col("idx"), col("lo"), col("hi"), col("code"),
         (col("v") - deq).as("err"))
       .groupBy("idx")
@@ -1404,7 +1408,8 @@ object SparkEntry {
       """SELECT event_id,
         |  COUNT(*) OVER w AS n_1h,
         |  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) OVER w AS BIGINT) AS f_1h
-        |FROM (SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS uts, value
+        |FROM (SELECT event_id, user_id,
+        |        CAST(FLOOR(epoch(ts)) AS BIGINT) AS uts, value
         |      FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY uts
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)

@@ -47,9 +47,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Every frame this object has `.cache()`d, so batch pipelines can drop
-    * exactly the operator-internal caches. Unpersist is safe while a
-    * dependent query runs (Spark recomputes), so a ledger never blocks.
+  /** Every frame this object `.cache()`s goes through here — including the
+    * ones [[components]] normally unpersists itself, so an exception
+    * between cache and unpersist (e.g. the non-convergence error) cannot
+    * strand an InMemoryRelation outside the ledger's reach. Unpersisting
+    * an already-released frame is a no-op, and unpersist is safe while a
+    * dependent query runs (Spark recomputes), so the ledger never blocks.
     */
   private val cacheLedger = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
@@ -346,6 +349,7 @@ object Dedup {
     val spark = pairs.sparkSession
     val rawEdges = pairs.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
       .cache()
+      .transform(ledgered)
     val nEdges = rawEdges.count() // materializes the cache both paths read
     if (nEdges <= driverThreshold) {
       // LongMap: unboxed keys, open addressing — no per-entry hash nodes.
@@ -392,6 +396,7 @@ object Dedup {
     val edges = directed
       .union(nodes.select(col("doc_id").as("i"), col("doc_id").as("j")))
       .cache()
+      .transform(ledgered)
     // Fresh aliases (new expression ids): the edges plan embeds the same
     // nodes frame for its self-loops, and a shared attribute would trip
     // Spark's ambiguous-self-join detection in the first round's join.

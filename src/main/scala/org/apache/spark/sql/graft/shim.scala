@@ -13,3 +13,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge to the session's `private[sql]` CacheManager state — lets specs
+  * assert "no cached queries remain" directly instead of inferring it from
+  * `getPersistentRDDs`, whose count also moves when the ContextCleaner
+  * collects unrelated localCheckpoint RDDs mid-test.
+  */
+object CacheBridge {
+  def noCachedQueries(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+}
