@@ -98,15 +98,15 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     val medians = results.map { case (k, v) => k -> median(v) }
-    // Last-resort shrink: collapse underscore-prefixed families
-    // (stream_*, text_*, dedup_*, ...) into per-family totals, largest
-    // character savings first — granularity degrades gracefully instead of
-    // the line outgrowing the capture window.
+    // Last-resort shrink: collapse ONE underscore-prefixed family
+    // (stream_*, text_*, dedup_*, ...) into a per-family total per step —
+    // smallest family first, so a few-byte overflow degrades the least
+    // granularity instead of wiping out the biggest family's breakdown.
     def merged(entries: Seq[(String, Double)]): Seq[(String, Double)] = {
       val fams = entries.groupBy(_._1.takeWhile(_ != '_')).filter(_._2.length > 1)
       if (fams.isEmpty) entries
       else {
-        val (best, es) = fams.maxBy { case (_, e) => e.map(_._1.length + 8).sum }
+        val (best, es) = fams.minBy { case (_, e) => e.map(_._1.length + 8).sum }
         entries.filterNot(e => es.exists(_._1 == e._1)) :+
           (s"${best}_*" -> es.map(_._2).filter(_ >= 0).sum)
       }

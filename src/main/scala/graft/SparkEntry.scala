@@ -770,6 +770,17 @@ object SparkEntry {
       .orderBy("idx")
   }
 
+  /** Span-level decontamination over the documents table: for every doc
+    * sharing an 8-gram with the pseudo-holdout, the covered tokens are
+    * excised and the remainder digested (md5 keeps the compare exact
+    * without dumping full texts).
+    */
+  private def textDespan(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.removeContaminatedSpans(t(s, d, "documents"), "doc_id", "text",
+        col("doc_id") % 10 === 5, n = 8)
+      .select(col("doc_id"), col("n_removed"), md5(col("clean_text")).as("clean_digest"))
+      .orderBy("doc_id")
+
   /** Unpivot (melt) three measure columns into (metric, value) rows and
     * re-aggregate — the wide-to-long reshape. The oracle expresses the
     * same reshape as a UNION ALL of projections, which is what unpivot
@@ -1089,6 +1100,7 @@ object SparkEntry {
     "q60_histogram" -> (q60 _),
     "q61_quantize" -> (q61 _),
     "text_decontaminate" -> (textDecontaminate _),
+    "text_despan" -> (textDespan _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (streamDedup _),
     "stream_sliding" -> (streamSliding _),
@@ -1476,6 +1488,34 @@ object SparkEntry {
         |FROM sh JOIN hold ON list_contains(sh.s, hold.g)
         |WHERE sh.doc_id % 10 <> 5
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_despan" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    [struct_pack(pos := i, g := l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '
+        |     ||l[i+4]||' '||l[i+5]||' '||l[i+6]||' '||l[i+7])
+        |     for i in range(1, len(l) - 6)] AS gs
+        |  FROM base
+        |), tall AS (
+        |  SELECT doc_id, u.pos AS pos, u.g AS g
+        |  FROM (SELECT doc_id, unnest(gs) AS u FROM sh)
+        |), hold AS (SELECT DISTINCT g FROM tall WHERE doc_id % 10 = 5),
+        |hits AS (
+        |  SELECT t.doc_id, t.pos FROM tall t JOIN hold h ON t.g = h.g
+        |  WHERE t.doc_id % 10 <> 5
+        |), cov AS (
+        |  SELECT doc_id, list(DISTINCT j) AS js
+        |  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS j FROM hits)
+        |  GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, CAST(len(cov.js) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(array_to_string(
+        |    [b.l[k] for k in range(1, len(b.l) + 1)
+        |     if NOT list_contains(cov.js, k)], ' '), '')) AS clean_digest
+        |FROM base b JOIN cov ON b.doc_id = cov.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q51_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,

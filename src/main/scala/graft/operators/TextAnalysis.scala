@@ -221,6 +221,55 @@ object TextAnalysis {
       .agg(countDistinct(col("h")).as("n_shared"))
   }
 
+  /** Span-level decontamination: instead of dropping a contaminated doc
+    * (see [[contamination]]), surgically remove every token covered by a
+    * shingle the doc shares with the holdout — what production recipes do
+    * when the document is otherwise valuable. Tokens are re-joined with
+    * single spaces (the same canonicalization the tokenizer applies).
+    *
+    * Same scale shape as [[contamination]] — one shared tokenize pass,
+    * broadcast holdout grams — plus a (doc, position) anti-join and an
+    * ordered re-assembly (sort_array over (pos, token) structs inside the
+    * per-doc agg, so reassembly is deterministic under any partitioning).
+    *
+    * @return contaminated corpus docs only:
+    *         (doc_id, n_removed, clean_text) — clean_text = "" when the
+    *         whole document was covered
+    */
+  def removeContaminatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      isHoldout: Column, n: Int = 8): DataFrame = {
+    // cache barrier: token array is lambda-bearing and feeds three branches
+    val arr = docs.select(col(idCol).as("doc_id"), isHoldout.as("hold"),
+      TF.tokens(col(textCol)).as("toks")).cache()
+    val cnt = size(col("toks")) - lit(n - 1)
+    val hashes = when(cnt > 0,
+      transform(sequence(lit(0), cnt - 1),
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+    val grams = arr.select(col("doc_id"), col("hold"),
+      posexplode(hashes).as(Seq("pos", "h")))
+    val holdGrams = grams.filter(col("hold")).select("h").distinct()
+    val hits = grams.filter(!col("hold"))
+      .join(broadcast(holdGrams), Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    val covered = hits
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("j"))
+      .distinct()
+    val nRemoved = covered.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    val kept = arr.filter(!col("hold"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("j", "tok")))
+      .join(covered, Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("j"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    nRemoved.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** BM25 lexical retrieval scores for a term query over the corpus — the
     * keyword complement to the ANN embedding family. Lucene-form idf
     * `ln(1 + (N-df+0.5)/(df+0.5))`, standard k1/b length normalization.

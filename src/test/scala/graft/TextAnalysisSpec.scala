@@ -174,6 +174,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dup(5L) == 7L) // 14 tokens -> 7 distinct 8-gram shingles
   }
 
+  test("removeContaminatedSpans excises exactly the covered tokens, keeps the rest") {
+    import spark.implicits._
+    val gram = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (0L, s"holdout has $gram inside"),
+      (1L, s"prefix words here $gram suffix words tail"),      // one hit mid-doc
+      (2L, "totally clean document nothing shared with holdout"),
+      (3L, gram)                                               // fully covered
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.removeContaminatedSpans(docs, "doc_id", "text",
+        col("doc_id") === 0L, n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // doc 1: the 8 gram tokens go, the 3-token prefix and 3-token suffix stay
+    assert(got(1L) == ((8L, "prefix words here suffix words tail")))
+    // doc 3 was nothing but the shared gram -> empty remainder
+    assert(got(3L) == ((8L, "")))
+    // clean docs and the holdout itself are not in the output
+    assert(got.keySet == Set(1L, 3L))
+  }
+
   test("winnow sketch: subset stability under small edits") {
     val sk = (t: String) =>
       one(t, TextAnalysis.winnow(col("text")))
