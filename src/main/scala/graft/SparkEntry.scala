@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.MonoidAggregator
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Packing, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
 import graft.sources.Crawl
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -770,6 +770,26 @@ object SparkEntry {
       .orderBy("idx")
   }
 
+  /** Concat-and-chunk sequence packing stats: documents sharded by
+    * `doc_id % 8`, concatenated in doc_id order, cut every 512 tokens —
+    * how full the training sequences are and how many docs straddle a
+    * boundary. See [[graft.operators.Packing.chunkStats]].
+    */
+  private def q62(s: SparkSession, d: String): DataFrame =
+    Packing.chunkStats(t(s, d, "documents"), "doc_id", "text",
+        nShards = 8, seqLen = 512)
+      .orderBy("shard")
+
+  /** Next-fit bin packing stats: same shards, but documents are never
+    * split — one that does not fit the current 512-token bin starts a new
+    * bin. See [[graft.operators.Packing.nextFitStats]]; oracle replays the
+    * same sequential walk as a recursive CTE.
+    */
+  private def q63(s: SparkSession, d: String): DataFrame =
+    Packing.nextFitStats(t(s, d, "documents"), "doc_id", "text",
+        nShards = 8, capacity = 512)
+      .orderBy("shard")
+
   /** Span-level decontamination over the documents table: for every doc
     * sharing an 8-gram with the pseudo-holdout, the covered tokens are
     * excised and the remainder digested (md5 keeps the compare exact
@@ -1099,6 +1119,8 @@ object SparkEntry {
     "q59_mode" -> (q59 _),
     "q60_histogram" -> (q60 _),
     "q61_quantize" -> (q61 _),
+    "q62_pack" -> (q62 _),
+    "q63_binpack" -> (q63 _),
     "text_decontaminate" -> (textDecontaminate _),
     "text_despan" -> (textDespan _),
     "q_approx_quantile" -> (qApproxQuantile _),
@@ -1474,6 +1496,54 @@ object SparkEntry {
         |  ROUND(MAX(ABS(err)), 6) AS max_abs_err,
         |  CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q62_pack" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents
+        |), nz AS (SELECT * FROM base WHERE tok > 0),
+        |placed AS (
+        |  SELECT shard, doc_id, tok,
+        |    SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id) AS e
+        |  FROM nz
+        |), seqs AS (
+        |  SELECT shard, tok,
+        |    (e - tok) // 512 AS first_seq, (e - 1) // 512 AS last_seq
+        |  FROM placed
+        |)
+        |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |  CAST(MAX(last_seq) + 1 AS BIGINT) AS n_seqs,
+        |  CAST(SUM(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_split_docs,
+        |  CAST(CAST(SUM(tok) AS BIGINT) * 1000000
+        |       // ((MAX(last_seq) + 1) * 512) AS BIGINT) AS fill_ppm
+        |FROM seqs GROUP BY shard ORDER BY shard""".stripMargin,
+    "q63_binpack" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents
+        |), nz AS (
+        |  SELECT shard, doc_id, tok,
+        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM base WHERE tok > 0
+        |), walk AS (
+        |  SELECT shard, rn, tok, tok AS fill, CAST(0 AS BIGINT) AS bin
+        |  FROM nz WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.rn, n.tok,
+        |    CASE WHEN w.fill + n.tok > 512 THEN n.tok ELSE w.fill + n.tok END,
+        |    CASE WHEN w.fill + n.tok > 512 THEN w.bin + 1 ELSE w.bin END
+        |  FROM walk w JOIN nz n ON n.shard = w.shard AND n.rn = w.rn + 1
+        |)
+        |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |  CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+        |  CAST(SUM(CASE WHEN tok > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow,
+        |  CAST(CAST(SUM(LEAST(tok, 512)) AS BIGINT) * 1000000
+        |       // ((MAX(bin) + 1) * 512) AS BIGINT) AS fill_ppm
+        |FROM walk GROUP BY shard ORDER BY shard""".stripMargin,
     "text_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -45,30 +45,7 @@ import org.apache.spark.sql.functions._
   *    `spark.catalog.clearCache()`, which would also evict the caller's own
   *    cached frames).
   */
-object Dedup {
-
-  /** Every frame this object `.cache()`s goes through here — including the
-    * ones [[components]] normally unpersists itself, so an exception
-    * between cache and unpersist (e.g. the non-convergence error) cannot
-    * strand an InMemoryRelation outside the ledger's reach. Unpersisting
-    * an already-released frame is a no-op, and unpersist is safe while a
-    * dependent query runs (Spark recomputes), so the ledger never blocks.
-    */
-  private val cacheLedger = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-
-  private def ledgered(df: DataFrame): DataFrame = cacheLedger.synchronized {
-    cacheLedger += df
-    df
-  }
-
-  /** Unpersist (non-blocking) every operator-internal cache created by this
-    * object since the last call. Call between ingest batches once the
-    * previous batch's output is materialized.
-    */
-  def releaseCaches(): Unit = cacheLedger.synchronized {
-    cacheLedger.foreach(df => try df.unpersist(blocking = false) catch { case _: Exception => () })
-    cacheLedger.clear()
-  }
+object Dedup extends CacheLedger {
 
   /** Exact dedup: one surviving row key per distinct `dedupCols` group —
     * deterministic (keeps the minimum key), unlike `dropDuplicates`, which

@@ -24,24 +24,30 @@ object Resample {
     *         the span exactly once, n = 0 where the source has no rows
     */
   def dailyCounts(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
-    val counts = df
-      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
-      .groupBy("k", "day")
+    // Rows with a null timestamp have no place on the calendar axis and are
+    // excluded up front (they would otherwise land in `counts` under a null
+    // day that no scaffold cell matches, silently breaking the
+    // totals-preserved property). Null KEYS are kept: they form a real
+    // grid row, matched below with null-safe equality.
+    val rows = df.filter(col(tsCol).isNotNull)
+    val counts = rows
+      .select(col(keyCol).as("ck"), to_date(col(tsCol)).as("cday"))
+      .groupBy("ck", "cday")
       .agg(count(lit(1)).as("n"))
     // One row; sequence() expands it to the day axis on the driver-sized
     // side of the scaffold — never against the raw events.
-    val days = df
+    val days = rows
       .agg(to_date(min(col(tsCol))).as("d0"), to_date(max(col(tsCol))).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"),
         expr("interval 1 day"))).as("day"))
-    val keys = df.select(col(keyCol).as("k")).distinct()
+    val keys = rows.select(col(keyCol).as("k")).distinct()
     val scaffold = keys.crossJoin(broadcast(days))
     // No broadcast hint on the gap-fill join: both sides are bounded by the
     // (keys × days) grid, which is small for low-cardinality keys (AQE will
     // broadcast it) but can be huge for e.g. per-user grids — where a forced
     // broadcast would OOM and the right plan is a co-partitioned join.
     scaffold
-      .join(counts, Seq("k", "day"), "left")
+      .join(counts, col("k") <=> col("ck") && col("day") === col("cday"), "left")
       .select(col("k").as(keyCol), col("day"),
         coalesce(col("n"), lit(0L)).as("n"))
   }

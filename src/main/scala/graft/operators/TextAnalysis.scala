@@ -8,8 +8,13 @@ import org.apache.spark.sql.functions._
   * quality scoring, token counting, document fingerprinting. All pure
   * `functions._` expressions (codegen'd, no UDF) except the winnowing
   * sketch, which is still expression-only via higher-order functions.
+  *
+  * Corpus-level methods (lm score, repeated spans, contamination, bm25)
+  * cache the shared tokenize pass; those caches are registered in the
+  * mixed-in [[CacheLedger]] — call [[releaseCaches]] between changing
+  * ingest batches, exactly as for [[Dedup]].
   */
-object TextAnalysis {
+object TextAnalysis extends CacheLedger {
 
   /** Marker stopword lists per language — deliberately tiny and fixed so the
     * heuristic is reproducible in plain SQL on any engine.
@@ -150,6 +155,7 @@ object TextAnalysis {
     // vocab); cache so the corpus is tokenized once
     val base = docs.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
       .cache()
+      .transform(ledgered)
     val bg = base.select(col("doc_id"),
         explode(when(size(col("toks")) > 1,
           transform(sequence(lit(1), size(col("toks")) - 1),
@@ -182,7 +188,7 @@ object TextAnalysis {
     // the lambda-bearing shingle expression directly would re-evaluate the
     // whole array per OUTPUT row
     val arr = docs.select(col(idCol).as("doc_id"),
-      TF.shingles(col(textCol), k).as("g")).cache()
+      TF.shingles(col(textCol), k).as("g")).cache().transform(ledgered)
     arr.select(col("doc_id"), explode(col("g")).as("ngram"))
       .groupBy("ngram")
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
@@ -212,7 +218,7 @@ object TextAnalysis {
     // collapsed projections / generators) and feeds two branches
     val arr = docs.select(col(idCol).as("doc_id"), isHoldout.as("hold"),
       array_distinct(transform(TF.shingles(col(textCol), n),
-        s => xxhash64(s))).as("g")).cache()
+        s => xxhash64(s))).as("g")).cache().transform(ledgered)
     val grams = arr.select(col("doc_id"), col("hold"), explode(col("g")).as("h"))
     val holdGrams = grams.filter(col("hold")).select("h").distinct()
     grams.filter(!col("hold"))
@@ -241,7 +247,7 @@ object TextAnalysis {
       isHoldout: Column, n: Int = 8): DataFrame = {
     // cache barrier: token array is lambda-bearing and feeds three branches
     val arr = docs.select(col(idCol).as("doc_id"), isHoldout.as("hold"),
-      TF.tokens(col(textCol)).as("toks")).cache()
+      TF.tokens(col(textCol)).as("toks")).cache().transform(ledgered)
     val cnt = size(col("toks")) - lit(n - 1)
     val hashes = when(cnt > 0,
       transform(sequence(lit(0), cnt - 1),
@@ -287,6 +293,7 @@ object TextAnalysis {
     // collapsed projections / generators)
     val arr = docs.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
       .cache()
+      .transform(ledgered)
     val toks = arr.select(col("doc_id"), explode(col("toks")).as("term"))
     val dl = arr.select(col("doc_id"), size(col("toks")).as("dl"))
     val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))

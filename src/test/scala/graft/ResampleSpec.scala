@@ -47,4 +47,24 @@ class ResampleSpec extends SparkSpec {
       "each (key, day) cell appears exactly once")
     filled.unpersist()
   }
+
+  test("null keys form a real grid row; null timestamps are excluded") {
+    import spark.implicits._
+    val events = Seq(
+      (Some("a"), Some(ts("2024-03-01 08:00:00"))),
+      (None, Some(ts("2024-03-01 09:00:00"))),
+      (None, Some(ts("2024-03-03 10:00:00"))),
+      (Some("a"), None) // no place on the calendar axis
+    ).toDF("k", "ts")
+    val got = Resample.dailyCounts(events, "k", "ts")
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getDate(1).toString, r.getLong(2)))
+      .toSet
+    val want = Set(
+      (Some("a"), "2024-03-01", 1L), (Some("a"), "2024-03-02", 0L),
+      (Some("a"), "2024-03-03", 0L),
+      (None, "2024-03-01", 1L), (None, "2024-03-02", 0L),
+      (None, "2024-03-03", 1L))
+    assert(got == want)
+  }
 }
