@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.MonoidAggregator
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Packing, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
 import graft.sources.Crawl
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -538,6 +538,19 @@ object SparkEntry {
     idx.search(emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, nprobe = 16)
       .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
         col("cos").as("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Product-quantized ADC search: codebooks trained on the corpus (seeded,
+    * deterministic), every vector compressed to 8 one-byte codes, queries
+    * ranked by asymmetric distance. Sketch-specific output (rows-only, like
+    * ann_lsh) — PqSpec certifies determinism, feasibility, and recall.
+    */
+  private def annPq(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16)
+    Pq.adcTopK(emb, "vec_id", "embedding", cb, Seq(0L, 1L, 2L, 3L, 4L), 3)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"), col("adist"))
       .orderBy("query_id", "rnk")
   }
 
@@ -1139,6 +1152,7 @@ object SparkEntry {
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_pq" -> (annPq _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),

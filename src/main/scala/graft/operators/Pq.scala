@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ): compress a d-dim embedding into `m` small
+  * codes by splitting each vector into m contiguous subvectors and
+  * k-means-quantizing each subspace independently (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011). A 64-dim float
+  * vector becomes m=8 one-byte codes — 32× smaller — while asymmetric
+  * distance computation (ADC) still ranks neighbors with per-subspace
+  * lookup tables instead of full-vector arithmetic.
+  *
+  * Scale shape mirrors [[Similarity.IvfIndex]]: codebooks train on a
+  * bounded driver-side sample (m·k·dsub doubles — a few KB — regardless
+  * of corpus size), broadcast to executors; encoding is a narrow
+  * `mapPartitions` pass (no shuffle of the base table); ADC search
+  * broadcasts the per-query lookup tables (queries × m × k doubles) and
+  * scans codes, shuffling only the top-k candidates for the final rank.
+  * Like HLL / approx-quantile, PQ output is sketch-specific by design —
+  * certified by PqSpec invariants (determinism, feasibility, recall on
+  * separated clusters), not a SQL oracle.
+  */
+object Pq {
+
+  /** Trained per-subspace codebooks: `cents(sub)(code)` is the `dsub`-dim
+    * centroid for `code` in subspace `sub`. Total size m·k·dsub doubles.
+    */
+  final class Codebook private[Pq] (
+      val m: Int, val k: Int, val dsub: Int,
+      private[Pq] val cents: Array[Array[Array[Double]]]) extends Serializable {
+
+    /** Nearest-centroid codes for one vector (length m). */
+    private[operators] def encodeVec(v: Array[Double]): Array[Int] =
+      Array.tabulate(m) { sub =>
+        val off = sub * dsub
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val cent = cents(sub)(c)
+          var d = 0.0; var i = 0
+          while (i < dsub) { val x = v(off + i) - cent(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+
+    /** Reconstruction (decode) of a code vector. */
+    private[operators] def decode(codes: Array[Int]): Array[Double] = {
+      val out = new Array[Double](m * dsub)
+      var sub = 0
+      while (sub < m) {
+        System.arraycopy(cents(sub)(codes(sub)), 0, out, sub * dsub, dsub)
+        sub += 1
+      }
+      out
+    }
+  }
+
+  private def asVectors(emb: DataFrame, idCol: String, vecCol: String) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long").as("vid"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+  }
+
+  /** Train codebooks on ≤ `sampleSize` vectors pulled to the driver —
+    * a hash-ordered pseudo-random sample (ids often correlate with
+    * source/time, so first-N would bias every subspace; hash order is
+    * uncorrelated with both AND partitioning-invariant, unlike
+    * `df.sample`, whose per-partition draw changes with the layout) —
+    * then Lloyd's algorithm per subspace. The sample is a
+    * TakeOrderedAndProject (per-partition top-N, k-way merge); driver
+    * cost is O(sampleSize · d · k · iters), independent of corpus size.
+    */
+  def train(
+      emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 5,
+      sampleSize: Int = 10000, seed: Long = 42L): Codebook = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = asVectors(emb, idCol, vecCol).toDF("vid", "v")
+      .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
+      .limit(sampleSize)
+      .select("v").as[Array[Double]].collect()
+    require(sample.nonEmpty, "empty embedding table")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val dsub = d / m
+    val rnd = new scala.util.Random(seed)
+    val cents = Array.tabulate(m) { sub =>
+      val off = sub * dsub
+      val slices = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + dsub))
+      var cs = rnd.shuffle(slices.toIndexedSeq).take(k).map(_.clone).toArray
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cs.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cs.length)
+        slices.foreach { s =>
+          val c = cs.indices.minBy(i => Similarity.IvfIndex.l2sq(cs(i), s))
+          counts(c) += 1
+          var i = 0; while (i < dsub) { sums(c)(i) += s(i); i += 1 }
+        }
+        cs = cs.indices.map { c =>
+          if (counts(c) == 0) cs(c) else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cs
+    }
+    new Codebook(m, k, dsub, cents)
+  }
+
+  /** PQ-encode every vector: (vid, codes array&lt;int&gt;). Narrow — the
+    * broadcast codebook goes to the data, the base table never shuffles.
+    */
+  def encode(emb: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    asVectors(emb, idCol, vecCol)
+      .mapPartitions { it => val c = bc.value; it.map { case (vid, v) => (vid, c.encodeVec(v)) } }
+      .toDF("vid", "codes")
+  }
+
+  /** Corpus-level compression quality report (1 row): vector count, mean /
+    * max squared reconstruction error, and the mean squared norm for
+    * reference (mse / msn = the fraction of signal energy lost).
+    */
+  def reconstructionStats(emb: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    asVectors(emb, idCol, vecCol)
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { case (_, v) =>
+          val r = c.decode(c.encodeVec(v))
+          var e = 0.0; var n = 0.0; var i = 0
+          while (i < v.length) { val x = v(i) - r(i); e += x * x; n += v(i) * v(i); i += 1 }
+          (e, n)
+        }
+      }
+      .toDF("err", "norm")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("err")), 6).as("mse"),
+        round(max(col("err")), 6).as("max_se"),
+        round(avg(col("norm")), 6).as("msn"))
+  }
+
+  /** ADC top-k: for each query id, rank the PQ-encoded corpus by
+    * asymmetric L2 distance — the query stays exact, each base vector is
+    * its reconstruction, and the distance is a sum of m table lookups.
+    * Query LUTs (queries × m × k) are built once per partition from the
+    * broadcast codebook + query vectors. Output (query_id, rank,
+    * neighbor_id, adist) — rank by distance asc, id asc.
+    */
+  def adcTopK(
+      emb: DataFrame, idCol: String, vecCol: String, cb: Codebook,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qVecs: Array[(Long, Array[Double])] =
+      asVectors(emb.filter(col(idCol).isin(queryIds: _*)), idCol, vecCol).collect()
+    require(qVecs.nonEmpty, "no query vectors found")
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcQ = spark.sparkContext.broadcast(qVecs)
+    val scored = encode(emb, idCol, vecCol, cb)
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val c = bcCb.value
+        val qs = bcQ.value
+        // LUT(q)(sub)(code) = ||q_sub − cent(sub)(code)||²
+        val lut = qs.map { case (_, qv) =>
+          Array.tabulate(c.m, c.k) { (sub, code) =>
+            val cent = c.cents(sub)(code); val off = sub * c.dsub
+            var d = 0.0; var i = 0
+            while (i < c.dsub) { val x = qv(off + i) - cent(i); d += x * x; i += 1 }
+            d
+          }
+        }
+        it.flatMap { case (vid, codes) =>
+          qs.indices.iterator.collect { case qi if qs(qi)._1 != vid =>
+            val t = lut(qi)
+            var d = 0.0; var sub = 0
+            while (sub < c.m) { d += t(sub)(codes(sub)); sub += 1 }
+            (qs(qi)._1, vid, d)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adist")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adist"), 3).as("adist"))
+  }
+}

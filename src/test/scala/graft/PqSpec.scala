@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Pq
+import org.apache.spark.sql.functions._
+
+/** Product-quantization invariants (PQ output is sketch-specific, so no
+  * SQL oracle): seeded determinism, code feasibility, reconstruction
+  * quality, and ADC recall on well-separated clusters.
+  */
+class PqSpec extends SparkSpec {
+
+  /** 4 clusters at distance ~20 apart in 16-dim, sigma 0.1 — far enough
+    * apart that any sane quantizer must keep them distinct.
+    */
+  private def clustered = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.tabulate(4, 16)((c, i) => if (i % 4 == c) 20.0 else 0.0)
+    (0L until 400L).map { id =>
+      val c = (id % 4).toInt
+      (id, centers(c).map(_ + rnd.nextGaussian() * 0.1).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("train + encode are deterministic and partitioning-invariant") {
+    val df = clustered
+    val cb1 = Pq.train(df, "vec_id", "embedding", m = 4, k = 8, seed = 42L)
+    val cb2 = Pq.train(df.repartition(13), "vec_id", "embedding", m = 4, k = 8, seed = 42L)
+    val a = Pq.encode(df, "vec_id", "embedding", cb1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = Pq.encode(df.repartition(7), "vec_id", "embedding", cb2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b)
+    assert(a.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 8)))
+  }
+
+  test("reconstruction preserves nearly all signal energy on clustered data") {
+    val st = Pq.reconstructionStats(clustered, "vec_id", "embedding",
+        Pq.train(clustered, "vec_id", "embedding", m = 4, k = 8)).head()
+    val mse = st.getDouble(1); val msn = st.getDouble(3)
+    assert(st.getLong(0) == 400L)
+    // 8 centroids per subspace against 4 true clusters: error must be a
+    // tiny fraction of the ~400 mean squared norm
+    assert(mse < 0.05 * msn, s"mse=$mse msn=$msn")
+  }
+
+  test("ADC top-k recalls same-cluster neighbors") {
+    val df = clustered
+    val cb = Pq.train(df, "vec_id", "embedding", m = 4, k = 8)
+    val got = Pq.adcTopK(df, "vec_id", "embedding", cb, Seq(0L, 1L, 2L, 3L), 5)
+    // every returned neighbor belongs to the query's cluster (id % 4)
+    val rows = got.collect()
+    assert(rows.length == 4 * 5)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 4 == r.getLong(2) % 4,
+        s"cross-cluster neighbor: $r")
+    }
+  }
+}
