@@ -118,12 +118,13 @@ object Bench {
           // depth exhausted (or no mergeable families left): a silently
           // truncated JSON line is unparseable downstream — drop the
           // per-query breakdown, keep the total, and say so on stderr.
-          if (depth <= 0 || merged(entries) == entries) {
+          val m = merged(entries)
+          if (depth <= 0 || m == entries) {
             System.err.println(
               s"[bench] per-query breakdown (${entries.length} entries) cannot " +
                 "fit the 1920-byte line even after family merges; emitting total only")
             line(Seq.empty, 1)
-          } else fit(merged(entries), depth - 1)
+          } else fit(m, depth - 1)
         }
     // Full detail (per-run values) goes to a file; stdout gets ONE compact
     // line. The harness that captures this run keeps only the final ~2000

@@ -37,12 +37,22 @@ private[graft] trait CacheLedger {
     * frames the operator normally unpersists itself, so an exception
     * between cache and unpersist cannot strand an InMemoryRelation outside
     * the ledger's reach. Unpersisting an already-released frame is a no-op.
+    *
+    * Entries are deduped by plan (`sameResult`): CacheManager keeps ONE
+    * shared InMemoryRelation for all plan-identical frames, so a repeated
+    * call over the same corpus must not append a second handle — otherwise
+    * the bound's oldest-entry eviction would unpersist the very relation
+    * the newest call just warmed (unpersist matches by plan, not by
+    * DataFrame identity), permanently defeating the warm path.
     */
   protected final def ledgered(df: DataFrame): DataFrame = ledger.synchronized {
-    ledger += df
-    while (ledger.length > ledgerBound) {
-      val oldest = ledger.remove(0)
-      try oldest.unpersist(blocking = false) catch { case _: Exception => () }
+    val plan = df.queryExecution.analyzed
+    if (!ledger.exists(_.queryExecution.analyzed.sameResult(plan))) {
+      ledger += df
+      while (ledger.length > ledgerBound) {
+        val oldest = ledger.remove(0)
+        try oldest.unpersist(blocking = false) catch { case _: Exception => () }
+      }
     }
     df
   }

@@ -85,7 +85,8 @@ object Pq {
       .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
       .limit(sampleSize)
       .select("v").as[Array[Double]].collect()
-    require(sample.nonEmpty, "empty embedding table")
+    require(sample.length >= k,
+      s"need at least k=$k vectors to train ${k}-centroid codebooks, got ${sample.length}")
     val d = sample.head.length
     require(d % m == 0, s"dim $d must divide into m=$m subspaces")
     val dsub = d / m
@@ -114,10 +115,15 @@ object Pq {
   /** PQ-encode every vector: (vid, codes array&lt;int&gt;). Narrow — the
     * broadcast codebook goes to the data, the base table never shuffles.
     */
-  def encode(emb: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame = {
+  def encode(emb: DataFrame, idCol: String, vecCol: String, cb: Codebook): DataFrame =
+    encodeWith(emb, idCol, vecCol,
+      emb.sparkSession.sparkContext.broadcast(cb))
+
+  private def encodeWith(
+      emb: DataFrame, idCol: String, vecCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[Codebook]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(cb)
     asVectors(emb, idCol, vecCol)
       .mapPartitions { it => val c = bc.value; it.map { case (vid, v) => (vid, c.encodeVec(v)) } }
       .toDF("vid", "codes")
@@ -162,10 +168,12 @@ object Pq {
     import spark.implicits._
     val qVecs: Array[(Long, Array[Double])] =
       asVectors(emb.filter(col(idCol).isin(queryIds: _*)), idCol, vecCol).collect()
-    require(qVecs.nonEmpty, "no query vectors found")
+    val missing = queryIds.distinct.toSet -- qVecs.map(_._1).toSet
+    require(missing.isEmpty,
+      s"query ids absent from the embedding table: ${missing.toSeq.sorted.mkString(",")}")
     val bcCb = spark.sparkContext.broadcast(cb)
     val bcQ = spark.sparkContext.broadcast(qVecs)
-    val scored = encode(emb, idCol, vecCol, cb)
+    val scored = encodeWith(emb, idCol, vecCol, bcCb)
       .as[(Long, Array[Int])]
       .mapPartitions { it =>
         val c = bcCb.value

@@ -44,6 +44,20 @@ class PqSpec extends SparkSpec {
     assert(mse < 0.05 * msn, s"mse=$mse msn=$msn")
   }
 
+  test("train rejects k larger than the sample; adcTopK rejects unknown query ids") {
+    import spark.implicits._
+    val tiny = (0L until 6L).map(i => (i, Seq.fill(16)(i.toDouble))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.train(tiny, "vec_id", "embedding", m = 4, k = 8)
+    }
+    assert(e1.getMessage.contains("k=8"))
+    val cb = Pq.train(clustered, "vec_id", "embedding", m = 4, k = 8)
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.adcTopK(clustered, "vec_id", "embedding", cb, Seq(0L, 999L), 3)
+    }
+    assert(e2.getMessage.contains("999"))
+  }
+
   test("ADC top-k recalls same-cluster neighbors") {
     val df = clustered
     val cb = Pq.train(df, "vec_id", "embedding", m = 4, k = 8)
