@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.MonoidAggregator
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Graph, Ingest, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
 import graft.sources.Crawl
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -803,6 +803,59 @@ object SparkEntry {
         nShards = 8, capacity = 512)
       .orderBy("shard")
 
+  /** Latest-wins corpus upsert: a corrected re-crawl batch (even order
+    * keys, totalprice bumped) merged into the base corpus (keys not
+    * divisible by 3) — batch rows win on key collision, untouched base
+    * rows survive. Aggregated per priority so the compare is compact while
+    * still pinning every merged row's provenance through the sums.
+    */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val base = o.filter(col("o_orderkey") % 3 =!= 0)
+    val batch = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100000.0)
+    Ingest.upsert(base, batch, Seq("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** PageRank over a deterministic 40-node link graph derived from orders
+    * (src = custkey % 40, dst = orderkey % 40): 3 damped rounds, dangling
+    * mass dropped. The oracle replays the identical recurrence as chained
+    * CTEs, so every join/aggregate round of [[graft.operators.Graph]] is
+    * hash-checked.
+    */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val edges = t(s, d, "orders").select(
+      (col("o_custkey") % 40).as("src"), (col("o_orderkey") % 40).as("dst"))
+    Graph.pageRank(edges, "src", "dst", iterations = 3, damping = 0.85)
+      .select(col("v"), round(col("pr"), 6).as("pr"))
+      .orderBy("v")
+  }
+
+  /** PMI bigram collocations over the documents corpus: top-20 adjacent
+    * pairs most over-represented vs their unigram frequencies (min count
+    * 5). Ordering uses the ROUNDED pmi so a last-ulp ln() difference
+    * between engines cannot flip the limit cut.
+    */
+  private def textPmi(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pmiBigrams(t(s, d, "documents"), "text", minCount = 5)
+      .select(col("x"), col("y"), col("cxy"), round(col("pmi"), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("x"), col("y"))
+      .limit(20)
+
+  /** Per-document lexical diversity: token/type counts, type-token ratio,
+    * token-distribution Shannon entropy (nats) — the template-page /
+    * keyword-stuffing quality gate.
+    */
+  private def textDiversity(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lexicalDiversity(t(s, d, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("ttr"), 6).as("ttr"), round(col("entropy"), 6).as("entropy"))
+      .orderBy("doc_id")
+
   /** Span-level decontamination over the documents table: for every doc
     * sharing an 8-gram with the pseudo-holdout, the covered tokens are
     * excised and the remainder digested (md5 keeps the compare exact
@@ -1134,6 +1187,10 @@ object SparkEntry {
     "q61_quantize" -> (q61 _),
     "q62_pack" -> (q62 _),
     "q63_binpack" -> (q63 _),
+    "q64_upsert" -> (q64 _),
+    "q65_pagerank" -> (q65 _),
+    "text_pmi" -> (textPmi _),
+    "text_diversity" -> (textDiversity _),
     "text_decontaminate" -> (textDecontaminate _),
     "text_despan" -> (textDespan _),
     "q_approx_quantile" -> (qApproxQuantile _),
@@ -1558,6 +1615,84 @@ object SparkEntry {
         |  CAST(CAST(SUM(LEAST(tok, 512)) AS BIGINT) * 1000000
         |       // ((MAX(bin) + 1) * 512) AS BIGINT) AS fill_ppm
         |FROM walk GROUP BY shard ORDER BY shard""".stripMargin,
+    "q64_upsert" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |), base AS (
+        |  SELECT * FROM o WHERE o_orderkey % 3 <> 0
+        |), batch AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    o_totalprice + 100000.0 AS o_totalprice
+        |  FROM o WHERE o_orderkey % 2 = 0
+        |), merged AS (
+        |  SELECT * FROM batch
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+        |)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS tot
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q65_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey % 40 AS src, o_orderkey % 40 AS dst
+        |  FROM orders WHERE o_custkey % 40 <> o_orderkey % 40
+        |), deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+        |n AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+        |nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM n),
+        |r0 AS (SELECT v, 1.0 / nc.n AS pr FROM n, nc),
+        |c1 AS (SELECT e.dst AS v, SUM(r.pr / deg.d) AS c
+        |       FROM e JOIN deg USING (src) JOIN r0 r ON r.v = e.src GROUP BY 1),
+        |r1 AS (SELECT n.v, 0.15 / nc.n + 0.85 * COALESCE(c1.c, 0) AS pr
+        |       FROM n CROSS JOIN nc LEFT JOIN c1 ON c1.v = n.v),
+        |c2 AS (SELECT e.dst AS v, SUM(r.pr / deg.d) AS c
+        |       FROM e JOIN deg USING (src) JOIN r1 r ON r.v = e.src GROUP BY 1),
+        |r2 AS (SELECT n.v, 0.15 / nc.n + 0.85 * COALESCE(c2.c, 0) AS pr
+        |       FROM n CROSS JOIN nc LEFT JOIN c2 ON c2.v = n.v),
+        |c3 AS (SELECT e.dst AS v, SUM(r.pr / deg.d) AS c
+        |       FROM e JOIN deg USING (src) JOIN r2 r ON r.v = e.src GROUP BY 1),
+        |r3 AS (SELECT n.v, 0.15 / nc.n + 0.85 * COALESCE(c3.c, 0) AS pr
+        |       FROM n CROSS JOIN nc LEFT JOIN c3 ON c3.v = n.v)
+        |SELECT v, ROUND(pr, 6) AS pr FROM r3 ORDER BY v""".stripMargin,
+    "text_pmi" ->
+      """WITH base AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents
+        |), bi AS (
+        |  SELECT unnest([toks[i] || ' ' || toks[i+1]
+        |                 for i in range(1, len(toks))]) AS bg
+        |  FROM base WHERE len(toks) >= 2
+        |), uni AS (SELECT unnest(toks) AS tok FROM base),
+        |bcnt AS (
+        |  SELECT string_split(bg, ' ')[1] AS x, string_split(bg, ' ')[2] AS y,
+        |    COUNT(*) AS cxy
+        |  FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), ucnt AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM uni) AS nt,
+        |               (SELECT CAST(COUNT(*) AS DOUBLE) FROM bi) AS nb)
+        |SELECT b.x, b.y, b.cxy,
+        |  ROUND(LN(CAST(b.cxy AS DOUBLE) * t.nt * t.nt
+        |           / (t.nb * ux.c * uy.c)), 6) AS pmi
+        |FROM bcnt b
+        |JOIN ucnt ux ON ux.tok = b.x
+        |JOIN ucnt uy ON uy.tok = b.y
+        |CROSS JOIN tot t
+        |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin,
+    "text_diversity" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6) AS ttr,
+        |  ROUND(LN(CAST(SUM(c) AS DOUBLE))
+        |        - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))
+        |          / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,

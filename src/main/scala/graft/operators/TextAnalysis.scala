@@ -339,4 +339,81 @@ object TextAnalysis extends CacheLedger {
     */
   def winnow(text: Column, k: Int = 3, w: Int = 4): Column =
     graft.plans.Winnow(text, k, w)
+
+  /** Corpus-level PMI bigram collocations — which adjacent word pairs occur
+    * far more often than their unigram frequencies predict (the classic
+    * collocation-mining signal; in a training-data pipeline it surfaces
+    * boilerplate phrases and multi-word entities worth tokenizing as
+    * units).
+    *
+    * pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) = c_xy / N_bigrams
+    * and p(x) = c_x / N_tokens. Every factor is an exact integer count, so
+    * the double arithmetic is engine-identical as long as the expression
+    * shape matches (the oracle mirrors it verbatim).
+    *
+    * Scale shape: ONE tokenize pass (cached, ledgered) feeds both the
+    * unigram and the bigram count; each is a single map-side-combined hash
+    * aggregate. The unigram table is vocabulary-sized, joined back to the
+    * (minCount-filtered) bigram table on each side — at 100 TB both joins
+    * key on a token string with Zipf skew absorbed by the pre-aggregation
+    * (counts, not occurrences, are what shuffle).
+    *
+    * @param minCount drop bigrams rarer than this (PMI of singletons is
+    *                 pure noise and would dominate the top of the ranking)
+    * @return (x, y, cxy, pmi) — one row per surviving bigram
+    */
+  def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long = 5): DataFrame = {
+    val arr = ledgered(docs.select(TF.tokens(col(textCol)).as("toks")).cache())
+    val bigrams = arr.select(explode(
+      when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("x"),
+            element_at(col("toks"), i + 1).as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+    val bcnt = bigrams.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val toks = arr.select(explode(col("toks")).as("tok"))
+    val ucnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = toks.agg(count(lit(1)).as("nt"))
+      .crossJoin(bigrams.agg(count(lit(1)).as("nb")))
+    bcnt
+      .join(ucnt.select(col("tok").as("x"), col("c").as("cx")), "x")
+      .join(ucnt.select(col("tok").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(totals))
+      .select(col("x"), col("y"), col("cxy"),
+        // all-double product chain: counts stay < 2^53 so every
+        // intermediate is exact, and no long-multiply can overflow at
+        // corpus scale
+        log(col("cxy").cast("double") * col("nt").cast("double") * col("nt") /
+          (col("nb").cast("double") * col("cx") * col("cy"))).as("pmi"))
+  }
+
+  /** Per-document lexical diversity: token count, distinct-type count,
+    * type-token ratio, and Shannon entropy of the token distribution (in
+    * nats). Low entropy / low TTR flags template or keyword-stuffed pages —
+    * a standard quality gate next to [[qualityColumns]].
+    *
+    * Entropy uses the aggregation-friendly identity
+    * H = ln(n) − (Σ c·ln c) / n, so the whole computation is two hash
+    * aggregates: (doc, token) counts (map-side combined — the only
+    * full-data shuffle), then a per-doc rollup. No token array ever
+    * shuffles whole.
+    *
+    * @return (doc_id, n_tokens, n_types, ttr, entropy)
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokCounts = docs
+      .select(col(idCol).as("doc_id"), explode(TF.tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+    tokCounts.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        (log(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum(col("c")).cast("double")).as("entropy"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        col("entropy"))
+  }
 }

@@ -194,6 +194,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.keySet == Set(1L, 3L))
   }
 
+  test("pmiBigrams matches the hand-computed PMI on a tiny corpus") {
+    import spark.implicits._
+    // unigrams: a=3 b=3 c=1 (N=7); bigrams: (a,b)=3 (b,a)=1 (b,c)=1 (Nb=5)
+    val docs = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiBigrams(docs, "text", minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("a", "b"))._1 == 3L)
+    assert(math.abs(got(("a", "b"))._2 - math.log(3.0 * 7 * 7 / (5.0 * 3 * 3))) < 1e-12)
+    assert(math.abs(got(("b", "c"))._2 - math.log(1.0 * 7 * 7 / (5.0 * 3 * 1))) < 1e-12)
+    assert(got.size == 3)
+    // minCount drops the singletons
+    val filtered = TextAnalysis.pmiBigrams(docs, "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(filtered.toSeq == Seq(("a", "b")))
+  }
+
+  test("lexicalDiversity: TTR and entropy hand-check") {
+    import spark.implicits._
+    val docs = Seq((0L, "a a b"), (1L, "x y z"), (2L, "w w w w"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // doc 0: n=3, types=2, H = ln3 - (2 ln2)/3
+    assert(got(0L)._1 == 3L && got(0L)._2 == 2L)
+    assert(math.abs(got(0L)._3 - 2.0 / 3) < 1e-12)
+    assert(math.abs(got(0L)._4 - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12)
+    // uniform distribution: H = ln(n_types)
+    assert(math.abs(got(1L)._4 - math.log(3)) < 1e-12)
+    // single repeated token: zero entropy, minimal TTR
+    assert(got(2L)._4 == 0.0 && got(2L)._3 == 0.25)
+  }
+
   test("winnow sketch: subset stability under small edits") {
     val sk = (t: String) =>
       one(t, TextAnalysis.winnow(col("text")))
