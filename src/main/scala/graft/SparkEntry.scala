@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.MonoidAggregator
-import graft.operators.{AsOfJoin, Dedup, Graph, Ingest, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Graph, Indexing, Ingest, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
 import graft.sources.Crawl
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -835,6 +835,84 @@ object SparkEntry {
       .orderBy("v")
   }
 
+  /** Per-node triangle counts over a 500-node link graph from orders
+    * (sparser than q65's 40-node one, so counts vary 85–289 instead of
+    * collapsing to the complete-graph constant). The operator orients
+    * edges by (degree, id) rank; the oracle does the textbook a<b<c
+    * three-way self-join — identical triangle SET either way, so the hash
+    * compare certifies the orientation trick is result-transparent.
+    */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val edges = t(s, d, "orders").select(
+      (col("o_custkey") % 500).as("src"), (col("o_orderkey") % 500).as("dst"))
+    Graph.triangleCounts(edges, "src", "dst").orderBy("v")
+  }
+
+  /** SCD2 change history of each sampled user's event_type: one validity
+    * interval per consecutive-type run, closed by the next change
+    * (epoch-micros endpoints; open interval = null). event_id rides along
+    * as the in-timestamp tie-break and makes the row order unique.
+    */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").filter(col("user_id") % 50 === 0)
+    Ingest.changeHistory(ev, Seq("user_id"), "ts",
+        Seq("event_id"), Seq("event_type"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("effective_from")).as("ef"),
+        unix_micros(col("effective_to")).as("et"))
+      .orderBy("user_id", "ef", "event_id")
+  }
+
+  /** Vocabulary build (top-20 tokens by count, rank-assigned ids — the
+    * fixture corpus has 31 distinct tokens, so ~1/3 of the stream is OOV
+    * and the 0-mapping path is genuinely exercised) + document encoding to
+    * id sequences, scalarized per doc as (length, oov count, id sum) so
+    * the compare pins every token's id through the sums without shipping
+    * arrays.
+    */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val vocab = TextAnalysis.buildVocab(docs, "text", 20)
+    TextAnalysis.encode(docs, "doc_id", "text", vocab)
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        size(filter(col("ids"), x => x === 0)).cast("long").as("n_oov"),
+        aggregate(col("ids"), lit(0L), (acc, x) => acc + x).as("id_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source winsorization of document length at the 0.9 order
+    * statistic: the cap value, how many docs were clipped, and the clipped
+    * total — all integer-exact because the cap is a rank-selected element,
+    * never an interpolated quantile.
+    */
+  private def q69(s: SparkSession, d: String): DataFrame =
+    Sampling.winsorize(t(s, d, "documents"), Seq("source"), "n_chars", 0.9)
+      .groupBy("source")
+      .agg(max(col("cap")).as("cap"),
+        sum(when(col("n_chars") > col("cap"), 1L).otherwise(0L)).as("n_capped"),
+        sum(col("winsorized")).as("tot"))
+      .orderBy("source")
+
+  /** Contiguous global ids over documents in (source, doc_id) order — the
+    * range-shuffle + zipWithIndex two-pass, never a single-partition
+    * window. The oracle is the definitionally-equivalent
+    * row_number()−1 over the same total order.
+    */
+  private def q70(s: SparkSession, d: String): DataFrame =
+    Indexing.globalIds(t(s, d, "documents"), Seq("source", "doc_id"))
+      .select(col("source"), col("doc_id"), col("gid"))
+      .orderBy("gid")
+
+  /** Order-independent per-source content digest of the documents table —
+    * the anti-entropy checksum two corpus replicas compare. Row order,
+    * partitioning, and engine are all invisible to the sum-of-md5-prefix
+    * digest, so Spark and DuckDB agree exactly.
+    */
+  private def q71(s: SparkSession, d: String): DataFrame =
+    Ingest.tableDigest(t(s, d, "documents"), Seq("source"), Seq("doc_id", "text"))
+      .orderBy("source")
+
   /** PMI bigram collocations over the documents corpus: top-20 adjacent
     * pairs most over-represented vs their unigram frequencies (min count
     * 5). Ordering uses the ROUNDED pmi so a last-ulp ln() difference
@@ -1189,6 +1267,12 @@ object SparkEntry {
     "q63_binpack" -> (q63 _),
     "q64_upsert" -> (q64 _),
     "q65_pagerank" -> (q65 _),
+    "q66_triangles" -> (q66 _),
+    "q67_scd2" -> (q67 _),
+    "q68_vocab_encode" -> (q68 _),
+    "q69_winsorize" -> (q69 _),
+    "q70_global_ids" -> (q70 _),
+    "q71_digest" -> (q71 _),
     "text_pmi" -> (textPmi _),
     "text_diversity" -> (textDiversity _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -1654,6 +1738,80 @@ object SparkEntry {
         |r3 AS (SELECT n.v, 0.15 / nc.n + 0.85 * COALESCE(c3.c, 0) AS pr
         |       FROM n CROSS JOIN nc LEFT JOIN c3 ON c3.v = n.v)
         |SELECT v, ROUND(pr, 6) AS pr FROM r3 ORDER BY v""".stripMargin,
+    "q66_triangles" ->
+      """WITH r AS (
+        |  SELECT o_custkey % 500 AS s, o_orderkey % 500 AS d FROM orders
+        |), e AS (
+        |  SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+        |  FROM r WHERE s <> d
+        |), tr AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), v AS (
+        |  SELECT x AS v FROM tr UNION ALL SELECT y FROM tr
+        |  UNION ALL SELECT z FROM tr
+        |)
+        |SELECT v, COUNT(*) AS tri FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q67_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE user_id % 50 = 0
+        |), m AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev
+        |  FROM e
+        |), c AS (
+        |  SELECT user_id, event_id, event_type, us FROM m
+        |  WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id, event_id, event_type, us AS ef,
+        |  LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS et
+        |FROM c ORDER BY user_id, ef, event_id""".stripMargin,
+    "q68_vocab_encode" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents
+        |), vc AS (
+        |  SELECT token, COUNT(*) AS c FROM tok GROUP BY 1
+        |), vocab AS (
+        |  SELECT token, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS id
+        |  FROM (SELECT * FROM vc ORDER BY c DESC, token LIMIT 20)
+        |)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(SUM(COALESCE(v.id, 0)) AS BIGINT) AS id_sum
+        |FROM tok t LEFT JOIN vocab v USING (token)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q69_winsorize" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents
+        |), cap AS (
+        |  SELECT source, n_chars AS cap FROM r
+        |  WHERE rn = CAST(CEIL(0.9 * n) AS BIGINT)
+        |)
+        |SELECT d.source, MAX(cap.cap) AS cap,
+        |  CAST(SUM(CASE WHEN d.n_chars > cap.cap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_capped,
+        |  CAST(SUM(LEAST(d.n_chars, cap.cap)) AS BIGINT) AS tot
+        |FROM documents d JOIN cap USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q70_global_ids" ->
+      """SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS gid
+        |FROM documents ORDER BY gid""".stripMargin,
+    "q71_digest" ->
+      """SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(CAST(('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || text), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS digest
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_pmi" ->
       """WITH base AS (
         |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks

@@ -74,6 +74,59 @@ object Graph extends CacheLedger {
     ranks
   }
 
+  /** Per-node triangle participation counts over the undirected simple
+    * graph induced by the edge table (direction, duplicate edges, and
+    * self-loops are ignored). Nodes in no triangle are omitted.
+    *
+    * The classic curse-of-the-last-reducer guard (Suri & Vassilvitskii
+    * 2011): every edge is oriented from its lower- to its
+    * higher-(degree, id) endpoint, so wedges are generated at each
+    * triangle's LOWEST-rank vertex. A power-law hub never enumerates its
+    * own neighbor pairs — the total wedge volume is O(m^1.5) instead of
+    * Σ deg², and no single task degenerates on a celebrity node. The
+    * closure check is one equi-join of the wedge set against the oriented
+    * edge set on the (y, z) pair key.
+    *
+    * @return (v, tri) — one row per node in at least one triangle
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = ledgered(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .cache())
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // Total order (deg, id); each edge points at its higher endpoint, which
+    // carries its own rank along so the wedge filter below needs no third
+    // join back to the degree table.
+    val oriented = ledgered(und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("w"),
+            struct(col("db").as("d"), col("b").as("id")).as("wr")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("w"),
+              struct(col("da").as("d"), col("a").as("id")).as("wr")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"), col("e.wr").as("wr"))
+      .cache())
+    val wedges = oriented.select(col("u"), col("w").as("y"), col("wr").as("yr"))
+      .join(oriented.select(col("u"), col("w").as("z"), col("wr").as("zr")), Seq("u"))
+      .filter(col("yr") < col("zr"))
+      .select(col("u").as("x"), col("y"), col("z"))
+    // A triangle {x,y,z} with rank x<y<z has oriented edges x->y, x->z,
+    // y->z: the wedge at x closes iff the oriented edge y->z exists, so
+    // each triangle is found exactly once.
+    val tris = wedges.join(
+      oriented.select(col("u").as("y"), col("w").as("z")), Seq("y", "z"))
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+  }
+
   /** Per-node in/out degree — the frontier-shape report of a crawl.
     * One shuffle per direction, map-side combined, outer-merged so
     * pure sources and pure sinks both appear (missing side = 0).

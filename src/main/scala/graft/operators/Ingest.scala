@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch-ingestion maintenance operators: merging a fresh crawl batch into
@@ -28,5 +29,68 @@ object Ingest {
   def upsert(base: DataFrame, batch: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     batch.unionByName(base.join(batch, keyCols, "left_anti"))
+  }
+
+  /** Order-independent per-group content digest: `(group…, n, digest)` with
+    * digest = Σ over rows of the first 32 bits of md5 of the `|`-joined
+    * string form of `hashCols`. Because addition commutes, the digest is
+    * invariant to row order, partitioning, and cluster size — two
+    * independently-computed copies of a corpus (pre/post migration, two
+    * replicas, yesterday's snapshot + today's delta) can be compared with
+    * one aggregate each, no sort and no row-level join. 32-bit summands
+    * over even trillions of rows stay far below Long overflow.
+    *
+    * One map-side-combined hash aggregate — the cheapest possible
+    * anti-entropy check at 100 TB. Uses md5 (not a engine-native hash) so
+    * the same digest is computable in any SQL engine; `concat_ws` skips
+    * nulls, so a null and a missing column collide by design — include an
+    * explicit count or null-marker column in `hashCols` if that matters.
+    */
+  def tableDigest(df: DataFrame, groupCols: Seq[String], hashCols: Seq[String]): DataFrame = {
+    require(hashCols.nonEmpty, "tableDigest needs at least one hash column")
+    val h = conv(substring(
+        md5(concat_ws("|", hashCols.map(c => col(c).cast("string")): _*)), 1, 8),
+      16, 10).cast("long")
+    val grouped =
+      if (groupCols.isEmpty) df.groupBy()
+      else df.groupBy(groupCols.map(col): _*)
+    grouped.agg(count(lit(1)).as("n"), sum(h).as("digest"))
+  }
+
+  /** SCD-type-2 change history from an event/snapshot log: per key, collapse
+    * consecutive observations with identical tracked attributes and emit one
+    * validity interval per attribute version —
+    * `(key…, tie…, attr…, effective_from, effective_to)`, with
+    * `effective_to` null on the current (open) version.
+    *
+    * Both passes — the change filter (`lag` over the attribute tuple) and
+    * the interval close (`lead` over the surviving change rows) — use the
+    * SAME window partitioning on the key, so the whole operator is ONE
+    * shuffle; Catalyst reuses the exchange and sort for the second window.
+    * At 100 TB this is the minimal plan for history building: each key's
+    * log lands in one task, nothing else moves.
+    *
+    * Attribute comparison is null-safe (`<=>`), so a tracked attribute
+    * transitioning to/from null opens a new version rather than being
+    * swallowed. Determinism: `tieCols` must make `(tsCol, tieCols)` unique
+    * per key, or same-timestamp observations have engine-dependent order.
+    *
+    * @param tieCols ordering tie-break within a timestamp (e.g. event id)
+    * @param attrCols tracked attributes; a change in ANY opens a version
+    */
+  def changeHistory(
+      df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCols: Seq[String], attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "changeHistory needs key and attribute columns")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+    val attrs = struct(attrCols.map(col): _*)
+    df.select((keyCols ++ Seq(tsCol) ++ tieCols ++ attrCols).map(col): _*)
+      .withColumn("_prev", lag(attrs, 1).over(w))
+      .filter(!(col("_prev") <=> attrs))
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .drop("_prev", tsCol)
   }
 }

@@ -77,4 +77,43 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Per-group upper winsorization: cap `valueCol` at its group's p-th
+    * ORDER STATISTIC — the value at rank ceil(p·n) — appending `cap` and
+    * `winsorized` (= least(value, cap)) columns. The outlier-taming pass of
+    * a length/score distribution before aggregation or packing.
+    *
+    * The cap is deliberately a rank-selected ELEMENT of the data, not an
+    * interpolated quantile: interpolation ((1−f)·lo + f·hi vs
+    * lo + f·(hi−lo)) differs in final-ulp floating point across engines,
+    * and a cap one ulp either side of an actual data value flips the
+    * clip comparison — an order statistic is engine-exact and keeps
+    * integer columns integer.
+    *
+    * One shuffle (the per-group sort for row_number) + a broadcast join of
+    * the group-cardinality cap table. For groups far beyond task memory at
+    * 100 TB, swap the exact rank for `percentile_approx` — same join
+    * shape, sketch-bounded memory. Null values sort first and so never
+    * become the cap unless the whole group is null; their `winsorized`
+    * stays null.
+    */
+  def winsorize(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      p: Double): DataFrame = {
+    require(groupCols.nonEmpty, "winsorize needs at least one group column")
+    require(p > 0.0 && p <= 1.0, s"p out of (0,1]: $p")
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val caps = df.filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(part.orderBy(col(valueCol))))
+      .withColumn("__n", count(lit(1)).over(part))
+      .filter(col("__rn") === ceil(lit(p) * col("__n")))
+      .select(groupCols.map(col) :+ col(valueCol).as("cap"): _*)
+    df.join(broadcast(caps), groupCols, "left")
+      // least() skips nulls, which would resurrect a null value as the
+      // cap — gate it explicitly so null in means null out
+      .withColumn("winsorized",
+        when(col(valueCol).isNull, lit(null).cast(df.schema(valueCol).dataType))
+          .otherwise(least(col(valueCol), col("cap"))))
+  }
 }

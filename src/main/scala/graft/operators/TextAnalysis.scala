@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -402,6 +403,46 @@ object TextAnalysis extends CacheLedger {
     *
     * @return (doc_id, n_tokens, n_types, ttr, entropy)
     */
+  /** Frequency-ranked vocabulary of the `size` most common tokens:
+    * `(token, c, id)` with ids 1..size assigned by (count desc, token asc)
+    * — the deterministic total order two engines can agree on.
+    *
+    * Scale shape: one map-side-combined hash aggregate over all tokens
+    * (the only full-data shuffle), then `orderBy.limit` — Spark plans
+    * TakeOrderedAndProject, a per-partition top-`size` heap merged on one
+    * reducer, NOT a global sort. The final `row_number` window runs over
+    * the `size` surviving rows on a single partition, which is exactly
+    * right for a vocabulary (10⁴–10⁵ rows) and never sees corpus-sized
+    * data.
+    */
+  def buildVocab(docs: DataFrame, textCol: String, size: Int): DataFrame = {
+    require(size >= 1, s"vocab size must be >= 1: $size")
+    docs.select(explode(TF.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(size)
+      .withColumn("id", row_number().over(Window.orderBy(col("c").desc, col("token"))))
+  }
+
+  /** Encode each document as its token-id sequence under `vocab` (from
+    * [[buildVocab]]): `(doc_id, ids)` with out-of-vocabulary tokens mapped
+    * to id 0 so sequence length is preserved — the tokenizer-application
+    * step of a training pipeline.
+    *
+    * The vocab side broadcasts (it is vocabulary-sized by construction),
+    * so the probe is a narrow hash lookup per token; the only shuffle is
+    * the per-document regroup, and what shuffles is (pos, id) ints —
+    * never the text. Order is restored by sorting each collected list on
+    * the token position, making the result partitioning-independent.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String, vocab: DataFrame): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("id"))), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), coalesce(col("id"), lit(0)).as("id")))),
+        x => x.getField("id")).as("ids"))
+
   def lexicalDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokCounts = docs
       .select(col(idCol).as("doc_id"), explode(TF.tokens(col(textCol))).as("tok"))

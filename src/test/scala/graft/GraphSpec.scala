@@ -49,6 +49,33 @@ class GraphSpec extends SparkSpec {
     assert(pr(2L) == pr(3L) && pr(3L) == pr(4L)) // symmetric leaves exactly equal
   }
 
+  private def tris(pairs: (Long, Long)*): Map[Long, Long] =
+    Graph.triangleCounts(edges(pairs: _*), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: K3 and K4 hand-checks") {
+    assert(tris(1L -> 2L, 2L -> 3L, 1L -> 3L) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // K4: each vertex sits in C(3,2) = 3 triangles
+    assert(tris(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts ignores direction, duplicates, and self-loops") {
+    // same triangle stated redundantly in both directions + noise
+    assert(tris(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 1L -> 3L, 2L -> 2L) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: triangle-free graphs produce no rows") {
+    assert(tris(1L -> 2L, 2L -> 3L, 3L -> 4L).isEmpty) // path
+    assert(tris(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L).isEmpty) // 4-cycle
+  }
+
+  test("triangleCounts: vertex in two edge-disjoint triangles counts both") {
+    val m = tris(1L -> 2L, 2L -> 3L, 1L -> 3L, 1L -> 4L, 4L -> 5L, 1L -> 5L)
+    assert(m == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("degrees outer-merges sources and sinks") {
     val d = Graph.degrees(edges(1L -> 2L, 1L -> 3L, 2L -> 3L), "src", "dst")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap

@@ -35,4 +35,70 @@ class IngestSpec extends SparkSpec {
     val df = corpus(1L -> "a")
     intercept[IllegalArgumentException](Ingest.upsert(df, df, Seq.empty))
   }
+
+  test("tableDigest is order- and partitioning-independent, content-sensitive") {
+    val df = corpus(1L -> "a", 2L -> "b", 3L -> "c")
+    def dig(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Ingest.tableDigest(d, Seq.empty, Seq("id", "text")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val base = dig(df)
+    assert(base._1 == 3L)
+    assert(dig(df.repartition(7)) == base)
+    assert(dig(df.orderBy(org.apache.spark.sql.functions.col("id").desc)) == base)
+    // any single-row content change moves the digest
+    assert(dig(corpus(1L -> "a", 2L -> "B", 3L -> "c")) != base)
+    assert(dig(corpus(1L -> "a", 2L -> "b")) != base)
+  }
+
+  test("tableDigest groups: per-group digests match the whole-frame split") {
+    import org.apache.spark.sql.functions.col
+    val df = corpus(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+      .withColumn("g", col("id") % 2)
+    val per = Ingest.tableDigest(df, Seq("g"), Seq("id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val odd = Ingest.tableDigest(df.filter(col("g") === 1), Seq.empty, Seq("id", "text"))
+      .collect().head
+    assert(per(1L) == ((odd.getLong(0), odd.getLong(1))))
+    assert(per.keySet == Set(0L, 1L))
+  }
+
+  private def log(rows: (Long, Long, String)*) =
+    spark.createDataFrame(rows).toDF("k", "ts", "status")
+
+  private def history(rows: (Long, Long, String)*): Seq[(Long, String, Long, Any)] =
+    Ingest.changeHistory(log(rows: _*), Seq("k"), "ts", Seq.empty, Seq("status"))
+      .select("k", "status", "effective_from", "effective_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.get(3)))
+      .sortBy(t => (t._1, t._3))
+
+  test("changeHistory collapses runs and closes intervals at the next change") {
+    val h = history(
+      (1L, 10L, "new"), (1L, 20L, "new"), (1L, 30L, "active"), (1L, 40L, "closed"),
+      (2L, 15L, "new"))
+    assert(h == Seq(
+      (1L, "new", 10L, 30L), // the ts=20 repeat is collapsed into this run
+      (1L, "active", 30L, 40L),
+      (1L, "closed", 40L, null),
+      (2L, "new", 15L, null)))
+  }
+
+  test("changeHistory: attribute change to/from null opens a version (null-safe)") {
+    val rows = Seq[(Long, Long, Option[String])](
+      (1L, 10L, Some("a")), (1L, 20L, None), (1L, 30L, None), (1L, 40L, Some("a")))
+    val df = spark.createDataFrame(rows).toDF("k", "ts", "status")
+    val h = Ingest.changeHistory(df, Seq("k"), "ts", Seq.empty, Seq("status"))
+      .select("effective_from").collect().map(_.getLong(0)).sorted
+    assert(h.toSeq == Seq(10L, 20L, 40L))
+  }
+
+  test("changeHistory keeps tie columns for deterministic same-timestamp order") {
+    val df = spark.createDataFrame(Seq(
+        (1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"), (1L, 10L, 3L, "a")))
+      .toDF("k", "ts", "eid", "status")
+    val h = Ingest.changeHistory(df, Seq("k"), "ts", Seq("eid"), Seq("status"))
+      .select("eid", "status").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(h.sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b"), (3L, "a")))
+  }
 }

@@ -77,4 +77,32 @@ class SamplingSpec extends SparkSpec {
     // ties beyond the cap are excluded, row shape is preserved
     assert(capped.columns.toSeq == Seq("id", "grp", "score"))
   }
+
+  test("winsorize caps at the ceil(p*n) order statistic per group") {
+    import spark.implicits._
+    // group a: values 1..10, p=0.8 → rank ceil(8)=8 → cap=8
+    // group b: values 100,200,300, p=0.8 → rank ceil(2.4)=3 → cap=300 (no clip)
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      Seq(("b", 100L), ("b", 200L), ("b", 300L))).toDF("g", "v")
+    val w = graft.operators.Sampling.winsorize(df, Seq("g"), "v", 0.8)
+    val byG = w.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(byG("a").forall(_._3 == 8L))
+    assert(byG("a").map(_._4).sum == (1 to 8).sum + 8 + 8) // 9,10 clipped to 8
+    assert(byG("b").forall(t => t._3 == 300L && t._4 == t._2))
+  }
+
+  test("winsorize: null values keep null winsorized and never become the cap") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L)), ("a", Some(5L)), ("a", None))
+      .toDF("g", "v")
+    val w = graft.operators.Sampling.winsorize(df, Seq("g"), "v", 1.0)
+      .collect().map(r => (if (r.isNullAt(1)) null else r.getLong(1),
+        r.getLong(2), if (r.isNullAt(3)) null else r.getLong(3)))
+    // cap = max of the non-null values
+    assert(w.forall(_._2 == 5L))
+    assert(w.collect { case (null, _, wz) => wz }.toSeq == Seq(null))
+    assert(w.collect { case (v: Any, _, wz) => (v, wz) }.toMap ==
+      Map(1L -> 1L, 5L -> 5L))
+  }
 }

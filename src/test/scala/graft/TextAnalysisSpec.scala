@@ -211,6 +211,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(filtered.toSeq == Seq(("a", "b")))
   }
 
+  test("buildVocab ranks by count desc then token asc; encode maps OOV to 0") {
+    import spark.implicits._
+    // counts: b=4, a=3, c=2, d=1 → vocab(3): b=1, a=2, c=3; d is OOV
+    val docs = Seq((0L, "a b a b c"), (1L, "b b a c d")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", 3)
+    val v = vocab.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(v == Map("b" -> ((4L, 1)), "a" -> ((3L, 2)), "c" -> ((2L, 3))))
+    val enc = TextAnalysis.encode(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc(0L) == Seq(2, 1, 2, 1, 3))
+    assert(enc(1L) == Seq(1, 1, 2, 3, 0)) // d → 0, position preserved
+  }
+
+  test("encode is partitioning-independent (order restored by position)") {
+    import spark.implicits._
+    val docs = Seq((0L, "x y z w v u t s r q")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", 10)
+    val a = TextAnalysis.encode(docs, "doc_id", "text", vocab)
+      .collect().head.getSeq[Int](1)
+    val b = TextAnalysis.encode(docs.repartition(7), "doc_id", "text", vocab)
+      .collect().head.getSeq[Int](1)
+    assert(a == b && a.length == 10)
+  }
+
   test("lexicalDiversity: TTR and entropy hand-check") {
     import spark.implicits._
     val docs = Seq((0L, "a a b"), (1L, "x y z"), (2L, "w w w w"))
