@@ -913,6 +913,35 @@ object SparkEntry {
     Ingest.tableDigest(t(s, d, "documents"), Seq("source"), Seq("doc_id", "text"))
       .orderBy("source")
 
+  /** Column-level profile of the documents table: row/null/distinct counts
+    * and min/max per column — the ingestion-validation report. Restricted
+    * to int/string columns so the stringified min/max render identically
+    * across engines.
+    */
+  private def q72(s: SparkSession, d: String): DataFrame =
+    Ingest.profile(t(s, d, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy("col_name")
+
+  /** Windowed co-occurrence counts (forward window 3, min count 50):
+    * top-30 ordered token pairs — the GloVe-matrix shape. Counts are
+    * integers and ties break on (x, y), so the limit cut is exact.
+    */
+  private def textCooc(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.cooccurrence(t(s, d, "documents"), "text", window = 3, minCount = 50)
+      .orderBy(col("c").desc, col("x"), col("y"))
+      .limit(30)
+
+  /** Sliding-window chunking (len 8, stride 6) of every document,
+    * digested per chunk so the compare pins exact chunk boundaries and
+    * content without shipping token arrays.
+    */
+  private def textChunks(s: SparkSession, d: String): DataFrame =
+    Packing.slidingChunks(t(s, d, "documents"), "doc_id", "text", chunkLen = 8, stride = 6)
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("digest"))
+      .orderBy("doc_id", "chunk_id")
+
   /** PMI bigram collocations over the documents corpus: top-20 adjacent
     * pairs most over-represented vs their unigram frequencies (min count
     * 5). Ordering uses the ROUNDED pmi so a last-ulp ln() difference
@@ -1273,6 +1302,9 @@ object SparkEntry {
     "q69_winsorize" -> (q69 _),
     "q70_global_ids" -> (q70 _),
     "q71_digest" -> (q71 _),
+    "q72_profile" -> (q72 _),
+    "text_cooc" -> (textCooc _),
+    "text_chunks" -> (textChunks _),
     "text_pmi" -> (textPmi _),
     "text_diversity" -> (textDiversity _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -1812,6 +1844,58 @@ object SparkEntry {
         |    CAST(doc_id AS VARCHAR) || '|' || text), 1, 8)) AS BIGINT))
         |    AS BIGINT) AS digest
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q72_profile" ->
+      """SELECT 'doc_id' AS col_name, COUNT(*) AS n,
+        |  COUNT(*) - COUNT(doc_id) AS n_null,
+        |  COUNT(DISTINCT doc_id) AS n_distinct,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS min_s,
+        |  CAST(MAX(doc_id) AS VARCHAR) AS max_s
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+        |  COUNT(DISTINCT lang), CAST(MIN(lang) AS VARCHAR),
+        |  CAST(MAX(lang) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+        |  COUNT(DISTINCT source), CAST(MIN(source) AS VARCHAR),
+        |  CAST(MAX(source) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+        |  COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+        |  CAST(MAX(n_chars) AS VARCHAR) FROM documents
+        |ORDER BY col_name""".stripMargin,
+    "text_cooc" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents
+        |), pos0 AS (
+        |  SELECT doc_id, toks,
+        |    CAST(unnest(generate_series(1, len(toks))) AS INT) AS i
+        |  FROM base
+        |), pos AS (
+        |  SELECT doc_id, i, toks[i] AS tok FROM pos0
+        |)
+        |SELECT a.tok AS x, b.tok AS y, COUNT(*) AS c
+        |FROM pos a JOIN pos b
+        |  ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 50
+        |ORDER BY c DESC, x, y LIMIT 30""".stripMargin,
+    "text_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents
+        |), st0 AS (
+        |  SELECT doc_id, toks,
+        |    CAST(unnest(generate_series(1, GREATEST(len(toks), 1), 6)) AS INT)
+        |      AS s
+        |  FROM base
+        |)
+        |SELECT doc_id, CAST((s - 1) / 6 AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(toks, s, s + 8 - 1)) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(list_slice(toks, s, s + 8 - 1), ' ')) AS digest
+        |FROM st0 ORDER BY doc_id, chunk_id""".stripMargin,
     "text_pmi" ->
       """WITH base AS (
         |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks

@@ -57,6 +57,39 @@ object Ingest {
     grouped.agg(count(lit(1)).as("n"), sum(h).as("digest"))
   }
 
+  /** Column-level data profile: one row per profiled column with row
+    * count, null count, exact distinct count, and min/max (string form) —
+    * the post-ingestion schema-drift / data-quality report.
+    *
+    * One aggregation job; the multiple exact `countDistinct`s make
+    * Catalyst plan an Expand (one stream per distinct column), which is
+    * the price of exactness — swap in `approx_count_distinct` for
+    * routine 100 TB profiling where ±1% is fine. min/max are cast to
+    * string so heterogeneous columns share one report schema; integer
+    * and string columns render identically across engines (doubles may
+    * not — profile those separately if the string form matters).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"))
+    }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"),
+          col("__n").as("n"),
+          (col("__n") - col(s"${c}__nn")).as("n_null"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__mn").as("min_s"),
+          col(s"${c}__mx").as("max_s"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+
   /** SCD-type-2 change history from an event/snapshot log: per key, collapse
     * consecutive observations with identical tracked attributes and emit one
     * validity interval per attribute version —

@@ -81,6 +81,32 @@ object Packing {
     *
     * @return (shard, doc_id, tok, bin) — bin ids start at 0 per shard
     */
+  /** Overlapping sliding-window chunks of each document's token stream:
+    * chunk i covers tokens [1 + i·stride, 1 + i·stride + chunkLen) — the
+    * stride-overlap windowing used to embed long documents. A document
+    * shorter than one stride still yields its single (possibly short)
+    * chunk; an empty token list yields one empty chunk, so every document
+    * stays addressable downstream.
+    *
+    * Entirely NARROW: `posexplode(sequence(...))` fans each doc out to
+    * its chunk starts and `slice` cuts the token array in place — no
+    * shuffle at all, perfectly scalable; partitioning is inherited from
+    * the input.
+    *
+    * @return (doc_id, chunk_id, chunk) with chunk_id 0-based
+    */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen >= 1, s"chunkLen must be >= 1: $chunkLen")
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    docs.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(stride)))
+          .as(Seq("cid", "s")))
+      .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
+        slice(col("toks"), col("s"), lit(chunkLen)).as("chunk"))
+  }
+
   def nextFitBins(docs: DataFrame, idCol: String, textCol: String,
       nShards: Int = 8, capacity: Int = 512): DataFrame = {
     val spark = docs.sparkSession

@@ -390,6 +390,37 @@ object TextAnalysis extends CacheLedger {
           (col("nb").cast("double") * col("cx") * col("cy"))).as("pmi"))
   }
 
+  /** Token co-occurrence counts within a forward window: ordered pairs
+    * (x, y) where y follows x within `window` tokens, with occurrence
+    * counts — the input matrix of GloVe/word2vec-style embedding training
+    * and of collocation mining beyond adjacency ([[pmiBigrams]] is the
+    * window=1 special case).
+    *
+    * Pair generation is NARROW: for each offset 1..window the token array
+    * is zipped with its own off-shifted slice (`zip_with` pads the tail
+    * with nulls, filtered after the explode), so no self-join and no
+    * position table ever exist — the only shuffle is the final
+    * map-side-combined count aggregate, and what shuffles is (x, y)
+    * pairs already reduced per partition. At 100 TB the reduction keys
+    * are vocabulary², Zipf-skewed but absorbed by partial aggregation.
+    */
+  def cooccurrence(
+      docs: DataFrame, textCol: String, window: Int,
+      minCount: Long = 1): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val offs = (1 to window).map { off =>
+      zip_with(col("toks"),
+        slice(col("toks"), lit(off + 1), greatest(size(col("toks")) - off, lit(0))),
+        (x, y) => struct(x.as("x"), y.as("y")))
+    }
+    docs.select(TF.tokens(col(textCol)).as("toks"))
+      .select(explode(flatten(array(offs: _*))).as("p"))
+      .filter(col("p.y").isNotNull)
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+  }
+
   /** Per-document lexical diversity: token count, distinct-type count,
     * type-token ratio, and Shannon entropy of the token distribution (in
     * nats). Low entropy / low TTR flags template or keyword-stuffed pages —

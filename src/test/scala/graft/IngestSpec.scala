@@ -36,6 +36,19 @@ class IngestSpec extends SparkSpec {
     intercept[IllegalArgumentException](Ingest.upsert(df, df, Seq.empty))
   }
 
+  test("profile reports nulls, distincts, and min/max per column") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.createDataFrame(Seq[(Long, Option[String])](
+        (3L, Some("b")), (1L, None), (2L, Some("a")), (4L, Some("a"))))
+      .toDF("k", "s")
+    val p = Ingest.profile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(p("k") == ((4L, 0L, 4L, "1", "4")))
+    assert(p("s") == ((4L, 1L, 2L, "a", "b")))
+  }
+
   test("tableDigest is order- and partitioning-independent, content-sensitive") {
     val df = corpus(1L -> "a", 2L -> "b", 3L -> "c")
     def dig(d: org.apache.spark.sql.DataFrame): (Long, Long) = {

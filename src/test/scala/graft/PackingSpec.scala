@@ -72,6 +72,23 @@ class PackingSpec extends SparkSpec {
     assert(c == d)
   }
 
+  test("slidingChunks: boundaries, overlap, and the one-empty-chunk convention") {
+    import spark.implicits._
+    val d = Seq((0L, "t1 t2 t3 t4 t5 t6 t7"), (1L, "a b"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = Packing.slidingChunks(d, "doc_id", "text", chunkLen = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[String](2)).toMap
+    // doc0 (7 toks): starts 1,4,7 → [1..4], [4..7], [7]
+    assert(got((0L, 0L)) == Seq("t1", "t2", "t3", "t4"))
+    assert(got((0L, 1L)) == Seq("t4", "t5", "t6", "t7"))
+    assert(got((0L, 2L)) == Seq("t7"))
+    // short doc: one partial chunk; empty doc: one empty chunk
+    assert(got((1L, 0L)) == Seq("a", "b"))
+    assert(got((2L, 0L)) == Seq.empty)
+    assert(got.size == 5)
+  }
+
   test("chunkStats: budget accounting is exact") {
     val st = Packing.chunkStats(docs, "doc_id", "text", 4, 64).collect()
     st.foreach { r =>

@@ -211,6 +211,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(filtered.toSeq == Seq(("a", "b")))
   }
 
+  test("cooccurrence counts forward-window pairs, not adjacency only") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c d"), (1L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurrence(docs, "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc0 window-2 pairs: ab ac bc bd cd; doc1: ab
+    assert(got == Map(
+      ("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L,
+      ("b", "d") -> 1L, ("c", "d") -> 1L))
+    // window=1 degenerates to adjacent bigram counts
+    val w1 = TextAnalysis.cooccurrence(docs, "text", window = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(w1 == Map(("a", "b") -> 2L, ("b", "c") -> 1L, ("c", "d") -> 1L))
+    // minCount filters
+    assert(TextAnalysis.cooccurrence(docs, "text", 2, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a", "b")))
+  }
+
   test("buildVocab ranks by count desc then token asc; encode maps OOV to 0") {
     import spark.implicits._
     // counts: b=4, a=3, c=2, d=1 → vocab(3): b=1, a=2, c=3; d is OOV
