@@ -922,6 +922,23 @@ object SparkEntry {
     Ingest.profile(t(s, d, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
       .orderBy("col_name")
 
+  /** Snapshot diff between two derived versions of orders (drop-%3 with a
+    * price bump on even keys, vs drop-%7): every status class — added /
+    * removed / changed / unchanged — is populated, and the per-status
+    * counts pin the full-outer classification.
+    */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("p"),
+        col("o_totalprice").as("v"))
+    val before = o.filter(col("k") % 7 =!= 0)
+    val after = o.filter(col("k") % 3 =!= 0)
+      .withColumn("v", when(col("k") % 2 === 0, col("v") + 1).otherwise(col("v")))
+    Ingest.diff(before, after, Seq("k"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
   /** Windowed co-occurrence counts (forward window 3, min count 50):
     * top-30 ordered token pairs — the GloVe-matrix shape. Counts are
     * integers and ties break on (x, y), so the limit cut is exact.
@@ -1303,6 +1320,7 @@ object SparkEntry {
     "q70_global_ids" -> (q70 _),
     "q71_digest" -> (q71 _),
     "q72_profile" -> (q72 _),
+    "q73_diff" -> (q73 _),
     "text_cooc" -> (textCooc _),
     "text_chunks" -> (textChunks _),
     "text_pmi" -> (textPmi _),
@@ -1864,6 +1882,24 @@ object SparkEntry {
         |  COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
         |  CAST(MAX(n_chars) AS VARCHAR) FROM documents
         |ORDER BY col_name""".stripMargin,
+    "q73_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p, o_totalprice AS v
+        |  FROM orders
+        |), b AS (
+        |  SELECT * FROM o WHERE k % 7 <> 0
+        |), a AS (
+        |  SELECT k, p, CASE WHEN k % 2 = 0 THEN v + 1 ELSE v END AS v
+        |  FROM o WHERE k % 3 <> 0
+        |)
+        |SELECT status, COUNT(*) AS n FROM (
+        |  SELECT CASE WHEN b.k IS NULL THEN 'added'
+        |              WHEN a.k IS NULL THEN 'removed'
+        |              WHEN a.p IS DISTINCT FROM b.p
+        |                OR a.v IS DISTINCT FROM b.v THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM b FULL OUTER JOIN a ON a.k = b.k
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_cooc" ->
       """WITH base AS (
         |  SELECT doc_id,

@@ -57,6 +57,31 @@ object Ingest {
     grouped.agg(count(lit(1)).as("n"), sum(h).as("digest"))
   }
 
+  /** Snapshot reconciliation: classify every key across two versions of a
+    * table as `added` / `removed` / `changed` / `unchanged` — the
+    * drill-down report run when [[tableDigest]] says two replicas or two
+    * snapshot dates disagree.
+    *
+    * One full-outer join on the key (both sides shuffle on it; bucketing
+    * both snapshots by the key makes it shuffle-free) with all non-key
+    * columns packed into one struct per side, compared null-safely — no
+    * per-column join conditions, no N comparisons in the join key.
+    * Schemas must match; column order is taken from `before`.
+    */
+  def diff(before: DataFrame, after: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diff needs at least one key column")
+    val nonKey = before.columns.filterNot(keyCols.contains).toSeq
+    require(nonKey.nonEmpty, "diff needs at least one non-key column")
+    val b = before.select(keyCols.map(col) :+ struct(nonKey.map(col): _*).as("_b"): _*)
+    val a = after.select(keyCols.map(col) :+ struct(nonKey.map(col): _*).as("_a"): _*)
+    b.join(a, keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("_b").isNull, lit("added"))
+          .when(col("_a").isNull, lit("removed"))
+          .when(!(col("_a") <=> col("_b")), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"): _*)
+  }
+
   /** Column-level data profile: one row per profiled column with row
     * count, null count, exact distinct count, and min/max (string form) —
     * the post-ingestion schema-drift / data-quality report.

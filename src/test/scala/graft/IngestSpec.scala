@@ -36,6 +36,25 @@ class IngestSpec extends SparkSpec {
     intercept[IllegalArgumentException](Ingest.upsert(df, df, Seq.empty))
   }
 
+  test("diff classifies added/removed/changed/unchanged") {
+    val before = corpus(1L -> "a", 2L -> "b", 3L -> "c")
+    val after = corpus(2L -> "b", 3L -> "C", 4L -> "d")
+    val got = Ingest.diff(before, after, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("diff compares attributes null-safely") {
+    def snap(rows: (Long, Option[String])*) =
+      spark.createDataFrame(rows).toDF("id", "text")
+    val got = Ingest.diff(
+        snap(1L -> None, 2L -> Some("x")),
+        snap(1L -> None, 2L -> None), Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed"))
+  }
+
   test("profile reports nulls, distincts, and min/max per column") {
     import org.apache.spark.sql.functions.col
     val df = spark.createDataFrame(Seq[(Long, Option[String])](
