@@ -922,6 +922,20 @@ object SparkEntry {
     Ingest.profile(t(s, d, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
       .orderBy("col_name")
 
+  /** Quality-weighted importance sampling of documents: keep probability
+    * proportional to length (n_chars/600, clamped) — per-source kept
+    * counts plus the kept-id sum pin the exact kept SET, not just its
+    * size, certifying the md5-threshold decision end to end.
+    */
+  private def q74(s: SparkSession, d: String): DataFrame =
+    Sampling.importanceSample(
+        t(s, d, "documents")
+          .withColumn("p", col("n_chars").cast("double") / 600.0),
+        "doc_id", "p")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+      .orderBy("source")
+
   /** Snapshot diff between two derived versions of orders (drop-%3 with a
     * price bump on even keys, vs drop-%7): every status class — added /
     * removed / changed / unchanged — is populated, and the per-status
@@ -1321,6 +1335,7 @@ object SparkEntry {
     "q71_digest" -> (q71 _),
     "q72_profile" -> (q72 _),
     "q73_diff" -> (q73 _),
+    "q74_importance" -> (q74 _),
     "text_cooc" -> (textCooc _),
     "text_chunks" -> (textChunks _),
     "text_pmi" -> (textPmi _),
@@ -1882,6 +1897,13 @@ object SparkEntry {
         |  COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
         |  CAST(MAX(n_chars) AS VARCHAR) FROM documents
         |ORDER BY col_name""".stripMargin,
+    "q74_importance" ->
+      """SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0
+        |      < GREATEST(LEAST(CAST(n_chars AS DOUBLE) / 600.0, 1.0), 0.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q73_diff" ->
       """WITH o AS (
         |  SELECT o_orderkey AS k, o_orderpriority AS p, o_totalprice AS v

@@ -100,6 +100,9 @@ object Packing {
     require(chunkLen >= 1, s"chunkLen must be >= 1: $chunkLen")
     require(stride >= 1, s"stride must be >= 1: $stride")
     docs.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
+      // null text → no rows (greatest() would otherwise skip the null
+      // size() and fabricate one chunk for a doc that has no token list)
+      .filter(col("toks").isNotNull)
       .select(col("doc_id"), col("toks"),
         posexplode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(stride)))
           .as(Seq("cid", "s")))

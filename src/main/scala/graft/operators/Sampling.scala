@@ -78,6 +78,20 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic importance sampling: keep each row with probability
+    * `probCol` (clamped to [0, 1]), decided by the row key's hash weight —
+    * the quality-weighted downsampling of training recipes (keep
+    * high-quality docs surely, low-quality ones proportionally), with
+    * every guarantee of [[hashSplit]]: reproducible across engines, runs,
+    * partitioning, and corpus growth, and MONOTONE in the probability (a
+    * row kept at p is kept at every p' > p, so tightening a quality
+    * threshold only removes rows — resamples never churn the kept set).
+    * Narrow: no shuffle, no RNG state.
+    */
+  def importanceSample(df: DataFrame, keyCol: String, probCol: String): DataFrame =
+    df.filter(hashWeight(col(keyCol)) <
+      greatest(least(col(probCol), lit(1.0)), lit(0.0)))
+
   /** Per-group upper winsorization: cap `valueCol` at its group's p-th
     * ORDER STATISTIC — the value at rank ceil(p·n) — appending `cap` and
     * `winsorized` (= least(value, cap)) columns. The outlier-taming pass of

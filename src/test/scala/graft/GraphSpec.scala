@@ -76,6 +76,20 @@ class GraphSpec extends SparkSpec {
     assert(m == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("triangleCounts is invariant to input partitioning") {
+    // coprime moduli: by CRT every (i%13, i%17) combination appears, so
+    // the graph contains K13 and is triangle-rich (a single-modulus
+    // polynomial pair collapses to a sparse functional graph)
+    val pairs = (0L until 400L).map(i => (i % 13, i % 17))
+    val df = spark.createDataFrame(pairs).toDF("src", "dst")
+    def counts(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Graph.triangleCounts(d, "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = counts(df)
+    assert(a.nonEmpty)
+    assert(counts(df.repartition(13)) == a)
+  }
+
   test("degrees outer-merges sources and sinks") {
     val d = Graph.degrees(edges(1L -> 2L, 1L -> 3L, 2L -> 3L), "src", "dst")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap

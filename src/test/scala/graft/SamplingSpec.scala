@@ -78,6 +78,26 @@ class SamplingSpec extends SparkSpec {
     assert(capped.columns.toSeq == Seq("id", "grp", "score"))
   }
 
+  test("importanceSample: clamped probs, monotone kept sets, stable under reshuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0L until 2000L).map(i => (i, (i % 100) / 80.0)).toDF("id", "p")
+    def kept(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      graft.operators.Sampling.importanceSample(d, "id", "p")
+        .select("id").collect().map(_.getLong(0)).toSet
+    val base = kept(df)
+    // prob >= 1 (clamped) rows are always kept; prob 0 rows never
+    assert((0L until 2000L).filter(i => (i % 100) / 80.0 >= 1.0).forall(base))
+    assert((0L until 2000L).filter(i => i % 100 == 0).forall(i => !base(i)))
+    // fraction tracks the mean clamped probability (0.595)
+    assert(math.abs(base.size / 2000.0 - 0.595) < 0.05)
+    // deterministic across partitioning
+    assert(kept(df.repartition(11)) == base)
+    // monotone: halving every probability only removes rows
+    val halved = kept(df.withColumn("p", col("p") / 2))
+    assert(halved.subsetOf(base))
+  }
+
   test("winsorize caps at the ceil(p*n) order statistic per group") {
     import spark.implicits._
     // group a: values 1..10, p=0.8 → rank ceil(8)=8 → cap=8

@@ -149,6 +149,21 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id").distinct().count() == 1)
     assert(TextAnalysis.bigramLmScore(docs, "doc_id", "text").count() == 1)
     assert(graft.operators.Dedup.minHashPairs(docs, "doc_id", "text").count() == 0)
+    // round-5 operators: token-less docs skip (null text) or contribute
+    // nothing (empty), never throw
+    assert(TextAnalysis.pmiBigrams(docs, "text", minCount = 1).count() > 0)
+    assert(TextAnalysis.cooccurrence(docs, "text", window = 2).count() > 0)
+    val div = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(div == Set(0L)) // only the real doc has a token distribution
+    val vocab = TextAnalysis.buildVocab(docs, "text", 5)
+    assert(vocab.count() == 5)
+    assert(TextAnalysis.encode(docs, "doc_id", "text", vocab)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L))
+    // empty doc → one empty chunk; null doc → no rows
+    val ch = graft.operators.Packing.slidingChunks(docs, "doc_id", "text", 4, 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ch == Set(0L, 2L, 3L))
   }
 
   test("contamination flags docs sharing an n-gram with the holdout, and only those") {
