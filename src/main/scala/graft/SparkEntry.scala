@@ -973,6 +973,26 @@ object SparkEntry {
         md5(concat_ws(" ", col("chunk"))).as("digest"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Line-level (C4/Dolma paragraph) dedup over a lined view of the
+    * corpus: each document re-laid-out as newline-separated 10-token
+    * lines (the fixture corpus has no natural line breaks), then every
+    * repeated line keeps only its globally first (doc, position)
+    * occurrence. Per-doc kept/removed counts plus the md5 of the
+    * reassembled text pin the exact surviving line set and order.
+    */
+  private def textLineDedup(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val n = greatest(ceil(size(toks).cast("double") / 10.0), lit(1L))
+    val lined = t(s, d, "documents").select(col("doc_id"),
+      array_join(transform(sequence(lit(1L), n),
+        i => array_join(slice(toks, ((i - lit(1L)) * 10 + 1).cast("int"),
+          lit(10)), " ")), "\n").as("text"))
+    Dedup.lineDedup(lined, "doc_id", "text")
+      .select(col("doc_id"), col("n_kept"), col("n_removed"),
+        md5(col("clean_text")).as("digest"))
+      .orderBy("doc_id")
+  }
+
   /** PMI bigram collocations over the documents corpus: top-20 adjacent
     * pairs most over-represented vs their unigram frequencies (min count
     * 5). Ordering uses the ROUNDED pmi so a last-ulp ln() difference
@@ -1337,6 +1357,7 @@ object SparkEntry {
     "q73_diff" -> (q73 _),
     "q74_importance" -> (q74 _),
     "text_cooc" -> (textCooc _),
+    "text_linededup" -> (textLineDedup _),
     "text_chunks" -> (textChunks _),
     "text_pmi" -> (textPmi _),
     "text_diversity" -> (textDiversity _),
@@ -1922,6 +1943,36 @@ object SparkEntry {
         |              ELSE 'unchanged' END AS status
         |  FROM b FULL OUTER JOIN a ON a.k = b.k
         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_linededup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents
+        |), lined AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_transform(generate_series(1, GREATEST(len(toks), 1), 10),
+        |      s -> array_to_string(toks[s:s+9], ' ')), chr(10)) AS text
+        |  FROM base
+        |), lines AS (
+        |  SELECT doc_id, i, l[i] AS line
+        |  FROM (SELECT doc_id, l,
+        |          CAST(unnest(generate_series(1, len(l))) AS INT) AS i
+        |        FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+        |              FROM lined))
+        |), flagged AS (
+        |  SELECT doc_id, i, line,
+        |    CASE WHEN TRIM(line) = '' THEN TRUE
+        |         ELSE ROW_NUMBER() OVER (PARTITION BY line
+        |                                 ORDER BY doc_id, i) = 1
+        |    END AS keep
+        |  FROM lines
+        |)
+        |SELECT doc_id,
+        |  COUNT(*) FILTER (WHERE keep) AS n_kept,
+        |  COUNT(*) FILTER (WHERE NOT keep) AS n_removed,
+        |  md5(COALESCE(array_to_string(
+        |    list(line ORDER BY i) FILTER (WHERE keep), chr(10)), '')) AS digest
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_cooc" ->
       """WITH base AS (
         |  SELECT doc_id,

@@ -475,4 +475,51 @@ object Dedup extends CacheLedger {
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), round(col("cos"), 3).as("cos"))
   }
+
+  /** Paragraph/line-level dedup — the C4/Dolma shape: drop every repeated
+    * line (boilerplate headers, navigation chrome, license blurbs) from
+    * the corpus, keeping only its globally FIRST occurrence in
+    * (`idCol`, position) order, and reassemble each document from its
+    * surviving lines. Blank lines are document structure, not content —
+    * they are always kept and never count as duplicates of each other.
+    *
+    * Returns one row per input document:
+    * (doc_id, clean_text, n_kept, n_removed). A document whose every line
+    * was seen earlier comes back with `clean_text = ""`. Null text
+    * round-trips as a single blank line (`clean_text = ""`, n_kept = 1).
+    *
+    * Scale shape: lines travel as 64-bit `xxhash64` keys. The
+    * first-occurrence winner per line is a map-side-combinable
+    * `min(struct(doc, pos))` AGGREGATE — not a per-line window — so a
+    * boilerplate line repeated 10⁹ times costs one combiner cell per
+    * task, not a 10⁹-row window partition. The join back on the hash is
+    * the only skew-exposed step (hot probe key, 1-row build side per
+    * key); AQE's skew-split handles it. Reassembly is one agg keyed by
+    * doc id with a deterministic (pos, line) sort inside the group.
+    *
+    * @param sep line separator, treated as a literal string
+    */
+  def lineDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+    val hashed = lines.select(col("doc_id"), col("pos"), col("line"),
+      xxhash64(col("line")).as("h"),
+      (trim(col("line")) === "").as("blank"))
+    val winners = hashed.filter(!col("blank"))
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val flagged = hashed.join(winners, Seq("h"), "left")
+      .withColumn("keep", col("blank") ||
+        (col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+    flagged.groupBy("doc_id").agg(
+      concat_ws(sep, transform(
+        array_sort(collect_list(when(col("keep"),
+          struct(col("pos"), col("line"))))),
+        s => s.getField("line"))).as("clean_text"),
+      count(when(col("keep"), lit(1))).as("n_kept"),
+      count(when(!col("keep"), lit(1))).as("n_removed"))
+  }
 }

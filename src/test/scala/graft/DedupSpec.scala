@@ -164,6 +164,35 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 1L)))
   }
 
+  test("lineDedup keeps first occurrence, blanks, and reassembles in order") {
+    val rows = Seq(
+      (0L, "header line\nbody zero\n\nfooter line"),
+      (1L, "header line\nbody one\nfooter line"), // header+footer dup of 0
+      (2L, "\n\n"),                               // blank-only doc survives
+      (3L, "body zero"))                          // dup of 0's middle line
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("header line\nbody zero\n\nfooter line", 4L, 0L)))
+    assert(got(1L) == (("body one", 1L, 2L)))
+    assert(got(2L) == (("\n\n", 3L, 0L)))   // blanks never dedup each other
+    assert(got(3L) == (("", 0L, 1L)))       // fully-covered doc comes back empty
+  }
+
+  test("lineDedup: null text round-trips as one blank line; invariant to partitioning") {
+    val rows = Seq((0L, "a b\nc d"), (1L, null.asInstanceOf[String]), (2L, "a b"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.lineDedup(d, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val base = run(df)
+    assert(base.contains((1L, "", 1L, 0L)))
+    assert(base.contains((2L, "", 0L, 1L)))
+    assert(run(df.repartition(7)) == base)
+    assert(run(df.coalesce(1)) == base)
+  }
+
   test("releaseCaches drops operator-internal caches (batch-ingest leak bound)") {
     // assert on the CacheManager's query-cache registry, not on
     // getPersistentRDDs — that count also moves when the ContextCleaner
