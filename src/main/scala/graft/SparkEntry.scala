@@ -769,6 +769,18 @@ object SparkEntry {
     * arithmetic step engine-identical; MSE rounds at 1e-8 (summation-order
     * noise is ~1e-18).
     */
+  /** Per-dimension z-score standardization: the first 5 vectors' full
+    * standardized values (rounded) pin the corpus mean/std of every
+    * dimension and the narrow rebuild-by-index projection.
+    */
+  private def q75(s: SparkSession, d: String): DataFrame =
+    Similarity.standardize(t(s, d, "embeddings"), "vec_id", "embedding")
+      .filter(col("vid") < 5)
+      .select(col("vid").as("vec_id"),
+        posexplode(col("zvec")).as(Seq("idx", "z")))
+      .select(col("vec_id"), col("idx"), round(col("z"), 4).as("z"))
+      .orderBy("vec_id", "idx")
+
   private def q61(s: SparkSession, d: String): DataFrame = {
     val levels = 256
     val codes = Similarity.scalarQuantize(t(s, d, "embeddings"), "vec_id", "embedding", levels)
@@ -1356,6 +1368,7 @@ object SparkEntry {
     "q72_profile" -> (q72 _),
     "q73_diff" -> (q73 _),
     "q74_importance" -> (q74 _),
+    "q75_standardize" -> (q75 _),
     "text_cooc" -> (textCooc _),
     "text_linededup" -> (textLineDedup _),
     "text_chunks" -> (textChunks _),
@@ -1925,6 +1938,23 @@ object SparkEntry {
         |        AS BIGINT) / 4294967296.0
         |      < GREATEST(LEAST(CAST(n_chars AS DOUBLE) / 600.0, 1.0), 0.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q75_standardize" ->
+      """WITH tall AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS idx,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, embedding,
+        |          CAST(unnest(generate_series(1, len(embedding))) AS BIGINT)
+        |            AS i
+        |        FROM embeddings)
+        |), stats AS (
+        |  SELECT idx, AVG(v) AS mean, STDDEV_POP(v) AS std
+        |  FROM tall GROUP BY idx
+        |)
+        |SELECT t.vec_id, t.idx,
+        |  ROUND(CASE WHEN s.std = 0 THEN 0.0
+        |             ELSE (t.v - s.mean) / s.std END, 4) AS z
+        |FROM tall t JOIN stats s USING (idx)
+        |WHERE t.vec_id < 5 ORDER BY vec_id, idx""".stripMargin,
     "q73_diff" ->
       """WITH o AS (
         |  SELECT o_orderkey AS k, o_orderpriority AS p, o_totalprice AS v

@@ -242,4 +242,38 @@ object Similarity {
       new IvfIndex(cents, assigned)
     }
   }
+
+  /** Per-dimension z-score standardization of an embedding column — the
+    * feature-normalization step before distance-based training or
+    * indexing (unnormalized dimensions dominate L2; standardizing makes
+    * cosine/L2 comparable across heterogeneous feature scales).
+    *
+    * Two-pass shape, both scale-safe: (1) corpus mean/stddev per
+    * dimension from the tall (idx, v) explode — a map-side-combined
+    * hash agg whose shuffle volume is dims × partitions, not rows;
+    * (2) the stats fold into ONE row of (means[], stds[]) arrays,
+    * broadcast, and the z projection runs NARROW over the original
+    * array column (`transform` with the element index — the vectors
+    * themselves never shuffle). Constant dimensions (std = 0) map to 0.
+    *
+    * @return (vid, zvec) with zvec = (v - mean) / std per dimension
+    */
+  def standardize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val tall = emb
+      .select(posexplode(col(vecCol)).as(Seq("idx", "v")))
+      .select(col("idx"), col("v").cast("double").as("v"))
+    val stats = tall.groupBy("idx")
+      .agg(avg("v").as("mean"), stddev_pop(col("v")).as("std"))
+    val statsRow = stats.agg(
+        array_sort(collect_list(struct(col("idx"), col("mean")))).as("ms"),
+        array_sort(collect_list(struct(col("idx"), col("std")))).as("ss"))
+      .select(transform(col("ms"), s => s.getField("mean")).as("means"),
+        transform(col("ss"), s => s.getField("std")).as("stds"))
+    emb.crossJoin(broadcast(statsRow))
+      .select(col(idCol).as("vid"),
+        transform(col(vecCol), (x, i) =>
+          when(element_at(col("stds"), i + 1) === 0.0, lit(0.0))
+            .otherwise((x.cast("double") - element_at(col("means"), i + 1)) /
+              element_at(col("stds"), i + 1))).as("zvec"))
+  }
 }

@@ -99,4 +99,27 @@ class SimilaritySpec extends SparkSpec {
       (0, 0) -> (2.0, 2L), (0, 1) -> (4.0, 2L),
       (1, 0) -> (10.0, 1L), (1, 1) -> (20.0, 1L)))
   }
+
+  test("standardize equals hand-computed z-scores; constant dims map to 0") {
+    // dim 0: values 1,3,5 -> mean 3, std_pop sqrt(8/3)
+    // dim 1: constant 7   -> std 0 -> z = 0
+    val rows = Seq(
+      (0L, Array(1.0f, 7.0f)),
+      (1L, Array(3.0f, 7.0f)),
+      (2L, Array(5.0f, 7.0f)))
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val got = Similarity.standardize(emb, "vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .toMap
+    val s = math.sqrt(8.0 / 3.0)
+    for ((vid, want0) <- Seq(0L -> (1.0 - 3.0) / s, 1L -> 0.0, 2L -> (5.0 - 3.0) / s)) {
+      assert(math.abs(got(vid)(0) - want0) < 1e-12, s"vid=$vid got=${got(vid)}")
+      assert(got(vid)(1) == 0.0)
+    }
+    // standardized corpus has per-dim mean 0 / std 1 on the non-constant dim
+    val z0 = got.values.map(_(0)).toSeq
+    assert(math.abs(z0.sum / 3) < 1e-12)
+    assert(math.abs(z0.map(x => x * x).sum / 3 - 1.0) < 1e-12)
+  }
 }
