@@ -948,6 +948,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
       .orderBy("source")
 
+  /** Weighted sampling without replacement (A-ES): 5 docs per source with
+    * inclusion probability ∝ n_chars. The exact kept id set per source
+    * certifies the priority computation, the rounding guard, and the
+    * group-limited rank cut.
+    */
+  private def q76(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedSample(t(s, d, "documents"), "doc_id", "n_chars",
+        Seq("source"), k = 5)
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+
   /** Snapshot diff between two derived versions of orders (drop-%3 with a
     * price bump on even keys, vs drop-%7): every status class — added /
     * removed / changed / unchanged — is populated, and the per-status
@@ -1369,6 +1380,7 @@ object SparkEntry {
     "q73_diff" -> (q73 _),
     "q74_importance" -> (q74 _),
     "q75_standardize" -> (q75 _),
+    "q76_weighted" -> (q76 _),
     "text_cooc" -> (textCooc _),
     "text_linededup" -> (textLineDedup _),
     "text_chunks" -> (textChunks _),
@@ -1938,6 +1950,22 @@ object SparkEntry {
         |        AS BIGINT) / 4294967296.0
         |      < GREATEST(LEAST(CAST(n_chars AS DOUBLE) / 600.0, 1.0), 0.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q76_weighted" ->
+      """WITH pri AS (
+        |  SELECT source, doc_id,
+        |    ROUND(POWER(
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0,
+        |      1.0 / CAST(n_chars AS DOUBLE)), 12) AS p
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |), ranked AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY p DESC, doc_id) AS rn
+        |  FROM pri
+        |)
+        |SELECT source, doc_id FROM ranked WHERE rn <= 5
+        |ORDER BY source, doc_id""".stripMargin,
     "q75_standardize" ->
       """WITH tall AS (
         |  SELECT vec_id, CAST(i - 1 AS INT) AS idx,

@@ -92,6 +92,44 @@ object Sampling {
     df.filter(hashWeight(col(keyCol)) <
       greatest(least(col(probCol), lit(1.0)), lit(0.0)))
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, "A-ES"): keep the k rows per group with the largest
+    * priority u^(1/w), where u is the key's [[hashWeight]] and w the
+    * row's weight — each row's inclusion probability is proportional to
+    * its weight, with no RNG state (same reproducibility contract as
+    * [[hashSplit]]: pure function of the key, stable under reshuffles
+    * and growth).
+    *
+    * Rows with null or non-positive weight are excluded (A-ES is
+    * undefined there). Priorities are ROUNDED to `keyDecimals` before
+    * ranking, ties broken by the key column: `pow`/`ln` differ in the
+    * last ulp across libm implementations, and an unrounded rank would
+    * let that flip the k-cut between engines — at 12 decimals a flip
+    * needs two priorities within 1e-12 of each other AND a rounding
+    * boundary between them.
+    *
+    * One shuffle on the group key; the `row_number <= k` filter plans a
+    * partial WindowGroupLimit BEFORE the exchange, so each map task
+    * ships at most k rows per group, never the group's full membership.
+    * Empty `groupCols` = one global sample (single window partition —
+    * fine for driver-sized k, prefer a group column at corpus scale).
+    */
+  def weightedSample(
+      df: DataFrame, keyCol: String, weightCol: String,
+      groupCols: Seq[String], k: Int, keyDecimals: Int = 12): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__pri").desc, col(keyCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__pri",
+        round(pow(hashWeight(col(keyCol)),
+          lit(1.0) / col(weightCol).cast("double")), keyDecimals))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn", "__pri")
+  }
+
   /** Per-group upper winsorization: cap `valueCol` at its group's p-th
     * ORDER STATISTIC — the value at rank ceil(p·n) — appending `cap` and
     * `winsorized` (= least(value, cap)) columns. The outlier-taming pass of

@@ -112,6 +112,46 @@ class SamplingSpec extends SparkSpec {
     assert(byG("b").forall(t => t._3 == 300L && t._4 == t._2))
   }
 
+  test("weightedSample: exact k per group, weight-proportional, reshuffle-stable") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // two groups; in "a" ids 0-99 carry weight 200, ids 100-999 weight 1
+    val rows = (0 until 1000).map(i => ("a", i.toLong, if (i < 100) 200.0 else 1.0)) ++
+      (0 until 50).map(i => ("b", 10000L + i, 1.0))
+    val df = rows.toDF("g", "id", "w")
+    def kept(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(d, "id", "w", Seq("g"), k = 20)
+        .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val base = kept(df)
+    assert(base.count(_._1 == "a") == 20 && base.count(_._1 == "b") == 20)
+    // heavy rows are 100 of 1000 but carry >99% of total weight: the
+    // sample must be dominated by them (deterministic given the hash)
+    assert(base.count { case (g, id) => g == "a" && id < 100 } >= 15)
+    // pure function of the key: partitioning cannot change the sample
+    assert(kept(df.repartition(13)) == base)
+    assert(kept(df.coalesce(1)) == base)
+  }
+
+  test("weightedSample: non-positive and null weights are excluded; equal weights = hash top-k") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = Seq((1L, Some(0.0)), (2L, Some(-3.0)), (3L, None), (4L, Some(1.0)))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", Seq.empty, k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(4L))
+    // with equal weights the priority is monotone in the hash weight, so
+    // the sample is exactly the top-k keys by hashWeight
+    val eq = (0 until 100).map(i => (i.toLong, 1.0)).toDF("id", "w")
+    val sample = Sampling.weightedSample(eq, "id", "w", Seq.empty, k = 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val topByHash = eq.select(col("id"),
+        graft.operators.Sampling.hashWeight(col("id")).as("hw"))
+      .orderBy(col("hw").desc).limit(7)
+      .collect().map(_.getLong(0)).toSet
+    assert(sample == topByHash)
+  }
+
   test("winsorize: null values keep null winsorized and never become the cap") {
     import spark.implicits._
     val df = Seq(("a", Some(1L)), ("a", Some(5L)), ("a", None))
