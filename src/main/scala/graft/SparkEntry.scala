@@ -1266,6 +1266,29 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Spark-4 arbitrary state: per-(user, type) running counts via
+    * transformWithState (typed MapState on the RocksDB state store).
+    * Update mode emits a new total whenever a (user, type) cell changes;
+    * counts are monotone, so max-per-cell over the drained stream is the
+    * final state — which must equal the batch GROUP BY count.
+    */
+  private def streamTws(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = EventStreams.userTypeCounts(s, EventStreams.readEvents(s, d)).toDF()
+      EventStreams.runToMemory(s, updates, s"stream_tws_${System.nanoTime()}", "update")
+        .groupBy(col("userId").as("user_id"), col("eventType").as("event_type"))
+        .agg(max(col("n")).as("n"))
+        .orderBy("user_id", "event_type")
+    } finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Watermarked stream-stream interval join run to completion. */
   private def streamJoin(s: SparkSession, d: String): DataFrame = {
     val joined = EventStreams.purchaseAfterClick(EventStreams.readEvents(s, d))
@@ -1383,6 +1406,7 @@ object SparkEntry {
     "q76_weighted" -> (q76 _),
     "text_cooc" -> (textCooc _),
     "text_linededup" -> (textLineDedup _),
+    "stream_tws" -> (streamTws _),
     "text_chunks" -> (textChunks _),
     "text_pmi" -> (textPmi _),
     "text_diversity" -> (textDiversity _),
@@ -2287,6 +2311,9 @@ object SparkEntry {
     "stream_state" ->
       """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_tws" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id
         |FROM events p JOIN events c

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over `events`-shaped data — the unbounded
@@ -112,6 +112,56 @@ object EventStreams {
           state.update(next)
           Iterator.single(next)
         })
+  }
+
+  final case class TypeCount(userId: Long, eventType: String, n: Long)
+
+  /** Per-(user, event-type) running counts as a [[StatefulProcessor]] for
+    * the Spark 4 `transformWithState` API: one typed [[MapState]] per
+    * user key (event type → count), updated per micro-batch, emitting the
+    * new totals of the types touched in the batch. Richer state shape
+    * than [[userRunningTotals]]'s single-value GroupState — the map is
+    * point-readable/updatable per entry on the RocksDB store, so a key's
+    * state no longer has to fit in one deserialized value.
+    */
+  private[streaming] class TypeCountProcessor
+      extends StatefulProcessor[Long, (Long, String), TypeCount] {
+    import org.apache.spark.sql.Encoders
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val batch = rows.foldLeft(Map.empty[String, Long]) { case (m, (_, t)) =>
+        m.updated(t, m.getOrElse(t, 0L) + 1L)
+      }
+      batch.foreach { case (t, c) =>
+        val prev = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, prev + c)
+      }
+      batch.keysIterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  /** Per-(user, event-type) running counts via `transformWithState` —
+    * the arbitrary-state API that supersedes flatMapGroupsWithState in
+    * Spark 4 (typed value/list/map state cells, timers, TTL). Requires
+    * the RocksDB state store provider; set it on the session before
+    * starting the query (see [[StreamingSpec]] / the declared query).
+    * After the stream drains, the final count per (user, type) equals
+    * the batch `groupBy(user_id, event_type).count()` — the oracle.
+    */
+  def userTypeCounts(spark: SparkSession, events: DataFrame): Dataset[TypeCount] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_type")
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Drain everything currently available into a durable parquet sink and

@@ -71,6 +71,28 @@ class StreamingSpec extends SparkSpec {
     assert(latest == want)
   }
 
+  test("transformWithState map-state counts reach the batch per-(user,type) counts") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventStreams.readEvents(spark, sfDir)
+      val updates = EventStreams.runToMemory(spark,
+        EventStreams.userTypeCounts(spark, stream).toDF(), "t_tws", "update")
+      // counts are monotone: the max emitted per cell is the final state
+      val latest = updates.groupBy("userId", "eventType")
+        .agg(max(col("n")).as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = batch.groupBy("user_id", "event_type").count()
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(latest == want)
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("file-sink checkpoint recovery: restart processes only new files, exactly once") {
     import java.nio.file.Files
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
