@@ -666,6 +666,17 @@ object SparkEntry {
         date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"))
       .orderBy("o_orderpriority", "day")
 
+  /** Per-user EWMA (α = 0.3) of event values in (ts, event_id) order for
+    * the first 5 users. The recurrence applies identical IEEE ops in an
+    * identical order in both engines, so even the unrounded doubles are
+    * bit-equal; rounded to 6 for the usual display-stability reasons.
+    */
+  private def q77(s: SparkSession, d: String): DataFrame =
+    Resample.ewma(t(s, d, "events").filter(col("user_id") < 5),
+        "user_id", "ts", "value", alpha = 0.3, tieCols = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), round(col("ewma"), 6).as("ewma"))
+      .orderBy("user_id", "event_id")
+
   /** Full outer join: nations' high-balance customer counts vs their
     * high-balance supplier counts; each filter leaves nations the other
     * side lacks, so both null wings are exercised. Nulls survive to the
@@ -1404,6 +1415,7 @@ object SparkEntry {
     "q74_importance" -> (q74 _),
     "q75_standardize" -> (q75 _),
     "q76_weighted" -> (q76 _),
+    "q77_ewma" -> (q77 _),
     "text_cooc" -> (textCooc _),
     "text_linededup" -> (textLineDedup _),
     "stream_tws" -> (streamTws _),
@@ -1974,6 +1986,23 @@ object SparkEntry {
         |        AS BIGINT) / 4294967296.0
         |      < GREATEST(LEAST(CAST(n_chars AS DOUBLE) / 600.0, 1.0), 0.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q77_ewma" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id < 5 AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |), walk AS (
+        |  SELECT user_id, event_id, rn, v AS s FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT q.user_id, q.event_id, q.rn,
+        |    0.3 * q.v + (1.0 - 0.3) * w.s AS s
+        |  FROM seq q JOIN walk w
+        |    ON q.user_id = w.user_id AND q.rn = w.rn + 1
+        |)
+        |SELECT user_id, event_id, ROUND(s, 6) AS ewma FROM walk
+        |ORDER BY user_id, event_id""".stripMargin,
     "q76_weighted" ->
       """WITH pri AS (
         |  SELECT source, doc_id,

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Time-series regularization: resample an event table onto a dense,
   * gap-free calendar grid. The batch analogue of a streaming tumbling
@@ -50,5 +51,54 @@ object Resample {
       .join(counts, col("k") <=> col("ck") && col("day") === col("cday"), "left")
       .select(col("k").as(keyCol), col("day"),
         coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Per-key exponentially-weighted moving average of `valueCol` in event
+    * order: s₀ = x₀, sᵢ = α·xᵢ + (1−α)·sᵢ₋₁ (pandas `ewm(adjust=False)`
+    * semantics) — the standard smoothing pass before rate alerting or
+    * trend features. Appends an `ewma` column; rows with a null
+    * timestamp or value are excluded (they have no place in the
+    * recurrence).
+    *
+    * An EWMA is inherently sequential per key, so the scale shape is NOT
+    * a per-key collected array (unbounded memory for hot keys) but the
+    * same repartition + sortWithinPartitions + single-pass partition scan
+    * as [[graft.operators.Packing.nextFitBins]]: one hash shuffle on the
+    * key, one local sort, O(1) state per key in the scan. Keys never
+    * split across partitions, and a key change mid-partition resets the
+    * state. Equal timestamps are broken by `tieCols` — pass a unique
+    * column to make the fold order (and thus the result) deterministic.
+    *
+    * Cross-engine note: the fold applies identical correctly-rounded
+    * IEEE ops in an identical order, so results are bit-reproducible in
+    * any engine that replays the same recurrence (the oracle uses a
+    * recursive CTE); (1−α) is computed from α in double arithmetic —
+    * an oracle must write `1.0 - alpha`, not a rounded decimal literal.
+    */
+  def ewma(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      alpha: Double, tieCols: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0,1]: $alpha")
+    val beta = 1.0 - alpha
+    val base = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(Seq(col(keyCol), col(tsCol)) ++ tieCols.map(col) :+
+        col(valueCol).cast("double").as("__v"): _*)
+    val parted = base
+      .repartition(col(keyCol))
+      .sortWithinPartitions(Seq(col(keyCol), col(tsCol)) ++ tieCols.map(col): _*)
+    val enc = org.apache.spark.sql.Encoders.row(parted.schema.add("ewma", DoubleType))
+    parted.mapPartitions { it =>
+      var key: Any = null
+      var started = false
+      var s = 0.0
+      it.map { r =>
+        val k = r.get(0)
+        val v = r.getDouble(r.length - 1)
+        if (!started || k != key) { key = k; started = true; s = v }
+        else s = alpha * v + beta * s
+        Row.fromSeq(r.toSeq :+ s)
+      }
+    }(enc)
   }
 }

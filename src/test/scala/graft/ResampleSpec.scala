@@ -67,4 +67,42 @@ class ResampleSpec extends SparkSpec {
       (None, "2024-03-03", 1L))
     assert(got == want)
   }
+
+  test("ewma replays the hand-computed recurrence per key") {
+    val rows = Seq(
+      ("a", Timestamp.valueOf("2024-03-01 00:00:00"), 10.0),
+      ("a", Timestamp.valueOf("2024-03-01 00:01:00"), 20.0),
+      ("a", Timestamp.valueOf("2024-03-01 00:02:00"), 30.0),
+      ("b", Timestamp.valueOf("2024-03-01 00:00:00"), 100.0))
+    val df = spark.createDataFrame(rows).toDF("k", "ts", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Resample.ewma(d, "k", "ts", "v", alpha = 0.5)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(3)))
+        .toSet
+    val got = run(df)
+    // a: 10 -> .5*20+.5*10=15 -> .5*30+.5*15=22.5 ; b resets to 100
+    val want = Set(
+      ("a", Timestamp.valueOf("2024-03-01 00:00:00"), 10.0),
+      ("a", Timestamp.valueOf("2024-03-01 00:01:00"), 15.0),
+      ("a", Timestamp.valueOf("2024-03-01 00:02:00"), 22.5),
+      ("b", Timestamp.valueOf("2024-03-01 00:00:00"), 100.0))
+    assert(got == want)
+    // key-change reset and fold order survive any input partitioning
+    assert(run(df.repartition(7)) == want)
+    assert(run(df.coalesce(1)) == want)
+  }
+
+  test("ewma excludes null timestamps and null values from the recurrence") {
+    val rows = Seq(
+      ("a", Some(Timestamp.valueOf("2024-03-01 00:00:00")), Some(10.0)),
+      ("a", None, Some(999.0)),
+      ("a", Some(Timestamp.valueOf("2024-03-01 00:01:00")), None),
+      ("a", Some(Timestamp.valueOf("2024-03-01 00:02:00")), Some(20.0)))
+    val df = spark.createDataFrame(rows).toDF("k", "ts", "v")
+    val got = Resample.ewma(df, "k", "ts", "v", alpha = 0.5)
+      .collect().map(r => (r.getTimestamp(1), r.getDouble(3))).toSet
+    assert(got == Set(
+      (Timestamp.valueOf("2024-03-01 00:00:00"), 10.0),
+      (Timestamp.valueOf("2024-03-01 00:02:00"), 15.0)))
+  }
 }
