@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Sink surface — the reference's only sink is an in-memory scalar +
   * stdout (`crawler.go:253`, `cmd/app/app.go:54`); a complete engine needs
@@ -61,5 +61,41 @@ object Sinks {
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes`-sized files. The maintenance pass every
+    * long-lived ingest needs — streaming/micro-batch writers and
+    * over-parallel jobs leave thousands of KB-sized files whose
+    * per-file open cost (and NameNode/liststatus pressure) dominates
+    * reads long before data volume does.
+    *
+    * The file count is computed from the directory's actual on-disk
+    * bytes, and the rewrite uses `coalesce` — a NARROW merge of read
+    * partitions, no shuffle; the read itself already packs small files
+    * into `spark.sql.files.maxPartitionBytes`-sized splits, so the job
+    * is one scan + one write. (Use a partitioned rewrite via
+    * [[parquet]] with `repartition` instead when the layout — not just
+    * the file size — must change.)
+    *
+    * @return number of output files requested
+    */
+  def compactParquet(
+      spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, s"target must be positive: $targetFileBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var total = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+    }
+    val n = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inDir).coalesce(n)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    n
   }
 }

@@ -49,4 +49,40 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(Sampling.winsorize(grouped, Seq("g"), "doc_id", 0.9))
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("runtime bloom filter prunes the fact scan of a selective shuffle join") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Spark injects a bloom-filter runtime filter on the application
+    // (fact) side when the creation side is selective — the shuffle-join
+    // analogue of broadcast pruning, and the config we rely on at 100 TB.
+    // Local fixture sizes sit below the production thresholds, so lower
+    // them for the assertion; a shuffle join is forced the same way.
+    val in = java.nio.file.Files.createTempDirectory("bloom").toString
+    (0L until 200000L).map(i => (i, i % 100)).toDF("k", "v")
+      .write.parquet(s"$in/fact")
+    (0L until 100L).map(i => (i, i % 10)).toDF("k", "flag")
+      .write.parquet(s"$in/dim")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$in/fact")
+      val dim = spark.read.parquet(s"$in/dim").filter(col("flag") === 3)
+      val joined = fact.join(dim, "k")
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") &&
+        optimized.contains("bloom_filter_agg"),
+        s"no runtime bloom filter in:\n$optimized")
+      // dim keys 3,13,…,93 each match exactly one unique fact key
+      assert(joined.count() == 10)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

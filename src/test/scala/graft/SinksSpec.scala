@@ -63,4 +63,25 @@ class SinksSpec extends SparkSpec {
   test("blackhole sink materializes without output") {
     Sinks.blackhole(Tables.load(spark, sfDir, "lineitem").groupBy("l_returnflag").count())
   }
+
+  test("compactParquet collapses a small-file directory, preserving content") {
+    val in = Files.createTempDirectory("compact_in").toString
+    val out = Files.createTempDirectory("compact_out").toString
+    val df = Tables.load(spark, sfDir, "lineitem")
+    df.repartition(40).write.mode("overwrite").parquet(in)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles.count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 40)
+    // target sized so the whole directory fits in a couple of files
+    val n = Sinks.compactParquet(spark, in, out, targetFileBytes = 64L * 1024 * 1024)
+    assert(n >= 1 && parquetFiles(out) <= 4,
+      s"requested $n files, wrote ${parquetFiles(out)}")
+    // content identical: same rows, same per-flag aggregates
+    val a = spark.read.parquet(in).groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = spark.read.parquet(out).groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(spark.read.parquet(out).count() == df.count())
+  }
 }
