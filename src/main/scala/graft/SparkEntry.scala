@@ -959,6 +959,59 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
       .orderBy("source")
 
+  /** CDC apply: lineitem rows act as a change log over orders (latest
+    * (l_shipdate, l_linenumber) per order wins; every 4th linenumber is a
+    * delete), merged into the orders snapshot. Per-bucket counts and
+    * value sums pin the net-effect pick, the delete filter, and the
+    * pass-through of untouched keys.
+    */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("v"))
+    val changes = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_returnflag").as("status"),
+        col("l_extendedprice").as("v"), col("l_shipdate").as("ts"),
+        col("l_linenumber").as("tie"),
+        when(col("l_linenumber") % 4 === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("op"))
+    Ingest.applyChanges(base, changes, Seq("k"), "ts", "op", Seq("tie"))
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("v"))
+      .orderBy("bucket")
+  }
+
+  /** Batch sessionization (30-minute gap) with the session id on every
+    * row; per-session event counts and integer second spans pin both the
+    * boundary rule and the running session index.
+    */
+  private def q79(s: SparkSession, d: String): DataFrame =
+    Resample.sessionize(t(s, d, "events"), "user_id", "ts",
+        gapSeconds = 1800, tieCols = Seq("event_id"))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n"),
+        (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+          .as("dur_s"))
+      .orderBy("user_id", "session_idx")
+
+  /** URL parsing (the crawl-normalization workhorse): synthesize a URL
+    * per document from fixture columns, then recover host / path / one
+    * query parameter with `parse_url` — certified against the oracle's
+    * independent string construction.
+    */
+  private def q80(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("doc_id").cast("string"), lit("?lang="), col("lang")).as("url"))
+      .select(col("doc_id"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("lang"))
+      .groupBy("host", "lang")
+      .agg(count(lit(1)).as("n"), min(col("path")).as("p0"))
+      .orderBy("host", "lang")
+
   /** Weighted sampling without replacement (A-ES): 5 docs per source with
     * inclusion probability ∝ n_chars. The exact kept id set per source
     * certifies the priority computation, the rounding guard, and the
@@ -1416,6 +1469,9 @@ object SparkEntry {
     "q75_standardize" -> (q75 _),
     "q76_weighted" -> (q76 _),
     "q77_ewma" -> (q77 _),
+    "q78_cdc" -> (q78 _),
+    "q79_sessionize" -> (q79 _),
+    "q80_url" -> (q80 _),
     "text_cooc" -> (textCooc _),
     "text_linededup" -> (textLineDedup _),
     "stream_tws" -> (streamTws _),
@@ -1986,6 +2042,60 @@ object SparkEntry {
         |        AS BIGINT) / 4294967296.0
         |      < GREATEST(LEAST(CAST(n_chars AS DOUBLE) / 600.0, 1.0), 0.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q78_cdc" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS v
+        |  FROM orders
+        |), chg AS (
+        |  SELECT l_orderkey AS k, l_returnflag AS status,
+        |    l_extendedprice AS v, l_shipdate AS ts, l_linenumber AS tie,
+        |    CASE WHEN l_linenumber % 4 = 0 THEN 'delete'
+        |         ELSE 'upsert' END AS op
+        |  FROM lineitem
+        |), net AS (
+        |  SELECT k, status, v, op FROM (
+        |    SELECT k, status, v, op,
+        |      ROW_NUMBER() OVER (PARTITION BY k
+        |                         ORDER BY ts DESC, tie DESC) AS rn
+        |    FROM chg) WHERE rn = 1
+        |), applied AS (
+        |  SELECT b.k, b.status, b.v FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM net n WHERE n.k = b.k)
+        |  UNION ALL
+        |  SELECT k, status, v FROM net WHERE op <> 'delete'
+        |)
+        |SELECT k % 10 AS bucket, COUNT(*) AS n, ROUND(SUM(v), 2) AS v
+        |FROM applied GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q79_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE ts IS NOT NULL
+        |), g AS (
+        |  SELECT user_id, sec,
+        |    sec - LAG(sec) OVER (PARTITION BY user_id
+        |                         ORDER BY ts, event_id) AS gap,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, sec,
+        |    CAST(SUM(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY rn
+        |            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        |  FROM g
+        |)
+        |SELECT user_id, session_idx, COUNT(*) AS n,
+        |  MAX(sec) - MIN(sec) AS dur_s
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q80_url" ->
+      """WITH u AS (
+        |  SELECT doc_id, source || '.example.com' AS host,
+        |    '/docs/' || CAST(doc_id AS VARCHAR) AS path, lang
+        |  FROM documents
+        |)
+        |SELECT host, lang, COUNT(*) AS n, MIN(path) AS p0
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q77_ewma" ->
       """WITH RECURSIVE seq AS (
         |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,

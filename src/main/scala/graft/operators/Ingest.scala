@@ -151,4 +151,38 @@ object Ingest {
       .withColumn("effective_to", lead(col(tsCol), 1).over(w))
       .drop("_prev", tsCol)
   }
+
+  /** Apply a CDC (change-data-capture) log to a snapshot: each key's NET
+    * effect is its latest change by (`tsCol`, `tieCols`) order — an
+    * `opCol` value of "delete" removes the key, anything else
+    * upserts the change row's payload. Keys the log never touches pass
+    * through. Replaying a log suffix that was already applied converges
+    * to the same table (the at-least-once delivery contract of every
+    * real CDC pipeline).
+    *
+    * Plan shape: the per-key latest-change pick is `row_number() = 1`,
+    * which plans a partial WindowGroupLimit BEFORE its exchange (map
+    * tasks ship one candidate per key, not the key's whole history);
+    * then one left-anti join against the touched keys plus a union —
+    * the [[upsert]] shape. Bucketing both snapshot and log by the key
+    * makes the merge shuffle-free.
+    *
+    * `changes` must carry the snapshot's column set plus (`tsCol`,
+    * `opCol`, `tieCols`); the result carries the snapshot schema.
+    */
+  def applyChanges(
+      base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      tsCol: String, opCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc +: tieCols.map(col(_).desc): _*)
+    val net = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val upserts = net.filter(col(opCol) =!= "delete")
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    base.join(net.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(upserts)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -51,6 +52,38 @@ object Resample {
       .join(counts, col("k") <=> col("ck") && col("day") === col("cday"), "left")
       .select(col("k").as(keyCol), col("day"),
         coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Batch sessionization: assign each event a per-key `session_idx`
+    * (0-based) that increments whenever the gap since the key's previous
+    * event is ≥ `gapSeconds` — the same boundary rule as Spark's
+    * streaming `session_window` (an event inside the gap extends the
+    * session; at or past it starts a new one), but with the session ID
+    * ON EVERY ROW, which the windowed aggregate form can't give you
+    * (per-event features, funnel joins, session-level sampling all need
+    * the id, not just the aggregate).
+    *
+    * One shuffle: the lag and the running sum share the same (key)
+    * partitioning and (ts, tie) ordering, so Catalyst plans a single
+    * Window over one exchange + sort. Rows with a null timestamp are
+    * excluded. Pass a unique tie column to pin the order of equal
+    * timestamps.
+    */
+  def sessionize(
+      df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(gapSeconds > 0, s"gap must be positive: $gapSeconds")
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
+    df.filter(col(tsCol).isNotNull)
+      .withColumn("__gap",
+        unix_timestamp(col(tsCol)) - lag(unix_timestamp(col(tsCol)), 1).over(w))
+      .withColumn("session_idx",
+        sum(when(col("__gap").isNull || col("__gap") >= gapSeconds, 1L)
+          .otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .drop("__gap")
   }
 
   /** Per-key exponentially-weighted moving average of `valueCol` in event

@@ -133,4 +133,35 @@ class IngestSpec extends SparkSpec {
       .select("eid", "status").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(h.sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b"), (3L, "a")))
   }
+
+  test("applyChanges: latest change wins, deletes remove, untouched keys pass through") {
+    val base = spark.createDataFrame(Seq(
+        (1L, "a"), (2L, "b"), (3L, "c")))
+      .toDF("k", "v")
+    // key 1: upsert@10 then delete@20 -> gone
+    // key 2: delete@10 then upsert@20 -> new value wins
+    // key 4: inserted; key 3 untouched
+    val changes = spark.createDataFrame(Seq(
+        (1L, "x", 10L, 1L, "upsert"), (1L, "y", 20L, 1L, "delete"),
+        (2L, "z", 10L, 1L, "delete"), (2L, "B", 20L, 1L, "upsert"),
+        (4L, "d", 10L, 1L, "upsert")))
+      .toDF("k", "v", "ts", "tie", "op")
+    val got = Ingest.applyChanges(base, changes, Seq("k"), "ts", "op", Seq("tie"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "B", 3L -> "c", 4L -> "d"))
+  }
+
+  test("applyChanges: same-timestamp changes resolved by the tie column; replay converges") {
+    val base = spark.createDataFrame(Seq((1L, "a"))).toDF("k", "v")
+    val changes = spark.createDataFrame(Seq(
+        (1L, "first", 10L, 1L, "upsert"), (1L, "second", 10L, 2L, "upsert")))
+      .toDF("k", "v", "ts", "tie", "op")
+    val once = Ingest.applyChanges(base, changes, Seq("k"), "ts", "op", Seq("tie"))
+    assert(once.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "second")))
+    // applying the same log to the already-applied table is a no-op
+    val twice = Ingest.applyChanges(once, changes, Seq("k"), "ts", "op", Seq("tie"))
+    assert(twice.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "second")))
+  }
 }

@@ -92,6 +92,33 @@ class ResampleSpec extends SparkSpec {
     assert(run(df.coalesce(1)) == want)
   }
 
+  test("sessionize: gap boundary starts a new session, ids are per-key and 0-based") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-03-01 00:$m%02d:00")
+    val rows = Seq(
+      ("a", ts(0), 1L), ("a", ts(10), 2L),  // within 30m gap
+      ("a", ts(40), 3L),                    // exactly 30m after -> new session
+      ("a", ts(55), 4L),
+      ("b", ts(0), 5L))
+    val df = spark.createDataFrame(rows).toDF("k", "ts", "eid")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Resample.sessionize(d, "k", "ts", gapSeconds = 1800, tieCols = Seq("eid"))
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    val want = Set(
+      ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L), ("a", 4L, 1L),
+      ("b", 5L, 0L))
+    assert(run(df) == want)
+    assert(run(df.repartition(5)) == want)
+  }
+
+  test("sessionize plans one exchange for the lag and running-sum windows") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-03-01 00:$m%02d:00")
+    val df = spark.createDataFrame(Seq(("a", ts(0), 1L), ("a", ts(40), 2L)))
+      .toDF("k", "ts", "eid")
+    val plan = Resample.sessionize(df, "k", "ts", 1800, Seq("eid"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("ewma excludes null timestamps and null values from the recurrence") {
     val rows = Seq(
       ("a", Some(Timestamp.valueOf("2024-03-01 00:00:00")), Some(10.0)),
