@@ -506,6 +506,16 @@ object SparkEntry {
     Dedup.dedupeCorpus(t(s, d, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Quality-aware corpus dedup: survivors keep the LONGEST member of
+    * each near-dup component (n_chars as the quality score, ties to the
+    * smaller id) — the keep-the-best-copy policy, against the same
+    * recursive-closure oracle as dedup_corpus with an argmax survivor
+    * rule.
+    */
+  private def dedupQuality(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupeCorpusBy(t(s, d, "documents"), "doc_id", "text", "n_chars")
+      .orderBy("doc_id")
+
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.95)
@@ -958,6 +968,44 @@ object SparkEntry {
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
       .orderBy("source")
+
+  /** Star-schema join (the TPC-H Q5 shape): fact lineitem through orders
+    * → customer → nation → region with a selective region filter —
+    * certifies Catalyst's join ordering and automatic broadcast of the
+    * small dimensions on a 4-join chain.
+    */
+  private def q81(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("rev"), count(lit(1)).as("c"))
+      .orderBy("n_name")
+
+  /** Gaps-and-islands: longest consecutive-day purchase streak per user
+    * (rn-difference anchor grouping). Integer day arithmetic, so the
+    * island boundaries are engine-exact.
+    */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val days = t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("anchor",
+        date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("streak"), count(lit(1)).as("n_islands"),
+        sum(col("len")).as("n_days"))
+      .orderBy("user_id")
+  }
 
   /** CDC apply: lineitem rows act as a change log over orders (latest
     * (l_shipdate, l_linenumber) per order wins; every 4th linenumber is a
@@ -1472,6 +1520,9 @@ object SparkEntry {
     "q78_cdc" -> (q78 _),
     "q79_sessionize" -> (q79 _),
     "q80_url" -> (q80 _),
+    "q81_star" -> (q81 _),
+    "q82_streaks" -> (q82 _),
+    "dedup_quality" -> (dedupQuality _),
     "text_cooc" -> (textCooc _),
     "text_linededup" -> (textLineDedup _),
     "stream_tws" -> (streamTws _),
@@ -2042,6 +2093,33 @@ object SparkEntry {
         |        AS BIGINT) / 4294967296.0
         |      < GREATEST(LEAST(CAST(n_chars AS DOUBLE) / 600.0, 1.0), 0.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q81_star" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev,
+        |  COUNT(*) AS c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q82_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE event_type = 'purchase'
+        |), anchored AS (
+        |  SELECT user_id,
+        |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                  ORDER BY day) AS INTEGER) AS anchor
+        |  FROM d
+        |), islands AS (
+        |  SELECT user_id, anchor, COUNT(*) AS len
+        |  FROM anchored GROUP BY 1, 2
+        |)
+        |SELECT user_id, MAX(len) AS streak, COUNT(*) AS n_islands,
+        |  CAST(SUM(len) AS BIGINT) AS n_days
+        |FROM islands GROUP BY 1 ORDER BY 1""".stripMargin,
     "q78_cdc" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS v
@@ -2531,6 +2609,34 @@ object SparkEntry {
         |)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> c)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_quality" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |                   for i in range(1, len(l)-1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |), pj AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s)) * 1.0
+        |        / len(list_distinct(a.s || b.s)) >= 0.8
+        |), e(a, b) AS (
+        |  SELECT i, j FROM pj UNION SELECT j, i FROM pj
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        |), comp AS (
+        |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS c FROM reach GROUP BY a
+        |), ranked AS (
+        |  SELECT comp.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY comp.c
+        |                       ORDER BY d.n_chars DESC, comp.doc_id) AS rn
+        |  FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
         |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> duckShingles,
     "dedup_ngram" -> duckShingles,

@@ -435,6 +435,37 @@ object Dedup extends CacheLedger {
       .join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Quality-aware corpus dedup: like [[dedupeCorpus]], but the survivor
+    * of each near-duplicate component is the member with the HIGHEST
+    * `scoreCol` (ties to the smallest id) instead of the smallest id —
+    * what production recipes actually keep (the longest / cleanest /
+    * highest-LM-scored copy), since near-dup copies routinely differ in
+    * truncation and boilerplate.
+    *
+    * Same plan as [[dedupeCorpus]] plus one component-keyed window whose
+    * `row_number = 1` cut group-limits before its exchange; components
+    * are near-dup clusters, so the window partitions are tiny by
+    * construction.
+    *
+    * @return surviving doc ids (one best-scored per component + all
+    *         unpaired docs)
+    */
+  def dedupeCorpusBy(
+      docs: DataFrame, idCol: String, textCol: String, scoreCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minHashPairs(docs, idCol, textCol, shingleN, numHashes, bands, threshold)
+    val w = Window.partitionBy("comp").orderBy(col("__s").desc, col("doc_id"))
+    val losers = components(pairs)
+      .join(docs.select(col(idCol).as("doc_id"), col(scoreCol).as("__s")),
+        Seq("doc_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("doc_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Near-duplicate embedding pairs (cosine ≥ threshold) via
     * random-hyperplane LSH: `tables` independent signature words of
     * `planesPerTable` bits each; candidates share a full word in ≥1 table;

@@ -152,6 +152,32 @@ object Ingest {
       .drop("_prev", tsCol)
   }
 
+  /** Bloom-filter pre-screen for ingest dedup: mark each batch row as
+    * probably-seen (its key may be in the corpus) or certainly-new — the
+    * "skip URLs we already crawled" primitive. NO false negatives: a
+    * `seen = false` row is guaranteed absent from the corpus, so the
+    * expensive exact path ([[upsert]]'s anti-join, or a re-crawl) only
+    * runs for the `seen = true` sliver; false positives just degrade
+    * the split, never correctness.
+    *
+    * The filter is built distributed (`stat.bloomFilter` aggregates
+    * per-partition bit vectors), collected once, and broadcast — its
+    * size is set by (`expectedItems`, `fpp`), independent of corpus
+    * bytes: 10⁹ keys at 1% fpp ≈ 1.2 GB of bits, the standard trade for
+    * skipping a corpus-sized shuffle per batch. Keys are compared in
+    * string form on both sides so numeric/string key columns hash
+    * identically.
+    */
+  def probablyNew(
+      corpus: DataFrame, batch: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = corpus.select(col(keyCol).cast("string").as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val seen = udf((k: String) => k != null && bc.value.mightContain(k))
+    batch.withColumn("seen", seen(col(keyCol).cast("string")))
+  }
+
   /** Apply a CDC (change-data-capture) log to a snapshot: each key's NET
     * effect is its latest change by (`tsCol`, `tieCols`) order — an
     * `opCol` value of "delete" removes the key, anything else

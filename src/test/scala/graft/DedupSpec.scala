@@ -164,6 +164,19 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((0L, 1L)))
   }
 
+  test("dedupeCorpusBy keeps the best-scored member of each component") {
+    // docs 0 and 2 are exact dups (component {0, 2}); score doc 2 higher
+    val scored = docs.withColumn("score",
+      when(col("doc_id") === 2, 100L).otherwise(col("doc_id") * -1))
+    val got = Dedup.dedupeCorpusBy(scored, "doc_id", "text", "score")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L, 5L), s"got $got")
+    // with the min-id policy the same corpus keeps 0 instead
+    val minId = Dedup.dedupeCorpus(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(minId == Set(0L, 1L, 3L, 4L, 5L))
+  }
+
   test("lineDedup keeps first occurrence, blanks, and reassembles in order") {
     val rows = Seq(
       (0L, "header line\nbody zero\n\nfooter line"),

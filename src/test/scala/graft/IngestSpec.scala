@@ -134,6 +134,20 @@ class IngestSpec extends SparkSpec {
     assert(h.sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b"), (3L, "a")))
   }
 
+  test("probablyNew: no false negatives; false positives bounded near fpp") {
+    import spark.implicits._
+    val corpus = (0L until 5000L).toDF("k")
+    val batch = (4000L until 14000L).toDF("k") // 1000 seen + 9000 new
+    val flagged = Ingest.probablyNew(corpus, batch, "k",
+        expectedItems = 5000L, fpp = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // every corpus key must be flagged seen — bloom filters cannot miss
+    assert((4000L until 5000L).forall(flagged(_)), "false negative!")
+    // unseen keys: false-positive rate should be near fpp (generous 5x bound)
+    val fp = (5000L until 14000L).count(flagged(_))
+    assert(fp <= 9000 * 0.05, s"$fp false positives of 9000")
+  }
+
   test("applyChanges: latest change wins, deletes remove, untouched keys pass through") {
     val base = spark.createDataFrame(Seq(
         (1L, "a"), (2L, "b"), (3L, "c")))
