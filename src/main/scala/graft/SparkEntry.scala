@@ -1011,7 +1011,9 @@ object SparkEntry {
     * (l_shipdate, l_linenumber) per order wins; every 4th linenumber is a
     * delete), merged into the orders snapshot. Per-bucket counts and
     * value sums pin the net-effect pick, the delete filter, and the
-    * pass-through of untouched keys.
+    * pass-through of untouched keys. The synthetic lineitem duplicates a
+    * few (orderkey, shipdate, linenumber) triples, so the payload columns
+    * join the tie-break to make the latest-change pick engine-unique.
     */
   private def q78(s: SparkSession, d: String): DataFrame = {
     val base = t(s, d, "orders")
@@ -1023,7 +1025,8 @@ object SparkEntry {
         col("l_linenumber").as("tie"),
         when(col("l_linenumber") % 4 === 0, lit("delete"))
           .otherwise(lit("upsert")).as("op"))
-    Ingest.applyChanges(base, changes, Seq("k"), "ts", "op", Seq("tie"))
+    Ingest.applyChanges(base, changes, Seq("k"), "ts", "op",
+        Seq("tie", "v", "status"))
       .groupBy((col("k") % 10).as("bucket"))
       .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("v"))
       .orderBy("bucket")
@@ -2134,7 +2137,8 @@ object SparkEntry {
         |  SELECT k, status, v, op FROM (
         |    SELECT k, status, v, op,
         |      ROW_NUMBER() OVER (PARTITION BY k
-        |                         ORDER BY ts DESC, tie DESC) AS rn
+        |                         ORDER BY ts DESC, tie DESC,
+        |                                  v DESC, status DESC) AS rn
         |    FROM chg) WHERE rn = 1
         |), applied AS (
         |  SELECT b.k, b.status, b.v FROM base b
