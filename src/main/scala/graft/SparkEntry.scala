@@ -1045,6 +1045,28 @@ object SparkEntry {
           .as("dur_s"))
       .orderBy("user_id", "session_idx")
 
+  /** Session funnel: per user, how many 30-minute sessions exist and how
+    * many convert (a purchase at-or-after the session's first click, at
+    * second precision — engine-consistent on both sides). Composes
+    * [[Resample.sessionize]] with a conditional-aggregation rollup:
+    * certifies the session ids are usable as join/group keys, not just
+    * labels.
+    */
+  private def q83(s: SparkSession, d: String): DataFrame =
+    Resample.sessionize(t(s, d, "events"), "user_id", "ts",
+        gapSeconds = 1800, tieCols = Seq("event_id"))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        min(when(col("event_type") === "click",
+          unix_timestamp(col("ts")))).as("fc"),
+        max(when(col("event_type") === "purchase",
+          unix_timestamp(col("ts")))).as("lp"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("fc").isNotNull && col("lp").isNotNull &&
+          col("lp") >= col("fc"), lit(1))).as("n_converted"))
+      .orderBy("user_id")
+
   /** URL parsing (the crawl-normalization workhorse): synthesize a URL
     * per document from fixture columns, then recover host / path / one
     * query parameter with `parse_url` — certified against the oracle's
@@ -1526,6 +1548,7 @@ object SparkEntry {
     "q81_star" -> (q81 _),
     "q82_streaks" -> (q82 _),
     "dedup_quality" -> (dedupQuality _),
+    "q83_funnel" -> (q83 _),
     "text_cooc" -> (textCooc _),
     "text_linededup" -> (textLineDedup _),
     "stream_tws" -> (streamTws _),
@@ -2096,6 +2119,34 @@ object SparkEntry {
         |        AS BIGINT) / 4294967296.0
         |      < GREATEST(LEAST(CAST(n_chars AS DOUBLE) / 600.0, 1.0), 0.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q83_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE ts IS NOT NULL
+        |), g AS (
+        |  SELECT user_id, event_type, sec,
+        |    sec - LAG(sec) OVER (PARTITION BY user_id
+        |                         ORDER BY ts, event_id) AS gap,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, event_type, sec,
+        |    CAST(SUM(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY rn
+        |            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        |  FROM g
+        |), per AS (
+        |  SELECT user_id, session_idx,
+        |    MIN(CASE WHEN event_type = 'click' THEN sec END) AS fc,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN sec END) AS lp
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  COUNT(*) FILTER (WHERE fc IS NOT NULL AND lp IS NOT NULL
+        |                     AND lp >= fc) AS n_converted
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q81_star" ->
       """SELECT n_name,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev,

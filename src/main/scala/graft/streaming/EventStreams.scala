@@ -147,6 +147,60 @@ object EventStreams {
     }
   }
 
+  final case class EwmaState(userId: Long, ewma: Double, nEvents: Long)
+
+  /** Streaming EWMA as a [[StatefulProcessor]] with a single typed
+    * [[org.apache.spark.sql.streaming.ValueState]] cell per key — the
+    * streaming face of [[graft.operators.Resample.ewma]], same
+    * recurrence, same fold order. Micro-batch input iterators carry no
+    * ordering guarantee, so each batch's rows are buffered and sorted by
+    * (ts, tie) before folding; batches themselves arrive in source
+    * order, giving the cross-batch ordering (the file/kafka-offset
+    * contract). Emits the updated state once per key per batch.
+    */
+  private[streaming] class EwmaProcessor(alpha: Double)
+      extends StatefulProcessor[Long, (Long, Long, Long, Double), EwmaState] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.ValueState
+    @transient private var state: ValueState[EwmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[EwmaState](
+        "ewma", Encoders.product[EwmaState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long, Double)],
+        timerValues: TimerValues): Iterator[EwmaState] = {
+      val ordered = rows.toIndexedSeq.sortBy(r => (r._2, r._3))
+      if (ordered.isEmpty) Iterator.empty
+      else {
+        var (s, n) = if (state.exists()) (state.get().ewma, state.get().nEvents)
+        else (0.0, 0L)
+        ordered.foreach { case (_, _, _, v) =>
+          s = if (n == 0L) v else alpha * v + (1.0 - alpha) * s
+          n += 1
+        }
+        val next = EwmaState(key, s, n)
+        state.update(next)
+        Iterator.single(next)
+      }
+    }
+  }
+
+  /** Per-user streaming EWMA over (ts, event_id)-ordered values via
+    * `transformWithState` (RocksDB ValueState). The drained final state
+    * per user equals the batch [[graft.operators.Resample.ewma]]'s last
+    * value — asserted in StreamingSpec.
+    */
+  def userEwma(spark: SparkSession, events: DataFrame, alpha: Double): Dataset[EwmaState] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "unix_micros(ts)", "event_id", "value")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new EwmaProcessor(alpha), TimeMode.None(), OutputMode.Update())
+  }
+
   /** Per-(user, event-type) running counts via `transformWithState` —
     * the arbitrary-state API that supersedes flatMapGroupsWithState in
     * Spark 4 (typed value/list/map state cells, timers, TTL). Requires

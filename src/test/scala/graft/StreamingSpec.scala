@@ -93,6 +93,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming EWMA value-state reaches the batch EWMA's final value per user") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventStreams.readEvents(spark, sfDir)
+      val updates = EventStreams.runToMemory(spark,
+        EventStreams.userEwma(spark, stream, alpha = 0.3).toDF(), "t_ewma", "update")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("userId").orderBy(col("nEvents").desc)
+      val got = updates.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // batch oracle: last EWMA value per user in the same (ts, tie) order
+      val batchEwma = graft.operators.Resample.ewma(
+        batch, "user_id", "ts", "value", alpha = 0.3, tieCols = Seq("event_id"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val want = batchEwma.withColumn("rn", row_number().over(w2))
+        .filter(col("rn") === 1)
+        .select("user_id", "ewma")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == want.keySet)
+      for ((u, v) <- want)
+        assert(math.abs(got(u) - v) < 1e-9, s"user $u: stream ${got(u)} vs batch $v")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("file-sink checkpoint recovery: restart processes only new files, exactly once") {
     import java.nio.file.Files
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
