@@ -969,6 +969,18 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
       .orderBy("source")
 
+  /** Deterministic negative sampling over the dense embedding id space:
+    * 4 negatives per anchor for the first 20 vectors — every drawn id is
+    * pinned, certifying the hash draw and the anchor-collision fix-up.
+    */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "embeddings").count()
+    Sampling.negativeSamples(
+        t(s, d, "embeddings").filter(col("vec_id") < 20).select("vec_id"),
+        "vec_id", n, k = 4)
+      .orderBy("vec_id", "neg_idx")
+  }
+
   /** Star-schema join (the TPC-H Q5 shape): fact lineitem through orders
     * → customer → nation → region with a selective region filter —
     * certifies Catalyst's join ordering and automatic broadcast of the
@@ -1549,6 +1561,7 @@ object SparkEntry {
     "q82_streaks" -> (q82 _),
     "dedup_quality" -> (dedupQuality _),
     "q83_funnel" -> (q83 _),
+    "q84_negatives" -> (q84 _),
     "text_cooc" -> (textCooc _),
     "text_linededup" -> (textLineDedup _),
     "stream_tws" -> (streamTws _),
@@ -2119,6 +2132,21 @@ object SparkEntry {
         |        AS BIGINT) / 4294967296.0
         |      < GREATEST(LEAST(CAST(n_chars AS DOUBLE) / 600.0, 1.0), 0.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q84_negatives" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+        |drawn AS (
+        |  SELECT a.vec_id, CAST(j AS INT) AS neg_idx,
+        |    CAST(floor(
+        |      CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || ':'
+        |            || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 * n.n) AS BIGINT) AS raw,
+        |    n.n AS nn
+        |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 20) a, n,
+        |       generate_series(0, 3) AS t(j)
+        |)
+        |SELECT vec_id, neg_idx,
+        |  CASE WHEN raw = vec_id THEN (raw + 1) % nn ELSE raw END AS neg_id
+        |FROM drawn ORDER BY vec_id, neg_idx""".stripMargin,
     "q83_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, event_type,

@@ -536,9 +536,11 @@ object Dedup extends CacheLedger {
     val lines = docs.select(col(idCol).as("doc_id"),
       posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
-    val hashed = lines.select(col("doc_id"), col("pos"), col("line"),
+    // cache barrier: the exploded line table feeds both the winner agg and
+    // the keep-flag join — uncached, the split+posexplode would run twice
+    val hashed = ledgered(lines.select(col("doc_id"), col("pos"), col("line"),
       xxhash64(col("line")).as("h"),
-      (trim(col("line")) === "").as("blank"))
+      (trim(col("line")) === "").as("blank")).cache())
     val winners = hashed.filter(!col("blank"))
       .groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))

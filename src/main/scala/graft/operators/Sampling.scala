@@ -130,6 +130,32 @@ object Sampling {
       .drop("__rn", "__pri")
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor row, derive `k` pseudo-random negative ids from a DENSE id
+    * space [0, n) — the in-batch-negatives alternative when the corpus
+    * ids are contiguous (run [[graft.operators.Indexing.globalIds]]
+    * first otherwise). Negative j of anchor a is
+    * `md5-weight(a ⊕ j) · n`, with a +1 (mod n) fix-up when it collides
+    * with the anchor itself — a pure function of (anchor, j, n), so the
+    * draw is reproducible across engines/partitionings and NARROW: no
+    * join, no shuffle, no RNG state. Collisions BETWEEN negatives of one
+    * anchor are allowed (sampling with replacement), as in standard
+    * contrastive recipes.
+    *
+    * @return one row per (anchor, j): (idCol, neg_idx, neg_id)
+    */
+  def negativeSamples(
+      df: DataFrame, idCol: String, n: Long, k: Int): DataFrame = {
+    require(n > 1, s"need an id space larger than 1: $n")
+    require(k > 0, s"k must be positive: $k")
+    val raw = floor(hashWeight(concat(col(idCol).cast("string"), lit(":"),
+      col("neg_idx").cast("string"))) * n).cast("long")
+    df.select(col(idCol),
+        explode(sequence(lit(0), lit(k - 1))).as("neg_idx"))
+      .withColumn("neg_id",
+        when(raw === col(idCol), (raw + 1) % n).otherwise(raw))
+  }
+
   /** Per-group upper winsorization: cap `valueCol` at its group's p-th
     * ORDER STATISTIC — the value at rank ceil(p·n) — appending `cap` and
     * `winsorized` (= least(value, cap)) columns. The outlier-taming pass of

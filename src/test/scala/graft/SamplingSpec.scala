@@ -152,6 +152,22 @@ class SamplingSpec extends SparkSpec {
     assert(sample == topByHash)
   }
 
+  test("negativeSamples: k per anchor, in range, never the anchor, reshuffle-stable") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val anchors = (0L until 100L).toDF("id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.negativeSamples(d, "id", n = 100L, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = run(anchors)
+    assert(got.size == 500)
+    assert(got.forall { case (_, _, neg) => neg >= 0 && neg < 100 })
+    assert(got.forall { case (a, _, neg) => neg != a })
+    assert(run(anchors.repartition(11)) == got)
+    // draws cover the id space reasonably (hash uniformity sanity)
+    assert(got.map(_._3).size > 50)
+  }
+
   test("winsorize: null values keep null winsorized and never become the cap") {
     import spark.implicits._
     val df = Seq(("a", Some(1L)), ("a", Some(5L)), ("a", None))
