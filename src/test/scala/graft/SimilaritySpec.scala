@@ -100,6 +100,29 @@ class SimilaritySpec extends SparkSpec {
       (1, 0) -> (10.0, 1L), (1, 1) -> (20.0, 1L)))
   }
 
+  test("recallAtK: hand-checked hits, zero-hit queries, and the ANN indexes' own recall") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("q", "nb")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L), (3L, 99L))
+      .toDF("q", "nb")
+    val got = Similarity.recallAtK(approx, exact, "q", "nb")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 2L, 1.0)),
+      3L -> ((1L, 0L, 0.0))))
+    // end-to-end: the IVF index at full nprobe has recall 1.0 by construction
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val exactTopK = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L), k = 5)
+    val idx = Similarity.IvfIndex.build(spark, emb, "vec_id", "embedding", nClusters = 4)
+    val ivfTopK = idx.search(emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, nprobe = 4)
+    val r = Similarity.recallAtK(ivfTopK, exactTopK, "query_id", "neighbor_id")
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(r == 1.0, s"IVF full-probe recall $r != 1.0")
+  }
+
   test("standardize equals hand-computed z-scores; constant dims map to 0") {
     // dim 0: values 1,3,5 -> mean 3, std_pop sqrt(8/3)
     // dim 1: constant 7   -> std 0 -> z = 0
