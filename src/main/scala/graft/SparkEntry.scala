@@ -1474,6 +1474,80 @@ object SparkEntry {
       .agg(round(expr("percentile_approx(l_extendedprice, 0.5, 1000)"), 2).as("p50"))
       .orderBy("l_returnflag")
 
+  /** C4-rule boilerplate stripping over the same 10-token lined corpus
+    * view as `text_linededup`: lines appearing in ≥3 DISTINCT documents
+    * are removed from every document (vs lineDedup's keep-first). The
+    * per-doc kept/removed counts plus the md5 of the reassembled text
+    * pin the exact removal set and order.
+    */
+  private def textBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val n = greatest(ceil(size(toks).cast("double") / 10.0), lit(1L))
+    val lined = t(s, d, "documents").select(col("doc_id"),
+      array_join(transform(sequence(lit(1L), n),
+        i => array_join(slice(toks, ((i - lit(1L)) * 10 + 1).cast("int"),
+          lit(10)), " ")), "\n").as("text"))
+    Dedup.stripBoilerplate(lined, "doc_id", "text", minDocs = 3)
+      .select(col("doc_id"), col("n_kept"), col("n_removed"),
+        md5(col("clean_text")).as("digest"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-flattened language mixing (α = 0.5) over the skewed
+    * `lang` column: per-language kept counts, kept-id sums (pinning the
+    * exact kept set), and the realized keep rate.
+    */
+  private def q85(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureSample(t(s, d, "documents"), "lang", "doc_id", alpha = 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"),
+        max("rate").as("rate"))
+      .orderBy("lang")
+
+  /** Token-budget trim: keep documents in (n_chars desc, doc_id) order
+    * while the inclusive running character total stays ≤ 75k — the
+    * "best docs until the budget is spent" selection, grouped per source.
+    * Integer arithmetic end to end, so the cut is engine-exact.
+    */
+  private def q86(s: SparkSession, d: String): DataFrame =
+    Sampling.budgetTrim(t(s, d, "documents"),
+        Seq(col("n_chars").desc, col("doc_id")), "n_chars", budget = 75000L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"),
+        sum("n_chars").as("chars"))
+      .orderBy("source")
+
+  /** Robust MAD outliers on event values per type (k = 3): the group
+    * median/MAD (rank-selected order statistics, engine-exact) plus
+    * outlier counts and flagged-id sums pinning the exact flag set.
+    */
+  private def q87(s: SparkSession, d: String): DataFrame =
+    Ingest.madOutliers(t(s, d, "events"), Seq("event_type"), "value", k = 3.0)
+      .groupBy("event_type")
+      .agg(round(max("med"), 6).as("med"), round(max("mad"), 6).as("mad"),
+        count(when(col("is_outlier"), lit(1))).as("n_out"),
+        sum(when(col("is_outlier"), col("event_id"))).as("out_ids"))
+      .orderBy("event_type")
+
+  /** Bucketed interval-overlap self-join: per-user event intervals
+    * [ts, ts + floor(value)] in epoch seconds, all overlapping pairs via
+    * the equi-join bucket grid (width 600 s ≥ the max span, so fan-out
+    * ≤ 2 buckets/interval), aggregated to per-user pair counts + id-sum
+    * checksums. The oracle replays the plain theta self-join.
+    */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val iv = t(s, d, "events").select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("lo"),
+      (unix_timestamp(col("ts")) + floor(col("value")).cast("long")).as("hi"))
+    RangeJoin.intervalOverlap(iv, iv, Seq("user_id"), "lo", "hi",
+        bucketWidth = 600L)
+      .filter(col("l_event_id") < col("r_event_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("l_event_id") + col("r_event_id")).as("pair_sum"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------ registry --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1566,6 +1640,11 @@ object SparkEntry {
     "text_linededup" -> (textLineDedup _),
     "stream_tws" -> (streamTws _),
     "text_chunks" -> (textChunks _),
+    "text_boilerplate" -> (textBoilerplate _),
+    "q85_temperature" -> (q85 _),
+    "q86_budget" -> (q86 _),
+    "q87_outliers" -> (q87 _),
+    "q88_overlap" -> (q88 _),
     "text_pmi" -> (textPmi _),
     "text_diversity" -> (textDiversity _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -2355,6 +2434,106 @@ object SparkEntry {
         |  md5(COALESCE(array_to_string(
         |    list(line ORDER BY i) FILTER (WHERE keep), chr(10)), '')) AS digest
         |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents
+        |), lined AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_transform(generate_series(1, GREATEST(len(toks), 1), 10),
+        |      s -> array_to_string(toks[s:s+9], ' ')), chr(10)) AS text
+        |  FROM base
+        |), lines AS (
+        |  SELECT doc_id, i, l[i] AS line
+        |  FROM (SELECT doc_id, l,
+        |          CAST(unnest(generate_series(1, len(l))) AS INT) AS i
+        |        FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+        |              FROM lined))
+        |), boiler AS (
+        |  SELECT line FROM lines WHERE TRIM(line) <> ''
+        |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+        |), flagged AS (
+        |  SELECT doc_id, i, line,
+        |    (TRIM(line) = '' OR line NOT IN (SELECT line FROM boiler)) AS keep
+        |  FROM lines
+        |)
+        |SELECT doc_id,
+        |  COUNT(*) FILTER (WHERE keep) AS n_kept,
+        |  COUNT(*) FILTER (WHERE NOT keep) AS n_removed,
+        |  md5(COALESCE(array_to_string(
+        |    list(line ORDER BY i) FILTER (WHERE keep), chr(10)), '')) AS digest
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q85_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT lang, ROUND(POWER(CAST(n AS DOUBLE)
+        |    / (SELECT MIN(n) FROM c), -0.5), 6) AS rate
+        |  FROM c
+        |)
+        |SELECT d.lang, COUNT(*) AS n_kept,
+        |  CAST(SUM(d.doc_id) AS BIGINT) AS id_sum, MAX(r.rate) AS rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0
+        |      < r.rate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q86_budget" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |    SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents
+        |)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM c WHERE cum <= 75000 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q87_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id, value FROM events
+        |  WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v
+        |), med AS (
+        |  SELECT event_type, value AS med FROM r
+        |  WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+        |), dev AS (
+        |  SELECT v.event_type, v.event_id, ABS(v.value - m.med) AS dv, m.med
+        |  FROM v JOIN med m USING (event_type)
+        |), r2 AS (
+        |  SELECT event_type, dv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev
+        |), mad AS (
+        |  SELECT event_type, dv AS mad FROM r2
+        |  WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+        |)
+        |SELECT d.event_type, ROUND(MAX(d.med), 6) AS med,
+        |  ROUND(MAX(m.mad), 6) AS mad,
+        |  COUNT(*) FILTER (WHERE d.dv > 3 * m.mad) AS n_out,
+        |  CAST(SUM(d.event_id) FILTER (WHERE d.dv > 3 * m.mad) AS BIGINT)
+        |    AS out_ids
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q88_overlap" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS lo,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) + CAST(FLOOR(value) AS BIGINT)
+        |      AS hi
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |)
+        |SELECT a.user_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(a.event_id + b.event_id) AS BIGINT) AS pair_sum
+        |FROM iv a JOIN iv b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND a.lo <= b.hi AND b.lo <= a.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_cooc" ->
       """WITH base AS (
         |  SELECT doc_id,

@@ -555,4 +555,54 @@ object Dedup extends CacheLedger {
       count(when(col("keep"), lit(1))).as("n_kept"),
       count(when(!col("keep"), lit(1))).as("n_removed"))
   }
+
+  /** Boilerplate stripping by line document-frequency — the C4 rule that
+    * complements [[lineDedup]]: a line appearing in ≥ `minDocs` DISTINCT
+    * documents is site chrome (cookie banners, nav menus, license
+    * footers) and is removed from EVERY document, including the first —
+    * where [[lineDedup]] keeps one copy of each repeated line, this keeps
+    * none. Blank lines are structure and always survive.
+    *
+    * Returns one row per input document:
+    * (doc_id, clean_text, n_kept, n_removed).
+    *
+    * Scale shape: lines travel as 64-bit `xxhash64` keys. The document
+    * frequency per line is a two-level aggregate — distinct (hash, doc)
+    * then count by hash — both map-side combinable, never a window over
+    * a hot line's occurrence list. Only hashes that cross the threshold
+    * (the boilerplate set, a vanishing fraction of distinct lines) are
+    * joined back, as a LEFT join marking removals; AQE's skew-split
+    * covers a boilerplate hash hot on the probe side. Reassembly is one
+    * agg keyed by doc id with a deterministic (pos, line) sort inside
+    * the group.
+    *
+    * @param sep line separator, treated as a literal string
+    */
+  def stripBoilerplate(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, sep: String = "\n"): DataFrame = {
+    require(minDocs > 1, s"minDocs must exceed 1: $minDocs")
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+    // cache barrier: the exploded line table feeds both the line-df agg
+    // and the removal join — uncached, the split+posexplode runs twice
+    val hashed = ledgered(lines.select(col("doc_id"), col("pos"), col("line"),
+      xxhash64(col("line")).as("h"),
+      (trim(col("line")) === "").as("blank")).cache())
+    val boiler = hashed.filter(!col("blank"))
+      .select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"), lit(true).as("boiler"))
+    val flagged = hashed.join(boiler, Seq("h"), "left")
+      .withColumn("keep", col("blank") || col("boiler").isNull)
+    flagged.groupBy("doc_id").agg(
+      concat_ws(sep, transform(
+        array_sort(collect_list(when(col("keep"),
+          struct(col("pos"), col("line"))))),
+        s => s.getField("line"))).as("clean_text"),
+      count(when(col("keep"), lit(1))).as("n_kept"),
+      count(when(!col("keep"), lit(1))).as("n_removed"))
+  }
 }

@@ -211,4 +211,45 @@ object Ingest {
     base.join(net.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(upserts)
   }
+
+  /** Robust per-group outlier flagging via median absolute deviation —
+    * the data-quality gate that survives the very outliers it hunts
+    * (mean/stddev z-scores are dragged by the anomaly itself; the median
+    * and MAD have a 50% breakdown point). Appends `med`, `mad`, and
+    * `is_outlier` (= |value − med| > k·mad) to every row.
+    *
+    * Both medians are the LOWER-median ORDER STATISTIC (the element at
+    * rank ceil(n/2)), not an interpolated quantile, for the same reason
+    * as [[graft.operators.Sampling.winsorize]]: interpolation differs in
+    * final-ulp floating point across engines and a boundary flips the
+    * flag — a rank-selected element is engine-exact. k·mad itself is one
+    * IEEE multiply of identical doubles, so the compare is exact too.
+    *
+    * Two rank passes (group-keyed sort shuffles) + two broadcast joins of
+    * group-cardinality tables. At 100 TB swap the exact ranks for
+    * `percentile_approx` — same join shape, sketch-bounded task memory.
+    * Null values take no part in either median and flag as null.
+    */
+  def madOutliers(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Double): DataFrame = {
+    require(groupCols.nonEmpty, "madOutliers needs at least one group column")
+    require(k > 0.0, s"k must be positive: $k")
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    def lowerMedian(in: DataFrame, c: String, as: String): DataFrame =
+      in.filter(col(c).isNotNull)
+        .withColumn("__rn", row_number().over(part.orderBy(col(c))))
+        .withColumn("__n", count(lit(1)).over(part))
+        .filter(col("__rn") === ceil(col("__n").cast("double") / 2.0))
+        .select(groupCols.map(col) :+ col(c).as(as): _*)
+    val meds = lowerMedian(df, valueCol, "med")
+    val withMed = df.join(broadcast(meds), groupCols, "left")
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("med")))
+    val mads = lowerMedian(withMed, "__dev", "mad")
+    withMed.join(broadcast(mads), groupCols, "left")
+      .withColumn("is_outlier",
+        when(col(valueCol).isNull, lit(null).cast("boolean"))
+          .otherwise(col("__dev") > lit(k) * col("mad")))
+      .drop("__dev")
+  }
 }

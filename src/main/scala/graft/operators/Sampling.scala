@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Deterministic sampling / splitting for training-data pipelines.
   *
@@ -193,5 +194,130 @@ object Sampling {
       .withColumn("winsorized",
         when(col(valueCol).isNull, lit(null).cast(df.schema(valueCol).dataType))
           .otherwise(least(col(valueCol), col("cap"))))
+  }
+
+  /** Temperature-flattened source mixing (the multilingual/multi-source
+    * rebalancing of published training recipes): downsample each stratum
+    * so group shares follow nᵅ instead of n. The per-row keep rate is
+    * `(n_g / n_min)^(α−1)` — the smallest group keeps everything, a group
+    * `r`× larger keeps `r^(α−1)` of its rows; α = 1 keeps all rows, α → 0
+    * equalizes expected group sizes. Keep/drop is the key's [[hashWeight]]
+    * against the group rate, so the draw inherits every [[hashSplit]]
+    * guarantee (engine-reproducible, reshuffle-stable, monotone in α).
+    *
+    * Rates are ROUNDED to 6 decimals before the compare: `pow` differs in
+    * the last ulp across libm implementations, and an unrounded rate one
+    * ulp either side of a row's hash weight would flip that row between
+    * engines. Appends the group's `rate` column.
+    *
+    * One tiny hash agg (group cardinality rows) + a broadcast join back;
+    * the corpus itself never shuffles.
+    */
+  def temperatureSample(
+      df: DataFrame, strataCol: String, keyCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0,1]: $alpha")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(strataCol),
+        round(pow(col("__n").cast("double") / col("__nmin"), alpha - 1.0), 6)
+          .as("rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashWeight(col(keyCol)) < col("rate"))
+  }
+
+  /** Global running total of `weightCol` (nulls count 0) in the total
+    * order of `sortCols`, appended as `cumCol` — inclusive of the row
+    * itself, exact integer arithmetic (the weight is cast to long).
+    *
+    * Same scale-correct two-pass shape as
+    * [[graft.operators.Indexing.globalIds]]: range-shuffle + in-partition
+    * sort establishes the global order WITHOUT a one-task global window,
+    * then one tiny per-partition-sum job (one long per partition) feeds
+    * driver-computed prefix offsets into a narrow final scan.
+    *
+    * Determinism: `sortCols` must be a unique key (ties would leave the
+    * cumulative order partition-internal).
+    */
+  def runningTotal(
+      df: DataFrame, sortCols: Seq[Column], weightCol: String,
+      cumCol: String = "cum_weight"): DataFrame = {
+    require(sortCols.nonEmpty, "runningTotal needs at least one sort column")
+    val prepped = df.withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
+    val sorted = prepped.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val wIdx = sorted.schema.fieldIndex("__w")
+    val parts = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = parts.scanLeft(0L)(_ + _)
+    val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
+    val schema = sorted.schema.add(StructField(cumCol, LongType, nullable = false))
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = bc.value(i)
+      it.map { r => s += r.getLong(wIdx); Row.fromSeq(r.toSeq :+ s) }
+    }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+      .drop("__w")
+  }
+
+  /** Quantile normalization across groups: replace each row's value with
+    * the GLOBAL order statistic at the row's within-group rank fraction —
+    * after it, every group's value distribution is (up to rank
+    * granularity) the global one. The cross-source score-calibration
+    * step: a "0.8 quality" from a lenient scorer and a "0.5" from a harsh
+    * one land on comparable footing before a single corpus-wide
+    * threshold/sampling pass.
+    *
+    * Everything is rank arithmetic on integers — `pos = rk·(N−1) div
+    * max(ng−1, 1)` with RANK (ties share a rank, so equal inputs map
+    * equal) — and the mapped value is a SELECTED element of the data,
+    * never an interpolation, so the result is engine-exact
+    * (same rationale as [[winsorize]]). Needs `rk·(N−1) < 2⁶³`:
+    * fine through multi-trillion-row corpora.
+    *
+    * Plan shape: global order statistics come from
+    * [[graft.operators.Indexing.globalIds]]' two-pass range-shuffle (ties
+    * are safe — only the sorted value SEQUENCE is consumed, which is
+    * deterministic regardless of tie order), the group rank is one
+    * window exchange, and the final lookup is an equi-join on the rank
+    * position. Rows with a null value are excluded.
+    */
+  def quantileNormalize(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      outCol: String = "qnorm"): DataFrame = {
+    require(groupCols.nonEmpty, "quantileNormalize needs a group column")
+    val present = df.filter(col(valueCol).isNotNull)
+    val stats = Indexing.globalIds(
+      present.select(col(valueCol).cast("double").as("__v")),
+      Seq("__v"), "__gid")
+    val nRow = stats.agg(count(lit(1)).as("__N"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val ranked = present
+      .withColumn("__rk", rank().over(pw.orderBy(col(valueCol))).cast("long") - 1L)
+      .withColumn("__ng", count(lit(1)).over(pw))
+      .crossJoin(broadcast(nRow))
+      .withColumn("__pos", expr("__rk * (__N - 1) div greatest(__ng - 1, 1)"))
+    ranked.join(stats.withColumnRenamed("__v", outCol),
+        col("__pos") === col("__gid"))
+      .drop("__rk", "__ng", "__N", "__pos", "__gid")
+  }
+
+  /** Token-budget trim: walk the corpus in `sortCols` order (quality
+    * descending, id tie-break — the caller picks) and keep rows while the
+    * INCLUSIVE running total of `weightCol` stays ≤ `budget` — "take the
+    * best documents until the token budget is spent", the final selection
+    * step before packing a training set. Built on [[runningTotal]], so no
+    * single-task global sort; the kept set is a pure function of the data
+    * and the ordering (no RNG, engine-reproducible, and integer-exact).
+    */
+  def budgetTrim(
+      df: DataFrame, sortCols: Seq[Column], weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    runningTotal(df, sortCols, weightCol, "cum_weight")
+      .filter(col("cum_weight") <= budget)
   }
 }

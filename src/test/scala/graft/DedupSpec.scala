@@ -206,6 +206,29 @@ class DedupSpec extends SparkSpec {
     assert(run(df.coalesce(1)) == base)
   }
 
+  test("stripBoilerplate removes threshold-crossing lines from EVERY doc, keeps blanks") {
+    val rows = Seq(
+      (0L, "cookie banner\nunique zero\n\nrare line"),
+      (1L, "cookie banner\nunique one\nrare line"),
+      (2L, "cookie banner\nunique two"),
+      (3L, "only content"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+    // minDocs=3: "cookie banner" (df 3) goes everywhere; "rare line" (df 2) stays
+    val got = Dedup.stripBoilerplate(df, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("unique zero\n\nrare line", 3L, 1L)))
+    assert(got(1L) == (("unique one\nrare line", 2L, 1L)))
+    assert(got(2L) == (("unique two", 1L, 1L)))   // no first-copy survivor
+    assert(got(3L) == (("only content", 1L, 0L)))
+    // occurrences in ONE doc don't cross the DISTINCT-doc threshold
+    val oneDoc = spark.createDataFrame(Seq(
+      (0L, "same\nsame\nsame"), (1L, "other"))).toDF("doc_id", "text")
+    val kept = Dedup.stripBoilerplate(oneDoc, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kept == Map(0L -> 3L, 1L -> 1L))
+  }
+
   test("releaseCaches drops operator-internal caches (batch-ingest leak bound)") {
     // assert on the CacheManager's query-cache registry, not on
     // getPersistentRDDs — that count also moves when the ContextCleaner

@@ -165,6 +165,31 @@ class IngestSpec extends SparkSpec {
     assert(got == Map(2L -> "B", 3L -> "c", 4L -> "d"))
   }
 
+  test("madOutliers: hand-computed lower-median/MAD, robust flag, null passthrough") {
+    // group g: values 1..9 plus a wild outlier 1000 and a null
+    // lower median of {1..9, 1000} (n=10, rank 5) = 5
+    // deviations {4,3,2,1,0,1,2,3,4,995} sorted -> rank 5 = 2 (MAD)
+    val rows = ((1 to 9).map(v => ("g", Some(v.toDouble))) :+
+      ("g", Some(1000.0)) :+ ("g", Option.empty[Double]))
+    val got = Ingest.madOutliers(
+      spark.createDataFrame(rows).toDF("k", "v"), Seq("k"), "v", k = 3.0)
+    val byVal = got.collect().map { r =>
+      val v = if (r.isNullAt(1)) null else r.getDouble(1)
+      v -> (r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getBoolean(4))
+    }.toMap
+    assert(byVal(5.0) == ((5.0, 2.0, false)))
+    // |1000-5| = 995 > 3*2 -> flagged; |9-5| = 4 <= 6 -> not flagged
+    assert(byVal(1000.0)._3 == true)
+    assert(byVal(9.0)._3 == false)
+    // null value: median/MAD still attached, flag stays null
+    assert(byVal(null) == ((5.0, 2.0, null)))
+    // the mean/stddev z-score would also have flagged 1000, but MAD keeps
+    // the inliers unflagged even though the outlier inflates the stddev
+    assert(byVal.collect { case (v, (_, _, f: java.lang.Boolean))
+      if v != null && f.booleanValue() => v }.toSet == Set(1000.0))
+  }
+
   test("applyChanges: same-timestamp changes resolved by the tie column; replay converges") {
     val base = spark.createDataFrame(Seq((1L, "a"))).toDF("k", "v")
     val changes = spark.createDataFrame(Seq(

@@ -126,6 +126,33 @@ class JoinsSpec extends SparkSpec {
       col("k").as("ref")), "k", "k", "t", "t", Seq("ref")).isEmpty)
   }
 
+  test("intervalOverlap == naive theta join, each pair exactly once") {
+    // pseudo-random keyed intervals; spans regularly exceed the bucket
+    // width so multi-bucket pairs exercise the emit-once attribution
+    val rows = (0 until 300).map { i =>
+      val lo = (i * 97L) % 1000
+      (i % 5L, i.toLong, lo, lo + (i * 31L) % 120)
+    }
+    val iv = spark.createDataFrame(rows).toDF("k", "id", "lo", "hi")
+    val got = RangeJoin.intervalOverlap(iv, iv, Seq("k"), "lo", "hi",
+        bucketWidth = 50L)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naive = iv.as("a").join(iv.as("b"),
+        col("a.k") === col("b.k") &&
+        col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == naive.length, "a pair was emitted twice or missed")
+    assert(got.toSet == naive.toSet)
+    // null bounds drop the row rather than matching everything
+    val withNull = spark.createDataFrame(Seq(
+      (1L, 10L, Some(0L), Some(5L)), (1L, 11L, None, Some(5L))))
+      .toDF("k", "id", "lo", "hi")
+    assert(RangeJoin.intervalOverlap(withNull, withNull, Seq("k"),
+      "lo", "hi", 10L).count() == 1L) // only (10, 10)
+  }
+
   test("banded range join buckets values with half-open intervals") {
     val facts = spark.createDataFrame(Seq(
       Tuple1(0.0), Tuple1(49.9), Tuple1(50.0), Tuple1(149.9), Tuple1(150.0)))

@@ -168,6 +168,56 @@ class SamplingSpec extends SparkSpec {
     assert(got.map(_._3).size > 50)
   }
 
+  test("temperatureSample: rates follow (n/nmin)^(alpha-1); alpha=1 keeps all") {
+    import spark.implicits._
+    // three strata with 4:2:1 size skew
+    val rows = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (400 until 600).map(i => (i.toLong, "mid")) ++
+      (600 until 700).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val kept = Sampling.temperatureSample(rows, "g", "id", alpha = 0.5)
+    val rates = kept.groupBy("g").agg(max("rate")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("small") == 1.0)
+    assert(math.abs(rates("big") - math.pow(4.0, -0.5)) < 1e-6)
+    assert(math.abs(rates("mid") - math.pow(2.0, -0.5)) < 1e-6)
+    // the smallest stratum is never downsampled
+    assert(kept.filter(col("g") === "small").count() == 100)
+    // alpha = 1 is the identity
+    assert(Sampling.temperatureSample(rows, "g", "id", alpha = 1.0)
+      .count() == 700)
+    // kept set is reshuffle-stable
+    val a = kept.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(rows.repartition(13), "g", "id", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("runningTotal/budgetTrim: matches the window cumsum, any partitioning") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (i.toLong, ((i * 37) % 91 + 1).toLong))
+      .toDF("id", "w")
+    val expect = rows.withColumn("cum",
+        sum("w").over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("w").desc, col("id"))
+          .rowsBetween(Long.MinValue, 0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Sampling.runningTotal(rows.repartition(7),
+        Seq(col("w").desc, col("id")), "w", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expect)
+    // trim keeps exactly the prefix whose inclusive total fits the budget
+    val budget = 5000L
+    val keptIds = Sampling.budgetTrim(rows, Seq(col("w").desc, col("id")),
+      "w", budget).select("id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == expect.filter(_._2 <= budget).keySet)
+    // null weights cost nothing (sum semantics)
+    val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)))
+      .toDF("id", "w")
+    val cums = Sampling.runningTotal(withNull, Seq(col("id")), "w", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cums == Map(1L -> 10L, 2L -> 10L, 3L -> 15L))
+  }
+
   test("winsorize: null values keep null winsorized and never become the cap") {
     import spark.implicits._
     val df = Seq(("a", Some(1L)), ("a", Some(5L)), ("a", None))
