@@ -1548,6 +1548,32 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Fuzzy (edit-distance ≤ 2) self-join over the 64 distinct part names
+    * (id = min partkey per name): every near-identical name pair with its
+    * exact distance, generated by q-gram prefix filtering and verified
+    * with levenshtein — the oracle replays the naive theta join.
+    */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val names = t(s, d, "part").groupBy(col("p_name").as("nm"))
+      .agg(min("p_partkey").as("id"))
+    graft.operators.FuzzyJoin.editDistanceJoin(names, "id", "nm", k = 2, q = 2)
+      .orderBy("i", "j")
+  }
+
+  /** Quantile normalization of event values across event types: each
+    * row's value maps to the global order statistic at its within-type
+    * rank fraction. The per-(type, mapped-value) histogram pins the
+    * whole mapping; values are selected elements, so engine-exact.
+    */
+  private def q90(s: SparkSession, d: String): DataFrame =
+    Sampling.quantileNormalize(
+        t(s, d, "events").select("event_type", "value")
+          .filter(col("value").isNotNull),
+        Seq("event_type"), "value")
+      .groupBy(col("event_type"), round(col("qnorm"), 6).as("qn"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("event_type", "qn")
+
   // ------------------------------------------------------------ registry --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1645,6 +1671,8 @@ object SparkEntry {
     "q86_budget" -> (q86 _),
     "q87_outliers" -> (q87 _),
     "q88_overlap" -> (q88 _),
+    "q89_fuzzy" -> (q89 _),
+    "q90_qnorm" -> (q90 _),
     "text_pmi" -> (textPmi _),
     "text_diversity" -> (textDiversity _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -2520,6 +2548,34 @@ object SparkEntry {
         |    AS out_ids
         |FROM dev d JOIN mad m USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q89_fuzzy" ->
+      """WITH n AS (
+        |  SELECT p_name AS nm, MIN(p_partkey) AS id FROM part GROUP BY 1
+        |)
+        |SELECT a.id AS i, b.id AS j,
+        |  CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+        |FROM n a JOIN n b
+        |  ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q90_qnorm" ->
+      """WITH v AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT value AS gv, ROW_NUMBER() OVER (ORDER BY value) - 1 AS gid
+        |  FROM v
+        |), nn AS (SELECT COUNT(*) AS n FROM v),
+        |r AS (
+        |  SELECT event_type,
+        |    RANK() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ng
+        |  FROM v
+        |), p AS (
+        |  SELECT event_type, rk * (nn.n - 1) // GREATEST(ng - 1, 1) AS pos
+        |  FROM r, nn
+        |)
+        |SELECT p.event_type, ROUND(g.gv, 6) AS qn, COUNT(*) AS c
+        |FROM p JOIN g ON p.pos = g.gid
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q88_overlap" ->
       """WITH iv AS (
         |  SELECT user_id, event_id,

@@ -153,6 +153,34 @@ class JoinsSpec extends SparkSpec {
       "lo", "hi", 10L).count() == 1L) // only (10, 10)
   }
 
+  test("editDistanceJoin == naive levenshtein theta join, incl. short strings") {
+    import graft.operators.FuzzyJoin
+    // adversarial mix: near-duplicates, short strings (below the k·q+1
+    // gram prefix), disjoint-gram shorts within distance k, exact dupes
+    val names = Seq("red bolt", "new bolt", "red bolts", "cold anvil",
+      "old anvil", "gold anvil", "ab", "xy", "abc", "abd", "a", "",
+      "widget mk1", "widget mk2", "widget mk23", "totally different thing")
+    val df = spark.createDataFrame(names.zipWithIndex.map {
+      case (s, i) => (i.toLong, s)
+    }).toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      val got = FuzzyJoin.editDistanceJoin(df, "id", "s", k = k, q = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val naive = df.as("a").join(df.as("b"),
+          col("a.id") < col("b.id") &&
+          levenshtein(col("a.s"), col("b.s")) <= k)
+        .select(col("a.id"), col("b.id"), levenshtein(col("a.s"), col("b.s")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == naive, s"k=$k: fuzzy join diverged from naive")
+      assert(naive.nonEmpty, "test data must produce matches")
+    }
+    // "ab" vs "xy" share no gram but are within distance 2: the short
+    // bucket must have caught it at k=2
+    val k2 = FuzzyJoin.editDistanceJoin(df, "id", "s", k = 2, q = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k2.contains((names.indexOf("ab").toLong, names.indexOf("xy").toLong)))
+  }
+
   test("banded range join buckets values with half-open intervals") {
     val facts = spark.createDataFrame(Seq(
       Tuple1(0.0), Tuple1(49.9), Tuple1(50.0), Tuple1(149.9), Tuple1(150.0)))

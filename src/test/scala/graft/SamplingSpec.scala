@@ -218,6 +218,30 @@ class SamplingSpec extends SparkSpec {
     assert(cums == Map(1L -> 10L, 2L -> 10L, 3L -> 15L))
   }
 
+  test("quantileNormalize: group ranks map onto global order statistics") {
+    import spark.implicits._
+    // group a: 1,2,3,4 — group b: 100,200 ; global sorted:
+    // [1,2,3,4,100,200], N=6
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 100.0), ("b", 200.0)).toDF("g", "v")
+    val got = Sampling.quantileNormalize(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    // a: rk 0..3 of ng 4 -> pos = rk*5 div 3 = 0,1,3,5 -> 1,2,4,200
+    // b: rk 0,1 of ng 2 -> pos = 0,5 -> 1,200 (extremes meet, as they must)
+    assert(got == Set(("a", 1.0, 1.0), ("a", 2.0, 2.0), ("a", 3.0, 4.0),
+      ("a", 4.0, 200.0), ("b", 100.0, 1.0), ("b", 200.0, 200.0)))
+    // ties within a group map to the SAME normalized value (RANK, not
+    // row_number), and the result is partitioning-invariant
+    val tied = Seq(("a", 5.0), ("a", 5.0), ("a", 7.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.quantileNormalize(d, Seq("g"), "v")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val base = run(tied)
+    assert(base.filter(t => t._1 == "a" && t._2 == 5.0).map(_._3).toSet.size == 1)
+    assert(run(tied.repartition(7)).toSet == base.toSet)
+  }
+
   test("winsorize: null values keep null winsorized and never become the cap") {
     import spark.implicits._
     val df = Seq(("a", Some(1L)), ("a", Some(5L)), ("a", None))
