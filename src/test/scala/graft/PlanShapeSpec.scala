@@ -98,4 +98,42 @@ class PlanShapeSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("temperatureSample joins rates via broadcast; the corpus never shuffles") {
+    import org.apache.spark.sql.functions.col
+    val grouped = docs.withColumn("g", (col("doc_id") % 5).cast("string"))
+    val p = plan(Sampling.temperatureSample(grouped, "g", "doc_id", 0.5))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only exchanges belong to the group-cardinality rate aggregation,
+    // which sits on the broadcast (build) side — never on the probe side
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("intervalOverlap and editDistanceJoin plan equi-joins, never a cross product") {
+    import org.apache.spark.sql.functions.col
+    val iv = docs.select(col("doc_id").as("id"), (col("doc_id") % 50).as("k"),
+      (col("doc_id") * 3 % 997).as("lo"))
+      .withColumn("hi", col("lo") + 40)
+    val pOverlap = plan(graft.operators.RangeJoin.intervalOverlap(
+      iv, iv, Seq("k"), "lo", "hi", bucketWidth = 50L))
+    assert(!pOverlap.contains("CartesianProduct") &&
+      !pOverlap.contains("BroadcastNestedLoopJoin"), pOverlap)
+    val named = docs.select(col("doc_id").as("id"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("name "), col("text")).as("s"))
+    val pFuzzy = plan(graft.operators.FuzzyJoin.editDistanceJoin(
+      named, "id", "s", k = 2, q = 2))
+    assert(!pFuzzy.contains("CartesianProduct") &&
+      !pFuzzy.contains("BroadcastNestedLoopJoin"), pFuzzy)
+  }
+
+  test("quantileNormalize: the only nested-loop is the broadcast 1-row N count") {
+    import org.apache.spark.sql.functions.col
+    val grouped = docs.withColumn("g", (col("doc_id") % 5).cast("string"))
+      .withColumn("v", col("doc_id") % 37)
+    val p = plan(Sampling.quantileNormalize(grouped, Seq("g"), "v"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the N-count crossJoin must stay a broadcast of ONE row, nothing bigger
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+  }
 }
