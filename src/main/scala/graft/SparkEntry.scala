@@ -1574,6 +1574,59 @@ object SparkEntry {
       .agg(count(lit(1)).as("c"))
       .orderBy("event_type", "qn")
 
+  /** Reciprocal-rank fusion of two retrievers over the corpus: the BM25
+    * list for a fixed keyword query and the dense-cosine list for vector
+    * 0, each ranked by its ROUNDED score (engine-stable order), fused
+    * with c = 60. Top-20 consensus documents with membership counts.
+    */
+  private def textRrf(s: SparkSession, d: String): DataFrame = {
+    val bmTop = TextAnalysis.bm25(t(s, d, "documents"), "doc_id", "text",
+        Seq("table", "scan", "join"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+    val wB = Window.orderBy(col("score").desc, col("doc_id"))
+    val bmRank = bmTop.withColumn("rank", row_number().over(wB))
+      .select("doc_id", "rank")
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cosTop = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.plans.GraftFunctions.cosine(col("embedding"), col("qv")), 6)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(50)
+    val wC = Window.orderBy(col("cos").desc, col("doc_id"))
+    val cosRank = cosTop.withColumn("rank", row_number().over(wC))
+      .select("doc_id", "rank")
+    Similarity.rrfFuse(Seq(bmRank, cosRank), "doc_id", "rank")
+      .select(col("doc_id"), round(col("rrf"), 9).as("rrf"), col("n_lists"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Filter-funnel attrition report: every document tagged with the
+    * FIRST quality rule it fails (order: nonempty → lang_en → len_band →
+    * min_tokens), bucket counts + id sums. Buckets are additive — they
+    * sum to the corpus — which per-rule independent counts can't give.
+    */
+  private def q91(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.filterFunnel(t(s, d, "documents"), Seq(
+        "nonempty" -> (length(col("text")) > 0),
+        "lang_en" -> (col("lang") === "en"),
+        "len_band" -> col("n_chars").between(150, 1500),
+        "min_tokens" -> (size(graft.functions.TextFunctions.tokens(col("text"))) >= 30)))
+      .groupBy(coalesce(col("fail_rule"), lit("survived")).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+      .orderBy("bucket")
+
+  /** Quantized ±1 random projection (JL) of the embeddings to 8 integer
+    * components, in tall (vec_id, j, p) form — integer arithmetic and
+    * md5-derived signs, so the oracle replays it exactly.
+    */
+  private def q92(s: SparkSession, d: String): DataFrame =
+    Similarity.randomProject(t(s, d, "embeddings"), "vec_id", "embedding",
+        inDim = 64, outDim = 8)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "p")))
+      .orderBy("vec_id", "j")
+
   // ------------------------------------------------------------ registry --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1673,6 +1726,9 @@ object SparkEntry {
     "q88_overlap" -> (q88 _),
     "q89_fuzzy" -> (q89 _),
     "q90_qnorm" -> (q90 _),
+    "text_rrf" -> (textRrf _),
+    "q91_attrition" -> (q91 _),
+    "q92_project" -> (q92 _),
     "text_pmi" -> (textPmi _),
     "text_diversity" -> (textDiversity _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -2548,6 +2604,75 @@ object SparkEntry {
         |    AS out_ids
         |FROM dev d JOIN mad m USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_rrf" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents
+        |), dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+        |stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('table', 'scan', 'join') GROUP BY 1, 2
+        |), dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ROUND(SUM(
+        |      ln(1.0 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+        |      tf.tf * (1.2 + 1.0) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+        |    ), 6) AS score
+        |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1
+        |), bmr AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        |  FROM scored QUALIFY r <= 50
+        |), cosd AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+        |      AS cos
+        |  FROM embeddings e,
+        |    (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |     WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |), cr AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r
+        |  FROM cosd QUALIFY r <= 50
+        |), u AS (
+        |  SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM cr
+        |)
+        |SELECT doc_id, ROUND(SUM(CAST(1.0 AS DOUBLE) / (60 + r)), 9) AS rrf,
+        |  COUNT(*) AS n_lists
+        |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "q91_attrition" ->
+      """SELECT COALESCE(CASE
+        |    WHEN NOT COALESCE(strlen(text) > 0, FALSE) THEN 'nonempty'
+        |    WHEN NOT COALESCE(lang = 'en', FALSE) THEN 'lang_en'
+        |    WHEN NOT COALESCE(n_chars BETWEEN 150 AND 1500, FALSE)
+        |      THEN 'len_band'
+        |    WHEN NOT COALESCE(len(list_filter(string_split(text, ' '),
+        |      t -> t <> '')) >= 30, FALSE) THEN 'min_tokens'
+        |  END, 'survived') AS bucket,
+        |  COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q92_project" ->
+      """WITH tall AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS i,
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+        |), pr AS (
+        |  SELECT vec_id, jj.j,
+        |    SUM(qv * CASE WHEN substr(md5(concat(CAST(i AS VARCHAR), ':',
+        |                                         CAST(jj.j AS VARCHAR))), 1, 1)
+        |                       < '8'
+        |             THEN 1 ELSE -1 END) AS p
+        |  FROM tall CROSS JOIN
+        |    (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS j) jj
+        |  GROUP BY 1, 2
+        |)
+        |SELECT vec_id, j, CAST(p AS BIGINT) AS p FROM pr
+        |ORDER BY 1, 2""".stripMargin,
     "q89_fuzzy" ->
       """WITH n AS (
         |  SELECT p_name AS nm, MIN(p_partkey) AS id FROM part GROUP BY 1

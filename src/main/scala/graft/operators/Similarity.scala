@@ -303,4 +303,62 @@ object Similarity {
             .otherwise((x.cast("double") - element_at(col("means"), i + 1)) /
               element_at(col("stds"), i + 1))).as("zvec"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): merge the ranked lists
+    * of several retrievers (BM25, dense cosine, …) into one consensus
+    * ranking — score(d) = Σ_lists 1/(c + rank_d). Rank-based, so no
+    * per-retriever score calibration is needed; c=60 is the published
+    * default.
+    *
+    * Each input needs (`idCol`, `rankCol`) with rank ≥ 1. One union +
+    * one map-side-combined hash agg — candidate-list-sized, never
+    * corpus-sized. For > 2 lists, round the score before ordering on it:
+    * a 3+-term double sum is association-sensitive in the last ulp.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      c: Int = 60): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse needs at least two ranked lists")
+    require(c >= 0, s"c must be non-negative: $c")
+    rankings
+      .map(_.select(col(idCol),
+        (lit(1.0) / (lit(c) + col(rankCol).cast("double"))).as("__rrf")))
+      .reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(sum("__rrf").as("rrf"), count(lit(1)).as("n_lists"))
+  }
+
+  /** Quantized sparse random projection (Johnson–Lindenstrauss via
+    * Achlioptas ±1 signs): project each vector to `outDim` integer
+    * components p_j = Σ_i ⌊v_i·scale⌋ · s(i,j) — the cheap
+    * dimensionality-reduction pass before ANN indexing or sketching.
+    *
+    * The sign matrix is a pure function of (i, j): +1 iff the first hex
+    * digit of md5("i:j") < '8' — reproducible in ANY engine with md5, so
+    * the projection is SQL-oracle-checkable; quantizing inputs to
+    * integers first makes the sum association-free (bit-exact under any
+    * partitioning/engine). Signs are precomputed once on the driver
+    * (dim × outDim, model-sized not data-sized) and shipped as a
+    * broadcast literal; the projection itself is NARROW — no shuffle,
+    * no join, no per-row hashing.
+    */
+  def randomProject(
+      emb: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int, scale: Int = 1000): DataFrame = {
+    require(inDim > 0 && outDim > 0, s"bad dims: $inDim -> $outDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs: Seq[Seq[Long]] = (0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        val b = md.digest(s"$i:$j".getBytes("UTF-8"))(0)
+        if ((b & 0x80) == 0) 1L else -1L
+      }
+    }
+    val signLit = typedLit(signs)
+    emb.select(col(idCol), col(vecCol),
+        transform(sequence(lit(0), lit(outDim - 1)), j =>
+          aggregate(
+            zip_with(col(vecCol), element_at(signLit, j + 1),
+              (v, s) => floor(v.cast("double") * scale).cast("long") * s),
+            lit(0L), (acc, x) => acc + x)).as("proj"))
+  }
 }

@@ -488,4 +488,25 @@ object TextAnalysis extends CacheLedger {
         (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
         col("entropy"))
   }
+
+  /** Filter-funnel attribution: tag every row with the FIRST quality rule
+    * it fails (null = survivor) — the per-rule attrition report every
+    * pipeline needs to answer "where did my corpus go?". Ordered
+    * first-fail attribution (not per-rule independent counts) makes the
+    * report additive: bucket sizes sum to the corpus size, and a rule's
+    * count is exactly the documents IT removed given everything upstream.
+    *
+    * `rules` are (name, PASS-condition) in pipeline order. Narrow — one
+    * CASE chain, no shuffle; aggregate the output yourself (e.g.
+    * `groupBy("fail_rule").count`).
+    */
+  def filterFunnel(
+      df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)],
+      outCol: String = "fail_rule"): DataFrame = {
+    require(rules.nonEmpty, "filterFunnel needs at least one rule")
+    val verdict = rules.foldLeft(when(lit(false), lit(null.asInstanceOf[String]))) {
+      case (acc, (name, pass)) => acc.when(!coalesce(pass, lit(false)), lit(name))
+    }.otherwise(lit(null.asInstanceOf[String]))
+    df.withColumn(outCol, verdict)
+  }
 }

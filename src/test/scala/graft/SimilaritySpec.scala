@@ -145,4 +145,41 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(z0.sum / 3) < 1e-12)
     assert(math.abs(z0.map(x => x * x).sum / 3 - 1.0) < 1e-12)
   }
+
+  test("rrfFuse: consensus beats single-list presence; hand-computed scores") {
+    import spark.implicits._
+    // doc 1 ranks 1st+2nd; doc 2 only 1st in list A; doc 3 only 1st in B...
+    val a = Seq((1L, 2), (2L, 1), (4L, 3)).toDF("id", "rank")
+    val b = Seq((1L, 1), (3L, 2), (4L, 3)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), "id", "rank", c = 60)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(math.abs(got(1L)._1 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(got(1L)._2 == 2L)
+    assert(math.abs(got(2L)._1 - 1.0 / 61) < 1e-15 && got(2L)._2 == 1L)
+    assert(math.abs(got(4L)._1 - 2.0 / 63) < 1e-15)
+    // doc in both lists at middling ranks outscores a single-list top hit
+    assert(got(1L)._1 > got(2L)._1)
+  }
+
+  test("randomProject: hand-computed signs, integer exactness, reshuffle-stable") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Long =
+      if ((md.digest(s"$i:$j".getBytes("UTF-8"))(0) & 0x80) == 0) 1L else -1L
+    val rows = Seq((0L, Array(0.5f, -1.25f, 2.0f)), (1L, Array(0.0011f, 0.9999f, -0.0011f)))
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(emb, "vec_id", "embedding",
+        inDim = 3, outDim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    def proj(v: Array[Float], j: Int): Long =
+      v.zipWithIndex.map { case (x, i) =>
+        math.floor(x.toDouble * 1000).toLong * sign(i, j) }.sum
+    for (vid <- Seq(0L, 1L); j <- 0 until 4)
+      assert(got(vid)(j) == proj(rows.toMap.apply(vid), j), s"vid=$vid j=$j")
+    // integer output is invariant to partitioning (no FP association)
+    val re = Similarity.randomProject(emb.repartition(5), "vec_id",
+        "embedding", 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(re == got)
+  }
 }

@@ -286,6 +286,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L)._4 == 0.0 && got(2L)._3 == 0.25)
   }
 
+  test("filterFunnel: first-fail attribution, null-safe, buckets additive") {
+    import org.apache.spark.sql.functions.{col, length}
+    val rows = Seq(
+      (0L, "good long text here", "en"),    // survives
+      (1L, null.asInstanceOf[String], "en"), // fails nonempty (null-safe)
+      (2L, "short", "en"),                   // fails minlen
+      (3L, "plenty of text follows", "fr"),  // fails lang FIRST (order!)
+      (4L, "x", "fr"))                       // fails lang (before minlen)
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.filterFunnel(df, Seq(
+        "nonempty" -> (length(col("text")) > 0),
+        "lang_en" -> (col("lang") === "en"),
+        "minlen" -> (length(col("text")) >= 10)))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) "survived" else r.getString(3))).toMap
+    assert(got == Map(0L -> "survived", 1L -> "nonempty", 2L -> "minlen",
+      3L -> "lang_en", 4L -> "lang_en"))
+  }
+
   test("winnow sketch: subset stability under small edits") {
     val sk = (t: String) =>
       one(t, TextAnalysis.winnow(col("text")))
