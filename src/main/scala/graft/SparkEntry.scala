@@ -1627,6 +1627,31 @@ object SparkEntry {
       .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "p")))
       .orderBy("vec_id", "j")
 
+  /** PSI drift between the first and second half of the events month:
+    * 20 fixed bins over value ∈ [0, 500) plus under/overflow, per-bin
+    * counts and (rounded) PSI contributions. The oracle replays the
+    * smoothing arithmetic exactly.
+    */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val cut = lit("2024-01-15").cast("timestamp")
+    Ingest.psi(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        "value", lo = 0.0, hi = 500.0, bins = 20)
+      .select(col("bin"), col("n_before"), col("n_after"),
+        round(col("contrib"), 9).as("contrib"))
+      .orderBy("bin")
+  }
+
+  /** Rendezvous-hash shard assignment of documents to 5 shards: per-shard
+    * counts and id sums pin every key's argmax. The oracle replays the
+    * highest-random-weight pick via a window over the exploded shard list.
+    */
+  private def q94(s: SparkSession, d: String): DataFrame =
+    Indexing.rendezvousShard(t(s, d, "documents"), "doc_id", nShards = 5)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+      .orderBy("shard")
+
   // ------------------------------------------------------------ registry --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1729,6 +1754,8 @@ object SparkEntry {
     "text_rrf" -> (textRrf _),
     "q91_attrition" -> (q91 _),
     "q92_project" -> (q92 _),
+    "q93_psi" -> (q93 _),
+    "q94_shards" -> (q94 _),
     "text_pmi" -> (textPmi _),
     "text_diversity" -> (textDiversity _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -2673,6 +2700,45 @@ object SparkEntry {
         |)
         |SELECT vec_id, j, CAST(p AS BIGINT) AS p FROM pr
         |ORDER BY 1, 2""".stripMargin,
+    "q93_psi" ->
+      """WITH b AS (
+        |  SELECT GREATEST(-1, LEAST(20,
+        |      CAST(FLOOR(value / 25.0) AS BIGINT))) AS bin,
+        |    COUNT(*) AS n_before
+        |  FROM events WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-15'
+        |  GROUP BY 1
+        |), a AS (
+        |  SELECT GREATEST(-1, LEAST(20,
+        |      CAST(FLOOR(value / 25.0) AS BIGINT))) AS bin,
+        |    COUNT(*) AS n_after
+        |  FROM events WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-15'
+        |  GROUP BY 1
+        |), j AS (
+        |  SELECT COALESCE(b.bin, a.bin) AS bin,
+        |    COALESCE(n_before, 0) AS n_before, COALESCE(n_after, 0) AS n_after
+        |  FROM b FULL OUTER JOIN a ON b.bin = a.bin
+        |), tot AS (SELECT SUM(n_before) AS tb, SUM(n_after) AS ta FROM j)
+        |SELECT j.bin, CAST(j.n_before AS BIGINT) AS n_before,
+        |  CAST(j.n_after AS BIGINT) AS n_after,
+        |  ROUND(((n_before + 0.5) / (tb + 11.0) - (n_after + 0.5) / (ta + 11.0))
+        |    * ln(((n_before + 0.5) / (tb + 11.0))
+        |          / ((n_after + 0.5) / (ta + 11.0))), 9) AS contrib
+        |FROM j CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q94_shards" ->
+      """WITH w AS (
+        |  SELECT doc_id, s,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(s AS VARCHAR)), 1, 8)) AS BIGINT) AS wt
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS s)
+        |), pick AS (
+        |  SELECT doc_id, CAST(s AS INT) AS shard,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY wt DESC, s DESC) AS rn
+        |  FROM w
+        |)
+        |SELECT shard, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM pick WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q89_fuzzy" ->
       """WITH n AS (
         |  SELECT p_name AS nm, MIN(p_partkey) AS id FROM part GROUP BY 1

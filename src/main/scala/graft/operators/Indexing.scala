@@ -35,4 +35,28 @@ object Indexing {
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     sorted.sparkSession.createDataFrame(rdd, schema)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: shard(key) =
+    * argmax over s ∈ [0, nShards) of md5-weight(key:s), appended as
+    * `shardCol`. The shard-addressing scheme with MINIMAL disruption:
+    * growing n → n+1 moves a key ONLY if the new shard wins its argmax
+    * (expected 1/(n+1) of keys) — no key ever migrates between existing
+    * shards, which modulo addressing (`key % n`) cannot promise.
+    *
+    * Pure function of (key, nShards) via the same md5 weight as
+    * [[graft.operators.Sampling.hashWeight]] — engine-reproducible and
+    * SQL-oracle-checkable. NARROW: the argmax folds over a generated
+    * shard array per row; no shuffle, no join, no RNG.
+    */
+  def rendezvousShard(
+      df: DataFrame, keyCol: String, nShards: Int,
+      shardCol: String = "shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val weighted = transform(sequence(lit(0), lit(nShards - 1)), s =>
+      struct(
+        conv(substring(md5(concat(col(keyCol).cast("string"), lit(":"),
+          s.cast("string"))), 1, 8), 16, 10).cast("long").as("w"),
+        s.as("s")))
+    df.withColumn(shardCol, array_max(weighted).getField("s"))
+  }
 }

@@ -252,4 +252,48 @@ object Ingest {
           .otherwise(col("__dev") > lit(k) * col("mad")))
       .drop("__dev")
   }
+
+  /** Population stability index between two snapshots of a value column —
+    * the drift monitor for corpus refreshes: PSI = Σ_bins (p−q)·ln(p/q)
+    * where p/q are the bin shares before/after. PSI < 0.1 is convention
+    * for "stable", > 0.25 "shifted enough to investigate".
+    *
+    * Bins are FIXED equal widths over [lo, hi) plus underflow (−1) and
+    * overflow (`bins`) bins — fixed bounds, not quantiles, so the two
+    * snapshots and any engine bin identically. Shares are Jeffreys-
+    * smoothed ((n + 0.5) / (N + 0.5·(bins+2))) so an empty bin
+    * contributes a finite, defined term. One map-side-combined count agg
+    * per snapshot (shuffle ∝ bins, not rows); null values are excluded.
+    *
+    * @return one row per bin: (bin, n_before, n_after, contrib); sum
+    *         `contrib` (rounded) for the headline PSI
+    */
+  def psi(
+      before: DataFrame, after: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    require(hi > lo, s"empty bin range: [$lo, $hi)")
+    val width = (hi - lo) / bins
+    def binned(df: DataFrame, as: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .select(greatest(lit(-1L), least(lit(bins.toLong),
+          floor((col(valueCol).cast("double") - lo) / width))).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(as))
+    val b = binned(before, "n_before")
+    val a = binned(after, "n_after")
+    val joined = b.join(a, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+    val totals = joined.agg(sum("n_before").as("tb"), sum("n_after").as("ta"))
+    val smooth = lit(0.5 * (bins + 2))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("__p",
+        (col("n_before") + 0.5) / (col("tb") + smooth))
+      .withColumn("__q",
+        (col("n_after") + 0.5) / (col("ta") + smooth))
+      .select(col("bin"), col("n_before"), col("n_after"),
+        ((col("__p") - col("__q")) * log(col("__p") / col("__q")))
+          .as("contrib"))
+  }
 }

@@ -34,4 +34,28 @@ class IndexingSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("g", "k", "gid"))
     assert(out.count() == 0)
   }
+
+  test("rendezvousShard: balanced, stable, and minimally disruptive on growth") {
+    import spark.implicits._
+    val keys = (0L until 5000L).toDF("k")
+    def assign(n: Int): Map[Long, Int] =
+      Indexing.rendezvousShard(keys, "k", n)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val at4 = assign(4)
+    // all shards used, roughly balanced (hash uniformity)
+    val sizes = at4.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.keys.toSet == Set(0, 1, 2, 3))
+    assert(sizes.values.forall(s => s > 1000 && s < 1500), sizes.toMap)
+    // the rendezvous guarantee: growing 4 -> 5 only ever moves a key TO
+    // the new shard, never between existing shards
+    val at5 = assign(5)
+    val moved = at4.keys.filter(k => at4(k) != at5(k))
+    assert(moved.forall(k => at5(k) == 4), "a key migrated between old shards")
+    // expected 1/5 of keys move; allow generous slack
+    assert(moved.size > 700 && moved.size < 1300, s"moved=${moved.size}")
+    // deterministic across partitionings
+    val re = Indexing.rendezvousShard(keys.repartition(13), "k", 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(re == at4)
+  }
 }

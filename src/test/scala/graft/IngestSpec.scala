@@ -190,6 +190,28 @@ class IngestSpec extends SparkSpec {
       if v != null && f.booleanValue() => v }.toSet == Set(1000.0))
   }
 
+  test("psi: zero for identical snapshots, grows with shift, bins exhaustive") {
+    import spark.implicits._
+    val a = (0 until 1000).map(i => (i % 100).toDouble).toDF("v")
+    // identical distributions: every contribution is exactly 0
+    val same = Ingest.psi(a, a, "v", 0.0, 100.0, 10)
+      .agg(org.apache.spark.sql.functions.sum("contrib")).collect()(0).getDouble(0)
+    assert(math.abs(same) < 1e-15)
+    // shifted distribution: PSI clearly positive, and counts are exhaustive
+    val b = (0 until 1000).map(i => (i % 100).toDouble + 40).toDF("v")
+    val rows = Ingest.psi(a, b, "v", 0.0, 100.0, 10).collect()
+    assert(rows.map(_.getLong(1)).sum == 1000 && rows.map(_.getLong(2)).sum == 1000)
+    val psi = rows.map(_.getDouble(3)).sum
+    assert(psi > 0.25, s"expected drift, psi=$psi")
+    // overflow bin caught the shifted tail
+    assert(rows.exists(r => r.getLong(0) == 10 && r.getLong(2) > 0))
+    // nulls excluded, empty bins still contribute finitely
+    val withNull = (Seq.fill(5)(Some(1.0)) :+ Option.empty[Double]).toDF("v")
+    val nn = Ingest.psi(withNull, withNull, "v", 0.0, 100.0, 4).collect()
+    assert(nn.map(_.getLong(1)).sum == 5)
+    assert(nn.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+  }
+
   test("applyChanges: same-timestamp changes resolved by the tie column; replay converges") {
     val base = spark.createDataFrame(Seq((1L, "a"))).toDF("k", "v")
     val changes = spark.createDataFrame(Seq(
