@@ -1652,6 +1652,31 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
       .orderBy("shard")
 
+  /** Key-skew report: the 10 heaviest users by event count with exact
+    * ppm shares — the pre-salting diagnosis run.
+    */
+  private def q95(s: SparkSession, d: String): DataFrame =
+    Ingest.skewReport(t(s, d, "events"), "user_id", topK = 10)
+
+  /** Stream-static broadcast join: the event stream enriched with a
+    * batch user-segment dimension, then complete-mode counts per
+    * (segment, type) — must equal the batch group-by. No state store,
+    * no watermark: the lookup-table streaming pattern.
+    */
+  private def streamStatic(s: SparkSession, d: String): DataFrame = {
+    val dim = t(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select("user_id").distinct()
+      .withColumn("segment", (col("user_id") % 3).cast("int"))
+    val enriched = graft.streaming.EventStreams.enrichWithStatic(
+      graft.streaming.EventStreams.readEvents(s, d), dim, Seq("user_id"))
+    val agg = enriched.groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n"))
+    graft.streaming.EventStreams.runToMemory(s, agg,
+        s"stream_static_${System.nanoTime()}", "complete")
+      .orderBy("segment", "event_type")
+  }
+
   // ------------------------------------------------------------ registry --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1756,6 +1781,8 @@ object SparkEntry {
     "q92_project" -> (q92 _),
     "q93_psi" -> (q93 _),
     "q94_shards" -> (q94 _),
+    "q95_skew" -> (q95 _),
+    "stream_static" -> (streamStatic _),
     "text_pmi" -> (textPmi _),
     "text_diversity" -> (textDiversity _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -2700,6 +2727,18 @@ object SparkEntry {
         |)
         |SELECT vec_id, j, CAST(p AS BIGINT) AS p FROM pr
         |ORDER BY 1, 2""".stripMargin,
+    "q95_skew" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT SUM(n) AS t FROM c)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  CAST(n * 1000000 // t.t AS BIGINT) AS ppm
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    "stream_static" ->
+      """SELECT CAST(user_id % 3 AS INT) AS segment, event_type,
+        |  COUNT(*) AS n
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q93_psi" ->
       """WITH b AS (
         |  SELECT GREATEST(-1, LEAST(20,

@@ -296,4 +296,24 @@ object Ingest {
         ((col("__p") - col("__q")) * log(col("__p") / col("__q")))
           .as("contrib"))
   }
+
+  /** Key-skew diagnosis: the top-k heaviest keys with their row counts
+    * and integer parts-per-million share — the first report to run
+    * before choosing a partitioning/salting strategy, and the evidence
+    * behind "this join needs [[graft.operators.Skew.saltedJoin]]".
+    *
+    * One map-side-combined count agg + a TakeOrdered top-k (never a
+    * global sort); share is exact integer arithmetic (n·10⁶ div total),
+    * ties broken by key for a deterministic cut.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("__t"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("n"),
+        expr("n * 1000000 div __t").as("ppm"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topK)
+  }
 }

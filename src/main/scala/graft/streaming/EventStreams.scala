@@ -226,6 +226,57 @@ object EventStreams {
     * nothing). Append-mode, so use with non-aggregated transforms or
     * watermark-finalized aggregations.
     */
+  /** Stream-static join: enrich the event stream with a BATCH dimension
+    * table (the lookup-table pattern — a crawl stream joined to a domain
+    * allowlist, events to a user directory). Spark plans the static side
+    * as a broadcast per micro-batch; no state store is involved, so
+    * unlike a stream-stream join it needs no watermark and tolerates an
+    * arbitrarily old dimension. The static frame is re-read per batch —
+    * at scale, point it at a small table or cache it.
+    */
+  def enrichWithStatic(
+      events: DataFrame, dim: DataFrame, keys: Seq[String],
+      joinType: String = "inner"): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), keys, joinType)
+
+  /** foreachBatch upsert sink: apply each micro-batch to a parquet
+    * key-value table with latest-wins [[graft.operators.Ingest.upsert]]
+    * semantics — the production "merge into the serving copy" sink that
+    * plain append sinks can't express. Re-delivered batches converge to
+    * the same table (upsert is idempotent per batch), which is exactly
+    * the at-least-once guarantee foreachBatch gives after a restart.
+    *
+    * The target directory is read+rewritten per batch (read BEFORE the
+    * overwrite write triggers, via an eager local materialization of the
+    * merged result). Fine for a serving table orders of magnitude smaller
+    * than the stream; for corpus-sized targets use a format with real
+    * MERGE support.
+    */
+  def upsertToParquet(
+      df: DataFrame, keyCols: Seq[String], outDir: String,
+      checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val path = new org.apache.hadoop.fs.Path(outDir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(path))
+            graft.operators.Ingest.upsert(
+              spark.read.parquet(outDir), batch.toDF(), keyCols)
+          else batch.toDF()
+        // materialize off the source files before overwriting them
+        merged.localCheckpoint(eager = true)
+          .write.mode("overwrite").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+  }
+
   def drainToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
     val q = df.writeStream
       .outputMode("append")

@@ -152,4 +152,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows.select("event_id").distinct().count() == 150)
     assert(rows.filter(col("doubled") =!= col("event_id") * 2).isEmpty)
   }
+
+  test("foreachBatch upsert sink: serving table equals batch agg; replay converges") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("upsert_out").toString + "/table"
+    val ck = Files.createTempDirectory("upsert_ck").toString
+    def counts() = EventStreams.readEvents(spark, sfDir)
+      .groupBy("user_id").count()
+    EventStreams.upsertToParquet(counts().toDF(), Seq("user_id"), out, ck)
+    val expect = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def table(): Map[Long, Long] = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(table() == expect)
+    // resuming on the same checkpoint processes nothing; table unchanged
+    EventStreams.upsertToParquet(counts().toDF(), Seq("user_id"), out, ck)
+    assert(table() == expect)
+    // full replay on a FRESH checkpoint re-applies every batch — upsert
+    // converges to the same table (at-least-once safety)
+    val ck2 = Files.createTempDirectory("upsert_ck2").toString
+    EventStreams.upsertToParquet(counts().toDF(), Seq("user_id"), out, ck2)
+    assert(table() == expect)
+  }
 }
