@@ -1677,6 +1677,17 @@ object SparkEntry {
       .orderBy("segment", "event_type")
   }
 
+  /** Group-aware 5-fold CV assignment keyed on `source` (all docs of a
+    * source share a fold — leakage-safe): per-fold doc counts, id sums,
+    * and distinct-source counts.
+    */
+  private def q96(s: SparkSession, d: String): DataFrame =
+    Sampling.kfold(t(s, d, "documents"), "source", k = 5)
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
+        countDistinct("source").as("n_src"))
+      .orderBy("fold")
+
   // ------------------------------------------------------------ registry --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1783,6 +1794,7 @@ object SparkEntry {
     "q94_shards" -> (q94 _),
     "q95_skew" -> (q95 _),
     "stream_static" -> (streamStatic _),
+    "q96_folds" -> (q96 _),
     "text_pmi" -> (textPmi _),
     "text_diversity" -> (textDiversity _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -2727,6 +2739,13 @@ object SparkEntry {
         |)
         |SELECT vec_id, j, CAST(p AS BIGINT) AS p FROM pr
         |ORDER BY 1, 2""".stripMargin,
+    "q96_folds" ->
+      """SELECT CAST(LEAST(4, FLOOR(
+        |    CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 * 5)) AS BIGINT) AS fold,
+        |  COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  COUNT(DISTINCT source) AS n_src
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q95_skew" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
         |t AS (SELECT SUM(n) AS t FROM c)

@@ -262,6 +262,19 @@ object Sampling {
       .drop("__w")
   }
 
+  /** k-fold cross-validation assignment: fold = ⌊hashWeight(key)·k⌋,
+    * appended as `foldCol` — every [[hashSplit]] guarantee (pure function
+    * of the key, engine-reproducible, reshuffle/growth-stable), narrow.
+    * Key on a GROUP column for leakage-safe folds: all rows of a group
+    * land in one fold.
+    */
+  def kfold(df: DataFrame, keyCol: String, k: Int,
+      foldCol: String = "fold"): DataFrame = {
+    require(k > 1, s"k must exceed 1: $k")
+    df.withColumn(foldCol,
+      least(lit(k - 1L), floor(hashWeight(col(keyCol)) * k)))
+  }
+
   /** Quantile normalization across groups: replace each row's value with
     * the GLOBAL order statistic at the row's within-group rank fraction —
     * after it, every group's value distribution is (up to rank

@@ -98,4 +98,60 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
     n
   }
+
+  /** Z-order clustered write: interleave the bit patterns of two
+    * normalized numeric columns into one Morton key, range-partition and
+    * sort the data by it, and write — so rows close in EITHER dimension
+    * land in the same files, and a point/range filter on either column
+    * touches a small fraction of them (parquet row-group min/max stats
+    * skip the rest at read time). The multi-dimensional data-skipping
+    * layout for a 100 TB fact table queried by more than one key; a plain
+    * sort clusters only its leading column.
+    *
+    * Normalization is fixed-bounds floor binning to `bits`-bit ranks
+    * (clamped), interleaving is a closed-form bit fold — both narrow; the
+    * only exchange is the range partition that the write needs anyway.
+    */
+  def zorderWrite(
+      df: DataFrame, path: String,
+      colA: String, loA: Double, hiA: Double,
+      colB: String, loB: Double, hiB: Double,
+      files: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    require(bits > 0 && bits <= 31, s"bits out of (0,31]: $bits")
+    require(files > 0, s"files must be positive: $files")
+    require(hiA > loA && hiB > loB, "empty normalization range")
+    val max = (1L << bits) - 1
+    def rank(c: String, lo: Double, hi: Double) =
+      greatest(lit(0L), least(lit(max),
+        floor((col(c).cast("double") - lo) / (hi - lo) * (max + 1))))
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(rank(colA, loA, hiA).bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(rank(colB, loB, hiB).bitwiseAND(lit(1L << i)), i + 1))
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Write with free metrics: attach an `Observation` so row count and
+    * per-column null counts are collected DURING the write — no second
+    * scan over the data, which at 100 TB is the difference between
+    * "emit a manifest" and "double the job". Returns the metrics map.
+    */
+  def parquetWithMetrics(
+      df: DataFrame, path: String,
+      nullCountCols: Seq[String] = Nil): Map[String, Any] = {
+    import org.apache.spark.sql.functions._
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = count(lit(1)).as("n_rows") +:
+      nullCountCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+        .as(s"n_null_$c"))
+    df.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    obs.get
+  }
 }

@@ -218,6 +218,26 @@ class SamplingSpec extends SparkSpec {
     assert(cums == Map(1L -> 10L, 2L -> 10L, 3L -> 15L))
   }
 
+  test("kfold: k exhaustive balanced folds, group-whole, reshuffle-stable") {
+    import spark.implicits._
+    val rows = (0L until 5000L).map(i => (i, s"g${i % 97}")).toDF("id", "grp")
+    val folds = Sampling.kfold(rows, "grp", k = 5)
+    val byFold = folds.groupBy("fold").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byFold.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // balanced within hash noise (97 groups of ~52 rows)
+    assert(byFold.values.forall(n => n > 400 && n < 1700), byFold)
+    // group-aware: every group lands in exactly one fold
+    val crossing = folds.groupBy("grp")
+      .agg(countDistinct("fold").as("nf")).filter(col("nf") > 1).count()
+    assert(crossing == 0)
+    // stable under repartitioning
+    val a = folds.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = Sampling.kfold(rows.repartition(11), "grp", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
   test("quantileNormalize: group ranks map onto global order statistics") {
     import spark.implicits._
     // group a: 1,2,3,4 — group b: 100,200 ; global sorted:

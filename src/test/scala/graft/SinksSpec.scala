@@ -84,4 +84,48 @@ class SinksSpec extends SparkSpec {
     assert(a == b)
     assert(spark.read.parquet(out).count() == df.count())
   }
+
+  test("zorderWrite clusters BOTH dimensions into few files; linear sort only one") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two independent uniform dimensions (multiplier-shift decorrelates
+    // v from u's residue class — a plain modular product would alias)
+    val df = (0 until 64000)
+      .map(i => (i % 200L, ((i * 2654435761L) >> 8) % 1000, i.toLong))
+      .toDF("u", "v", "payload")
+    val zdir = Files.createTempDirectory("zorder").toString + "/t"
+    Sinks.zorderWrite(df, zdir, "u", 0, 200, "v", 0, 1000, files = 16)
+    val ldir = Files.createTempDirectory("linear").toString + "/t"
+    df.repartitionByRange(16, col("v")).sortWithinPartitions("v")
+      .write.mode("overwrite").parquet(ldir)
+    def filesTouched(dir: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).filter(cond)
+        .select(input_file_name()).distinct().count()
+    // a point filter on the NON-leading dimension: the z-layout confines
+    // it to a fraction of files, the linear v-layout spreads it everywhere
+    val zu = filesTouched(zdir, col("u") === 7)
+    val lu = filesTouched(ldir, col("u") === 7)
+    assert(zu <= 8, s"z-order should confine u=7, touched $zu/16 files")
+    assert(lu >= 12, s"v-sorted layout should spread u=7, touched $lu/16")
+    // ...while still clustering v ranges (z covers both dimensions)
+    val zv = filesTouched(zdir, col("v").between(0, 62))
+    assert(zv <= 8, s"z-order should confine a v range, touched $zv/16")
+    // and no rows were lost or duplicated
+    assert(spark.read.parquet(zdir).count() == 64000)
+    assert(spark.read.parquet(zdir).agg(sum("payload")).head.getLong(0) ==
+      df.agg(sum("payload")).head.getLong(0))
+  }
+
+  test("parquetWithMetrics: counts collected during the write, no second scan") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (4L, None))
+      .toDF("id", "s")
+    val dir = Files.createTempDirectory("obs").toString + "/t"
+    val m = Sinks.parquetWithMetrics(df, dir, nullCountCols = Seq("s"))
+    assert(m("n_rows") == 4L)
+    assert(m("n_null_s") == 2L)
+    assert(spark.read.parquet(dir).count() == 4)
+  }
 }
