@@ -1688,6 +1688,20 @@ object SparkEntry {
         countDistinct("source").as("n_src"))
       .orderBy("fold")
 
+  /** Native NFC normalization over the corpus: per-doc md5 of the
+    * canonicalized text (NFC + lower + whitespace collapse + trim) and
+    * its length — the canonical form every dedup/fingerprint pass keys
+    * on. Runs the codegen'd `graft_normalize` kernel; the oracle replays
+    * it with nfc_normalize + regexp in DuckDB.
+    */
+  private def textNormalize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.plans.NormalizeText.normalizeText(col("text")).as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("digest"),
+        length(col("norm")).as("n_norm"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------ registry --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1795,6 +1809,7 @@ object SparkEntry {
     "q95_skew" -> (q95 _),
     "stream_static" -> (streamStatic _),
     "q96_folds" -> (q96 _),
+    "text_normalize" -> (textNormalize _),
     "text_pmi" -> (textPmi _),
     "text_diversity" -> (textDiversity _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -2739,6 +2754,13 @@ object SparkEntry {
         |)
         |SELECT vec_id, j, CAST(p AS BIGINT) AS p FROM pr
         |ORDER BY 1, 2""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '\s+', ' ', 'g'))) AS digest,
+        |  CAST(strlen(trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '\s+', ' ', 'g'))) AS INT) AS n_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q96_folds" ->
       """SELECT CAST(LEAST(4, FLOOR(
         |    CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)

@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       info(classOf[Winnow], "graft_winnow"),
       (exprs: Seq[Expression]) => Winnow(exprs.head, 3, 4)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      info(classOf[NormalizeText], "graft_normalize"),
+      (exprs: Seq[Expression]) => NormalizeText(exprs.head)))
     // Optimizer rule: users who write the composable HOF cosine get the
     // fused native kernel automatically (see RewriteCosine).
     ext.injectOptimizerRule(_ => RewriteCosine)

@@ -37,4 +37,22 @@ class SketchSpec extends SparkSpec {
         s"median for ${r.getString(0)} off: approx $a vs exact $e")
     }
   }
+
+  test("count-min sketch: estimates never undercount, overshoot bounded by eps*N") {
+    val eps = 0.001
+    val bytes = lineitem
+      .agg(expr(s"count_min_sketch(l_returnflag, ${eps}d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val exact = lineitem.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    exact.foreach { case (k, true_n) =>
+      val est = cms.estimateCount(k)
+      assert(est >= true_n, s"CMS undercounted $k: $est < $true_n")
+      assert(est <= true_n + (eps * n).toLong + 1,
+        s"CMS overshot eps bound for $k: $est vs $true_n (N=$n)")
+    }
+  }
 }

@@ -305,6 +305,39 @@ class TextAnalysisSpec extends SparkSpec {
       3L -> "lang_en", 4L -> "lang_en"))
   }
 
+  test("graft_normalize: NFC composition, case, whitespace — codegen == kernel") {
+    import org.apache.spark.sql.functions.col
+    import graft.plans.NormalizeText
+    val cases = Seq(
+      "Café du   Monde",   // combining accent -> composed é; run of spaces
+      "\tleading and trailing\n ",
+      "ALL CAPS  MiXeD",
+      "already clean",
+      "Ångström vs Ångström", // Å composed == decomposed
+      "")
+    val df = spark.createDataFrame(cases.zipWithIndex.map {
+      case (s, i) => (i.toLong, s)
+    }).toDF("id", "s")
+    val got = df.select(col("id"), NormalizeText.normalizeText(col("s")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "café du monde")
+    assert(got(1L) == "leading and trailing")
+    assert(got(2L) == "all caps mixed")
+    assert(got(3L) == "already clean")
+    // composed and decomposed forms normalize identically
+    val halves = got(4L).split(" vs ")
+    assert(halves(0) == halves(1), got(4L))
+    assert(got(5L) == "")
+    // interpreted eval agrees with the generated path
+    cases.zipWithIndex.foreach { case (s, i) =>
+      assert(NormalizeText.normalize(s) == got(i.toLong))
+    }
+    // null passes through
+    val n = df.selectExpr("CAST(NULL AS STRING) AS s")
+      .select(NormalizeText.normalizeText(col("s"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("winnow sketch: subset stability under small edits") {
     val sk = (t: String) =>
       one(t, TextAnalysis.winnow(col("text")))
