@@ -1702,6 +1702,20 @@ object SparkEntry {
         length(col("norm")).as("n_norm"))
       .orderBy("doc_id")
 
+  /** BPE merge training on the corpus: the first 8 learned merges with
+    * their pair counts. The training loop (argmax + greedy merge rounds)
+    * has no SQL form — rows-only in the driver gate; BpeSpec certifies
+    * bit-exact equality with a single-node reference implementation.
+    */
+  private def textBpe(s: SparkSession, d: String): DataFrame = {
+    val (merges, _) = graft.operators.Bpe.trainMerges(
+      graft.operators.Bpe.wordCounts(t(s, d, "documents"), "text"), k = 8)
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b, c), i) => (i, a, b, c) }
+      .toDF("rank", "left", "right", "c")
+  }
+
   // ------------------------------------------------------------ registry --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1810,6 +1824,7 @@ object SparkEntry {
     "stream_static" -> (streamStatic _),
     "q96_folds" -> (q96 _),
     "text_normalize" -> (textNormalize _),
+    "text_bpe" -> (textBpe _),
     "text_pmi" -> (textPmi _),
     "text_diversity" -> (textDiversity _),
     "text_decontaminate" -> (textDecontaminate _),
