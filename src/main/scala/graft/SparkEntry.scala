@@ -1716,6 +1716,68 @@ object SparkEntry {
       .toDF("rank", "left", "right", "c")
   }
 
+  /** Correlated EXISTS + NOT EXISTS in one query — the two remaining
+    * subquery decorrelation paths (semi- and anti-join rewrites) after
+    * q31's scalar and q49's lateral forms.
+    */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL) — duplicate-
+    * preserving semantics, a different operator family than q07/q19's
+    * set-distinct forms.
+    */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """WITH ia AS (
+        |  SELECT l_quantity AS q FROM lineitem WHERE l_returnflag = 'A'
+        |  INTERSECT ALL
+        |  SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+        |), ea AS (
+        |  SELECT l_quantity AS q FROM lineitem WHERE l_returnflag = 'A'
+        |  EXCEPT ALL
+        |  SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+        |)
+        |SELECT 'intersect_all' AS op, COUNT(*) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS qsum FROM ia
+        |UNION ALL
+        |SELECT 'except_all' AS op, COUNT(*) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS qsum FROM ea
+        |ORDER BY op""".stripMargin)
+  }
+
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): bounded-depth reachability
+    * with path counts over the order graph — the same recursion the
+    * DuckDB oracles use, now running native in Spark too.
+    */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """WITH RECURSIVE reach(v, d) AS (
+        |  SELECT CAST(0 AS BIGINT) AS v, 0 AS d
+        |  UNION ALL
+        |  SELECT e.dst, r.d + 1
+        |  FROM reach r
+        |  JOIN (SELECT DISTINCT o_custkey % 50 AS src,
+        |               o_orderkey % 50 AS dst FROM orders) e
+        |    ON e.src = r.v
+        |  WHERE r.d < 3
+        |)
+        |SELECT v, MIN(d) AS d, COUNT(*) AS paths
+        |FROM reach GROUP BY v ORDER BY v""".stripMargin)
+  }
+
   // ------------------------------------------------------------ registry --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1825,6 +1887,9 @@ object SparkEntry {
     "q96_folds" -> (q96 _),
     "text_normalize" -> (textNormalize _),
     "text_bpe" -> (textBpe _),
+    "q97_exists" -> (q97 _),
+    "q98_setops_all" -> (q98 _),
+    "q99_recursive" -> (q99 _),
     "text_pmi" -> (textPmi _),
     "text_diversity" -> (textDiversity _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -2769,6 +2834,44 @@ object SparkEntry {
         |)
         |SELECT vec_id, j, CAST(p AS BIGINT) AS p FROM pr
         |ORDER BY 1, 2""".stripMargin,
+    "q97_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q98_setops_all" ->
+      """WITH ia AS (
+        |  SELECT l_quantity AS q FROM lineitem WHERE l_returnflag = 'A'
+        |  INTERSECT ALL
+        |  SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+        |), ea AS (
+        |  SELECT l_quantity AS q FROM lineitem WHERE l_returnflag = 'A'
+        |  EXCEPT ALL
+        |  SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+        |)
+        |SELECT 'intersect_all' AS op, COUNT(*) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS qsum FROM ia
+        |UNION ALL
+        |SELECT 'except_all' AS op, COUNT(*) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS qsum FROM ea
+        |ORDER BY op""".stripMargin,
+    "q99_recursive" ->
+      """WITH RECURSIVE reach(v, d) AS (
+        |  SELECT CAST(0 AS BIGINT) AS v, 0 AS d
+        |  UNION ALL
+        |  SELECT e.dst, r.d + 1
+        |  FROM reach r
+        |  JOIN (SELECT DISTINCT o_custkey % 50 AS src,
+        |               o_orderkey % 50 AS dst FROM orders) e
+        |    ON e.src = r.v
+        |  WHERE r.d < 3
+        |)
+        |SELECT v, CAST(MIN(d) AS INT) AS d, COUNT(*) AS paths
+        |FROM reach GROUP BY v ORDER BY v""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(nfc_normalize(text)),
