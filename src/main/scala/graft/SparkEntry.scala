@@ -1778,6 +1778,30 @@ object SparkEntry {
         |FROM reach GROUP BY v ORDER BY v""".stripMargin)
   }
 
+  /** Timer-based streaming sessions (transformWithState, event-time
+    * timers): the deterministic face — sessions closed by a LATER EVENT
+    * of the key (≥ 30-min gap). Timer-closed sessions depend on the
+    * final watermark and are certified in StreamingSpec instead.
+    */
+  private def streamTimer(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sess = graft.streaming.EventStreams.timedSessions(s,
+        graft.streaming.EventStreams.readEvents(s, d))
+      graft.streaming.EventStreams.runToMemory(s, sess.toDF(),
+          s"stream_timer_${System.nanoTime()}", "update")
+        .filter(col("closedBy") === "event")
+        .select(col("userId").as("user_id"), col("ss"), col("se"), col("n"))
+        .orderBy("user_id", "ss")
+    } finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   // ------------------------------------------------------------ registry --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1888,6 +1912,7 @@ object SparkEntry {
     "text_normalize" -> (textNormalize _),
     "text_bpe" -> (textBpe _),
     "q97_exists" -> (q97 _),
+    "stream_timer" -> (streamTimer _),
     "q98_setops_all" -> (q98 _),
     "q99_recursive" -> (q99 _),
     "text_pmi" -> (textPmi _),
@@ -2834,6 +2859,31 @@ object SparkEntry {
         |)
         |SELECT vec_id, j, CAST(p AS BIGINT) AS p FROM pr
         |ORDER BY 1, 2""".stripMargin,
+    "stream_timer" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), b AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN LAG(tus) OVER w IS NULL
+        |           OR tus - LAG(tus) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        |), g AS (
+        |  SELECT user_id, tus,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b
+        |), sess AS (
+        |  SELECT user_id, MIN(tus) AS stus, MAX(tus) AS etus,
+        |    COUNT(*) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY MIN(tus) DESC) AS rdesc
+        |  FROM g GROUP BY user_id, sid
+        |)
+        |SELECT user_id, stus // 1000000 AS ss, etus // 1000000 AS se,
+        |  CAST(n AS BIGINT) AS n
+        |FROM sess WHERE rdesc > 1 ORDER BY user_id, ss""".stripMargin,
     "q97_exists" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

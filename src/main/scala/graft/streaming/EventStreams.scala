@@ -218,6 +218,93 @@ object EventStreams {
       .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class SessionOut(
+    userId: Long, ss: Long, se: Long, n: Long, closedBy: String)
+  private final case class SessionAgg(start: Long, end: Long, n: Long)
+
+  /** Inactivity sessionization with EVENT-TIME TIMERS: a session closes
+    * either when a later event of the same key arrives ≥ gap after it
+    * (`closedBy = "event"`, deterministic — no watermark involved) or
+    * when the watermark passes its end + gap and the registered timer
+    * fires (`closedBy = "timer"`, the piece `session_window` can't give
+    * you: sessions emit WITHOUT waiting for the next event of that key,
+    * which for a churned user never comes).
+    *
+    * One timer per key, re-armed on every batch; a stale timer firing
+    * after its session was already closed by an event is rejected by the
+    * end+gap ≤ expiry guard. Times are epoch seconds (micros floored).
+    */
+  private[streaming] class SessionProcessor(gapMicros: Long)
+      extends StatefulProcessor[Long, (Long, Long), SessionOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.ValueState
+    @transient private var state: ValueState[SessionAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionAgg](
+        "sess", Encoders.product[SessionAgg], TTLConfig.NONE)
+
+    private def emit(key: Long, s: SessionAgg, closedBy: String): SessionOut =
+      SessionOut(key, s.start / 1000000L, s.end / 1000000L, s.n, closedBy)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      val ts = rows.map(_._2).toArray.sorted
+      var cur = if (state.exists()) Option(state.get()) else None
+      ts.foreach { t =>
+        cur match {
+          case Some(s) if t - s.end >= gapMicros =>
+            out += emit(key, s, "event")
+            cur = Some(SessionAgg(t, t, 1L))
+          case Some(s) =>
+            cur = Some(SessionAgg(s.start, math.max(s.end, t), s.n + 1L))
+          case None =>
+            cur = Some(SessionAgg(t, t, 1L))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.end / 1000L + gapMicros / 1000L)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] = {
+      if (state.exists()) {
+        val s = state.get()
+        if (s.end / 1000L + gapMicros / 1000L <= expiredTimerInfo.getExpiryTimeInMs) {
+          state.clear()
+          Iterator.single(emit(key, s, "timer"))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** Per-user inactivity sessions with timer-based close (see
+    * [[SessionProcessor]]). `gap` and `watermark` are duration strings.
+    */
+  def timedSessions(
+      spark: SparkSession, events: DataFrame,
+      gap: String = "30 minutes", watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMicros = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val micros = gapMicros.days * 86400000000L + gapMicros.microseconds
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("user_id", "unix_micros(ts) AS tus")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(micros),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** Drain everything currently available into a durable parquet sink and
     * stop (AvailableNow trigger). The checkpoint makes restarts
     * exactly-once: a later call with the same checkpoint processes only

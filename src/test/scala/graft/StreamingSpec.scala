@@ -153,6 +153,64 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(col("doubled") =!= col("event_id") * 2).isEmpty)
   }
 
+  test("event-time timers close idle sessions; emissions partition the batch sessions") {
+    import org.apache.spark.sql.expressions.Window
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = EventStreams.runToMemory(spark,
+        EventStreams.timedSessions(spark, EventStreams.readEvents(spark, sfDir))
+          .toDF(), s"timer_sessions_${System.nanoTime()}", "update")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4)))
+      val eventClosed = out.filter(_._5 == "event")
+        .map(t => (t._1, t._2, t._3, t._4)).toSet
+      val timerClosed = out.filter(_._5 == "timer")
+        .map(t => (t._1, t._2, t._3, t._4)).toSet
+      // batch sessions under the processor's exact micros gap rule
+      val ev = Tables.load(spark, sfDir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), expr("unix_micros(ts)").as("tus"))
+      val w = Window.partitionBy("user_id").orderBy("tus")
+      val sess = ev
+        .withColumn("brk", when(lag("tus", 1).over(w).isNull ||
+          col("tus") - lag("tus", 1).over(w) >= 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("tus").as("stus"), max("tus").as("etus"),
+          count(lit(1)).as("n"))
+        .withColumn("rdesc", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("stus").desc)))
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("stus"), r.getAs[Long]("etus"),
+          r.getAs[Long]("n"), r.getAs[Int]("rdesc")))
+      def sec(t: (Long, Long, Long, Long, Int)) =
+        (t._1, t._2 / 1000000L, t._3 / 1000000L, t._4)
+      val nonLast = sess.filter(_._5 > 1).map(sec).toSet
+      val last = sess.filter(_._5 == 1)
+      // event-closed emissions are exactly the non-final sessions
+      assert(eventClosed == nonLast)
+      // timers fired, never double-emitted, and only ever a final session
+      assert(timerClosed.nonEmpty, "no timer ever fired")
+      assert((timerClosed & eventClosed).isEmpty)
+      assert(timerClosed.subsetOf(last.map(sec).toSet))
+      // every final session the final watermark passed MUST have fired:
+      // wm(ms) = max event time(ms) - 2h delay; fire if end+gap <= wm
+      val maxUs = sess.map(_._3).max
+      val wmMs = maxUs / 1000L - 7200000L
+      val mustFire = last
+        .filter(t => t._3 / 1000L + 1800000L <= wmMs).map(sec).toSet
+      assert(mustFire.subsetOf(timerClosed),
+        s"${(mustFire -- timerClosed).size} watermark-passed sessions never fired")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("foreachBatch upsert sink: serving table equals batch agg; replay converges") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("upsert_out").toString + "/table"
