@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs batched inside `mapPartitions` so a real codec
   * drops in without touching the distributed plan.
   *
-  * The actual media codecs are STUBBED (this container has no image/audio
-  * libraries): [[Codecs.decodeImage]] is a deterministic fake that derives
-  * "pixels" from the bytes. Everything around it — schema, batch shape,
-  * partition sizing, feature columns — is real and tested.
+  * [[Codecs.decodeImage]] REALLY decodes binary P6 PPM images (pure-JVM
+  * parser, no codec library needed) into a pooled-luminance feature grid;
+  * payloads in any other format fall back to a deterministic byte
+  * histogram — the documented stand-in for codecs this container doesn't
+  * ship (JPEG/PNG/audio/video). Schema, batch shape, partition sizing,
+  * and feature columns are identical on both paths.
   */
 object Multimodal {
 
@@ -24,17 +26,71 @@ object Multimodal {
       checksum: Long, features: Array[Float])
 
   object Codecs {
-    /** STUB: real implementation would decode `bytes` with an image codec
-      * and return H×W×C pixels. The fake derives a deterministic byte
-      * histogram so the pipeline stays testable end-to-end.
+    /** Pure-JVM P6 (binary) PPM parser: returns (width, height, packed
+      * RGB bytes), or None when the payload is not a well-formed
+      * 8-bit-per-channel P6 image (wrong magic, truncated raster,
+      * non-255 maxval). Handles `#` comments and arbitrary whitespace in
+      * the header per the netpbm spec.
       */
-    def decodeImage(bytes: Array[Byte]): Array[Float] = {
-      // ??? <- real codec goes here; deterministic fake below.
-      val hist = new Array[Float](16)
-      var i = 0
-      while (i < bytes.length) { hist((bytes(i) & 0xff) % 16) += 1f; i += 1 }
-      if (bytes.length > 0) { var j = 0; while (j < 16) { hist(j) /= bytes.length; j += 1 } }
-      hist
+    def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+      var i = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && i < bytes.length) {
+          val c = bytes(i)
+          if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+          else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+          else go = false
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        val s = i
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+        if (i > s && i - s <= 9) new String(bytes, s, i - s, "US-ASCII").toInt
+        else -1
+      }
+      val w = int(); val h = int(); val mx = int()
+      // exactly one whitespace byte separates the header from the raster
+      if (w <= 0 || h <= 0 || mx != 255 || i >= bytes.length) return None
+      i += 1
+      val need = w.toLong * h * 3
+      if (need > Int.MaxValue || i + need > bytes.length) None
+      else Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
+    }
+
+    /** Decode a payload into a 16-float feature vector. P6 PPM payloads
+      * take the REAL path: per-pixel Rec.601 luminance average-pooled
+      * onto a 4×4 grid in [0, 1] (the thumbnail-embedding shape). Other
+      * formats fall back to a deterministic byte histogram so the
+      * pipeline stays runnable where no codec library exists.
+      */
+    def decodeImage(bytes: Array[Byte]): Array[Float] = decodePpm(bytes) match {
+      case Some((w, h, rgb)) =>
+        val out = new Array[Float](16)
+        val cnt = new Array[Int](16)
+        var p = 0
+        val n = w * h
+        while (p < n) {
+          val gx = (p % w) * 4 / w
+          val gy = (p / w) * 4 / h
+          val lum = (0.299f * (rgb(3 * p) & 0xff) +
+            0.587f * (rgb(3 * p + 1) & 0xff) +
+            0.114f * (rgb(3 * p + 2) & 0xff)) / 255f
+          out(gy * 4 + gx) += lum
+          cnt(gy * 4 + gx) += 1
+          p += 1
+        }
+        var j = 0
+        while (j < 16) { if (cnt(j) > 0) out(j) /= cnt(j); j += 1 }
+        out
+      case None =>
+        val hist = new Array[Float](16)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xff) % 16) += 1f; i += 1 }
+        if (bytes.length > 0) { var j = 0; while (j < 16) { hist(j) /= bytes.length; j += 1 } }
+        hist
     }
 
     def checksum(bytes: Array[Byte]): Long = {

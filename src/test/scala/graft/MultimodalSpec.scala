@@ -29,6 +29,46 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.forall(f => math.abs(f.features.map(_ * 4).sum - 1.0f) < 1e-2))
   }
 
+  test("PPM payloads take the REAL decode path: pooled luminance grid") {
+    import graft.operators.Multimodal.Codecs
+    // 8x8 P6: top half pure black, bottom half pure white
+    def ppm(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val raster = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        val o = (y * w + x) * 3
+        raster(o) = r.toByte; raster(o + 1) = g.toByte; raster(o + 2) = b.toByte
+      }
+      header ++ raster
+    }
+    val img = ppm(8, 8)((_, y) => if (y < 4) (0, 0, 0) else (255, 255, 255))
+    val f = Codecs.decodeImage(img)
+    assert(f.length == 16)
+    // top two grid rows black (0), bottom two white (~1)
+    assert(f.take(8).forall(_ == 0f), f.toSeq)
+    assert(f.drop(8).forall(v => math.abs(v - 1f) < 1e-4), f.toSeq)
+    // header niceties: comments and odd whitespace still parse
+    val commented = ("P6 # a comment\n# another\n 8\t8 \n255\n".getBytes("US-ASCII")
+      ++ img.drop(s"P6\n8 8\n255\n".length))
+    assert(Codecs.decodePpm(commented).exists { case (w, h, _) => w == 8 && h == 8 })
+    // corruption falls back to the histogram path rather than failing:
+    // truncated raster, wrong magic, non-255 maxval
+    assert(Codecs.decodePpm(img.dropRight(1)).isEmpty)
+    assert(Codecs.decodePpm("P5\n8 8\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(Codecs.decodePpm("P6\n8 8\n65535\n".getBytes("US-ASCII")).isEmpty)
+    val fallback = Codecs.decodeImage(img.dropRight(1))
+    assert(math.abs(fallback.sum - 1f) < 1e-3) // histogram semantics
+    // end-to-end through the distributed pipeline
+    import spark.implicits._
+    val items = Seq((1L, img, "ppm"), (2L, img.dropRight(1), "ppm"))
+      .toDF("id", "media", "format").as[Multimodal.MediaItem]
+    val feats = Multimodal.extractFeatures(items).collect()
+      .map(x => x.id -> x.features).toMap
+    assert(feats(1L).toSeq == f.toSeq)
+    assert(feats(2L).toSeq == fallback.toSeq)
+  }
+
   test("frameSample emits n bounded frames per item") {
     val docs = Tables.load(spark, sfDir, "documents").limit(10)
     val items = Multimodal.asMedia(docs, "doc_id", "text", "video/fake")
