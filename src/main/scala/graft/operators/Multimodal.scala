@@ -60,6 +60,13 @@ object Multimodal {
       else Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
     }
 
+    /** Decode any payload into a 16-float feature vector by magic-number
+      * sniffing: P6 PPM → pooled-luminance grid, RIFF/WAVE 16-bit PCM →
+      * per-window RMS energy, anything else → the histogram fallback.
+      */
+    def decodeMedia(bytes: Array[Byte]): Array[Float] =
+      decodeAudio(bytes).getOrElse(decodeImage(bytes))
+
     /** Decode a payload into a 16-float feature vector. P6 PPM payloads
       * take the REAL path: per-pixel Rec.601 luminance average-pooled
       * onto a 4×4 grid in [0, 1] (the thumbnail-embedding shape). Other
@@ -92,6 +99,74 @@ object Multimodal {
         if (bytes.length > 0) { var j = 0; while (j < 16) { hist(j) /= bytes.length; j += 1 } }
         hist
     }
+
+    /** Pure-JVM RIFF/WAVE parser for 16-bit PCM: returns (sampleRate,
+      * channels, interleaved samples), or None for anything that isn't a
+      * well-formed 16-bit PCM WAV (other magic, compressed formats,
+      * truncated data chunk). Walks the chunk list, so extra chunks
+      * (LIST, fact, …) before `data` are fine.
+      */
+    def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      def u32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def tag(o: Int): String =
+        if (o + 4 <= bytes.length) new String(bytes, o, 4, "US-ASCII") else ""
+      if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var (fmtOk, channels, rate) = (false, 0, 0)
+      var samples: Array[Short] = null
+      var o = 12
+      while (o + 8 <= bytes.length && (samples == null || !fmtOk)) {
+        val id = tag(o)
+        val len = u32(o + 4).toInt
+        if (len < 0 || o + 8 + len > bytes.length) return None
+        if (id == "fmt " && len >= 16) {
+          fmtOk = u16(o + 8) == 1 && u16(o + 22) == 16 // PCM, 16-bit
+          channels = u16(o + 10)
+          rate = u32(o + 12).toInt
+        } else if (id == "data") {
+          samples = new Array[Short](len / 2)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = ((bytes(o + 8 + 2 * i) & 0xff) |
+              (bytes(o + 9 + 2 * i) << 8)).toShort
+            i += 1
+          }
+        }
+        o += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (fmtOk && channels > 0 && samples != null) Some((rate, channels, samples))
+      else None
+    }
+
+    /** REAL audio features from a 16-bit PCM WAV: per-window RMS energy
+      * over 16 equal time windows, channels averaged, samples normalized
+      * to [−1, 1] — the clip-level energy profile shape.
+      */
+    def decodeAudio(bytes: Array[Byte]): Option[Array[Float]] =
+      decodeWav(bytes).map { case (_, channels, pcm) =>
+        val frames = pcm.length / channels
+        val out = new Array[Float](16)
+        val cnt = new Array[Int](16)
+        var f = 0
+        while (f < frames) {
+          var s = 0.0f
+          var c = 0
+          while (c < channels) { s += pcm(f * channels + c) / 32768.0f; c += 1 }
+          val v = s / channels
+          val w = if (frames == 0) 0 else math.min(f * 16 / frames, 15)
+          out(w) += v * v
+          cnt(w) += 1
+          f += 1
+        }
+        var j = 0
+        while (j < 16) {
+          if (cnt(j) > 0) out(j) = math.sqrt(out(j) / cnt(j)).toFloat
+          j += 1
+        }
+        out
+      }
 
     def checksum(bytes: Array[Byte]): Long = {
       var h = 1125899906842597L
@@ -142,7 +217,7 @@ object Multimodal {
       if (batchHint > items.rdd.getNumPartitions) items.repartition(batchHint) else items
     sized.mapPartitions { it =>
       it.map { m =>
-        val px = Codecs.decodeImage(m.media)
+        val px = Codecs.decodeMedia(m.media)
         MediaFeatures(m.id, m.format, m.media.length.toLong, Codecs.checksum(m.media), px)
       }
     }

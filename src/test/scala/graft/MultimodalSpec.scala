@@ -69,6 +69,36 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).toSeq == fallback.toSeq)
   }
 
+  test("WAV payloads take the REAL audio path: per-window RMS energy") {
+    import graft.operators.Multimodal.Codecs
+    // 16-bit PCM mono: first half silence, second half full-scale square
+    val frames = 1600
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val pcm: Array[Byte] = (0 until frames).flatMap { i =>
+      le16(if (i < frames / 2) 0 else if (i % 2 == 0) 32767 else -32768)
+    }.toArray
+    val wav: Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + pcm.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(pcm.length) ++ pcm
+    val f = Codecs.decodeAudio(wav)
+    assert(f.isDefined, "well-formed WAV must decode")
+    val feats = f.get
+    assert(feats.length == 16)
+    // first 8 windows silent, last 8 at (near-)full-scale RMS
+    assert(feats.take(8).forall(_ == 0f), feats.toSeq)
+    assert(feats.drop(8).forall(v => math.abs(v - 1f) < 1e-2), feats.toSeq)
+    // corruption → None → extractFeatures falls back to the histogram
+    assert(Codecs.decodeWav(wav.dropRight(1)).isEmpty)
+    assert(Codecs.decodeWav("RIFX1234WAVE".getBytes).isEmpty)
+    // dispatch: decodeMedia routes WAV to audio, PPM to image, rest to histogram
+    assert(Codecs.decodeMedia(wav).toSeq == feats.toSeq)
+    assert(math.abs(Codecs.decodeMedia("not media at all".getBytes).sum - 1f) < 1e-3)
+  }
+
   test("frameSample emits n bounded frames per item") {
     val docs = Tables.load(spark, sfDir, "documents").limit(10)
     val items = Multimodal.asMedia(docs, "doc_id", "text", "video/fake")
