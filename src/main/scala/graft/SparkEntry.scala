@@ -1802,6 +1802,43 @@ object SparkEntry {
     }
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): a derived
+    * bucket key that is NULL for sub-unit values joins a 4-row dimension
+    * that includes a NULL-keyed label — the comparator plain `=` can't
+    * express (NULL = NULL is NULL; NULL <=> NULL is TRUE).
+    */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(
+      when(col("value") < 1.0, lit(null).cast("long"))
+        .otherwise(floor(col("value") / 100.0).cast("long")).as("k"),
+      col("event_id"))
+    val dim = s.createDataFrame(Seq(
+        (Option.empty[Long], "missing"), (Some(0L), "low"),
+        (Some(2L), "mid"), (Some(4L), "high")))
+      .toDF("k", "label")
+    ev.join(dim, ev("k") <=> dim("k"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+      .orderBy("label")
+  }
+
+  /** Spark 4 VARIANT path: props parsed with parse_json into a VARIANT
+    * column, fields extracted with variant_get — the semi-structured
+    * storage type (vs q10's string-path get_json_object).
+    */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(variant_get(parse_json(props), '$.k', 'long')) AS BIGINT)
+        |    AS ksum,
+        |  MIN(variant_get(parse_json(props), '$.k', 'int')) AS kmin,
+        |  MAX(variant_get(parse_json(props), '$.k', 'int')) AS kmax
+        |FROM events WHERE props IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   // ------------------------------------------------------------ registry --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1915,6 +1952,8 @@ object SparkEntry {
     "stream_timer" -> (streamTimer _),
     "q98_setops_all" -> (q98 _),
     "q99_recursive" -> (q99 _),
+    "q100_nullsafe" -> (q100 _),
+    "q101_variant" -> (q101 _),
     "text_pmi" -> (textPmi _),
     "text_diversity" -> (textDiversity _),
     "text_decontaminate" -> (textDecontaminate _),
@@ -2909,6 +2948,27 @@ object SparkEntry {
         |SELECT 'except_all' AS op, COUNT(*) AS n,
         |  CAST(SUM(q) AS BIGINT) AS qsum FROM ea
         |ORDER BY op""".stripMargin,
+    "q100_nullsafe" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN value < 1.0 THEN NULL
+        |              ELSE CAST(FLOOR(value / 100.0) AS BIGINT) END AS k,
+        |    event_id
+        |  FROM events
+        |), dim(k, label) AS (
+        |  VALUES (NULL, 'missing'), (0, 'low'), (2, 'mid'), (4, 'high')
+        |)
+        |SELECT d.label, COUNT(*) AS n,
+        |  CAST(SUM(ev.event_id) AS BIGINT) AS id_sum
+        |FROM ev JOIN dim d ON ev.k IS NOT DISTINCT FROM d.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q101_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS ksum,
+        |  MIN(CAST(json_extract(props, '$.k') AS INT)) AS kmin,
+        |  MAX(CAST(json_extract(props, '$.k') AS INT)) AS kmax
+        |FROM events WHERE props IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q99_recursive" ->
       """WITH RECURSIVE reach(v, d) AS (
         |  SELECT CAST(0 AS BIGINT) AS v, 0 AS d
