@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-stress probe: synthesizes a corpus ~100× the largest fixture
+  * (default 505k documents ≈ 180 MB of text — 500k distinct token-salad
+  * docs + 5k planted exact duplicates) and times the hot pipeline
+  * operators on it. The fixture SFs verify correctness; this main is the
+  * evidence that the operator SHAPES hold when the data grows two orders
+  * of magnitude: candidate volume stays pair-proportional (planted dups
+  * only), aggregates stay map-side combined, narrow ops stay narrow.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [nDocs]"` — prints one JSON line
+  * of per-stage seconds plus invariant checks (dup pairs found == planted).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(500000L)
+    val spark = Session.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    // deterministic token salad: 40 unique-ish 8-hex tokens per doc
+    val toks = (0 until 40).map(j =>
+      substring(md5(concat(col("id").cast("string"), lit(s":$j"))), 1, 8))
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", toks: _*).as("text"))
+    val planted = base.filter(col("doc_id") < 5000)
+      .select((col("doc_id") + n).as("doc_id"), col("text"))
+    val corpus = base.unionAll(planted).localCheckpoint(true)
+    val total = corpus.count()
+
+    def time[A](name: String)(f: => A): (String, Double, A) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scale] $name: $s%.1f s")
+      (name, s, r)
+    }
+
+    val stages = Seq(
+      time("exact_dedup") {
+        graft.operators.Dedup.exact(corpus, "doc_id", Seq("text")).count()
+      },
+      time("minhash_pairs") {
+        graft.operators.Dedup.minHashPairs(corpus, "doc_id", "text").count()
+      },
+      time("langid") {
+        corpus.select(graft.operators.TextAnalysis.langId(col("text")).as("lang"))
+          .groupBy("lang").count().count()
+      },
+      time("token_stats") {
+        corpus.select(graft.operators.TextAnalysis.tokenCountColumns(col("text")): _*)
+          .agg(sum("ws_tokens")).collect().length.toLong
+      },
+      time("hash_split") {
+        graft.operators.Sampling.hashSplit(corpus, "doc_id", 0.9)
+          .groupBy("split").count().count()
+      },
+      time("global_ids") {
+        graft.operators.Indexing.globalIds(corpus, Seq("doc_id")).count()
+      },
+      time("budget_trim") {
+        graft.operators.Sampling.budgetTrim(
+          corpus.withColumn("len", length(col("text"))),
+          Seq(col("len").desc, col("doc_id")), "len", 50000000L).count()
+      })
+    graft.operators.Dedup.releaseCaches()
+    val dedupCount = stages.find(_._1 == "exact_dedup").get._3
+    val pairCount = stages.find(_._1 == "minhash_pairs").get._3
+    // invariants: exact dedup keeps one copy per planted pair;
+    // minhash finds exactly the planted duplicates, nothing quadratic
+    assert(dedupCount == total - 5000, s"exact dedup kept $dedupCount of $total")
+    assert(pairCount == 5000, s"minhash found $pairCount pairs, planted 5000")
+    val js = stages.map { case (k, s, _) => s""""$k":${math.round(s * 100) / 100.0}""" }
+      .mkString(",")
+    println(s"""{"metric":"scale_probe","docs":$total,$js}""")
+    spark.stop()
+  }
+}

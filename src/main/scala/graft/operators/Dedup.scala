@@ -60,9 +60,10 @@ object Dedup extends CacheLedger {
     * — this is the shared input of every pair-finding variant.
     */
   private def hashedSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    // native one-pass kernel: the HOF form re-tokenized the document once
+    // per shingle (no cross-lambda CSE) — 253 s vs ~3 s at a 505k-doc probe
     ledgered(docs.select(col(idCol).as("doc_id"),
-        array_sort(array_distinct(transform(
-          TF.shingles(col(textCol), n), s => xxhash64(s)))).as("hs"))
+        graft.plans.ShingleHashes.shingleHashes(col(textCol), n).as("hs"))
       .cache())
 
   /** (doc_id, h) exploded from the cached hash sets. */
@@ -91,27 +92,36 @@ object Dedup extends CacheLedger {
     verifyHashed(sets, candidates, threshold)
   }
 
-  /** Tall per-(doc, hash-index) signature mins: (doc_id, k, mh). Narrow
-    * aggregates only — a 128-wide min-agg blows past JIT codegen limits.
+  /** Per-doc MinHash signatures via the native one-pass kernel
+    * ([[graft.plans.MinHashSig]]) — NARROW: no row blowup, no shuffle.
+    * The former dataflow form (posexplode k hashes per shingle + a
+    * (doc, k) min-agg) shuffled |shingles|·k rows: 2.4B aggregate inputs
+    * at a 500k-doc probe, 245 s for what is one register loop per row.
+    * Empty documents carry no signature (kernel returns null) and are
+    * filtered — they must never share a band bucket.
     */
-  private def minHashTall(sets: DataFrame, numHashes: Int): DataFrame =
-    explodedHashes(sets)
-      .select(col("doc_id"),
-        posexplode(array((0 until numHashes).map(i => xxhash64(lit(i), col("h"))): _*))
-          .as(Seq("k", "mk")))
-      .groupBy("doc_id", "k")
-      .agg(min("mk").as("mh"))
+  private def signatures(sets: DataFrame, numHashes: Int): DataFrame =
+    sets.select(col("doc_id"),
+        graft.plans.MinHashSig.minHashSig(col("hs"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Banded bucket keys: (doc_id, band, bh) — `bands` rows per document
+    * (vs per-shingle blowup). Signature + band fold happen inside ONE
+    * kernel pass ([[graft.plans.MinHashBands]]); the only row-level op
+    * left is the posexplode of `bands` plain longs.
+    */
+  private def bandBuckets(sets: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sets.select(col("doc_id"),
+        graft.plans.MinHashBands.minHashBands(col("hs"), numHashes, bands)
+          .as("bhs"))
+      .filter(col("bhs").isNotNull)
+      .select(col("doc_id"), posexplode(col("bhs")).as(Seq("band", "bh")))
 
   /** MinHash signature matrix: (doc_id, sig array<bigint>[numHashes]). */
   def minHashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 128): DataFrame = {
-    val sets = hashedSets(docs, idCol, textCol, shingleN)
-    minHashTall(sets, numHashes)
-      .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
-  }
+      shingleN: Int = 3, numHashes: Int = 128): DataFrame =
+    signatures(hashedSets(docs, idCol, textCol, shingleN), numHashes)
 
   /** Near-duplicate pairs via MinHash LSH, exact-verified.
     * With b bands of r rows, P(candidate | J) = 1-(1-J^r)^b; the defaults
@@ -123,16 +133,10 @@ object Dedup extends CacheLedger {
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val sets = hashedSets(docs, idCol, textCol, shingleN)
-    // Band bucket key = hash of the band's sorted (k, min) list; one narrow
-    // aggregation. Cached: the self-join below would recompute the whole
-    // signature pipeline for both sides otherwise.
-    val buckets = ledgered(minHashTall(sets, numHashes)
-      .withColumn("band", (col("k") / lit(r)).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(xxhash64(array_sort(collect_list(struct(col("k"), col("mh"))))).as("bh"))
-      .cache())
+    // Cached: the self-join below would recompute the whole signature
+    // pipeline for both sides otherwise.
+    val buckets = ledgered(bandBuckets(sets, numHashes, bands).cache())
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -164,15 +168,10 @@ object Dedup extends CacheLedger {
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val all = corpus.select(col(idCol).cast("long").as(idCol), col(textCol))
       .unionByName(incoming.select(col(idCol).cast("long").as(idCol), col(textCol)))
     val sets = hashedSets(all, idCol, textCol, shingleN)
-    val buckets = ledgered(minHashTall(sets, numHashes)
-      .withColumn("band", (col("k") / lit(r)).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(xxhash64(array_sort(collect_list(struct(col("k"), col("mh"))))).as("bh"))
-      .cache())
+    val buckets = ledgered(bandBuckets(sets, numHashes, bands).cache())
     val newIds = incoming.select(col(idCol).cast("long").as("doc_id")).distinct()
     val bucketsNew = buckets.join(newIds, Seq("doc_id"))
     val candidates = buckets.as("a")
@@ -193,19 +192,13 @@ object Dedup extends CacheLedger {
   def simHash(docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame =
     simHashOf(hashedSets(docs, idCol, textCol, shingleN))
 
-  private def simHashOf(sets: DataFrame): DataFrame = {
-    val pmArray = array((0 until 64).map(b =>
-      when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)): _*)
-    explodedHashes(sets)
-      .select(col("doc_id"), posexplode(pmArray).as(Seq("b", "pm")))
-      .groupBy("doc_id", "b")
-      .agg(sum("pm").as("s"))
-      .groupBy("doc_id")
-      // sum of distinct powers of two == bitwise OR; bit 63 maps to
-      // Long.MinValue, the total always stays within Long range.
-      .agg(expr("sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)")
-        .as("simhash"))
-  }
+  private def simHashOf(sets: DataFrame): DataFrame =
+    // native one-pass kernel (bit-identical to the former tall
+    // (doc, bit) ±1 sum-aggregate, which exploded 64 rows per shingle
+    // through a shuffle); empty docs carry no simhash
+    sets.select(col("doc_id"),
+        graft.plans.SimHashSig.simHashSig(col("hs")).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Block-LSH candidate pairs for [[simHashPairs]], exposed so specs can
     * assert candidate volume stays ≪ n(n−1)/2. Pigeonhole: with `blocks`
