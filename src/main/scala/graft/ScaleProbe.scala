@@ -62,6 +62,23 @@ object ScaleProbe {
         graft.operators.Sampling.budgetTrim(
           corpus.withColumn("len", length(col("text"))),
           Seq(col("len").desc, col("doc_id")), "len", 50000000L).count()
+      },
+      time("srp_embedding_pairs") {
+        // deterministic zero-centered 64-dim vectors + 5k planted dups
+        val vec = transform(sequence(lit(0), lit(63)), j =>
+          ((pmod(xxhash64(col("vec_id") % n, j), lit(2000L)) - 1000L)
+            .cast("double") / 1000.0).cast("float"))
+        val vecs = spark.range(n + 5000)
+          .select(col("id").as("vec_id"), vec.as("embedding"))
+          .localCheckpoint(true)
+        // key width must scale with corpus size: 8-bit keys = 256 buckets
+        // per table, ~2k vectors/bucket at 505k rows ⇒ ~2B candidate
+        // pairs (the probe's own finding). 20-bit keys (1M buckets) keep
+        // candidates pair-proportional; 8 tables hold exact-dup recall
+        // at ~1.0 (p_bit(cos≈1) = 1).
+        graft.operators.Dedup.embeddingPairs(
+          vecs, "vec_id", "embedding", dim = 64, threshold = 0.999,
+          planesPerTable = 20, tables = 8).count()
       })
     graft.operators.Dedup.releaseCaches()
     val dedupCount = stages.find(_._1 == "exact_dedup").get._3
@@ -70,6 +87,8 @@ object ScaleProbe {
     // minhash finds exactly the planted duplicates, nothing quadratic
     assert(dedupCount == total - 5000, s"exact dedup kept $dedupCount of $total")
     assert(pairCount == 5000, s"minhash found $pairCount pairs, planted 5000")
+    val srpPairs = stages.find(_._1 == "srp_embedding_pairs").get._3
+    assert(srpPairs == 5000, s"SRP found $srpPairs embedding pairs, planted 5000")
     val js = stages.map { case (k, s, _) => s""""$k":${math.round(s * 100) / 100.0}""" }
       .mkString(",")
     println(s"""{"metric":"scale_probe","docs":$total,$js}""")

@@ -463,6 +463,15 @@ object Dedup extends CacheLedger {
     * random-hyperplane LSH: `tables` independent signature words of
     * `planesPerTable` bits each; candidates share a full word in ≥1 table;
     * exact cosine verification. Deterministic: hyperplanes are seeded.
+    *
+    * SCALE the key width with the corpus: expected candidate volume is
+    * `tables · Σ_buckets C(n_b, 2)` with ~n/2^planesPerTable vectors per
+    * bucket, so the 8-bit default (256 buckets/table — fine at fixture
+    * size) degenerates toward all-pairs on large corpora: the 505k-row
+    * probe measured ~2B candidate rows at 8 bits vs pair-proportional at
+    * 20 bits (1M buckets). Raise `tables` alongside to hold recall at the
+    * target threshold: P(hit) = 1 − (1 − p^planesPerTable)^tables with
+    * p = 1 − acos(cos θ)/π. Same scaling rule as [[simHashPairs]] blocks.
     */
   def embeddingPairs(
       emb: DataFrame, idCol: String, vecCol: String, dim: Int,
@@ -471,14 +480,15 @@ object Dedup extends CacheLedger {
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] =
       Seq.fill(tables * planesPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
-    val signed = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
-      V.srpBitString(col(vecCol), planes).as("sig"))
-    // one signature string, sliced into per-table bucket keys; cached for
-    // the self-join (signature computation would otherwise run twice)
-    val buckets = signed.select(col("vid"), col("v"),
-      posexplode(transform(sequence(lit(0), lit(tables - 1)),
-        t => col("sig").substr(t * lit(planesPerTable) + 1, lit(planesPerTable))))
-        .as(Seq("t", "bk")))
+    // per-table bucket keys in ONE kernel pass (sign bits identical to
+    // the interpreted per-plane HOF form — same planes, same fold order);
+    // cached for the self-join (keys would otherwise compute twice)
+    val buckets = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
+        graft.plans.SrpBuckets.srpBuckets(col(vecCol), planes, planesPerTable)
+          .as("bks"))
+      .filter(col("bks").isNotNull)
+      .select(col("vid"), col("v"),
+        posexplode(col("bks")).as(Seq("t", "bk")))
       .cache()
       .transform(ledgered)
     // Dedup candidate (i, j) ids BEFORE scoring: a pair colliding in k of

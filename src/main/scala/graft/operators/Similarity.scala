@@ -96,12 +96,12 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] =
       Seq.fill(tables * planesPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
-    val signed = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
-      V.srpBitString(col(vecCol), planes).as("sig"))
-    val buckets = signed.select(col("vid"), col("v"),
-      posexplode(transform(sequence(lit(0), lit(tables - 1)),
-        t => col("sig").substr(t * lit(planesPerTable) + 1, lit(planesPerTable))))
-        .as(Seq("t", "bk")))
+    val buckets = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
+        graft.plans.SrpBuckets.srpBuckets(col(vecCol), planes, planesPerTable)
+          .as("bks"))
+      .filter(col("bks").isNotNull)
+      .select(col("vid"), col("v"),
+        posexplode(col("bks")).as(Seq("t", "bk")))
     val qb = buckets.filter(col("vid").isin(queryIds: _*))
       .withColumnsRenamed(Map("vid" -> "query_id", "v" -> "qv"))
     val scored = buckets.as("base")
