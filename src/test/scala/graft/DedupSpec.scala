@@ -229,6 +229,43 @@ class DedupSpec extends SparkSpec {
     assert(kept == Map(0L -> 3L, 1L -> 1L))
   }
 
+  test("ShingleHashes kernel matches declarative shingling semantics exactly") {
+    import graft.functions.{TextFunctions => TF}
+    import org.apache.spark.sql.functions.{array_distinct, size, transform, xxhash64}
+    // hash FAMILIES differ (internal), but the shingle SETS must be the
+    // same sets: equal sizes per doc, equal pairwise Jaccard
+    val docs = Tables.load(spark, sfDir, "documents").limit(60)
+      .select(col("doc_id"), col("text"))
+    val both = docs.select(col("doc_id"),
+      size(graft.plans.ShingleHashes.shingleHashes(col("text"), 3)).as("k"),
+      size(array_distinct(transform(TF.shingles(col("text"), 3),
+        s => xxhash64(s)))).as("d"))
+    assert(both.filter(col("k") =!= col("d")).count() == 0,
+      "kernel shingle-set size diverged from the declarative form")
+    // pairwise Jaccard identical on both representations (incl. planted
+    // near-dup fixture pairs)
+    val withSets = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.array_sort(
+        graft.plans.ShingleHashes.shingleHashes(col("text"), 3)).as("hk"),
+      org.apache.spark.sql.functions.array_sort(array_distinct(transform(
+        TF.shingles(col("text"), 3), s => xxhash64(s)))).as("hd"))
+    val pairs = withSets.as("a").join(withSets.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        graft.plans.SortedJaccard(col("a.hk"), col("b.hk")).as("jk"),
+        graft.plans.SortedJaccard(col("a.hd"), col("b.hd")).as("jd"))
+    assert(pairs.filter(col("jk") =!= col("jd")).count() == 0,
+      "pairwise Jaccard diverged between kernel and declarative shingles")
+    // edge semantics: short docs and empty/multi-space strings
+    import spark.implicits._
+    val edge = Seq((0L, "one two"), (1L, ""), (2L, "  a   b  c  "),
+      (3L, "a b c")).toDF("doc_id", "text")
+    val sizes = edge.select(col("doc_id"),
+        size(graft.plans.ShingleHashes.shingleHashes(col("text"), 3)).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sizes == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
   test("releaseCaches drops operator-internal caches (batch-ingest leak bound)") {
     // assert on the CacheManager's query-cache registry, not on
     // getPersistentRDDs — that count also moves when the ContextCleaner
