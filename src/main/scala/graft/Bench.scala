@@ -116,18 +116,23 @@ object Bench {
     // degradation (a reader tuning performance needs the expensive
     // queries by name; the 0.2-second tail can aggregate).
     def fitTopK(entries: Seq[(String, Double)]): String = {
-      val sorted = entries.sortBy { case (k, v) => (-v, k) }
-      (sorted.length - 1 to 0 by -1).view
+      // -1 failure sentinels sort below every real timing — they must
+      // never be folded into (and dropped from) the other_* tail, or the
+      // degraded path silently loses the failures-stay-visible contract
+      val (failed, ok) = entries.partition(_._2 < 0)
+      val sorted = ok.sortBy { case (k, v) => (-v, k) }
+      (sorted.length to 0 by -1).view
         .map { keep =>
           val (top, rest) = sorted.splitAt(keep)
-          val other = "other_*" -> rest.map(_._2).filter(_ >= 0).sum
-          line((top :+ other).sortBy(_._1), 1)
+          val other = "other_*" -> rest.map(_._2).sum
+          line((failed ++ top :+ other).sortBy(_._1), 1)
         }
         .find(_.length <= 1920)
         .getOrElse {
           System.err.println(
-            s"[bench] per-query breakdown (${entries.length} entries) cannot " +
-              "fit the 1920-byte line; emitting total only")
+            s"[bench] per-query breakdown (${entries.length} entries, " +
+              s"${failed.length} failed: ${failed.map(_._1).mkString(",")}) " +
+              "cannot fit the 1920-byte line; emitting total only")
           line(Seq.empty, 1)
         }
     }

@@ -245,8 +245,14 @@ object Sampling {
       cumCol: String = "cum_weight"): DataFrame = {
     require(sortCols.nonEmpty, "runningTotal needs at least one sort column")
     val prepped = df.withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
+    // localCheckpoint: the per-partition-sum job and the final scan are
+    // two independent jobs over this frame — without pinning the
+    // partitions, a non-row-order-deterministic upstream (sample, shuffle
+    // ties) could recompute DIFFERENT partition contents between the two,
+    // silently corrupting the cumulative totals
     val sorted = prepped.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint(true)
     val wIdx = sorted.schema.fieldIndex("__w")
     val parts = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
       var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((i, s))

@@ -35,6 +35,13 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // empty (non-null) input evals to null, so nullability cannot be
+  // inherited from the child: with a non-nullable child the optimizer
+  // would fold the downstream isNotNull guards to true and let empty
+  // docs' null signatures flow into band buckets (or crash
+  // UnsafeProjection on a non-nullable field)
+  override def nullable: Boolean = true
+
   // per-k XOR seeds, fixed at plan construction
   private val seeds: Array[Long] =
     Array.tabulate(numHashes)(k => MinHashSig.mix(0x9e3779b97f4a7c15L * (k + 1)))
@@ -97,6 +104,9 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // null on empty input — see the [[MinHashSig.nullable]] rationale
+  override def nullable: Boolean = true
+
   private val r = numHashes / bands
   private val seeds: Array[Long] =
     Array.tabulate(numHashes)(k => MinHashSig.mix(0x9e3779b97f4a7c15L * (k + 1)))
@@ -151,6 +161,9 @@ case class SimHashSig(child: Expression)
   extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
+
+  // null on empty input — see the [[MinHashSig.nullable]] rationale
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
   * the key representation (packed long vs substring) differs, which is
   * internal to the band join.
   *
-  * Accepts float or double array input; null or empty vectors → null.
+  * Accepts float or double array input; null, empty, or
+  * wrong-dimension vectors → null (excluded from bucketing).
   */
 case class SrpBuckets(
     child: Expression, planes: Seq[Seq[Double]], planesPerTable: Int)
@@ -34,6 +35,12 @@ case class SrpBuckets(
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // empty or dimension-mismatched input evals to null, so nullability
+  // cannot be inherited from the child (the optimizer would fold the
+  // downstream isNotNull guards away and let null keys flow into the
+  // bucket join)
+  override def nullable: Boolean = true
+
   @transient private lazy val p: Array[Array[Double]] =
     planes.map(_.toArray).toArray
   @transient private lazy val isFloat =
@@ -42,7 +49,10 @@ case class SrpBuckets(
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null
+    // a vector of the wrong dimension has no meaningful sign bits —
+    // excluded (null), like the declarative zip_with form, rather than
+    // silently bucketed by a truncated dot product
+    if (n == 0 || n != p(0).length) return null
     val tables = p.length / planesPerTable
     val out = new Array[Long](tables)
     var t = 0
@@ -51,11 +61,10 @@ case class SrpBuckets(
       var j = 0
       while (j < planesPerTable) {
         val plane = p(t * planesPerTable + j)
-        val d = math.min(n, plane.length)
         var dot = 0.0
         var i = 0
-        if (isFloat) while (i < d) { dot += arr.getFloat(i).toDouble * plane(i); i += 1 }
-        else while (i < d) { dot += arr.getDouble(i) * plane(i); i += 1 }
+        if (isFloat) while (i < n) { dot += arr.getFloat(i).toDouble * plane(i); i += 1 }
+        else while (i < n) { dot += arr.getDouble(i) * plane(i); i += 1 }
         if (dot >= 0) key |= (1L << j)
         j += 1
       }

@@ -298,6 +298,10 @@ object EventStreams {
     val micros = gapMicros.days * 86400000000L + gapMicros.microseconds
     events
       .withWatermark("ts", watermark)
+      // eventSchema permits null user_id/ts; a null would fail the
+      // primitive (Long, Long) decode at runtime, and the batch oracle
+      // drops null-key rows anyway
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .selectExpr("user_id", "unix_micros(ts) AS tus")
       .as[(Long, Long)]
       .groupByKey(_._1)
