@@ -71,14 +71,14 @@ object ScaleProbe {
         val vecs = spark.range(n + 5000)
           .select(col("id").as("vec_id"), vec.as("embedding"))
           .localCheckpoint(true)
-        // key width must scale with corpus size: 8-bit keys = 256 buckets
-        // per table, ~2k vectors/bucket at 505k rows ⇒ ~2B candidate
-        // pairs (the probe's own finding). 20-bit keys (1M buckets) keep
-        // candidates pair-proportional; 8 tables hold exact-dup recall
-        // at ~1.0 (p_bit(cos≈1) = 1).
+        // DEFAULTS on purpose: the auto-derived geometry (Lsh.autoPlanes /
+        // autoTables from the corpus count) must survive this 100x leg on
+        // its own — the fixed 8-bit width the defaults replaced was this
+        // probe's original finding (~2B candidate pairs, heap death).
+        // Planted dups are bit-identical vectors, so recall is exactly 1
+        // regardless of the derived geometry.
         graft.operators.Dedup.embeddingPairs(
-          vecs, "vec_id", "embedding", dim = 64, threshold = 0.999,
-          planesPerTable = 20, tables = 8).count()
+          vecs, "vec_id", "embedding", dim = 64, threshold = 0.999).count()
       })
     graft.operators.Dedup.releaseCaches()
     val dedupCount = stages.find(_._1 == "exact_dedup").get._3

@@ -132,18 +132,30 @@ object Dedup extends CacheLedger {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
+    val sets = hashedSets(docs, idCol, textCol, shingleN)
+    val candidates = minHashCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
+    verifyHashed(sets, candidates, threshold)
+  }
+
+  /** The banded-LSH candidate stage of [[minHashPairs]] alone — exposed
+    * so scale guards can assert candidate volume tracks true-duplicate
+    * volume (band collisions), never n². Shares [[hashedSets]]' cached
+    * plan with the verification stage via CacheManager plan dedup.
+    */
+  def minHashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sets = hashedSets(docs, idCol, textCol, shingleN)
     // Cached: the self-join below would recompute the whole signature
     // pipeline for both sides otherwise.
     val buckets = ledgered(bandBuckets(sets, numHashes, bands).cache())
-    val candidates = buckets.as("a")
+    buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    verifyHashed(sets, candidates, threshold)
   }
 
   /** Incremental near-dup detection: pairs between an INCOMING batch and
@@ -204,10 +216,18 @@ object Dedup extends CacheLedger {
     * assert candidate volume stays ≪ n(n−1)/2. Pigeonhole: with `blocks`
     * equal-width blocks of a 64-bit SimHash, any pair with Hamming
     * distance < blocks shares at least one identical block.
+    *
+    * `maxHamming` default 16 (was 20): the J≥0.8 regime has EXPECTED
+    * Hamming ≈ 7, but the distribution has a real tail — the sf0.1
+    * fixture's 256 true J≥0.8 pairs reach Hamming 14 — while random
+    * non-dup pairs concentrate near 32. 16 keeps measured recall exact
+    * and cuts the admitted verification volume sharply; 20 let ≈⅓ of all
+    * block collisions through to exact Jaccard scoring (the bench's
+    * slowest non-stream query before this change).
     */
   def simHashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, blocks: Int = 8, maxHamming: Int = 20): DataFrame = {
+      shingleN: Int = 3, blocks: Int = 8, maxHamming: Int = 16): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
     val w = 64 / blocks
     val sets = hashedSets(docs, idCol, textCol, shingleN)
@@ -234,11 +254,12 @@ object Dedup extends CacheLedger {
     * verification. 8-bit blocks give 256 bucket values per block, so
     * expected per-block candidate volume is ~n²/512 on hash-random
     * corpora — the former 4-bit default (16 values/block) degenerated
-    * toward all-pairs at large n.
+    * toward all-pairs at large n. See [[simHashCandidates]] for the
+    * measured rationale behind the `maxHamming` default.
     */
   def simHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, blocks: Int = 8, maxHamming: Int = 20,
+      shingleN: Int = 3, blocks: Int = 8, maxHamming: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val sets = hashedSets(docs, idCol, textCol, shingleN)
     val candidates = simHashCandidates(docs, idCol, textCol, shingleN, blocks, maxHamming)
@@ -260,12 +281,26 @@ object Dedup extends CacheLedger {
       shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sets = hashedSets(docs, idCol, textCol, shingleN)
     val sh = explodedHashes(sets)
+    // Both PPJoin filters must round in EXACT arithmetic: in doubles,
+    // (1-0.8)·10 = 1.999…96 floors one short (undersized prefix) and
+    // 0.8/1.8·18 = 8.000…02 ceils one high (over-tight overlap bound) —
+    // each silently drops pairs sitting exactly ON the threshold
+    // (J = 8/10 at t = 0.8 was lost on the sf0.1 fixture). The threshold
+    // becomes a decimal fraction tNum/tDen, rounded DOWN (recall-safe:
+    // a smaller t only weakens the filters) and the bounds are integer
+    // expressions — products stay < 2^53, exact in the engine's math.
+    val (tNum, tDen) = {
+      val bd = BigDecimal(threshold.toString).setScale(6, BigDecimal.RoundingMode.FLOOR)
+      ((bd * BigDecimal(1000000)).toLongExact, 1000000L)
+    }
+    // prefix length: n - ceil(t·n) + 1, ceil(t·n) = floor((tNum·n + tDen-1)/tDen)
     val byFreq = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
     val prefixes = sh
       .join(sh.groupBy("h").agg(count(lit(1)).as("df")), Seq("h"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rk", row_number().over(byFreq))
-      .filter(col("rk") <= floor((lit(1.0) - lit(threshold)) * col("n")) + 1)
+      .filter(col("rk") <=
+        col("n") - floor((lit(tNum) * col("n") + lit(tDen - 1)) / lit(tDen)) + 1)
       .select("doc_id", "h", "rk", "n")
       .cache() // self-joined below; avoid recomputing df-join + windows twice
       .transform(ledgered)
@@ -274,12 +309,12 @@ object Dedup extends CacheLedger {
     // 1 + min(na-ra, nb-rb) shared elements. The first shared element of a
     // qualifying pair always passes, so dropping failing matches loses no
     // true pair while pruning most spurious rare-shingle collisions.
-    val tFrac = lit(threshold / (1.0 + threshold))
+    // Integer form: c·(tDen+tNum) >= tNum·(na+nb).
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          (lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))) >=
-            ceil(tFrac * (col("a.n") + col("b.n"))))
+          (lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))) *
+            lit(tDen + tNum) >= lit(tNum) * (col("a.n") + col("b.n")))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
     verifyHashed(sets, candidates, threshold)
@@ -464,42 +499,23 @@ object Dedup extends CacheLedger {
     * `planesPerTable` bits each; candidates share a full word in ≥1 table;
     * exact cosine verification. Deterministic: hyperplanes are seeded.
     *
-    * SCALE the key width with the corpus: expected candidate volume is
-    * `tables · Σ_buckets C(n_b, 2)` with ~n/2^planesPerTable vectors per
-    * bucket, so the 8-bit default (256 buckets/table — fine at fixture
-    * size) degenerates toward all-pairs on large corpora: the 505k-row
-    * probe measured ~2B candidate rows at 8 bits vs pair-proportional at
-    * 20 bits (1M buckets). Raise `tables` alongside to hold recall at the
-    * target threshold: P(hit) = 1 − (1 − p^planesPerTable)^tables with
-    * p = 1 − acos(cos θ)/π. Same scaling rule as [[simHashPairs]] blocks.
+    * The key width MUST scale with the corpus, and as of round 6 it DOES:
+    * `planesPerTable = 0` (the default) derives the width from a cheap
+    * corpus count via [[Lsh.autoPlanes]] — expected bucket occupancy
+    * stays ~constant, so candidate volume stays LINEAR in n; the fixed
+    * 8-bit width this replaces was measured at ~2 billion candidate rows
+    * (driver heap death) on a 505k-vector probe. `tables = 0` (default)
+    * derives the table count holding P(miss at the threshold) ≤ 1e-3 via
+    * [[Lsh.autoTables]]. Pass both explicitly to pin a plan (and skip the
+    * count job).
     */
   def embeddingPairs(
       emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-      threshold: Double = 0.95, planesPerTable: Int = 8, tables: Int = 4,
+      threshold: Double = 0.95, planesPerTable: Int = 0, tables: Int = 0,
       seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(tables * planesPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
-    // per-table bucket keys in ONE kernel pass (sign bits identical to
-    // the interpreted per-plane HOF form — same planes, same fold order);
-    // cached for the self-join (keys would otherwise compute twice)
-    val buckets = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
-        graft.plans.SrpBuckets.srpBuckets(col(vecCol), planes, planesPerTable)
-          .as("bks"))
-      .filter(col("bks").isNotNull)
-      .select(col("vid"), col("v"),
-        posexplode(col("bks")).as(Seq("t", "bk")))
-      .cache()
-      .transform(ledgered)
-    // Dedup candidate (i, j) ids BEFORE scoring: a pair colliding in k of
-    // the LSH tables would otherwise be cosine-scored k times and deduped
-    // after the fact. Vectors are joined back from the cached buckets.
-    val candidates = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
-          col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("i"), col("b.vid").as("j"))
-      .distinct()
+    val buckets = srpBucketed(emb, idCol, vecCol, dim, threshold,
+      planesPerTable, tables, seed)
+    val candidates = srpCandidates(buckets)
     val vecs = buckets.select(col("vid"), col("v")).dropDuplicates("vid")
     candidates
       .join(vecs.as("vi"), col("i") === col("vi.vid"))
@@ -509,6 +525,58 @@ object Dedup extends CacheLedger {
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), round(col("cos"), 3).as("cos"))
   }
+
+  /** The candidate stage of [[embeddingPairs]] alone — (i, j) ids sharing
+    * ≥1 bucket — exposed so scale guards can assert candidate volume
+    * stays linear in n under the auto-derived key width.
+    */
+  def embeddingCandidates(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.95, planesPerTable: Int = 0, tables: Int = 0,
+      seed: Long = 42L): DataFrame =
+    srpCandidates(srpBucketed(emb, idCol, vecCol, dim, threshold,
+      planesPerTable, tables, seed))
+
+  /** Cached (vid, v, t, bk) bucket rows with auto-derived LSH geometry:
+    * width from [[Lsh.autoPlanes]] on a corpus count when
+    * `planesPerTable = 0`, table count from [[Lsh.autoTables]] at the
+    * verification threshold when `tables = 0`.
+    */
+  private def srpBucketed(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, planesPerTable: Int, tables: Int,
+      seed: Long): DataFrame = {
+    val bits =
+      if (planesPerTable > 0) planesPerTable
+      else Lsh.autoPlanes(emb.count())
+    val nTables = if (tables > 0) tables else Lsh.autoTables(bits, threshold)
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nTables * bits)(Seq.fill(dim)(rnd.nextGaussian()))
+    // per-table bucket keys in ONE kernel pass (sign bits identical to
+    // the interpreted per-plane HOF form — same planes, same fold order);
+    // cached for the self-join (keys would otherwise compute twice)
+    emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
+        graft.plans.SrpBuckets.srpBuckets(col(vecCol), planes, bits)
+          .as("bks"))
+      .filter(col("bks").isNotNull)
+      .select(col("vid"), col("v"),
+        posexplode(col("bks")).as(Seq("t", "bk")))
+      .cache()
+      .transform(ledgered)
+  }
+
+  /** Distinct candidate ids from a bucket frame. Deduped BEFORE scoring:
+    * a pair colliding in k of the LSH tables would otherwise be
+    * cosine-scored k times and deduped after the fact.
+    */
+  private def srpCandidates(buckets: DataFrame): DataFrame =
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("i"), col("b.vid").as("j"))
+      .distinct()
 
   /** Paragraph/line-level dedup — the C4/Dolma shape: drop every repeated
     * line (boilerplate headers, navigation chrome, license blurbs) from

@@ -88,16 +88,25 @@ object Similarity {
   /** SRP-LSH approximate top-k: candidates share a full signature word with
     * the query in at least one of `tables` tables; scored exactly, ranked,
     * truncated to k. Deterministic (seeded hyperplanes) but recall < 1.
+    *
+    * `planesPerTable = 0` (default) derives the key width from a corpus
+    * count via [[Lsh.autoPlanes]], keeping per-query candidate volume
+    * ~constant as the base grows — the fixed 8-bit width this replaces
+    * scanned n/256 of the base per query per table at ANY n. There is no
+    * similarity threshold in a top-k contract, so the table count stays
+    * an explicit recall/cost knob.
     */
   def srpTopK(
       emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, dim: Int,
-      planesPerTable: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
+      planesPerTable: Int = 0, tables: Int = 8, seed: Long = 42L): DataFrame = {
+    val bits =
+      if (planesPerTable > 0) planesPerTable else Lsh.autoPlanes(emb.count())
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] =
-      Seq.fill(tables * planesPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
+      Seq.fill(tables * bits)(Seq.fill(dim)(rnd.nextGaussian()))
     val buckets = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
-        graft.plans.SrpBuckets.srpBuckets(col(vecCol), planes, planesPerTable)
+        graft.plans.SrpBuckets.srpBuckets(col(vecCol), planes, bits)
           .as("bks"))
       .filter(col("bks").isNotNull)
       .select(col("vid"), col("v"),

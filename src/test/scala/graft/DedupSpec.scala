@@ -62,6 +62,21 @@ class DedupSpec extends SparkSpec {
     assert(pairsOf(Dedup.ngramJaccardPairs(docs, "doc_id", "text")) == expectedPairs)
   }
 
+  test("ngram pairs sitting exactly ON the threshold are kept (no float rounding loss)") {
+    // a: 10 tokens -> 8 distinct 3-shingles; b: a + 2 tokens -> 10 shingles,
+    // 8 shared => J = 8/10 = 0.8 EXACTLY at threshold 0.8. In binary
+    // doubles the PPJoin prefix ((1-0.8)*10 floors one short) and overlap
+    // bound (0.8/1.8*18 ceils one high) both dropped this pair.
+    val a = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    val b = a + " x0 x1"
+    val df = spark.createDataFrame(Seq((1L, a), (2L, b))).toDF("doc_id", "text")
+    assert(pairsOf(Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.8)) ==
+      Set((1L, 2L)))
+    // sanity: the same boundary pair also survives the other LSH variants
+    assert(pairsOf(Dedup.minHashPairs(df, "doc_id", "text")) == Set((1L, 2L)))
+    assert(pairsOf(Dedup.simHashPairs(df, "doc_id", "text")) == Set((1L, 2L)))
+  }
+
   test("randomized corpus: minhash pairs equal brute force with planted exact and near dups") {
     val rnd = new scala.util.Random(23)
     val vocab = Array.tabulate(500)(i => s"w$i")
