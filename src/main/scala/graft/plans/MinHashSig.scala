@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -26,10 +26,12 @@ import org.apache.spark.sql.types._
   *
   * Empty sets return null (an empty document has no signature and must
   * never enter a band bucket — all-empty docs would otherwise collide
-  * into one giant candidate clique).
+  * into one giant candidate clique). Codegen emits one static kernel
+  * call, so the signature projection stays inside its WholeStageCodegen
+  * span.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(numHashes > 0, s"numHashes must be positive: $numHashes")
 
@@ -46,25 +48,15 @@ case class MinHashSig(child: Expression, numHashes: Int)
   private val seeds: Array[Long] =
     Array.tabulate(numHashes)(k => MinHashSig.mix(0x9e3779b97f4a7c15L * (k + 1)))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) return null
-    val out = new Array[Long](numHashes)
-    var k = 0
-    while (k < numHashes) {
-      val seed = seeds(k)
-      var mn = Long.MaxValue
-      var i = 0
-      while (i < n) {
-        val v = MinHashSig.mix(arr.getLong(i) ^ seed)
-        if (v < mn) mn = v
-        i += 1
-      }
-      out(k) = mn
-      k += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.MinHashSig.compute($c, $seedsRef);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -84,6 +76,30 @@ object MinHashSig {
     z ^ (z >>> 31)
   }
 
+  /** The signature kernel — static so the interpreted and generated
+    * paths run the same code. Empty input → null (see class doc).
+    */
+  def compute(arr: ArrayData, seeds: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val numHashes = seeds.length
+    val out = new Array[Long](numHashes)
+    var k = 0
+    while (k < numHashes) {
+      val seed = seeds(k)
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = mix(arr.getLong(i) ^ seed)
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(k) = mn
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minHashSig(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes))
 }
@@ -97,7 +113,7 @@ object MinHashSig {
   * profile. Returns array<long>[bands]; empty sets → null.
   */
 case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
     s"bands ($bands) must divide numHashes ($numHashes)")
@@ -107,14 +123,34 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
   // null on empty input — see the [[MinHashSig.nullable]] rationale
   override def nullable: Boolean = true
 
-  private val r = numHashes / bands
   private val seeds: Array[Long] =
     Array.tabulate(numHashes)(k => MinHashSig.mix(0x9e3779b97f4a7c15L * (k + 1)))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    MinHashBands.compute(input.asInstanceOf[ArrayData], seeds, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.MinHashBands.compute($c, $seedsRef, $bands);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_bands"
+}
+
+object MinHashBands {
+  /** The banded-signature kernel — static so the interpreted and
+    * generated paths run the same code. Empty input → null.
+    */
+  def compute(arr: ArrayData, seeds: Array[Long], bands: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
+    val r = seeds.length / bands
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -138,13 +174,6 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
-    copy(child = newChild)
-
-  override def prettyName: String = "graft_minhash_bands"
-}
-
-object MinHashBands {
   def minHashBands(hashes: Column, numHashes: Int, bands: Int): Column =
     ColumnBridge.column(
       MinHashBands(ColumnBridge.expression(hashes), numHashes, bands))
@@ -158,7 +187,7 @@ object MinHashBands {
   * bit 0, matching the declarative `> 0` convention. Empty sets → null.
   */
 case class SimHashSig(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -167,8 +196,30 @@ case class SimHashSig(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else SimHashSig.compute(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.plans.SimHashSig.compute($c);
+      }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash_sig"
+}
+
+object SimHashSig {
+  /** The simhash kernel — static so the interpreted and generated paths
+    * run the same code. Caller guarantees non-empty input.
+    */
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
-    if (n == 0) return null
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
@@ -189,13 +240,6 @@ case class SimHashSig(child: Expression)
     out
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
-    copy(child = newChild)
-
-  override def prettyName: String = "graft_simhash_sig"
-}
-
-object SimHashSig {
   def simHashSig(hashes: Column): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(hashes)))
 }

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,29 +29,50 @@ import org.apache.spark.unsafe.types.UTF8String
   * string-set Jaccard up to 64-bit collisions either way.
   *
   * Documents with fewer than n tokens yield an empty array (same as the
-  * declarative form).
+  * declarative form). Codegen emits one static kernel call — the
+  * signature projection stays inside its WholeStageCodegen span instead
+  * of forcing the whole stage interpreted (the CodegenFallback cost).
   */
 case class ShingleHashes(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(n > 0, s"shingle width must be positive: $n")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+object ShingleHashes {
+  final val FnvBasis = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** The shingle kernel — static so the interpreted and generated paths
+    * run the same code. Never null: < n tokens yields an empty array.
+    */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toString
     val len = s.length
     // per-token FNV-1a-then-mixed hashes, computed in one char scan
     val tokenHashes = new java.util.ArrayList[java.lang.Long](64)
     var i = 0
-    var h = ShingleHashes.FnvBasis
+    var h = FnvBasis
     var inTok = false
     while (i < len) {
       val c = s.charAt(i)
       if (c == ' ') {
-        if (inTok) { tokenHashes.add(MinHashSig.mix(h)); h = ShingleHashes.FnvBasis; inTok = false }
+        if (inTok) { tokenHashes.add(MinHashSig.mix(h)); h = FnvBasis; inTok = false }
       } else {
-        h = (h ^ c) * ShingleHashes.FnvPrime
+        h = (h ^ c) * FnvPrime
         inTok = true
       }
       i += 1
@@ -82,16 +103,6 @@ case class ShingleHashes(child: Expression, n: Int)
     }
     new GenericArrayData(if (w == cnt) out else java.util.Arrays.copyOf(out, w))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
-    copy(child = newChild)
-
-  override def prettyName: String = "graft_shingle_hashes"
-}
-
-object ShingleHashes {
-  final val FnvBasis = 0xcbf29ce484222325L
-  final val FnvPrime = 0x100000001b3L
 
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))

