@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs batched inside `mapPartitions` so a real codec
   * drops in without touching the distributed plan.
   *
-  * [[Codecs.decodeImage]] REALLY decodes binary P6 PPM images (pure-JVM
-  * parser, no codec library needed) into a pooled-luminance feature grid;
-  * payloads in any other format fall back to a deterministic byte
-  * histogram — the documented stand-in for codecs this container doesn't
-  * ship (JPEG/PNG/audio/video). Schema, batch shape, partition sizing,
-  * and feature columns are identical on both paths.
+  * [[Codecs.decodeImage]] REALLY decodes binary P6 PPM and PNG images
+  * (pure-JVM parsers — PNG via `java.util.zip.Inflater` + the five
+  * scanline filters, no codec library needed) into a pooled-luminance
+  * feature grid; payloads in any other format fall back to a
+  * deterministic byte histogram — the documented stand-in for codecs
+  * this container doesn't ship (JPEG/video). Schema, batch shape,
+  * partition sizing, and feature columns are identical on both paths.
   */
 object Multimodal {
 
@@ -60,20 +61,131 @@ object Multimodal {
       else Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
     }
 
+    /** Pure-JVM PNG decoder: returns (width, height, packed RGB bytes),
+      * or None for anything that isn't an 8-bit-depth, non-interlaced
+      * grayscale / gray+alpha / RGB / RGBA PNG (palette images and 16-bit
+      * channels are rejected up front; alpha is dropped, gray is
+      * replicated to RGB). The whole format is chunk walk + zlib
+      * (`java.util.zip.Inflater`) + the five scanline filters (None /
+      * Sub / Up / Average / Paeth) — no codec library needed. Malformed
+      * input (bad CRC structure, truncated IDAT, wrong filter byte)
+      * returns None rather than throwing, matching [[decodePpm]].
+      */
+    def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      if (bytes.length < 8 + 25) return None
+      var s = 0
+      while (s < 8) { if (bytes(s) != sig(s)) return None; s += 1 }
+      def u32(o: Int): Long =
+        ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+          ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      var o = 8
+      var w = 0; var h = 0; var colorType = -1
+      var headerOk = false
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done && o + 12 <= bytes.length) {
+        val len = u32(o).toInt
+        if (len < 0 || o + 12 + len > bytes.length) return None
+        val typ = new String(bytes, o + 4, 4, "US-ASCII")
+        typ match {
+          case "IHDR" =>
+            if (len != 13) return None
+            w = u32(o + 8).toInt; h = u32(o + 12).toInt
+            val bitDepth = bytes(o + 16) & 0xff
+            colorType = bytes(o + 17) & 0xff
+            headerOk = w > 0 && h > 0 && bitDepth == 8 &&
+              (colorType == 0 || colorType == 2 || colorType == 4 || colorType == 6) &&
+              bytes(o + 18) == 0 && bytes(o + 19) == 0 && bytes(o + 20) == 0
+            if (!headerOk) return None
+          case "IDAT" => idat.write(bytes, o + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks skipped
+        }
+        o += 12 + len
+      }
+      if (!headerOk || idat.size == 0) return None
+      val bpp = colorType match { case 0 => 1; case 4 => 2; case 2 => 3; case _ => 4 }
+      val stride = w * bpp
+      val rawLen = (stride + 1).toLong * h
+      if (rawLen > Int.MaxValue) return None
+      val raw = new Array[Byte](rawLen.toInt)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      try {
+        var got = 0
+        while (got < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          got += n
+        }
+        if (got < raw.length) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      // unfilter scanline by scanline; `img` holds reconstructed samples
+      val img = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (stride + 1)) & 0xff
+        if (f > 4) return None
+        val rowOff = y * (stride + 1) + 1
+        val outOff = y * stride
+        var x = 0
+        while (x < stride) {
+          val cur = raw(rowOff + x) & 0xff
+          val a = if (x >= bpp) img(outOff + x - bpp) & 0xff else 0 // left
+          val b = if (y > 0) img(outOff - stride + x) & 0xff else 0 // up
+          val c = if (x >= bpp && y > 0) img(outOff - stride + x - bpp) & 0xff else 0
+          val v = f match {
+            case 0 => cur
+            case 1 => cur + a
+            case 2 => cur + b
+            case 3 => cur + (a + b) / 2
+            case _ => // Paeth
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          }
+          img(outOff + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      // project to the packed-RGB contract shared with decodePpm
+      val rgb = new Array[Byte](w * h * 3)
+      var px = 0
+      val n = w * h
+      while (px < n) {
+        val src = px * bpp
+        if (bpp <= 2) {
+          val g = img(src)
+          rgb(3 * px) = g; rgb(3 * px + 1) = g; rgb(3 * px + 2) = g
+        } else {
+          rgb(3 * px) = img(src); rgb(3 * px + 1) = img(src + 1)
+          rgb(3 * px + 2) = img(src + 2)
+        }
+        px += 1
+      }
+      Some((w, h, rgb))
+    }
+
     /** Decode any payload into a 16-float feature vector by magic-number
-      * sniffing: P6 PPM → pooled-luminance grid, RIFF/WAVE 16-bit PCM →
-      * per-window RMS energy, anything else → the histogram fallback.
+      * sniffing: P6 PPM / PNG → pooled-luminance grid, RIFF/WAVE 16-bit
+      * PCM → per-window RMS energy, anything else → the histogram
+      * fallback.
       */
     def decodeMedia(bytes: Array[Byte]): Array[Float] =
       decodeAudio(bytes).getOrElse(decodeImage(bytes))
 
-    /** Decode a payload into a 16-float feature vector. P6 PPM payloads
-      * take the REAL path: per-pixel Rec.601 luminance average-pooled
-      * onto a 4×4 grid in [0, 1] (the thumbnail-embedding shape). Other
-      * formats fall back to a deterministic byte histogram so the
-      * pipeline stays runnable where no codec library exists.
+    /** Decode a payload into a 16-float feature vector. P6 PPM and PNG
+      * payloads take the REAL path: per-pixel Rec.601 luminance
+      * average-pooled onto a 4×4 grid in [0, 1] (the thumbnail-embedding
+      * shape). Other formats fall back to a deterministic byte histogram
+      * so the pipeline stays runnable where no codec library exists.
       */
-    def decodeImage(bytes: Array[Byte]): Array[Float] = decodePpm(bytes) match {
+    def decodeImage(bytes: Array[Byte]): Array[Float] =
+      decodePpm(bytes).orElse(decodePng(bytes)) match {
       case Some((w, h, rgb)) =>
         val out = new Array[Float](16)
         val cnt = new Array[Int](16)

@@ -69,6 +69,91 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).toSeq == fallback.toSeq)
   }
 
+  test("PNG payloads take the REAL decode path, all five filters") {
+    import graft.operators.Multimodal.Codecs
+    val crc = new java.util.zip.CRC32
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      def be32(v: Long): Array[Byte] = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      val body = typ.getBytes("US-ASCII") ++ data
+      crc.reset(); crc.update(body)
+      be32(data.length.toLong) ++ body ++ be32(crc.getValue)
+    }
+    // Encode `pixels` (h rows of w samples, bpp channels) as a PNG whose
+    // row y uses filter y % 5 — the decoder must invert every filter type.
+    def png(w: Int, h: Int, colorType: Int, samples: Array[Int]): Array[Byte] = {
+      val bpp = colorType match { case 0 => 1; case 4 => 2; case 2 => 3; case _ => 4 }
+      val stride = w * bpp
+      val raw = new Array[Byte]((stride + 1) * h)
+      for (y <- 0 until h) {
+        val f = y % 5
+        raw(y * (stride + 1)) = f.toByte
+        for (x <- 0 until stride) {
+          val cur = samples(y * stride + x)
+          val a = if (x >= bpp) samples(y * stride + x - bpp) else 0
+          val b = if (y > 0) samples((y - 1) * stride + x) else 0
+          val c = if (x >= bpp && y > 0) samples((y - 1) * stride + x - bpp) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case _ =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          raw(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+        }
+      }
+      val deflated = {
+        val d = new java.util.zip.Deflater
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        val n = d.deflate(buf); d.end()
+        java.util.Arrays.copyOf(buf, n)
+      }
+      val ihdr = Array(
+        (w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte,
+        (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte, h.toByte,
+        8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++
+        chunk("IEND", Array.empty[Byte])
+    }
+    // 8x8 RGB with a value pattern that makes every filter's delta nonzero
+    val w = 8; val h = 8
+    val rgbSamples = Array.tabulate(h * w * 3)(i => (i * 37 + (i / 24) * 11) % 256)
+    val bytes = png(w, h, 2, rgbSamples)
+    val decoded = Codecs.decodePng(bytes)
+    assert(decoded.isDefined, "well-formed RGB PNG must decode")
+    val (dw, dh, rgb) = decoded.get
+    assert(dw == w && dh == h)
+    assert(rgb.map(_ & 0xff).toSeq == rgbSamples.toSeq)
+    // same pixels through PPM → identical luminance-grid features: the
+    // shared 4x4 contract between the two real decoders
+    val ppm = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
+    assert(Codecs.decodeImage(bytes).toSeq == Codecs.decodeImage(ppm).toSeq)
+    // grayscale replicates to RGB; RGBA drops alpha to the same RGB
+    val graySamples = Array.tabulate(h * w)(i => (i * 53) % 256)
+    val gray = Codecs.decodePng(png(w, h, 0, graySamples))
+    assert(gray.exists(_._3.map(_ & 0xff).toSeq ==
+      graySamples.flatMap(g => Seq(g, g, g)).toSeq))
+    val rgbaSamples = Array.tabulate(h * w * 4) { i =>
+      if (i % 4 == 3) 255 - i % 200 else rgbSamples(i / 4 * 3 + i % 4)
+    }
+    assert(Codecs.decodePng(png(w, h, 6, rgbaSamples))
+      .exists(_._3.toSeq == rgb.toSeq))
+    // corruption → None → decodeImage falls back to the histogram
+    assert(Codecs.decodePng(bytes.dropRight(30)).isEmpty) // truncated IDAT
+    assert(Codecs.decodePng("notapng_at_all_padding_padding".getBytes).isEmpty)
+    val interlaced = bytes.clone; interlaced(8 + 4 + 4 + 12) = 1 // IHDR interlace=1
+    assert(Codecs.decodePng(interlaced).isEmpty)
+    assert(math.abs(Codecs.decodeImage(bytes.dropRight(30)).sum - 1f) < 1e-3)
+    // dispatch: decodeMedia routes PNG through the image path
+    assert(Codecs.decodeMedia(bytes).toSeq == Codecs.decodeImage(ppm).toSeq)
+  }
+
   test("WAV payloads take the REAL audio path: per-window RMS energy") {
     import graft.operators.Multimodal.Codecs
     // 16-bit PCM mono: first half silence, second half full-scale square
