@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.MonoidAggregator
-import graft.operators.{AsOfJoin, Dedup, Graph, Indexing, Ingest, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, DedupIndex, Graph, Indexing, Ingest, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
 import graft.sources.Crawl
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -492,6 +492,22 @@ object SparkEntry {
       .orderBy("i", "j")
   }
 
+  /** The persistent-index form of [[dedupIncremental]] — same split, same
+    * LSH geometry, same oracle: the corpus's band buckets and shingle
+    * sets are materialized ONCE as bucketed parquet tables, then the
+    * batch probes the stored index without re-hashing corpus text (the
+    * shape whose per-batch cost stays flat as the corpus grows).
+    */
+  private def dedupIndex(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_index").toString
+    val idx = DedupIndex.build(docs.filter(col("doc_id") < 400),
+      "doc_id", "text", path, "graft_q_mhidx",
+      shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
+    idx.probe(docs.filter(col("doc_id") >= 400), "doc_id", "text", threshold = 0.8)
+      .orderBy("i", "j")
+  }
+
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
     // 8-bit blocks (256 values/block) + Hamming <= 16: measured exact vs
     // brute force at sf0.01 AND sf0.1 (true-pair Hamming tail reaches 14)
@@ -556,8 +572,15 @@ object SparkEntry {
 
   /** Product-quantized ADC search: codebooks trained on the corpus (seeded,
     * deterministic), every vector compressed to 8 one-byte codes, queries
-    * ranked by asymmetric distance. Sketch-specific output (rows-only, like
-    * ann_lsh) — PqSpec certifies determinism, feasibility, and recall.
+    * ranked by asymmetric distance. Rows-only BY MEASURED NECESSITY, not
+    * convenience: an IVF-style tolerance oracle (ADC rank == exact L2
+    * rank at a fine-enough codebook) was probed and does not exist on
+    * this fixture — its embeddings are near-uniform on the sphere (every
+    * inter-rank exact-distance gap is 0.5–2 % of the distance itself),
+    * and even a near-degenerate dsub=2 / k=256 codebook (32× finer than
+    * the production shape) still reorders ranks on 4 of 10 query legs
+    * across sf0.01/sf0.1. PqSpec certifies the real contract instead:
+    * determinism, feasibility, and recall on separated clusters.
     */
   private def annPq(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
@@ -1970,6 +1993,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_index" -> (dedupIndex _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -3407,6 +3431,23 @@ object SparkEntry {
         |SELECT i, j, ROUND(jac, 3) AS jac FROM pj
         |WHERE jac >= 0.8 AND j >= 400
         |ORDER BY i, j""".stripMargin,
+    // the persistent-index probe answers the same question as
+    // dedup_incremental (same split, same geometry) — shared oracle
+    "dedup_index" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |                   for i in range(1, len(l)-1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |), pj AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j,
+        |    len(list_intersect(a.s, b.s)) * 1.0
+        |      / len(list_distinct(a.s || b.s)) AS jac
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT i, j, ROUND(jac, 3) AS jac FROM pj
+        |WHERE jac >= 0.8 AND j >= 400
+        |ORDER BY i, j""".stripMargin,
     "dedup_corpus" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
@@ -3471,6 +3512,10 @@ object SparkEntry {
         |ORDER BY i, j""".stripMargin,
     "ann_topk" -> duckAnnTopk,
     "ann_ivf" -> duckAnnTopk,
+    // ann_pq stays rows-only by measured necessity — see the annPq
+    // scaladoc: the fixture's near-uniform embeddings leave inter-rank
+    // gaps (0.5–2 %) below the reconstruction error of ANY non-degenerate
+    // codebook, so no tolerance oracle exists for ADC ranks here.
     "text_langid" ->
       s"""SELECT doc_id,
          |  CASE

@@ -59,7 +59,7 @@ object Dedup extends CacheLedger {
   /** Per-doc sorted distinct 64-bit shingle hash sets: (doc_id, hs). Cached
     * — this is the shared input of every pair-finding variant.
     */
-  private def hashedSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  private[operators] def hashedSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     // native one-pass kernel: the HOF form re-tokenized the document once
     // per shingle (no cross-lambda CSE) — 253 s vs ~3 s at a 505k-doc probe
     ledgered(docs.select(col(idCol).as("doc_id"),
@@ -74,7 +74,7 @@ object Dedup extends CacheLedger {
     * computed on the hashed sets (two broadcast-friendly joins + one
     * array intersect/union per pair).
     */
-  private def verifyHashed(
+  private[operators] def verifyHashed(
       sets: DataFrame, candidates: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(sets.as("si"), col("i") === col("si.doc_id"))
@@ -110,7 +110,7 @@ object Dedup extends CacheLedger {
     * kernel pass ([[graft.plans.MinHashBands]]); the only row-level op
     * left is the posexplode of `bands` plain longs.
     */
-  private def bandBuckets(sets: DataFrame, numHashes: Int, bands: Int): DataFrame =
+  private[operators] def bandBuckets(sets: DataFrame, numHashes: Int, bands: Int): DataFrame =
     sets.select(col("doc_id"),
         graft.plans.MinHashBands.minHashBands(col("hs"), numHashes, bands)
           .as("bhs"))

@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The persistent band-bucket index must (a) return exactly what the
+  * recompute-everything incremental operator returns, (b) read the corpus
+  * as bucketed scans — no signature kernels, no corpus-side exchange —
+  * and (c) keep working across appends, which is the whole point of
+  * persisting it.
+  *
+  * Lives in `graft.operators` to reach the `private[operators]` signature
+  * helpers for the plan-shape assertion.
+  */
+class DedupIndexSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+
+  test("probe == incrementalMinHashPairs, corpus never recomputed") {
+    val corpus = docs.filter(col("doc_id") < 400)
+    val incoming = docs.filter(col("doc_id") >= 400)
+    val base = Files.createTempDirectory("mh_index").toString
+    val idx = DedupIndex.build(corpus, "doc_id", "text", base, "mhidx_a",
+      shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
+    val got = idx.probe(incoming, "doc_id", "text", threshold = 0.8)
+      .orderBy("i", "j").collect().toSeq
+    val want = Dedup.incrementalMinHashPairs(corpus, incoming, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .orderBy("i", "j").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must exercise cross-batch pairs")
+
+    // Plan shape of the corpus⋈batch candidate join: the stored side is a
+    // bucketed scan (SelectedBucketsCount in the FileScan) and the ONLY
+    // exchange is the batch side being shuffled to the bucket layout —
+    // i.e. the per-batch cost excludes both corpus signature compute and
+    // a corpus-sized shuffle. Broadcast is disabled because at fixture
+    // size the planner would broadcast the batch and hide the property
+    // under test (at scale that broadcast is itself the ideal plan).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val inSets = Dedup.hashedSets(incoming, "doc_id", "text", 3)
+      val inB = Dedup.bandBuckets(inSets, 64, 16)
+      val j = spark.table(idx.bucketsTable).as("a")
+        .join(inB.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      j.count() // finalize any adaptive re-planning before reading the plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"corpus side must use the bucketed layout, got:\n$plan")
+      assert("Exchange".r.findAllIn(plan).length == 1,
+        s"expected exactly one exchange (batch side only), got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("append folds a batch in; later probes see it without a rebuild") {
+    val d2 = docs.select("doc_id", "text")
+    val corpus = d2.filter(col("doc_id") < 350)
+    // batch 1 carries a clone of doc 450's text under a fresh id so a
+    // cross-batch duplicate provably exists (the fixture has none
+    // spanning this particular split)
+    val b1 = d2.filter(col("doc_id") >= 350 && col("doc_id") < 450)
+      .unionByName(d2.filter(col("doc_id") === 450)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val b2 = d2.filter(col("doc_id") >= 450)
+    val base = Files.createTempDirectory("mh_index2").toString
+    val idx = DedupIndex.build(corpus, "doc_id", "text", base, "mhidx_b",
+      shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
+    assert(idx.indexedDocs() == corpus.count())
+    idx.append(b1, "doc_id", "text")
+    assert(idx.indexedDocs() == corpus.count() + b1.count())
+    val got = idx.probe(b2, "doc_id", "text", threshold = 0.8)
+      .orderBy("i", "j").collect().toSeq
+    val want = Dedup.incrementalMinHashPairs(
+        corpus.unionByName(b1), b2, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .orderBy("i", "j").collect().toSeq
+    assert(got == want)
+    // the clone pair spans batch-2 and the APPENDED batch — it can only
+    // be found through the index path, not the original build
+    assert(got.exists(r => r.getLong(0) == 450L && r.getLong(1) == 10450L),
+      s"no pair touching the appended batch: $got")
+    Dedup.releaseCaches()
+  }
+}
