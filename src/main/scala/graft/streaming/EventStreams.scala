@@ -220,7 +220,10 @@ object EventStreams {
 
   final case class SessionOut(
     userId: Long, ss: Long, se: Long, n: Long, closedBy: String)
-  private final case class SessionAgg(start: Long, end: Long, n: Long)
+  // NOT private: the state encoder's generated (Janino) code lives outside
+  // this class and cannot call accessors on a private case class — Spark
+  // would silently fall back to interpreted row encoding on every update.
+  final case class SessionAgg(start: Long, end: Long, n: Long)
 
   /** Inactivity sessionization with EVENT-TIME TIMERS: a session closes
     * either when a later event of the same key arrives ≥ gap after it
