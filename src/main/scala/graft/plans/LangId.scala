@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,16 +18,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * any CJK codepoint in U+4E00..U+9FFF wins "zh"; otherwise tokens are
   * space-delimited runs and the language with the highest marker count
   * wins with deterministic tie order en > es > fr > de; "und" when no
-  * marker matches.
+  * marker matches. Codegen emits one static kernel call so projections
+  * containing it stay inside their WholeStageCodegen span.
   */
 case class LangId(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
-  // Language marker lists, flattened at construction: langIdx(i) is the
-  // language of markersFlat(i). A token may count toward several languages
-  // (e.g. "la" is both es and fr), matching array_contains per list.
+  override def nullSafeEval(input: Any): Any =
+    LangId.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.LangId.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_langid"
+}
+
+object LangId {
+  // Language marker lists, flattened once: table(i) = (marker, langIdx).
+  // A token may count toward several languages (e.g. "la" is both es and
+  // fr), matching array_contains per list.
   private val langs = Seq("en", "es", "fr", "de")
   private val table: Array[(String, Int)] = (for {
     (lang, li) <- langs.zipWithIndex
@@ -44,8 +58,11 @@ case class LangId(child: Expression)
     true
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  /** The language-ID kernel — static so the interpreted and generated
+    * paths run the same code. Never returns null.
+    */
+  def compute(input: UTF8String): UTF8String = {
+    val text = input.toString
     val len = text.length
     val score = new Array[Int](4)
     var i = 0
@@ -80,11 +97,6 @@ case class LangId(child: Expression)
     UTF8String.fromString(lang)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object LangId {
   def apply(text: Column): Column =
     ColumnBridge.column(new LangId(ColumnBridge.expression(text)))
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -16,7 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * expressions are excluded from Catalyst subexpression elimination, and
   * each `when(nTok === 0, ...)` guard plus ratio references the token
   * array again) and pays a full `regexp_replace` just to count alphabetic
-  * characters. This kernel computes every feature in one scan.
+  * characters. This kernel computes every feature in one scan; codegen
+  * emits one static kernel call so projections containing it stay inside
+  * their WholeStageCodegen span.
   *
   * Semantics are kept bit-identical to
   * [[graft.operators.TextAnalysis.qualityColumnsDeclarative]] and the
@@ -27,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * evaluated left-to-right.
   */
 case class TextStats(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
@@ -36,11 +38,30 @@ case class TextStats(child: Expression)
     StructField("distinct_ratio", DoubleType, nullable = false),
     StructField("quality_score", DoubleType, nullable = false)))
 
-  private val stopwords: Set[String] =
-    graft.operators.TextAnalysis.markers.values.flatten.toSet
+  override def nullSafeEval(input: Any): Any =
+    TextStats.compute(input.asInstanceOf[UTF8String])
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextStats.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_text_stats"
+}
+
+object TextStats {
+  private val stopwords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    graft.operators.TextAnalysis.markers.values.flatten.foreach(s.add)
+    s
+  }
+
+  /** The text-stats kernel — static so the interpreted and generated
+    * paths run the same code. Never returns null.
+    */
+  def compute(input: UTF8String): InternalRow = {
+    val text = input.toString
     val len = text.length
     // alpha ratio over codepoints (Java length counts UTF-16 units; the
     // declarative length() and DuckDB length() count codepoints)
@@ -76,11 +97,6 @@ case class TextStats(child: Expression)
     InternalRow(nTok, alphaRatio, stopRatio, distinctRatio, score)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object TextStats {
   def apply(text: Column): Column =
     ColumnBridge.column(new TextStats(ColumnBridge.expression(text)))
 }

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,13 +21,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambdas three deep; Catalyst evaluates the inner array expression once
   * per *outer* element with no common-subexpression reuse, which is
   * O(n²·w) string work per document — measured 488 s on 5 000 docs where
-  * this kernel takes under a second. Falls back from codegen (the kernel
-  * is a single JVM method; codegen would only inline the same loop).
+  * this kernel takes under a second. Codegen emits one static kernel call
+  * so projections containing it stay inside their WholeStageCodegen span.
   */
 case class Winnow(child: Expression, k: Int, w: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Winnow.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Winnow.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_winnow"
+}
+
+object Winnow {
 
   private def mix64(zIn: Long): Long = {
     var z = zIn + 0x9e3779b97f4a7c15L
@@ -43,8 +57,11 @@ case class Winnow(child: Expression, k: Int, w: Int)
     mix64(h)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  /** The winnowing kernel — static so the interpreted and generated paths
+    * run the same code. Never returns null.
+    */
+  def compute(input: UTF8String, k: Int, w: Int): ArrayData = {
+    val text = input.toString
     // token hashes without materializing token strings
     val th = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0
@@ -91,11 +108,6 @@ case class Winnow(child: Expression, k: Int, w: Int)
     new GenericArrayData(out.distinct.sorted)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object Winnow {
   def apply(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(new Winnow(ColumnBridge.expression(text), k, w))
 }

@@ -171,4 +171,28 @@ class PlanShapeSpec extends SparkSpec {
     val viaCodegen = sigs.collect()
     assert(viaCodegen.length == 100 && viaCodegen.forall(r => !r.isNullAt(0)))
   }
+
+  test("text kernels stay inside WholeStageCodegen (no CodegenFallback)") {
+    import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec}
+    import org.apache.spark.sql.functions._
+    import graft.plans.{LangId, TextStats, Winnow}
+    def fused(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.collect {
+        case w: WholeStageCodegenExec
+            if w.collect { case pr: ProjectExec => pr }.nonEmpty => w
+      }.nonEmpty
+    val d = spark.range(100).select(col("id"),
+      concat_ws(" ", lit("the quick brown fox and"), col("id").cast("string")).as("text"))
+    val feats = d.select(
+      LangId(col("text")).as("lang"),
+      Winnow(col("text"), 2, 3).as("fp"),
+      TextStats(col("text")).as("stats"))
+    assert(fused(feats), feats.queryExecution.executedPlan.toString)
+    // the generated path computes the same values as the interpreted path
+    // (TextAnalysisSpec pins interpreted == declarative)
+    val rows = feats.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.getString(0) == "en"), rows.take(3).mkString(","))
+    assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
 }
