@@ -7,7 +7,7 @@ import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with ANSI-SQL DuckDB oracle where the semantics are
@@ -506,6 +506,39 @@ object SparkEntry {
       shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
     idx.probe(docs.filter(col("doc_id") >= 400), "doc_id", "text", threshold = 0.8)
       .orderBy("i", "j")
+  }
+
+  /** Continuous-ingest dedup THROUGH the persistent index: the documents
+    * arrive as a file-source stream in three micro-batches; each batch is
+    * probed against everything indexed before it (plus itself via the
+    * probe's self-join) and then folded into the index for the batches
+    * after it. Cumulative pairs are batch-boundary INVARIANT — each pair
+    * is emitted exactly once, by whichever batch completes it — so the
+    * oracle is the FULL corpus pair closure, the same SQL as
+    * `dedup_minhash`, with no reference to how the stream was chopped.
+    */
+  private def streamIndexDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_sid").toString
+    val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+    // three arrival waves, one file each, so maxFilesPerTrigger=1 yields
+    // three micro-batches (wave ORDER is irrelevant — see invariance above)
+    Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, n + 1)).foreach {
+      case (lo, hi) =>
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    val idx = DedupIndex.build(docs.filter(lit(false)), "doc_id", "text",
+      s"$base/idx", "graft_q_sid",
+      shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    idx.probeStream(stream, "doc_id", "text",
+      s"$base/pairs", s"$base/ckpt", threshold = 0.8)
+    s.read.parquet(s"$base/pairs").orderBy("i", "j")
   }
 
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
@@ -1986,6 +2019,7 @@ object SparkEntry {
     "text_despan" -> (textDespan _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (streamDedup _),
+    "stream_index_dedup" -> (streamIndexDedup _),
     "stream_sliding" -> (streamSliding _),
     "stream_session" -> (streamSession _),
     "stream_state" -> (streamState _),
@@ -3321,6 +3355,9 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // cumulative streamed pairs == full corpus closure (batch-boundary
+    // invariance — see streamIndexDedup)
+    "stream_index_dedup" -> duckShingles,
     "q33_sql_text" ->
       """SELECT n_name, ROUND(SUM(o_totalprice), 2) AS tot, COUNT(*) AS c
         |FROM orders

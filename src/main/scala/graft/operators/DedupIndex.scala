@@ -34,6 +34,7 @@ final class MinHashIndex private[operators] (
     spark: SparkSession,
     val bucketsTable: String,
     val setsTable: String,
+    val path: String,
     val shingleN: Int,
     val numHashes: Int,
     val bands: Int,
@@ -54,11 +55,20 @@ final class MinHashIndex private[operators] (
   def probe(
       incoming: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {
+    // Resolve the index tables through the SESSION DOING THE PROBING and
+    // drop its cached file listing first: appends may have come from a
+    // different session (Structured Streaming runs foreachBatch bodies in
+    // a cloned session), and a session's relation cache only invalidates
+    // on its own writes — without the refresh, a long-lived reader keeps
+    // probing the file snapshot of its first resolution.
+    val sess = incoming.sparkSession
+    sess.catalog.refreshTable(bucketsTable)
+    sess.catalog.refreshTable(setsTable)
     val inSets = Dedup.hashedSets(
       incoming.select(col(idCol).cast("long").as(idCol), col(textCol)),
       idCol, textCol, shingleN)
     val inBuckets = Dedup.bandBuckets(inSets, numHashes, bands)
-    val corpusBuckets = spark.table(bucketsTable)
+    val corpusBuckets = sess.table(bucketsTable)
     val crossCand = corpusBuckets.as("a")
       .join(inBuckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -76,7 +86,7 @@ final class MinHashIndex private[operators] (
     // union with the batch's in-memory sets
     val candIds = candidates
       .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
-    val neededCorpus = spark.table(setsTable).join(candIds, Seq("doc_id"), "left_semi")
+    val neededCorpus = sess.table(setsTable).join(candIds, Seq("doc_id"), "left_semi")
     Dedup.verifyHashed(neededCorpus.unionByName(inSets), candidates, threshold)
   }
 
@@ -102,8 +112,86 @@ final class MinHashIndex private[operators] (
   }
 
   /** Indexed corpus size (bucketed scan + count, no signature work). */
-  def indexedDocs(): Long =
+  def indexedDocs(): Long = {
+    spark.catalog.refreshTable(setsTable)
     spark.table(setsTable).count()
+  }
+
+  /** Continuous-ingest dedup: drive a STREAM of documents through the
+    * index — each micro-batch is probed for near-duplicate pairs (against
+    * everything indexed so far AND within itself), the pairs land in
+    * `pairsDir` as appended parquet, and the batch is folded into the
+    * index for the batches after it.
+    *
+    * The cumulative output is batch-boundary INVARIANT: a pair (i, j) is
+    * emitted exactly once, by whichever batch completes it (cross-batch
+    * through the stored index, same-batch through the probe's self-join),
+    * so over any partitioning of the corpus into micro-batches the pairs
+    * written equal the full-corpus pair closure at `threshold`. That is
+    * what makes the streaming form testable against the batch oracle —
+    * and restart-safe to reason about: foreachBatch is at-least-once, so
+    * a batch re-delivered after a crash re-appends the same pairs
+    * (dedupe on read, or make `pairsDir` keyed by batch id) and
+    * re-appends its index rows (harmless for candidate generation — the
+    * candidate `distinct()` absorbs duplicate bucket rows; run [[compact]]
+    * to shed them).
+    *
+    * Each batch is locally materialized once ([[DataFrame.localCheckpoint]])
+    * so probe and append share one evaluation of the batch's signature
+    * kernels — micro-batches are small by construction; the corpus never
+    * re-materializes anywhere.
+    */
+  def probeStream(
+      incoming: DataFrame, idCol: String, textCol: String,
+      pairsDir: String, checkpointDir: String,
+      threshold: Double = 0.8): Unit = {
+    val q = incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(eager = true)
+        probe(b, idCol, textCol, threshold)
+          .write.mode(SaveMode.Append).parquet(pairsDir)
+        append(b, idCol, textCol)
+        b.unpersist()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+  }
+
+  /** Small-file maintenance: every [[append]] adds one file per populated
+    * (task, bucket) pair, so a long-lived index accumulates files whose
+    * open/footer cost eventually dominates probe scans. Rewrite both
+    * tables into `toPath` with the SAME bucket spec — one file set, same
+    * layout, probes unchanged. Reads the parquet FILES (not the catalog
+    * table) so the rewrite never depends on the table it is about to
+    * redefine; the old directory is left for the caller to delete once
+    * nothing queries it.
+    *
+    * Returns a handle rooted at the new path (this handle keeps working
+    * too — the catalog tables now point at `toPath`).
+    */
+  def compact(toPath: String): MinHashIndex = {
+    require(toPath != path, s"compact target must differ from current path: $path")
+    // repartition on the bucket columns with numPartitions == buckets:
+    // Spark's bucket id is the same hash pmod numBuckets, so each write
+    // task owns exactly its bucket's rows → ONE file per bucket (without
+    // this, every read partition writes its own per-bucket files and the
+    // rewrite shrinks nothing)
+    Sinks.bucketed(
+      spark.read.parquet(s"$path/buckets")
+        .repartition(buckets, col("band"), col("bh")),
+      bucketsTable, s"$toPath/buckets", buckets, Seq("band", "bh"))
+    Sinks.bucketed(
+      spark.read.parquet(s"$path/sets")
+        .repartition(buckets, col("doc_id")),
+      setsTable, s"$toPath/sets", buckets, Seq("doc_id"))
+    new MinHashIndex(spark, bucketsTable, setsTable, toPath,
+      shingleN, numHashes, bands, buckets)
+  }
 }
 
 object DedupIndex {
@@ -131,17 +219,18 @@ object DedupIndex {
       s"${name}_buckets", s"$path/buckets", buckets, Seq("band", "bh"))
     Sinks.bucketed(sets, s"${name}_sets", s"$path/sets",
       buckets, Seq("doc_id"))
-    new MinHashIndex(spark, s"${name}_buckets", s"${name}_sets",
+    new MinHashIndex(spark, s"${name}_buckets", s"${name}_sets", path,
       shingleN, numHashes, bands, buckets)
   }
 
   /** Re-open an existing index (e.g. a new session over yesterday's
-    * tables) — no data work, just the handle.
+    * tables) — no data work, just the handle. Geometry must match what
+    * [[build]] used; `path` is where its data lives (for [[MinHashIndex.compact]]).
     */
   def open(
-      spark: SparkSession, name: String,
+      spark: SparkSession, name: String, path: String,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
       buckets: Int = 32): MinHashIndex =
-    new MinHashIndex(spark, s"${name}_buckets", s"${name}_sets",
+    new MinHashIndex(spark, s"${name}_buckets", s"${name}_sets", path,
       shingleN, numHashes, bands, buckets)
 }

@@ -85,4 +85,65 @@ class DedupIndexSpec extends SparkSpec {
       s"no pair touching the appended batch: $got")
     Dedup.releaseCaches()
   }
+
+  test("probeStream: cumulative streamed pairs == full corpus closure") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val d2 = docs.select("doc_id", "text")
+    val base = Files.createTempDirectory("mh_stream").toString
+    val n = d2.agg(max("doc_id")).head.getLong(0) + 1
+    // three waves, one file each → three micro-batches under
+    // maxFilesPerTrigger=1; wave order must not matter (invariance is the
+    // operator's contract), so this also passes if the source reorders
+    Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, n + 1)).foreach {
+      case (lo, hi) =>
+        d2.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    val idx = DedupIndex.build(d2.filter(lit(false)), "doc_id", "text",
+      s"$base/idx", "mhidx_s", shingleN = 3, numHashes = 64, bands = 16,
+      buckets = 8)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    idx.probeStream(stream, "doc_id", "text",
+      s"$base/pairs", s"$base/ckpt", threshold = 0.8)
+    val got = spark.read.parquet(s"$base/pairs")
+      .orderBy("i", "j").collect().toSeq
+    val want = Dedup.minHashPairs(d2, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .orderBy("i", "j").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must contain at least one pair")
+    Dedup.releaseCaches()
+  }
+
+  test("compact folds per-append files into one set; probes unchanged") {
+    val d2 = docs.select("doc_id", "text")
+    val corpus = d2.filter(col("doc_id") < 300)
+    val b1 = d2.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val probeBatch = d2.filter(col("doc_id") >= 400)
+    val base = Files.createTempDirectory("mh_compact").toString
+    val idx = DedupIndex.build(corpus, "doc_id", "text", s"$base/v1",
+      "mhidx_c", shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
+    idx.append(b1, "doc_id", "text")
+    def parquetFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists) 0
+      else d.listFiles.count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles(s"$base/v1/buckets")
+    val beforePairs = idx.probe(probeBatch, "doc_id", "text", threshold = 0.8)
+      .orderBy("i", "j").collect().toSeq
+    val idx2 = idx.compact(s"$base/v2")
+    val after = parquetFiles(s"$base/v2/buckets")
+    assert(after < before,
+      s"compaction must shrink the file count: $before -> $after")
+    val afterPairs = idx2.probe(probeBatch, "doc_id", "text", threshold = 0.8)
+      .orderBy("i", "j").collect().toSeq
+    assert(afterPairs == beforePairs)
+    assert(idx2.indexedDocs() == corpus.count() + b1.count())
+    Dedup.releaseCaches()
+  }
 }
