@@ -1256,6 +1256,15 @@ object SparkEntry {
       .select(col("doc_id"), col("n_removed"), md5(col("clean_text")).as("clean_digest"))
       .orderBy("doc_id")
 
+  /** Corpus self-dedup of cross-document repeated 8-grams (keep-first):
+    * the Lee et al. ExactSubstr shape with no holdout — every span
+    * appearing in >1 document survives only in its min-doc_id owner.
+    */
+  private def textSelfDedup(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.removeRepeatedSpans(t(s, d, "documents"), "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("n_removed"), md5(col("clean_text")).as("clean_digest"))
+      .orderBy("doc_id")
+
   /** Unpivot (melt) three measure columns into (metric, value) rows and
     * re-aggregate — the wide-to-long reshape. The oracle expresses the
     * same reshape as a UNION ALL of projections, which is what unpivot
@@ -2017,6 +2026,7 @@ object SparkEntry {
     "text_diversity" -> (textDiversity _),
     "text_decontaminate" -> (textDecontaminate _),
     "text_despan" -> (textDespan _),
+    "text_selfdedup" -> (textSelfDedup _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (streamDedup _),
     "stream_index_dedup" -> (streamIndexDedup _),
@@ -3252,6 +3262,38 @@ object SparkEntry {
         |hits AS (
         |  SELECT t.doc_id, t.pos FROM tall t JOIN hold h ON t.g = h.g
         |  WHERE t.doc_id % 10 <> 5
+        |), cov AS (
+        |  SELECT doc_id, list(DISTINCT j) AS js
+        |  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS j FROM hits)
+        |  GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, CAST(len(cov.js) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(array_to_string(
+        |    [b.l[k] for k in range(1, len(b.l) + 1)
+        |     if NOT list_contains(cov.js, k)], ' '), '')) AS clean_digest
+        |FROM base b JOIN cov ON b.doc_id = cov.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    // keep-first self-dedup: like text_despan but the "holdout" is each
+    // gram's own first (min doc_id) occurrence
+    "text_selfdedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    [struct_pack(pos := i, g := l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '
+        |     ||l[i+4]||' '||l[i+5]||' '||l[i+6]||' '||l[i+7])
+        |     for i in range(1, len(l) - 6)] AS gs
+        |  FROM base
+        |), tall AS (
+        |  SELECT doc_id, u.pos AS pos, u.g AS g
+        |  FROM (SELECT doc_id, unnest(gs) AS u FROM sh)
+        |), rep AS (
+        |  SELECT g, MIN(doc_id) AS first_doc
+        |  FROM tall GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+        |), hits AS (
+        |  SELECT t.doc_id, t.pos FROM tall t JOIN rep r ON t.g = r.g
+        |  WHERE t.doc_id <> r.first_doc
         |), cov AS (
         |  SELECT doc_id, list(DISTINCT j) AS js
         |  FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS j FROM hits)

@@ -260,12 +260,26 @@ object TextAnalysis extends CacheLedger {
     val hits = grams.filter(!col("hold"))
       .join(broadcast(holdGrams), Seq("h"))
       .select(col("doc_id"), col("pos"))
+    stripPositions(arr.filter(!col("hold")), hits, n)
+  }
+
+  /** Shared strip-and-reassemble tail of the span-removal operators:
+    * expand each hit k-gram start into its covered token positions, drop
+    * those tokens, and re-join the survivors with single spaces (ordered
+    * re-assembly — sort_array over (pos, token) structs inside the
+    * per-doc agg, so the rebuild is deterministic under any partitioning).
+    *
+    * @param arr  (doc_id, toks) one row per candidate doc
+    * @param hits (doc_id, pos) start position of each k-gram to remove
+    * @return affected docs only: (doc_id, n_removed, clean_text)
+    */
+  private def stripPositions(arr: DataFrame, hits: DataFrame, k: Int): DataFrame = {
     val covered = hits
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("j"))
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("j"))
       .distinct()
     val nRemoved = covered.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
-    val kept = arr.filter(!col("hold"))
+    val kept = arr
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("j", "tok")))
       .join(covered, Seq("doc_id", "j"), "left_anti")
       .groupBy("doc_id")
@@ -275,6 +289,45 @@ object TextAnalysis extends CacheLedger {
     nRemoved.join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Corpus SELF-dedup of repeated spans — the Lee et al. 2022
+    * "ExactSubstr" shape over token k-grams: every k-gram that occurs in
+    * more than one document survives only in its FIRST document (min
+    * doc_id) and the covered tokens are removed everywhere else.
+    * [[repeatedSpans]] is the detector; this is the surgical remover, and
+    * unlike [[removeContaminatedSpans]] there is no privileged holdout —
+    * the corpus is deduplicated against itself.
+    *
+    * Scale shape: ONE tokenize pass; the gram relation shuffles (doc,
+    * pos, hash) rows; the first-owner relation is grams that repeat
+    * across docs — corpus-sized in the worst case, so it stays a shuffle
+    * join on the gram hash, never a broadcast (contamination's broadcast
+    * trick applies only when one side is benchmark-sized). Keep-first is
+    * a deterministic min, so output is partitioning-invariant.
+    *
+    * @return affected docs only: (doc_id, n_removed, clean_text)
+    */
+  def removeRepeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    // cache barrier: token array is lambda-bearing and feeds two branches
+    val arr = docs.select(col(idCol).as("doc_id"),
+      TF.tokens(col(textCol)).as("toks")).cache().transform(ledgered)
+    val cnt = size(col("toks")) - lit(k - 1)
+    val hashes = when(cnt > 0,
+      transform(sequence(lit(0), cnt - 1),
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    val grams = arr.select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h")))
+    val firstOwner = grams.groupBy("h")
+      .agg(min(col("doc_id")).as("first_doc"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select("h", "first_doc")
+    val hits = grams.join(firstOwner, Seq("h"))
+      .filter(col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id"), col("pos"))
+    stripPositions(arr, hits, k)
   }
 
   /** BM25 lexical retrieval scores for a term query over the corpus — the

@@ -209,6 +209,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.keySet == Set(1L, 3L))
   }
 
+  test("removeRepeatedSpans keeps the first occurrence, strips the rest") {
+    import spark.implicits._
+    val gram = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (5L, s"first owner says $gram and moves on"),   // min doc_id → keeps it
+      (7L, s"second copy of $gram appears here"),     // stripped
+      (9L, gram),                                     // stripped to empty
+      (11L, "entirely original text with no repeats at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.removeRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // only the non-first owners are affected; the first owner and the
+    // original doc never appear in the output
+    assert(got.keySet == Set(7L, 9L))
+    assert(got(7L) == ((8L, "second copy of appears here")))
+    assert(got(9L) == ((8L, "")))
+    // determinism: repartitioned input produces the identical result
+    val again = TextAnalysis.removeRepeatedSpans(
+        docs.repartition(7), "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(again == got)
+  }
+
   test("pmiBigrams matches the hand-computed PMI on a tiny corpus") {
     import spark.implicits._
     // unigrams: a=3 b=3 c=1 (N=7); bigrams: (a,b)=3 (b,a)=1 (b,c)=1 (Nb=5)
