@@ -80,14 +80,23 @@ final class MinHashIndex private[operators] (
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    // candidates are consumed twice (id extraction + verification) and
+    // the pruned-sets subtree twice more (both verify joins) — without a
+    // materialization barrier each consumer re-executes its subtree, and
+    // the corpus-sized sets scan runs twice per probe. Both frames are
+    // candidate-bounded (micro-batch sized), so an eager localCheckpoint
+    // is cheap and halves the corpus scan work.
     val candidates = crossCand.unionByName(selfCand).distinct()
+      .localCheckpoint(true)
     // verification needs sets only for docs appearing in candidates: a
     // semi-join prunes the corpus scan (bucketed on doc_id) before the
     // union with the batch's in-memory sets
     val candIds = candidates
       .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
     val neededCorpus = sess.table(setsTable).join(candIds, Seq("doc_id"), "left_semi")
-    Dedup.verifyHashed(neededCorpus.unionByName(inSets), candidates, threshold)
+    Dedup.verifyHashed(
+      neededCorpus.unionByName(inSets).localCheckpoint(true),
+      candidates, threshold)
   }
 
   /** Fold a batch into the index: compute its buckets + sets (narrow) and
