@@ -603,6 +603,28 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** The persisted form of [[annIvf]]: the index is saved as centroids
+    * parquet + cluster-bucketed assignments, re-opened cold, and searched
+    * through the bucket-pruned literal-IN path (nprobe = all clusters, so
+    * the result equals exact search and shares `ann_topk`'s oracle).
+    */
+  private def annIvfIndex(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val idx = Similarity.IvfIndex.build(s, emb, "vec_id", "embedding", nClusters = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+    Similarity.IvfIndex.save(idx, "graft_q_ivfidx", path)
+    val reopened = Similarity.IvfIndex.open(s, "graft_q_ivfidx", path)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    reopened.search(queries, k = 3, nprobe = 16)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+        col("cos").as("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Product-quantized ADC search: codebooks trained on the corpus (seeded,
     * deterministic), every vector compressed to 8 one-byte codes, queries
     * ranked by asymmetric distance. Rows-only BY MEASURED NECESSITY, not
@@ -2045,6 +2067,7 @@ object SparkEntry {
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_index" -> (annIvfIndex _),
     "ann_pq" -> (annPq _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
@@ -3591,6 +3614,7 @@ object SparkEntry {
         |ORDER BY i, j""".stripMargin,
     "ann_topk" -> duckAnnTopk,
     "ann_ivf" -> duckAnnTopk,
+    "ann_ivf_index" -> duckAnnTopk,
     // ann_pq stays rows-only by measured necessity — see the annPq
     // scaladoc: the fixture's near-uniform embeddings leave inter-rank
     // gaps (0.5–2 %) below the reconstruction error of ANY non-degenerate

@@ -141,7 +141,12 @@ object Similarity {
       val assigned: DataFrame) {
 
     /** Exact search within the `nprobe` clusters nearest to each query —
-      * driver-Map query side, for small ad-hoc query batches.
+      * driver-Map query side, for small ad-hoc query batches. The probed
+      * cluster ids are known driver-side here, so they are pushed as a
+      * LITERAL `IN` filter on the base scan: over a [[IvfIndex.save]]d
+      * index (bucketed on cluster) that prunes the read to the probed
+      * buckets — the storage-level behavior a 100 TB IVF needs (read
+      * nprobe/nClusters of the data, not all of it).
       */
     def search(queries: Map[Long, Array[Double]], k: Int, nprobe: Int): DataFrame = {
       val probes = queries.toSeq.flatMap { case (qid, qv) =>
@@ -152,7 +157,8 @@ object Similarity {
       }
       val spark = assigned.sparkSession
       import spark.implicits._
-      scoreProbes(probes.toDF("query_id", "qv", "cluster"), k)
+      scoreProbes(probes.toDF("query_id", "qv", "cluster"), k,
+        pruneTo = Some(probes.map(_._3).distinct))
     }
 
     /** Exact search with a DataFrame query side: probe-cluster selection is
@@ -184,12 +190,20 @@ object Similarity {
     }
 
     /** Shared scoring tail: join probe rows (query_id, qv, cluster) to the
-      * assigned base vectors, exact cosine, per-query top-k.
+      * assigned base vectors, exact cosine, per-query top-k. `pruneTo`
+      * (when the probed clusters are known driver-side) becomes a literal
+      * IN on the bucket column — bucket pruning on a saved index.
       */
-    private def scoreProbes(probes: DataFrame, k: Int): DataFrame = {
+    private def scoreProbes(
+        probes: DataFrame, k: Int,
+        pruneTo: Option[Seq[Int]] = None): DataFrame = {
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id").asc)
-      assigned
+      val base = pruneTo match {
+        case Some(cs) => assigned.filter(col("cluster").isin(cs.map(Int.box): _*))
+        case None => assigned
+      }
+      base
         .join(broadcast(probes), Seq("cluster"))
         .filter(col("vid") =!= col("query_id"))
         .select(col("query_id"), col("vid").as("neighbor_id"),
@@ -249,6 +263,42 @@ object Similarity {
         }
       }.toDF("vid", "v", "cluster")
       new IvfIndex(cents, assigned)
+    }
+
+    /** Persist an index: centroids as one tiny parquet (nClusters × dim
+      * doubles — always driver-sized), assignments as parquet BUCKETED on
+      * cluster, so [[IvfIndex.search]]'s literal cluster filter prunes
+      * the scan to the probed buckets. The assignment pass runs once,
+      * here — [[open]] never recomputes it (the IVF analogue of
+      * [[graft.operators.DedupIndex]]'s pay-once contract).
+      */
+    def save(idx: IvfIndex, name: String, path: String,
+        buckets: Int = 16): Unit = {
+      val spark = idx.assigned.sparkSession
+      import spark.implicits._
+      idx.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cluster", "c")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/centroids")
+      graft.sources.Sinks.bucketed(idx.assigned, s"${name}_ivf",
+        s"$path/assigned", buckets, Seq("cluster"))
+    }
+
+    /** Re-open a saved index: centroids load to the driver (tiny), the
+      * assignment table resolves lazily through the catalog with a
+      * relation-cache refresh (appends/compactions from other sessions
+      * must be visible — same reasoning as `DedupIndex.probe`).
+      */
+    def open(spark: SparkSession, name: String, path: String): IvfIndex = {
+      val cents = spark.read.parquet(s"$path/centroids")
+        .collect()
+        .sortBy(_.getInt(0))
+        .map(_.getSeq[Double](1).toArray)
+      require(cents.nonEmpty, s"no centroids at $path/centroids")
+      spark.catalog.refreshTable(s"${name}_ivf")
+      new IvfIndex(cents, spark.table(s"${name}_ivf"))
     }
   }
 

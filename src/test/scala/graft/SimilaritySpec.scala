@@ -44,6 +44,29 @@ class SimilaritySpec extends SparkSpec {
     assert((approx & truth).size >= truth.size / 2)
   }
 
+  test("saved+reopened IVF index == in-memory; probed buckets pruned at the scan") {
+    import spark.implicits._
+    val idx = Similarity.IvfIndex.build(spark, emb, "vec_id", "embedding", nClusters = 8)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Array[Double])].collect().toMap
+    val base = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.IvfIndex.save(idx, "ivfidx_t", base, buckets = 8)
+    val reopened = Similarity.IvfIndex.open(spark, "ivfidx_t", base)
+    // bit-for-bit equality with the in-memory index, both probe depths
+    assert(rows(reopened.search(qs, k = 3, nprobe = 8)) ==
+      rows(idx.search(qs, k = 3, nprobe = 8)))
+    assert(rows(reopened.search(qs, k = 3, nprobe = 2)) ==
+      rows(idx.search(qs, k = 3, nprobe = 2)))
+    // the literal cluster IN-filter must reach the bucketed scan: at
+    // nprobe=1 with one query, only that query's bucket may be read
+    val one = reopened.search(Map(0L -> qs(0L)), k = 3, nprobe = 1)
+    one.count() // settle AQE before reading the final plan
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"probe scan must prune to the probed bucket, got:\n$plan")
+  }
+
   test("SRP-LSH finds genuinely-close neighbors (clustered data)") {
     // SRP bucketing only pays off when near neighbors are actually near
     // (cos >> 0): plant 3 tight clusters and require the same-cluster
