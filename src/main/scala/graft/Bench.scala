@@ -28,6 +28,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Contention evidence for the artifact: 1/5/15-min loadavg plus the
+    * number of OTHER live processes on the box (total minus this JVM tree).
+    * A regressed bench with load ~0 before/after rules out box contention;
+    * load >> nproc names it. Readable on any Linux; absent elsewhere.
+    */
+  private def loadSnapshot(): String = {
+    try {
+      val la = scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")
+      val others = new java.io.File("/proc").listFiles()
+        .count(f => f.getName.forall(_.isDigit))
+      s"[${la(0)},${la(1)},${la(2)},$others]"
+    } catch { case _: Throwable => "null" }
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -60,6 +74,7 @@ object Bench {
     // Optional comma-separated filter (same knob as Verify) for iterating
     // on a single query's plan without paying for the whole suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val loadBefore = loadSnapshot()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -90,12 +105,16 @@ object Bench {
         if (t.endsWith(".")) t.dropRight(1) else t
       } else s
     }
+    val loadAfter = loadSnapshot()
+    // [1m,5m,15m loadavg, other-process count] before/after the run —
+    // makes box contention diagnosable from the artifact itself.
+    val loadJson = s""""load":{"before":$loadBefore,"after":$loadAfter}"""
     // failures stay visible as -1 per query but must not distort the total
     val total = results.map(r => median(r._2)).filter(_ >= 0).sum
     def line(entries: Seq[(String, Double)], dec: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfDir",$loadJson}"""
     }
     val medians = results.map { case (k, v) => k -> median(v) }
     // Last-resort shrink: collapse ONE underscore-prefixed family
@@ -158,7 +177,7 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_DETAIL.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$detail,"sf":"$sfDir","cpus":$cpus,"runs_per_query":$nRuns}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$detail,"sf":"$sfDir","cpus":$cpus,"runs_per_query":$nRuns,$loadJson}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     // Stop FIRST, then emit the line last: session shutdown flushes its

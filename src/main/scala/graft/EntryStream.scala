@@ -1,0 +1,183 @@
+package graft
+
+import graft.operators.{AsOfJoin, Dedup, DedupIndex, Graph, Indexing, Ingest, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
+import graft.sources.Crawl
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Query bodies: structured-streaming family.
+  * Bodies are verbatim from the pre-split SparkEntry.scala — the
+  * registry ([[SparkEntry.queries]]) is still the single source of truth
+  * for which of these are wired to the driver.
+  */
+private[graft] object EntryStream {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Continuous-ingest dedup THROUGH the persistent index: the documents
+    * arrive as a file-source stream in three micro-batches; each batch is
+    * probed against everything indexed before it (plus itself via the
+    * probe's self-join) and then folded into the index for the batches
+    * after it. Cumulative pairs are batch-boundary INVARIANT — each pair
+    * is emitted exactly once, by whichever batch completes it — so the
+    * oracle is the FULL corpus pair closure, the same SQL as
+    * `dedup_minhash`, with no reference to how the stream was chopped.
+    */
+  def streamIndexDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_sid").toString
+    val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+    // three arrival waves, one file each, so maxFilesPerTrigger=1 yields
+    // three micro-batches (wave ORDER is irrelevant — see invariance above)
+    Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, n + 1)).foreach {
+      case (lo, hi) =>
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    val idx = DedupIndex.build(docs.filter(lit(false)), "doc_id", "text",
+      s"$base/idx", "graft_q_sid",
+      shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    idx.probeStream(stream, "doc_id", "text",
+      s"$base/pairs", s"$base/ckpt", threshold = 0.8)
+    s.read.parquet(s"$base/pairs").orderBy("i", "j")
+  }
+
+  /** Tumbling-window streaming aggregation run to completion over the
+    * bounded events fixture (complete output mode ⇒ equals the batch
+    * answer; the oracle is the batch SQL).
+    */
+  def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    val stream = EventStreams.readEvents(s, d)
+    val agg = EventStreams.tumblingCounts(stream, "1 hour", "2 hours")
+    EventStreams.runToMemory(s, agg, s"stream_tumbling_${System.nanoTime()}", "complete")
+      .select(unix_timestamp(col("window.start")).as("h"), col("event_type"),
+        col("n"), round(col("v"), 2).as("v"))
+      .orderBy("h", "event_type")
+  }
+
+  def streamSliding(s: SparkSession, d: String): DataFrame = {
+    val agg = EventStreams.slidingCounts(EventStreams.readEvents(s, d),
+      "10 minutes", "5 minutes")
+    EventStreams.runToMemory(s, agg, s"stream_sliding_${System.nanoTime()}", "complete")
+      .groupBy(unix_timestamp(col("window.start")).as("ws"))
+      .agg(sum("n").as("c"))
+      .orderBy("ws")
+  }
+
+  def streamSession(s: SparkSession, d: String): DataFrame = {
+    val agg = EventStreams.sessionCounts(EventStreams.readEvents(s, d), "30 minutes")
+    EventStreams.runToMemory(s, agg, s"stream_session_${System.nanoTime()}", "complete")
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("ss"), col("n"))
+      .orderBy("user_id", "ss")
+  }
+
+  /** Stateful streaming: per-user running totals via flatMapGroupsWithState
+    * in update mode; the final state per user equals the batch aggregation.
+    */
+  def streamState(s: SparkSession, d: String): DataFrame = {
+    val updates = EventStreams.userRunningTotals(s, EventStreams.readEvents(s, d))
+    val mem = EventStreams.runToMemory(s, updates.toDF(),
+      s"stream_state_${System.nanoTime()}", "update")
+    val w = Window.partitionBy("userId").orderBy(col("nEvents").desc)
+    mem.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("userId").as("user_id"), col("nEvents").as("n"),
+        round(col("totalValue"), 2).as("v"))
+      .orderBy("user_id")
+  }
+
+  /** Spark-4 arbitrary state: per-(user, type) running counts via
+    * transformWithState (typed MapState on the RocksDB state store).
+    * Update mode emits a new total whenever a (user, type) cell changes;
+    * counts are monotone, so max-per-cell over the drained stream is the
+    * final state — which must equal the batch GROUP BY count.
+    */
+  def streamTws(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = EventStreams.userTypeCounts(s, EventStreams.readEvents(s, d)).toDF()
+      EventStreams.runToMemory(s, updates, s"stream_tws_${System.nanoTime()}", "update")
+        .groupBy(col("userId").as("user_id"), col("eventType").as("event_type"))
+        .agg(max(col("n")).as("n"))
+        .orderBy("user_id", "event_type")
+    } finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Watermarked stream-stream interval join run to completion. */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val joined = EventStreams.purchaseAfterClick(EventStreams.readEvents(s, d))
+    EventStreams.runToMemory(s, joined, s"stream_join_${System.nanoTime()}", "append")
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** Streaming dedup: drop duplicate (user_id, event_type) pairs, then a
+    * complete-mode count per type — whichever physical row survives the
+    * dedup, the count equals the batch COUNT(DISTINCT user_id).
+    */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val deduped = EventStreams.dedupEvents(EventStreams.readEvents(s, d),
+      keys = Seq("user_id", "event_type"))
+    val agg = deduped.groupBy("event_type").agg(count(lit(1)).as("n"))
+    EventStreams.runToMemory(s, agg, s"stream_dedup_${System.nanoTime()}", "complete")
+      .orderBy("event_type")
+  }
+
+  /** Stream-static broadcast join: the event stream enriched with a
+    * batch user-segment dimension, then complete-mode counts per
+    * (segment, type) — must equal the batch group-by. No state store,
+    * no watermark: the lookup-table streaming pattern.
+    */
+  def streamStatic(s: SparkSession, d: String): DataFrame = {
+    val dim = t(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select("user_id").distinct()
+      .withColumn("segment", (col("user_id") % 3).cast("int"))
+    val enriched = graft.streaming.EventStreams.enrichWithStatic(
+      graft.streaming.EventStreams.readEvents(s, d), dim, Seq("user_id"))
+    val agg = enriched.groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n"))
+    graft.streaming.EventStreams.runToMemory(s, agg,
+        s"stream_static_${System.nanoTime()}", "complete")
+      .orderBy("segment", "event_type")
+  }
+
+  /** Timer-based streaming sessions (transformWithState, event-time
+    * timers): the deterministic face — sessions closed by a LATER EVENT
+    * of the key (≥ 30-min gap). Timer-closed sessions depend on the
+    * final watermark and are certified in StreamingSpec instead.
+    */
+  def streamTimer(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sess = graft.streaming.EventStreams.timedSessions(s,
+        graft.streaming.EventStreams.readEvents(s, d))
+      graft.streaming.EventStreams.runToMemory(s, sess.toDF(),
+          s"stream_timer_${System.nanoTime()}", "update")
+        .filter(col("closedBy") === "event")
+        .select(col("userId").as("user_id"), col("ss"), col("se"), col("n"))
+        .orderBy("user_id", "ss")
+    } finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+}

@@ -224,6 +224,14 @@ object Dedup extends CacheLedger {
     * and cuts the admitted verification volume sharply; 20 let ≈⅓ of all
     * block collisions through to exact Jaccard scoring (the bench's
     * slowest non-stream query before this change).
+    *
+    * BEHAVIOR CHANGE for existing callers: the bound is a recall knob,
+    * and 16 is a fixture-measured constant, not a theorem — an external
+    * corpus whose true-pair Hamming tail reaches 17–20 (longer docs ⇒
+    * more shingles ⇒ wider simhash variance) silently loses those pairs
+    * vs the old default. If your corpus's near-dup tail is unknown,
+    * measure it (join a labeled sample on `bit_count(xor)`) or pass
+    * `maxHamming = 20` explicitly to keep the historical envelope.
     */
   def simHashCandidates(
       docs: DataFrame, idCol: String, textCol: String,

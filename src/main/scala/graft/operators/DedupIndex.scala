@@ -54,7 +54,21 @@ final class MinHashIndex private[operators] (
     */
   def probe(
       incoming: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    probeTracked(incoming, idCol, textCol, threshold)._1
+
+  /** [[probe]] plus a cleanup thunk that unpersists the two
+    * localCheckpointed intermediates once the result has been fully
+    * consumed. A one-shot probe can ignore it (the driver's
+    * ContextCleaner reclaims the blocks when the frames are GC'd), but a
+    * long-lived loop like [[probeStream]] MUST call it per batch —
+    * otherwise every micro-batch parks candidate-sized checkpoint blocks
+    * in executor storage until a GC happens to run on the driver.
+    * Calling the thunk invalidates the returned frame.
+    */
+  private[operators] def probeTracked(
+      incoming: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): (DataFrame, () => Unit) = {
     // Resolve the index tables through the SESSION DOING THE PROBING and
     // drop its cached file listing first: appends may have come from a
     // different session (Structured Streaming runs foreachBatch bodies in
@@ -94,9 +108,9 @@ final class MinHashIndex private[operators] (
     val candIds = candidates
       .select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
     val neededCorpus = sess.table(setsTable).join(candIds, Seq("doc_id"), "left_semi")
-    Dedup.verifyHashed(
-      neededCorpus.unionByName(inSets).localCheckpoint(true),
-      candidates, threshold)
+    val verifySets = neededCorpus.unionByName(inSets).localCheckpoint(true)
+    val pairs = Dedup.verifyHashed(verifySets, candidates, threshold)
+    (pairs, () => { candidates.unpersist(); verifySets.unpersist(); () })
   }
 
   /** Fold a batch into the index: compute its buckets + sets (narrow) and
@@ -159,16 +173,55 @@ final class MinHashIndex private[operators] (
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.localCheckpoint(eager = true)
-        probe(b, idCol, textCol, threshold)
-          .write.mode(SaveMode.Append).parquet(pairsDir)
-        append(b, idCol, textCol)
-        b.unpersist()
+        // probeTracked so the probe's own checkpointed intermediates are
+        // dropped per batch — a long-lived stream must not accumulate
+        // them in executor storage waiting for driver GC
+        val (pairs, cleanup) = probeTracked(b, idCol, textCol, threshold)
+        try {
+          pairs.write.mode(SaveMode.Append).parquet(pairsDir)
+          append(b, idCol, textCol)
+        } finally {
+          cleanup()
+          b.unpersist()
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination()
     finally q.stop()
+  }
+
+  /** Remove documents from the index: anti-join both tables against the
+    * given ids and rewrite into `toPath` with the same bucket spec —
+    * bucketed parquet has no in-place delete, so removal is structurally
+    * a filtered [[compact]] (and doubles as one: the rewrite also merges
+    * the append-accumulated small files). Without this, retracted or
+    * re-filtered documents sit in the band buckets forever, generating
+    * candidate pairs against every future batch. TTL expiry is this
+    * same call with `docIds` = the ids past their retention horizon —
+    * the index itself stays timestamp-free.
+    *
+    * Deleted ids never appear in subsequent probe output: candidates are
+    * generated from the buckets table and verified against the sets
+    * table, and the ids are gone from both. Returns a handle rooted at
+    * `toPath`; the old directory is the caller's to drop once unused.
+    */
+  def delete(docIds: DataFrame, idCol: String, toPath: String): MinHashIndex = {
+    require(toPath != path, s"delete target must differ from current path: $path")
+    val ids = docIds.select(col(idCol).cast("long").as("doc_id"))
+    Sinks.bucketed(
+      spark.read.parquet(s"$path/buckets")
+        .join(ids, Seq("doc_id"), "left_anti")
+        .repartition(buckets, col("band"), col("bh")),
+      bucketsTable, s"$toPath/buckets", buckets, Seq("band", "bh"))
+    Sinks.bucketed(
+      spark.read.parquet(s"$path/sets")
+        .join(ids, Seq("doc_id"), "left_anti")
+        .repartition(buckets, col("doc_id")),
+      setsTable, s"$toPath/sets", buckets, Seq("doc_id"))
+    new MinHashIndex(spark, bucketsTable, setsTable, toPath,
+      shingleN, numHashes, bands, buckets)
   }
 
   /** Small-file maintenance: every [[append]] adds one file per populated

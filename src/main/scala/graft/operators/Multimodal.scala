@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs batched inside `mapPartitions` so a real codec
   * drops in without touching the distributed plan.
   *
-  * [[Codecs.decodeImage]] REALLY decodes binary P6 PPM and PNG images
-  * (pure-JVM parsers — PNG via `java.util.zip.Inflater` + the five
-  * scanline filters, no codec library needed) into a pooled-luminance
-  * feature grid; payloads in any other format fall back to a
-  * deterministic byte histogram — the documented stand-in for codecs
-  * this container doesn't ship (JPEG/video). Schema, batch shape,
-  * partition sizing, and feature columns are identical on both paths.
+  * [[Codecs.decodeImage]] REALLY decodes binary P6 PPM, PNG and JPEG
+  * images into a pooled-luminance feature grid — PPM/PNG via pure-JVM
+  * parsers (`java.util.zip.Inflater` + the five scanline filters), JPEG
+  * via the JDK's own `javax.imageio` codec (`java.desktop`, present in
+  * every standard JDK; no external library). Payloads in any other
+  * format fall back to a deterministic byte histogram — the documented
+  * stand-in for codecs no JDK ships (video). Schema, batch shape,
+  * partition sizing, and feature columns are identical on all paths.
   */
 object Multimodal {
 
@@ -27,6 +28,12 @@ object Multimodal {
       checksum: Long, features: Array[Float])
 
   object Codecs {
+    /** Upper bound on decoded pixels (4096×4096): header-declared
+      * dimensions are untrusted input, and allocation happens before any
+      * raster bytes are validated, so the cap must precede the alloc.
+      */
+    val MaxDecodePixels: Long = 1L << 24
+
     /** Pure-JVM P6 (binary) PPM parser: returns (width, height, packed
       * RGB bytes), or None when the payload is not a well-formed
       * 8-bit-per-channel P6 image (wrong magic, truncated raster,
@@ -85,8 +92,12 @@ object Multimodal {
       val idat = new java.io.ByteArrayOutputStream()
       var done = false
       while (!done && o + 12 <= bytes.length) {
-        val len = u32(o).toInt
-        if (len < 0 || o + 12 + len > bytes.length) return None
+        // bounds math in Long: a chunk length near 2^31 would overflow an
+        // Int sum to negative and sail past the check, turning a malformed
+        // payload into an IndexOutOfBounds task failure instead of None
+        val lenL = u32(o)
+        if (o.toLong + 12L + lenL > bytes.length) return None
+        val len = lenL.toInt
         val typ = new String(bytes, o + 4, 4, "US-ASCII")
         typ match {
           case "IHDR" =>
@@ -105,8 +116,14 @@ object Multimodal {
         o += 12 + len
       }
       if (!headerOk || idat.size == 0) return None
+      // Cap decoded size BEFORE allocating: header dimensions are
+      // attacker-controlled, and without this a 33-byte payload declaring
+      // 46000×46000 demands multi-GB buffers across 32 concurrent tasks.
+      // 2^24 px (= 4096×4096 RGBA ≈ 67 MB raw) is plenty for a pipeline
+      // that pools to a 4×4 luminance grid.
+      if (w.toLong * h > MaxDecodePixels) return None
       val bpp = colorType match { case 0 => 1; case 4 => 2; case 2 => 3; case _ => 4 }
-      val stride = w * bpp
+      val stride = w * bpp // safe: w*h ≤ 2^24 bounds w ≤ 2^24, bpp ≤ 4
       val rawLen = (stride + 1).toLong * h
       if (rawLen > Int.MaxValue) return None
       val raw = new Array[Byte](rawLen.toInt)
@@ -170,22 +187,67 @@ object Multimodal {
       Some((w, h, rgb))
     }
 
+    /** JPEG decode via the JDK's own codec (`javax.imageio`, in the
+      * `java.desktop` module every standard JDK ships — no external
+      * library): returns (width, height, packed RGB bytes) matching the
+      * [[decodePpm]]/[[decodePng]] contract. Baseline and progressive
+      * JPEG both decode; exotic color spaces the JDK reader rejects
+      * (e.g. Adobe CMYK) and corrupt/truncated streams return None —
+      * `ImageIO.read` failures are contained here, never task failures.
+      * The stream cache is disabled once, process-wide: the default
+      * file-backed cache would touch local disk for every image on every
+      * executor.
+      */
+    def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      // SOI magic: ff d8 — anything else isn't JPEG, skip the codec
+      if (bytes.length < 3 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+        return None
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return None
+        val w = img.getWidth; val h = img.getHeight
+        // same untrusted-header cap as decodePng (dimensions here come
+        // from the decoded image, but the rgb buffer is still ours)
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
+        val rgb = new Array[Byte](w * h * 3)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            val o = (y * w + x) * 3
+            rgb(o) = ((p >> 16) & 0xff).toByte
+            rgb(o + 1) = ((p >> 8) & 0xff).toByte
+            rgb(o + 2) = (p & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, rgb))
+      } catch { case _: Exception => None }
+    }
+
     /** Decode any payload into a 16-float feature vector by magic-number
-      * sniffing: P6 PPM / PNG → pooled-luminance grid, RIFF/WAVE 16-bit
-      * PCM → per-window RMS energy, anything else → the histogram
+      * sniffing: P6 PPM / PNG / JPEG → pooled-luminance grid, RIFF/WAVE
+      * 16-bit PCM → per-window RMS energy, anything else → the histogram
       * fallback.
       */
     def decodeMedia(bytes: Array[Byte]): Array[Float] =
       decodeAudio(bytes).getOrElse(decodeImage(bytes))
 
-    /** Decode a payload into a 16-float feature vector. P6 PPM and PNG
-      * payloads take the REAL path: per-pixel Rec.601 luminance
+    /** Decode a payload into a 16-float feature vector. P6 PPM, PNG and
+      * JPEG payloads take the REAL path: per-pixel Rec.601 luminance
       * average-pooled onto a 4×4 grid in [0, 1] (the thumbnail-embedding
       * shape). Other formats fall back to a deterministic byte histogram
-      * so the pipeline stays runnable where no codec library exists.
+      * so the pipeline stays runnable where no codec exists (video
+      * container formats remain in that bucket — the JDK ships no video
+      * codec and this sandbox can add none).
       */
     def decodeImage(bytes: Array[Byte]): Array[Float] =
-      decodePpm(bytes).orElse(decodePng(bytes)) match {
+      decodePpm(bytes).orElse(decodePng(bytes)).orElse(decodeJpeg(bytes)) match {
       case Some((w, h, rgb)) =>
         val out = new Array[Float](16)
         val cnt = new Array[Int](16)
@@ -231,8 +293,10 @@ object Multimodal {
       var o = 12
       while (o + 8 <= bytes.length && (samples == null || !fmtOk)) {
         val id = tag(o)
-        val len = u32(o + 4).toInt
-        if (len < 0 || o + 8 + len > bytes.length) return None
+        // Long bounds math, same reasoning as decodePng's chunk walk
+        val lenL = u32(o + 4)
+        if (o.toLong + 8L + lenL > bytes.length) return None
+        val len = lenL.toInt
         if (id == "fmt " && len >= 16) {
           fmtOk = u16(o + 8) == 1 && u16(o + 22) == 16 // PCM, 16-bit
           channels = u16(o + 10)

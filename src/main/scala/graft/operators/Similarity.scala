@@ -92,19 +92,33 @@ object Similarity {
     * `planesPerTable = 0` (default) derives the key width from a corpus
     * count via [[Lsh.autoPlanes]], keeping per-query candidate volume
     * ~constant as the base grows — the fixed 8-bit width this replaces
-    * scanned n/256 of the base per query per table at ANY n. There is no
-    * similarity threshold in a top-k contract, so the table count stays
-    * an explicit recall/cost knob.
+    * scanned n/256 of the base per query per table at ANY n. Pass
+    * `baseCount` when the caller already knows n (repeated query batches
+    * over one base) so the derivation does not re-scan the base per call.
+    *
+    * `tables = 0` (default) co-derives the table count from the derived
+    * width via [[Lsh.autoTables]]: wider keys collide less, so a FIXED
+    * table count silently loses recall as the base (and hence the width)
+    * grows. A top-k contract has no similarity threshold, so the design
+    * point is explicit: recover neighbors at cosine ≥ `designCos` with
+    * P(miss) ≤ `missProb` — at the 8-bit fixture floor the defaults give
+    * 9 tables (≈ the historical 8), and the count rises with the width
+    * exactly where a fixed count would have decayed.
     */
   def srpTopK(
       emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, dim: Int,
-      planesPerTable: Int = 0, tables: Int = 8, seed: Long = 42L): DataFrame = {
+      planesPerTable: Int = 0, tables: Int = 0, seed: Long = 42L,
+      baseCount: Long = -1L, designCos: Double = 0.9,
+      missProb: Double = 0.05): DataFrame = {
     val bits =
-      if (planesPerTable > 0) planesPerTable else Lsh.autoPlanes(emb.count())
+      if (planesPerTable > 0) planesPerTable
+      else Lsh.autoPlanes(if (baseCount >= 0L) baseCount else emb.count())
+    val nTables =
+      if (tables > 0) tables else Lsh.autoTables(bits, designCos, missProb)
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] =
-      Seq.fill(tables * bits)(Seq.fill(dim)(rnd.nextGaussian()))
+      Seq.fill(nTables * bits)(Seq.fill(dim)(rnd.nextGaussian()))
     val buckets = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
         graft.plans.SrpBuckets.srpBuckets(col(vecCol), planes, bits)
           .as("bks"))
@@ -138,7 +152,46 @@ object Similarity {
     */
   final class IvfIndex private (
       val centroids: Array[Array[Double]],
-      val assigned: DataFrame) {
+      baseAssigned: DataFrame,
+      tableRef: Option[(String, Int)]) {
+
+    /** The assignment relation. Table-backed indexes ([[IvfIndex.open]])
+      * re-resolve through the catalog with a relation-cache refresh on
+      * every access, so [[append]]s — including ones from other sessions
+      * — are visible to the next search (same contract as
+      * [[MinHashIndex.probe]]); in-memory indexes use the build-time
+      * frame directly.
+      */
+    def assigned: DataFrame = tableRef match {
+      case Some((table, _)) =>
+        val sess = baseAssigned.sparkSession
+        sess.catalog.refreshTable(table)
+        sess.table(table)
+      case None => baseAssigned
+    }
+
+    /** Grow a SAVED index without rebuilding: assign the incoming vectors
+      * against the EXISTING centroids (broadcast, narrow — the same
+      * assignment map [[IvfIndex.build]] runs) and append bucket-aligned
+      * to the assignments table, one file per populated bucket. Search
+      * results afterwards are identical to a fresh build over old ∪ new
+      * vectors ASSIGNED TO THESE centroids — i.e. exact for
+      * nprobe = nClusters, and the approximate regime degrades only as
+      * far as the frozen quantizer drifts from the grown corpus (the
+      * standard IVF maintenance trade; retrain+rebuild when drift
+      * accumulates). Caller guarantees ids are not already indexed.
+      * In-memory indexes have no table to append to — save first.
+      */
+    def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
+      val (table, buckets) = tableRef.getOrElse(throw new IllegalArgumentException(
+        "append needs a table-backed index: IvfIndex.save(...) then IvfIndex.open(...)"))
+      val spark = baseAssigned.sparkSession
+      IvfIndex.assign(spark, emb, idCol, vecCol, centroids)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(buckets, "cluster")
+        .saveAsTable(table)
+      spark.catalog.refreshTable(table)
+    }
 
     /** Exact search within the `nprobe` clusters nearest to each query —
       * driver-Map query side, for small ad-hoc query batches. The probed
@@ -255,14 +308,27 @@ object Similarity {
           else sums(c).map(_ / counts(c))
         }.toArray
       }
+      new IvfIndex(cents, assign(spark, emb, idCol, vecCol, cents), None)
+    }
+
+    /** Nearest-centroid assignment: broadcast centroids, narrow map —
+      * shared by [[build]] and [[IvfIndex.append]] so the two paths
+      * cannot diverge.
+      */
+    private[operators] def assign(
+        spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+        cents: Array[Array[Double]]): DataFrame = {
+      import spark.implicits._
+      val base = emb.select(col(idCol).cast("long").as("vid"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+        .as[(Long, Array[Double])]
       val bc = spark.sparkContext.broadcast(cents)
-      val assigned = base.mapPartitions { it =>
+      base.mapPartitions { it =>
         val cs = bc.value
         it.map { case (vid, v) =>
           (vid, v, cs.indices.minBy(i => l2sq(cs(i), v)))
         }
       }.toDF("vid", "v", "cluster")
-      new IvfIndex(cents, assigned)
     }
 
     /** Persist an index: centroids as one tiny parquet (nClusters × dim
@@ -288,17 +354,22 @@ object Similarity {
 
     /** Re-open a saved index: centroids load to the driver (tiny), the
       * assignment table resolves lazily through the catalog with a
-      * relation-cache refresh (appends/compactions from other sessions
-      * must be visible — same reasoning as `DedupIndex.probe`).
+      * relation-cache refresh on every search (appends/compactions from
+      * other sessions must be visible — same reasoning as
+      * `DedupIndex.probe`). `buckets` must match what [[save]] used —
+      * [[IvfIndex.append]] appends with this spec and Spark rejects a
+      * mismatch against the existing table.
       */
-    def open(spark: SparkSession, name: String, path: String): IvfIndex = {
+    def open(spark: SparkSession, name: String, path: String,
+        buckets: Int = 16): IvfIndex = {
       val cents = spark.read.parquet(s"$path/centroids")
         .collect()
         .sortBy(_.getInt(0))
         .map(_.getSeq[Double](1).toArray)
       require(cents.nonEmpty, s"no centroids at $path/centroids")
       spark.catalog.refreshTable(s"${name}_ivf")
-      new IvfIndex(cents, spark.table(s"${name}_ivf"))
+      new IvfIndex(cents, spark.table(s"${name}_ivf"),
+        Some((s"${name}_ivf", buckets)))
     }
   }
 

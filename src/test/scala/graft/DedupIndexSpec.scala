@@ -119,6 +119,36 @@ class DedupIndexSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("delete removes docs from candidate generation; surviving pairs unchanged") {
+    import spark.implicits._
+    val d2 = docs.select("doc_id", "text")
+    // corpus carries a clone of doc 100 (id 10100); the probe batch is a
+    // second clone (id 20100) — both corpus copies must pair with it
+    val corpus = d2.filter(col("doc_id") < 400)
+      .unionByName(d2.filter(col("doc_id") === 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val base = Files.createTempDirectory("mh_delete").toString
+    val idx = DedupIndex.build(corpus, "doc_id", "text", s"$base/v1",
+      "mhidx_d", shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
+    val batch = d2.filter(col("doc_id") === 100)
+      .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+    def pairSet(i: MinHashIndex): Set[(Long, Long)] =
+      i.probe(batch, "doc_id", "text", threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairSet(idx)
+    assert(before.contains((100L, 20100L)) && before.contains((10100L, 20100L)),
+      s"both corpus copies must pair with the probe clone: $before")
+    // retract the clone: it must never appear in probe output again,
+    // while every pair not touching it is untouched
+    val idx2 = idx.delete(Seq(10100L).toDF("doc_id"), "doc_id", s"$base/v2")
+    val after = pairSet(idx2)
+    assert(!after.exists(p => p._1 == 10100L || p._2 == 10100L),
+      s"deleted doc still generates candidates: $after")
+    assert(after == before.filterNot(p => p._1 == 10100L || p._2 == 10100L))
+    assert(idx2.indexedDocs() == corpus.count() - 1)
+    Dedup.releaseCaches()
+  }
+
   test("compact folds per-append files into one set; probes unchanged") {
     val d2 = docs.select("doc_id", "text")
     val corpus = d2.filter(col("doc_id") < 300)

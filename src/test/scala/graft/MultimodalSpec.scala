@@ -154,6 +154,82 @@ class MultimodalSpec extends SparkSpec {
     assert(Codecs.decodeMedia(bytes).toSeq == Codecs.decodeImage(ppm).toSeq)
   }
 
+  test("JPEG payloads take the REAL decode path via the JDK codec") {
+    import graft.operators.Multimodal.Codecs
+    import java.awt.image.BufferedImage
+    // smooth gradient: JPEG is lossy but preserves low-frequency content,
+    // so the pooled 4x4 luminance grid must track the lossless PPM of the
+    // same pixels within a tight tolerance
+    val w = 32; val h = 32
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 8) << 16) | ((y * 8) << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "JDK must ship a JPEG writer")
+    val bytes = bos.toByteArray
+    val decoded = Codecs.decodeJpeg(bytes)
+    assert(decoded.isDefined, "well-formed JPEG must decode")
+    val (dw, dh, _) = decoded.get
+    assert(dw == w && dh == h)
+    val rgbExact = (0 until h).flatMap(y => (0 until w).flatMap { x =>
+      val p = img.getRGB(x, y)
+      Seq(((p >> 16) & 0xff).toByte, ((p >> 8) & 0xff).toByte, (p & 0xff).toByte)
+    }).toArray
+    val ppm = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgbExact
+    val gJpeg = Codecs.decodeImage(bytes)
+    val gExact = Codecs.decodeImage(ppm)
+    (gJpeg zip gExact).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.02f, s"grid cell drifted: $a vs $b")
+    }
+    // dispatch: decodeMedia routes JPEG through the image path
+    assert(Codecs.decodeMedia(bytes).toSeq == gJpeg.toSeq)
+    // corruption is contained: truncated stream and SOI-magic garbage
+    // return None (histogram fallback), never a task failure
+    assert(Codecs.decodeJpeg(bytes.take(60)).isEmpty)
+    assert(Codecs.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array.fill(64)(0x55.toByte)).isEmpty)
+    assert(Codecs.decodeJpeg("not a jpeg".getBytes).isEmpty)
+  }
+
+  test("adversarial headers: overflow chunk lengths and giant dims return None, never throw") {
+    import graft.operators.Multimodal.Codecs
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def be32(v: Long): Array[Byte] = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def le32(v: Long): Array[Byte] = Array(v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    // PNG chunk length 0x7ffffff8: the Int sum o + 12 + len wraps negative,
+    // so an Int bounds check admits it and idat.write throws outside the
+    // decoder's try — the Long bounds math must reject it as malformed
+    val evilChunk = sig ++ be32(0x7ffffff8L) ++ "IDAT".getBytes("US-ASCII") ++
+      Array.fill(32)(0.toByte)
+    assert(Codecs.decodePng(evilChunk).isEmpty)
+    // 40000x30000 grayscale: the filtered-raw length (~1.2 GB) squeaks
+    // under Int.MaxValue so the old guard allocated it from a 60-byte
+    // payload (and the rgb projection w*h*3 would then wrap negative) —
+    // the pixel cap must reject on the header alone
+    val giantIhdr = be32(40000L) ++ be32(30000L) ++
+      Array[Byte](8, 0, 0, 0, 0)
+    val crc = new java.util.zip.CRC32
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val body = typ.getBytes("US-ASCII") ++ data
+      crc.reset(); crc.update(body)
+      be32(data.length.toLong) ++ body ++ be32(crc.getValue)
+    }
+    val giant = sig ++ chunk("IHDR", giantIhdr) ++
+      chunk("IDAT", Array[Byte](1, 2, 3)) ++ chunk("IEND", Array.empty[Byte])
+    assert(Codecs.decodePng(giant).isEmpty)
+    // WAV data-chunk length 0x7ffffff0: same Int-wrap admission, then a
+    // 2 GB Array[Short] allocation driven by a 44-byte payload
+    val evilWav = "RIFF".getBytes("US-ASCII") ++ le32(36L) ++
+      "WAVE".getBytes("US-ASCII") ++ "data".getBytes("US-ASCII") ++
+      le32(0x7ffffff0L) ++ Array.fill(24)(0.toByte)
+    assert(Codecs.decodeWav(evilWav).isEmpty)
+    // all three still take the histogram fallback cleanly end-to-end
+    assert(math.abs(Codecs.decodeMedia(evilChunk).sum - 1f) < 1e-3)
+    assert(math.abs(Codecs.decodeMedia(evilWav).sum - 1f) < 1e-3)
+  }
+
   test("WAV payloads take the REAL audio path: per-window RMS energy") {
     import graft.operators.Multimodal.Codecs
     // 16-bit PCM mono: first half silence, second half full-scale square

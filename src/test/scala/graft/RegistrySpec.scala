@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry/oracle parity — pure-map checks that keep [[SparkEntry]] and
+  * [[Oracles]] (split into separate files in round 7) from drifting: an
+  * oracle keyed to a nonexistent query would silently never run in the
+  * driver's correctness gate.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every oracle key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: ${orphans.toSeq.sorted}")
+  }
+
+  test("queries without an oracle are exactly the declared sketch/hash set") {
+    // these six are rows-only BY DESIGN (sketch-, recall- or
+    // hash-specific output with no SQL-expressible oracle); anything new
+    // appearing here means someone forgot to write an oracle
+    val declared = Set("ann_lsh", "ann_pq", "q_hll", "q_approx_quantile",
+      "text_bpe", "text_winnow")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == declared,
+      s"undeclared oracle-less queries: ${(noOracle -- declared).toSeq.sorted}; " +
+        s"stale declarations: ${(declared -- noOracle).toSeq.sorted}")
+  }
+
+  test("registry size matches the shipped inventory") {
+    assert(SparkEntry.queries.size == 151,
+      s"query count drifted: ${SparkEntry.queries.size} (update this pin " +
+        "AND SURVEY §2.4 when adding operators)")
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Lsh}
+import graft.operators.{Dedup, Lsh, Pq, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,53 @@ class ScaleGuardSpec extends SparkSpec {
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text").count()
     assert(pairs == 500L, s"minhash verified pairs $pairs != 500 planted pairs")
     Dedup.releaseCaches()
+  }
+
+  test("IVF probe reads <= nprobe of nClusters buckets, at two corpus sizes") {
+    // The 100 TB property of an IVF index is that a probe READS
+    // nprobe/nClusters of the data, not all of it — asserted here as the
+    // scan's SelectedBucketsCount (count-not-time). Dropping the
+    // literal-IN bucket pruning, or collapsing nClusters, turns the
+    // selected count to `all` and fails this gate at both sizes.
+    def selectedBuckets(n: Long): (Int, Int) = {
+      val emb = vecs(n, 16)
+      val idx = Similarity.IvfIndex.build(spark, emb, "vec_id", "embedding",
+        nClusters = 8)
+      val dir = java.nio.file.Files.createTempDirectory(s"ivf_guard_$n").toString
+      Similarity.IvfIndex.save(idx, s"ivf_guard_$n", dir, buckets = 8)
+      val opened = Similarity.IvfIndex.open(spark, s"ivf_guard_$n", dir, buckets = 8)
+      val qv = emb.select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0).toArray
+      val res = opened.search(Map(0L -> qv), k = 3, nprobe = 2)
+      res.count() // settle AQE before reading the final plan
+      val plan = res.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined, s"no bucket pruning in the probe scan at n=$n:\n$plan")
+      (m.get.group(1).toInt, m.get.group(2).toInt)
+    }
+    for (n <- Seq(4000L, 16000L)) {
+      val (sel, total) = selectedBuckets(n)
+      assert(total == 8, s"bucket count drifted at n=$n: $total")
+      // one query at nprobe=2 probes <= 2 clusters => <= 2 bucket ids
+      assert(sel <= 2, s"probe read $sel of $total buckets at n=$n (nprobe=2)")
+    }
+  }
+
+  test("PQ ADC shuffles only top-k candidates; encode stays narrow") {
+    // ADC cost per base row is m LUT lookups, and the only exchange in
+    // the whole search is the final per-query rank — whose input Spark
+    // must cut to top-k per partition (WindowGroupLimit) BEFORE the
+    // shuffle. Degrading either (a scored-row shuffle, a lost group
+    // limit) makes the shuffle corpus-sized at 100 TB and fails here.
+    val emb = vecs(8000L, 16)
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 4, k = 8)
+    val res = Pq.adcTopK(emb, "vec_id", "embedding", cb, Seq(0L), k = 5)
+    res.count()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank input not group-limited before the exchange:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"expected exactly one exchange (the rank), got:\n$plan")
   }
 
   test("Lsh.autoPlanes / autoTables encode the documented scaling rules") {

@@ -67,6 +67,41 @@ class SimilaritySpec extends SparkSpec {
       s"probe scan must prune to the probed bucket, got:\n$plan")
   }
 
+  test("IVF append grows a saved index: results identical to a rebuild, pruning intact") {
+    import spark.implicits._
+    // split the fixture: build+save on 80%, append the held-out 20%
+    val oldPart = emb.filter(col("vec_id") % 5 =!= 0)
+    val newPart = emb.filter(col("vec_id") % 5 === 0)
+    val idx = Similarity.IvfIndex.build(spark, oldPart, "vec_id", "embedding", nClusters = 8)
+    val base = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    Similarity.IvfIndex.save(idx, "ivfidx_app", base, buckets = 8)
+    val opened = Similarity.IvfIndex.open(spark, "ivfidx_app", base, buckets = 8)
+    val nOld = opened.assigned.count()
+    opened.append(newPart, "vec_id", "embedding")
+    assert(opened.assigned.count() == nOld + newPart.count(),
+      "appended vectors must land in the assignments table")
+    // full probing is exhaustive over old ∪ new ⇒ exact ⇒ identical to a
+    // rebuild (any index over the same corpus at nprobe=all is brute force);
+    // query ids include APPENDED vectors (0 and 5 are % 5 == 0)
+    val qids = Seq(0L, 1L, 2L, 5L)
+    val qs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Array[Double])].collect().toMap
+    val bf = rows(Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 3))
+    assert(rows(opened.search(qs, k = 3, nprobe = 8)) == bf)
+    // bucket pruning survives the append: nprobe=1 for one query reads
+    // only that cluster's bucket (plus its append file, same bucket id)
+    val one = opened.search(Map(0L -> qs(0L)), k = 3, nprobe = 1)
+    one.count()
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"append must not break bucket pruning, got:\n$plan")
+    // in-memory (unsaved) indexes cannot append — the contract is explicit
+    intercept[IllegalArgumentException] {
+      idx.append(newPart, "vec_id", "embedding")
+    }
+  }
+
   test("SRP-LSH finds genuinely-close neighbors (clustered data)") {
     // SRP bucketing only pays off when near neighbors are actually near
     // (cos >> 0): plant 3 tight clusters and require the same-cluster
