@@ -153,7 +153,7 @@ object Similarity {
   final class IvfIndex private (
       val centroids: Array[Array[Double]],
       baseAssigned: DataFrame,
-      tableRef: Option[(String, Int)]) {
+      tableRef: Option[IvfIndex.TableRef]) {
 
     /** The assignment relation. Table-backed indexes ([[IvfIndex.open]])
       * re-resolve through the catalog with a relation-cache refresh on
@@ -163,10 +163,10 @@ object Similarity {
       * frame directly.
       */
     def assigned: DataFrame = tableRef match {
-      case Some((table, _)) =>
+      case Some(ref) =>
         val sess = baseAssigned.sparkSession
-        sess.catalog.refreshTable(table)
-        sess.table(table)
+        sess.catalog.refreshTable(ref.table)
+        sess.table(ref.table)
       case None => baseAssigned
     }
 
@@ -183,14 +183,61 @@ object Similarity {
       * In-memory indexes have no table to append to — save first.
       */
     def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
-      val (table, buckets) = tableRef.getOrElse(throw new IllegalArgumentException(
-        "append needs a table-backed index: IvfIndex.save(...) then IvfIndex.open(...)"))
+      val ref = requireTable("append")
       val spark = baseAssigned.sparkSession
       IvfIndex.assign(spark, emb, idCol, vecCol, centroids)
         .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .bucketBy(buckets, "cluster")
-        .saveAsTable(table)
-      spark.catalog.refreshTable(table)
+        .bucketBy(ref.buckets, "cluster")
+        .saveAsTable(ref.table)
+      spark.catalog.refreshTable(ref.table)
+    }
+
+    /** Remove vectors from a saved index: anti-join the assignments
+      * against the given ids and rewrite into `toPath` with the same
+      * bucket spec (bucketed parquet has no in-place delete — same
+      * rewrite-as-maintenance shape as [[MinHashIndex.delete]], and like
+      * it, the rewrite doubles as a [[compact]]). Centroids are copied
+      * verbatim: deleting vectors never moves the quantizer. Returns a
+      * handle rooted at `toPath`; the old directory is the caller's to
+      * drop once nothing queries it.
+      */
+    def delete(ids: DataFrame, idCol: String, toPath: String): IvfIndex = {
+      val ref = requireTable("delete")
+      rewrite(ref, toPath,
+        _.join(ids.select(col(idCol).cast("long").as("vid")), Seq("vid"), "left_anti"))
+    }
+
+    /** Small-file maintenance for a saved index: every [[append]] adds one
+      * file per populated (task, bucket) pair. Rewrite the assignments
+      * into `toPath` with the same bucket spec — one file per bucket,
+      * searches unchanged (mirrors [[MinHashIndex.compact]], including
+      * reading the parquet FILES rather than the catalog table so the
+      * rewrite never depends on the table it is about to redefine).
+      */
+    def compact(toPath: String): IvfIndex =
+      rewrite(requireTable("compact"), toPath, identity)
+
+    private def requireTable(op: String): IvfIndex.TableRef =
+      tableRef.getOrElse(throw new IllegalArgumentException(
+        s"$op needs a table-backed index: IvfIndex.save(...) then IvfIndex.open(...)"))
+
+    private def rewrite(
+        ref: IvfIndex.TableRef, toPath: String,
+        f: DataFrame => DataFrame): IvfIndex = {
+      require(toPath != ref.path, s"rewrite target must differ from current path: ${ref.path}")
+      val spark = baseAssigned.sparkSession
+      spark.read.parquet(s"${ref.path}/centroids").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$toPath/centroids")
+      // repartition on cluster with numPartitions == buckets: bucket id is
+      // hash pmod numBuckets, so each write task owns its bucket's rows —
+      // one file per bucket (same reasoning as MinHashIndex.compact)
+      graft.sources.Sinks.bucketed(
+        f(spark.read.parquet(s"${ref.path}/assigned"))
+          .repartition(ref.buckets, col("cluster")),
+        ref.table, s"$toPath/assigned", ref.buckets, Seq("cluster"))
+      new IvfIndex(centroids, spark.table(ref.table),
+        Some(ref.copy(path = toPath)))
     }
 
     /** Exact search within the `nprobe` clusters nearest to each query —
@@ -268,6 +315,12 @@ object Similarity {
   }
 
   object IvfIndex {
+    /** Catalog/storage binding of a saved index: the registered table, its
+      * bucket count (appends/rewrites must reuse it), and the directory
+      * holding `centroids` + `assigned`.
+      */
+    final case class TableRef(table: String, buckets: Int, path: String)
+
     private[operators] def l2sq(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -369,7 +422,7 @@ object Similarity {
       require(cents.nonEmpty, s"no centroids at $path/centroids")
       spark.catalog.refreshTable(s"${name}_ivf")
       new IvfIndex(cents, spark.table(s"${name}_ivf"),
-        Some((s"${name}_ivf", buckets)))
+        Some(TableRef(s"${name}_ivf", buckets, path)))
     }
   }
 

@@ -102,6 +102,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF delete retracts vectors; compact folds append files; searches unchanged") {
+    import spark.implicits._
+    val idx = Similarity.IvfIndex.build(spark, emb, "vec_id", "embedding", nClusters = 8)
+    val base = java.nio.file.Files.createTempDirectory("ivf_maint").toString
+    Similarity.IvfIndex.save(idx, "ivfidx_mnt", s"$base/v1", buckets = 8)
+    val opened = Similarity.IvfIndex.open(spark, "ivfidx_mnt", s"$base/v1", buckets = 8)
+    val qids = Seq(0L, 1L, 2L)
+    val qs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Array[Double])].collect().toMap
+    // deleting a neighbor must remove it from results; ranks re-close over
+    // the survivors exactly as a search over emb-minus-victim would
+    // top-ranked neighbor that is not itself a query id (deleting a query
+    // vector would also change the brute-force reference's query side)
+    val victim = rows(opened.search(qs, k = 3, nprobe = 8))
+      .map(_._3).filterNot(qids.contains).head
+    val deleted = opened.delete(Seq(victim).toDF("vec_id"), "vec_id", s"$base/v2")
+    val got = rows(deleted.search(qs, k = 3, nprobe = 8))
+    assert(!got.exists(_._3 == victim), s"deleted vector still a neighbor: $got")
+    val want = rows(Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") =!= victim), "vec_id", "embedding", qids, 3))
+    assert(got == want)
+    assert(deleted.assigned.count() == emb.count() - 1)
+    // compact after appends: file count shrinks, searches byte-identical
+    val grown = Similarity.IvfIndex.open(spark, "ivfidx_mnt", s"$base/v2", buckets = 8)
+    grown.append(emb.filter(col("vec_id") === victim), "vec_id", "embedding")
+    def parquetFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists) 0
+      else d.listFiles.count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles(s"$base/v2/assigned")
+    val beforeRows = rows(grown.search(qs, k = 3, nprobe = 8))
+    val compacted = grown.compact(s"$base/v3")
+    assert(parquetFiles(s"$base/v3/assigned") < before,
+      s"compaction must shrink the file count: $before -> ${parquetFiles(s"$base/v3/assigned")}")
+    assert(rows(compacted.search(qs, k = 3, nprobe = 8)) == beforeRows)
+    assert(compacted.assigned.count() == emb.count())
+  }
+
   test("SRP-LSH finds genuinely-close neighbors (clustered data)") {
     // SRP bucketing only pays off when near neighbors are actually near
     // (cos >> 0): plant 3 tight clusters and require the same-cluster
