@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Dedup, DedupIndex, Graph, Indexing, Ingest, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, DedupIndex, EmbedIndex, Graph, Indexing, Ingest, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
 import graft.sources.Crawl
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -91,6 +91,27 @@ private[graft] object EntryDedup {
         dim = 64, threshold = 0.95)
       .select(col("i"), col("j"), col("cos").as("sim"))
       .orderBy("i", "j")
+
+  /** The persistent-index form of [[dedupEmbedding]]: the corpus's SRP
+    * bucket keys and vectors are materialized once as bucketed tables
+    * ([[EmbedIndex.build]]), then a batch of ten clones of vectors 0..9
+    * (ids +10000 — guaranteed cos-1.0 near-dups with bit-identical keys,
+    * so LSH recall is exactly 1 and the oracle is closed-form) probes the
+    * stored index without re-keying corpus vectors. Oracle: brute-force
+    * cosine pairs over corpus ∪ batch restricted to pairs touching the
+    * batch (batch ids sort last, so `j ≥ 10000` ⟺ touching).
+    */
+  def dedupEmbeddingIndex(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("graft_emb_index").toString
+    val idx = EmbedIndex.build(emb, "vec_id", "embedding", path,
+      "graft_q_eidx", dim = 64, threshold = 0.95, buckets = 8)
+    val batch = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    idx.probe(batch, "vec_id", "embedding", threshold = 0.95)
+      .select(col("i"), col("j"), col("cos").as("sim"))
+      .orderBy("i", "j")
+  }
 
   def annTopk(s: SparkSession, d: String): DataFrame =
     Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",

@@ -1533,6 +1533,22 @@ private[graft] object Oracles {
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.95
         |ORDER BY i, j""".stripMargin,
+    "dedup_embedding_index" ->
+      """WITH batch AS (
+        |  SELECT vec_id + 10000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id < 10
+        |), allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM batch
+        |)
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 3) AS sim
+        |FROM allv a, allv b
+        |WHERE a.vec_id < b.vec_id AND b.vec_id >= 10000
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.95
+        |ORDER BY i, j""".stripMargin,
     "ann_topk" -> duckAnnTopk,
     "ann_ivf" -> duckAnnTopk,
     "ann_ivf_index" -> duckAnnTopk,

@@ -1,0 +1,148 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The persistent SRP embedding index must (a) return exactly what
+  * [[Dedup.embeddingPairs]] returns at the same geometry, restricted to
+  * pairs touching the probe batch, (b) read the corpus as bucketed scans
+  * with no kernel re-evaluation, (c) keep working across appends /
+  * deletes / compacts, and (d) stream to the same closure as the batch
+  * operator — the [[MinHashIndex]] contract, re-proven in vector space.
+  *
+  * Lives in `graft.operators` for the `private[operators]` helpers.
+  */
+class EmbedIndexSpec extends SparkSpec {
+
+  private def emb = Tables.load(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  /** Fixture corpus: 500 near-uniform vectors (no true ≥0.95 pairs) plus
+    * clones of vectors 0..9 under ids 10000.. — guaranteed cos-1.0 pairs
+    * whose SRP keys are bit-identical, so recall is exactly 1 at any
+    * geometry and the expected pair set is knowable.
+    */
+  private def withClones(lo: Long, hi: Long, offset: Long = 10000L) =
+    emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+
+  test("probe == embeddingPairs at the same geometry, restricted to the batch") {
+    val corpus = emb
+    val batch = withClones(0L, 10L)
+    val base = Files.createTempDirectory("emb_idx").toString
+    val idx = EmbedIndex.build(corpus, "vec_id", "embedding", base, "eidx_a",
+      dim = 64, threshold = 0.95, buckets = 8)
+    val got = idx.probe(batch, "vec_id", "embedding", threshold = 0.95)
+      .orderBy("i", "j").collect().toSeq
+    // reference: the batch operator over corpus ∪ batch at the INDEX's
+    // geometry, keeping only pairs touching a batch id (ids ≥ 10000 sort
+    // after all corpus ids, so "j is a clone" covers both cases)
+    val want = Dedup.embeddingPairs(corpus.unionByName(batch),
+        "vec_id", "embedding", dim = 64, threshold = 0.95,
+        planesPerTable = idx.bits, tables = idx.tables)
+      .filter(col("j") >= 10000L)
+      .orderBy("i", "j").collect().toSeq
+    assert(got == want)
+    assert(got.size == 10, s"each clone must pair with its original: $got")
+    assert(got.forall(_.getDouble(2) == 1.0))
+    Dedup.releaseCaches()
+
+    // plan shape of the corpus⋈batch candidate join: stored side bucketed
+    // (SelectedBucketsCount), exactly one exchange (the batch side)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val inB = idx.batchBuckets(batch, "vec_id", "embedding")
+      val j = spark.table(idx.bucketsTable).as("a")
+        .join(inB.as("b"),
+          col("a.t") === col("b.t") && col("a.bk") === col("b.bk"))
+      j.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"corpus side must use the bucketed layout, got:\n$plan")
+      assert("Exchange".r.findAllIn(plan).length == 1,
+        s"expected exactly one exchange (batch side only), got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("append folds a batch in; delete retracts; compact shrinks files — probes track") {
+    val corpus = emb
+    val b1 = withClones(0L, 5L)           // clones 10000..10004
+    val b2 = withClones(0L, 10L, 20000L)  // clones 20000..20009
+    val base = Files.createTempDirectory("emb_idx2").toString
+    val idx = EmbedIndex.build(corpus, "vec_id", "embedding", s"$base/v1",
+      "eidx_b", dim = 64, threshold = 0.95, buckets = 8)
+    assert(idx.indexedVectors() == 500L)
+    idx.append(b1, "vec_id", "embedding")
+    assert(idx.indexedVectors() == 505L)
+    // b2 probes against corpus ∪ b1: clone 20000 pairs with BOTH 0 and
+    // 10000 (the appended copy) — the second pair only exists via append
+    val got = idx.probe(b2, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 10L).forall(v => got.contains((v, v + 20000L))), s"$got")
+    assert((0L until 5L).forall(v => got.contains((v + 10000L, v + 20000L))),
+      s"pairs through the appended batch missing: $got")
+    // geometry survives a cold re-open (meta, not caller memory)
+    val reopened = EmbedIndex.open(spark, "eidx_b", s"$base/v1")
+    assert(reopened.bits == idx.bits && reopened.tables == idx.tables)
+    assert(reopened.probe(b2, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == got)
+    // delete the appended clone 10000: pairs touching it disappear,
+    // everything else is untouched
+    import spark.implicits._
+    val deleted = reopened.delete(Seq(10000L).toDF("vec_id"), "vec_id", s"$base/v2")
+    val afterDel = deleted.probe(b2, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterDel == got.filterNot(p => p._1 == 10000L || p._2 == 10000L))
+    assert(deleted.indexedVectors() == 504L)
+    // compact: fewer files, identical probes
+    def parquetFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists) 0
+      else d.listFiles.count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    deleted.append(b2, "vec_id", "embedding") // accumulate files to fold
+    val before = parquetFiles(s"$base/v2/buckets")
+    val beforeProbe = deleted.probe(withClones(0L, 3L, 30000L), "vec_id", "embedding")
+      .orderBy("i", "j").collect().toSeq
+    val compacted = deleted.compact(s"$base/v3")
+    assert(parquetFiles(s"$base/v3/buckets") < before,
+      s"compaction must shrink: $before -> ${parquetFiles(s"$base/v3/buckets")}")
+    assert(compacted.probe(withClones(0L, 3L, 30000L), "vec_id", "embedding")
+      .orderBy("i", "j").collect().toSeq == beforeProbe)
+    Dedup.releaseCaches()
+  }
+
+  test("probeStream: cumulative streamed pairs == batch embeddingPairs closure") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val corpus = emb.unionByName(withClones(0L, 10L))
+    val base = Files.createTempDirectory("emb_stream").toString
+    // three arrival waves (clones land in a different wave than their
+    // originals), one file per wave → three micro-batches
+    Seq(col("vec_id") < 250, col("vec_id") >= 250 && col("vec_id") < 10000,
+        col("vec_id") >= 10000).foreach { p =>
+      corpus.filter(p).coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    val idx = EmbedIndex.build(corpus.filter(lit(false)), "vec_id", "embedding",
+      s"$base/idx", "eidx_s", dim = 64, threshold = 0.95,
+      planesPerTable = 12, tables = 8, buckets = 8)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    idx.probeStream(stream, "vec_id", "embedding",
+      s"$base/pairs", s"$base/ckpt", threshold = 0.95)
+    val got = spark.read.parquet(s"$base/pairs")
+      .orderBy("i", "j").collect().toSeq
+    val want = Dedup.embeddingPairs(corpus, "vec_id", "embedding", dim = 64,
+        threshold = 0.95, planesPerTable = 12, tables = 8)
+      .orderBy("i", "j").collect().toSeq
+    assert(got == want)
+    assert(got.size == 10, "the 10 planted clone pairs must all stream out")
+    Dedup.releaseCaches()
+  }
+}
