@@ -36,6 +36,13 @@ object ScaleProbe {
       (name, s, r)
     }
 
+    // shared by the three embedding legs: deterministic zero-centered
+    // 64-dim vectors where ids ≥ n are bit-identical clones of id % n
+    val vecExpr = transform(sequence(lit(0), lit(63)), j =>
+      ((pmod(xxhash64(col("vec_id") % n, j), lit(2000L)) - 1000L)
+        .cast("double") / 1000.0).cast("float"))
+    val eidxPath = java.nio.file.Files.createTempDirectory("scale_eidx").toString
+
     val stages = Seq(
       time("exact_dedup") {
         graft.operators.Dedup.exact(corpus, "doc_id", Seq("text")).count()
@@ -99,12 +106,9 @@ object ScaleProbe {
           .removeRepeatedSpans(salted, "doc_id", "text", k = 8).count()
       },
       time("srp_embedding_pairs") {
-        // deterministic zero-centered 64-dim vectors + 5k planted dups
-        val vec = transform(sequence(lit(0), lit(63)), j =>
-          ((pmod(xxhash64(col("vec_id") % n, j), lit(2000L)) - 1000L)
-            .cast("double") / 1000.0).cast("float"))
+        // the shared vector corpus + its 5k planted clone dups
         val vecs = spark.range(n + 5000)
-          .select(col("id").as("vec_id"), vec.as("embedding"))
+          .select(col("id").as("vec_id"), vecExpr.as("embedding"))
           .localCheckpoint(true)
         // DEFAULTS on purpose: the auto-derived geometry (Lsh.autoPlanes /
         // autoTables from the corpus count) must survive this 100x leg on
@@ -114,6 +118,25 @@ object ScaleProbe {
         // regardless of the derived geometry.
         graft.operators.Dedup.embeddingPairs(
           vecs, "vec_id", "embedding", dim = 64, threshold = 0.999).count()
+      },
+      time("embed_index_build") {
+        // pay-once for the embedding index: key + materialize all 505k
+        // base vectors as the bucketed tables (the vector twin of
+        // index_build)
+        val baseVecs = spark.range(n)
+          .select(col("id").as("vec_id"), vecExpr.as("embedding"))
+        graft.operators.EmbedIndex.build(baseVecs, "vec_id", "embedding",
+          eidxPath, "scale_eidx", dim = 64, threshold = 0.999, buckets = 32)
+          .indexedVectors()
+      },
+      time("embed_index_probe_batch") {
+        // per-batch: 5k clone vectors (ids n.. are bit-identical copies of
+        // 0..4999) probed against the stored index — only the batch is
+        // keyed; the corpus contributes bucketed columnar scans
+        val idx = graft.operators.EmbedIndex.open(spark, "scale_eidx", eidxPath)
+        val batch = spark.range(n, n + 5000)
+          .select(col("id").as("vec_id"), vecExpr.as("embedding"))
+        idx.probe(batch, "vec_id", "embedding", threshold = 0.999).count()
       })
     graft.operators.Dedup.releaseCaches()
     val dedupCount = stages.find(_._1 == "exact_dedup").get._3
@@ -135,6 +158,14 @@ object ScaleProbe {
     val hotAffected = stages.find(_._1 == "selfdedup_hot_gram").get._3
     assert(hotAffected == n / 5 - 1,
       s"hot-gram self-dedup affected $hotAffected docs, expected ${n / 5 - 1}")
+    // the embedding index's 5k-clone probe finds exactly its planted
+    // pairs — candidate volume through the STORED buckets stays
+    // pair-proportional, the same invariant the in-memory SRP leg pins
+    val embProbePairs = stages.find(_._1 == "embed_index_probe_batch").get._3
+    assert(embProbePairs == 5000,
+      s"embedding-index probe found $embProbePairs pairs, planted 5000")
+    val embIndexed = stages.find(_._1 == "embed_index_build").get._3
+    assert(embIndexed == n, s"embedding index holds $embIndexed of $n vectors")
     val probeS = stages.find(_._1 == "index_probe_batch").get._2
     val fullS = stages.find(_._1 == "minhash_pairs").get._2
     // ADVISORY, not a gate: the two timings come from the same run, and

@@ -53,14 +53,23 @@ final class SrpEmbedIndex private[operators] (
     Seq.fill(tables * bits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** (vid, v, t, bk) bucket rows for a batch — the one narrow kernel pass
-    * a probe or append pays.
+  /** (vid, v, bks) — ONE row per vector with its per-table key array:
+    * the single narrow kernel pass every index operation starts from.
+    * Writers take vectors from here pre-explode (one row per vid by
+    * construction — no dropDuplicates shuffle of exploded vector
+    * payloads) and explode only the id+key projection for the buckets
+    * table.
     */
-  private[operators] def batchBuckets(
+  private[operators] def keyed(
       incoming: DataFrame, idCol: String, vecCol: String): DataFrame =
     incoming.select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"),
         graft.plans.SrpBuckets.srpBuckets(col(vecCol), planes, bits).as("bks"))
       .filter(col("bks").isNotNull)
+
+  /** (vid, v, t, bk) exploded bucket rows for a batch. */
+  private[operators] def batchBuckets(
+      incoming: DataFrame, idCol: String, vecCol: String): DataFrame =
+    keyed(incoming, idCol, vecCol)
       .select(col("vid"), col("v"), posexplode(col("bks")).as(Seq("t", "bk")))
 
   /** Verified near-duplicate pairs between `incoming` and the indexed
@@ -80,6 +89,20 @@ final class SrpEmbedIndex private[operators] (
   /** [[probe]] plus a cleanup thunk for the localCheckpointed
     * intermediates — same contract as [[MinHashIndex.probeTracked]]:
     * one-shot callers may ignore it, [[probeStream]] must not.
+    *
+    * Verification shape — deliberately DIFFERENT from the minhash probe:
+    * there, candidates ≈ true pairs (a band collision is ~2⁻⁶⁴-rare for
+    * non-dups), so pruning the sets table down to candidate ids pays. SRP
+    * buckets hold ~targetBucket random neighbors BY DESIGN, so a batch's
+    * candidates touch a corpus-sized id set and an id-pruned
+    * materialization would rewrite most of the vector table per probe
+    * (measured: 9 of 11 probe seconds at 505k vectors). Instead each
+    * cross candidate keeps its (corpus id, batch id) roles: the corpus
+    * side verifies through a direct join against the BUCKETED vectors
+    * table — only the candidate frame (two longs per row) shuffles to the
+    * table's layout, the vectors never leave their bucketed scan — and
+    * the batch side broadcasts. Self pairs verify entirely against the
+    * broadcast batch.
     */
   private[operators] def probeTracked(
       incoming: DataFrame, idCol: String, vecCol: String,
@@ -87,38 +110,84 @@ final class SrpEmbedIndex private[operators] (
     val sess = incoming.sparkSession
     sess.catalog.refreshTable(bucketsTable)
     sess.catalog.refreshTable(vectorsTable)
-    val inB = batchBuckets(incoming, idCol, vecCol)
+    // the batch's keys feed three consumers (cross join, self join,
+    // verify) — one eager batch-sized materialization, pre-explode
+    val keyedB = keyed(incoming, idCol, vecCol).localCheckpoint(true)
+    val inB = keyedB
+      .select(col("vid"), col("v"), posexplode(col("bks")).as(Seq("t", "bk")))
+    val bVecs = keyedB.select(col("vid"), col("v"))
     val corpusBuckets = sess.table(bucketsTable)
     val crossCand = corpusBuckets.as("a")
       .join(inB.as("b"),
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
           col("a.vid") =!= col("b.vid"))
-      .select(least(col("a.vid"), col("b.vid")).as("i"),
-        greatest(col("a.vid"), col("b.vid")).as("j"))
-    val selfCand = inB.as("a")
+      .select(col("a.vid").as("cvid"), col("b.vid").as("bvid"))
+      .distinct()
+    // the candidate frame is two longs per row and scales with
+    // |batch| · bucket-occupancy · tables — batch-bounded, NEVER
+    // corpus-bounded — so IT broadcasts, and the corpus vectors stay a
+    // streamed columnar scan: no exchange, no sort, no per-probe rewrite
+    // of vector payloads
+    val crossPairs = sess.table(vectorsTable)
+      .withColumnsRenamed(Map("vid" -> "cvid", "v" -> "cv"))
+      .join(broadcast(crossCand), Seq("cvid"))
+      .join(broadcast(bVecs.withColumnsRenamed(Map("vid" -> "bvid", "v" -> "bv"))),
+        Seq("bvid"))
+      .select(least(col("cvid"), col("bvid")).as("i"),
+        greatest(col("cvid"), col("bvid")).as("j"),
+        graft.plans.GraftFunctions.cosine(col("cv"), col("bv")).as("cos"))
+    val selfPairs = inB.as("a")
       .join(inB.as("b"),
         col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
           col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("i"), col("b.vid").as("j"))
-    // candidate-bounded frames consumed by multiple joins below — one
-    // eager materialization each, dropped by the returned cleanup
-    val candidates = crossCand.unionByName(selfCand).distinct()
-      .localCheckpoint(true)
-    val candIds = candidates
-      .select(explode(array(col("i"), col("j"))).as("vid")).distinct()
-    val neededCorpus = sess.table(vectorsTable)
-      .join(candIds, Seq("vid"), "left_semi")
-    val verifyVecs = neededCorpus
-      .unionByName(inB.select(col("vid"), col("v")).dropDuplicates("vid"))
-      .localCheckpoint(true)
-    val pairs = candidates
-      .join(verifyVecs.as("vi"), col("i") === col("vi.vid"))
-      .join(verifyVecs.as("vj"), col("j") === col("vj.vid"))
+      .distinct()
+      .join(broadcast(bVecs.withColumnsRenamed(Map("vid" -> "i", "v" -> "iv"))), Seq("i"))
+      .join(broadcast(bVecs.withColumnsRenamed(Map("vid" -> "j", "v" -> "jv"))), Seq("j"))
       .select(col("i"), col("j"),
-        graft.plans.GraftFunctions.cosine(col("vi.v"), col("vj.v")).as("cos"))
+        graft.plans.GraftFunctions.cosine(col("iv"), col("jv")).as("cos"))
+    val pairs = crossPairs.unionByName(selfPairs)
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), round(col("cos"), 3).as("cos"))
-    (pairs, () => { candidates.unpersist(); verifyVecs.unpersist(); () })
+    (pairs, () => { keyedB.unpersist(); () })
+  }
+
+  /** Approximate top-k cosine neighbors over the INDEXED corpus for a
+    * small query batch — the persistent form of [[Similarity.srpTopK]]:
+    * identical geometry semantics (candidates share a full stored key
+    * with the query in ≥ 1 table, scored exactly, ranked
+    * deterministically), but the corpus is never re-keyed — it
+    * participates as a bucketed key scan plus a candidate-pruned vector
+    * fetch. Queries broadcast (they are the small side by contract).
+    *
+    * @return (query_id, rank, neighbor_id, cos) — rank by cosine desc,
+    *         neighbor id asc
+    */
+  def searchTopK(
+      queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val sess = queries.sparkSession
+    sess.catalog.refreshTable(bucketsTable)
+    sess.catalog.refreshTable(vectorsTable)
+    val qb = batchBuckets(queries, idCol, vecCol)
+      .withColumnsRenamed(Map("vid" -> "query_id", "v" -> "qv"))
+    val cands = sess.table(bucketsTable).as("base")
+      .join(broadcast(qb).as("q"),
+        col("base.t") === col("q.t") && col("base.bk") === col("q.bk") &&
+          col("base.vid") =!= col("query_id"))
+      .select(col("query_id"), col("base.vid").as("neighbor_id"))
+      .distinct()
+    val qVecs = qb.select(col("query_id"), col("qv")).dropDuplicates("query_id")
+    val scored = cands
+      .join(sess.table(vectorsTable), col("neighbor_id") === col("vid"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.plans.GraftFunctions.cosine(col("v"), col("qv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 3).as("cos"))
   }
 
   /** Fold a batch into the index: one kernel pass for its keys, bucketed
@@ -126,12 +195,12 @@ final class SrpEmbedIndex private[operators] (
     * indexed.
     */
   def append(incoming: DataFrame, idCol: String, vecCol: String): Unit = {
-    val inB = batchBuckets(incoming, idCol, vecCol)
-    inB.select("vid", "t", "bk")
+    val k = keyed(incoming, idCol, vecCol)
+    k.select(col("vid"), posexplode(col("bks")).as(Seq("t", "bk")))
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "t", "bk")
       .saveAsTable(bucketsTable)
-    inB.select(col("vid"), col("v")).dropDuplicates("vid")
+    k.select(col("vid"), col("v"))
       .write.mode(SaveMode.Append)
       .bucketBy(buckets, "vid")
       .saveAsTable(vectorsTable)
@@ -230,10 +299,14 @@ object EmbedIndex {
     writeMeta(spark, path, dim, bits, nTables, seed, buckets)
     val idx = new SrpEmbedIndex(spark, s"${name}_ebuckets", s"${name}_evectors",
       path, dim, bits, nTables, seed, buckets)
-    val all = idx.batchBuckets(emb, idCol, vecCol)
-    Sinks.bucketed(all.select("vid", "t", "bk"),
+    // one kernel pass per write; the vectors write is a NARROW projection
+    // of the one-row-per-vector keyed frame — no dropDuplicates shuffle
+    // of exploded vector payloads
+    val k = idx.keyed(emb, idCol, vecCol)
+    Sinks.bucketed(
+      k.select(col("vid"), posexplode(col("bks")).as(Seq("t", "bk"))),
       s"${name}_ebuckets", s"$path/buckets", buckets, Seq("t", "bk"))
-    Sinks.bucketed(all.select(col("vid"), col("v")).dropDuplicates("vid"),
+    Sinks.bucketed(k.select(col("vid"), col("v")),
       s"${name}_evectors", s"$path/vectors", buckets, Seq("vid"))
     idx
   }

@@ -115,6 +115,37 @@ class EmbedIndexSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("searchTopK over the stored index == srpTopK at the same geometry; appends searchable") {
+    // clustered fixture (SRP only pays off when near neighbors are near):
+    // same construction as SimilaritySpec's SRP test
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(3)(Array.fill(32)(rnd.nextGaussian()))
+    val rows0 = for (i <- 0 until 60) yield {
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val clustered = spark.createDataFrame(rows0).toDF("vec_id", "embedding")
+    val base = Files.createTempDirectory("emb_topk").toString
+    val idx = EmbedIndex.build(clustered, "vec_id", "embedding", base, "eidx_t",
+      dim = 32, planesPerTable = 6, tables = 8, buckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows(idx.searchTopK(
+      clustered.filter(col("vec_id") < 3), "vec_id", "embedding", k = 3))
+    val want = rows(Similarity.srpTopK(clustered, "vec_id", "embedding",
+      Seq(0L, 1L, 2L), 3, dim = 32, planesPerTable = 6, tables = 8))
+    assert(got == want, s"stored-index search drifted from srpTopK: $got vs $want")
+    // an appended clone of vector 0 becomes its top neighbor (cos 1.0)
+    val clone = clustered.filter(col("vec_id") === 0L)
+      .select(lit(999L).as("vec_id"), col("embedding"))
+    idx.append(clone, "vec_id", "embedding")
+    val after = idx.searchTopK(
+      clustered.filter(col("vec_id") === 0L), "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(after.toSeq == Seq((0L, 1, 999L, 1.0)), s"appended clone not found: ${after.toSeq}")
+  }
+
   test("probeStream: cumulative streamed pairs == batch embeddingPairs closure") {
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     val corpus = emb.unionByName(withClones(0L, 10L))
