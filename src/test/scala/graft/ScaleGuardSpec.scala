@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Lsh, Pq, Similarity}
+import graft.operators.{Dedup, EmbedIndex, Lsh, Pq, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,35 @@ class ScaleGuardSpec extends SparkSpec {
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text").count()
     assert(pairs == 500L, s"minhash verified pairs $pairs != 500 planted pairs")
     Dedup.releaseCaches()
+  }
+
+  test("EmbedIndex: auto geometry flows build → meta → open; probe exact at two corpus sizes") {
+    // The persistent index inherits the auto-geometry guarantee (test 1
+    // pins the derivation itself): the width derived at build time must
+    // survive the meta round-trip, and a fixed 500-clone batch's probe
+    // must find EXACTLY its planted pairs at both corpus sizes — LSH
+    // recall 1 for identical keys, zero false pairs through exact
+    // verification. Count-not-time, like every guard here.
+    def probePairs(n: Long): (Int, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"eidx_guard_$n").toString
+      EmbedIndex.build(vecs(n, 16), "vec_id", "embedding",
+        dir, s"eidx_guard_$n", dim = 16, threshold = 0.999)
+      val idx = EmbedIndex.open(spark, s"eidx_guard_$n", dir)
+      // 500 clones of vectors 0..499 under fresh ids (vecs() derives the
+      // embedding from the id, so shift the hash input back by n)
+      val batch = spark.range(n, n + 500).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)), j =>
+          ((pmod(xxhash64(col("id") - n, j), lit(2000L)) - 1000L)
+            .cast("double") / 1000.0).cast("float")).as("embedding"))
+      (idx.bits, idx.probe(batch, "vec_id", "embedding", threshold = 0.999).count())
+    }
+    val (b16, p16) = probePairs(16000L)
+    val (b64, p64) = probePairs(64000L)
+    assert(p16 == 500L, s"16k-corpus probe found $p16 pairs, planted 500")
+    assert(p64 == 500L, s"64k-corpus probe found $p64 pairs, planted 500")
+    // the reopened width must be the corpus-size-derived one, not a floor
+    assert(b16 == Lsh.autoPlanes(16000L) && b64 == Lsh.autoPlanes(64000L),
+      s"meta round-trip lost the derived width: $b16/$b64")
   }
 
   test("IVF probe reads <= nprobe of nClusters buckets, at two corpus sizes") {
