@@ -263,9 +263,16 @@ object Similarity {
 
     /** Exact search with a DataFrame query side: probe-cluster selection is
       * a narrow map against broadcast centroids, so a whole query *table*
-      * works without ever materializing it on the driver. The probe frame
-      * is broadcast to the base side (the query side is the small side by
-      * contract); the base table still never shuffles.
+      * works without ever materializing its VECTORS on the driver. The
+      * probe frame is broadcast to the base side (the query side is the
+      * small side by contract); the base table still never shuffles.
+      *
+      * The probed-cluster SET is collected to push the same literal `IN`
+      * bucket filter the driver-Map path gets: it is bounded by nClusters
+      * (distinct cluster ids, not probe rows), so the collect is always
+      * index-model-sized — a saved index therefore reads only the probed
+      * buckets on this path too. The probe frame localCheckpoints first
+      * so the cluster-pick map runs once, not once per consumer.
       *
       * `queries` must carry `idCol` (castable to long) and `vecCol`
       * (array of numeric).
@@ -286,7 +293,10 @@ object Similarity {
             .map(c => (qid, qv, c))
         }
       }.toDF("query_id", "qv", "cluster")
-      scoreProbes(probes, k)
+        .localCheckpoint(true)
+      val probed = probes.select("cluster").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      scoreProbes(probes, k, pruneTo = Some(probed))
     }
 
     /** Shared scoring tail: join probe rows (query_id, qv, cluster) to the

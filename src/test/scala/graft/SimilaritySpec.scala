@@ -65,6 +65,18 @@ class SimilaritySpec extends SparkSpec {
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
       s"probe scan must prune to the probed bucket, got:\n$plan")
+    // the DataFrame query path prunes too (probed-cluster set collected —
+    // bounded by nClusters — and pushed as the same literal IN)
+    val oneDf = reopened.search(emb.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3, nprobe = 1)
+    oneDf.count()
+    val planDf = oneDf.queryExecution.executedPlan.toString
+    assert(planDf.contains("SelectedBucketsCount: 1 out of 8"),
+      s"DataFrame-side probe scan must prune to the probed bucket, got:\n$planDf")
+    // and result parity with the driver-Map path at both probe depths
+    assert(rows(reopened.search(emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 3, nprobe = 8)) ==
+      rows(reopened.search(qs, k = 3, nprobe = 8)))
   }
 
   test("IVF append grows a saved index: results identical to a rebuild, pruning intact") {
