@@ -515,14 +515,16 @@ object Dedup extends CacheLedger {
     * (driver heap death) on a 505k-vector probe. `tables = 0` (default)
     * derives the table count holding P(miss at the threshold) ≤ 1e-3 via
     * [[Lsh.autoTables]]. Pass both explicitly to pin a plan (and skip the
-    * count job).
+    * count job), or pass `baseCount` when the caller already knows n so
+    * the derivation does not re-scan the base per call (same knob as
+    * [[Similarity.srpTopK]]).
     */
   def embeddingPairs(
       emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.95, planesPerTable: Int = 0, tables: Int = 0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, baseCount: Long = -1L): DataFrame = {
     val buckets = srpBucketed(emb, idCol, vecCol, dim, threshold,
-      planesPerTable, tables, seed)
+      planesPerTable, tables, seed, baseCount)
     val candidates = srpCandidates(buckets)
     val vecs = buckets.select(col("vid"), col("v")).dropDuplicates("vid")
     candidates
@@ -541,22 +543,23 @@ object Dedup extends CacheLedger {
   def embeddingCandidates(
       emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.95, planesPerTable: Int = 0, tables: Int = 0,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L, baseCount: Long = -1L): DataFrame =
     srpCandidates(srpBucketed(emb, idCol, vecCol, dim, threshold,
-      planesPerTable, tables, seed))
+      planesPerTable, tables, seed, baseCount))
 
   /** Cached (vid, v, t, bk) bucket rows with auto-derived LSH geometry:
-    * width from [[Lsh.autoPlanes]] on a corpus count when
+    * width from [[Lsh.autoPlanes]] on a corpus count (`baseCount` when
+    * the caller already knows it, else one cheap count job) when
     * `planesPerTable = 0`, table count from [[Lsh.autoTables]] at the
     * verification threshold when `tables = 0`.
     */
   private def srpBucketed(
       emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, planesPerTable: Int, tables: Int,
-      seed: Long): DataFrame = {
+      seed: Long, baseCount: Long = -1L): DataFrame = {
     val bits =
       if (planesPerTable > 0) planesPerTable
-      else Lsh.autoPlanes(emb.count())
+      else Lsh.autoPlanes(if (baseCount >= 0L) baseCount else emb.count())
     val nTables = if (tables > 0) tables else Lsh.autoTables(bits, threshold)
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] =

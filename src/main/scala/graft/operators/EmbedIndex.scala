@@ -177,8 +177,10 @@ final class SrpEmbedIndex private[operators] (
       .select(col("query_id"), col("base.vid").as("neighbor_id"))
       .distinct()
     val qVecs = qb.select(col("query_id"), col("qv")).dropDuplicates("query_id")
-    val scored = cands
-      .join(sess.table(vectorsTable), col("neighbor_id") === col("vid"))
+    // same shape as probeTracked's verify: the query-bounded candidate
+    // frame broadcasts, the corpus vectors stay a streamed scan
+    val scored = sess.table(vectorsTable)
+      .join(broadcast(cands), col("neighbor_id") === col("vid"))
       .join(broadcast(qVecs), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         graft.plans.GraftFunctions.cosine(col("v"), col("qv")).as("cos"))
