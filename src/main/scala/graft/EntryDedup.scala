@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Dedup, DedupIndex, EmbedIndex, Graph, Indexing, Ingest, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, ComponentsIndex, Dedup, DedupIndex, EmbedIndex, Graph, Indexing, Ingest, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
 import graft.sources.Crawl
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -91,6 +91,24 @@ private[graft] object EntryDedup {
         dim = 64, threshold = 0.95)
       .select(col("i"), col("j"), col("cos").as("sim"))
       .orderBy("i", "j")
+
+  /** Incremental connected components over near-dup pairs: the pair set
+    * splits into two arrival waves, the index builds from wave 1 and
+    * folds wave 2 in ([[ComponentsIndex]]), and the resolved labels must
+    * equal the batch closure over ALL pairs — the oracle is the same
+    * recursive-CTE reachability dedup_corpus uses, emitted as labels.
+    */
+  def dedupComponentsIndex(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select("i", "j").localCheckpoint(true)
+    val path = java.nio.file.Files.createTempDirectory("graft_comp_index").toString
+    val idx = ComponentsIndex.build(pairs.filter(col("j") < 250),
+      path, "graft_q_cidx", buckets = 8)
+    idx.update(pairs.filter(col("j") >= 250))
+    idx.assignments().orderBy("doc_id")
+  }
 
   /** The persistent-index form of [[dedupEmbedding]]: the corpus's SRP
     * bucket keys and vectors are materialized once as bucketed tables

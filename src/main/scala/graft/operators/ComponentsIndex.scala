@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.sources.Sinks
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained connected components — the missing third leg
+  * of continuous-ingest dedup. [[MinHashIndex]]/[[SrpEmbedIndex]] stream
+  * out near-duplicate PAIRS; [[Dedup.components]] turns pairs into
+  * survivor components but recomputes from the FULL pair set every run.
+  * This index maintains the component assignment as pairs arrive, with
+  * per-update cost bounded by the BATCH, never the corpus:
+  *
+  *  - `assignments` — (doc_id, comp0) APPEND-ONLY bucketed parquet: one
+  *    row per ever-seen pair member, written once when first seen and
+  *    never rewritten.
+  *  - `remap` — (comp0, root) tiny parquet: the fully-collapsed record of
+  *    every component merge since the last [[CompIndex.compact]]. Bounded
+  *    by merged-component count (duplicate-pair-shaped, a vanishing
+  *    fraction of docs), loaded driver-side per update like the k-means
+  *    centroids — model-sized state, not data-sized.
+  *  - the RESOLVED label of a doc is `remap.getOrElse(comp0, comp0)` —
+  *    applied as one broadcast join on reads ([[CompIndex.assignments]]).
+  *
+  * Update math: old components are equivalence classes, so a batch of new
+  * pairs can only MERGE classes — resolve each endpoint to its current
+  * root (one bucketed join against assignments + the driver remap),
+  * union-find over the batch-bounded root graph, fold the merges into
+  * remap, and append rows for first-seen docs. The result equals
+  * [[Dedup.components]] over the union of every pair ever ingested
+  * (min-id labels: min over merged classes' mins IS the merged class's
+  * min). Deletion is out of scope by construction: removing a doc can
+  * SPLIT a component, which needs the surviving pair set — re-run
+  * [[Dedup.components]] over the retained pairs for that.
+  */
+final class CompIndex private[operators] (
+    spark: SparkSession,
+    val assignTable: String,
+    val path: String,
+    val buckets: Int) {
+
+  private def remapPath = s"$path/remap"
+
+  private def loadRemap(): Map[Long, Long] =
+    spark.read.parquet(remapPath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Resolved (doc_id, comp) for every pair member ever ingested —
+    * comp = min id reachable through all pairs so far.
+    */
+  def assignments(): DataFrame = {
+    spark.catalog.refreshTable(assignTable)
+    val remap = loadRemap()
+    if (remap.isEmpty)
+      spark.table(assignTable).select(col("doc_id"), col("comp0").as("comp"))
+    else {
+      import spark.implicits._
+      val rm = broadcast(remap.toSeq.toDF("comp0", "__root"))
+      spark.table(assignTable)
+        .join(rm, Seq("comp0"), "left")
+        .select(col("doc_id"), coalesce(col("__root"), col("comp0")).as("comp"))
+    }
+  }
+
+  /** Fold a batch of new pairs in. Endpoint resolution is one bucketed
+    * join; everything after is batch-bounded driver work (same
+    * justification as [[Dedup.components]]'s driver fast path — the
+    * bound is on the batch's edge list, never on corpus-sized data).
+    */
+  def update(newPairs: DataFrame): Unit = {
+    spark.catalog.refreshTable(assignTable)
+    val remap0 = loadRemap()
+    val pe = newPairs
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .distinct()
+    val ids = pe.select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
+    // one bucketed join answers both "current comp0" (null → the doc is
+    // its own class) and "already stored" per endpoint
+    val endpoint = ids
+      .join(spark.table(assignTable), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("comp0"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val cur: Map[Long, Long] = endpoint.map { case (d, c) => d -> c.getOrElse(d) }
+    def resolve0(c: Long): Long = remap0.getOrElse(c, c)
+    // union-find over the batch's ROOT graph (batch-bounded)
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    pe.collect().foreach { r =>
+      union(resolve0(cur(r.getLong(0))), resolve0(cur(r.getLong(1))))
+    }
+    // compose: every historical comp0 whose current root merged points at
+    // the new root; plus the merge edges themselves; fully collapsed
+    val merged: Map[Long, Long] =
+      parent.keys.map(x => x -> find(x)).filter { case (k, v) => k != v }.toMap
+    val remap1 = (remap0.map { case (c0, r0) => c0 -> merged.getOrElse(r0, r0) } ++
+      merged).filter { case (k, v) => k != v }
+    import spark.implicits._
+    // first-seen docs enter with their RESOLVED root as comp0, so they
+    // need no remap entry of their own
+    val toAppend = endpoint.collect { case (d, None) =>
+      val r0 = resolve0(cur(d)); (d, merged.getOrElse(r0, r0))
+    }.toSeq.sortBy(_._1)
+    if (toAppend.nonEmpty)
+      toAppend.toDF("doc_id", "comp0")
+        .repartition(buckets, col("doc_id"))
+        .write.mode(SaveMode.Append)
+        .bucketBy(buckets, "doc_id")
+        .saveAsTable(assignTable)
+    CompIndex.writeRemap(spark, remapPath, remap1)
+  }
+
+  /** Number of docs carrying an assignment (pair members ever seen). */
+  def assignedDocs(): Long = {
+    spark.catalog.refreshTable(assignTable)
+    spark.table(assignTable).count()
+  }
+
+  /** Fold the remap into the assignments: rewrite resolved labels as the
+    * new comp0 baseline into `toPath` (one file per bucket — doubles as
+    * small-file maintenance for the appended rows) and reset remap to
+    * empty. Reads parquet files, not the table being redefined.
+    */
+  def compact(toPath: String): CompIndex = {
+    require(toPath != path, s"compact target must differ from current path: $path")
+    val remap = loadRemap()
+    import spark.implicits._
+    val base = spark.read.parquet(s"$path/assignments")
+    val resolved =
+      if (remap.isEmpty) base
+      else base.join(broadcast(remap.toSeq.toDF("comp0", "__root")), Seq("comp0"), "left")
+        .select(col("doc_id"), coalesce(col("__root"), col("comp0")).as("comp0"))
+    Sinks.bucketed(
+      resolved.select(col("doc_id"), col("comp0"))
+        .repartition(buckets, col("doc_id")),
+      assignTable, s"$toPath/assignments", buckets, Seq("doc_id"))
+    CompIndex.writeRemap(spark, s"$toPath/remap", Map.empty)
+    new CompIndex(spark, assignTable, toPath, buckets)
+  }
+}
+
+object ComponentsIndex {
+
+  /** Build from an initial pair set: [[Dedup.components]] labels become
+    * the assignments baseline; remap starts empty.
+    */
+  def build(
+      pairs: DataFrame, path: String, name: String,
+      buckets: Int = 32): CompIndex = {
+    val spark = pairs.sparkSession
+    Sinks.bucketed(
+      Dedup.components(pairs)
+        .select(col("doc_id"), col("comp").as("comp0"))
+        .repartition(buckets, col("doc_id")),
+      s"${name}_comp", s"$path/assignments", buckets, Seq("doc_id"))
+    CompIndex.writeRemap(spark, s"$path/remap", Map.empty)
+    new CompIndex(spark, s"${name}_comp", path, buckets)
+  }
+
+  /** Re-open an existing index (no data work). */
+  def open(spark: SparkSession, name: String, path: String,
+      buckets: Int = 32): CompIndex =
+    new CompIndex(spark, s"${name}_comp", path, buckets)
+}
+
+private object CompIndex {
+  private[operators] def writeRemap(
+      spark: SparkSession, path: String, remap: Map[Long, Long]): Unit = {
+    import spark.implicits._
+    remap.toSeq.sortBy(_._1).toDF("comp0", "root")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The incremental components index must equal [[Dedup.components]] over
+  * the union of every pair ingested so far — after every update, through
+  * every merge topology (join an existing component, bridge two old
+  * components, chain through a prior merge) — while keeping the
+  * assignments table append-only and the remap fully collapsed.
+  */
+class ComponentsIndexSpec extends SparkSpec {
+
+  private def resolved(i: CompIndex): Map[Long, Long] =
+    i.assignments().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def want(pairs: DataFrame): Map[Long, Long] = {
+    val m = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.releaseCaches()
+    m
+  }
+
+  test("updates == batch components over all pairs so far; append-only; compact folds remap") {
+    import spark.implicits._
+    // w1: components {1,2,3}, {10,11}, {20,21}
+    val w1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("i", "j")
+    // w2: new doc joins an existing comp (4 -> {1,2,3}); a bridge MERGES
+    // two old comps (11-20); a fresh comp appears ({30,31})
+    val w2 = Seq((3L, 4L), (11L, 20L), (30L, 31L)).toDF("i", "j")
+    // w3: bridge through the PREVIOUS merge (21-4 collapses everything
+    // but {30,31} into root 1) — exercises remap composition
+    val w3 = Seq((21L, 4L)).toDF("i", "j")
+    val base = Files.createTempDirectory("comp_idx").toString
+    val idx = ComponentsIndex.build(w1, base, "cidx_a", buckets = 4)
+    assert(resolved(idx) == want(w1))
+    idx.update(w2)
+    assert(resolved(idx) == want(w1.unionByName(w2)))
+    val rowsAfterW2 = idx.assignedDocs()
+    idx.update(w3)
+    val all3 = w1.unionByName(w2).unionByName(w3)
+    assert(resolved(idx) == want(all3))
+    // w3's endpoints were already assigned: strictly no new rows
+    assert(idx.assignedDocs() == rowsAfterW2,
+      "assignments must be append-only - an update rewrote rows")
+    // everything but {30,31} now shares root 1
+    assert(resolved(idx).filterNot(kv => kv._1 == 30L || kv._1 == 31L)
+      .values.toSet == Set(1L))
+    // compact folds the remap into the baseline; labels identical
+    val before = resolved(idx)
+    val idx2 = idx.compact(s"$base/v2")
+    assert(resolved(idx2) == before)
+    assert(spark.read.parquet(s"$base/v2/remap").count() == 0)
+    // and further updates work from the compacted baseline
+    val w4 = Seq((31L, 40L)).toDF("i", "j")
+    idx2.update(w4)
+    assert(resolved(idx2) == want(all3.unionByName(w4)))
+  }
+
+  test("fixture waves: incremental closure == batch components of all minhash pairs") {
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select("i", "j")
+      .localCheckpoint(true)
+    val w1 = pairs.filter(col("j") < 250)
+    val w2 = pairs.filter(col("j") >= 250)
+    assert(w1.count() > 0 && w2.count() > 0,
+      "fixture must populate both waves or the split proves nothing")
+    val base = Files.createTempDirectory("comp_idx_fix").toString
+    val idx = ComponentsIndex.build(w1, base, "cidx_f", buckets = 4)
+    idx.update(w2)
+    assert(resolved(idx) == want(pairs))
+    Dedup.releaseCaches()
+  }
+}
