@@ -110,6 +110,35 @@ private[graft] object EntryDedup {
     idx.assignments().orderBy("doc_id")
   }
 
+  /** The streaming form of [[dedupComponentsIndex]]: the same pair set
+    * arrives as a THREE-wave file stream driven through
+    * [[CompIndex.updateStream]], and the resolved labels must equal the
+    * batch closure — same oracle, because arrival-form invariance is the
+    * operator's contract (merges commute).
+    */
+  def streamComponents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select("i", "j").localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft_comp_stream").toString
+    Seq(col("j") < 150, col("j") >= 150 && col("j") < 300, col("j") >= 300)
+      .foreach { p =>
+        pairs.filter(p).coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+    val idx = ComponentsIndex.build(
+      s.range(0).selectExpr("id AS i", "id AS j"),
+      s"$base/cidx", "graft_q_scomp", buckets = 8)
+    idx.updateStream(
+      s.readStream
+        .schema(StructType(Seq(
+          StructField("i", LongType), StructField("j", LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      s"$base/ckpt")
+    idx.assignments().orderBy("doc_id")
+  }
+
   /** The persistent-index form of [[dedupEmbedding]]: the corpus's SRP
     * bucket keys and vectors are materialized once as bucketed tables
     * ([[EmbedIndex.build]]), then a batch of ten clones of vectors 0..9

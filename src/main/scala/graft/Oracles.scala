@@ -46,6 +46,30 @@ private[graft] object Oracles {
     "fr" -> "['le','la','et','les','des','un']",
     "de" -> "['der','die','und','das','ist','ein']")
 
+  /** Component labels over the ≥0.8-Jaccard pair closure — the
+    * dedup_corpus reachability CTE emitted as (doc_id, comp) labels.
+    */
+  private val duckCompLabels =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+      |                   for i in range(1, len(l)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      |), pj AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |    AND len(list_intersect(a.s, b.s)) * 1.0
+      |        / len(list_distinct(a.s || b.s)) >= 0.8
+      |), e(a, b) AS (
+      |  SELECT i, j FROM pj UNION SELECT j, i FROM pj
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+      |)
+      |SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   private def duckScore(lang: String): String =
     s"len(list_filter(toks, t -> list_contains(${duckMarkers(lang)}, t)))"
 
@@ -1533,26 +1557,11 @@ private[graft] object Oracles {
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.95
         |ORDER BY i, j""".stripMargin,
-    "dedup_components_index" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
-        |                   for i in range(1, len(l)-1)]) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-        |), pj AS (
-        |  SELECT a.doc_id AS i, b.doc_id AS j
-        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-        |    AND len(list_intersect(a.s, b.s)) * 1.0
-        |        / len(list_distinct(a.s || b.s)) >= 0.8
-        |), e(a, b) AS (
-        |  SELECT i, j FROM pj UNION SELECT j, i FROM pj
-        |), reach(a, b) AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
-        |)
-        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // shared by the incremental and streaming component queries: both
+    // must equal the batch reachability closure — arrival-form
+    // invariance IS the contract, so the oracle is identical
+    "dedup_components_index" -> duckCompLabels,
+    "stream_components" -> duckCompLabels,
     "dedup_embedding_index" ->
       """WITH batch AS (
         |  SELECT vec_id + 10000 AS vec_id, embedding

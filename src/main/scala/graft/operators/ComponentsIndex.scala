@@ -110,13 +110,40 @@ final class CompIndex private[operators] (
     val toAppend = endpoint.collect { case (d, None) =>
       val r0 = resolve0(cur(d)); (d, merged.getOrElse(r0, r0))
     }.toSeq.sortBy(_._1)
+    // remap BEFORE append: if the update dies between the two writes, an
+    // at-least-once re-delivery finds the merges already recorded (the
+    // recompute derives no new ones — compose is idempotent) and the
+    // first-seen docs still absent, so it re-appends exactly them; the
+    // reverse order would re-append docs that already have rows
+    CompIndex.writeRemap(spark, remapPath, remap1)
     if (toAppend.nonEmpty)
       toAppend.toDF("doc_id", "comp0")
         .repartition(buckets, col("doc_id"))
         .write.mode(SaveMode.Append)
         .bucketBy(buckets, "doc_id")
         .saveAsTable(assignTable)
-    CompIndex.writeRemap(spark, remapPath, remap1)
+  }
+
+  /** Continuous assignment maintenance: drive a STREAM of (i, j) pairs —
+    * e.g. the `pairsDir` a [[MinHashIndex.probeStream]] appends to, read
+    * back as a file stream — through [[update]] per micro-batch. After
+    * any prefix of batches, [[assignments]] equals the batch
+    * [[Dedup.components]] closure over the pairs delivered so far
+    * (update order cannot matter: merges commute). Re-delivered batches
+    * are absorbed by the update's idempotent write order.
+    */
+  def updateStream(pairs: DataFrame, checkpointDir: String): Unit = {
+    val q = pairs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        update(batch)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
   }
 
   /** Number of docs carrying an assignment (pair members ever seen). */

@@ -60,6 +60,50 @@ class ComponentsIndexSpec extends SparkSpec {
     assert(resolved(idx2) == want(all3.unionByName(w4)))
   }
 
+  test("end-to-end continuous dedup: doc stream → pair stream → component labels") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val d2 = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val base = Files.createTempDirectory("comp_e2e").toString
+    val n = d2.agg(max("doc_id")).head.getLong(0) + 1
+    // stage 1: documents arrive in three waves; the minhash index streams
+    // out the cumulative pair closure (DedupIndexSpec proves == batch)
+    Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, n + 1)).foreach {
+      case (lo, hi) =>
+        d2.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("append").parquet(s"$base/docs")
+    }
+    val mhIdx = DedupIndex.build(d2.filter(lit(false)), "doc_id", "text",
+      s"$base/mh", "mhidx_e2e", shingleN = 3, numHashes = 64, bands = 16,
+      buckets = 8)
+    mhIdx.probeStream(
+      spark.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/docs"),
+      "doc_id", "text", s"$base/pairs", s"$base/ckpt1", threshold = 0.8)
+    // stage 2: those pair files are themselves a stream feeding the
+    // components index — labels must equal the batch closure over ALL
+    // pairs, i.e. the full docs-in → survivor-labels-out pipeline is
+    // arrival-form-invariant end to end
+    val cIdx = ComponentsIndex.build(
+      spark.range(0).selectExpr("id AS i", "id AS j"),
+      s"$base/cidx", "cidx_e2e", buckets = 4)
+    cIdx.updateStream(
+      spark.readStream
+        .schema(StructType(Seq(
+          StructField("i", LongType), StructField("j", LongType),
+          StructField("jac", DoubleType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/pairs")
+        .select("i", "j"),
+      s"$base/ckpt2")
+    val allPairs = Dedup.minHashPairs(d2, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select("i", "j")
+    assert(resolved(cIdx) == want(allPairs))
+    assert(resolved(cIdx).nonEmpty, "fixture must produce components")
+    Dedup.releaseCaches()
+  }
+
   test("fixture waves: incremental closure == batch components of all minhash pairs") {
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
