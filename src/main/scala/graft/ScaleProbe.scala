@@ -119,6 +119,19 @@ object ScaleProbe {
         graft.operators.Dedup.embeddingPairs(
           vecs, "vec_id", "embedding", dim = 64, threshold = 0.999).count()
       },
+      time("components_index_update") {
+        // incremental components at scale: the corpus's 5k planted clone
+        // pairs arrive in two waves; per-update driver state is
+        // batch-bounded (the endpoint/root maps), never corpus-sized
+        val pairs = spark.range(5000)
+          .select(col("id").as("i"), (col("id") + n).as("j"))
+        val tmp = java.nio.file.Files.createTempDirectory("scale_cidx").toString
+        val cidx = graft.operators.ComponentsIndex.build(
+          pairs.filter(col("i") < 2500), tmp, "scale_cidx", buckets = 32)
+        cidx.update(pairs.filter(col("i") >= 2500))
+        val labels = cidx.assignments()
+        labels.select("comp").distinct().count() * 1000000 + labels.count()
+      },
       time("embed_index_build") {
         // pay-once for the embedding index: key + materialize all 505k
         // base vectors as the bucketed tables (the vector twin of
@@ -166,6 +179,11 @@ object ScaleProbe {
       s"embedding-index probe found $embProbePairs pairs, planted 5000")
     val embIndexed = stages.find(_._1 == "embed_index_build").get._3
     assert(embIndexed == n, s"embedding index holds $embIndexed of $n vectors")
+    // 5000 clone pairs = 5000 two-doc components over 10000 members,
+    // packed as distinct_comps * 1e6 + member_rows
+    val compStat = stages.find(_._1 == "components_index_update").get._3
+    assert(compStat == 5000L * 1000000 + 10000,
+      s"components index stat $compStat != 5000 comps over 10000 docs")
     val probeS = stages.find(_._1 == "index_probe_batch").get._2
     val fullS = stages.find(_._1 == "minhash_pairs").get._2
     // ADVISORY, not a gate: the two timings come from the same run, and

@@ -104,6 +104,27 @@ class ComponentsIndexSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("randomized waves fuzz: dense random graph in shuffled quarters == batch closure") {
+    import spark.implicits._
+    // 120 nodes / ~300 random edges: many multi-way merges per wave, and
+    // the shuffle makes wave composition arbitrary — the incremental
+    // closure must not depend on arrival order (merges commute)
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val waves = rnd.shuffle(edges).grouped(edges.size / 4 + 1).toSeq
+    val base = Files.createTempDirectory("comp_fuzz").toString
+    val idx = ComponentsIndex.build(waves.head.toDF("i", "j"), base, "cidx_z",
+      buckets = 4)
+    waves.tail.foreach(w => idx.update(w.toDF("i", "j")))
+    assert(resolved(idx) == want(edges.toDF("i", "j")))
+    // re-delivering an arbitrary earlier wave must change nothing
+    idx.update(waves.head.toDF("i", "j"))
+    assert(resolved(idx) == want(edges.toDF("i", "j")))
+  }
+
   test("fixture waves: incremental closure == batch components of all minhash pairs") {
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
