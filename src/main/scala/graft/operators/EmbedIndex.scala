@@ -214,6 +214,18 @@ final class SrpEmbedIndex private[operators] (
     spark.table(vectorsTable).count()
   }
 
+  /** Geometry-drift check: the key width is FROZEN at build time, so a
+    * corpus grown by [[append]] fattens every bucket (expected occupancy
+    * n/2^bits) and probe candidate volume creeps up with it — the one
+    * maintenance wall an append-only SRP index has (minhash band
+    * geometry, by contrast, is corpus-size-independent). Returns true
+    * once the CURRENT corpus would have derived a wider key than the
+    * index carries, i.e. occupancy has drifted ≥2× past `targetBucket` —
+    * rebuild with [[EmbedIndex.build]] then.
+    */
+  def needsRebuild(targetBucket: Int = 32): Boolean =
+    Lsh.autoPlanes(indexedVectors(), targetBucket) > bits
+
   /** Continuous-ingest embedding dedup: drive a STREAM of vectors through
     * the index — probe each micro-batch (cross-batch via the stored
     * index, same-batch via the self-join), append pairs to `pairsDir`,

@@ -87,6 +87,12 @@ class EmbedIndexSpec extends SparkSpec {
     // geometry survives a cold re-open (meta, not caller memory)
     val reopened = EmbedIndex.open(spark, "eidx_b", s"$base/v1")
     assert(reopened.bits == idx.bits && reopened.tables == idx.tables)
+    // drift check: at fixture size the frozen width is still the derived
+    // one (no rebuild); a toy targetBucket makes the same corpus "too
+    // big" for 8-bit keys and trips it
+    assert(!reopened.needsRebuild())
+    assert(reopened.needsRebuild(targetBucket = 1),
+      "505 vectors at targetBucket=1 must demand >8 bits")
     assert(reopened.probe(b2, "vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == got)
     // delete the appended clone 10000: pairs touching it disappear,
