@@ -66,13 +66,23 @@ final class CompIndex private[operators] (
     * join; everything after is batch-bounded driver work (same
     * justification as [[Dedup.components]]'s driver fast path — the
     * bound is on the batch's edge list, never on corpus-sized data).
+    * `maxBatchEdges` makes that contract LOUD: feeding a corpus-sized
+    * pair set here would otherwise die as a silent driver OOM — that
+    * workload belongs in [[ComponentsIndex.build]], whose
+    * [[Dedup.components]] has a distributed path.
     */
-  def update(newPairs: DataFrame): Unit = {
+  def update(newPairs: DataFrame, maxBatchEdges: Long = 1000000L): Unit = {
     spark.catalog.refreshTable(assignTable)
     val remap0 = loadRemap()
     val pe = newPairs
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
       .distinct()
+      .localCheckpoint(true)
+    val nPairs = pe.count()
+    require(nPairs <= maxBatchEdges,
+      s"update() is for micro-batches ($nPairs edges > $maxBatchEdges): " +
+        "corpus-sized pair sets go through ComponentsIndex.build " +
+        "(distributed components), or raise maxBatchEdges deliberately")
     val ids = pe.select(explode(array(col("i"), col("j"))).as("doc_id")).distinct()
     // one bucketed join answers both "current comp0" (null → the doc is
     // its own class) and "already stored" per endpoint
@@ -122,6 +132,10 @@ final class CompIndex private[operators] (
         .write.mode(SaveMode.Append)
         .bucketBy(buckets, "doc_id")
         .saveAsTable(assignTable)
+    // every consumer (count, endpoint join, edge collect) is done — a
+    // long-lived updateStream must not accumulate checkpoint blocks
+    pe.unpersist()
+    ()
   }
 
   /** Continuous assignment maintenance: drive a STREAM of (i, j) pairs —
