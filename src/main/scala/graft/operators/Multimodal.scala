@@ -204,30 +204,57 @@ object Multimodal {
         return None
       try {
         javax.imageio.ImageIO.setUseCache(false)
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        if (img == null) return None
-        val w = img.getWidth; val h = img.getHeight
-        // same untrusted-header cap as decodePng (dimensions here come
-        // from the decoded image, but the rgb buffer is still ours)
-        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
-        val rgb = new Array[Byte](w * h * 3)
-        val row = new Array[Int](w)
-        var y = 0
-        while (y < h) {
-          img.getRGB(0, y, w, 1, row, 0, w)
-          var x = 0
-          while (x < w) {
-            val p = row(x)
-            val o = (y * w + x) * 3
-            rgb(o) = ((p >> 16) & 0xff).toByte
-            rgb(o + 1) = ((p >> 8) & 0xff).toByte
-            rgb(o + 2) = (p & 0xff).toByte
-            x += 1
-          }
-          y += 1
+        // Same cap-BEFORE-alloc discipline as decodePng: the SOF frame
+        // header declares dimensions, and reader.getWidth/getHeight parse
+        // only that header — no raster allocation. A 200-byte payload
+        // declaring 40000×40000 must be rejected here; letting the codec
+        // decode first would allocate a multi-GB raster whose OOM Error
+        // escapes any Exception catch and kills the executor.
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0); val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
+            val img = reader.read(0)
+            if (img == null) return None
+            packRgb(img, w, h)
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch {
+        // Throwable, not Exception: a codec bug or a raster the header
+        // cap could not predict surfaces as an Error; decode failures are
+        // contained here by contract — never task failures.
+        case t: Throwable if !t.isInstanceOf[InterruptedException] => None
+      }
+    }
+
+    /** Project a decoded BufferedImage onto the packed-RGB contract shared
+      * with [[decodePpm]]/[[decodePng]]. Caller has already capped w*h.
+      */
+    private def packRgb(img: java.awt.image.BufferedImage, w: Int, h: Int)
+        : Option[(Int, Int, Array[Byte])] = {
+      val rgb = new Array[Byte](w * h * 3)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          val o = (y * w + x) * 3
+          rgb(o) = ((p >> 16) & 0xff).toByte
+          rgb(o + 1) = ((p >> 8) & 0xff).toByte
+          rgb(o + 2) = (p & 0xff).toByte
+          x += 1
         }
-        Some((w, h, rgb))
-      } catch { case _: Exception => None }
+        y += 1
+      }
+      Some((w, h, rgb))
     }
 
     /** Decode any payload into a 16-float feature vector by magic-number

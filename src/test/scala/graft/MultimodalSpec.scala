@@ -225,9 +225,35 @@ class MultimodalSpec extends SparkSpec {
       "WAVE".getBytes("US-ASCII") ++ "data".getBytes("US-ASCII") ++
       le32(0x7ffffff0L) ++ Array.fill(24)(0.toByte)
     assert(Codecs.decodeWav(evilWav).isEmpty)
-    // all three still take the histogram fallback cleanly end-to-end
+    // JPEG bomb: a real tiny JPEG whose SOF frame header is patched to
+    // declare 40000x40000 (1.6e9 px). The decoder must reject on the
+    // parsed header (reader.getWidth/getHeight) BEFORE reader.read — a
+    // post-decode check lets the JDK codec allocate a multi-GB raster
+    // whose OutOfMemoryError escapes an Exception catch and kills the
+    // task. Rejection here proves the cap runs pre-allocation.
+    val tinyImg = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val tinyBos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(tinyImg, "jpg", tinyBos))
+    val bomb = tinyBos.toByteArray
+    // locate SOF0/SOF2 (ff c0 / ff c2): marker, len(2), precision(1),
+    // then height(2) and width(2) big-endian — patch both to 40000
+    var sof = -1
+    var k = 2
+    while (sof < 0 && k + 9 < bomb.length) {
+      if ((bomb(k) & 0xff) == 0xff &&
+          ((bomb(k + 1) & 0xff) == 0xc0 || (bomb(k + 1) & 0xff) == 0xc2)) sof = k
+      k += 1
+    }
+    assert(sof > 0, "JDK-written JPEG must carry a SOF marker")
+    bomb(sof + 5) = ((40000 >> 8) & 0xff).toByte; bomb(sof + 6) = (40000 & 0xff).toByte
+    bomb(sof + 7) = ((40000 >> 8) & 0xff).toByte; bomb(sof + 8) = (40000 & 0xff).toByte
+    assert(Codecs.decodeJpeg(bomb).isEmpty,
+      "giant-dim JPEG header must be rejected before decode")
+    // all four still take the histogram fallback cleanly end-to-end
     assert(math.abs(Codecs.decodeMedia(evilChunk).sum - 1f) < 1e-3)
     assert(math.abs(Codecs.decodeMedia(evilWav).sum - 1f) < 1e-3)
+    assert(math.abs(Codecs.decodeMedia(bomb).sum - 1f) < 1e-3)
   }
 
   test("WAV payloads take the REAL audio path: per-window RMS energy") {
