@@ -19,15 +19,24 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects; read nanos as long and truncate to microseconds
-      // (all declared queries touch ts at >= second granularity —
-      // FIXTURES.md note).
-      // The conf must stay set for the session: it is consulted again when
-      // the scan executes, not only at schema inference.
+      // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (which
+      // Spark's vectorized reader rejects — read nanos as long, truncate
+      // to micros) and plain timestamp[us] (which infers as TIMESTAMP_NTZ
+      // under Spark 4's inferTimestampNTZ). Normalize both to session-tz
+      // TimestampType so every downstream query sees one ts type; the
+      // session runs UTC, so the NTZ→LTZ cast is instant-preserving and
+      // matches the DuckDB oracle's naive `epoch(ts)`.
+      // The nanos conf must stay set for the session: it is consulted
+      // again when the scan executes, not only at schema inference.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(path)
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(path)
   }
 

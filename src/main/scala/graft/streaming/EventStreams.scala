@@ -16,28 +16,42 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** On-disk schema: the fixture stores ts as TIMESTAMP(NANOS), which Spark
-    * reads as a nanosecond Long under `legacy.parquet.nanosAsLong`; the
-    * stream converts to a microsecond timestamp immediately.
+  /** Stream schema with `ts` at the given on-disk type. The fixture has
+    * shipped as both TIMESTAMP(NANOS) (reads as a nanosecond Long under
+    * `legacy.parquet.nanosAsLong`) and timestamp[us] (infers as
+    * TIMESTAMP_NTZ); the file-stream source needs the declared schema to
+    * match the files, so [[readEvents]] sniffs it from the parquet footer.
     */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventSchema(tsType: org.apache.spark.sql.types.DataType = LongType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** File-source stream over the events parquet in `dir` (the file-stream
     * source requires a directory path, so the table file is glob-filtered).
+    * `ts` is normalized to session-tz TimestampType whatever the on-disk
+    * representation (same contract as [[graft.Tables.load]]).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema)
+    // one footer read (no data scan) to learn the on-disk ts type — the
+    // declared stream schema must match the files byte-for-byte
+    val tsType = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .schema("ts").dataType
+    val base = spark.readStream.schema(eventSchema(tsType))
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => base.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => base
+    }
   }
 
   /** Tumbling-window counts with a watermark bounding state. */
