@@ -42,6 +42,7 @@ object ScaleProbe {
       ((pmod(xxhash64(col("vec_id") % n, j), lit(2000L)) - 1000L)
         .cast("double") / 1000.0).cast("float"))
     val eidxPath = java.nio.file.Files.createTempDirectory("scale_eidx").toString
+    val cidxPath = java.nio.file.Files.createTempDirectory("scale_cidx").toString
 
     val stages = Seq(
       time("exact_dedup") {
@@ -125,11 +126,19 @@ object ScaleProbe {
         // batch-bounded (the endpoint/root maps), never corpus-sized
         val pairs = spark.range(5000)
           .select(col("id").as("i"), (col("id") + n).as("j"))
-        val tmp = java.nio.file.Files.createTempDirectory("scale_cidx").toString
         val cidx = graft.operators.ComponentsIndex.build(
-          pairs.filter(col("i") < 2500), tmp, "scale_cidx", buckets = 32)
+          pairs.filter(col("i") < 2500), cidxPath, "scale_cidx", buckets = 32)
         cidx.update(pairs.filter(col("i") >= 2500))
         val labels = cidx.assignments()
+        labels.select("comp").distinct().count() * 1000000 + labels.count()
+      },
+      time("components_index_compact") {
+        // maintenance at scale: fold the accumulated remap into the
+        // baseline — the rewrite is one bucketed pass over assignments;
+        // labels must be IDENTICAL after (count invariant below)
+        val cidx = graft.operators.ComponentsIndex.open(
+          spark, "scale_cidx", cidxPath, buckets = 32)
+        val labels = cidx.compact(s"$cidxPath-v2").assignments()
         labels.select("comp").distinct().count() * 1000000 + labels.count()
       },
       time("embed_index_build") {
@@ -150,6 +159,26 @@ object ScaleProbe {
         val batch = spark.range(n, n + 5000)
           .select(col("id").as("vec_id"), vecExpr.as("embedding"))
         idx.probe(batch, "vec_id", "embedding", threshold = 0.999).count()
+      },
+      time("embed_index_append_delete_probe") {
+        // maintenance at scale: fold the 5k clone batch in (append with
+        // its idempotence guard — one anti-join against the bucketed
+        // vectors table), retract half of it (anti-join rewrite of both
+        // tables), then probe a FRESH clone batch through the maintained
+        // index. Pairs stay pair-proportional: each fresh clone of k
+        // matches base k (5000) plus the SURVIVING appended clone for
+        // k >= 2500 (2500) = 7500 — the count invariant below is the
+        // gate, the seconds are trend data.
+        val idx = graft.operators.EmbedIndex.open(spark, "scale_eidx", eidxPath)
+        val batch = spark.range(n, n + 5000)
+          .select(col("id").as("vec_id"), vecExpr.as("embedding"))
+        idx.append(batch, "vec_id", "embedding")
+        val deleted = idx.delete(
+          spark.range(n, n + 2500).select(col("id").as("vec_id")),
+          "vec_id", s"$eidxPath-v2")
+        val fresh = spark.range(2 * n, 2 * n + 5000)
+          .select(col("id").as("vec_id"), vecExpr.as("embedding"))
+        deleted.probe(fresh, "vec_id", "embedding", threshold = 0.999).count()
       })
     graft.operators.Dedup.releaseCaches()
     val dedupCount = stages.find(_._1 == "exact_dedup").get._3
@@ -179,6 +208,16 @@ object ScaleProbe {
       s"embedding-index probe found $embProbePairs pairs, planted 5000")
     val embIndexed = stages.find(_._1 == "embed_index_build").get._3
     assert(embIndexed == n, s"embedding index holds $embIndexed of $n vectors")
+    // the maintenance cycle (append 5k, delete 2.5k, probe 5k fresh
+    // clones) lands exactly on the survivor arithmetic: 5000 base matches
+    // + 2500 surviving appended clones
+    val maintPairs = stages.find(_._1 == "embed_index_append_delete_probe").get._3
+    assert(maintPairs == 7500,
+      s"maintained-index probe found $maintPairs pairs, expected 7500")
+    // compact must not move a single label
+    val compactStat = stages.find(_._1 == "components_index_compact").get._3
+    assert(compactStat == 5000L * 1000000 + 10000,
+      s"components compact stat $compactStat != 5000 comps over 10000 docs")
     // 5000 clone pairs = 5000 two-doc components over 10000 members,
     // packed as distinct_comps * 1e6 + member_rows
     val compStat = stages.find(_._1 == "components_index_update").get._3

@@ -29,9 +29,10 @@ import org.apache.spark.sql.functions._
   * remap, and append rows for first-seen docs. The result equals
   * [[Dedup.components]] over the union of every pair ever ingested
   * (min-id labels: min over merged classes' mins IS the merged class's
-  * min). Deletion is out of scope by construction: removing a doc can
-  * SPLIT a component, which needs the surviving pair set — re-run
-  * [[Dedup.components]] over the retained pairs for that.
+  * min). INCREMENTAL deletion is out of scope by construction: removing
+  * a doc can SPLIT a component, which needs the surviving pair set —
+  * [[CompIndex.rebuildFrom]] closes that workflow as one call over the
+  * retained pairs.
   */
 final class CompIndex private[operators] (
     spark: SparkSession,
@@ -146,24 +147,28 @@ final class CompIndex private[operators] (
     * (update order cannot matter: merges commute). Re-delivered batches
     * are absorbed by the update's idempotent write order.
     */
-  def updateStream(pairs: DataFrame, checkpointDir: String): Unit = {
-    val q = pairs.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        update(batch)
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
-  }
+  def updateStream(pairs: DataFrame, checkpointDir: String): Unit =
+    IndexStream.run(pairs, checkpointDir)(update(_))
 
   /** Number of docs carrying an assignment (pair members ever seen). */
   def assignedDocs(): Long = {
     spark.catalog.refreshTable(assignTable)
     spark.table(assignTable).count()
+  }
+
+  /** Close the retraction workflow this index cannot do incrementally:
+    * deleting a doc can SPLIT a component, and splits need the SURVIVING
+    * pair set (class doc, line 30). One call re-runs the batch
+    * [[Dedup.components]] closure over `pairs` — e.g. the probeStream
+    * `pairsDir` anti-joined against the retracted ids — into a fresh
+    * index at `toPath`, re-pointing the same catalog table, so
+    * delete-then-rebuild is a supported cycle here exactly as
+    * [[MinHashIndex.delete]]/[[SrpEmbedIndex.delete]] support it on the
+    * pair-generation side. The old directory is the caller's to drop.
+    */
+  def rebuildFrom(pairs: DataFrame, toPath: String): CompIndex = {
+    require(toPath != path, s"rebuild target must differ from current path: $path")
+    ComponentsIndex.buildAt(spark, pairs, toPath, assignTable, buckets)
   }
 
   /** Fold the remap into the assignments: rewrite resolved labels as the
@@ -196,15 +201,19 @@ object ComponentsIndex {
     */
   def build(
       pairs: DataFrame, path: String, name: String,
-      buckets: Int = 32): CompIndex = {
-    val spark = pairs.sparkSession
+      buckets: Int = 32): CompIndex =
+    buildAt(pairs.sparkSession, pairs, path, s"${name}_comp", buckets)
+
+  private[operators] def buildAt(
+      spark: SparkSession, pairs: DataFrame, path: String,
+      table: String, buckets: Int): CompIndex = {
     Sinks.bucketed(
       Dedup.components(pairs)
         .select(col("doc_id"), col("comp").as("comp0"))
         .repartition(buckets, col("doc_id")),
-      s"${name}_comp", s"$path/assignments", buckets, Seq("doc_id"))
+      table, s"$path/assignments", buckets, Seq("doc_id"))
     CompIndex.writeRemap(spark, s"$path/remap", Map.empty)
-    new CompIndex(spark, s"${name}_comp", path, buckets)
+    new CompIndex(spark, table, path, buckets)
   }
 
   /** Re-open an existing index (no data work). */

@@ -212,31 +212,72 @@ object Dedup extends CacheLedger {
         graft.plans.SimHashSig.simHashSig(col("hs")).as("simhash"))
       .filter(col("simhash").isNotNull)
 
+  /** Hamming pre-filter bound for SimHash block-LSH at an exact-Jaccard
+    * verification `threshold` — DERIVED from the LSH model, not tuned on
+    * a fixture (the previous fixed 16 was measured on the sf0.1 corpus
+    * and silently lost tail pairs on corpora whose Hamming distribution
+    * is wider).
+    *
+    * Model: SimHash bit k of two docs differs with probability
+    * p = θ/π, cos θ = I/√(|A||B|) (Charikar STOC'02, with each signature
+    * bit driven by an independent hash bit ⇒ bits i.i.d. given the
+    * sets, Hamming ~ Binomial(64, p)). At fixed Jaccard
+    * J = I/(|A|+|B|−I), cosine is MINIMIZED when |A| = |B|
+    * (I = J(a+b)/(1+J), so cos = J(a+b)/((1+J)√(ab)) ≥ 2J/(1+J) by
+    * AM–GM) — equal-size sets are the worst case, which makes the bound
+    * corpus-shape-universal: no sampled set-size statistics can make a
+    * J ≥ t pair flip bits more often than p* = acos(2t/(1+t))/π.
+    *
+    * Returns the smallest h with P(Binomial(64, p*) > h) ≤ `missProb`:
+    * a pair AT the threshold is admitted to exact verification with
+    * probability ≥ 1−missProb (above it, higher). t = 0.8 ⇒ 19;
+    * t = 0.9 ⇒ 15. Random non-dup pairs concentrate at Hamming ≈ 32, so
+    * the filter still rejects nearly all block-collision noise.
+    */
+  def simHashMaxHamming(
+      threshold: Double, missProb: Double = 1e-3, bits: Int = 64): Int = {
+    require(threshold > 0.0 && threshold <= 1.0, s"bad threshold $threshold")
+    require(missProb > 0.0 && missProb < 1.0, s"bad missProb $missProb")
+    val p = math.acos(math.min(1.0, 2 * threshold / (1 + threshold))) / math.Pi
+    if (p <= 0.0) 0
+    else {
+      // cumulative binomial in log space (comb(64, h) overflows doubles
+      // combined with p^h only at the precision edge, not the magnitude
+      // edge — still, the incremental form is exact enough and branch-free)
+      var cum = 0.0
+      var logC = 0.0 // log C(bits, 0)
+      var h = 0
+      var ans = bits
+      var done = false
+      while (h <= bits && !done) {
+        cum += math.exp(logC + h * math.log(p) + (bits - h) * math.log1p(-p))
+        if (1.0 - cum <= missProb) { ans = h; done = true }
+        logC += math.log((bits - h).toDouble) - math.log((h + 1).toDouble)
+        h += 1
+      }
+      ans
+    }
+  }
+
   /** Block-LSH candidate pairs for [[simHashPairs]], exposed so specs can
     * assert candidate volume stays ≪ n(n−1)/2. Pigeonhole: with `blocks`
     * equal-width blocks of a 64-bit SimHash, any pair with Hamming
     * distance < blocks shares at least one identical block.
     *
-    * `maxHamming` default 16 (was 20): the J≥0.8 regime has EXPECTED
-    * Hamming ≈ 7, but the distribution has a real tail — the sf0.1
-    * fixture's 256 true J≥0.8 pairs reach Hamming 14 — while random
-    * non-dup pairs concentrate near 32. 16 keeps measured recall exact
-    * and cuts the admitted verification volume sharply; 20 let ≈⅓ of all
-    * block collisions through to exact Jaccard scoring (the bench's
-    * slowest non-stream query before this change).
-    *
-    * BEHAVIOR CHANGE for existing callers: the bound is a recall knob,
-    * and 16 is a fixture-measured constant, not a theorem — an external
-    * corpus whose true-pair Hamming tail reaches 17–20 (longer docs ⇒
-    * more shingles ⇒ wider simhash variance) silently loses those pairs
-    * vs the old default. If your corpus's near-dup tail is unknown,
-    * measure it (join a labeled sample on `bit_count(xor)`) or pass
-    * `maxHamming = 20` explicitly to keep the historical envelope.
+    * `maxHamming` ≤ 0 derives the bound from [[simHashMaxHamming]] at
+    * J = 0.8 (the default verification threshold — [[simHashPairs]]
+    * passes its own threshold through). The derived bound admits a pair
+    * sitting exactly ON the threshold with probability ≥ 0.999 whatever
+    * the corpus's document-length distribution; random non-dup pairs
+    * concentrate at Hamming ≈ 32 and stay rejected. An explicit positive
+    * value remains a recall/verification-volume knob for callers who
+    * have measured their corpus's tail.
     */
   def simHashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, blocks: Int = 8, maxHamming: Int = 16): DataFrame = {
+      shingleN: Int = 3, blocks: Int = 8, maxHamming: Int = -1): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
+    val mh = if (maxHamming > 0) maxHamming else simHashMaxHamming(0.8)
     val w = 64 / blocks
     val sets = hashedSets(docs, idCol, textCol, shingleN)
     val sig = ledgered(simHashOf(sets).cache())
@@ -249,7 +290,7 @@ object Dedup extends CacheLedger {
       .join(buckets.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= mh)
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
   }
@@ -262,15 +303,19 @@ object Dedup extends CacheLedger {
     * verification. 8-bit blocks give 256 bucket values per block, so
     * expected per-block candidate volume is ~n²/512 on hash-random
     * corpora — the former 4-bit default (16 values/block) degenerated
-    * toward all-pairs at large n. See [[simHashCandidates]] for the
-    * measured rationale behind the `maxHamming` default.
+    * toward all-pairs at large n. `maxHamming` ≤ 0 (the default) derives
+    * the pre-filter bound from [[simHashMaxHamming]] AT `threshold`, so
+    * tightening the verification threshold automatically tightens the
+    * admitted Hamming tail and vice versa — the two knobs cannot drift
+    * apart.
     */
   def simHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, blocks: Int = 8, maxHamming: Int = 16,
+      shingleN: Int = 3, blocks: Int = 8, maxHamming: Int = -1,
       threshold: Double = 0.8): DataFrame = {
+    val mh = if (maxHamming > 0) maxHamming else simHashMaxHamming(threshold)
     val sets = hashedSets(docs, idCol, textCol, shingleN)
-    val candidates = simHashCandidates(docs, idCol, textCol, shingleN, blocks, maxHamming)
+    val candidates = simHashCandidates(docs, idCol, textCol, shingleN, blocks, mh)
     verifyHashed(sets, candidates, threshold)
   }
 

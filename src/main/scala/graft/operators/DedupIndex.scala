@@ -113,25 +113,42 @@ final class MinHashIndex private[operators] (
     (pairs, () => { candidates.unpersist(); verifySets.unpersist(); () })
   }
 
-  /** Fold a batch into the index: compute its buckets + sets (narrow) and
+  /** Fold a batch into the index: compute its buckets + sets (one
+    * signature pass, localCheckpointed so both table writes share it) and
     * append them to the two tables with the SAME bucket spec — parquet
     * datasource tables accept bucketed appends, each append adding one
     * file per populated bucket id. Run [[compact]]-style maintenance
     * (e.g. [[graft.sources.Sinks.compactParquet]] + rebuild) when the
-    * accumulated file count starts to dominate scan setup. Caller
-    * guarantees batch ids are not already indexed.
+    * accumulated file count starts to dominate scan setup.
+    *
+    * IDEMPOTENT under at-least-once redelivery: already-indexed doc_ids
+    * are dropped by a batch-bounded left-anti join against the sets
+    * table, so a [[probeStream]] batch re-delivered after a crash does
+    * not duplicate index rows. The guard is on the table written LAST
+    * (sets), making a torn append self-healing: a crash between the two
+    * writes leaves bucket rows with no sets row — transiently
+    * verify-dropped candidates, never wrong pairs — and the redelivered
+    * batch still passes the guard and rewrites both (duplicate bucket
+    * rows are absorbed by the candidate `distinct()`, shed by
+    * [[compact]]). Guarding on the first-written table instead would
+    * freeze that torn state permanently.
     */
   def append(incoming: DataFrame, idCol: String, textCol: String): Unit = {
+    spark.catalog.refreshTable(setsTable)
     val inSets = Dedup.hashedSets(
       incoming.select(col(idCol).cast("long").as(idCol), col(textCol)),
       idCol, textCol, shingleN)
-    Dedup.bandBuckets(inSets, numHashes, bands)
-      .write.mode(SaveMode.Append)
-      .bucketBy(buckets, "band", "bh")
-      .saveAsTable(bucketsTable)
-    inSets.write.mode(SaveMode.Append)
-      .bucketBy(buckets, "doc_id")
-      .saveAsTable(setsTable)
+      .join(spark.table(setsTable).select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    try {
+      Dedup.bandBuckets(inSets, numHashes, bands)
+        .write.mode(SaveMode.Append)
+        .bucketBy(buckets, "band", "bh")
+        .saveAsTable(bucketsTable)
+      inSets.write.mode(SaveMode.Append)
+        .bucketBy(buckets, "doc_id")
+        .saveAsTable(setsTable)
+    } finally inSets.unpersist()
   }
 
   /** Indexed corpus size (bucketed scan + count, no signature work). */
@@ -154,10 +171,9 @@ final class MinHashIndex private[operators] (
     * what makes the streaming form testable against the batch oracle —
     * and restart-safe to reason about: foreachBatch is at-least-once, so
     * a batch re-delivered after a crash re-appends the same pairs
-    * (dedupe on read, or make `pairsDir` keyed by batch id) and
-    * re-appends its index rows (harmless for candidate generation — the
-    * candidate `distinct()` absorbs duplicate bucket rows; run [[compact]]
-    * to shed them).
+    * (dedupe on read, or make `pairsDir` keyed by batch id); the index
+    * itself does NOT duplicate — [[append]] is idempotent by its
+    * left-anti guard.
     *
     * Each batch is locally materialized once ([[DataFrame.localCheckpoint]])
     * so probe and append share one evaluation of the batch's signature
@@ -167,30 +183,12 @@ final class MinHashIndex private[operators] (
   def probeStream(
       incoming: DataFrame, idCol: String, textCol: String,
       pairsDir: String, checkpointDir: String,
-      threshold: Double = 0.8): Unit = {
-    val q = incoming.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.localCheckpoint(eager = true)
-        // probeTracked so the probe's own checkpointed intermediates are
-        // dropped per batch — a long-lived stream must not accumulate
-        // them in executor storage waiting for driver GC
-        val (pairs, cleanup) = probeTracked(b, idCol, textCol, threshold)
-        try {
-          pairs.write.mode(SaveMode.Append).parquet(pairsDir)
-          append(b, idCol, textCol)
-        } finally {
-          cleanup()
-          b.unpersist()
-        }
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
-  }
+      threshold: Double = 0.8): Unit =
+    IndexStream.run(incoming, checkpointDir) { batch =>
+      IndexStream.probeAppend(batch, pairsDir,
+        probeTracked(_, idCol, textCol, threshold),
+        append(_, idCol, textCol))
+    }
 
   /** Remove documents from the index: anti-join both tables against the
     * given ids and rewrite into `toPath` with the same bucket spec —

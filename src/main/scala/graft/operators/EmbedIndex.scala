@@ -192,20 +192,42 @@ final class SrpEmbedIndex private[operators] (
         round(col("cos"), 3).as("cos"))
   }
 
-  /** Fold a batch into the index: one kernel pass for its keys, bucketed
-    * appends to both tables. Caller guarantees ids are not already
-    * indexed.
+  /** Fold a batch into the index: one kernel pass for its keys
+    * (localCheckpoint — both table writes read the same materialized
+    * frame), bucketed appends to both tables.
+    *
+    * IDEMPOTENT under at-least-once redelivery: already-indexed vids are
+    * dropped by a batch-bounded left-anti join against the vectors table,
+    * so a foreachBatch crash after append-but-before-checkpoint-commit
+    * re-delivers the batch without duplicating index rows (the
+    * [[probeStream]] scenario; [[CompIndex.update]] holds the same
+    * contract on its side).
+    *
+    * Write order is buckets THEN vectors, and the anti-join guard is on
+    * the table written LAST — that makes a torn append self-healing: a
+    * crash between the writes leaves bucket rows whose vid has no vector
+    * row (transiently verify-dropped candidates, never wrong pairs), and
+    * the redelivered batch still passes the guard and rewrites both
+    * (duplicate bucket rows are absorbed by the candidate `distinct()`
+    * and shed by [[compact]]). The reverse order with this guard would
+    * make the torn state PERMANENT — vectors present, buckets missing,
+    * vids silently unreachable forever.
     */
   def append(incoming: DataFrame, idCol: String, vecCol: String): Unit = {
+    spark.catalog.refreshTable(vectorsTable)
     val k = keyed(incoming, idCol, vecCol)
-    k.select(col("vid"), posexplode(col("bks")).as(Seq("t", "bk")))
-      .write.mode(SaveMode.Append)
-      .bucketBy(buckets, "t", "bk")
-      .saveAsTable(bucketsTable)
-    k.select(col("vid"), col("v"))
-      .write.mode(SaveMode.Append)
-      .bucketBy(buckets, "vid")
-      .saveAsTable(vectorsTable)
+      .join(spark.table(vectorsTable).select("vid"), Seq("vid"), "left_anti")
+      .localCheckpoint(true)
+    try {
+      k.select(col("vid"), posexplode(col("bks")).as(Seq("t", "bk")))
+        .write.mode(SaveMode.Append)
+        .bucketBy(buckets, "t", "bk")
+        .saveAsTable(bucketsTable)
+      k.select(col("vid"), col("v"))
+        .write.mode(SaveMode.Append)
+        .bucketBy(buckets, "vid")
+        .saveAsTable(vectorsTable)
+    } finally k.unpersist()
   }
 
   /** Indexed corpus size (bucketed scan + count, no kernel work). */
@@ -226,6 +248,36 @@ final class SrpEmbedIndex private[operators] (
   def needsRebuild(targetBucket: Int = 32): Boolean =
     Lsh.autoPlanes(indexedVectors(), targetBucket) > bits
 
+  /** Close the [[needsRebuild]] wall: re-derive the LSH geometry from the
+    * CURRENT corpus size and rebuild a fresh index at `toPath` from the
+    * STORED vectors — no caller round-trip through the original embedding
+    * table (the vectors are already materialized in this index). Key
+    * width comes from [[Lsh.autoPlanes]] at today's count, table count
+    * from [[Lsh.autoTables]] at `threshold` (the recall design point of
+    * the NEW index), hyperplanes from `seed` — i.e. exactly what
+    * [[EmbedIndex.build]] over the same vectors would produce, and the
+    * returned handle is spec-pinned to be probe-identical to that fresh
+    * build. One full kernel pass over the corpus — the cost an index
+    * whose occupancy drifted ≥2× past target must eventually pay; until
+    * then [[append]] stays O(batch).
+    *
+    * The catalog tables re-point at `toPath`; the old directory is the
+    * caller's to drop once nothing queries it (same hand-off as
+    * [[delete]]/[[compact]]).
+    */
+  def rebuild(
+      toPath: String, targetBucket: Int = 32,
+      threshold: Double = 0.95): SrpEmbedIndex = {
+    require(toPath != path, s"rebuild target must differ from current path: $path")
+    spark.catalog.refreshTable(vectorsTable)
+    val name = vectorsTable.stripSuffix("_evectors")
+    // files, not the catalog table: the build below is about to redefine it
+    EmbedIndex.build(
+      spark.read.parquet(s"$path/vectors"), "vid", "v",
+      toPath, name, dim, threshold = threshold,
+      seed = seed, buckets = buckets, targetBucket = targetBucket)
+  }
+
   /** Continuous-ingest embedding dedup: drive a STREAM of vectors through
     * the index — probe each micro-batch (cross-batch via the stored
     * index, same-batch via the self-join), append pairs to `pairsDir`,
@@ -237,27 +289,12 @@ final class SrpEmbedIndex private[operators] (
   def probeStream(
       incoming: DataFrame, idCol: String, vecCol: String,
       pairsDir: String, checkpointDir: String,
-      threshold: Double = 0.95): Unit = {
-    val q = incoming.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.localCheckpoint(eager = true)
-        val (pairs, cleanup) = probeTracked(b, idCol, vecCol, threshold)
-        try {
-          pairs.write.mode(SaveMode.Append).parquet(pairsDir)
-          append(b, idCol, vecCol)
-        } finally {
-          cleanup()
-          b.unpersist()
-        }
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
-  }
+      threshold: Double = 0.95): Unit =
+    IndexStream.run(incoming, checkpointDir) { batch =>
+      IndexStream.probeAppend(batch, pairsDir,
+        probeTracked(_, idCol, vecCol, threshold),
+        append(_, idCol, vecCol))
+    }
 
   /** Remove vectors from the index (retraction / TTL expiry): anti-join
     * rewrite of both tables into `toPath`, same bucket spec — doubles as
@@ -305,10 +342,12 @@ object EmbedIndex {
       emb: DataFrame, idCol: String, vecCol: String,
       path: String, name: String, dim: Int,
       threshold: Double = 0.95, planesPerTable: Int = 0, tables: Int = 0,
-      seed: Long = 42L, buckets: Int = 32): SrpEmbedIndex = {
+      seed: Long = 42L, buckets: Int = 32,
+      targetBucket: Int = 32): SrpEmbedIndex = {
     val spark = emb.sparkSession
     val bits =
-      if (planesPerTable > 0) planesPerTable else Lsh.autoPlanes(emb.count())
+      if (planesPerTable > 0) planesPerTable
+      else Lsh.autoPlanes(emb.count(), targetBucket)
     val nTables = if (tables > 0) tables else Lsh.autoTables(bits, threshold)
     writeMeta(spark, path, dim, bits, nTables, seed, buckets)
     val idx = new SrpEmbedIndex(spark, s"${name}_ebuckets", s"${name}_evectors",

@@ -271,8 +271,13 @@ object Similarity {
       * bucket filter the driver-Map path gets: it is bounded by nClusters
       * (distinct cluster ids, not probe rows), so the collect is always
       * index-model-sized — a saved index therefore reads only the probed
-      * buckets on this path too. The probe frame localCheckpoints first
-      * so the cluster-pick map runs once, not once per consumer.
+      * buckets on this path too. The probe frame is deliberately NOT
+      * materialized: its two consumers (this collect + the scoring join)
+      * each re-run a narrow, query-bounded map against broadcast
+      * centroids, which is cheaper than parking a checkpoint block per
+      * search in executor storage until driver GC — the leak a long-lived
+      * session cannot afford (probe/searchTracked cleanup exists where
+      * the intermediate is corpus-join-sized; this one never is).
       *
       * `queries` must carry `idCol` (castable to long) and `vecCol`
       * (array of numeric).
@@ -293,7 +298,6 @@ object Similarity {
             .map(c => (qid, qv, c))
         }
       }.toDF("query_id", "qv", "cluster")
-        .localCheckpoint(true)
       val probed = probes.select("cluster").distinct()
         .collect().map(_.getInt(0)).toSeq
       scoreProbes(probes, k, pruneTo = Some(probed))

@@ -60,6 +60,29 @@ class ComponentsIndexSpec extends SparkSpec {
     assert(resolved(idx2) == want(all3.unionByName(w4)))
   }
 
+  test("rebuildFrom closes the retraction workflow: survivors' closure, same table") {
+    import spark.implicits._
+    // {1,2,3,4} chained through 2 and 3, plus {10,11}
+    val all = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val base = Files.createTempDirectory("comp_rebuild").toString
+    val idx = ComponentsIndex.build(all, base, "cidx_r", buckets = 4)
+    assert(resolved(idx) == want(all))
+    // retract doc 2: its pairs go away, and the component SPLITS —
+    // {1} drops out (no surviving pair), {3,4} survives on the 3-4 edge.
+    // The incremental path cannot express this; one rebuildFrom call can.
+    val survivors = all.filter(col("i") =!= 2L && col("j") =!= 2L)
+    val rebuilt = idx.rebuildFrom(survivors, s"$base/v2")
+    assert(resolved(rebuilt) == want(survivors),
+      "rebuilt labels must equal the batch closure over surviving pairs")
+    assert(resolved(rebuilt) == Map(3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L))
+    assert(spark.read.parquet(s"$base/v2/remap").count() == 0)
+    // the handle keeps the SAME catalog table (re-pointed), and the
+    // incremental path continues from the rebuilt baseline
+    rebuilt.update(Seq((4L, 50L)).toDF("i", "j"))
+    assert(resolved(rebuilt) ==
+      want(survivors.unionByName(Seq((4L, 50L)).toDF("i", "j"))))
+  }
+
   test("end-to-end continuous dedup: doc stream → pair stream → component labels") {
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
     val d2 = Tables.load(spark, sfDir, "documents").select("doc_id", "text")

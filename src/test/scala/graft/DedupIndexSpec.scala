@@ -86,6 +86,29 @@ class DedupIndexSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("append is idempotent: a redelivered batch does not duplicate index rows") {
+    val d2 = docs.select("doc_id", "text")
+    val corpus = d2.filter(col("doc_id") < 400)
+    val b1 = d2.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+    val probeBatch = d2.filter(col("doc_id") >= 450)
+    val base = Files.createTempDirectory("mh_idem").toString
+    val idx = DedupIndex.build(corpus, "doc_id", "text", base, "mhidx_i",
+      shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
+    idx.append(b1, "doc_id", "text")
+    val n1 = idx.indexedDocs()
+    val probe1 = idx.probe(probeBatch, "doc_id", "text")
+      .orderBy("i", "j").collect().toSeq
+    // the at-least-once scenario: foreachBatch died after append() but
+    // before the checkpoint commit, and the SAME batch arrives again
+    idx.append(b1, "doc_id", "text")
+    assert(idx.indexedDocs() == n1,
+      "re-appending an already-indexed batch must be a no-op")
+    val probe2 = idx.probe(probeBatch, "doc_id", "text")
+      .orderBy("i", "j").collect().toSeq
+    assert(probe2 == probe1, "redelivery must not change (or duplicate) probe output")
+    Dedup.releaseCaches()
+  }
+
   test("probeStream: cumulative streamed pairs == full corpus closure") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val d2 = docs.select("doc_id", "text")

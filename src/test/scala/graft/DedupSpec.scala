@@ -139,6 +139,63 @@ class DedupSpec extends SparkSpec {
       s"simhash candidates $candidates not << all-pairs $allPairs")
   }
 
+  test("simHashMaxHamming: derived from the threshold's binomial tail, monotone") {
+    // pinned values from the model (p* = acos(2t/(1+t))/π, miss 1e-3):
+    // the bound is a DERIVATION, so these are checkable constants, not
+    // fixture measurements
+    assert(Dedup.simHashMaxHamming(0.8) == 19)
+    assert(Dedup.simHashMaxHamming(0.9) == 15)
+    assert(Dedup.simHashMaxHamming(0.95) == 12)
+    assert(Dedup.simHashMaxHamming(1.0) == 0, "exact dups flip no bits")
+    // tighter threshold -> tighter bound; looser missProb -> tighter bound
+    val ts = Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.99)
+    assert(ts.map(Dedup.simHashMaxHamming(_)) == ts.map(Dedup.simHashMaxHamming(_)).sorted.reverse)
+    assert(Dedup.simHashMaxHamming(0.8, missProb = 0.1) <
+      Dedup.simHashMaxHamming(0.8, missProb = 1e-6))
+  }
+
+  test("derived Hamming bound catches tail pairs the fixed 16 missed — short and long docs") {
+    // Planted pairs sitting just above J = 0.8: family f's variant doc
+    // replaces the base doc's last nRepl words, changing exactly nRepl of
+    // the m = nWords-2 word-3-shingles, so J = (m-nRepl)/(m+nRepl) is
+    // exact by construction. Families share no vocabulary (J = 0 across
+    // families). At this J the SimHash Hamming distribution has mean ≈ 9
+    // with a real tail past 16 (~0.5% of pairs) — over 2000 families some
+    // pairs MUST land there deterministically, and those are precisely
+    // the pairs the old fixture-tuned bound silently dropped.
+    for ((nWords, nRepl, label) <- Seq((40, 4, "short"), (120, 12, "long"))) {
+      val m = nWords - 2
+      val jPlanted = (m - nRepl).toDouble / (m + nRepl)
+      assert(jPlanted >= 0.8, s"bad plant geometry for $label: $jPlanted")
+      val rows = (0 until 2000).flatMap { f =>
+        val words = (0 until nWords).map(w => s"f${f}w$w")
+        val variant = words.dropRight(nRepl) ++ (0 until nRepl).map(r => s"f${f}x$r")
+        Seq((2L * f, words.mkString(" ")), (2L * f + 1, variant.mkString(" ")))
+      }
+      val corpus = spark.createDataFrame(rows).toDF("doc_id", "text")
+      val withDerived = pairsOf(Dedup.simHashPairs(corpus, "doc_id", "text"))
+      Dedup.releaseCaches()
+      val with16 = pairsOf(Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 16))
+      Dedup.releaseCaches()
+      val recovered = withDerived -- with16
+      assert(with16.subsetOf(withDerived),
+        s"[$label] widening the bound must only add pairs")
+      assert(recovered.nonEmpty,
+        s"[$label] no planted pair landed in Hamming 17..19 — the derived " +
+          "bound recovered nothing over the fixed 16 (plant more families?)")
+      // every recovered pair is a true planted pair in the tail window
+      val sig = Dedup.simHash(corpus, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Dedup.releaseCaches()
+      recovered.foreach { case (i, j) =>
+        assert(j == i + 1 && i % 2 == 0, s"[$label] non-planted pair ($i,$j)")
+        val h = java.lang.Long.bitCount(sig(i) ^ sig(j))
+        assert(h > 16 && h <= Dedup.simHashMaxHamming(0.8),
+          s"[$label] pair ($i,$j) at Hamming $h outside the recovered window")
+      }
+    }
+  }
+
   test("components: chained pairs collapse to one min-labeled component (both paths)") {
     val pairs = spark.createDataFrame(Seq(
       (1L, 2L), (2L, 3L), (3L, 4L),   // chain 1-2-3-4

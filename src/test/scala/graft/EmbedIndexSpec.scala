@@ -152,6 +152,67 @@ class EmbedIndexSpec extends SparkSpec {
     assert(after.toSeq == Seq((0L, 1, 999L, 1.0)), s"appended clone not found: ${after.toSeq}")
   }
 
+  test("rebuild closes the needsRebuild wall: re-derived geometry, probes == fresh build") {
+    // toy targetBucket=2 so fixture-scale growth crosses the width wall:
+    // 500 vectors derive 8 bits (the floor); doubling to 1000 derives 9
+    val corpus = emb
+    val grow = withClones(0L, 500L) // 500 clones under ids 10000..10499
+    val base = Files.createTempDirectory("emb_rebuild").toString
+    val idx = EmbedIndex.build(corpus, "vec_id", "embedding", s"$base/v1",
+      "eidx_r", dim = 64, threshold = 0.95, buckets = 8, targetBucket = 2)
+    assert(idx.bits == Lsh.autoPlanes(500L, 2))
+    assert(!idx.needsRebuild(targetBucket = 2))
+    idx.append(grow, "vec_id", "embedding")
+    assert(idx.needsRebuild(targetBucket = 2),
+      "a 2x-grown corpus must trip the frozen-width check")
+    val rebuilt = idx.rebuild(s"$base/v2", targetBucket = 2)
+    assert(rebuilt.bits == Lsh.autoPlanes(1000L, 2),
+      s"rebuild must re-derive width at TODAY's count, got ${rebuilt.bits}")
+    assert(!rebuilt.needsRebuild(targetBucket = 2))
+    assert(rebuilt.indexedVectors() == 1000L)
+    // the promise: rebuild == EmbedIndex.build over the same vectors at
+    // the same knobs (same seed -> same planes -> identical probes)
+    val batch = withClones(0L, 10L, 30000L)
+    val fresh = EmbedIndex.build(
+      corpus.unionByName(grow), "vec_id", "embedding", s"$base/fresh",
+      "eidx_r2", dim = 64, threshold = 0.95, buckets = 8, targetBucket = 2)
+    assert(rebuilt.bits == fresh.bits && rebuilt.tables == fresh.tables)
+    // both handles resolve through their OWN catalog tables (eidx_r_* now
+    // points at v2; fresh registered eidx_r2_*), so the probes interleave
+    // without clobbering — the multi-index-per-session contract
+    val gotR = rebuilt.probe(batch, "vec_id", "embedding")
+      .orderBy("i", "j").collect().toSeq
+    val gotF = fresh.probe(batch, "vec_id", "embedding")
+      .orderBy("i", "j").collect().toSeq
+    assert(gotR == gotF, s"rebuilt index drifted from fresh build:\n$gotR\nvs\n$gotF")
+    // every clone-of-clone pair must be present: 30000+k pairs with k AND 10000+k
+    val ids = gotR.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 10L).forall(k =>
+      ids.contains((k, k + 30000L)) && ids.contains((k + 10000L, k + 30000L))), s"$ids")
+    Dedup.releaseCaches()
+  }
+
+  test("append is idempotent: a redelivered batch does not duplicate index rows") {
+    val corpus = emb
+    val b1 = withClones(0L, 5L)
+    val base = Files.createTempDirectory("emb_idem").toString
+    val idx = EmbedIndex.build(corpus, "vec_id", "embedding", base, "eidx_i",
+      dim = 64, threshold = 0.95, buckets = 8)
+    idx.append(b1, "vec_id", "embedding")
+    val n1 = idx.indexedVectors()
+    val probe1 = idx.probe(withClones(0L, 5L, 20000L), "vec_id", "embedding")
+      .orderBy("i", "j").collect().toSeq
+    // the at-least-once scenario: foreachBatch died after append() but
+    // before the checkpoint commit, and the SAME batch arrives again
+    idx.append(b1, "vec_id", "embedding")
+    assert(idx.indexedVectors() == n1,
+      "re-appending an already-indexed batch must be a no-op")
+    val probe2 = idx.probe(withClones(0L, 5L, 20000L), "vec_id", "embedding")
+      .orderBy("i", "j").collect().toSeq
+    assert(probe2 == probe1, "redelivery must not change (or duplicate) probe output")
+    Dedup.releaseCaches()
+  }
+
   test("probeStream: cumulative streamed pairs == batch embeddingPairs closure") {
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     val corpus = emb.unionByName(withClones(0L, 10L))
