@@ -206,20 +206,8 @@ final class MinHashIndex private[operators] (
     * `toPath`; the old directory is the caller's to drop once unused.
     */
   def delete(docIds: DataFrame, idCol: String, toPath: String): MinHashIndex = {
-    require(toPath != path, s"delete target must differ from current path: $path")
     val ids = docIds.select(col(idCol).cast("long").as("doc_id"))
-    Sinks.bucketed(
-      spark.read.parquet(s"$path/buckets")
-        .join(ids, Seq("doc_id"), "left_anti")
-        .repartition(buckets, col("band"), col("bh")),
-      bucketsTable, s"$toPath/buckets", buckets, Seq("band", "bh"))
-    Sinks.bucketed(
-      spark.read.parquet(s"$path/sets")
-        .join(ids, Seq("doc_id"), "left_anti")
-        .repartition(buckets, col("doc_id")),
-      setsTable, s"$toPath/sets", buckets, Seq("doc_id"))
-    new MinHashIndex(spark, bucketsTable, setsTable, toPath,
-      shingleN, numHashes, bands, buckets)
+    rewrite(toPath, _.join(ids, Seq("doc_id"), "left_anti"))
   }
 
   /** Small-file maintenance: every [[append]] adds one file per populated
@@ -234,21 +222,27 @@ final class MinHashIndex private[operators] (
     * Returns a handle rooted at the new path (this handle keeps working
     * too — the catalog tables now point at `toPath`).
     */
-  def compact(toPath: String): MinHashIndex = {
-    require(toPath != path, s"compact target must differ from current path: $path")
+  def compact(toPath: String): MinHashIndex = rewrite(toPath, identity)
+
+  private def rewrite(
+      toPath: String, f: DataFrame => DataFrame): MinHashIndex = {
+    require(toPath != path, s"rewrite target must differ from current path: $path")
     // repartition on the bucket columns with numPartitions == buckets:
     // Spark's bucket id is the same hash pmod numBuckets, so each write
     // task owns exactly its bucket's rows → ONE file per bucket (without
     // this, every read partition writes its own per-bucket files and the
     // rewrite shrinks nothing)
     Sinks.bucketed(
-      spark.read.parquet(s"$path/buckets")
+      f(spark.read.parquet(s"$path/buckets"))
         .repartition(buckets, col("band"), col("bh")),
       bucketsTable, s"$toPath/buckets", buckets, Seq("band", "bh"))
     Sinks.bucketed(
-      spark.read.parquet(s"$path/sets")
+      f(spark.read.parquet(s"$path/sets"))
         .repartition(buckets, col("doc_id")),
       setsTable, s"$toPath/sets", buckets, Seq("doc_id"))
+    // geometry travels with the data: a later open() on toPath must not
+    // have to guess it
+    DedupIndex.writeMeta(spark, toPath, shingleN, numHashes, bands, buckets)
     new MinHashIndex(spark, bucketsTable, setsTable, toPath,
       shingleN, numHashes, bands, buckets)
   }
@@ -279,18 +273,49 @@ object DedupIndex {
       s"${name}_buckets", s"$path/buckets", buckets, Seq("band", "bh"))
     Sinks.bucketed(sets, s"${name}_sets", s"$path/sets",
       buckets, Seq("doc_id"))
+    writeMeta(spark, path, shingleN, numHashes, bands, buckets)
     new MinHashIndex(spark, s"${name}_buckets", s"${name}_sets", path,
       shingleN, numHashes, bands, buckets)
   }
 
   /** Re-open an existing index (e.g. a new session over yesterday's
-    * tables) — no data work, just the handle. Geometry must match what
-    * [[build]] used; `path` is where its data lives (for [[MinHashIndex.compact]]).
+    * tables) — no data work, just the handle.
+    *
+    * Opening never guesses geometry: indexes written since the `meta`
+    * file existed carry (shingleN, numHashes, bands, buckets) with the
+    * data, and meta WINS over the arguments — an open with mismatched
+    * args would otherwise hash probe batches with a different LSH
+    * geometry than the stored buckets and silently emit garbage pairs
+    * (the failure [[EmbedIndex.open]] was designed against). The
+    * argument geometry applies only to legacy paths without a meta file.
     */
   def open(
       spark: SparkSession, name: String, path: String,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      buckets: Int = 32): MinHashIndex =
-    new MinHashIndex(spark, s"${name}_buckets", s"${name}_sets", path,
-      shingleN, numHashes, bands, buckets)
+      buckets: Int = 32): MinHashIndex = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m =
+      if (fs.exists(metaPath)) Some(spark.read.parquet(s"$path/meta").head())
+      else None
+    m match {
+      case Some(r) => new MinHashIndex(
+        spark, s"${name}_buckets", s"${name}_sets", path,
+        r.getAs[Int]("shingleN"), r.getAs[Int]("numHashes"),
+        r.getAs[Int]("bands"), r.getAs[Int]("buckets"))
+      case None => new MinHashIndex(
+        spark, s"${name}_buckets", s"${name}_sets", path,
+        shingleN, numHashes, bands, buckets)
+    }
+  }
+
+  private[operators] def writeMeta(
+      spark: SparkSession, path: String, shingleN: Int,
+      numHashes: Int, bands: Int, buckets: Int): Unit = {
+    import spark.implicits._
+    Seq((shingleN, numHashes, bands, buckets))
+      .toDF("shingleN", "numHashes", "bands", "buckets")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
 }

@@ -42,7 +42,8 @@ final class SrpEmbedIndex private[operators] (
     val bits: Int,
     val tables: Int,
     val seed: Long,
-    val buckets: Int) extends Serializable {
+    val buckets: Int,
+    val designThreshold: Double = 0.95) extends Serializable {
 
   /** The build-time hyperplanes, regenerated deterministically — SAME
     * construction as `Dedup.srpBucketed` (one Random stream, table-major),
@@ -267,14 +268,18 @@ final class SrpEmbedIndex private[operators] (
     */
   def rebuild(
       toPath: String, targetBucket: Int = 32,
-      threshold: Double = 0.95): SrpEmbedIndex = {
+      threshold: Double = Double.NaN): SrpEmbedIndex = {
     require(toPath != path, s"rebuild target must differ from current path: $path")
     spark.catalog.refreshTable(vectorsTable)
     val name = vectorsTable.stripSuffix("_evectors")
+    // default recall design point = the one THIS index was built at
+    // (persisted in meta) — a rebuild is a geometry refresh, not a
+    // silent threshold change
+    val t = if (threshold.isNaN) designThreshold else threshold
     // files, not the catalog table: the build below is about to redefine it
     EmbedIndex.build(
       spark.read.parquet(s"$path/vectors"), "vid", "v",
-      toPath, name, dim, threshold = threshold,
+      toPath, name, dim, threshold = t,
       seed = seed, buckets = buckets, targetBucket = targetBucket)
   }
 
@@ -323,9 +328,10 @@ final class SrpEmbedIndex private[operators] (
       f(spark.read.parquet(s"$path/vectors"))
         .repartition(buckets, col("vid")),
       vectorsTable, s"$toPath/vectors", buckets, Seq("vid"))
-    EmbedIndex.writeMeta(spark, toPath, dim, bits, tables, seed, buckets)
+    EmbedIndex.writeMeta(spark, toPath, dim, bits, tables, seed, buckets,
+      designThreshold)
     new SrpEmbedIndex(spark, bucketsTable, vectorsTable, toPath,
-      dim, bits, tables, seed, buckets)
+      dim, bits, tables, seed, buckets, designThreshold)
   }
 }
 
@@ -349,9 +355,9 @@ object EmbedIndex {
       if (planesPerTable > 0) planesPerTable
       else Lsh.autoPlanes(emb.count(), targetBucket)
     val nTables = if (tables > 0) tables else Lsh.autoTables(bits, threshold)
-    writeMeta(spark, path, dim, bits, nTables, seed, buckets)
+    writeMeta(spark, path, dim, bits, nTables, seed, buckets, threshold)
     val idx = new SrpEmbedIndex(spark, s"${name}_ebuckets", s"${name}_evectors",
-      path, dim, bits, nTables, seed, buckets)
+      path, dim, bits, nTables, seed, buckets, threshold)
     // one kernel pass per write; the vectors write is a NARROW projection
     // of the one-row-per-vector keyed frame — no dropDuplicates shuffle
     // of exploded vector payloads
@@ -368,18 +374,23 @@ object EmbedIndex {
     * — the derived key width depends on the corpus size at build time).
     */
   def open(spark: SparkSession, name: String, path: String): SrpEmbedIndex = {
-    val m = spark.read.parquet(s"$path/meta").head()
+    val df = spark.read.parquet(s"$path/meta")
+    val m = df.head()
+    // indexes written before meta carried the design threshold default to
+    // the historical 0.95
+    val t = if (df.schema.fieldNames.contains("threshold"))
+      m.getAs[Double]("threshold") else 0.95
     new SrpEmbedIndex(spark, s"${name}_ebuckets", s"${name}_evectors", path,
       m.getAs[Int]("dim"), m.getAs[Int]("bits"), m.getAs[Int]("tables"),
-      m.getAs[Long]("seed"), m.getAs[Int]("buckets"))
+      m.getAs[Long]("seed"), m.getAs[Int]("buckets"), t)
   }
 
   private[operators] def writeMeta(
       spark: SparkSession, path: String, dim: Int, bits: Int,
-      tables: Int, seed: Long, buckets: Int): Unit = {
+      tables: Int, seed: Long, buckets: Int, threshold: Double): Unit = {
     import spark.implicits._
-    Seq((dim, bits, tables, seed, buckets))
-      .toDF("dim", "bits", "tables", "seed", "buckets")
+    Seq((dim, bits, tables, seed, buckets, threshold))
+      .toDF("dim", "bits", "tables", "seed", "buckets", "threshold")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }

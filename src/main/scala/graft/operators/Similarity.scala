@@ -179,13 +179,22 @@ object Similarity {
       * nprobe = nClusters, and the approximate regime degrades only as
       * far as the frozen quantizer drifts from the grown corpus (the
       * standard IVF maintenance trade; retrain+rebuild when drift
-      * accumulates). Caller guarantees ids are not already indexed.
-      * In-memory indexes have no table to append to — save first.
+      * accumulates). In-memory indexes have no table to append to — save
+      * first.
+      *
+      * IDEMPOTENT under retry/redelivery: already-indexed vids are
+      * dropped by a batch-bounded left-anti join against the assignments
+      * table (same contract as [[MinHashIndex.append]] /
+      * [[SrpEmbedIndex.append]]), so a caller re-running a failed append
+      * cannot duplicate rows — duplicated assignment rows would surface
+      * as duplicate neighbors in every later search.
       */
     def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
       val ref = requireTable("append")
       val spark = baseAssigned.sparkSession
+      spark.catalog.refreshTable(ref.table)
       IvfIndex.assign(spark, emb, idCol, vecCol, centroids)
+        .join(spark.table(ref.table).select("vid"), Seq("vid"), "left_anti")
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(ref.buckets, "cluster")
         .saveAsTable(ref.table)

@@ -86,6 +86,37 @@ class DedupIndexSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("open never guesses geometry: meta wins over (absent or wrong) arguments") {
+    val d2 = docs.select("doc_id", "text")
+    val corpus = d2.filter(col("doc_id") < 300)
+    val batch = d2.filter(col("doc_id") >= 300)
+    val base = Files.createTempDirectory("mh_meta").toString
+    // NON-default geometry baked into the index
+    val idx = DedupIndex.build(corpus, "doc_id", "text", base, "mhidx_m",
+      shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
+    val want = idx.probe(batch, "doc_id", "text").orderBy("i", "j").collect().toSeq
+    // an open with NO geometry args (the defaults disagree on every knob)
+    // must still read the stored 64/16/8 from meta — probing with the
+    // argument defaults would hash a different LSH geometry than the
+    // stored buckets and silently emit garbage
+    val reopened = DedupIndex.open(spark, "mhidx_m", base)
+    assert(reopened.numHashes == 64 && reopened.bands == 16 && reopened.buckets == 8,
+      s"meta must win: got ${reopened.numHashes}/${reopened.bands}/${reopened.buckets}")
+    assert(reopened.probe(batch, "doc_id", "text").orderBy("i", "j").collect().toSeq
+      == want)
+    // geometry travels through maintenance rewrites too
+    reopened.compact(s"$base-v2")
+    val reopened2 = DedupIndex.open(spark, "mhidx_m", s"$base-v2")
+    assert(reopened2.numHashes == 64 && reopened2.bands == 16,
+      "compact must carry meta to the new path")
+    // legacy path without meta: arguments still apply (the ScaleProbe
+    // open-by-args contract)
+    val legacy = DedupIndex.open(spark, "mhidx_m", s"$base-nometa",
+      shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
+    assert(legacy.numHashes == 64 && legacy.bands == 16)
+    Dedup.releaseCaches()
+  }
+
   test("append is idempotent: a redelivered batch does not duplicate index rows") {
     val d2 = docs.select("doc_id", "text")
     val corpus = d2.filter(col("doc_id") < 400)

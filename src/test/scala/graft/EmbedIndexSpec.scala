@@ -170,6 +170,12 @@ class EmbedIndexSpec extends SparkSpec {
       s"rebuild must re-derive width at TODAY's count, got ${rebuilt.bits}")
     assert(!rebuilt.needsRebuild(targetBucket = 2))
     assert(rebuilt.indexedVectors() == 1000L)
+    // the recall design point travels: rebuild without an explicit
+    // threshold re-derives tables at the threshold the index was BUILT at
+    // (persisted in meta), not at some function default
+    assert(rebuilt.designThreshold == 0.95)
+    assert(rebuilt.tables == Lsh.autoTables(rebuilt.bits, 0.95))
+    assert(EmbedIndex.open(spark, "eidx_r", s"$base/v2").designThreshold == 0.95)
     // the promise: rebuild == EmbedIndex.build over the same vectors at
     // the same knobs (same seed -> same planes -> identical probes)
     val batch = withClones(0L, 10L, 30000L)

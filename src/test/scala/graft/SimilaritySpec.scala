@@ -112,6 +112,14 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       idx.append(newPart, "vec_id", "embedding")
     }
+    // append is idempotent: a retried/redelivered batch is a no-op, so
+    // searches cannot grow duplicate neighbors
+    val nAll = opened.assigned.count()
+    opened.append(newPart, "vec_id", "embedding")
+    assert(opened.assigned.count() == nAll,
+      "re-appending an already-indexed batch must be a no-op")
+    assert(rows(opened.search(qs, k = 3, nprobe = 8)) == bf,
+      "redelivered append must not change search results")
   }
 
   test("IVF delete retracts vectors; compact folds append files; searches unchanged") {
