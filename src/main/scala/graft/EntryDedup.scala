@@ -110,6 +110,53 @@ private[graft] object EntryDedup {
     idx.assignments().orderBy("doc_id")
   }
 
+  /** The retraction workflow [[CompIndex.rebuildFrom]] closes: build the
+    * incremental index over ALL near-dup pairs, retract the smallest doc
+    * appearing in any pair (its pairs vanish — deletion can SPLIT a
+    * component, which the incremental path cannot express), and rebuild
+    * from the survivors. Labels must equal the batch closure over the
+    * surviving pair set — the oracle recomputes exactly that with the
+    * same min-doc retraction in SQL.
+    */
+  def dedupComponentsRebuild(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select("i", "j").localCheckpoint(true)
+    val path = java.nio.file.Files.createTempDirectory("graft_comp_rb").toString
+    val idx = ComponentsIndex.build(pairs, path, "graft_q_crb", buckets = 8)
+    val retract = pairs.agg(min(col("i"))).head.getLong(0)
+    val rebuilt = idx.rebuildFrom(
+      pairs.filter(col("i") =!= retract && col("j") =!= retract), s"$path-v2")
+    rebuilt.assignments().orderBy("doc_id")
+  }
+
+  /** The [[SrpEmbedIndex.rebuild]] maintenance cycle end-to-end: build on
+    * HALF the corpus at a toy targetBucket (so fixture-scale growth
+    * crosses the frozen-key-width wall), append the other half until
+    * [[SrpEmbedIndex.needsRebuild]] trips, rebuild at the re-derived
+    * geometry, then probe ten planted clones. Clones are bit-identical
+    * vectors (recall exactly 1 at ANY geometry), so the result is the
+    * same closed-form pair set as [[dedupEmbeddingIndex]] — which is what
+    * makes the rebuild oracle-checkable: geometry changes, answers don't.
+    */
+  def dedupEmbeddingRebuild(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("graft_emb_rb").toString
+    val idx = EmbedIndex.build(emb.filter(col("vec_id") < 250),
+      "vec_id", "embedding", path, "graft_q_erb",
+      dim = 64, threshold = 0.95, buckets = 8, targetBucket = 1)
+    idx.append(emb.filter(col("vec_id") >= 250), "vec_id", "embedding")
+    require(idx.needsRebuild(targetBucket = 1),
+      "the doubled corpus must trip the frozen-width check")
+    val rebuilt = idx.rebuild(s"$path-v2", targetBucket = 1)
+    val batch = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    rebuilt.probe(batch, "vec_id", "embedding", threshold = 0.95)
+      .select(col("i"), col("j"), col("cos").as("sim"))
+      .orderBy("i", "j")
+  }
+
   /** The streaming form of [[dedupComponentsIndex]]: the same pair set
     * arrives as a THREE-wave file stream driven through
     * [[CompIndex.updateStream]], and the resolved labels must equal the

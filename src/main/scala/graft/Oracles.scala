@@ -1562,7 +1562,53 @@ private[graft] object Oracles {
     // invariance IS the contract, so the oracle is identical
     "dedup_components_index" -> duckCompLabels,
     "stream_components" -> duckCompLabels,
+    // the retraction cycle: the same reachability closure, recomputed
+    // over the pair set with every pair touching the min pair doc removed
+    // (mirrors EntryDedup.dedupComponentsRebuild's retract-then-rebuild)
+    "dedup_components_rebuild" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |                   for i in range(1, len(l)-1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |), pj0 AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s)) * 1.0
+        |        / len(list_distinct(a.s || b.s)) >= 0.8
+        |), pj AS (
+        |  SELECT i, j FROM pj0
+        |  WHERE i <> (SELECT MIN(i) FROM pj0)
+        |    AND j <> (SELECT MIN(i) FROM pj0)
+        |), e(a, b) AS (
+        |  SELECT i, j FROM pj UNION SELECT j, i FROM pj
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        |)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "dedup_embedding_index" ->
+      """WITH batch AS (
+        |  SELECT vec_id + 10000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id < 10
+        |), allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM batch
+        |)
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 3) AS sim
+        |FROM allv a, allv b
+        |WHERE a.vec_id < b.vec_id AND b.vec_id >= 10000
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.95
+        |ORDER BY i, j""".stripMargin,
+    // rebuild changes the LSH geometry, never the answers: the planted
+    // bit-identical clones are found at recall 1 under ANY key width, so
+    // the maintenance cycle shares the stored-index probe's oracle
+    "dedup_embedding_rebuild" ->
       """WITH batch AS (
         |  SELECT vec_id + 10000 AS vec_id, embedding
         |  FROM embeddings WHERE vec_id < 10

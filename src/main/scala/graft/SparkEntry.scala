@@ -1510,7 +1510,9 @@ object SparkEntry {
     "dedup_ngram" -> (EntryDedup.dedupNgram _),
     "dedup_embedding" -> (EntryDedup.dedupEmbedding _),
     "dedup_embedding_index" -> (EntryDedup.dedupEmbeddingIndex _),
+    "dedup_embedding_rebuild" -> (EntryDedup.dedupEmbeddingRebuild _),
     "dedup_components_index" -> (EntryDedup.dedupComponentsIndex _),
+    "dedup_components_rebuild" -> (EntryDedup.dedupComponentsRebuild _),
     "dedup_corpus" -> (EntryDedup.dedupCorpus _),
     "ann_topk" -> (EntryDedup.annTopk _),
     "ann_lsh" -> (EntryDedup.annLsh _),

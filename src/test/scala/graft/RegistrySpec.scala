@@ -27,7 +27,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the shipped inventory") {
-    assert(SparkEntry.queries.size == 154,
+    assert(SparkEntry.queries.size == 156,
       s"query count drifted: ${SparkEntry.queries.size} (update this pin " +
         "AND SURVEY §2.4 when adding operators)")
   }
