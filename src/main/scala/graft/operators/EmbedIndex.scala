@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   * The LSH geometry (key width from [[Lsh.autoPlanes]] at build-time
   * corpus size, table count from [[Lsh.autoTables]] at the stated
   * threshold, hyperplanes regenerated from the seed) is persisted in a
-  * one-row `meta` parquet, because unlike shingle hashing it is NOT
-  * caller-reconstructible: the derived width depends on what the corpus
-  * size WAS when the index was built. [[EmbedIndex.open]] reads it back —
-  * opening never guesses geometry.
+  * one-row `meta` parquet together with the recall design threshold,
+  * because unlike shingle hashing it is NOT caller-reconstructible: the
+  * derived width depends on what the corpus size WAS when the index was
+  * built. [[EmbedIndex.open]] reads it back — opening never guesses
+  * geometry — and [[SrpEmbedIndex.rebuild]] re-derives it at TODAY's
+  * size when [[SrpEmbedIndex.needsRebuild]] reports the frozen width has
+  * drifted.
   *
   * Semantics match [[Dedup.embeddingPairs]] under the build-time geometry,
   * restricted to pairs touching ≥ 1 incoming vector (including
