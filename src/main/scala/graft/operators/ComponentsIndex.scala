@@ -14,11 +14,17 @@ import org.apache.spark.sql.functions._
   *  - `assignments` — (doc_id, comp0) APPEND-ONLY bucketed parquet: one
   *    row per ever-seen pair member, written once when first seen and
   *    never rewritten.
-  *  - `remap` — (comp0, root) tiny parquet: the fully-collapsed record of
-  *    every component merge since the last [[CompIndex.compact]]. Bounded
-  *    by merged-component count (duplicate-pair-shaped, a vanishing
-  *    fraction of docs), loaded driver-side per update like the k-means
-  *    centroids — model-sized state, not data-sized.
+  *  - `remap-v{n}` — (comp0, root) tiny parquet, VERSIONED: the
+  *    fully-collapsed record of every component merge since the last
+  *    [[CompIndex.compact]]. Bounded by merged-component count
+  *    (duplicate-pair-shaped, a vanishing fraction of docs), loaded
+  *    driver-side per update like the k-means centroids — model-sized
+  *    state, not data-sized. Every update PUBLISHES a new version and
+  *    only then prunes the old one (`_SUCCESS`-gated, see
+  *    [[CompIndex.writeRemap]]): this is the one piece of state the
+  *    index rewrites per batch, so it must never be overwritten in
+  *    place — a crash can at worst leave the previous version live,
+  *    never lose the merge history.
   *  - the RESOLVED label of a doc is `remap.getOrElse(comp0, comp0)` —
   *    applied as one broadcast join on reads ([[CompIndex.assignments]]).
   *
@@ -40,11 +46,12 @@ final class CompIndex private[operators] (
     val path: String,
     val buckets: Int) {
 
-  private def remapPath = s"$path/remap"
-
   private def loadRemap(): Map[Long, Long] =
-    spark.read.parquet(remapPath)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CompIndex.currentRemapDir(spark, path) match {
+      case Some(p) => spark.read.parquet(p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      case None => Map.empty
+    }
 
   /** Resolved (doc_id, comp) for every pair member ever ingested —
     * comp = min id reachable through all pairs so far.
@@ -126,7 +133,7 @@ final class CompIndex private[operators] (
     // recompute derives no new ones — compose is idempotent) and the
     // first-seen docs still absent, so it re-appends exactly them; the
     // reverse order would re-append docs that already have rows
-    CompIndex.writeRemap(spark, remapPath, remap1)
+    CompIndex.writeRemap(spark, path, remap1)
     if (toAppend.nonEmpty)
       toAppend.toDF("doc_id", "comp0")
         .repartition(buckets, col("doc_id"))
@@ -189,7 +196,7 @@ final class CompIndex private[operators] (
       resolved.select(col("doc_id"), col("comp0"))
         .repartition(buckets, col("doc_id")),
       assignTable, s"$toPath/assignments", buckets, Seq("doc_id"))
-    CompIndex.writeRemap(spark, s"$toPath/remap", Map.empty)
+    CompIndex.writeRemap(spark, toPath, Map.empty)
     new CompIndex(spark, assignTable, toPath, buckets)
   }
 }
@@ -212,7 +219,7 @@ object ComponentsIndex {
         .select(col("doc_id"), col("comp").as("comp0"))
         .repartition(buckets, col("doc_id")),
       table, s"$path/assignments", buckets, Seq("doc_id"))
-    CompIndex.writeRemap(spark, s"$path/remap", Map.empty)
+    CompIndex.writeRemap(spark, path, Map.empty)
     new CompIndex(spark, table, path, buckets)
   }
 
@@ -223,11 +230,80 @@ object ComponentsIndex {
 }
 
 private object CompIndex {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def fs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val VerRe = "remap-v(\\d+)".r
+
+  /** Committed remap versions under the index directory, ascending. A
+    * version counts only once its `_SUCCESS` marker exists — the
+    * committer writes the marker LAST, so a write torn by a crash is
+    * invisible here by construction. This is what makes remap updates
+    * crash-safe: the PREVIOUS version is never touched until the next one
+    * is fully committed (the old single-dir SaveMode.Overwrite deleted
+    * the live remap before writing its replacement — a crash inside that
+    * window lost the entire historical merge record while `assignments`
+    * kept its stale comp0 values).
+    */
+  private def committedVersions(spark: SparkSession, base: String): Seq[Long] = {
+    val f = fs(spark, base)
+    val dir = new Path(base)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case VerRe(n) if f.exists(new Path(st.getPath, "_SUCCESS")) => Some(n.toLong)
+        case _ => None
+      })
+      .sorted
+  }
+
+  /** The LIVE remap directory: highest committed version, falling back to
+    * the pre-versioning single `remap` dir for indexes written before the
+    * scheme, then to "no remap yet" (empty map).
+    */
+  private[operators] def currentRemapDir(
+      spark: SparkSession, base: String): Option[String] = {
+    val vs = committedVersions(spark, base)
+    if (vs.nonEmpty) Some(s"$base/remap-v${vs.last}")
+    else if (fs(spark, base).exists(new Path(s"$base/remap")))
+      Some(s"$base/remap")
+    else None
+  }
+
+  /** Publish a new remap state: write version current+1 (Overwrite clears
+    * any uncommitted partial a previous crash left at that number), then
+    * prune superseded versions — `_SUCCESS` FIRST, so a crash mid-prune
+    * can never leave a half-deleted directory looking live. Readers
+    * resolve through [[currentRemapDir]] and therefore always see either
+    * the old state or the new one, never a partial.
+    */
   private[operators] def writeRemap(
-      spark: SparkSession, path: String, remap: Map[Long, Long]): Unit = {
+      spark: SparkSession, base: String, remap: Map[Long, Long]): Unit = {
     import spark.implicits._
+    val old = committedVersions(spark, base)
+    val next = if (old.isEmpty) 1L else old.last + 1
     remap.toSeq.sortBy(_._1).toDF("comp0", "root")
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/remap-v$next")
+    val f = fs(spark, base)
+    // the whole scheme keys off the commit marker — fail LOUDLY if a
+    // non-default committer config suppressed it, because the version
+    // just written would otherwise be silently invisible
+    require(f.exists(new Path(s"$base/remap-v$next/_SUCCESS")),
+      s"parquet commit left no _SUCCESS under $base/remap-v$next " +
+        "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?) — " +
+        "versioned remap publication depends on the marker")
+    (old.map(v => s"$base/remap-v$v") :+ s"$base/remap").foreach { p =>
+      try {
+        val d = new Path(p)
+        if (f.exists(d)) {
+          f.delete(new Path(d, "_SUCCESS"), false)
+          f.delete(d, true)
+        }
+      } catch { case _: Throwable => () } // prune is best-effort cleanup
+    }
   }
 }

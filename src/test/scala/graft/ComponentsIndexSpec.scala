@@ -53,7 +53,8 @@ class ComponentsIndexSpec extends SparkSpec {
     val before = resolved(idx)
     val idx2 = idx.compact(s"$base/v2")
     assert(resolved(idx2) == before)
-    assert(spark.read.parquet(s"$base/v2/remap").count() == 0)
+    assert(spark.read.parquet(
+      CompIndex.currentRemapDir(spark, s"$base/v2").get).count() == 0)
     // and further updates work from the compacted baseline
     val w4 = Seq((31L, 40L)).toDF("i", "j")
     idx2.update(w4)
@@ -75,12 +76,67 @@ class ComponentsIndexSpec extends SparkSpec {
     assert(resolved(rebuilt) == want(survivors),
       "rebuilt labels must equal the batch closure over surviving pairs")
     assert(resolved(rebuilt) == Map(3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L))
-    assert(spark.read.parquet(s"$base/v2/remap").count() == 0)
+    assert(spark.read.parquet(
+      CompIndex.currentRemapDir(spark, s"$base/v2").get).count() == 0)
     // the handle keeps the SAME catalog table (re-pointed), and the
     // incremental path continues from the rebuilt baseline
     rebuilt.update(Seq((4L, 50L)).toDF("i", "j"))
     assert(resolved(rebuilt) ==
       want(survivors.unionByName(Seq((4L, 50L)).toDF("i", "j"))))
+  }
+
+  test("remap publication is crash-safe: a torn write never loses merge history") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val w1 = Seq((1L, 2L), (10L, 11L)).toDF("i", "j")
+    val w2 = Seq((2L, 10L)).toDF("i", "j") // merges the two comps → remap non-empty
+    val base = Files.createTempDirectory("comp_torn").toString
+    val idx = ComponentsIndex.build(w1, base, "cidx_t", buckets = 4)
+    idx.update(w2)
+    val good = resolved(idx)
+    assert(good.values.toSet == Set(1L), "w2 must merge everything into root 1")
+    // simulate the crash the old in-place Overwrite could not survive: a
+    // NEWER remap version's parquet files land — with WRONG content, an
+    // empty remap, exactly the transient state Overwrite exposed after its
+    // delete phase — but the job dies before the commit marker is written
+    val fs = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = s"$base/remap-v99"
+    Seq.empty[(Long, Long)].toDF("comp0", "root").coalesce(1)
+      .write.mode("overwrite").parquet(torn)
+    assert(fs.delete(new Path(torn, "_SUCCESS"), false),
+      "test setup: the torn dir must have had a marker to remove")
+    // labels still resolve through the PREVIOUS committed version
+    assert(resolved(idx) == good,
+      "an uncommitted remap version must be invisible to readers")
+    // and the index keeps working: the next update publishes a fresh
+    // committed version and the closure stays exact
+    val w3 = Seq((11L, 40L)).toDF("i", "j")
+    idx.update(w3)
+    assert(resolved(idx) == want(w1.unionByName(w2).unionByName(w3)))
+  }
+
+  test("pre-versioning layout (single in-place remap dir) still opens and upgrades") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val w1 = Seq((1L, 2L), (10L, 11L)).toDF("i", "j")
+    val w2 = Seq((2L, 10L)).toDF("i", "j")
+    val base = Files.createTempDirectory("comp_legacy").toString
+    val idx = ComponentsIndex.build(w1, base, "cidx_l", buckets = 4)
+    idx.update(w2)
+    val good = resolved(idx)
+    // demote the live versioned remap to the r8 on-disk layout
+    val cur = CompIndex.currentRemapDir(spark, base).get
+    val fs = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(cur), new Path(s"$base/remap")))
+    assert(resolved(idx) == good, "legacy single-dir remap must still resolve")
+    // the next update publishes version 1 and prunes the legacy dir
+    idx.update(Seq((11L, 40L)).toDF("i", "j"))
+    assert(resolved(idx) ==
+      want(w1.unionByName(w2).unionByName(Seq((11L, 40L)).toDF("i", "j"))))
+    assert(!fs.exists(new Path(s"$base/remap")),
+      "publication must prune the superseded legacy dir")
   }
 
   test("end-to-end continuous dedup: doc stream → pair stream → component labels") {
