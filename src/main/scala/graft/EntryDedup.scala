@@ -256,6 +256,45 @@ private[graft] object EntryDedup {
       .orderBy("query_id", "rnk")
   }
 
+  /** The drift-maintenance cycle of the IVF index as ONE oracle-checked
+    * query — the vector-quantization twin of [[dedupEmbeddingRebuild]]:
+    * build+save on the fixture corpus, append a deterministic far-away
+    * cluster (ids +10000, values 25.0 + (id%7)·0.3 + dim·0.01 — a
+    * distribution shift the frozen quantizer has never seen, closed-form
+    * so the oracle can recreate it), REQUIRE the observed-drift check to
+    * trip, retrain from the STORED vectors, search at nprobe = nClusters.
+    * Full probing is exhaustive, so the whole cycle is SQL-checkable:
+    * whatever centroids the retrain produced, search == brute-force
+    * cosine top-k over corpus ∪ cluster.
+    */
+  def annIvfRetrain(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
+    val idx = Similarity.IvfIndex.build(s, emb, "vec_id", "embedding", nClusters = 16)
+    Similarity.IvfIndex.save(idx, "graft_q_ivfrt", s"$path/v1")
+    val opened = Similarity.IvfIndex.open(s, "graft_q_ivfrt", s"$path/v1")
+    val shifted = s.range(10000L, 10500L)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => lit(25.0) + (col("id") % 7).cast("double") * 0.3 +
+            i.cast("double") * 0.01).as("embedding"))
+    opened.append(shifted, "vec_id", "embedding")
+    require(opened.needsRetrain(),
+      "a corpus half made of a far-away cluster must trip the drift check")
+    val retrained = opened.retrain(s"$path/v2")
+    require(!retrained.needsRetrain(),
+      "a just-retrained index must not want another retrain")
+    val all = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(shifted)
+    val queries = all.filter(col("vec_id").isin(0L, 1L, 2L, 10000L, 10001L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    retrained.search(queries, k = 3, nprobe = 16)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+        col("cos").as("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Product-quantized ADC search: codebooks trained on the corpus (seeded,
     * deterministic), every vector compressed to 8 one-byte codes, queries
     * ranked by asymmetric distance. Rows-only BY MEASURED NECESSITY, not

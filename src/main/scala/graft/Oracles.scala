@@ -1627,6 +1627,34 @@ private[graft] object Oracles {
     "ann_topk" -> duckAnnTopk,
     "ann_ivf" -> duckAnnTopk,
     "ann_ivf_index" -> duckAnnTopk,
+    // the retrain cycle changes the quantizer, never the answers at full
+    // probing: search at nprobe = nClusters is brute force over
+    // corpus ∪ the closed-form shifted cluster the query appended
+    "ann_ivf_retrain" ->
+      """WITH shifted AS (
+        |  SELECT 10000 + i AS vec_id,
+        |    list_transform(range(0, 64, 1),
+        |      d -> 25.0 + ((10000 + i) % 7) * 0.3 + d * 0.01) AS embedding
+        |  FROM range(0, 500, 1) t(i)
+        |), allv AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+        |  FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM shifted
+        |), q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM allv
+        |  WHERE vec_id IN (0, 1, 2, 10000, 10001)
+        |), scored AS (
+        |  SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.embedding, q.qv) AS sim
+        |  FROM allv a, q WHERE a.vec_id <> q.qid
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM scored
+        |)
+        |SELECT query_id, rnk, neighbor_id, ROUND(sim, 3) AS sim
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // ann_pq stays rows-only by measured necessity — see the annPq
     // scaladoc: the fixture's near-uniform embeddings leave inter-rank
     // gaps (0.5–2 %) below the reconstruction error of ANY non-degenerate

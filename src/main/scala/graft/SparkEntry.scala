@@ -1518,6 +1518,7 @@ object SparkEntry {
     "ann_lsh" -> (EntryDedup.annLsh _),
     "ann_ivf" -> (EntryDedup.annIvf _),
     "ann_ivf_index" -> (EntryDedup.annIvfIndex _),
+    "ann_ivf_retrain" -> (EntryDedup.annIvfRetrain _),
     "ann_pq" -> (EntryDedup.annPq _),
     "text_langid" -> (EntryText.textLangid _),
     "text_quality" -> (EntryText.textQuality _),

@@ -26,10 +26,16 @@ object Pq {
 
   /** Trained per-subspace codebooks: `cents(sub)(code)` is the `dsub`-dim
     * centroid for `code` in subspace `sub`. Total size m·k·dsub doubles.
+    *
+    * `trainMse` — mean squared reconstruction error over the TRAINING
+    * sample, recorded at train time: the drift baseline [[Pq.needsRetrain]]
+    * compares against (the PQ twin of the IVF index's persisted `stats`).
+    * It travels with the codebook wherever it is broadcast or stored.
     */
   final class Codebook private[Pq] (
       val m: Int, val k: Int, val dsub: Int,
-      private[Pq] val cents: Array[Array[Array[Double]]]) extends Serializable {
+      private[Pq] val cents: Array[Array[Array[Double]]],
+      val trainMse: Double = Double.NaN) extends Serializable {
 
     /** Nearest-centroid codes for one vector (length m). */
     private[operators] def encodeVec(v: Array[Double]): Array[Int] =
@@ -109,8 +115,79 @@ object Pq {
       }
       cs
     }
-    new Codebook(m, k, dsub, cents)
+    // drift baseline: reconstruction error of the training sample under
+    // the just-trained codebooks, computed driver-side on the sample that
+    // is already here (sampleSize · m · k · dsub ops — model-sized)
+    val cb0 = new Codebook(m, k, dsub, cents)
+    val mse = sample.iterator.map { v =>
+      val r = cb0.decode(cb0.encodeVec(v))
+      var e = 0.0; var i = 0
+      while (i < v.length) { val x = v(i) - r(i); e += x * x; i += 1 }
+      e
+    }.sum / sample.length
+    new Codebook(m, k, dsub, cents, mse)
   }
+
+  /** Sampled mean squared reconstruction error of the CURRENT corpus under
+    * `cb` — the same statistic [[train]] recorded as `trainMse`, measured
+    * with the same hash-ordered sampling discipline so the two are
+    * comparable. One narrow sampled pass; never a rebuild.
+    */
+  def currentMse(
+      emb: DataFrame, idCol: String, vecCol: String, cb: Codebook,
+      sampleSize: Int = 10000, seed: Long = 42L): Double = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    val r = asVectors(emb, idCol, vecCol).toDF("vid", "v")
+      .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
+      .limit(sampleSize)
+      .select("v").as[Array[Double]]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { v =>
+          val d = c.decode(c.encodeVec(v))
+          var e = 0.0; var i = 0
+          while (i < v.length) { val x = v(i) - d(i); e += x * x; i += 1 }
+          e
+        }
+      }
+      .toDF("e").agg(avg("e")).head()
+    require(!r.isNullAt(0), "cannot measure reconstruction error of an empty table")
+    r.getDouble(0)
+  }
+
+  /** Codebook-drift check — the retrain trigger frozen PQ codebooks need:
+    * a corpus that grows past the training distribution reconstructs ever
+    * more coarsely and ADC rankings silently lose fidelity. True once the
+    * current sampled reconstruction error exceeds `tolerance` × the
+    * train-time baseline carried on the codebook. Codebooks trained
+    * before the baseline existed (trainMse = NaN) cannot demonstrate they
+    * have NOT drifted — loudly ask for a retrain to establish one.
+    */
+  def needsRetrain(
+      emb: DataFrame, idCol: String, vecCol: String, cb: Codebook,
+      tolerance: Double = 1.5, sampleSize: Int = 10000,
+      seed: Long = 42L): Boolean = {
+    require(tolerance > 0, s"tolerance must be positive: $tolerance")
+    if (cb.trainMse.isNaN)
+      throw new IllegalStateException(
+        "codebook carries no drift baseline (trained before trainMse " +
+          "existed) — retrain to establish one")
+    currentMse(emb, idCol, vecCol, cb, sampleSize, seed) >
+      cb.trainMse * tolerance
+  }
+
+  /** Close the [[needsRetrain]] wall: re-train codebooks of the SAME
+    * shape (m, k — a retrain is a quantizer refresh, not a layout change)
+    * on the current corpus, baseline included. Callers re-[[encode]]
+    * afterwards; stored codes from the old codebook are not comparable.
+    */
+  def retrain(
+      emb: DataFrame, idCol: String, vecCol: String, cb: Codebook,
+      iters: Int = 5, sampleSize: Int = 10000, seed: Long = 42L): Codebook =
+    train(emb, idCol, vecCol, m = cb.m, k = cb.k, iters = iters,
+      sampleSize = sampleSize, seed = seed)
 
   /** PQ-encode every vector: (vid, codes array&lt;int&gt;). Narrow — the
     * broadcast codebook goes to the data, the base table never shuffles.

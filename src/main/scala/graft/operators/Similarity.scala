@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *    on a driver-side sample, broadcast), cluster assignment as a narrow
   *    map, search probes the `nprobe` nearest centroids.
   */
-object Similarity {
+object Similarity extends CacheLedger {
 
   /** Exact top-k cosine neighbors for each query id.
     * Output: (query_id, rank, neighbor_id, cos) — rank by cosine desc,
@@ -177,10 +177,11 @@ object Similarity {
       * results afterwards are identical to a fresh build over old ∪ new
       * vectors ASSIGNED TO THESE centroids — i.e. exact for
       * nprobe = nClusters, and the approximate regime degrades only as
-      * far as the frozen quantizer drifts from the grown corpus (the
-      * standard IVF maintenance trade; retrain+rebuild when drift
-      * accumulates). In-memory indexes have no table to append to — save
-      * first.
+      * far as the frozen quantizer drifts from the grown corpus — the
+      * standard IVF maintenance trade, and an OBSERVED one here:
+      * [[needsRetrain]] measures the drift against the persisted save-time
+      * baseline, [[retrain]] closes it. In-memory indexes have no table to
+      * append to — save first.
       *
       * IDEMPOTENT under retry/redelivery: already-indexed vids are
       * dropped by a batch-bounded left-anti join against the assignments
@@ -188,17 +189,33 @@ object Similarity {
       * [[SrpEmbedIndex.append]]), so a caller re-running a failed append
       * cannot duplicate rows — duplicated assignment rows would surface
       * as duplicate neighbors in every later search.
+      *
+      * The guard's drops are COUNTED, not silent (same contract as
+      * [[MinHashIndex.append]]): a re-sent vid with a CHANGED vector is
+      * NOT updated — delete+append to replace.
+      * @return rows actually appended; a full redelivery returns 0
       */
-    def append(emb: DataFrame, idCol: String, vecCol: String): Unit = {
+    def append(emb: DataFrame, idCol: String, vecCol: String): Long = {
       val ref = requireTable("append")
       val spark = baseAssigned.sparkSession
       spark.catalog.refreshTable(ref.table)
-      IvfIndex.assign(spark, emb, idCol, vecCol, centroids)
-        .join(spark.table(ref.table).select("vid"), Seq("vid"), "left_anti")
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .bucketBy(ref.buckets, "cluster")
-        .saveAsTable(ref.table)
-      spark.catalog.refreshTable(ref.table)
+      val a0 = IvfIndex.assign(spark, emb, idCol, vecCol, centroids)
+        .localCheckpoint(true)
+      try {
+        val kept = a0
+          .join(spark.table(ref.table).select("vid"), Seq("vid"), "left_anti")
+        val n = kept.count()
+        val in = a0.count()
+        if (n < in) DedupIndex.log.warn(
+          s"append dropped ${in - n} of $in already-indexed vids " +
+            s"(${ref.table}): redelivery is benign, but a changed vector " +
+            "under a re-sent vid is NOT updated - delete+append to replace")
+        kept.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .bucketBy(ref.buckets, "cluster")
+          .saveAsTable(ref.table)
+        spark.catalog.refreshTable(ref.table)
+        n
+      } finally a0.unpersist()
     }
 
     /** Remove vectors from a saved index: anti-join the assignments
@@ -226,6 +243,89 @@ object Similarity {
     def compact(toPath: String): IvfIndex =
       rewrite(requireTable("compact"), toPath, identity)
 
+    /** Current mean squared quantization error of the index — the
+      * distance between the corpus and its frozen quantizer, sampled
+      * exactly as [[IvfIndex.save]] sampled the baseline (hash-ordered,
+      * partitioning-invariant, driver cost bounded by `sampleSize`). The
+      * observability primitive behind [[needsRetrain]], exposed so
+      * operators can chart drift without committing to a retrain.
+      */
+    def quantError(sampleSize: Int = 10000, seed: Long = 42L): Double = {
+      val ref = requireTable("quantError")
+      val spark = baseAssigned.sparkSession
+      IvfIndex.meanQuantError(
+        spark.read.parquet(s"${ref.path}/assigned"), centroids,
+        sampleSize, seed)
+    }
+
+    /** Quantizer-drift check — the retrain trigger an append-only IVF
+      * needs: [[append]] freezes the centroids, so a corpus that grows
+      * past the build-time distribution quantizes ever more coarsely and
+      * the approximate regime (nprobe < nClusters) silently loses recall.
+      * Drift is OBSERVED, not guessed: the baseline mean quantization
+      * error persisted beside the centroids at save time is compared to
+      * the error over the CURRENT corpus (same sampling discipline), and
+      * the index wants a [[retrain]] once the ratio exceeds `tolerance`.
+      * A stationary corpus stays ~1.0× through any number of appends; a
+      * shifted one trips the ratio no matter how large the index has
+      * grown — the check's cost is one sampled scan, never a rebuild.
+      */
+    def needsRetrain(tolerance: Double = 1.5): Boolean = {
+      require(tolerance > 0, s"tolerance must be positive: $tolerance")
+      val ref = requireTable("needsRetrain")
+      val spark = baseAssigned.sparkSession
+      val st = IvfIndex.readStats(spark, ref.path).getOrElse(
+        throw new IllegalStateException(
+          s"no drift baseline at ${ref.path}/stats — the index predates " +
+            "drift tracking; retrain(toPath) (or re-save) establishes one"))
+      quantError(st.sampleSize, st.seed) > st.mqe * tolerance
+    }
+
+    /** Close the [[needsRetrain]] wall: re-run sampled k-means over the
+      * STORED vectors (no caller round-trip through the original
+      * embedding table), re-assign the whole corpus to the new centroids
+      * — the one full narrow pass a drifted quantizer must eventually pay
+      * — and write centroids + assignments + a FRESH drift baseline to
+      * `toPath`, re-pointing the same catalog table. The exact analogue
+      * of [[SrpEmbedIndex.rebuild]] on the vector-quantization side:
+      * cluster count is preserved (a retrain is a quantizer refresh, not
+      * a shape change), search at nprobe = nClusters is exact over the
+      * same corpus before and after, and the approximate regime recovers
+      * the recall the drifted centroids had leaked. The old directory is
+      * the caller's to drop once nothing queries it.
+      */
+    def retrain(
+        toPath: String, iters: Int = 5, sampleSize: Int = 10000,
+        seed: Long = 42L): IvfIndex = {
+      val ref = requireTable("retrain")
+      require(toPath != ref.path,
+        s"retrain target must differ from current path: ${ref.path}")
+      val spark = baseAssigned.sparkSession
+      import spark.implicits._
+      // files, not the catalog table — the write below re-points it
+      val stored = spark.read.parquet(s"${ref.path}/assigned")
+        .select("vid", "v")
+      // hash-ordered sample: partitioning-invariant AND uncorrelated with
+      // ids (the build-time df.sample needs the original table's layout,
+      // which a retrain no longer has)
+      val sample = stored
+        .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
+        .limit(sampleSize)
+        .select("v").as[Array[Double]].collect()
+      require(sample.nonEmpty, "cannot retrain an empty index")
+      val cents = IvfIndex.lloyd(sample, centroids.length, iters, seed)
+      IvfIndex.writeCentroids(spark, toPath, cents)
+      graft.sources.Sinks.bucketed(
+        IvfIndex.assign(spark, stored, "vid", "v", cents)
+          .repartition(ref.buckets, col("cluster")),
+        ref.table, s"$toPath/assigned", ref.buckets, Seq("cluster"))
+      val idx = new IvfIndex(cents, spark.table(ref.table),
+        Some(ref.copy(path = toPath)))
+      IvfIndex.writeStats(spark, toPath,
+        idx.quantError(sampleSize, seed), sampleSize, seed)
+      idx
+    }
+
     private def requireTable(op: String): IvfIndex.TableRef =
       tableRef.getOrElse(throw new IllegalArgumentException(
         s"$op needs a table-backed index: IvfIndex.save(...) then IvfIndex.open(...)"))
@@ -245,6 +345,11 @@ object Similarity {
         f(spark.read.parquet(s"${ref.path}/assigned"))
           .repartition(ref.buckets, col("cluster")),
         ref.table, s"$toPath/assigned", ref.buckets, Seq("cluster"))
+      // the drift BASELINE travels with the quantizer it describes —
+      // delete/compact move data, never the centroids (after the assigned
+      // write: writeStats re-counts the corpus at toPath)
+      IvfIndex.readStats(spark, ref.path).foreach(st =>
+        IvfIndex.writeStats(spark, toPath, st.mqe, st.sampleSize, st.seed))
       new IvfIndex(centroids, spark.table(ref.table),
         Some(ref.copy(path = toPath)))
     }
@@ -280,13 +385,15 @@ object Similarity {
       * bucket filter the driver-Map path gets: it is bounded by nClusters
       * (distinct cluster ids, not probe rows), so the collect is always
       * index-model-sized — a saved index therefore reads only the probed
-      * buckets on this path too. The probe frame is deliberately NOT
-      * materialized: its two consumers (this collect + the scoring join)
-      * each re-run a narrow, query-bounded map against broadcast
-      * centroids, which is cheaper than parking a checkpoint block per
-      * search in executor storage until driver GC — the leak a long-lived
-      * session cannot afford (probe/searchTracked cleanup exists where
-      * the intermediate is corpus-join-sized; this one never is).
+      * buckets on this path too. The probe frame has two consumers (this
+      * collect + the scoring join), so it is `persist()`ed through the
+      * [[CacheLedger]]: single evaluation even when `queries` is
+      * non-deterministic upstream (sample/rand/limit — two independent
+      * evaluations could prune clusters the scoring pass then probes,
+      * silently dropping neighbors), without parking a checkpoint block
+      * per search in executor storage until driver GC. The cached frame
+      * is query-bounded (nprobe rows per query) and the ledger bound
+      * evicts the oldest entries in long-lived sessions.
       *
       * `queries` must carry `idCol` (castable to long) and `vecCol`
       * (array of numeric).
@@ -300,13 +407,13 @@ object Similarity {
         transform(col(vecCol), x => x.cast("double")).as("qv"))
         .as[(Long, Array[Double])]
       val bc = spark.sparkContext.broadcast(centroids)
-      val probes = q.mapPartitions { it =>
+      val probes = ledgered(q.mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (qid, qv) =>
           cs.indices.sortBy(c => IvfIndex.l2sq(cs(c), qv)).take(nprobe)
             .map(c => (qid, qv, c))
         }
-      }.toDF("query_id", "qv", "cluster")
+      }.toDF("query_id", "qv", "cluster").persist())
       val probed = probes.select("cluster").distinct()
         .collect().map(_.getInt(0)).toSeq
       scoreProbes(probes, k, pruneTo = Some(probed))
@@ -369,6 +476,17 @@ object Similarity {
       val sample = base.sample(withReplacement = false, fraction, seed)
         .limit(sampleSize).collect().map(_._2)
       require(sample.nonEmpty, "empty embedding table")
+      val cents = lloyd(sample, nClusters, iters, seed)
+      new IvfIndex(cents, assign(spark, emb, idCol, vecCol, cents), None)
+    }
+
+    /** Lloyd's algorithm over a driver-side sample — shared by [[build]]
+      * and [[IvfIndex.retrain]] so the two training paths cannot diverge
+      * (identical init, identical update, identical empty-cluster rule).
+      */
+    private[operators] def lloyd(
+        sample: Array[Array[Double]], nClusters: Int, iters: Int,
+        seed: Long): Array[Array[Double]] = {
       val rnd = new scala.util.Random(seed)
       var cents = rnd.shuffle(sample.toIndexedSeq).take(nClusters).map(_.clone).toArray
       for (_ <- 0 until iters) {
@@ -384,7 +502,72 @@ object Similarity {
           else sums(c).map(_ / counts(c))
         }.toArray
       }
-      new IvfIndex(cents, assign(spark, emb, idCol, vecCol, cents), None)
+      cents
+    }
+
+    /** Sampled mean squared quantization error of (vid, v, cluster) rows
+      * against `cents` — hash-ordered sample (partitioning-invariant), so
+      * a baseline taken at save time and a probe taken after appends are
+      * comparable measurements of the same statistic.
+      */
+    private[operators] def meanQuantError(
+        assigned: DataFrame, cents: Array[Array[Double]],
+        sampleSize: Int, seed: Long): Double = {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(cents)
+      val errs = assigned
+        .select(col("vid").cast("long").as("vid"), col("v"),
+          col("cluster").cast("int").as("cluster"))
+        .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
+        .limit(sampleSize)
+        .as[(Long, Array[Double], Int)]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (_, v, c) => l2sq(v, cs(c)) }
+        }
+      val r = errs.toDF("e").agg(avg("e")).head()
+      require(!r.isNullAt(0), "cannot measure quantization error of an empty index")
+      r.getDouble(0)
+    }
+
+    /** Drift baseline persisted beside the centroids: the save-time mean
+      * quantization error plus the sampling parameters that produced it
+      * (a later probe must re-measure the SAME statistic).
+      */
+    private[operators] final case class Stats(
+        mqe: Double, n: Long, sampleSize: Int, seed: Long)
+
+    private[operators] def writeStats(
+        spark: SparkSession, path: String, mqe: Double,
+        sampleSize: Int, seed: Long): Unit = {
+      import spark.implicits._
+      val n = spark.read.parquet(s"$path/assigned").count()
+      Seq((mqe, n, sampleSize, seed))
+        .toDF("mqe", "n", "sample_size", "seed")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/stats")
+    }
+
+    private[operators] def readStats(
+        spark: SparkSession, path: String): Option[Stats] =
+      try {
+        val r = spark.read.parquet(s"$path/stats").head()
+        Some(Stats(r.getAs[Double]("mqe"), r.getAs[Long]("n"),
+          r.getAs[Int]("sample_size"), r.getAs[Long]("seed")))
+      } catch { case _: Throwable => None }
+
+    private[operators] def writeCentroids(
+        spark: SparkSession, path: String,
+        cents: Array[Array[Double]]): Unit = {
+      import spark.implicits._
+      cents.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cluster", "c")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/centroids")
     }
 
     /** Nearest-centroid assignment: broadcast centroids, narrow map —
@@ -415,17 +598,18 @@ object Similarity {
       * [[graft.operators.DedupIndex]]'s pay-once contract).
       */
     def save(idx: IvfIndex, name: String, path: String,
-        buckets: Int = 16): Unit = {
+        buckets: Int = 16, sampleSize: Int = 10000,
+        seed: Long = 42L): Unit = {
       val spark = idx.assigned.sparkSession
-      import spark.implicits._
-      idx.centroids.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cluster", "c")
-        .coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/centroids")
+      writeCentroids(spark, path, idx.centroids)
       graft.sources.Sinks.bucketed(idx.assigned, s"${name}_ivf",
         s"$path/assigned", buckets, Seq("cluster"))
+      // drift baseline: the error of THIS corpus under THIS quantizer at
+      // save time — needsRetrain compares every later probe against it
+      writeStats(spark, path,
+        meanQuantError(spark.read.parquet(s"$path/assigned"), idx.centroids,
+          sampleSize, seed),
+        sampleSize, seed)
     }
 
     /** Re-open a saved index: centroids load to the driver (tiny), the

@@ -58,6 +58,35 @@ class PqSpec extends SparkSpec {
     assert(e2.getMessage.contains("999"))
   }
 
+  test("codebook drift: needsRetrain trips on a shifted corpus; retrain clears it") {
+    import spark.implicits._
+    val df = clustered
+    val cb = Pq.train(df, "vec_id", "embedding", m = 4, k = 8)
+    // the baseline travels on the codebook, and a stationary corpus does
+    // not want a retrain (current error == train error here: the sample
+    // covers the whole 400-row fixture)
+    assert(!cb.trainMse.isNaN && cb.trainMse >= 0.0)
+    assert(!Pq.needsRetrain(df, "vec_id", "embedding", cb))
+    // distribution shift: a fifth cluster far outside the training range —
+    // reconstruction through the frozen codebooks degrades measurably
+    val extra = (1000L until 1400L).map { id =>
+      (id, Seq.tabulate(16)(i => 40.0 + (id % 5) * 0.3 + i * 0.01))
+    }.toDF("vec_id", "embedding")
+    val shiftedCorpus = df.unionByName(extra)
+    assert(Pq.currentMse(shiftedCorpus, "vec_id", "embedding", cb) >
+      cb.trainMse * 1.5,
+      "the observable reconstruction error must have grown past tolerance")
+    assert(Pq.needsRetrain(shiftedCorpus, "vec_id", "embedding", cb))
+    // retrain: same shape (m, k), fresh baseline, drift cleared
+    val cb2 = Pq.retrain(shiftedCorpus, "vec_id", "embedding", cb)
+    assert(cb2.m == cb.m && cb2.k == cb.k,
+      "retrain is a quantizer refresh, not a layout change")
+    assert(!Pq.needsRetrain(shiftedCorpus, "vec_id", "embedding", cb2))
+    assert(Pq.currentMse(shiftedCorpus, "vec_id", "embedding", cb2) <
+      Pq.currentMse(shiftedCorpus, "vec_id", "embedding", cb),
+      "retraining must reduce the error it was triggered by")
+  }
+
   test("ADC top-k recalls same-cluster neighbors") {
     val df = clustered
     val cb = Pq.train(df, "vec_id", "embedding", m = 4, k = 8)

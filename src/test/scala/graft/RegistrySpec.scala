@@ -26,8 +26,20 @@ class RegistrySpec extends AnyFunSuite {
         s"stale declarations: ${(declared -- noOracle).toSeq.sorted}")
   }
 
+  test("UTC session invariant: the timezone the events NTZ->LTZ cast depends on") {
+    // Tables.load normalizes events.ts with a cast that is only
+    // instant-preserving under a UTC session; every entrypoint
+    // (Session.local, Bench, Verify) pins it, and this pin fails the
+    // build if a future entrypoint drops the config. Tables.load itself
+    // also require()s it on the NTZ branch.
+    val spark = graft.Session.local(4, "graft-test")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "the shared session must run UTC — oracle parity and the events " +
+        "NTZ cast both depend on it")
+  }
+
   test("registry size matches the shipped inventory") {
-    assert(SparkEntry.queries.size == 156,
+    assert(SparkEntry.queries.size == 157,
       s"query count drifted: ${SparkEntry.queries.size} (update this pin " +
         "AND SURVEY §2.4 when adding operators)")
   }

@@ -113,9 +113,11 @@ class SimilaritySpec extends SparkSpec {
       idx.append(newPart, "vec_id", "embedding")
     }
     // append is idempotent: a retried/redelivered batch is a no-op, so
-    // searches cannot grow duplicate neighbors
+    // searches cannot grow duplicate neighbors — and the return value
+    // reports the drop so contract violations have a signal
     val nAll = opened.assigned.count()
-    opened.append(newPart, "vec_id", "embedding")
+    assert(opened.append(newPart, "vec_id", "embedding") == 0L,
+      "a full redelivery must report zero rows appended")
     assert(opened.assigned.count() == nAll,
       "re-appending an already-indexed batch must be a no-op")
     assert(rows(opened.search(qs, k = 3, nprobe = 8)) == bf,
@@ -160,6 +162,55 @@ class SimilaritySpec extends SparkSpec {
       s"compaction must shrink the file count: $before -> ${parquetFiles(s"$base/v3/assigned")}")
     assert(rows(compacted.search(qs, k = 3, nprobe = 8)) == beforeRows)
     assert(compacted.assigned.count() == emb.count())
+  }
+
+  test("IVF drift: needsRetrain observes a shifted cluster; retrain restores the quantizer") {
+    import spark.implicits._
+    val idx = Similarity.IvfIndex.build(spark, emb, "vec_id", "embedding", nClusters = 8)
+    val base = java.nio.file.Files.createTempDirectory("ivf_drift").toString
+    Similarity.IvfIndex.save(idx, "ivfidx_drift", s"$base/v1", buckets = 8)
+    val opened = Similarity.IvfIndex.open(spark, "ivfidx_drift", s"$base/v1", buckets = 8)
+    // freshly saved: the current error IS the baseline — no retrain wanted
+    assert(!opened.needsRetrain(),
+      "a just-saved index must not want a retrain")
+    val baseline = opened.quantError()
+    // a distribution shift the frozen quantizer has never seen: a dense
+    // far-away cluster (deterministic, spread so it is not one point),
+    // appended in waves until the observed drift trips the check
+    def shifted(lo: Long, n: Int) = spark.range(lo, lo + n)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => lit(25.0) + (col("id") % 7).cast("double") * 0.3 +
+            i.cast("double") * 0.01).as("embedding"))
+    var wave = 0
+    while (wave < 4 && !opened.needsRetrain()) {
+      opened.append(shifted(10000L + wave * 250, 250), "vec_id", "embedding")
+      wave += 1
+    }
+    assert(opened.needsRetrain(),
+      "a corpus half made of a far-away cluster must trip the drift check")
+    assert(opened.quantError() > baseline * 1.5,
+      "the observable error must have grown past tolerance x baseline")
+    // retrain: same cluster count, fresh quantizer + baseline, exactness
+    // at nprobe = all over the grown corpus (== brute force over it)
+    val retrained = opened.retrain(s"$base/v2")
+    assert(retrained.centroids.length == 8,
+      "retrain is a quantizer refresh, not a shape change")
+    assert(!retrained.needsRetrain(),
+      "a just-retrained index must not want another retrain")
+    val all = emb
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(shifted(10000L, 250 * wave))
+    val qids = Seq(0L, 1L, 10001L)
+    val qs = all.filter(col("vec_id").isin(qids: _*))
+      .as[(Long, Array[Double])].collect().toMap
+    assert(rows(retrained.search(qs, k = 3, nprobe = 8)) ==
+      rows(Similarity.bruteForceTopK(all, "vec_id", "embedding", qids, 3)),
+      "retrained index at nprobe=all must equal brute force over old ∪ new")
+    // and the refreshed quantizer actually fits the grown corpus better
+    assert(retrained.quantError() < opened.quantError(),
+      "retraining must reduce the quantization error it was triggered by")
   }
 
   test("SRP-LSH finds genuinely-close neighbors (clustered data)") {
