@@ -34,6 +34,14 @@ object Tables {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case org.apache.spark.sql.types.TimestampNTZType =>
+          // instant-preserving ONLY in a UTC session — enforce the
+          // invariant every entrypoint pins (Session/Bench/Verify +
+          // build.sbt javaOptions) rather than silently shifting every
+          // event by the local zone offset under a future entrypoint
+          require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+            "events.ts is TIMESTAMP_NTZ on disk: the NTZ->LTZ cast is " +
+              "only instant-preserving with spark.sql.session.timeZone=" +
+              s"UTC, got '${spark.conf.get("spark.sql.session.timeZone")}'")
           df.withColumn("ts", col("ts").cast("timestamp"))
         case _ => df
       }

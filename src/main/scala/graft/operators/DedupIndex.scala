@@ -132,23 +132,41 @@ final class MinHashIndex private[operators] (
     * rows are absorbed by the candidate `distinct()`, shed by
     * [[compact]]). Guarding on the first-written table instead would
     * freeze that torn state permanently.
+    *
+    * The guard's drops are COUNTED, not silent: ids are re-sent either by
+    * a redelivered batch (benign) or by a caller violating the
+    * disjoint-ids contract with a CHANGED payload — and the second case
+    * would otherwise leave stale index rows with no signal anywhere.
+    * @return rows actually appended; a full redelivery returns 0
     */
-  def append(incoming: DataFrame, idCol: String, textCol: String): Unit = {
+  def append(incoming: DataFrame, idCol: String, textCol: String): Long = {
     spark.catalog.refreshTable(setsTable)
-    val inSets = Dedup.hashedSets(
+    // one signature pass, materialized BEFORE the guard so the guard's
+    // effect is measurable without re-running the kernel
+    val hashed = Dedup.hashedSets(
       incoming.select(col(idCol).cast("long").as(idCol), col(textCol)),
       idCol, textCol, shingleN)
-      .join(spark.table(setsTable).select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     try {
-      Dedup.bandBuckets(inSets, numHashes, bands)
-        .write.mode(SaveMode.Append)
-        .bucketBy(buckets, "band", "bh")
-        .saveAsTable(bucketsTable)
-      inSets.write.mode(SaveMode.Append)
-        .bucketBy(buckets, "doc_id")
-        .saveAsTable(setsTable)
-    } finally inSets.unpersist()
+      val inSets = hashed
+        .join(spark.table(setsTable).select("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      try {
+        val (in, kept) = (hashed.count(), inSets.count())
+        if (kept < in) DedupIndex.log.warn(
+          s"append dropped ${in - kept} of $in already-indexed ids " +
+            s"($setsTable): redelivery is benign, but a changed payload " +
+            "under a re-sent id is NOT updated - delete+append to replace")
+        Dedup.bandBuckets(inSets, numHashes, bands)
+          .write.mode(SaveMode.Append)
+          .bucketBy(buckets, "band", "bh")
+          .saveAsTable(bucketsTable)
+        inSets.write.mode(SaveMode.Append)
+          .bucketBy(buckets, "doc_id")
+          .saveAsTable(setsTable)
+        kept
+      } finally inSets.unpersist()
+    } finally hashed.unpersist()
   }
 
   /** Indexed corpus size (bucketed scan + count, no signature work). */
@@ -232,8 +250,13 @@ final class MinHashIndex private[operators] (
     // task owns exactly its bucket's rows → ONE file per bucket (without
     // this, every read partition writes its own per-bucket files and the
     // rewrite shrinks nothing)
+    // distinct() on the buckets table: a torn append re-delivered under
+    // at-least-once can leave duplicate (doc_id, band, bh) rows —
+    // harmless for probes (candidate distinct()) but pure waste; the
+    // maintenance rewrite is where they are shed, as the append doc
+    // promises
     Sinks.bucketed(
-      f(spark.read.parquet(s"$path/buckets"))
+      f(spark.read.parquet(s"$path/buckets")).distinct()
         .repartition(buckets, col("band"), col("bh")),
       bucketsTable, s"$toPath/buckets", buckets, Seq("band", "bh"))
     Sinks.bucketed(
@@ -249,6 +272,9 @@ final class MinHashIndex private[operators] (
 }
 
 object DedupIndex {
+
+  private[operators] val log =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.DedupIndex")
 
   /** Build the persistent index for `docs` at `path`, registering the two
     * bucketed tables as `<name>_buckets` / `<name>_sets`. One full

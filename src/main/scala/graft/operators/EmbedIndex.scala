@@ -216,22 +216,38 @@ final class SrpEmbedIndex private[operators] (
     * and shed by [[compact]]). The reverse order with this guard would
     * make the torn state PERMANENT — vectors present, buckets missing,
     * vids silently unreachable forever.
+    *
+    * The guard's drops are COUNTED, not silent (same contract as
+    * [[MinHashIndex.append]]): a re-sent id with a CHANGED vector is NOT
+    * updated — delete+append to replace.
+    * @return rows actually appended; a full redelivery returns 0
     */
-  def append(incoming: DataFrame, idCol: String, vecCol: String): Unit = {
+  def append(incoming: DataFrame, idCol: String, vecCol: String): Long = {
     spark.catalog.refreshTable(vectorsTable)
-    val k = keyed(incoming, idCol, vecCol)
-      .join(spark.table(vectorsTable).select("vid"), Seq("vid"), "left_anti")
-      .localCheckpoint(true)
+    // one kernel pass, materialized BEFORE the guard so the guard's
+    // effect is measurable without re-running the kernel
+    val k0 = keyed(incoming, idCol, vecCol).localCheckpoint(true)
     try {
-      k.select(col("vid"), posexplode(col("bks")).as(Seq("t", "bk")))
-        .write.mode(SaveMode.Append)
-        .bucketBy(buckets, "t", "bk")
-        .saveAsTable(bucketsTable)
-      k.select(col("vid"), col("v"))
-        .write.mode(SaveMode.Append)
-        .bucketBy(buckets, "vid")
-        .saveAsTable(vectorsTable)
-    } finally k.unpersist()
+      val k = k0
+        .join(spark.table(vectorsTable).select("vid"), Seq("vid"), "left_anti")
+        .localCheckpoint(true)
+      try {
+        val (in, kept) = (k0.count(), k.count())
+        if (kept < in) DedupIndex.log.warn(
+          s"append dropped ${in - kept} of $in already-indexed vids " +
+            s"($vectorsTable): redelivery is benign, but a changed vector " +
+            "under a re-sent vid is NOT updated - delete+append to replace")
+        k.select(col("vid"), posexplode(col("bks")).as(Seq("t", "bk")))
+          .write.mode(SaveMode.Append)
+          .bucketBy(buckets, "t", "bk")
+          .saveAsTable(bucketsTable)
+        k.select(col("vid"), col("v"))
+          .write.mode(SaveMode.Append)
+          .bucketBy(buckets, "vid")
+          .saveAsTable(vectorsTable)
+        kept
+      } finally k.unpersist()
+    } finally k0.unpersist()
   }
 
   /** Indexed corpus size (bucketed scan + count, no kernel work). */
@@ -322,9 +338,14 @@ final class SrpEmbedIndex private[operators] (
       toPath: String, f: DataFrame => DataFrame): SrpEmbedIndex = {
     require(toPath != path, s"rewrite target must differ from current path: $path")
     // files, not the catalog table — the rewrite must not depend on the
-    // table it is about to redefine
+    // table it is about to redefine. distinct() on the buckets table:
+    // a torn append re-delivered under at-least-once can leave duplicate
+    // (vid, t, bk) rows — harmless for probes (candidate distinct()) but
+    // pure waste; the maintenance rewrite is where they are shed, as the
+    // append doc promises. The rows are two longs + an int, and this is
+    // the maintenance path — the extra exchange is fine.
     Sinks.bucketed(
-      f(spark.read.parquet(s"$path/buckets"))
+      f(spark.read.parquet(s"$path/buckets")).distinct()
         .repartition(buckets, col("t"), col("bk")),
       bucketsTable, s"$toPath/buckets", buckets, Seq("t", "bk"))
     Sinks.bucketed(

@@ -39,10 +39,15 @@ object EventStreams {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // one footer read (no data scan) to learn the on-disk ts type — the
-    // declared stream schema must match the files byte-for-byte
-    val tsType = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .schema("ts").dataType
+    // declared stream schema must match the files byte-for-byte. A stream
+    // may legitimately start before any file has landed (schema inference
+    // then throws): fall back to the historical NANOS-as-long layout so
+    // the stream starts and waits, instead of failing on an empty dir.
+    val tsType =
+      try spark.read
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
     val base = spark.readStream.schema(eventSchema(tsType))
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
@@ -410,11 +415,30 @@ object EventStreams {
       mode: String = "complete", statePartitions: Int = 8): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // an ephemeral memory-sink run has no recovery story, so its
+    // checkpoint (offset/commit logs + state-store deltas, fsynced per
+    // micro-batch) belongs on tmpfs when the box has one: the default
+    // java.io.tmpdir placement makes every batch commit a disk write,
+    // and shared-disk jitter there was the dominant run-to-run variance
+    // in the stream bench family. Deleted after the run either way.
+    val shm = new java.io.File("/dev/shm")
+    val ckpt = if (shm.isDirectory && shm.canWrite)
+      Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_ckpt_"))
+    else None
     try {
-      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      val w0 = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      val q = ckpt.fold(w0)(c => w0.option("checkpointLocation", c.toString)).start()
       try q.processAllAvailable()
       finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      ckpt.foreach { c =>
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(c).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+        catch { case _: Throwable => () } // best-effort cleanup of tmpfs
+      }
+    }
     // detach the result from the memory sink and drop the temp view so the
     // sink's buffered rows don't stay pinned for the session lifetime
     val out = spark.table(name).localCheckpoint()

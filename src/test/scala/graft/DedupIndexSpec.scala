@@ -125,13 +125,16 @@ class DedupIndexSpec extends SparkSpec {
     val base = Files.createTempDirectory("mh_idem").toString
     val idx = DedupIndex.build(corpus, "doc_id", "text", base, "mhidx_i",
       shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
-    idx.append(b1, "doc_id", "text")
+    assert(idx.append(b1, "doc_id", "text") == b1.count(),
+      "a fresh batch must report every row appended")
     val n1 = idx.indexedDocs()
     val probe1 = idx.probe(probeBatch, "doc_id", "text")
       .orderBy("i", "j").collect().toSeq
     // the at-least-once scenario: foreachBatch died after append() but
     // before the checkpoint commit, and the SAME batch arrives again
-    idx.append(b1, "doc_id", "text")
+    assert(idx.append(b1, "doc_id", "text") == 0L,
+      "a full redelivery must report zero rows appended — the dropped " +
+        "count is the caller's stale-payload signal")
     assert(idx.indexedDocs() == n1,
       "re-appending an already-indexed batch must be a no-op")
     val probe2 = idx.probe(probeBatch, "doc_id", "text")

@@ -204,13 +204,16 @@ class EmbedIndexSpec extends SparkSpec {
     val base = Files.createTempDirectory("emb_idem").toString
     val idx = EmbedIndex.build(corpus, "vec_id", "embedding", base, "eidx_i",
       dim = 64, threshold = 0.95, buckets = 8)
-    idx.append(b1, "vec_id", "embedding")
+    assert(idx.append(b1, "vec_id", "embedding") == b1.count(),
+      "a fresh batch must report every row appended")
     val n1 = idx.indexedVectors()
     val probe1 = idx.probe(withClones(0L, 5L, 20000L), "vec_id", "embedding")
       .orderBy("i", "j").collect().toSeq
     // the at-least-once scenario: foreachBatch died after append() but
     // before the checkpoint commit, and the SAME batch arrives again
-    idx.append(b1, "vec_id", "embedding")
+    assert(idx.append(b1, "vec_id", "embedding") == 0L,
+      "a full redelivery must report zero rows appended — the dropped " +
+        "count is the caller's stale-payload signal")
     assert(idx.indexedVectors() == n1,
       "re-appending an already-indexed batch must be a no-op")
     val probe2 = idx.probe(withClones(0L, 5L, 20000L), "vec_id", "embedding")
