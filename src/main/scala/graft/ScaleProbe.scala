@@ -179,6 +179,43 @@ object ScaleProbe {
         val fresh = spark.range(2 * n, 2 * n + 5000)
           .select(col("id").as("vec_id"), vecExpr.as("embedding"))
         deleted.probe(fresh, "vec_id", "embedding", threshold = 0.999).count()
+      },
+      time("ivf_retrain_cycle") {
+        // quantizer-drift maintenance at scale: build+save IVF over the
+        // 505k vector corpus, verify the fresh baseline reads quiet,
+        // append a 50k far-away cluster (~9% of the corpus at distance
+        // ~25 per dim — three orders of magnitude past the in-space
+        // quantization error), REQUIRE the observed-drift check to trip,
+        // retrain from the stored vectors, and REQUIRE the refreshed
+        // baseline to read quiet again. Gate: a query from the shifted
+        // cluster at nprobe=1 finds only shifted neighbors — the far
+        // cluster owns (at least) a centroid of its own after retrain.
+        val ivfPath = java.nio.file.Files.createTempDirectory("scale_ivf").toString
+        val baseVecs = spark.range(n)
+          .select(col("id").as("vec_id"), vecExpr.as("embedding"))
+        val ivf = graft.operators.Similarity.IvfIndex.build(
+          spark, baseVecs, "vec_id", "embedding", nClusters = 32)
+        graft.operators.Similarity.IvfIndex.save(ivf, "scale_ivf",
+          s"$ivfPath/v1", buckets = 32)
+        val opened = graft.operators.Similarity.IvfIndex.open(
+          spark, "scale_ivf", s"$ivfPath/v1", buckets = 32)
+        require(!opened.needsRetrain(),
+          "a just-saved 505k IVF must not want a retrain")
+        val shifted = spark.range(3 * n, 3 * n + 50000)
+          .select(col("id").as("vec_id"),
+            transform(sequence(lit(0), lit(63)),
+              j => lit(25.0) + (col("id") % 7).cast("double") * 0.3 +
+                j.cast("double") * 0.01).as("embedding"))
+        opened.append(shifted, "vec_id", "embedding")
+        require(opened.needsRetrain(),
+          "a 9% far-away cluster must trip the 505k drift check")
+        val retrained = opened.retrain(s"$ivfPath/v2")
+        require(!retrained.needsRetrain(),
+          "a just-retrained 505k IVF must not want another retrain")
+        val q = Map(3 * n -> Array.tabulate(64)(
+          j => 25.0 + (3 * n % 7) * 0.3 + j * 0.01))
+        retrained.search(q, k = 10, nprobe = 1)
+          .filter(col("neighbor_id") >= 3 * n).count()
       })
     graft.operators.Dedup.releaseCaches()
     val dedupCount = stages.find(_._1 == "exact_dedup").get._3
@@ -214,6 +251,12 @@ object ScaleProbe {
     val maintPairs = stages.find(_._1 == "embed_index_append_delete_probe").get._3
     assert(maintPairs == 7500,
       s"maintained-index probe found $maintPairs pairs, expected 7500")
+    // after the drift retrain, a shifted-cluster query at nprobe=1 finds
+    // ONLY shifted neighbors — all 10 of its top-10 (the three in-cycle
+    // require()s gate the baseline-quiet → trip → quiet-again arc)
+    val ivfShifted = stages.find(_._1 == "ivf_retrain_cycle").get._3
+    assert(ivfShifted == 10,
+      s"retrained IVF nprobe=1 returned $ivfShifted shifted neighbors of 10")
     // compact must not move a single label
     val compactStat = stages.find(_._1 == "components_index_compact").get._3
     assert(compactStat == 5000L * 1000000 + 10000,
