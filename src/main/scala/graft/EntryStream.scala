@@ -6,7 +6,7 @@ import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType, StructField, StructType}
 
 /** Query bodies: structured-streaming family.
   * Bodies are verbatim from the pre-split SparkEntry.scala — the
@@ -49,6 +49,48 @@ private[graft] object EntryStream {
     idx.probeStream(stream, "doc_id", "text",
       s"$base/pairs", s"$base/ckpt", threshold = 0.8)
     s.read.parquet(s"$base/pairs").orderBy("i", "j")
+  }
+
+  /** Continuous-ingest ANN through the persistent IVF index: the
+    * quantizer trains and freezes on the FIRST HALF of the embeddings
+    * fixture ([[Similarity.IvfIndex.build]] + save), then the second half
+    * arrives as a three-wave vector stream folded in by
+    * [[Similarity.IvfIndex.appendStream]] (per-batch narrow assignment
+    * against the broadcast centroids, bucket-aligned append, idempotent
+    * under redelivery). Search at nprobe = nClusters over the final index
+    * is exhaustive, so the oracle is the SAME brute-force top-k as
+    * `ann_topk`/`ann_ivf` — arrival form cannot change the answers.
+    */
+  def streamAnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft_sann").toString
+    val n = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val half = n / 2
+    val idx = Similarity.IvfIndex.build(s, emb.filter(col("vec_id") < half),
+      "vec_id", "embedding", nClusters = 16)
+    Similarity.IvfIndex.save(idx, "graft_q_sann", s"$base/idx")
+    val opened = Similarity.IvfIndex.open(s, "graft_q_sann", s"$base/idx")
+    val third = (n - half) / 3
+    Seq((half, half + third), (half + third, half + 2 * third),
+        (half + 2 * third, n + 1)).foreach { case (lo, hi) =>
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    opened.appendStream(
+      s.readStream
+        .schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      "vec_id", "embedding", s"$base/ckpt")
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Array[Double])].collect().toMap
+    opened.search(qs, k = 3, nprobe = 16)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+        col("cos").as("sim"))
+      .orderBy("query_id", "rnk")
   }
 
   /** Tumbling-window streaming aggregation run to completion over the

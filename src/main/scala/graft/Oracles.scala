@@ -1626,6 +1626,10 @@ private[graft] object Oracles {
         |ORDER BY i, j""".stripMargin,
     "ann_topk" -> duckAnnTopk,
     "ann_ivf" -> duckAnnTopk,
+    // continuous-ingest ANN: half the corpus streamed in through
+    // appendStream — full probing is exhaustive, so arrival form cannot
+    // change the answers and the brute-force oracle is shared
+    "stream_ann" -> duckAnnTopk,
     "ann_ivf_index" -> duckAnnTopk,
     // the retrain cycle changes the quantizer, never the answers at full
     // probing: search at nprobe = nClusters is brute force over

@@ -1497,6 +1497,7 @@ object SparkEntry {
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (EntryStream.streamDedup _),
     "stream_index_dedup" -> (EntryStream.streamIndexDedup _),
+    "stream_ann" -> (EntryStream.streamAnn _),
     "stream_components" -> (EntryDedup.streamComponents _),
     "stream_sliding" -> (EntryStream.streamSliding _),
     "stream_session" -> (EntryStream.streamSession _),

@@ -218,6 +218,29 @@ object Similarity extends CacheLedger {
       } finally a0.unpersist()
     }
 
+    /** Continuous-ingest ANN: drive a STREAM of vectors into the saved
+      * index through the shared [[IndexStream]] harness — the IVF face of
+      * [[MinHashIndex.probeStream]]/[[SrpEmbedIndex.probeStream]] (those
+      * emit pairs; an ANN index has no pair output, so this folds batches
+      * in and lets callers search between/after runs). Each micro-batch
+      * is one [[append]]: assignment against the frozen centroids is a
+      * narrow broadcast map, the write is bucket-aligned, and the
+      * left-anti guard makes foreachBatch's at-least-once redelivery a
+      * no-op — so after any prefix of batches the index equals a batch
+      * build-plus-append over the vectors delivered so far, and search at
+      * nprobe = nClusters equals brute force over them. The quantizer
+      * stays frozen throughout (streams only append); pair
+      * [[needsRetrain]] checks with [[retrain]] as the corpus grows.
+      */
+    def appendStream(
+        vectors: DataFrame, idCol: String, vecCol: String,
+        checkpointDir: String): Unit = {
+      requireTable("appendStream")
+      IndexStream.run(vectors, checkpointDir) { batch =>
+        append(batch, idCol, vecCol); ()
+      }
+    }
+
     /** Remove vectors from a saved index: anti-join the assignments
       * against the given ids and rewrite into `toPath` with the same
       * bucket spec (bucketed parquet has no in-place delete — same

@@ -198,6 +198,36 @@ class EmbedIndexSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("compact sheds torn-append duplicate bucket rows; probes unchanged") {
+    import org.apache.spark.sql.SaveMode
+    val corpus = emb
+    val base = Files.createTempDirectory("emb_shed").toString
+    val idx = EmbedIndex.build(corpus, "vec_id", "embedding", base, "eidx_s",
+      dim = 64, threshold = 0.95, buckets = 8)
+    val cleanRows = spark.read.parquet(s"$base/buckets").count()
+    val batch = withClones(0L, 5L)
+    val probeBefore = idx.probe(batch, "vec_id", "embedding")
+      .orderBy("i", "j").collect().toSeq
+    // simulate the torn-append residue the append doc describes: a crash
+    // between the buckets and vectors writes, then a redelivered batch
+    // re-writing both — the bucket rows of some vids exist twice
+    val dup = spark.read.parquet(s"$base/buckets").filter(col("vid") < 5)
+    assert(dup.count() > 0, "setup: duplicated slice must be non-empty")
+    dup.write.mode(SaveMode.Append).bucketBy(8, "t", "bk")
+      .saveAsTable("eidx_s_ebuckets")
+    // duplicates are probe-invisible (candidate distinct) but present
+    assert(idx.probe(batch, "vec_id", "embedding")
+      .orderBy("i", "j").collect().toSeq == probeBefore)
+    assert(spark.read.parquet(s"$base/buckets").count() > cleanRows)
+    // compact sheds them — the maintenance promise the append doc makes
+    val compacted = idx.compact(s"$base/v2")
+    assert(spark.read.parquet(s"$base/v2/buckets").count() == cleanRows,
+      "compact must dedupe the bucket rows back to the clean count")
+    assert(compacted.probe(batch, "vec_id", "embedding")
+      .orderBy("i", "j").collect().toSeq == probeBefore)
+    Dedup.releaseCaches()
+  }
+
   test("append is idempotent: a redelivered batch does not duplicate index rows") {
     val corpus = emb
     val b1 = withClones(0L, 5L)
