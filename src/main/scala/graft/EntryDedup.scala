@@ -315,6 +315,31 @@ private[graft] object EntryDedup {
       .orderBy("query_id", "rnk")
   }
 
+  /** The stored-codes face of [[annPq]]: codebook + encoded corpus
+    * persisted once ([[Pq.saveIndex]] — the corpus rests at m bytes per
+    * vector, 32× smaller than float32), cold reopen, ADC search scanning
+    * the codes TABLE. Rows-only for the same measured reason as ann_pq
+    * (no ADC-rank tolerance oracle exists on this fixture — see the annPq
+    * scaladoc); the real contract is PqSpec's bit-identical parity between
+    * stored-codes search and the in-memory ADC path through the full
+    * append/delete/compact cycle.
+    */
+  def annPqIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
+    Pq.saveIndex(emb, "vec_id", "embedding", cb, "graft_q_pqidx", path)
+    val idx = Pq.openIndex(s, "graft_q_pqidx", path)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Array[Double])].collect().toMap
+    idx.search(qs, k = 3)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+        col("adist"))
+      .orderBy("query_id", "rnk")
+  }
+
   def mmFeatures(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val feats = Multimodal.extractFeatures(

@@ -1521,6 +1521,7 @@ object SparkEntry {
     "ann_ivf_index" -> (EntryDedup.annIvfIndex _),
     "ann_ivf_retrain" -> (EntryDedup.annIvfRetrain _),
     "ann_pq" -> (EntryDedup.annPq _),
+    "ann_pq_index" -> (EntryDedup.annPqIndex _),
     "text_langid" -> (EntryText.textLangid _),
     "text_quality" -> (EntryText.textQuality _),
     "text_tokens" -> (EntryText.textTokens _),

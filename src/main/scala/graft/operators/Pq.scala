@@ -249,9 +249,22 @@ object Pq {
     require(missing.isEmpty,
       s"query ids absent from the embedding table: ${missing.toSeq.sorted.mkString(",")}")
     val bcCb = spark.sparkContext.broadcast(cb)
+    adcScore(encodeWith(emb, idCol, vecCol, bcCb).as[(Long, Array[Int])],
+      bcCb, qVecs, k)
+  }
+
+  /** Shared ADC scoring tail over (vid, codes) rows — used by [[adcTopK]]
+    * (codes computed on the fly) and [[PqIndex.search]] (codes read from
+    * the stored table), so the two ranking paths cannot diverge.
+    */
+  private def adcScore(
+      codes: org.apache.spark.sql.Dataset[(Long, Array[Int])],
+      bcCb: org.apache.spark.broadcast.Broadcast[Codebook],
+      qVecs: Array[(Long, Array[Double])], k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
     val bcQ = spark.sparkContext.broadcast(qVecs)
-    val scored = encodeWith(emb, idCol, vecCol, bcCb)
-      .as[(Long, Array[Int])]
+    val scored = codes
       .mapPartitions { it =>
         val c = bcCb.value
         val qs = bcQ.value
@@ -280,5 +293,148 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("adist"), 3).as("adist"))
+  }
+
+  /** Persist an index: codebook as two driver-sized parquets (meta +
+    * per-subspace centroids, trainMse included — the drift baseline
+    * travels with the quantizer it describes) and the encoded corpus as
+    * a BUCKETED codes table. Encoding runs ONCE, here — [[openIndex]]
+    * never re-encodes (the PQ analogue of the other indexes' pay-once
+    * contract, and the point of PQ at scale: a 64-dim float corpus rests
+    * at m bytes/vector, 32× smaller, and every later search scans codes,
+    * not vectors).
+    */
+  def saveIndex(
+      emb: DataFrame, idCol: String, vecCol: String, cb: Codebook,
+      name: String, path: String, buckets: Int = 32): PqIndex = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq((cb.m, cb.k, cb.dsub, cb.trainMse))
+      .toDF("m", "k", "dsub", "train_mse")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codebook/meta")
+    cb.cents.zipWithIndex
+      .flatMap { case (cs, sub) =>
+        cs.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
+      }.toSeq
+      .toDF("sub", "code", "c")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codebook/cents")
+    graft.sources.Sinks.bucketed(
+      encode(emb, idCol, vecCol, cb).repartition(buckets, col("vid")),
+      s"${name}_pqcodes", s"$path/codes", buckets, Seq("vid"))
+    new PqIndex(spark, cb, s"${name}_pqcodes", path, buckets)
+  }
+
+  /** Re-open a saved index: the codebook loads to the driver (m·k·dsub
+    * doubles — always model-sized), codes resolve lazily through the
+    * catalog with a relation-cache refresh per access (appends from any
+    * session must be visible — same contract as the other indexes).
+    */
+  def openIndex(
+      spark: SparkSession, name: String, path: String,
+      buckets: Int = 32): PqIndex = {
+    val meta = spark.read.parquet(s"$path/codebook/meta").head()
+    val (m, k, dsub) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"),
+      meta.getAs[Int]("dsub"))
+    val cents = Array.ofDim[Array[Double]](m, k)
+    spark.read.parquet(s"$path/codebook/cents").collect().foreach { r =>
+      cents(r.getAs[Int]("sub"))(r.getAs[Int]("code")) =
+        r.getSeq[Double](2).toArray
+    }
+    require(cents.forall(_.forall(_ != null)),
+      s"codebook at $path/codebook is missing (sub, code) entries")
+    new PqIndex(spark,
+      new Codebook(m, k, dsub, cents, meta.getAs[Double]("train_mse")),
+      s"${name}_pqcodes", path, buckets)
+  }
+
+  /** Persistent PQ index: the stored-codes face of [[adcTopK]]. Search
+    * scans the codes table (bucketed parquet, m small ints per row) and
+    * ranks by asymmetric distance through the SAME scoring tail as the
+    * in-memory path; append/delete/compact are the standard
+    * rewrite-as-maintenance shapes. Codebook drift is checked against
+    * the ORIGINAL vectors ([[Pq.needsRetrain]] takes the corpus frame —
+    * codes alone cannot measure reconstruction error), and a retrain
+    * means re-encoding: old codes are not comparable across codebooks,
+    * so the cycle is retrain → [[Pq.saveIndex]] to a fresh path.
+    */
+  final class PqIndex private[Pq] (
+      spark: SparkSession,
+      val cb: Codebook,
+      val codesTable: String,
+      val path: String,
+      val buckets: Int) {
+
+    /** The stored (vid, codes) relation, catalog-fresh. */
+    def codes: DataFrame = {
+      spark.catalog.refreshTable(codesTable)
+      spark.table(codesTable)
+    }
+
+    def indexedVectors(): Long = codes.count()
+
+    /** ADC top-k over the STORED codes for exact query vectors (the
+      * caller supplies them — an ADC query side is never quantized).
+      */
+    def search(queries: Map[Long, Array[Double]], k: Int): DataFrame = {
+      import spark.implicits._
+      adcScore(codes.select(col("vid"), col("codes")).as[(Long, Array[Int])],
+        spark.sparkContext.broadcast(cb), queries.toArray.sortBy(_._1), k)
+    }
+
+    /** Encode + fold a batch in. Same counted-drops idempotence contract
+      * as every other index append ([[MinHashIndex.append]] doc).
+      * @return rows actually appended; a full redelivery returns 0
+      */
+    def append(emb: DataFrame, idCol: String, vecCol: String): Long = {
+      spark.catalog.refreshTable(codesTable)
+      val e0 = encode(emb, idCol, vecCol, cb).localCheckpoint(true)
+      try {
+        val kept = e0
+          .join(spark.table(codesTable).select("vid"), Seq("vid"), "left_anti")
+          .localCheckpoint(true)
+        try {
+          val (in, n) = (e0.count(), kept.count())
+          if (n < in) DedupIndex.log.warn(
+            s"append dropped ${in - n} of $in already-indexed vids " +
+              s"($codesTable): redelivery is benign, but a changed vector " +
+              "under a re-sent vid is NOT updated - delete+append to replace")
+          kept.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .bucketBy(buckets, "vid")
+            .saveAsTable(codesTable)
+          n
+        } finally kept.unpersist()
+      } finally e0.unpersist()
+    }
+
+    /** Retraction: anti-join rewrite into `toPath`, same bucket spec —
+      * doubles as a [[compact]]. The codebook is copied verbatim
+      * (deleting vectors never moves the quantizer).
+      */
+    def delete(ids: DataFrame, idCol: String, toPath: String): PqIndex =
+      rewrite(toPath,
+        _.join(ids.select(col(idCol).cast("long").as("vid")), Seq("vid"), "left_anti"))
+
+    /** Small-file maintenance: one file per bucket, searches unchanged. */
+    def compact(toPath: String): PqIndex = rewrite(toPath, identity)
+
+    private def rewrite(toPath: String, f: DataFrame => DataFrame): PqIndex = {
+      require(toPath != path, s"rewrite target must differ from current path: $path")
+      // files, not the catalog table — the rewrite must not depend on
+      // the table it is about to redefine
+      Seq("meta", "cents").foreach { part =>
+        spark.read.parquet(s"$path/codebook/$part").coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$toPath/codebook/$part")
+      }
+      graft.sources.Sinks.bucketed(
+        f(spark.read.parquet(s"$path/codes"))
+          .repartition(buckets, col("vid")),
+        codesTable, s"$toPath/codes", buckets, Seq("vid"))
+      new PqIndex(spark, cb, codesTable, toPath, buckets)
+    }
   }
 }

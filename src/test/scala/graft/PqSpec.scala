@@ -58,6 +58,51 @@ class PqSpec extends SparkSpec {
     assert(e2.getMessage.contains("999"))
   }
 
+  test("persistent PQ index: stored-codes search == in-memory ADC through the whole maintenance cycle") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val df = clustered
+    val cb = Pq.train(df, "vec_id", "embedding", m = 4, k = 8)
+    val oldPart = df.filter(col("vec_id") % 5 =!= 0)
+    val newPart = df.filter(col("vec_id") % 5 === 0)
+    val base = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    val qids = Seq(1L, 2L, 3L)
+    val qs = df.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Double])].collect().toMap
+    def rows(r: DataFrame) = r.orderBy("query_id", "rank").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3))).toSeq
+    val idx = Pq.saveIndex(oldPart, "vec_id", "embedding", cb,
+      "pqidx_t", s"$base/v1", buckets = 8)
+    // stored-codes search is bit-identical to the in-memory ADC path
+    // (shared scoring tail, same codebook)
+    assert(rows(idx.search(qs, k = 5)) ==
+      rows(Pq.adcTopK(oldPart, "vec_id", "embedding", cb, qids, 5)))
+    // cold reopen: codebook roundtrips (shape, baseline, centroids) and
+    // searches identically
+    val reopened = Pq.openIndex(spark, "pqidx_t", s"$base/v1", buckets = 8)
+    assert(reopened.cb.m == cb.m && reopened.cb.k == cb.k &&
+      reopened.cb.dsub == cb.dsub && reopened.cb.trainMse == cb.trainMse)
+    assert(rows(reopened.search(qs, k = 5)) == rows(idx.search(qs, k = 5)))
+    // append the held-out fifth: counted, idempotent, and the search
+    // equals in-memory ADC over the whole corpus
+    assert(reopened.append(newPart, "vec_id", "embedding") == newPart.count())
+    assert(reopened.append(newPart, "vec_id", "embedding") == 0L,
+      "a full redelivery must report zero rows appended")
+    val wantAll = rows(Pq.adcTopK(df, "vec_id", "embedding", cb, qids, 5))
+    assert(rows(reopened.search(qs, k = 5)) == wantAll)
+    // delete a top neighbor: it disappears and ranks re-close exactly as
+    // ADC over the remaining corpus; compact changes nothing
+    val victim = wantAll.map(_._3).filterNot(qids.contains).head
+    val deleted = reopened.delete(Seq(victim).toDF("vec_id"), "vec_id", s"$base/v2")
+    assert(rows(deleted.search(qs, k = 5)) ==
+      rows(Pq.adcTopK(df.filter(col("vec_id") =!= victim),
+        "vec_id", "embedding", cb, qids, 5)))
+    val compacted = deleted.compact(s"$base/v3")
+    assert(rows(compacted.search(qs, k = 5)) == rows(deleted.search(qs, k = 5)))
+    assert(compacted.indexedVectors() == df.count() - 1)
+  }
+
   test("codebook drift: needsRetrain trips on a shifted corpus; retrain clears it") {
     import spark.implicits._
     val df = clustered
