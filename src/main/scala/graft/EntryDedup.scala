@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, ComponentsIndex, Dedup, DedupIndex, EmbedIndex, Graph, Indexing, Ingest, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, ComponentsIndex, Dedup, DedupIndex, EmbedIndex, Graph, Indexing, Ingest, IvfPq, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
 import graft.sources.Crawl
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -335,6 +335,29 @@ private[graft] object EntryDedup {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
       .as[(Long, Array[Double])].collect().toMap
     idx.search(qs, k = 3)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+        col("adist"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The composite IVF-PQ index cold-reopened and searched at full
+    * probing: coarse-pruned buckets + ADC over stored codes — the
+    * production 100 TB layout (32× compression × nprobe/nClusters read).
+    * Rows-only for the ann_pq family's measured reason; IvfPqSpec pins
+    * full-probe search bit-identical to flat ADC and bucket pruning at
+    * nprobe=1.
+    */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    IvfPq.build(emb, "vec_id", "embedding", "graft_q_ivfpq", path,
+      nClusters = 16, m = 8, kCodes = 16)
+    val idx = IvfPq.open(s, "graft_q_ivfpq", path)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Array[Double])].collect().toMap
+    idx.search(qs, k = 3, nprobe = 16)
       .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
         col("adist"))
       .orderBy("query_id", "rnk")

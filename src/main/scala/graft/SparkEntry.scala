@@ -1522,6 +1522,7 @@ object SparkEntry {
     "ann_ivf_retrain" -> (EntryDedup.annIvfRetrain _),
     "ann_pq" -> (EntryDedup.annPq _),
     "ann_pq_index" -> (EntryDedup.annPqIndex _),
+    "ann_ivfpq" -> (EntryDedup.annIvfPq _),
     "text_langid" -> (EntryText.textLangid _),
     "text_quality" -> (EntryText.textQuality _),
     "text_tokens" -> (EntryText.textTokens _),

@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.sources.Sinks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ composite ANN index — the production 100 TB search shape
+  * (Jégou et al., TPAMI 2011; the FAISS IVFPQ layout): a coarse k-means
+  * quantizer prunes each search to `nprobe` clusters, product-quantized
+  * codes rank the candidates by asymmetric distance within them. Storage
+  * is m bytes/vector (32× under float32) BUCKETED BY CLUSTER, so a saved
+  * index reads nprobe/nClusters of its buckets per search and never
+  * touches a raw vector — the multiplicative combination of the IVF
+  * index's read pruning and the PQ index's compression.
+  *
+  * Variant note: codes quantize the RAW vectors, not per-cluster
+  * residuals. Residual encoding buys accuracy at the cost of
+  * cluster-specific decoding; the raw variant keeps codes comparable
+  * across clusters, which is what makes search at nprobe = nClusters
+  * EXACTLY equal the flat [[Pq.adcTopK]] ranking under the same codebook
+  * (spec-pinned) and lets one codebook survive a coarse-quantizer
+  * retrain untouched.
+  *
+  * Maintenance mirrors the component indexes: counted-idempotent
+  * [[IvfPqIndex.append]], anti-join [[IvfPqIndex.delete]] /
+  * [[IvfPqIndex.compact]] rewrites, coarse-quantizer drift observed via
+  * [[Similarity.IvfIndex]]-style baselines on the caller's side
+  * (re-clustering means re-bucketing: rebuild through [[build]]).
+  */
+object IvfPq {
+
+  /** Train both quantizers and materialize the index at `path`: coarse
+    * centroids (driver-sized parquet), PQ codebook (driver-sized, with
+    * its trainMse drift baseline), and ONE narrow assign+encode pass over
+    * the corpus into a codes table bucketed on cluster. Table-backed from
+    * birth — the composite exists for its storage layout.
+    */
+  def build(
+      emb: DataFrame, idCol: String, vecCol: String,
+      name: String, path: String,
+      nClusters: Int = 16, m: Int = 8, kCodes: Int = 16, iters: Int = 5,
+      sampleSize: Int = 10000, seed: Long = 42L,
+      buckets: Int = 16): IvfPqIndex = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col(idCol).cast("long").as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    // coarse quantizer: same seeded-sample + Lloyd's discipline as
+    // IvfIndex.build (shared lloyd — the training paths cannot diverge)
+    val total = base.count()
+    val fraction = math.min(1.0, sampleSize * 1.2 / math.max(total, 1L))
+    val sample = base.as[(Long, Array[Double])]
+      .sample(withReplacement = false, fraction, seed)
+      .limit(sampleSize).collect().map(_._2)
+    require(sample.nonEmpty, "empty embedding table")
+    val cents = Similarity.IvfIndex.lloyd(sample, nClusters, iters, seed)
+    val cb = Pq.train(emb, idCol, vecCol, m, kCodes, iters, sampleSize, seed)
+    Similarity.IvfIndex.writeCentroids(spark, path, cents)
+    Pq.writeCodebook(spark, path, cb)
+    // one narrow pass: nearest-centroid assign + PQ encode per vector —
+    // neither quantizer shuffles the corpus
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val coded = base.as[(Long, Array[Double])].mapPartitions { it =>
+      val cs = bcC.value; val c = bcCb.value
+      it.map { case (vid, v) =>
+        (vid, cs.indices.minBy(i => Similarity.IvfIndex.l2sq(cs(i), v)),
+          c.encodeVec(v))
+      }
+    }.toDF("vid", "cluster", "codes")
+    Sinks.bucketed(coded.repartition(buckets, col("cluster")),
+      s"${name}_ivfpq", s"$path/codes", buckets, Seq("cluster"))
+    new IvfPqIndex(spark, cents, cb, s"${name}_ivfpq", path, buckets)
+  }
+
+  /** Re-open a saved index: both quantizers load to the driver (always
+    * model-sized), codes resolve lazily through the catalog with a
+    * relation-cache refresh per access.
+    */
+  def open(spark: SparkSession, name: String, path: String,
+      buckets: Int = 16): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, s"no centroids at $path/centroids")
+    new IvfPqIndex(spark, cents, Pq.readCodebook(spark, path),
+      s"${name}_ivfpq", path, buckets)
+  }
+
+  final class IvfPqIndex private[operators] (
+      spark: SparkSession,
+      val centroids: Array[Array[Double]],
+      val cb: Pq.Codebook,
+      val codesTable: String,
+      val path: String,
+      val buckets: Int) {
+
+    /** The stored (vid, cluster, codes) relation, catalog-fresh. */
+    def codes: DataFrame = {
+      spark.catalog.refreshTable(codesTable)
+      spark.table(codesTable)
+    }
+
+    def indexedVectors(): Long = codes.count()
+
+    /** ADC top-k within the `nprobe` clusters nearest each query. The
+      * probed-cluster set is known driver-side, so it pushes as a literal
+      * `IN` on the bucket column — the scan reads only the probed buckets
+      * — and each query scores ONLY against its own probed clusters (the
+      * per-(query, cluster) probe relation joins the pruned codes, so a
+      * cluster probed by one query never leaks candidates into another's
+      * ranking). LUTs build once per (partition, query).
+      */
+    def search(
+        queries: Map[Long, Array[Double]], k: Int, nprobe: Int): DataFrame = {
+      import spark.implicits._
+      val probes: Seq[(Long, Int)] = queries.toSeq.sortBy(_._1)
+        .flatMap { case (qid, qv) =>
+          centroids.indices
+            .sortBy(c => Similarity.IvfIndex.l2sq(centroids(c), qv))
+            .take(nprobe)
+            .map(c => (qid, c))
+        }
+      val probed = probes.map(_._2).distinct
+      val bcCb = spark.sparkContext.broadcast(cb)
+      val bcQ = spark.sparkContext.broadcast(queries)
+      val scored = codes
+        .filter(col("cluster").isin(probed.map(Int.box): _*))
+        .join(broadcast(probes.toDF("query_id", "cluster")), Seq("cluster"))
+        .filter(col("vid") =!= col("query_id"))
+        .select(col("query_id"), col("vid"), col("codes"))
+        .as[(Long, Long, Array[Int])]
+        .mapPartitions { it =>
+          val c = bcCb.value; val qs = bcQ.value
+          val luts = scala.collection.mutable.LongMap.empty[Array[Array[Double]]]
+          it.map { case (qid, vid, codes) =>
+            val lut = luts.getOrElseUpdate(qid, Pq.buildLut(c, qs(qid)))
+            (qid, vid, Pq.adcDist(lut, codes))
+          }
+        }.toDF("query_id", "neighbor_id", "adist")
+      Pq.adcRank(scored, k)
+    }
+
+    /** Assign + encode + fold a batch in — same counted-drops idempotence
+      * contract as every other index append ([[MinHashIndex.append]]).
+      * @return rows actually appended; a full redelivery returns 0
+      */
+    def append(emb: DataFrame, idCol: String, vecCol: String): Long = {
+      spark.catalog.refreshTable(codesTable)
+      import spark.implicits._
+      val bcC = spark.sparkContext.broadcast(centroids)
+      val bcCb = spark.sparkContext.broadcast(cb)
+      val coded = emb.select(col(idCol).cast("long").as("vid"),
+          transform(col(vecCol), x => x.cast("double")).as("v"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val cs = bcC.value; val c = bcCb.value
+          it.map { case (vid, v) =>
+            (vid, cs.indices.minBy(i => Similarity.IvfIndex.l2sq(cs(i), v)),
+              c.encodeVec(v))
+          }
+        }.toDF("vid", "cluster", "codes")
+        .localCheckpoint(true)
+      try {
+        val kept = coded
+          .join(spark.table(codesTable).select("vid"), Seq("vid"), "left_anti")
+          .localCheckpoint(true)
+        try {
+          val (in, n) = (coded.count(), kept.count())
+          if (n < in) DedupIndex.log.warn(
+            s"append dropped ${in - n} of $in already-indexed vids " +
+              s"($codesTable): redelivery is benign, but a changed vector " +
+              "under a re-sent vid is NOT updated - delete+append to replace")
+          kept.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .bucketBy(buckets, "cluster")
+            .saveAsTable(codesTable)
+          n
+        } finally kept.unpersist()
+      } finally coded.unpersist()
+    }
+
+    /** Retraction: anti-join rewrite into `toPath`, same bucket spec —
+      * doubles as a [[compact]]. Both quantizers are copied verbatim
+      * (deleting vectors never moves either).
+      */
+    def delete(ids: DataFrame, idCol: String, toPath: String): IvfPqIndex =
+      rewrite(toPath,
+        _.join(ids.select(col(idCol).cast("long").as("vid")), Seq("vid"), "left_anti"))
+
+    /** Small-file maintenance: one file per bucket, searches unchanged. */
+    def compact(toPath: String): IvfPqIndex = rewrite(toPath, identity)
+
+    private def rewrite(toPath: String, f: DataFrame => DataFrame): IvfPqIndex = {
+      require(toPath != path, s"rewrite target must differ from current path: $path")
+      // files, not the catalog table — the rewrite must not depend on
+      // the table it is about to redefine
+      spark.read.parquet(s"$path/centroids").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$toPath/centroids")
+      Seq("meta", "cents").foreach { part =>
+        spark.read.parquet(s"$path/codebook/$part").coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$toPath/codebook/$part")
+      }
+      Sinks.bucketed(
+        f(spark.read.parquet(s"$path/codes"))
+          .repartition(buckets, col("cluster")),
+        codesTable, s"$toPath/codes", buckets, Seq("cluster"))
+      new IvfPqIndex(spark, centroids, cb, codesTable, toPath, buckets)
+    }
+  }
+}

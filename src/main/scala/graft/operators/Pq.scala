@@ -257,6 +257,38 @@ object Pq {
     * (codes computed on the fly) and [[PqIndex.search]] (codes read from
     * the stored table), so the two ranking paths cannot diverge.
     */
+  /** LUT(sub)(code) = ||q_sub − cent(sub)(code)||² — the per-query table
+    * every ADC variant (flat scan, stored codes, IVF-PQ) sums over.
+    */
+  private[operators] def buildLut(
+      c: Codebook, qv: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(c.m, c.k) { (sub, code) =>
+      val cent = c.cents(sub)(code); val off = sub * c.dsub
+      var d = 0.0; var i = 0
+      while (i < c.dsub) { val x = qv(off + i) - cent(i); d += x * x; i += 1 }
+      d
+    }
+
+  /** Asymmetric distance: m table lookups. */
+  private[operators] def adcDist(
+      lut: Array[Array[Double]], codes: Array[Int]): Double = {
+    var d = 0.0; var sub = 0
+    while (sub < codes.length) { d += lut(sub)(codes(sub)); sub += 1 }
+    d
+  }
+
+  /** Per-query top-k over (query_id, neighbor_id, adist) rows — the rank
+    * tail shared by every ADC variant.
+    */
+  private[operators] def adcRank(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adist"), 3).as("adist"))
+  }
+
   private def adcScore(
       codes: org.apache.spark.sql.Dataset[(Long, Array[Int])],
       bcCb: org.apache.spark.broadcast.Broadcast[Codebook],
@@ -268,31 +300,52 @@ object Pq {
       .mapPartitions { it =>
         val c = bcCb.value
         val qs = bcQ.value
-        // LUT(q)(sub)(code) = ||q_sub − cent(sub)(code)||²
-        val lut = qs.map { case (_, qv) =>
-          Array.tabulate(c.m, c.k) { (sub, code) =>
-            val cent = c.cents(sub)(code); val off = sub * c.dsub
-            var d = 0.0; var i = 0
-            while (i < c.dsub) { val x = qv(off + i) - cent(i); d += x * x; i += 1 }
-            d
-          }
-        }
+        val lut = qs.map { case (_, qv) => buildLut(c, qv) }
         it.flatMap { case (vid, codes) =>
           qs.indices.iterator.collect { case qi if qs(qi)._1 != vid =>
-            val t = lut(qi)
-            var d = 0.0; var sub = 0
-            while (sub < c.m) { d += t(sub)(codes(sub)); sub += 1 }
-            (qs(qi)._1, vid, d)
+            (qs(qi)._1, vid, adcDist(lut(qi), codes))
           }
         }
       }
       .toDF("query_id", "neighbor_id", "adist")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("adist"), 3).as("adist"))
+    adcRank(scored, k)
+  }
+
+  /** Codebook persistence shared by [[saveIndex]]/[[openIndex]] and the
+    * IVF-PQ composite — meta (shape + drift baseline) and per-subspace
+    * centroids, both driver-sized.
+    */
+  private[operators] def writeCodebook(
+      spark: SparkSession, path: String, cb: Codebook): Unit = {
+    import spark.implicits._
+    Seq((cb.m, cb.k, cb.dsub, cb.trainMse))
+      .toDF("m", "k", "dsub", "train_mse")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codebook/meta")
+    cb.cents.zipWithIndex
+      .flatMap { case (cs, sub) =>
+        cs.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
+      }.toSeq
+      .toDF("sub", "code", "c")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codebook/cents")
+  }
+
+  private[operators] def readCodebook(
+      spark: SparkSession, path: String): Codebook = {
+    val meta = spark.read.parquet(s"$path/codebook/meta").head()
+    val (m, k, dsub) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"),
+      meta.getAs[Int]("dsub"))
+    val cents = Array.ofDim[Array[Double]](m, k)
+    spark.read.parquet(s"$path/codebook/cents").collect().foreach { r =>
+      cents(r.getAs[Int]("sub"))(r.getAs[Int]("code")) =
+        r.getSeq[Double](2).toArray
+    }
+    require(cents.forall(_.forall(_ != null)),
+      s"codebook at $path/codebook is missing (sub, code) entries")
+    new Codebook(m, k, dsub, cents, meta.getAs[Double]("train_mse"))
   }
 
   /** Persist an index: codebook as two driver-sized parquets (meta +
@@ -308,20 +361,7 @@ object Pq {
       emb: DataFrame, idCol: String, vecCol: String, cb: Codebook,
       name: String, path: String, buckets: Int = 32): PqIndex = {
     val spark = emb.sparkSession
-    import spark.implicits._
-    Seq((cb.m, cb.k, cb.dsub, cb.trainMse))
-      .toDF("m", "k", "dsub", "train_mse")
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/codebook/meta")
-    cb.cents.zipWithIndex
-      .flatMap { case (cs, sub) =>
-        cs.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
-      }.toSeq
-      .toDF("sub", "code", "c")
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/codebook/cents")
+    writeCodebook(spark, path, cb)
     graft.sources.Sinks.bucketed(
       encode(emb, idCol, vecCol, cb).repartition(buckets, col("vid")),
       s"${name}_pqcodes", s"$path/codes", buckets, Seq("vid"))
@@ -335,21 +375,9 @@ object Pq {
     */
   def openIndex(
       spark: SparkSession, name: String, path: String,
-      buckets: Int = 32): PqIndex = {
-    val meta = spark.read.parquet(s"$path/codebook/meta").head()
-    val (m, k, dsub) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"),
-      meta.getAs[Int]("dsub"))
-    val cents = Array.ofDim[Array[Double]](m, k)
-    spark.read.parquet(s"$path/codebook/cents").collect().foreach { r =>
-      cents(r.getAs[Int]("sub"))(r.getAs[Int]("code")) =
-        r.getSeq[Double](2).toArray
-    }
-    require(cents.forall(_.forall(_ != null)),
-      s"codebook at $path/codebook is missing (sub, code) entries")
-    new PqIndex(spark,
-      new Codebook(m, k, dsub, cents, meta.getAs[Double]("train_mse")),
+      buckets: Int = 32): PqIndex =
+    new PqIndex(spark, readCodebook(spark, path),
       s"${name}_pqcodes", path, buckets)
-  }
 
   /** Persistent PQ index: the stored-codes face of [[adcTopK]]. Search
     * scans the codes table (bucketed parquet, m small ints per row) and

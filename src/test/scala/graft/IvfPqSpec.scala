@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{IvfPq, Pq}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ composite invariants: at full probing the composite must rank
+  * exactly like flat ADC under the same codebook (raw-vector PQ — codes
+  * are cluster-independent); at nprobe=1 the scan must prune to the
+  * probed bucket and candidates must not leak across queries; the
+  * maintenance cycle (reopen / append / delete / compact) must track.
+  */
+class IvfPqSpec extends SparkSpec {
+
+  /** Same 4-separated-cluster fixture as PqSpec. */
+  private def clustered = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.tabulate(4, 16)((c, i) => if (i % 4 == c) 20.0 else 0.0)
+    (0L until 400L).map { id =>
+      val c = (id % 4).toInt
+      (id, centers(c).map(_ + rnd.nextGaussian() * 0.1).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def rows(r: DataFrame) = r.orderBy("query_id", "rank").collect()
+    .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3))).toSeq
+
+  private def qvecs(df: DataFrame, ids: Seq[Long]): Map[Long, Array[Double]] = {
+    import spark.implicits._
+    df.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Double])].collect().toMap
+  }
+
+  test("nprobe = nClusters == flat ADC; nprobe=1 prunes buckets and isolates per-query candidates") {
+    val df = clustered
+    val base = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val idx = IvfPq.build(df, "vec_id", "embedding", "ivfpq_t", s"$base/v1",
+      nClusters = 8, m = 4, kCodes = 8, buckets = 8)
+    val qids = Seq(0L, 1L, 2L, 3L) // one query per natural cluster
+    val qs = qvecs(df, qids)
+    // full probing is exhaustive, and raw-vector codes are comparable
+    // across clusters — the composite ranking IS the flat ADC ranking
+    val cb = Pq.train(df, "vec_id", "embedding", m = 4, k = 8)
+    assert(rows(idx.search(qs, k = 5, nprobe = 8)) ==
+      rows(Pq.adcTopK(df, "vec_id", "embedding", cb, qids, 5)))
+    // nprobe=1, one query: the scan reads only the probed bucket
+    val one = idx.search(Map(0L -> qs(0L)), k = 5, nprobe = 1)
+    one.count()
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"probe scan must prune to the probed bucket, got:\n$plan")
+    // nprobe=1, four queries from four separated clusters: every neighbor
+    // shares its query's cluster — cluster candidates never leak across
+    // queries even though all four buckets are in the pruned scan
+    val got = rows(idx.search(qs, k = 5, nprobe = 1))
+    assert(got.size == 4 * 5)
+    got.foreach { case (q, _, n, _) =>
+      assert(q % 4 == n % 4, s"cross-cluster neighbor at nprobe=1: ($q, $n)")
+    }
+  }
+
+  test("reopen / append / delete / compact track the flat-ADC reference") {
+    import spark.implicits._
+    val df = clustered
+    val oldPart = df.filter(col("vec_id") % 5 =!= 0)
+    val newPart = df.filter(col("vec_id") % 5 === 0)
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_m").toString
+    IvfPq.build(oldPart, "vec_id", "embedding", "ivfpq_m", s"$base/v1",
+      nClusters = 8, m = 4, kCodes = 8, buckets = 8)
+    val idx = IvfPq.open(spark, "ivfpq_m", s"$base/v1", buckets = 8)
+    val qids = Seq(1L, 2L, 3L)
+    val qs = qvecs(df, qids)
+    // the codebook here is trained on oldPart — the flat reference must
+    // use the SAME codebook for bit-equality
+    val cb = Pq.train(oldPart, "vec_id", "embedding", m = 4, k = 8)
+    assert(idx.cb.trainMse == cb.trainMse && idx.cb.m == cb.m)
+    assert(rows(idx.search(qs, k = 5, nprobe = 8)) ==
+      rows(Pq.adcTopK(oldPart, "vec_id", "embedding", cb, qids, 5)))
+    // append: counted, idempotent, results == flat ADC over the union
+    // (encoded under the FROZEN oldPart codebook on both sides: adcTopK
+    // with cb encodes df on the fly with the same codebook)
+    assert(idx.append(newPart, "vec_id", "embedding") == newPart.count())
+    assert(idx.append(newPart, "vec_id", "embedding") == 0L)
+    val wantAll = rows(Pq.adcTopK(df, "vec_id", "embedding", cb, qids, 5))
+    assert(rows(idx.search(qs, k = 5, nprobe = 8)) == wantAll)
+    // delete a neighbor; ranks re-close like flat ADC minus the victim
+    val victim = wantAll.map(_._3).filterNot(qids.contains).head
+    val deleted = idx.delete(Seq(victim).toDF("vec_id"), "vec_id", s"$base/v2")
+    assert(rows(deleted.search(qs, k = 5, nprobe = 8)) ==
+      rows(Pq.adcTopK(df.filter(col("vec_id") =!= victim),
+        "vec_id", "embedding", cb, qids, 5)))
+    // compact: byte-identical searches, full corpus minus the victim
+    val compacted = deleted.compact(s"$base/v3")
+    assert(rows(compacted.search(qs, k = 5, nprobe = 8)) ==
+      rows(deleted.search(qs, k = 5, nprobe = 8)))
+    assert(compacted.indexedVectors() == df.count() - 1)
+  }
+}

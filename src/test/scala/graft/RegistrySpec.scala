@@ -15,13 +15,13 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("queries without an oracle are exactly the declared sketch/hash set") {
-    // these seven are rows-only BY DESIGN (sketch-, recall- or
+    // these eight are rows-only BY DESIGN (sketch-, recall- or
     // hash-specific output with no SQL-expressible oracle; ann_pq_index
-    // shares ann_pq's measured necessity and is pinned bit-identical to
-    // it by PqSpec); anything new appearing here means someone forgot to
-    // write an oracle
-    val declared = Set("ann_lsh", "ann_pq", "ann_pq_index", "q_hll",
-      "q_approx_quantile", "text_bpe", "text_winnow")
+    // and ann_ivfpq share ann_pq's measured necessity and are pinned
+    // bit-identical to flat ADC by PqSpec/IvfPqSpec); anything new
+    // appearing here means someone forgot to write an oracle
+    val declared = Set("ann_lsh", "ann_pq", "ann_pq_index", "ann_ivfpq",
+      "q_hll", "q_approx_quantile", "text_bpe", "text_winnow")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == declared,
       s"undeclared oracle-less queries: ${(noOracle -- declared).toSeq.sorted}; " +
@@ -41,7 +41,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the shipped inventory") {
-    assert(SparkEntry.queries.size == 159,
+    assert(SparkEntry.queries.size == 160,
       s"query count drifted: ${SparkEntry.queries.size} (update this pin " +
         "AND SURVEY §2.4 when adding operators)")
   }
