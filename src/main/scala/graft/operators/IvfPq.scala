@@ -180,6 +180,20 @@ object IvfPq {
       } finally coded.unpersist()
     }
 
+    /** Continuous-ingest ANN at the composite layout: a vector STREAM
+      * folded in through per-batch [[append]] via the shared
+      * [[IndexStream]] harness — both quantizers stay frozen, appends are
+      * idempotent under redelivery, and after any prefix of batches the
+      * index equals a batch build-plus-append over the vectors delivered
+      * so far (same contract as [[Similarity.IvfIndex.appendStream]]).
+      */
+    def appendStream(
+        vectors: DataFrame, idCol: String, vecCol: String,
+        checkpointDir: String): Unit =
+      IndexStream.run(vectors, checkpointDir) { batch =>
+        append(batch, idCol, vecCol); ()
+      }
+
     /** Retraction: anti-join rewrite into `toPath`, same bucket spec —
       * doubles as a [[compact]]. Both quantizers are copied verbatim
       * (deleting vectors never moves either).

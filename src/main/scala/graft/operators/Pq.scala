@@ -438,6 +438,20 @@ object Pq {
       } finally e0.unpersist()
     }
 
+    /** Continuous-ingest codes: drive a vector STREAM through per-batch
+      * [[append]] via the shared [[IndexStream]] harness — encode-once
+      * semantics batch by batch, idempotent under redelivery (same
+      * contract as [[Similarity.IvfIndex.appendStream]]). The codebook
+      * stays frozen throughout; pair [[Pq.needsRetrain]] checks as the
+      * corpus grows.
+      */
+    def appendStream(
+        vectors: DataFrame, idCol: String, vecCol: String,
+        checkpointDir: String): Unit =
+      IndexStream.run(vectors, checkpointDir) { batch =>
+        append(batch, idCol, vecCol); ()
+      }
+
     /** Retraction: anti-join rewrite into `toPath`, same bucket spec —
       * doubles as a [[compact]]. The codebook is copied verbatim
       * (deleting vectors never moves the quantizer).

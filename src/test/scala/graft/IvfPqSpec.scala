@@ -97,4 +97,31 @@ class IvfPqSpec extends SparkSpec {
       rows(deleted.search(qs, k = 5, nprobe = 8)))
     assert(compacted.indexedVectors() == df.count() - 1)
   }
+
+  test("appendStream folds a two-wave vector stream in; results == batch append") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    val df = clustered
+    val oldPart = df.filter(col("vec_id") % 5 =!= 0)
+    val newPart = df.filter(col("vec_id") % 5 === 0)
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_s").toString
+    IvfPq.build(oldPart, "vec_id", "embedding", "ivfpq_s", s"$base/v1",
+      nClusters = 8, m = 4, kCodes = 8, buckets = 8)
+    val idx = IvfPq.open(spark, "ivfpq_s", s"$base/v1", buckets = 8)
+    Seq(col("vec_id") < 200, col("vec_id") >= 200).foreach { p =>
+      newPart.filter(p).coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    idx.appendStream(
+      spark.readStream
+        .schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(DoubleType)))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      "vec_id", "embedding", s"$base/ckpt")
+    assert(idx.indexedVectors() == df.count())
+    val qids = Seq(1L, 2L, 3L)
+    val cb = Pq.train(oldPart, "vec_id", "embedding", m = 4, k = 8)
+    assert(rows(idx.search(qvecs(df, qids), k = 5, nprobe = 8)) ==
+      rows(Pq.adcTopK(df, "vec_id", "embedding", cb, qids, 5)),
+      "streamed appends must land exactly where a batch append would")
+  }
 }
