@@ -132,6 +132,34 @@ class ScaleGuardSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ probe reads <= nprobe of nClusters buckets, at two corpus sizes") {
+    // The composite inherits BOTH scale properties: m-byte codes at rest
+    // (PQ) and nprobe/nClusters bucket reads (IVF). This pins the read
+    // side on the CODES table — dropping the literal-IN prune in
+    // IvfPqIndex.search fails the gate at both sizes.
+    def selectedBuckets(n: Long): (Int, Int) = {
+      val emb = vecs(n, 16)
+      val dir = java.nio.file.Files.createTempDirectory(s"ivfpq_guard_$n").toString
+      graft.operators.IvfPq.build(emb, "vec_id", "embedding",
+        s"ivfpq_guard_$n", dir, nClusters = 8, m = 4, kCodes = 8, buckets = 8)
+      val opened = graft.operators.IvfPq.open(spark, s"ivfpq_guard_$n", dir,
+        buckets = 8)
+      val qv = emb.select(transform(col("embedding"), x => x.cast("double")))
+        .head().getSeq[Double](0).toArray
+      val res = opened.search(Map(0L -> qv), k = 3, nprobe = 2)
+      res.count() // settle AQE before reading the final plan
+      val plan = res.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined, s"no bucket pruning in the IVF-PQ probe scan at n=$n:\n$plan")
+      (m.get.group(1).toInt, m.get.group(2).toInt)
+    }
+    for (n <- Seq(4000L, 16000L)) {
+      val (sel, total) = selectedBuckets(n)
+      assert(total == 8, s"bucket count drifted at n=$n: $total")
+      assert(sel <= 2, s"probe read $sel of $total buckets at n=$n (nprobe=2)")
+    }
+  }
+
   test("PQ ADC shuffles only top-k candidates; encode stays narrow") {
     // ADC cost per base row is m LUT lookups, and the only exchange in
     // the whole search is the final per-query rank — whose input Spark
