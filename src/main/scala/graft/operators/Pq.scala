@@ -129,19 +129,27 @@ object Pq {
   }
 
   /** Sampled mean squared reconstruction error of the CURRENT corpus under
-    * `cb` — the same statistic [[train]] recorded as `trainMse`, measured
-    * with the same hash-ordered sampling discipline so the two are
-    * comparable. One narrow sampled pass; never a rebuild.
+    * `cb` — the drift statistic [[needsRetrain]] compares to the
+    * codebook's `trainMse`. An id-hash RATE sample (~`sampleSize` rows
+    * expected): deterministic, partitioning-invariant, and a NARROW scan
+    * into a map-side aggregate — never a TakeOrdered merging per-partition
+    * sample heaps through one task (see
+    * [[Similarity.IvfIndex.meanQuantError]] for the scale argument).
     */
   def currentMse(
       emb: DataFrame, idCol: String, vecCol: String, cb: Codebook,
       sampleSize: Int = 10000, seed: Long = 42L): Double = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val vs = asVectors(emb, idCol, vecCol).toDF("vid", "v")
+    val n = vs.count()
+    require(n > 0, "cannot measure reconstruction error of an empty table")
+    val denom = 1000000L
+    val thresh = math.min(denom,
+      math.ceil(denom.toDouble * sampleSize / n).toLong)
     val bc = spark.sparkContext.broadcast(cb)
-    val r = asVectors(emb, idCol, vecCol).toDF("vid", "v")
-      .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
-      .limit(sampleSize)
+    val r = vs
+      .filter(pmod(xxhash64(col("vid"), lit(seed)), lit(denom)) < thresh)
       .select("v").as[Array[Double]]
       .mapPartitions { it =>
         val c = bc.value
@@ -153,7 +161,7 @@ object Pq {
         }
       }
       .toDF("e").agg(avg("e")).head()
-    require(!r.isNullAt(0), "cannot measure reconstruction error of an empty table")
+    require(!r.isNullAt(0), "empty error sample - raise sampleSize")
     r.getDouble(0)
   }
 

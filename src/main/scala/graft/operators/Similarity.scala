@@ -529,28 +529,40 @@ object Similarity extends CacheLedger {
     }
 
     /** Sampled mean squared quantization error of (vid, v, cluster) rows
-      * against `cents` — hash-ordered sample (partitioning-invariant), so
-      * a baseline taken at save time and a probe taken after appends are
-      * comparable measurements of the same statistic.
+      * against `cents` — an id-hash RATE sample (~`sampleSize` rows
+      * expected): deterministic and partitioning-invariant (membership is
+      * a pure function of vid), and crucially a NARROW scan feeding a
+      * map-side (sum, count) aggregate. The hash-ordered limit shape this
+      * replaces was a TakeOrdered — per-partition top-10k heaps of vector
+      * payloads merged through ONE task, i.e. partitions × sampleSize
+      * vectors over the wire at cluster scale, for a statistic that only
+      * needs an unbiased mean. Baselines and probes both measure the same
+      * rate-sampled mean, so the drift ratio stays comparable as the
+      * corpus grows (the rate re-derives from the current count; the
+      * parquet row count is metadata-cheap).
       */
     private[operators] def meanQuantError(
         assigned: DataFrame, cents: Array[Array[Double]],
         sampleSize: Int, seed: Long): Double = {
       val spark = assigned.sparkSession
       import spark.implicits._
+      val n = assigned.count()
+      require(n > 0, "cannot measure quantization error of an empty index")
+      val denom = 1000000L
+      val thresh = math.min(denom,
+        math.ceil(denom.toDouble * sampleSize / n).toLong)
       val bc = spark.sparkContext.broadcast(cents)
       val errs = assigned
         .select(col("vid").cast("long").as("vid"), col("v"),
           col("cluster").cast("int").as("cluster"))
-        .orderBy(xxhash64(col("vid"), lit(seed)), col("vid"))
-        .limit(sampleSize)
+        .filter(pmod(xxhash64(col("vid"), lit(seed)), lit(denom)) < thresh)
         .as[(Long, Array[Double], Int)]
         .mapPartitions { it =>
           val cs = bc.value
           it.map { case (_, v, c) => l2sq(v, cs(c)) }
         }
       val r = errs.toDF("e").agg(avg("e")).head()
-      require(!r.isNullAt(0), "cannot measure quantization error of an empty index")
+      require(!r.isNullAt(0), "empty error sample - raise sampleSize")
       r.getDouble(0)
     }
 
