@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * [[Similarity.IvfIndex]]-style baselines on the caller's side
   * (re-clustering means re-bucketing: rebuild through [[build]]).
   */
-object IvfPq {
+object IvfPq extends CacheLedger {
 
   /** Train both quantizers and materialize the index at `path`: coarse
     * centroids (driver-sized parquet), PQ codebook (driver-sized, with
@@ -136,6 +136,53 @@ object IvfPq {
           val luts = scala.collection.mutable.LongMap.empty[Array[Array[Double]]]
           it.map { case (qid, vid, codes) =>
             val lut = luts.getOrElseUpdate(qid, Pq.buildLut(c, qs(qid)))
+            (qid, vid, Pq.adcDist(lut, codes))
+          }
+        }.toDF("query_id", "neighbor_id", "adist")
+      Pq.adcRank(scored, k)
+    }
+
+    /** [[search]] with a DataFrame query side — probe-cluster selection is
+      * a narrow map against the broadcast centroids, so a whole query
+      * TABLE searches without its vectors ever visiting the driver (the
+      * composite twin of [[Similarity.IvfIndex]]'s DataFrame path). The
+      * probe frame (query_id, qv, cluster) is persisted through the
+      * [[CacheLedger]] so its two consumers — the probed-cluster collect
+      * (bounded by nClusters) and the scoring join — see ONE evaluation
+      * even under a non-deterministic query frame; per-query LUTs build
+      * lazily inside each scan partition from the qv carried on the
+      * joined row.
+      */
+    def search(
+        queries: DataFrame, idCol: String, vecCol: String,
+        k: Int, nprobe: Int): DataFrame = {
+      import spark.implicits._
+      val q = queries.select(col(idCol).cast("long").as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+        .as[(Long, Array[Double])]
+      val bcC = spark.sparkContext.broadcast(centroids)
+      val probes = IvfPq.ledgered(q.mapPartitions { it =>
+        val cs = bcC.value
+        it.flatMap { case (qid, qv) =>
+          cs.indices.sortBy(c => Similarity.IvfIndex.l2sq(cs(c), qv))
+            .take(nprobe)
+            .map(c => (qid, qv, c))
+        }
+      }.toDF("query_id", "qv", "cluster").persist())
+      val probed = probes.select("cluster").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val bcCb = spark.sparkContext.broadcast(cb)
+      val scored = codes
+        .filter(col("cluster").isin(probed.map(Int.box): _*))
+        .join(broadcast(probes), Seq("cluster"))
+        .filter(col("vid") =!= col("query_id"))
+        .select(col("query_id"), col("qv"), col("vid"), col("codes"))
+        .as[(Long, Array[Double], Long, Array[Int])]
+        .mapPartitions { it =>
+          val c = bcCb.value
+          val luts = scala.collection.mutable.LongMap.empty[Array[Array[Double]]]
+          it.map { case (qid, qv, vid, codes) =>
+            val lut = luts.getOrElseUpdate(qid, Pq.buildLut(c, qv))
             (qid, vid, Pq.adcDist(lut, codes))
           }
         }.toDF("query_id", "neighbor_id", "adist")

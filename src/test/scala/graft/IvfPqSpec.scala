@@ -59,6 +59,12 @@ class IvfPqSpec extends SparkSpec {
     got.foreach { case (q, _, n, _) =>
       assert(q % 4 == n % 4, s"cross-cluster neighbor at nprobe=1: ($q, $n)")
     }
+    // the DataFrame query path (vectors never visit the driver) returns
+    // byte-identical results to the driver-Map path at both probe depths
+    val qdf = df.filter(col("vec_id").isin(qids: _*))
+    assert(rows(idx.search(qdf, "vec_id", "embedding", k = 5, nprobe = 8)) ==
+      rows(idx.search(qs, k = 5, nprobe = 8)))
+    assert(rows(idx.search(qdf, "vec_id", "embedding", k = 5, nprobe = 1)) == got)
   }
 
   test("reopen / append / delete / compact track the flat-ADC reference") {
