@@ -36,9 +36,14 @@ object Bench {
     * contention; load >> nproc names it. Readable on any Linux; absent
     * elsewhere.
     */
+  private def readFile(p: String): String = {
+    val src = scala.io.Source.fromFile(p)
+    try src.mkString finally src.close()
+  }
+
   private def loadSnapshot(): String = {
     try {
-      val la = scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")
+      val la = readFile("/proc/loadavg").trim.split("\\s+")
       val procs = new java.io.File("/proc").listFiles()
         .count(f => f.getName.forall(_.isDigit))
       s"[${la(0)},${la(1)},${la(2)},$procs]"
@@ -61,33 +66,39 @@ object Bench {
     } catch { case _: Throwable => false }
 
   /** Cumulative CPU ticks: (box-wide non-idle across all cpus, box-wide
-    * ALL fields across all cpus, this process incl. reaped children).
-    * From /proc/stat line 1 + /proc/self/stat utime/stime/cutime/cstime —
-    * the all-fields total gives elapsed ticks-per-cpu without knowing HZ.
+    * ALL fields across all cpus, this process incl. reaped children,
+    * host cpu count). From /proc/stat line 1 + its cpuN line count +
+    * /proc/self/stat utime/stime/cutime/cstime — the all-fields total
+    * gives elapsed ticks-per-cpu without knowing HZ, and the cpu count
+    * comes from the SAME file as the ticks: availableProcessors() can be
+    * cgroup/taskset-limited below the host's, which would inflate
+    * perCpuElapsed and underestimate external load by exactly the ratio
+    * — stamping a contaminated containerized run isolated:true.
     */
-  private def cpuTicks(): Option[(Long, Long, Long)] =
+  private def cpuTicks(): Option[(Long, Long, Long, Int)] =
     try {
-      val stat = scala.io.Source.fromFile("/proc/stat")
-        .getLines().next().split("\\s+").drop(1).map(_.toLong)
+      val lines = readFile("/proc/stat").split("\n")
+      val stat = lines.head.split("\\s+").drop(1).map(_.toLong)
       val idle = stat(3) + (if (stat.length > 4) stat(4) else 0L) // idle+iowait
-      val self = scala.io.Source.fromFile("/proc/self/stat").mkString
+      val ncpus = lines.count(_.matches("cpu\\d+.*"))
+      val self = readFile("/proc/self/stat")
         // comm can contain spaces/parens — fields are positional AFTER it
         .split("\\) ").last.split("\\s+")
       // fields 14-17 (1-based incl. pid+comm) = utime stime cutime cstime;
       // after stripping "pid (comm) " the state char is index 0 → 11..14
       val mine = self(11).toLong + self(12).toLong + self(13).toLong + self(14).toLong
-      Some((stat.sum - idle, stat.sum, mine))
+      Some((stat.sum - idle, stat.sum, mine, math.max(ncpus, 1)))
     } catch { case _: Throwable => None }
 
   /** Average EXTERNAL cores busy between two [[cpuTicks]] samples — CPU
     * burned by processes other than this JVM, the one signal that
     * separates box contention from the bench's own (deliberate) 32-thread
     * load: loadavg cannot tell them apart mid-run. HZ-free — elapsed
-    * ticks-per-cpu = all-fields delta / ncpus.
+    * ticks-per-cpu = all-fields delta / host cpu count.
     */
-  private def extCores(a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
-    val ncpus = Runtime.getRuntime.availableProcessors().toDouble
-    val perCpuElapsed = (b._2 - a._2) / ncpus
+  private def extCores(
+      a: (Long, Long, Long, Int), b: (Long, Long, Long, Int)): Double = {
+    val perCpuElapsed = (b._2 - a._2) / b._4.toDouble
     if (perCpuElapsed <= 0) 0.0
     // tick granularity can put the difference a hair under 0 on a quiet
     // box (child reap timing) — clamp, a negative core count means 0

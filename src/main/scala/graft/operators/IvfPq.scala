@@ -56,7 +56,7 @@ object IvfPq extends CacheLedger {
     val cents = Similarity.IvfIndex.lloyd(sample, nClusters, iters, seed)
     val cb = Pq.train(emb, idCol, vecCol, m, kCodes, iters, sampleSize, seed)
     Similarity.IvfIndex.writeCentroids(spark, path, cents)
-    Pq.writeCodebook(spark, path, cb)
+    Pq.writeCodebook(spark, path, cb, buckets)
     // one narrow pass: nearest-centroid assign + PQ encode per vector —
     // neither quantizer shuffles the corpus
     val bcC = spark.sparkContext.broadcast(cents)
@@ -75,7 +75,10 @@ object IvfPq extends CacheLedger {
 
   /** Re-open a saved index: both quantizers load to the driver (always
     * model-sized), codes resolve lazily through the catalog with a
-    * relation-cache refresh per access.
+    * relation-cache refresh per access. The bucket count comes from the
+    * persisted meta — META WINS over the argument (a wrong count would
+    * make append throw and compact/delete silently re-bucket); the
+    * argument stays only as the legacy fallback.
     */
   def open(spark: SparkSession, name: String, path: String,
       buckets: Int = 16): IvfPqIndex = {
@@ -84,8 +87,9 @@ object IvfPq extends CacheLedger {
       .sortBy(_.getInt(0))
       .map(_.getSeq[Double](1).toArray)
     require(cents.nonEmpty, s"no centroids at $path/centroids")
-    new IvfPqIndex(spark, cents, Pq.readCodebook(spark, path),
-      s"${name}_ivfpq", path, buckets)
+    val (cb, stored) = Pq.readCodebook(spark, path)
+    new IvfPqIndex(spark, cents, cb,
+      s"${name}_ivfpq", path, stored.getOrElse(buckets))
   }
 
   final class IvfPqIndex private[operators] (

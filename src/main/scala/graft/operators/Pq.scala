@@ -115,17 +115,15 @@ object Pq {
       }
       cs
     }
-    // drift baseline: reconstruction error of the training sample under
-    // the just-trained codebooks, computed driver-side on the sample that
-    // is already here (sampleSize · m · k · dsub ops — model-sized)
+    // drift baseline over the CORPUS, not the training sample: k-means
+    // error on its own training points is optimistically biased, which
+    // would start the needsRetrain ratio above 1.0 on a stationary corpus
+    // and silently eat tolerance headroom — measure the SAME statistic
+    // needsRetrain later probes (the IVF twin does likewise: its baseline
+    // is the save-time corpus error, never the training-sample error)
     val cb0 = new Codebook(m, k, dsub, cents)
-    val mse = sample.iterator.map { v =>
-      val r = cb0.decode(cb0.encodeVec(v))
-      var e = 0.0; var i = 0
-      while (i < v.length) { val x = v(i) - r(i); e += x * x; i += 1 }
-      e
-    }.sum / sample.length
-    new Codebook(m, k, dsub, cents, mse)
+    new Codebook(m, k, dsub, cents,
+      currentMse(emb, idCol, vecCol, cb0, sampleSize, seed))
   }
 
   /** Sampled mean squared reconstruction error of the CURRENT corpus under
@@ -320,14 +318,17 @@ object Pq {
   }
 
   /** Codebook persistence shared by [[saveIndex]]/[[openIndex]] and the
-    * IVF-PQ composite — meta (shape + drift baseline) and per-subspace
-    * centroids, both driver-sized.
+    * IVF-PQ composite — meta (shape + drift baseline + the index's
+    * bucket count, so open() never guesses storage geometry: a wrong
+    * caller-supplied count would make append throw on the spec mismatch
+    * and compact/delete silently RE-BUCKET the codes table) and
+    * per-subspace centroids, both driver-sized.
     */
   private[operators] def writeCodebook(
-      spark: SparkSession, path: String, cb: Codebook): Unit = {
+      spark: SparkSession, path: String, cb: Codebook, buckets: Int): Unit = {
     import spark.implicits._
-    Seq((cb.m, cb.k, cb.dsub, cb.trainMse))
-      .toDF("m", "k", "dsub", "train_mse")
+    Seq((cb.m, cb.k, cb.dsub, cb.trainMse, buckets))
+      .toDF("m", "k", "dsub", "train_mse", "buckets")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/codebook/meta")
@@ -341,9 +342,13 @@ object Pq {
       .parquet(s"$path/codebook/cents")
   }
 
+  /** @return the codebook plus the persisted bucket count (None only for
+    *         indexes written before buckets entered the meta)
+    */
   private[operators] def readCodebook(
-      spark: SparkSession, path: String): Codebook = {
-    val meta = spark.read.parquet(s"$path/codebook/meta").head()
+      spark: SparkSession, path: String): (Codebook, Option[Int]) = {
+    val df = spark.read.parquet(s"$path/codebook/meta")
+    val meta = df.head()
     val (m, k, dsub) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"),
       meta.getAs[Int]("dsub"))
     val cents = Array.ofDim[Array[Double]](m, k)
@@ -353,7 +358,9 @@ object Pq {
     }
     require(cents.forall(_.forall(_ != null)),
       s"codebook at $path/codebook is missing (sub, code) entries")
-    new Codebook(m, k, dsub, cents, meta.getAs[Double]("train_mse"))
+    val buckets = if (df.schema.fieldNames.contains("buckets"))
+      Some(meta.getAs[Int]("buckets")) else None
+    (new Codebook(m, k, dsub, cents, meta.getAs[Double]("train_mse")), buckets)
   }
 
   /** Persist an index: codebook as two driver-sized parquets (meta +
@@ -369,7 +376,7 @@ object Pq {
       emb: DataFrame, idCol: String, vecCol: String, cb: Codebook,
       name: String, path: String, buckets: Int = 32): PqIndex = {
     val spark = emb.sparkSession
-    writeCodebook(spark, path, cb)
+    writeCodebook(spark, path, cb, buckets)
     graft.sources.Sinks.bucketed(
       encode(emb, idCol, vecCol, cb).repartition(buckets, col("vid")),
       s"${name}_pqcodes", s"$path/codes", buckets, Seq("vid"))
@@ -379,13 +386,17 @@ object Pq {
   /** Re-open a saved index: the codebook loads to the driver (m·k·dsub
     * doubles — always model-sized), codes resolve lazily through the
     * catalog with a relation-cache refresh per access (appends from any
-    * session must be visible — same contract as the other indexes).
+    * session must be visible — same contract as the other indexes). The
+    * bucket count comes from the persisted meta — META WINS over the
+    * argument (same rule as `DedupIndex.open`), which stays only as the
+    * fallback for indexes written before buckets entered the meta.
     */
   def openIndex(
       spark: SparkSession, name: String, path: String,
-      buckets: Int = 32): PqIndex =
-    new PqIndex(spark, readCodebook(spark, path),
-      s"${name}_pqcodes", path, buckets)
+      buckets: Int = 32): PqIndex = {
+    val (cb, stored) = readCodebook(spark, path)
+    new PqIndex(spark, cb, s"${name}_pqcodes", path, stored.getOrElse(buckets))
+  }
 
   /** Persistent PQ index: the stored-codes face of [[adcTopK]]. Search
     * scans the codes table (bucketed parquet, m small ints per row) and

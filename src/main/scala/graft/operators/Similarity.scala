@@ -202,19 +202,26 @@ object Similarity extends CacheLedger {
       val a0 = IvfIndex.assign(spark, emb, idCol, vecCol, centroids)
         .localCheckpoint(true)
       try {
+        // checkpoint the guarded frame too: its two consumers (count +
+        // write) must not each re-run the anti-join's scan of the
+        // assignments table — at continuous-ingest scale that doubles
+        // the per-batch read cost
         val kept = a0
           .join(spark.table(ref.table).select("vid"), Seq("vid"), "left_anti")
-        val n = kept.count()
-        val in = a0.count()
-        if (n < in) DedupIndex.log.warn(
-          s"append dropped ${in - n} of $in already-indexed vids " +
-            s"(${ref.table}): redelivery is benign, but a changed vector " +
-            "under a re-sent vid is NOT updated - delete+append to replace")
-        kept.write.mode(org.apache.spark.sql.SaveMode.Append)
-          .bucketBy(ref.buckets, "cluster")
-          .saveAsTable(ref.table)
-        spark.catalog.refreshTable(ref.table)
-        n
+          .localCheckpoint(true)
+        try {
+          val n = kept.count()
+          val in = a0.count()
+          if (n < in) DedupIndex.log.warn(
+            s"append dropped ${in - n} of $in already-indexed vids " +
+              s"(${ref.table}): redelivery is benign, but a changed vector " +
+              "under a re-sent vid is NOT updated - delete+append to replace")
+          kept.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .bucketBy(ref.buckets, "cluster")
+            .saveAsTable(ref.table)
+          spark.catalog.refreshTable(ref.table)
+          n
+        } finally kept.unpersist()
       } finally a0.unpersist()
     }
 
@@ -338,6 +345,7 @@ object Similarity extends CacheLedger {
       require(sample.nonEmpty, "cannot retrain an empty index")
       val cents = IvfIndex.lloyd(sample, centroids.length, iters, seed)
       IvfIndex.writeCentroids(spark, toPath, cents)
+      IvfIndex.writeIvfMeta(spark, toPath, ref.buckets)
       graft.sources.Sinks.bucketed(
         IvfIndex.assign(spark, stored, "vid", "v", cents)
           .repartition(ref.buckets, col("cluster")),
@@ -361,6 +369,7 @@ object Similarity extends CacheLedger {
       spark.read.parquet(s"${ref.path}/centroids").coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$toPath/centroids")
+      IvfIndex.writeIvfMeta(spark, toPath, ref.buckets)
       // repartition on cluster with numPartitions == buckets: bucket id is
       // hash pmod numBuckets, so each write task owns its bucket's rows —
       // one file per bucket (same reasoning as MinHashIndex.compact)
@@ -593,6 +602,25 @@ object Similarity extends CacheLedger {
           r.getAs[Int]("sample_size"), r.getAs[Long]("seed")))
       } catch { case _: Throwable => None }
 
+    /** Storage geometry persisted beside the centroids, so [[open]] never
+      * guesses the bucket count (META WINS over the argument — a wrong
+      * caller-supplied count would make append throw on the bucket-spec
+      * mismatch and delete/compact silently RE-BUCKET the assignments).
+      */
+    private[operators] def writeIvfMeta(
+        spark: SparkSession, path: String, buckets: Int): Unit = {
+      import spark.implicits._
+      Seq(Tuple1(buckets)).toDF("buckets")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/meta")
+    }
+
+    private[operators] def readIvfMeta(
+        spark: SparkSession, path: String): Option[Int] =
+      try Some(spark.read.parquet(s"$path/meta").head().getAs[Int]("buckets"))
+      catch { case _: Throwable => None } // pre-meta index: caller's count
+
     private[operators] def writeCentroids(
         spark: SparkSession, path: String,
         cents: Array[Array[Double]]): Unit = {
@@ -637,6 +665,7 @@ object Similarity extends CacheLedger {
         seed: Long = 42L): Unit = {
       val spark = idx.assigned.sparkSession
       writeCentroids(spark, path, idx.centroids)
+      writeIvfMeta(spark, path, buckets)
       graft.sources.Sinks.bucketed(idx.assigned, s"${name}_ivf",
         s"$path/assigned", buckets, Seq("cluster"))
       // drift baseline: the error of THIS corpus under THIS quantizer at
@@ -651,9 +680,10 @@ object Similarity extends CacheLedger {
       * assignment table resolves lazily through the catalog with a
       * relation-cache refresh on every search (appends/compactions from
       * other sessions must be visible — same reasoning as
-      * `DedupIndex.probe`). `buckets` must match what [[save]] used —
-      * [[IvfIndex.append]] appends with this spec and Spark rejects a
-      * mismatch against the existing table.
+      * `DedupIndex.probe`). The bucket count comes from the persisted
+      * meta — META WINS over the argument (same rule as
+      * `DedupIndex.open`); the argument stays only as the fallback for
+      * indexes written before the meta existed.
       */
     def open(spark: SparkSession, name: String, path: String,
         buckets: Int = 16): IvfIndex = {
@@ -663,8 +693,9 @@ object Similarity extends CacheLedger {
         .map(_.getSeq[Double](1).toArray)
       require(cents.nonEmpty, s"no centroids at $path/centroids")
       spark.catalog.refreshTable(s"${name}_ivf")
+      val b = readIvfMeta(spark, path).getOrElse(buckets)
       new IvfIndex(cents, spark.table(s"${name}_ivf"),
-        Some(TableRef(s"${name}_ivf", buckets, path)))
+        Some(TableRef(s"${name}_ivf", b, path)))
     }
   }
 

@@ -40,14 +40,22 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // one footer read (no data scan) to learn the on-disk ts type — the
     // declared stream schema must match the files byte-for-byte. A stream
-    // may legitimately start before any file has landed (schema inference
-    // then throws): fall back to the historical NANOS-as-long layout so
-    // the stream starts and waits, instead of failing on an empty dir.
+    // may legitimately start before any file has landed: fall back to the
+    // historical NANOS-as-long layout so the stream starts and waits,
+    // instead of failing schema inference on an empty dir. The fallback
+    // is gated on an EXPLICIT existence check, not a broad catch — a
+    // corrupt footer or missing ts column must still fail loudly here,
+    // not resurface as a confusing mid-batch type error.
+    val fileExists = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(p, "events.parquet"))
+    }
     val tsType =
-      try spark.read
+      if (!fileExists) LongType
+      else spark.read
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .schema("ts").dataType
-      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
     val base = spark.readStream.schema(eventSchema(tsType))
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")

@@ -51,6 +51,14 @@ class IvfPqSpec extends SparkSpec {
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
       s"probe scan must prune to the probed bucket, got:\n$plan")
+    // meta wins over a WRONG caller-supplied bucket count (open never
+    // guesses storage geometry)
+    val wrong = IvfPq.open(spark, "ivfpq_t", s"$base/v1", buckets = 3)
+    val w1 = wrong.search(Map(0L -> qs(0L)), k = 5, nprobe = 1)
+    w1.count()
+    assert(w1.queryExecution.executedPlan.toString
+      .contains("SelectedBucketsCount: 1 out of 8"),
+      "open must take the bucket count from meta, not the argument")
     // nprobe=1, four queries from four separated clusters: every neighbor
     // shares its query's cluster — cluster candidates never leak across
     // queries even though all four buckets are in the pruned scan

@@ -83,6 +83,11 @@ class PqSpec extends SparkSpec {
     val reopened = Pq.openIndex(spark, "pqidx_t", s"$base/v1", buckets = 8)
     assert(reopened.cb.m == cb.m && reopened.cb.k == cb.k &&
       reopened.cb.dsub == cb.dsub && reopened.cb.trainMse == cb.trainMse)
+    // meta wins over a WRONG caller-supplied bucket count — a mistaken
+    // open can neither break append (spec mismatch) nor silently
+    // re-bucket the codes on the next compact
+    assert(Pq.openIndex(spark, "pqidx_t", s"$base/v1", buckets = 3).buckets == 8,
+      "openIndex must take the bucket count from meta, not the argument")
     assert(rows(reopened.search(qs, k = 5)) == rows(idx.search(qs, k = 5)))
     // append the held-out fifth: counted, idempotent, and the search
     // equals in-memory ADC over the whole corpus

@@ -77,6 +77,15 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(reopened.search(emb.filter(col("vec_id") < 3),
         "vec_id", "embedding", k = 3, nprobe = 8)) ==
       rows(reopened.search(qs, k = 3, nprobe = 8)))
+    // storage geometry comes from the persisted meta — a WRONG
+    // caller-supplied bucket count cannot re-bucket the index (meta wins,
+    // the DedupIndex.open rule): the probe still prunes out of 8
+    val wrong = Similarity.IvfIndex.open(spark, "ivfidx_t", base, buckets = 3)
+    val w1 = wrong.search(Map(0L -> qs(0L)), k = 3, nprobe = 1)
+    w1.count()
+    assert(w1.queryExecution.executedPlan.toString
+      .contains("SelectedBucketsCount: 1 out of 8"),
+      "open must take the bucket count from meta, not the argument")
   }
 
   test("IVF append grows a saved index: results identical to a rebuild, pruning intact") {
