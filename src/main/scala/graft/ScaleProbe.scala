@@ -216,6 +216,29 @@ object ScaleProbe {
           j => 25.0 + (3 * n % 7) * 0.3 + j * 0.01))
         retrained.search(q, k = 10, nprobe = 1)
           .filter(col("neighbor_id") >= 3 * n).count()
+      },
+      time("ivfpq_build_search") {
+        // the composite layout at scale: 555k vectors (505k in-space +
+        // the 50k far cluster) through ONE assign+encode pass into
+        // cluster-bucketed m-byte codes; a far-cluster query at nprobe=1
+        // must read only its bucket and return far-cluster neighbors —
+        // the coarse quantizer owns the cluster, the codes rank within it
+        val ivfpqPath = java.nio.file.Files.createTempDirectory("scale_ivfpq").toString
+        val allVecs = spark.range(n)
+          .select(col("id").as("vec_id"), vecExpr.as("embedding"))
+          .unionByName(spark.range(3 * n, 3 * n + 50000)
+            .select(col("id").as("vec_id"),
+              transform(sequence(lit(0), lit(63)),
+                j => (lit(25.0) + (col("id") % 7).cast("double") * 0.3 +
+                  j.cast("double") * 0.01).cast("float")).as("embedding")))
+        graft.operators.IvfPq.build(allVecs, "vec_id", "embedding",
+          "scale_ivfpq", ivfpqPath, nClusters = 32, m = 8, kCodes = 16,
+          buckets = 32)
+        val idx = graft.operators.IvfPq.open(spark, "scale_ivfpq", ivfpqPath)
+        val q = Map(3 * n -> Array.tabulate(64)(
+          j => 25.0 + (3 * n % 7) * 0.3 + j * 0.01))
+        idx.search(q, k = 10, nprobe = 1)
+          .filter(col("neighbor_id") >= 3 * n).count()
       })
     graft.operators.Dedup.releaseCaches()
     val dedupCount = stages.find(_._1 == "exact_dedup").get._3
@@ -257,6 +280,11 @@ object ScaleProbe {
     val ivfShifted = stages.find(_._1 == "ivf_retrain_cycle").get._3
     assert(ivfShifted == 10,
       s"retrained IVF nprobe=1 returned $ivfShifted shifted neighbors of 10")
+    // the composite at 555k: a far-cluster query at nprobe=1 returns only
+    // far-cluster neighbors through the cluster-bucketed m-byte codes
+    val ivfpqShifted = stages.find(_._1 == "ivfpq_build_search").get._3
+    assert(ivfpqShifted == 10,
+      s"IVF-PQ nprobe=1 returned $ivfpqShifted far-cluster neighbors of 10")
     // compact must not move a single label
     val compactStat = stages.find(_._1 == "components_index_compact").get._3
     assert(compactStat == 5000L * 1000000 + 10000,

@@ -112,6 +112,29 @@ class IvfPqSpec extends SparkSpec {
     assert(compacted.indexedVectors() == df.count() - 1)
   }
 
+  test("randomized corpora: full-probe composite == flat ADC at arbitrary shapes") {
+    import spark.implicits._
+    // three adversarial-ish random corpora (different sizes, dims,
+    // cluster counts, seeds) — the composite's probe join + LUT scoring
+    // must reproduce the flat ranking wherever raw-vector codes make
+    // full probing exhaustive, not just on the well-separated fixture
+    for (((n, dim, nc), trial) <- Seq((60, 8, 4), (150, 16, 8), (240, 32, 5)).zipWithIndex) {
+      val rnd = new scala.util.Random(1000 + trial)
+      val df = (0L until n.toLong)
+        .map(id => (id, Seq.fill(dim)(rnd.nextGaussian())))
+        .toDF("vec_id", "embedding")
+        .localCheckpoint(true) // random data must evaluate ONCE
+      val base = java.nio.file.Files.createTempDirectory(s"ivfpq_r$trial").toString
+      val idx = IvfPq.build(df, "vec_id", "embedding", s"ivfpq_r$trial", base,
+        nClusters = nc, m = 4, kCodes = 8, buckets = 4)
+      val qids = Seq(0L, (n / 2).toLong, (n - 1).toLong)
+      val cb = Pq.train(df, "vec_id", "embedding", m = 4, k = 8)
+      assert(rows(idx.search(qvecs(df, qids), k = 5, nprobe = nc)) ==
+        rows(Pq.adcTopK(df, "vec_id", "embedding", cb, qids, 5)),
+        s"composite != flat ADC on random corpus n=$n dim=$dim nc=$nc")
+    }
+  }
+
   test("appendStream folds a two-wave vector stream in; results == batch append") {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
     val df = clustered
