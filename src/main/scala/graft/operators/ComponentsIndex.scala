@@ -182,9 +182,12 @@ final class CompIndex private[operators] (
     * new comp0 baseline into `toPath` (one file per bucket — doubles as
     * small-file maintenance for the appended rows) and reset remap to
     * empty. Reads parquet files, not the table being redefined.
+    * `newBuckets` > 0 RE-BUCKETS during the fold — the same deliberate
+    * geometry evolution as [[MinHashIndex.compact]].
     */
-  def compact(toPath: String): CompIndex = {
+  def compact(toPath: String, newBuckets: Int = 0): CompIndex = {
     require(toPath != path, s"compact target must differ from current path: $path")
+    val b = if (newBuckets > 0) newBuckets else buckets
     val remap = loadRemap()
     import spark.implicits._
     val base = spark.read.parquet(s"$path/assignments")
@@ -194,10 +197,11 @@ final class CompIndex private[operators] (
         .select(col("doc_id"), coalesce(col("__root"), col("comp0")).as("comp0"))
     Sinks.bucketed(
       resolved.select(col("doc_id"), col("comp0"))
-        .repartition(buckets, col("doc_id")),
-      assignTable, s"$toPath/assignments", buckets, Seq("doc_id"))
+        .repartition(b, col("doc_id")),
+      assignTable, s"$toPath/assignments", b, Seq("doc_id"))
+    CompIndex.writeBucketsMeta(spark, toPath, b)
     CompIndex.writeRemap(spark, toPath, Map.empty)
-    new CompIndex(spark, assignTable, toPath, buckets)
+    new CompIndex(spark, assignTable, toPath, b)
   }
 }
 
@@ -219,18 +223,41 @@ object ComponentsIndex {
         .select(col("doc_id"), col("comp").as("comp0"))
         .repartition(buckets, col("doc_id")),
       table, s"$path/assignments", buckets, Seq("doc_id"))
+    CompIndex.writeBucketsMeta(spark, path, buckets)
     CompIndex.writeRemap(spark, path, Map.empty)
     new CompIndex(spark, table, path, buckets)
   }
 
-  /** Re-open an existing index (no data work). */
+  /** Re-open an existing index (no data work). The bucket count comes
+    * from the persisted meta — META WINS over the argument (a wrong
+    * count would make update's append throw and compact silently
+    * re-bucket); the argument stays only as the fallback for indexes
+    * written before the meta existed.
+    */
   def open(spark: SparkSession, name: String, path: String,
       buckets: Int = 32): CompIndex =
-    new CompIndex(spark, s"${name}_comp", path, buckets)
+    new CompIndex(spark, s"${name}_comp", path,
+      CompIndex.readBucketsMeta(spark, path).getOrElse(buckets))
 }
 
 private object CompIndex {
   import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** Storage geometry beside the data, so open() never guesses the bucket
+    * count (META WINS over the argument — the DedupIndex rule).
+    */
+  private[operators] def writeBucketsMeta(
+      spark: SparkSession, path: String, buckets: Int): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(buckets)).toDF("buckets")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  private[operators] def readBucketsMeta(
+      spark: SparkSession, path: String): Option[Int] =
+    try Some(spark.read.parquet(s"$path/meta").head().getAs[Int]("buckets"))
+    catch { case _: Throwable => None } // pre-meta index: caller's count
 
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)

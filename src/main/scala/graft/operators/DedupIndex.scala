@@ -240,11 +240,20 @@ final class MinHashIndex private[operators] (
     * Returns a handle rooted at the new path (this handle keeps working
     * too — the catalog tables now point at `toPath`).
     */
-  def compact(toPath: String): MinHashIndex = rewrite(toPath, identity)
+  /** `newBuckets` > 0 RE-BUCKETS during the compaction — the deliberate
+    * geometry evolution a corpus that has grown orders of magnitude past
+    * its build-time bucket count eventually needs (more buckets = more
+    * parallel probe tasks and smaller per-bucket scans). The new count is
+    * recorded in meta, so later `open`s see it without being told.
+    */
+  def compact(toPath: String, newBuckets: Int = 0): MinHashIndex =
+    rewrite(toPath, identity, newBuckets)
 
   private def rewrite(
-      toPath: String, f: DataFrame => DataFrame): MinHashIndex = {
+      toPath: String, f: DataFrame => DataFrame,
+      newBuckets: Int = 0): MinHashIndex = {
     require(toPath != path, s"rewrite target must differ from current path: $path")
+    val b = if (newBuckets > 0) newBuckets else buckets
     // repartition on the bucket columns with numPartitions == buckets:
     // Spark's bucket id is the same hash pmod numBuckets, so each write
     // task owns exactly its bucket's rows → ONE file per bucket (without
@@ -257,17 +266,17 @@ final class MinHashIndex private[operators] (
     // promises
     Sinks.bucketed(
       f(spark.read.parquet(s"$path/buckets")).distinct()
-        .repartition(buckets, col("band"), col("bh")),
-      bucketsTable, s"$toPath/buckets", buckets, Seq("band", "bh"))
+        .repartition(b, col("band"), col("bh")),
+      bucketsTable, s"$toPath/buckets", b, Seq("band", "bh"))
     Sinks.bucketed(
       f(spark.read.parquet(s"$path/sets"))
-        .repartition(buckets, col("doc_id")),
-      setsTable, s"$toPath/sets", buckets, Seq("doc_id"))
+        .repartition(b, col("doc_id")),
+      setsTable, s"$toPath/sets", b, Seq("doc_id"))
     // geometry travels with the data: a later open() on toPath must not
     // have to guess it
-    DedupIndex.writeMeta(spark, toPath, shingleN, numHashes, bands, buckets)
+    DedupIndex.writeMeta(spark, toPath, shingleN, numHashes, bands, b)
     new MinHashIndex(spark, bucketsTable, setsTable, toPath,
-      shingleN, numHashes, bands, buckets)
+      shingleN, numHashes, bands, b)
   }
 }
 

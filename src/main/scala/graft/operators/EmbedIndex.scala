@@ -331,12 +331,18 @@ final class SrpEmbedIndex private[operators] (
 
   /** Small-file maintenance: fold append-accumulated files into one file
     * per bucket, probes unchanged (the [[MinHashIndex.compact]] shape).
+    * `newBuckets` > 0 RE-BUCKETS — the deliberate geometry evolution of
+    * a corpus grown orders of magnitude past its build-time count — and
+    * records the new count in meta for later opens.
     */
-  def compact(toPath: String): SrpEmbedIndex = rewrite(toPath, identity)
+  def compact(toPath: String, newBuckets: Int = 0): SrpEmbedIndex =
+    rewrite(toPath, identity, newBuckets)
 
   private def rewrite(
-      toPath: String, f: DataFrame => DataFrame): SrpEmbedIndex = {
+      toPath: String, f: DataFrame => DataFrame,
+      newBuckets: Int = 0): SrpEmbedIndex = {
     require(toPath != path, s"rewrite target must differ from current path: $path")
+    val b = if (newBuckets > 0) newBuckets else buckets
     // files, not the catalog table — the rewrite must not depend on the
     // table it is about to redefine. distinct() on the buckets table:
     // a torn append re-delivered under at-least-once can leave duplicate
@@ -346,16 +352,16 @@ final class SrpEmbedIndex private[operators] (
     // the maintenance path — the extra exchange is fine.
     Sinks.bucketed(
       f(spark.read.parquet(s"$path/buckets")).distinct()
-        .repartition(buckets, col("t"), col("bk")),
-      bucketsTable, s"$toPath/buckets", buckets, Seq("t", "bk"))
+        .repartition(b, col("t"), col("bk")),
+      bucketsTable, s"$toPath/buckets", b, Seq("t", "bk"))
     Sinks.bucketed(
       f(spark.read.parquet(s"$path/vectors"))
-        .repartition(buckets, col("vid")),
-      vectorsTable, s"$toPath/vectors", buckets, Seq("vid"))
-    EmbedIndex.writeMeta(spark, toPath, dim, bits, tables, seed, buckets,
+        .repartition(b, col("vid")),
+      vectorsTable, s"$toPath/vectors", b, Seq("vid"))
+    EmbedIndex.writeMeta(spark, toPath, dim, bits, tables, seed, b,
       designThreshold)
     new SrpEmbedIndex(spark, bucketsTable, vectorsTable, toPath,
-      dim, bits, tables, seed, buckets, designThreshold)
+      dim, bits, tables, seed, b, designThreshold)
   }
 }
 

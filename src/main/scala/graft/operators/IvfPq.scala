@@ -253,26 +253,31 @@ object IvfPq extends CacheLedger {
       rewrite(toPath,
         _.join(ids.select(col(idCol).cast("long").as("vid")), Seq("vid"), "left_anti"))
 
-    /** Small-file maintenance: one file per bucket, searches unchanged. */
-    def compact(toPath: String): IvfPqIndex = rewrite(toPath, identity)
+    /** Small-file maintenance: one file per bucket, searches unchanged.
+      * `newBuckets` > 0 RE-BUCKETS (geometry evolution), recorded in the
+      * codebook meta for later opens.
+      */
+    def compact(toPath: String, newBuckets: Int = 0): IvfPqIndex =
+      rewrite(toPath, identity, newBuckets)
 
-    private def rewrite(toPath: String, f: DataFrame => DataFrame): IvfPqIndex = {
+    private def rewrite(
+        toPath: String, f: DataFrame => DataFrame,
+        newBuckets: Int = 0): IvfPqIndex = {
       require(toPath != path, s"rewrite target must differ from current path: $path")
+      val b = if (newBuckets > 0) newBuckets else buckets
       // files, not the catalog table — the rewrite must not depend on
-      // the table it is about to redefine
+      // the table it is about to redefine; the codebook meta is
+      // REWRITTEN (not copied) so the bucket count it records is the one
+      // just used
       spark.read.parquet(s"$path/centroids").coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$toPath/centroids")
-      Seq("meta", "cents").foreach { part =>
-        spark.read.parquet(s"$path/codebook/$part").coalesce(1)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$toPath/codebook/$part")
-      }
+      Pq.writeCodebook(spark, toPath, cb, b)
       Sinks.bucketed(
         f(spark.read.parquet(s"$path/codes"))
-          .repartition(buckets, col("cluster")),
-        codesTable, s"$toPath/codes", buckets, Seq("cluster"))
-      new IvfPqIndex(spark, centroids, cb, codesTable, toPath, buckets)
+          .repartition(b, col("cluster")),
+        codesTable, s"$toPath/codes", b, Seq("cluster"))
+      new IvfPqIndex(spark, centroids, cb, codesTable, toPath, b)
     }
   }
 }

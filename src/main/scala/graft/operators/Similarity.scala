@@ -270,8 +270,12 @@ object Similarity extends CacheLedger {
       * reading the parquet FILES rather than the catalog table so the
       * rewrite never depends on the table it is about to redefine).
       */
-    def compact(toPath: String): IvfIndex =
-      rewrite(requireTable("compact"), toPath, identity)
+    /** `newBuckets` > 0 RE-BUCKETS during the compaction — deliberate
+      * geometry evolution for a corpus grown past its build-time count —
+      * and records the new count in meta for later opens.
+      */
+    def compact(toPath: String, newBuckets: Int = 0): IvfIndex =
+      rewrite(requireTable("compact"), toPath, identity, newBuckets)
 
     /** Current mean squared quantization error of the index — the
       * distance between the corpus and its frozen quantizer, sampled
@@ -363,27 +367,28 @@ object Similarity extends CacheLedger {
 
     private def rewrite(
         ref: IvfIndex.TableRef, toPath: String,
-        f: DataFrame => DataFrame): IvfIndex = {
+        f: DataFrame => DataFrame, newBuckets: Int = 0): IvfIndex = {
       require(toPath != ref.path, s"rewrite target must differ from current path: ${ref.path}")
+      val b = if (newBuckets > 0) newBuckets else ref.buckets
       val spark = baseAssigned.sparkSession
       spark.read.parquet(s"${ref.path}/centroids").coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$toPath/centroids")
-      IvfIndex.writeIvfMeta(spark, toPath, ref.buckets)
+      IvfIndex.writeIvfMeta(spark, toPath, b)
       // repartition on cluster with numPartitions == buckets: bucket id is
       // hash pmod numBuckets, so each write task owns its bucket's rows —
       // one file per bucket (same reasoning as MinHashIndex.compact)
       graft.sources.Sinks.bucketed(
         f(spark.read.parquet(s"${ref.path}/assigned"))
-          .repartition(ref.buckets, col("cluster")),
-        ref.table, s"$toPath/assigned", ref.buckets, Seq("cluster"))
+          .repartition(b, col("cluster")),
+        ref.table, s"$toPath/assigned", b, Seq("cluster"))
       // the drift BASELINE travels with the quantizer it describes —
       // delete/compact move data, never the centroids (after the assigned
       // write: writeStats re-counts the corpus at toPath)
       IvfIndex.readStats(spark, ref.path).foreach(st =>
         IvfIndex.writeStats(spark, toPath, st.mqe, st.sampleSize, st.seed))
       new IvfIndex(centroids, spark.table(ref.table),
-        Some(ref.copy(path = toPath)))
+        Some(ref.copy(path = toPath, buckets = b)))
     }
 
     /** Exact search within the `nprobe` clusters nearest to each query —

@@ -117,6 +117,27 @@ class DedupIndexSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("compact can re-bucket: geometry evolves, meta records it, probes unchanged") {
+    val d2 = docs.select("doc_id", "text")
+    val corpus = d2.filter(col("doc_id") < 400)
+    val probeBatch = d2.filter(col("doc_id") >= 450)
+    val base = Files.createTempDirectory("mh_rebucket").toString
+    val idx = DedupIndex.build(corpus, "doc_id", "text", base, "mhidx_rb",
+      shingleN = 3, numHashes = 64, bands = 16, buckets = 4)
+    val before = idx.probe(probeBatch, "doc_id", "text")
+      .orderBy("i", "j").collect().toSeq
+    // a corpus grown orders of magnitude past its build-time bucket count
+    // re-buckets DURING the compaction it was going to run anyway
+    val rb = idx.compact(s"$base/v2", newBuckets = 16)
+    assert(rb.buckets == 16)
+    assert(rb.probe(probeBatch, "doc_id", "text")
+      .orderBy("i", "j").collect().toSeq == before,
+      "re-bucketing must not change probe output")
+    // the evolved geometry is in meta: a later open needs no telling
+    assert(DedupIndex.open(spark, "mhidx_rb", s"$base/v2").buckets == 16)
+    Dedup.releaseCaches()
+  }
+
   test("append is idempotent: a redelivered batch does not duplicate index rows") {
     val d2 = docs.select("doc_id", "text")
     val corpus = d2.filter(col("doc_id") < 400)

@@ -110,6 +110,18 @@ class IvfPqSpec extends SparkSpec {
     assert(rows(compacted.search(qs, k = 5, nprobe = 8)) ==
       rows(deleted.search(qs, k = 5, nprobe = 8)))
     assert(compacted.indexedVectors() == df.count() - 1)
+    // re-bucketing compaction: geometry evolves, meta records it, the
+    // pruned scan and the results both reflect the new count
+    val rebucketed = compacted.compact(s"$base/v4", newBuckets = 16)
+    assert(rebucketed.buckets == 16)
+    assert(rows(rebucketed.search(qs, k = 5, nprobe = 8)) ==
+      rows(compacted.search(qs, k = 5, nprobe = 8)))
+    val one = rebucketed.search(Map(1L -> qvecs(df, Seq(1L))(1L)), k = 5, nprobe = 1)
+    one.count()
+    assert(one.queryExecution.executedPlan.toString
+      .contains("out of 16"), "pruned scan must reflect the evolved bucket count")
+    assert(IvfPq.open(spark, "ivfpq_m", s"$base/v4", buckets = 3).buckets == 16,
+      "open must read the evolved count from meta")
   }
 
   test("randomized corpora: full-probe composite == flat ADC at arbitrary shapes") {
