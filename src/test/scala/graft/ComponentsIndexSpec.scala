@@ -37,6 +37,10 @@ class ComponentsIndexSpec extends SparkSpec {
     val base = Files.createTempDirectory("comp_idx").toString
     val idx = ComponentsIndex.build(w1, base, "cidx_a", buckets = 4)
     assert(resolved(idx) == want(w1))
+    // storage geometry is in meta — a wrong caller-supplied bucket count
+    // cannot re-bucket the index (meta wins, the DedupIndex.open rule)
+    assert(ComponentsIndex.open(spark, "cidx_a", base, buckets = 3).buckets == 4,
+      "open must take the bucket count from meta, not the argument")
     idx.update(w2)
     assert(resolved(idx) == want(w1.unionByName(w2)))
     val rowsAfterW2 = idx.assignedDocs()
