@@ -24,6 +24,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("readEvents starts on an empty directory (legacy schema fallback) and normalizes ts") {
+    import org.apache.spark.sql.types.TimestampType
+    // a stream may legitimately start before any file has landed: the
+    // declared schema falls back to the historical NANOS-as-long layout
+    // instead of dying on schema inference, and ts still normalizes to
+    // session-tz TimestampType either way
+    val empty = java.nio.file.Files.createTempDirectory("events_empty").toString
+    val df = EventStreams.readEvents(spark, empty)
+    assert(df.isStreaming, "readEvents must return a streaming frame")
+    assert(df.schema("ts").dataType == TimestampType,
+      s"ts must normalize to TimestampType, got ${df.schema("ts").dataType}")
+    // and the populated-dir path agrees on the normalized schema
+    assert(EventStreams.readEvents(spark, sfDir).schema("ts").dataType ==
+      TimestampType)
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val stream = EventStreams.readEvents(spark, sfDir)
     val deduped = EventStreams.runToMemory(spark,
