@@ -41,6 +41,17 @@ object ScaleProbe {
     val vecExpr = transform(sequence(lit(0), lit(63)), j =>
       ((pmod(xxhash64(col("vec_id") % n, j), lit(2000L)) - 1000L)
         .cast("double") / 1000.0).cast("float"))
+    // closed-form far-away cluster shared by the two quantizer-drift legs
+    // (ivf_retrain_cycle, ivfpq_build_search) — ONE definition, so both
+    // gates provably test the same geometry
+    def farVecExpr(asFloat: Boolean) =
+      transform(sequence(lit(0), lit(63)), j => {
+        val v = lit(25.0) + (col("id") % 7).cast("double") * 0.3 +
+          j.cast("double") * 0.01
+        if (asFloat) v.cast("float") else v
+      })
+    def farQuery(id: Long): Map[Long, Array[Double]] =
+      Map(id -> Array.tabulate(64)(j => 25.0 + (id % 7) * 0.3 + j * 0.01))
     val eidxPath = java.nio.file.Files.createTempDirectory("scale_eidx").toString
     val cidxPath = java.nio.file.Files.createTempDirectory("scale_cidx").toString
 
@@ -202,19 +213,14 @@ object ScaleProbe {
         require(!opened.needsRetrain(),
           "a just-saved 505k IVF must not want a retrain")
         val shifted = spark.range(3 * n, 3 * n + 50000)
-          .select(col("id").as("vec_id"),
-            transform(sequence(lit(0), lit(63)),
-              j => lit(25.0) + (col("id") % 7).cast("double") * 0.3 +
-                j.cast("double") * 0.01).as("embedding"))
+          .select(col("id").as("vec_id"), farVecExpr(asFloat = false).as("embedding"))
         opened.append(shifted, "vec_id", "embedding")
         require(opened.needsRetrain(),
           "a 9% far-away cluster must trip the 505k drift check")
         val retrained = opened.retrain(s"$ivfPath/v2")
         require(!retrained.needsRetrain(),
           "a just-retrained 505k IVF must not want another retrain")
-        val q = Map(3 * n -> Array.tabulate(64)(
-          j => 25.0 + (3 * n % 7) * 0.3 + j * 0.01))
-        retrained.search(q, k = 10, nprobe = 1)
+        retrained.search(farQuery(3 * n), k = 10, nprobe = 1)
           .filter(col("neighbor_id") >= 3 * n).count()
       },
       time("ivfpq_build_search") {
@@ -227,17 +233,12 @@ object ScaleProbe {
         val allVecs = spark.range(n)
           .select(col("id").as("vec_id"), vecExpr.as("embedding"))
           .unionByName(spark.range(3 * n, 3 * n + 50000)
-            .select(col("id").as("vec_id"),
-              transform(sequence(lit(0), lit(63)),
-                j => (lit(25.0) + (col("id") % 7).cast("double") * 0.3 +
-                  j.cast("double") * 0.01).cast("float")).as("embedding")))
+            .select(col("id").as("vec_id"), farVecExpr(asFloat = true).as("embedding")))
         graft.operators.IvfPq.build(allVecs, "vec_id", "embedding",
           "scale_ivfpq", ivfpqPath, nClusters = 32, m = 8, kCodes = 16,
           buckets = 32)
         val idx = graft.operators.IvfPq.open(spark, "scale_ivfpq", ivfpqPath)
-        val q = Map(3 * n -> Array.tabulate(64)(
-          j => 25.0 + (3 * n % 7) * 0.3 + j * 0.01))
-        idx.search(q, k = 10, nprobe = 1)
+        idx.search(farQuery(3 * n), k = 10, nprobe = 1)
           .filter(col("neighbor_id") >= 3 * n).count()
       })
     graft.operators.Dedup.releaseCaches()

@@ -187,6 +187,8 @@ final class CompIndex private[operators] (
     */
   def compact(toPath: String, newBuckets: Int = 0): CompIndex = {
     require(toPath != path, s"compact target must differ from current path: $path")
+    require(newBuckets >= 0,
+      s"newBuckets must be positive, or 0 to keep the current count: $newBuckets")
     val b = if (newBuckets > 0) newBuckets else buckets
     val remap = loadRemap()
     import spark.implicits._
@@ -228,11 +230,11 @@ object ComponentsIndex {
     new CompIndex(spark, table, path, buckets)
   }
 
-  /** Re-open an existing index (no data work). The bucket count comes
-    * from the persisted meta — META WINS over the argument (a wrong
-    * count would make update's append throw and compact silently
-    * re-bucket); the argument stays only as the fallback for indexes
-    * written before the meta existed.
+  /** Re-open an existing index (one tiny meta read, no corpus work). The
+    * bucket count comes from the persisted meta — META WINS over the
+    * argument (a wrong count would make update's append throw and compact
+    * silently re-bucket); the argument stays only as the fallback for
+    * indexes written before the meta existed.
     */
   def open(spark: SparkSession, name: String, path: String,
       buckets: Int = 32): CompIndex =
@@ -254,10 +256,18 @@ private object CompIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
+  /** Fallback to the caller's count ONLY for a genuinely absent meta
+    * (pre-meta index) — gated on an explicit existence check, never a
+    * broad catch: a corrupt or transiently unreadable meta must FAIL the
+    * open, not silently fall back and let the next compact cement the
+    * wrong geometry.
+    */
   private[operators] def readBucketsMeta(
-      spark: SparkSession, path: String): Option[Int] =
-    try Some(spark.read.parquet(s"$path/meta").head().getAs[Int]("buckets"))
-    catch { case _: Throwable => None } // pre-meta index: caller's count
+      spark: SparkSession, path: String): Option[Int] = {
+    val p = new Path(s"$path/meta")
+    if (!fs(spark, path).exists(p)) None
+    else Some(spark.read.parquet(s"$path/meta").head().getAs[Int]("buckets"))
+  }
 
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)

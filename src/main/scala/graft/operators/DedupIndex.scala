@@ -231,20 +231,22 @@ final class MinHashIndex private[operators] (
   /** Small-file maintenance: every [[append]] adds one file per populated
     * (task, bucket) pair, so a long-lived index accumulates files whose
     * open/footer cost eventually dominates probe scans. Rewrite both
-    * tables into `toPath` with the SAME bucket spec — one file set, same
-    * layout, probes unchanged. Reads the parquet FILES (not the catalog
-    * table) so the rewrite never depends on the table it is about to
-    * redefine; the old directory is left for the caller to delete once
-    * nothing queries it.
+    * tables into `toPath` — one file set, probes unchanged. Reads the
+    * parquet FILES (not the catalog table) so the rewrite never depends
+    * on the table it is about to redefine; the old directory is left for
+    * the caller to delete once nothing queries it.
     *
-    * Returns a handle rooted at the new path (this handle keeps working
-    * too — the catalog tables now point at `toPath`).
-    */
-  /** `newBuckets` > 0 RE-BUCKETS during the compaction — the deliberate
+    * `newBuckets` > 0 RE-BUCKETS during the compaction — the deliberate
     * geometry evolution a corpus that has grown orders of magnitude past
     * its build-time bucket count eventually needs (more buckets = more
     * parallel probe tasks and smaller per-bucket scans). The new count is
     * recorded in meta, so later `open`s see it without being told.
+    *
+    * Returns a handle rooted at the new path. Without re-bucketing the
+    * PREVIOUS handle keeps working too (the catalog tables now point at
+    * `toPath`); after a re-bucket, prior handles carry a stale frozen
+    * count and their `append` fails on the bucket-spec mismatch —
+    * re-open (or use the returned handle) after evolving geometry.
     */
   def compact(toPath: String, newBuckets: Int = 0): MinHashIndex =
     rewrite(toPath, identity, newBuckets)
@@ -253,6 +255,8 @@ final class MinHashIndex private[operators] (
       toPath: String, f: DataFrame => DataFrame,
       newBuckets: Int = 0): MinHashIndex = {
     require(toPath != path, s"rewrite target must differ from current path: $path")
+    require(newBuckets >= 0,
+      s"newBuckets must be positive, or 0 to keep the current count: $newBuckets")
     val b = if (newBuckets > 0) newBuckets else buckets
     // repartition on the bucket columns with numPartitions == buckets:
     // Spark's bucket id is the same hash pmod numBuckets, so each write

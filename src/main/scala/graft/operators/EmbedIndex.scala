@@ -342,6 +342,8 @@ final class SrpEmbedIndex private[operators] (
       toPath: String, f: DataFrame => DataFrame,
       newBuckets: Int = 0): SrpEmbedIndex = {
     require(toPath != path, s"rewrite target must differ from current path: $path")
+    require(newBuckets >= 0,
+      s"newBuckets must be positive, or 0 to keep the current count: $newBuckets")
     val b = if (newBuckets > 0) newBuckets else buckets
     // files, not the catalog table — the rewrite must not depend on the
     // table it is about to redefine. distinct() on the buckets table:

@@ -265,14 +265,14 @@ object Similarity extends CacheLedger {
 
     /** Small-file maintenance for a saved index: every [[append]] adds one
       * file per populated (task, bucket) pair. Rewrite the assignments
-      * into `toPath` with the same bucket spec — one file per bucket,
-      * searches unchanged (mirrors [[MinHashIndex.compact]], including
-      * reading the parquet FILES rather than the catalog table so the
-      * rewrite never depends on the table it is about to redefine).
-      */
-    /** `newBuckets` > 0 RE-BUCKETS during the compaction — deliberate
-      * geometry evolution for a corpus grown past its build-time count —
-      * and records the new count in meta for later opens.
+      * into `toPath` — one file per bucket, searches unchanged (mirrors
+      * [[MinHashIndex.compact]], including reading the parquet FILES
+      * rather than the catalog table so the rewrite never depends on the
+      * table it is about to redefine). `newBuckets` > 0 RE-BUCKETS during
+      * the compaction — deliberate geometry evolution for a corpus grown
+      * past its build-time count — and records the new count in meta for
+      * later opens; prior handles then carry a stale frozen count (their
+      * `append` fails on the spec mismatch) — re-open after evolving.
       */
     def compact(toPath: String, newBuckets: Int = 0): IvfIndex =
       rewrite(requireTable("compact"), toPath, identity, newBuckets)
@@ -369,6 +369,8 @@ object Similarity extends CacheLedger {
         ref: IvfIndex.TableRef, toPath: String,
         f: DataFrame => DataFrame, newBuckets: Int = 0): IvfIndex = {
       require(toPath != ref.path, s"rewrite target must differ from current path: ${ref.path}")
+      require(newBuckets >= 0,
+        s"newBuckets must be positive, or 0 to keep the current count: $newBuckets")
       val b = if (newBuckets > 0) newBuckets else ref.buckets
       val spark = baseAssigned.sparkSession
       spark.read.parquet(s"${ref.path}/centroids").coalesce(1)
@@ -599,13 +601,22 @@ object Similarity extends CacheLedger {
         .parquet(s"$path/stats")
     }
 
+    /** None ONLY for a genuinely absent stats dir (index saved before
+      * drift tracking) — explicit existence check, never a broad catch: a
+      * corrupt stats parquet must fail needsRetrain loudly, not silently
+      * disable drift observation.
+      */
     private[operators] def readStats(
-        spark: SparkSession, path: String): Option[Stats] =
-      try {
+        spark: SparkSession, path: String): Option[Stats] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/stats")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
         val r = spark.read.parquet(s"$path/stats").head()
         Some(Stats(r.getAs[Double]("mqe"), r.getAs[Long]("n"),
           r.getAs[Int]("sample_size"), r.getAs[Long]("seed")))
-      } catch { case _: Throwable => None }
+      }
+    }
 
     /** Storage geometry persisted beside the centroids, so [[open]] never
       * guesses the bucket count (META WINS over the argument — a wrong
@@ -621,10 +632,18 @@ object Similarity extends CacheLedger {
         .parquet(s"$path/meta")
     }
 
+    /** Caller's-count fallback ONLY for a genuinely absent meta
+      * (pre-meta index) — explicit existence check, never a broad catch:
+      * a corrupt meta must fail the open, not silently hand the next
+      * compact the wrong geometry to cement.
+      */
     private[operators] def readIvfMeta(
-        spark: SparkSession, path: String): Option[Int] =
-      try Some(spark.read.parquet(s"$path/meta").head().getAs[Int]("buckets"))
-      catch { case _: Throwable => None } // pre-meta index: caller's count
+        spark: SparkSession, path: String): Option[Int] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else Some(spark.read.parquet(s"$path/meta").head().getAs[Int]("buckets"))
+    }
 
     private[operators] def writeCentroids(
         spark: SparkSession, path: String,

@@ -63,6 +63,15 @@ class ComponentsIndexSpec extends SparkSpec {
     val w4 = Seq((31L, 40L)).toDF("i", "j")
     idx2.update(w4)
     assert(resolved(idx2) == want(all3.unionByName(w4)))
+    // re-bucketing compaction: labels identical (captured BEFORE the
+    // compact re-points the shared table), evolved count in meta
+    val expected = resolved(idx2)
+    val idx3 = idx2.compact(s"$base/v3", newBuckets = 16)
+    assert(idx3.buckets == 16)
+    assert(resolved(idx3) == expected,
+      "re-bucketing must not change a single label")
+    assert(ComponentsIndex.open(spark, "cidx_a", s"$base/v3").buckets == 16,
+      "a later open must read the evolved count from meta")
   }
 
   test("rebuildFrom closes the retraction workflow: survivors' closure, same table") {

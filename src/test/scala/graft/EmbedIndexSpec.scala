@@ -225,6 +225,14 @@ class EmbedIndexSpec extends SparkSpec {
       "compact must dedupe the bucket rows back to the clean count")
     assert(compacted.probe(batch, "vec_id", "embedding")
       .orderBy("i", "j").collect().toSeq == probeBefore)
+    // re-bucketing compaction: probes unchanged, evolved count in meta
+    val rb = compacted.compact(s"$base/v3", newBuckets = 16)
+    assert(rb.buckets == 16)
+    assert(rb.probe(batch, "vec_id", "embedding")
+      .orderBy("i", "j").collect().toSeq == probeBefore,
+      "re-bucketing must not change probe output")
+    assert(EmbedIndex.open(spark, "eidx_s", s"$base/v3").buckets == 16,
+      "a later open must read the evolved count from meta")
     Dedup.releaseCaches()
   }
 

@@ -111,11 +111,17 @@ class IvfPqSpec extends SparkSpec {
       rows(deleted.search(qs, k = 5, nprobe = 8)))
     assert(compacted.indexedVectors() == df.count() - 1)
     // re-bucketing compaction: geometry evolves, meta records it, the
-    // pruned scan and the results both reflect the new count
+    // pruned scan and the results both reflect the new count. Capture the
+    // expected rows BEFORE the compact re-points the shared catalog table
+    // — comparing two post-compact searches would read the same v4 data
+    // twice and could never fail.
+    val preRebucket = rows(compacted.search(qs, k = 5, nprobe = 8))
+    val preCount = compacted.indexedVectors()
     val rebucketed = compacted.compact(s"$base/v4", newBuckets = 16)
     assert(rebucketed.buckets == 16)
-    assert(rows(rebucketed.search(qs, k = 5, nprobe = 8)) ==
-      rows(compacted.search(qs, k = 5, nprobe = 8)))
+    assert(rebucketed.indexedVectors() == preCount,
+      "re-bucketing must not add or drop rows")
+    assert(rows(rebucketed.search(qs, k = 5, nprobe = 8)) == preRebucket)
     val one = rebucketed.search(Map(1L -> qvecs(df, Seq(1L))(1L)), k = 5, nprobe = 1)
     one.count()
     assert(one.queryExecution.executedPlan.toString

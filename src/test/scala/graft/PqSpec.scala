@@ -106,6 +106,17 @@ class PqSpec extends SparkSpec {
     val compacted = deleted.compact(s"$base/v3")
     assert(rows(compacted.search(qs, k = 5)) == rows(deleted.search(qs, k = 5)))
     assert(compacted.indexedVectors() == df.count() - 1)
+    // re-bucketing compaction: results captured BEFORE the compact
+    // re-points the shared table; evolved count in meta
+    val preRb = rows(compacted.search(qs, k = 5))
+    val rb = compacted.compact(s"$base/v4", newBuckets = 16)
+    assert(rb.buckets == 16)
+    assert(rb.indexedVectors() == df.count() - 1,
+      "re-bucketing must not add or drop rows")
+    assert(rows(rb.search(qs, k = 5)) == preRb,
+      "re-bucketing must not change search results")
+    assert(Pq.openIndex(spark, "pqidx_t", s"$base/v4", buckets = 3).buckets == 16,
+      "a later open must read the evolved count from meta")
   }
 
   test("codebook drift: needsRetrain trips on a shifted corpus; retrain clears it") {

@@ -171,6 +171,19 @@ class SimilaritySpec extends SparkSpec {
       s"compaction must shrink the file count: $before -> ${parquetFiles(s"$base/v3/assigned")}")
     assert(rows(compacted.search(qs, k = 3, nprobe = 8)) == beforeRows)
     assert(compacted.assigned.count() == emb.count())
+    // re-bucketing compaction: results captured BEFORE the compact
+    // re-points the shared table; evolved count reaches the pruned scan
+    // and a later open (meta wins over a wrong argument)
+    val preRb = rows(compacted.search(qs, k = 3, nprobe = 8))
+    val rb = compacted.compact(s"$base/v4", newBuckets = 16)
+    assert(rows(rb.search(qs, k = 3, nprobe = 8)) == preRb,
+      "re-bucketing must not change search results")
+    val reop = Similarity.IvfIndex.open(spark, "ivfidx_mnt", s"$base/v4",
+      buckets = 3)
+    val one16 = reop.search(Map(qids.head -> qs(qids.head)), k = 3, nprobe = 1)
+    one16.count()
+    assert(one16.queryExecution.executedPlan.toString.contains("out of 16"),
+      "pruned scan must reflect the evolved bucket count from meta")
   }
 
   test("IVF drift: needsRetrain observes a shifted cluster; retrain restores the quantizer") {
