@@ -367,11 +367,22 @@ object EventStreams {
     * the same table (upsert is idempotent per batch), which is exactly
     * the at-least-once guarantee foreachBatch gives after a restart.
     *
-    * The target directory is read+rewritten per batch (read BEFORE the
-    * overwrite write triggers, via an eager local materialization of the
-    * merged result). Fine for a serving table orders of magnitude smaller
-    * than the stream; for corpus-sized targets use a format with real
-    * MERGE support.
+    * The target directory is read+rewritten per batch. Fine for a serving
+    * table orders of magnitude smaller than the stream; for corpus-sized
+    * targets use a format with real MERGE support.
+    *
+    * Publication is CRASH-SAFE via stage-then-swap — the serving table is
+    * the one artifact whose accumulated merge history is NOT re-derivable
+    * from a redelivered batch, so it must never be overwritten in place
+    * (a crash inside Overwrite's delete-then-write window would lose
+    * every earlier batch's rows and the next batch would silently restart
+    * from scratch): the FULL merged state lands in a staging dir first,
+    * then the live dir is swapped out by delete+rename. A crash at any
+    * point leaves either the old table (staging incomplete or complete —
+    * the next merge reads the live dir and Overwrite clears staging) or,
+    * between the delete and the rename, NO live dir but a COMPLETE
+    * staging dir — which the next batch's merge detects and uses as its
+    * base, so history survives every window.
     */
   def upsertToParquet(
       df: DataFrame, keyCols: Seq[String], outDir: String,
@@ -381,16 +392,29 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val path = new org.apache.hadoop.fs.Path(outDir)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(path))
-            graft.operators.Ingest.upsert(
-              spark.read.parquet(outDir), batch.toDF(), keyCols)
-          else batch.toDF()
-        // materialize off the source files before overwriting them
+        val live = new org.apache.hadoop.fs.Path(outDir)
+        val staging = new org.apache.hadoop.fs.Path(s"$outDir.staging")
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // merge base: the live table, or — crash-recovery — a complete
+        // staging dir a died swap left behind (_SUCCESS-gated: a torn
+        // staging write has no marker and is not a valid base)
+        val base =
+          if (fs.exists(live)) Some(outDir)
+          else if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+            Some(staging.toString)
+          else None
+        val merged = base match {
+          case Some(b) => graft.operators.Ingest.upsert(
+            spark.read.parquet(b), batch.toDF(), keyCols)
+          case None => batch.toDF()
+        }
+        // materialize off the source files, then stage the FULL new state
+        // before touching the live dir
         merged.localCheckpoint(eager = true)
-          .write.mode("overwrite").parquet(outDir)
+          .write.mode("overwrite").parquet(staging.toString)
+        fs.delete(live, true)
+        require(fs.rename(staging, live),
+          s"failed to publish serving table: rename $staging -> $live")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -248,5 +248,20 @@ class StreamingSpec extends SparkSpec {
     val ck2 = Files.createTempDirectory("upsert_ck2").toString
     EventStreams.upsertToParquet(counts().toDF(), Seq("user_id"), out, ck2)
     assert(table() == expect)
+    // crash-safety of the stage-then-swap publication: simulate a death
+    // BETWEEN the live-dir delete and the rename — no live table, but a
+    // COMPLETE staging dir. The next run must recover the history from
+    // staging, not silently restart from scratch.
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(out),
+      new org.apache.hadoop.fs.Path(s"$out.staging")),
+      "test setup: demote the live table to a committed staging dir")
+    val ck3 = Files.createTempDirectory("upsert_ck3").toString
+    EventStreams.upsertToParquet(counts().toDF(), Seq("user_id"), out, ck3)
+    assert(table() == expect,
+      "a swap that died between delete and rename must lose no history")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out.staging")),
+      "recovery must republish and clear the staging dir")
   }
 }
