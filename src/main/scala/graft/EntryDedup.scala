@@ -92,6 +92,30 @@ private[graft] object EntryDedup {
       .select(col("i"), col("j"), col("cos").as("sim"))
       .orderBy("i", "j")
 
+  /** SemDeDup-style semantic dedup in EXACT mode (`nClusters = 1` — the
+    * within-cluster scope is the whole corpus, the ann_ivf nprobe=all
+    * precedent), so survivors equal the brute-force cosine-closure the
+    * oracle computes. The clustered scope cut the operator exists for is
+    * [[dedupSemanticClustered]] + SemanticDedupSpec/ScaleProbe-pinned
+    * (k-means assignment is not SQL-expressible).
+    */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, nClusters = 1)
+      .orderBy("vec_id")
+
+  /** The REAL SemDeDup path: auto-derived k ([[Dedup.semanticK]] —
+    * ⌈n/1024⌉, so sf0.01 runs exact and sf0.1 runs 5 genuine clusters),
+    * rows-only by design: cluster-boundary pairs are out of scope
+    * per the published method, so output is recall-scoped, not
+    * SQL-reproducible. SemanticDedupSpec pins clustered == exact on a
+    * separable fixture and candidate-volume linearity at two sizes.
+    */
+  def dedupSemanticClustered(s: SparkSession, d: String): DataFrame =
+    Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45)
+      .orderBy("vec_id")
+
   /** Incremental connected components over near-dup pairs: the pair set
     * splits into two arrival waves, the index builds from wave 1 and
     * folds wave 2 in ([[ComponentsIndex]]), and the resolved labels must

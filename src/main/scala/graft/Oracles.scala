@@ -1557,6 +1557,32 @@ private[graft] object Oracles {
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.95
         |ORDER BY i, j""".stripMargin,
+    // semantic dedup in exact mode (nClusters = 1): survivors of the
+    // brute-force cosine-closure at 0.45 — min id per reachability
+    // component plus every unpaired vector. 0.45 sits inside the
+    // fixture's same-label cosine band (14 pairs at sf0.01, 144 at
+    // sf0.1) so the oracle actually discriminates — at the near-dup
+    // thresholds the embedding fixture has NO pairs and the check
+    // would be vacuous
+    "dedup_semantic" ->
+      """WITH RECURSIVE pj AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |), e(a, b) AS (
+        |  SELECT i, j FROM pj UNION SELECT j, i FROM pj
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        |), losers AS (
+        |  SELECT a AS vec_id FROM reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a
+        |)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
     // shared by the incremental and streaming component queries: both
     // must equal the batch reachability closure — arrival-form
     // invariance IS the contract, so the oracle is identical

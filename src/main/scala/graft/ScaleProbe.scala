@@ -131,6 +131,22 @@ object ScaleProbe {
         graft.operators.Dedup.embeddingPairs(
           vecs, "vec_id", "embedding", dim = 64, threshold = 0.999).count()
       },
+      time("semantic_dedup_pairs") {
+        // SemDeDup at 100x: auto-k (⌈505k/1024⌉ = 494 clusters) scopes the
+        // pair search to within-cluster candidates — ~n·1024/2 cosine
+        // verifications instead of n²/2. Planted dups are bit-identical
+        // vectors, so they co-assign whatever Lloyd converged to and
+        // recall is exactly 1; random salads never reach 0.999, so the
+        // leg gates on pairs == exactly the 5k planted.
+        val vecs = spark.range(n + 5000)
+          .select(col("id").as("vec_id"), vecExpr.as("embedding"))
+          .localCheckpoint(true)
+        val c = graft.operators.Dedup.semanticPairs(
+          vecs, "vec_id", "embedding", threshold = 0.999,
+          baseCount = n + 5000).count()
+        graft.operators.Dedup.releaseCaches()
+        c
+      },
       time("components_index_update") {
         // incremental components at scale: the corpus's 5k planted clone
         // pairs arrive in two waves; per-update driver state is
@@ -250,6 +266,11 @@ object ScaleProbe {
     assert(pairCount == 5000, s"minhash found $pairCount pairs, planted 5000")
     val srpPairs = stages.find(_._1 == "srp_embedding_pairs").get._3
     assert(srpPairs == 5000, s"SRP found $srpPairs embedding pairs, planted 5000")
+    // cluster-scoped semantic pairs at auto-k: clones co-assign, so the
+    // scope cut costs zero recall on exact duplicates
+    val semPairs = stages.find(_._1 == "semantic_dedup_pairs").get._3
+    assert(semPairs == 5000L,
+      s"semantic dedup found $semPairs pairs, planted 5000")
     // index amortization: the probe finds exactly its planted clones and
     // costs a fraction of a full-corpus pair scan (the whole point of the
     // persistent index — per-batch cost is NOT a corpus re-hash)

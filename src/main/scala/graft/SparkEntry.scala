@@ -1510,6 +1510,8 @@ object SparkEntry {
     "dedup_simhash" -> (EntryDedup.dedupSimhash _),
     "dedup_ngram" -> (EntryDedup.dedupNgram _),
     "dedup_embedding" -> (EntryDedup.dedupEmbedding _),
+    "dedup_semantic" -> (EntryDedup.dedupSemantic _),
+    "dedup_semantic_clustered" -> (EntryDedup.dedupSemanticClustered _),
     "dedup_embedding_index" -> (EntryDedup.dedupEmbeddingIndex _),
     "dedup_embedding_rebuild" -> (EntryDedup.dedupEmbeddingRebuild _),
     "dedup_components_index" -> (EntryDedup.dedupComponentsIndex _),

@@ -732,4 +732,154 @@ object Dedup extends CacheLedger {
       count(when(col("keep"), lit(1))).as("n_kept"),
       count(when(!col("keep"), lit(1))).as("n_removed"))
   }
+
+  // ──────────────────── semantic dedup (SemDeDup-style) ────────────────────
+
+  /** Default within-cluster population for [[semanticK]]'s auto-derived
+    * cluster count. 1024 keeps the per-cluster pair volume at
+    * ~1024²/2 ≈ 0.5 M cosine verifications per cluster task and total
+    * candidate volume at ~n·1024/2 — LINEAR in n, the same invariant
+    * [[graft.operators.Lsh.autoPlanes]] enforces for the SRP family.
+    */
+  private[operators] val SemanticTargetCluster = 1024L
+
+  /** Cluster count for a corpus of `n` vectors: ⌈n / targetCluster⌉.
+    * Exposed (rather than inlined) so specs can pin the derivation the
+    * way LshSpec pins autoPlanes — re-widening this default must break
+    * the build, not a 100 TB run.
+    */
+  def semanticK(n: Long, targetCluster: Long = SemanticTargetCluster): Int =
+    math.ceil(n.toDouble / targetCluster.max(1L)).toInt.max(1)
+
+  /** Angular k-means assignment for [[semanticPairs]]: (vid, cluster),
+    * one row per input vector. Clustering runs on L2-NORMALIZED copies
+    * (semantic similarity is cosine, i.e. angle — un-normalized k-means
+    * would split by magnitude), training and assignment both through
+    * [[Similarity.IvfIndex]]'s seeded sampled-Lloyd so the semantic and
+    * ANN coarse quantizers cannot diverge. Zero vectors pass through
+    * un-normalized: they land in some cluster but pair with nothing
+    * (cosine against them is null) so they can never be dropped.
+    *
+    * `nClusters = 0` derives k from the corpus count via [[semanticK]];
+    * pass `baseCount` when the caller already knows n to skip the count
+    * job (the [[embeddingPairs]] knob).
+    */
+  def semanticClusters(
+      emb: DataFrame, idCol: String, vecCol: String, nClusters: Int = 0,
+      iters: Int = 5, sampleSize: Int = 10000, seed: Long = 42L,
+      baseCount: Long = -1L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = if (baseCount >= 0L) baseCount else emb.count()
+    val k = if (nClusters > 0) nClusters else semanticK(n)
+    // normalization runs TYPED (one norm per row in JVM code), not as a
+    // transform-lambda dividing by an inlined aggregate(): higher-order
+    // functions are CodegenFallback, and nesting the norm inside the
+    // per-element lambda re-evaluates it 64× per row interpreted — the
+    // same pathology as the round-6 shingle HOF; measured ~30 s of the
+    // 505k probe leg for what is one fused pass here
+    val unit = emb.select(col(idCol).cast("long").as("vid"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (vid, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        if (s > 0) {
+          val inv = 1.0 / math.sqrt(s)
+          val u = new Array[Double](v.length)
+          i = 0; while (i < v.length) { u(i) = v(i) * inv; i += 1 }
+          (vid, u)
+        } else (vid, v)
+      }.toDF(idCol, vecCol)
+    Similarity.IvfIndex
+      .build(spark, unit, idCol, vecCol, k, iters, sampleSize, seed,
+        baseCount = n)
+      .assigned.select(col("vid"), col("cluster"))
+  }
+
+  /** The candidate stage of [[semanticPairs]] alone — (i, j) id pairs
+    * sharing a cluster — exposed so scale guards can assert candidate
+    * volume stays ~n·targetCluster/2 under the auto-derived k (the
+    * semantic analogue of [[embeddingCandidates]]). The self-join key is
+    * the cluster id: Spark shuffles (vid, cluster) pairs only, and an
+    * oversized cluster is a hot inner-join key AQE's skew-split
+    * parallelizes by replicating the build side — never a cross product.
+    */
+  def semanticCandidates(
+      emb: DataFrame, idCol: String, vecCol: String, nClusters: Int = 0,
+      iters: Int = 5, sampleSize: Int = 10000, seed: Long = 42L,
+      baseCount: Long = -1L): DataFrame = {
+    val assigned = ledgered(
+      semanticClusters(emb, idCol, vecCol, nClusters, iters, sampleSize,
+        seed, baseCount).cache())
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("i"), col("b.vid").as("j"))
+  }
+
+  /** SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then score
+    * cosine WITHIN each cluster only — the standard scope cut that makes
+    * embedding dedup tractable at thresholds too LOW for SRP-LSH
+    * ([[embeddingPairs]]'s table count explodes as the threshold drops:
+    * [[Lsh.autoTables]] at 0.95 needs ~14 tables, at 0.80 over a
+    * hundred — while cluster scoping is threshold-independent).
+    *
+    * Candidates are exact-cosine-verified like every family member, so
+    * within a cluster the output equals brute force; pairs STRADDLING a
+    * cluster boundary are out of scope by design (the paper's recall
+    * trade). `nClusters = 1` is exact mode — the scope is the whole
+    * corpus (the `ann_ivf` nprobe=all precedent), quadratic and only for
+    * oracle-scale corpora. Exact duplicates can never straddle: identical
+    * vectors assign to the same cluster deterministically.
+    */
+  def semanticPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.85, nClusters: Int = 0, iters: Int = 5,
+      sampleSize: Int = 10000, seed: Long = 42L,
+      baseCount: Long = -1L): DataFrame = {
+    // vectors ride THROUGH the cluster self-join (one n-row join to pin
+    // the original float payload back onto the assignment, then n rows ×
+    // ~260 B shuffled per side) so the ~n·targetCluster/2 candidate rows
+    // are scored and filtered INSIDE the join's stage — never shuffled,
+    // never re-joined. The thin-candidates-then-fetch-vectors shape this
+    // replaces sort-merge-joined the candidate set against the vector
+    // table twice: 258 M rows through two exchanges at the 505k probe,
+    // measured 109 s vs ~20 s for this plan. Cached: self-joined derived
+    // relation (house rule — Spark has no cross-branch CSE).
+    val vecs = emb.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).as("v")).dropDuplicates("vid")
+    val assigned = ledgered(
+      semanticClusters(emb, idCol, vecCol, nClusters, iters, sampleSize,
+        seed, baseCount)
+        .join(vecs, Seq("vid"))
+        .cache())
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("i"), col("b.vid").as("j"),
+        graft.plans.GraftFunctions.cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), round(col("cos"), 3).as("cos"))
+  }
+
+  /** End-to-end semantic dedup: [[semanticPairs]] → connected components
+    * → keep the minimum id per component plus every untouched vector
+    * (the [[dedupeCorpus]] shape over embedding space). Returns surviving
+    * ids under the caller's id column name.
+    */
+  def semanticDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.85, nClusters: Int = 0, iters: Int = 5,
+      sampleSize: Int = 10000, seed: Long = 42L,
+      baseCount: Long = -1L): DataFrame = {
+    val losers = components(
+      semanticPairs(emb, idCol, vecCol, threshold, nClusters, iters,
+        sampleSize, seed, baseCount).select(col("i"), col("j")))
+      .filter(col("doc_id") =!= col("comp"))
+      .select(col("doc_id").as(idCol))
+    emb.select(col(idCol).cast("long").as(idCol))
+      .join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -64,7 +64,7 @@ object IvfPq extends CacheLedger {
     val coded = base.as[(Long, Array[Double])].mapPartitions { it =>
       val cs = bcC.value; val c = bcCb.value
       it.map { case (vid, v) =>
-        (vid, cs.indices.minBy(i => Similarity.IvfIndex.l2sq(cs(i), v)),
+        (vid, Similarity.IvfIndex.nearest(cs, v),
           c.encodeVec(v))
       }
     }.toDF("vid", "cluster", "codes")
@@ -208,7 +208,7 @@ object IvfPq extends CacheLedger {
         .mapPartitions { it =>
           val cs = bcC.value; val c = bcCb.value
           it.map { case (vid, v) =>
-            (vid, cs.indices.minBy(i => Similarity.IvfIndex.l2sq(cs(i), v)),
+            (vid, Similarity.IvfIndex.nearest(cs, v),
               c.encodeVec(v))
           }
         }.toDF("vid", "cluster", "codes")

@@ -105,7 +105,7 @@ object Pq {
         val sums = Array.fill(cs.length)(new Array[Double](dsub))
         val counts = new Array[Long](cs.length)
         slices.foreach { s =>
-          val c = cs.indices.minBy(i => Similarity.IvfIndex.l2sq(cs(i), s))
+          val c = Similarity.IvfIndex.nearest(cs, s)
           counts(c) += 1
           var i = 0; while (i < dsub) { sums(c)(i) += s(i); i += 1 }
         }

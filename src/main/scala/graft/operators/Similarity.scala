@@ -496,21 +496,47 @@ object Similarity extends CacheLedger {
       s
     }
 
+    /** Index of the nearest centroid — the inner loop of BOTH [[lloyd]]
+      * and [[assign]], shared so the two argmins cannot diverge. A tight
+      * imperative scan with an early-abandon bound: once the partial sum
+      * exceeds the best distance so far the centroid cannot win, which
+      * matters when the cluster count is corpus-derived (SemDeDup's
+      * ⌈n/1024⌉ puts ~500 centroids in this loop at the 505k probe — the
+      * closure-per-centroid `minBy` this replaces was ~40 s of driver
+      * Lloyd there; first-index-wins ties match `minBy` exactly).
+      */
+    private[operators] def nearest(cents: Array[Array[Double]],
+        v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var s = 0.0; var i = 0
+        val len = v.length
+        while (i < len && s < bestD) {
+          val d = cent(i) - v(i); s += d * d; i += 1
+        }
+        if (i == len && s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+
     /** Train on ≤ `sampleSize` vectors pulled to the driver; assign every
       * base vector to its nearest centroid distributed-side.
       */
     def build(
         spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
         nClusters: Int = 16, iters: Int = 5, sampleSize: Int = 10000,
-        seed: Long = 42L): IvfIndex = {
+        seed: Long = 42L, baseCount: Long = -1L): IvfIndex = {
       import spark.implicits._
       val base = emb.select(col(idCol).cast("long").as("vid"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
         .as[(Long, Array[Double])]
       // seeded random sample, NOT first-N-by-id: ids often correlate with
       // source/time, and centroids trained on one region have no recall
-      // elsewhere
-      val total = base.count()
+      // elsewhere. baseCount skips the count job when the caller already
+      // knows n (the embeddingPairs/srpTopK knob).
+      val total = if (baseCount >= 0L) baseCount else base.count()
       val fraction = math.min(1.0, sampleSize * 1.2 / math.max(total, 1L))
       val sample = base.sample(withReplacement = false, fraction, seed)
         .limit(sampleSize).collect().map(_._2)
@@ -532,7 +558,7 @@ object Similarity extends CacheLedger {
         val sums = Array.fill(cents.length)(new Array[Double](sample.head.length))
         val counts = new Array[Long](cents.length)
         sample.foreach { v =>
-          val c = cents.indices.minBy(i => l2sq(cents(i), v))
+          val c = nearest(cents, v)
           counts(c) += 1
           var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
         }
@@ -672,7 +698,7 @@ object Similarity extends CacheLedger {
       base.mapPartitions { it =>
         val cs = bc.value
         it.map { case (vid, v) =>
-          (vid, v, cs.indices.minBy(i => l2sq(cs(i), v)))
+          (vid, v, nearest(cs, v))
         }
       }.toDF("vid", "v", "cluster")
     }

@@ -21,7 +21,11 @@ class RegistrySpec extends AnyFunSuite {
     // bit-identical to flat ADC by PqSpec/IvfPqSpec); anything new
     // appearing here means someone forgot to write an oracle
     val declared = Set("ann_lsh", "ann_pq", "ann_pq_index", "ann_ivfpq",
-      "q_hll", "q_approx_quantile", "text_bpe", "text_winnow")
+      "q_hll", "q_approx_quantile", "text_bpe", "text_winnow",
+      // recall-scoped by the published method (cluster-boundary pairs are
+      // out of scope); SemanticDedupSpec pins clustered == exact on a
+      // separable fixture, dedup_semantic is the oracle-exact k=1 form
+      "dedup_semantic_clustered")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == declared,
       s"undeclared oracle-less queries: ${(noOracle -- declared).toSeq.sorted}; " +
@@ -41,7 +45,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the shipped inventory") {
-    assert(SparkEntry.queries.size == 160,
+    assert(SparkEntry.queries.size == 162,
       s"query count drifted: ${SparkEntry.queries.size} (update this pin " +
         "AND SURVEY §2.4 when adding operators)")
   }
