@@ -882,4 +882,32 @@ object Dedup extends CacheLedger {
     emb.select(col(idCol).cast("long").as(idCol))
       .join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Score-aware semantic dedup: the survivor of each semantic-duplicate
+    * component is the member with the HIGHEST `scoreCol` (ties to the
+    * smallest id) — the [[dedupeCorpusBy]] policy over embedding space.
+    * SemDeDup's published keep rule (the member LEAST similar to its
+    * cluster centroid, maximizing retained diversity) is this with
+    * `scoreCol` = negated centroid similarity; any quality score works.
+    * Same plan as [[semanticDedup]] plus one component-keyed window whose
+    * partitions are duplicate clusters — tiny by construction.
+    */
+  def semanticDedupBy(
+      emb: DataFrame, idCol: String, vecCol: String, scoreCol: String,
+      threshold: Double = 0.85, nClusters: Int = 0, iters: Int = 5,
+      sampleSize: Int = 10000, seed: Long = 42L,
+      baseCount: Long = -1L): DataFrame = {
+    val w = Window.partitionBy("comp").orderBy(col("__s").desc, col(idCol))
+    val losers = components(
+      semanticPairs(emb, idCol, vecCol, threshold, nClusters, iters,
+        sampleSize, seed, baseCount).select(col("i"), col("j")))
+      .select(col("doc_id").as(idCol), col("comp"))
+      .join(emb.select(col(idCol).cast("long").as(idCol),
+        col(scoreCol).as("__s")), Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col(idCol))
+    emb.select(col(idCol).cast("long").as(idCol))
+      .join(losers, Seq(idCol), "left_anti")
+  }
 }

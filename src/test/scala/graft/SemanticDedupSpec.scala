@@ -95,6 +95,32 @@ class SemanticDedupSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("score-aware survivors keep the best-scored member per component") {
+    // vec_id % 10 scores each anchor's members 0..5 and every clone 0,
+    // so the survivor of each collapsed anchor is its id a*100+5
+    val scored = emb.withColumn("score", col("vec_id") % 10)
+    val got = ids(Dedup.semanticDedupBy(scored, "vec_id", "embedding",
+      "score", threshold = 0.7, nClusters = 1))
+    val want = (0 until 8).map(_ * 100L + 5L).toSet + 99999L
+    assert(got == want, s"got ${got.toSeq.sorted}")
+    Dedup.releaseCaches()
+  }
+
+  test("fused verify shape: vectors ride through the cluster self-join") {
+    // the scoring stage consumes the self-join output in place — no
+    // thin-candidates-then-re-fetch joins (the 109 s -> 21.6 s probe
+    // finding). Plan-printed join count pins the shape: one assignment⋈
+    // vectors join (visible twice through the cached relation's two
+    // self-join branches) + the cluster self-join itself.
+    val p = Dedup.semanticPairs(emb, "vec_id", "embedding",
+      threshold = 0.9, nClusters = 8, sampleSize = 100)
+      .queryExecution.executedPlan.toString
+    val joins = "Join".r.findAllIn(p).length
+    assert(joins <= 3, s"semanticPairs plans $joins joins — candidate " +
+      s"re-fetch shape reintroduced?\n$p")
+    Dedup.releaseCaches()
+  }
+
   test("semanticK derivation: ⌈n/1024⌉, floored at 1") {
     assert(Dedup.semanticK(500L) == 1)
     assert(Dedup.semanticK(1024L) == 1)
