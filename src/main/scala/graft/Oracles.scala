@@ -1807,6 +1807,14 @@ private[graft] object Oracles {
         |  ROUND(AVG(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v))), 6) AS avg_logp
         |FROM bgw JOIN c12 USING (bg) JOIN c1 ON bgw.w1 = c1.w CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the oracle is the PLANTED LABEL RULE: the trained classifier's
+    // hard predictions hash-match only if logistic GD on hashed
+    // bag-of-words actually learned the signal to 100% train accuracy
+    "text_quality_model" ->
+      """SELECT doc_id,
+        |  CASE WHEN list_contains(string_split(text, ' '), 'spark')
+        |       THEN 1 ELSE 0 END AS pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH base AS (
         |  SELECT doc_id,

@@ -131,6 +131,29 @@ object ScaleProbe {
         graft.operators.Dedup.embeddingPairs(
           vecs, "vec_id", "embedding", dim = 64, threshold = 0.999).count()
       },
+      time("quality_model_train_score") {
+        // sample-bounded training (20k of 505k docs by id-hash rate),
+        // corpus-wide narrow scoring. The salad corpus is the hashing
+        // trick's worst case — ~20M distinct tokens (each md5-derived
+        // token appears ~once), so dims must scale with vocabulary: at
+        // 2^20 buckets, ~40·n/2^20 ≈ 20 token occurrences collide with
+        // the marker's bucket and can flip their (held-out, label-0)
+        // docs. The gate bounds mismatches at 3× that incidence; exact
+        // 0/1 recovery belongs to the realistic small-vocab fixtures
+        // (QualityModelSpec, text_quality_model at sf0.01/sf0.1).
+        val labeled = base.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" qualmark"))).otherwise(col("text"))
+            .as("text"),
+          (col("doc_id") % 3 === 0).cast("int").as("label"))
+          .localCheckpoint(true)
+        val m = graft.operators.QualityModel.train(
+          labeled, "doc_id", "text", "label", dims = 1 << 20,
+          sampleSize = 20000, baseCount = n)
+        graft.operators.QualityModel.score(labeled, "doc_id", "text", m)
+          .filter(col("pred") =!= (col("doc_id") % 3 === 0).cast("int"))
+          .count() // mismatches — collision-bounded gate below
+      },
       time("semantic_dedup_pairs") {
         // SemDeDup at 100x: auto-k (⌈505k/1024⌉ = 494 clusters) scopes the
         // pair search to within-cluster candidates — ~n·1024/2 cosine
@@ -271,6 +294,13 @@ object ScaleProbe {
     val semPairs = stages.find(_._1 == "semantic_dedup_pairs").get._3
     assert(semPairs == 5000L,
       s"semantic dedup found $semPairs pairs, planted 5000")
+    // the sampled-trained quality model must recover the planted rule up
+    // to feature-hash collisions with the marker bucket (~20 expected at
+    // 2^20 dims over this vocabulary; deterministic for a fixed seed)
+    val qmMiss = stages.find(_._1 == "quality_model_train_score").get._3
+    assert(qmMiss <= 64L,
+      s"quality model misclassified $qmMiss of $n docs — beyond the " +
+        "hash-collision bound, the learner or scorer regressed")
     // index amortization: the probe finds exactly its planted clones and
     // costs a fraction of a full-corpus pair scan (the whole point of the
     // persistent index — per-batch cost is NOT a corpus re-hash)

@@ -1531,6 +1531,7 @@ object SparkEntry {
     "text_fingerprint" -> (EntryText.textFingerprint _),
     "text_tfidf" -> (EntryText.textTfidf _),
     "text_repetition" -> (EntryText.textRepetition _),
+    "text_quality_model" -> (EntryText.textQualityModel _),
     "text_lm_score" -> (EntryText.textLmScore _),
     "text_redact" -> (EntryText.textRedact _),
     "text_spans" -> (EntryText.textSpans _),

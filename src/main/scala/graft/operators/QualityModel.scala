@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality filtering — the fasttext/CCNet-style
+  * counterpart to [[TextAnalysis.qualityColumns]]' hand heuristics: a
+  * logistic-regression classifier over hashed bag-of-words counts,
+  * trained IN the engine and applied as a narrow scoring pass.
+  *
+  * Training follows the repo's sampled-driver-model pattern
+  * ([[Similarity.IvfIndex]]'s Lloyd, [[Pq]] codebooks): membership in
+  * the training sample is an id-hash RATE decision (a pure function of
+  * the id — deterministic and partitioning-invariant), the sample is
+  * collected and SORTED BY ID so full-batch gradient descent sums
+  * floats in one canonical order (bit-identical retrains under any
+  * partitioning), and the fitted weight vector is model-sized (`dims`
+  * doubles) — broadcast for scoring, never joined.
+  *
+  * Scale shape: training cost is sample-bounded (default 100k docs) no
+  * matter the corpus; [[score]] is ONE narrow mapPartitions over the
+  * corpus with the broadcast model — no shuffle, no UDF registry, no
+  * per-row allocation beyond the token split the heuristics already
+  * pay. Feature hashing (murmur3 into `dims` buckets) keeps the model
+  * dense and fixed-size at any vocabulary, the standard trick for
+  * web-scale text (Weinberger et al. 2009).
+  */
+object QualityModel {
+
+  /** A fitted model: hashed-feature weights + bias. `seed` salts the
+    * feature hash so train/score can never disagree on bucketing.
+    */
+  final case class Model(
+      dims: Int, bias: Double, weights: Array[Double], seed: Long) {
+    require(weights.length == dims, s"weights ${weights.length} != dims $dims")
+
+    def margin(text: String): Double = {
+      val toks = QualityModel.tokensOf(text)
+      var s = bias; var i = 0
+      while (i < toks.length) {
+        s += weights(QualityModel.featIdx(toks(i), dims, seed)); i += 1
+      }
+      s
+    }
+
+    def prob(text: String): Double = QualityModel.sigmoid(margin(text))
+  }
+
+  private[operators] def tokensOf(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.split(" +").filter(_.nonEmpty)
+
+  /** Hash bucket of one token — murmur3 (JVM-stable, seed-salted),
+    * floorMod into [0, dims).
+    */
+  private[operators] def featIdx(tok: String, dims: Int, seed: Long): Int =
+    math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash(tok, seed.toInt), dims)
+
+  private[operators] def sigmoid(x: Double): Double =
+    if (x >= 0) 1.0 / (1.0 + math.exp(-x))
+    else { val e = math.exp(x); e / (1.0 + e) }
+
+  /** Fit by full-batch logistic gradient descent on an id-hash sample.
+    *
+    * The label column must be 0/1 (cast to double). Features are raw
+    * token COUNTS (not tf): margins then scale with token multiplicity
+    * and the separable case converges without feature re-scaling.
+    *
+    * @param sampleSize expected sample row count (rate-derived from a
+    *                   corpus count; pass `baseCount` to skip the count
+    *                   job). The whole corpus trains when it fits.
+    */
+  def train(
+      docs: DataFrame, idCol: String, textCol: String, labelCol: String,
+      dims: Int = 32768, iters: Int = 200, lr: Double = 0.5,
+      l2: Double = 0.0, sampleSize: Int = 100000, seed: Long = 42L,
+      baseCount: Long = -1L): Model = {
+    require(dims > 0 && iters > 0 && lr > 0, s"bad hyperparams: $dims/$iters/$lr")
+    val n = if (baseCount >= 0L) baseCount else docs.count()
+    val rate = math.min(1.0, sampleSize.toDouble / math.max(n, 1L))
+    val cut = (rate * 1000000L).toLong
+    // id-hash rate sample: membership is a pure function of the id, so
+    // the training set is identical under any partitioning — and sorting
+    // the collected rows pins the gradient's float-summation order
+    val rows = docs
+      .filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < lit(cut))
+      .select(col(idCol).cast("long"), col(textCol),
+        col(labelCol).cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "empty training sample")
+    // pre-hash once: sparse (bucket, count) features per sampled doc
+    val feats = rows.map { case (_, text, label) =>
+      val toks = tokensOf(text)
+      val m = scala.collection.mutable.LongMap.empty[Double]
+      var i = 0
+      while (i < toks.length) {
+        val idx = featIdx(toks(i), dims, seed).toLong
+        m.update(idx, m.getOrElse(idx, 0.0) + 1.0); i += 1
+      }
+      (m.toArray.sortBy(_._1), label) // canonical feature order per doc
+    }
+    val w = new Array[Double](dims)
+    var b = 0.0
+    val m = feats.length.toDouble
+    var it = 0
+    while (it < iters) {
+      val grad = new Array[Double](dims)
+      var gb = 0.0
+      var r = 0
+      while (r < feats.length) {
+        val (fs, label) = feats(r)
+        var s = b; var i = 0
+        while (i < fs.length) { s += w(fs(i)._1.toInt) * fs(i)._2; i += 1 }
+        val err = sigmoid(s) - label
+        i = 0
+        while (i < fs.length) {
+          grad(fs(i)._1.toInt) += err * fs(i)._2; i += 1
+        }
+        gb += err
+        r += 1
+      }
+      var d = 0
+      while (d < dims) {
+        w(d) -= lr * (grad(d) / m + l2 * w(d)); d += 1
+      }
+      b -= lr * gb / m
+      it += 1
+    }
+    Model(dims, b, w, seed)
+  }
+
+  /** Score every document with the broadcast model: one narrow pass,
+    * (id, score, pred) where `pred = 1` iff `score > 0.5`.
+    */
+  def score(
+      docs: DataFrame, idCol: String, textCol: String, m: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(m)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val mdl = bc.value
+        it.map { case (id, text) =>
+          val p = mdl.prob(text)
+          (id, p, if (p > 0.5) 1 else 0)
+        }
+      }
+      .toDF(idCol, "score", "pred")
+  }
+
+  /** Persist as parquet: non-zero weights as (idx, w) rows + a 1-row
+    * meta (dims, bias, seed) — the same meta-wins layout as the index
+    * family, so [[open]] never guesses hyperparameters.
+    */
+  def save(spark: SparkSession, m: Model, path: String): Unit = {
+    import spark.implicits._
+    m.weights.zipWithIndex.collect { case (v, i) if v != 0.0 => (i, v) }
+      .toSeq.toDF("idx", "w")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/weights")
+    Seq((m.dims, m.bias, m.seed)).toDF("dims", "bias", "seed")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def open(spark: SparkSession, path: String): Model = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1, s"corrupt model meta at $path: ${meta.length} rows")
+    val dims = meta(0).getInt(0)
+    val w = new Array[Double](dims)
+    spark.read.parquet(s"$path/weights").collect().foreach { r =>
+      w(r.getInt(0)) = r.getDouble(1)
+    }
+    Model(dims, meta(0).getDouble(1), w, meta(0).getLong(2))
+  }
+}
