@@ -175,4 +175,85 @@ object QualityModel {
     }
     Model(dims, meta(0).getDouble(1), w, meta(0).getLong(2))
   }
+
+  // ─────────────────── drift observability + refit ───────────────────
+  //
+  // The model twin of IvfIndex's needsRetrain/retrain arc: a classifier
+  // trained on one corpus snapshot silently degrades as the corpus
+  // drifts, and "when to refit" must be OBSERVABLE from the serving
+  // side without labels. The monitor is the score distribution: write
+  // a fixed-bin histogram of training-time scores beside the weights,
+  // and compare every later corpus against it with the same
+  // Jeffreys-smoothed PSI as [[Ingest.psi]] (PSI < 0.1 stable, > 0.25
+  // investigate — the convention documented there). One
+  // map-side-combined count agg per check: shuffle ∝ bins, not rows.
+
+  private val PsiBins = 20
+
+  private def binCounts(
+      docs: DataFrame, idCol: String, textCol: String, m: Model): DataFrame =
+    score(docs, idCol, textCol, m)
+      .select(least(lit(PsiBins - 1L),
+        floor(col("score") * PsiBins).cast("long")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+
+  /** Persist the training-corpus score histogram beside the model —
+    * call once after [[save]], with the corpus the model was fit on.
+    */
+  def writeBaseline(
+      docs: DataFrame, idCol: String, textCol: String, m: Model,
+      path: String): Unit =
+    binCounts(docs, idCol, textCol, m)
+      .repartition(1).write.mode("overwrite").parquet(s"$path/baseline")
+
+  /** PSI of the current corpus's score distribution against the stored
+    * baseline (Σ (p−q)·ln(p/q) over the fixed bins, Jeffreys-smoothed
+    * like [[Ingest.psi]] so empty bins stay finite).
+    */
+  def scorePsi(
+      docs: DataFrame, idCol: String, textCol: String, m: Model,
+      path: String): Double = {
+    val spark = docs.sparkSession
+    val before = spark.read.parquet(s"$path/baseline").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = binCounts(docs, idCol, textCol, m).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tb = before.values.sum.toDouble
+    val ta = after.values.sum.toDouble
+    require(ta > 0, "empty corpus in scorePsi")
+    val smooth = 0.5 * (PsiBins + 2)
+    (0L until PsiBins.toLong).map { b =>
+      val p = (before.getOrElse(b, 0L) + 0.5) / (tb + smooth)
+      val q = (after.getOrElse(b, 0L) + 0.5) / (ta + smooth)
+      (p - q) * math.log(p / q)
+    }.sum
+  }
+
+  /** True when the serving-side score distribution has shifted past
+    * `tolerance` (default 0.25, the PSI "investigate" convention) —
+    * the signal to [[refit]].
+    */
+  def needsRefit(
+      docs: DataFrame, idCol: String, textCol: String, m: Model,
+      path: String, tolerance: Double = 0.25): Boolean =
+    scorePsi(docs, idCol, textCol, m, path) > tolerance
+
+  /** Retrain on the CURRENT corpus with the persisted hyperparameters
+    * (dims/seed from the old model — probes bucket identically before
+    * and after), rewrite weights + baseline at `toPath`. The exact
+    * analogue of `IvfIndex.retrain`: observability without action is
+    * only half the loop.
+    */
+  def refit(
+      docs: DataFrame, idCol: String, textCol: String, labelCol: String,
+      old: Model, toPath: String, iters: Int = 200, lr: Double = 0.5,
+      l2: Double = 0.0, sampleSize: Int = 100000,
+      baseCount: Long = -1L): Model = {
+    val spark = docs.sparkSession
+    val m = train(docs, idCol, textCol, labelCol, old.dims, iters, lr, l2,
+      sampleSize, old.seed, baseCount)
+    save(spark, m, toPath)
+    writeBaseline(docs, idCol, textCol, m, toPath)
+    m
+  }
 }
