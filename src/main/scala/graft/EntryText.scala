@@ -153,24 +153,6 @@ private[graft] object EntryText {
     * rounding disagree; at digit 7 that needs a 5^7 denominator, which
     * token counts cannot reach.
     */
-  /** Model-based quality filter, END-TO-END: label every document by a
-    * planted SQL-expressible rule (contains the token `spark`), train
-    * the hashed-bag-of-words logistic classifier on those labels, score
-    * the same corpus, and emit the hard predictions. The oracle IS the
-    * rule — the query only hash-matches if the model actually LEARNED
-    * the planted signal to 100 % training accuracy (deterministic:
-    * id-sorted sample, fixed seed/iters).
-    */
-  def textQualityModel(s: SparkSession, d: String): DataFrame = {
-    val labeled = t(s, d, "documents").select(col("doc_id"), col("text"),
-      array_contains(graft.functions.TextFunctions.tokens(col("text")),
-        "spark").cast("int").as("label"))
-    val m = QualityModel.train(labeled, "doc_id", "text", "label")
-    QualityModel.score(labeled, "doc_id", "text", m)
-      .select(col("doc_id"), col("pred"))
-      .orderBy("doc_id")
-  }
-
   def textRepetition(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     // Materialize token and shingle arrays ONCE through a cache: both are
@@ -192,6 +174,24 @@ private[graft] object EntryText {
           size(array_distinct(col("g"))).cast("double") / size(col("g"))), 6)
         .as("dup_3gram_frac"))
     dup.join(top, Seq("doc_id")).orderBy("doc_id")
+  }
+
+  /** Model-based quality filter, END-TO-END: label every document by a
+    * planted SQL-expressible rule (contains the token `spark`), train
+    * the hashed-bag-of-words logistic classifier on those labels, score
+    * the same corpus, and emit the hard predictions. The oracle IS the
+    * rule — the query only hash-matches if the model actually LEARNED
+    * the planted signal to 100 % training accuracy (deterministic:
+    * id-sorted sample, fixed seed/iters).
+    */
+  def textQualityModel(s: SparkSession, d: String): DataFrame = {
+    val labeled = t(s, d, "documents").select(col("doc_id"), col("text"),
+      array_contains(graft.functions.TextFunctions.tokens(col("text")),
+        "spark").cast("int").as("label"))
+    val m = QualityModel.train(labeled, "doc_id", "text", "label")
+    QualityModel.score(labeled, "doc_id", "text", m)
+      .select(col("doc_id"), col("pred"))
+      .orderBy("doc_id")
   }
 
   /** BM25 top-15 docs for a fixed 3-term query; ordering uses the ROUNDED

@@ -536,15 +536,26 @@ object Dedup extends CacheLedger {
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val pairs = minHashPairs(docs, idCol, textCol, shingleN, numHashes, bands, threshold)
+    val losers = bestScoreLosers(components(pairs),
+      docs.select(col(idCol).as("doc_id"), col(scoreCol).as("__s")))
+    docs.select(col(idCol).as("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** The keep-best survivor policy shared by [[dedupeCorpusBy]] and
+    * [[semanticDedupBy]]: every pair member EXCEPT the highest-`__s`
+    * (ties to the smallest id) of its component. `labels` = (doc_id,
+    * comp) from [[components]]; `scored` = (doc_id, __s). One
+    * component-keyed window whose `row_number = 1` cut group-limits
+    * before its exchange; components are near-dup clusters, so the
+    * window partitions are tiny by construction.
+    */
+  private def bestScoreLosers(labels: DataFrame, scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("comp").orderBy(col("__s").desc, col("doc_id"))
-    val losers = components(pairs)
-      .join(docs.select(col(idCol).as("doc_id"), col(scoreCol).as("__s")),
-        Seq("doc_id"))
+    labels.join(scored, Seq("doc_id"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") > 1)
       .select(col("doc_id"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** Near-duplicate embedding pairs (cosine ≥ threshold) via
@@ -757,8 +768,10 @@ object Dedup extends CacheLedger {
     * would split by magnitude), training and assignment both through
     * [[Similarity.IvfIndex]]'s seeded sampled-Lloyd so the semantic and
     * ANN coarse quantizers cannot diverge. Zero vectors pass through
-    * un-normalized: they land in some cluster but pair with nothing
-    * (cosine against them is null) so they can never be dropped.
+    * un-normalized: they land in some cluster but pair with nothing —
+    * the fused cosine kernel scores them 0.0 against everything, below
+    * any positive threshold (which [[semanticPairs]] require()s) — so
+    * they can never be dropped.
     *
     * `nClusters = 0` derives k from the corpus count via [[semanticK]];
     * pass `baseCount` when the caller already knows n to skip the count
@@ -832,13 +845,19 @@ object Dedup extends CacheLedger {
     * trade). `nClusters = 1` is exact mode — the scope is the whole
     * corpus (the `ann_ivf` nprobe=all precedent), quadratic and only for
     * oracle-scale corpora. Exact duplicates can never straddle: identical
-    * vectors assign to the same cluster deterministically.
+    * vectors assign to the same cluster deterministically. (Zero-vector
+    * clones are the one exception — they cosine-score 0.0 against
+    * everything including each other, so no positive threshold sees
+    * them; the require below keeps that invariant honest.)
     */
   def semanticPairs(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.85, nClusters: Int = 0, iters: Int = 5,
       sampleSize: Int = 10000, seed: Long = 42L,
       baseCount: Long = -1L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold out of (0,1]: $threshold — at <= 0 every co-clustered " +
+        "pair (zero vectors included) would collapse into one component")
     // vectors ride THROUGH the cluster self-join (one n-row join to pin
     // the original float payload back onto the assignment, then n rows ×
     // ~260 B shuffled per side) so the ~n·targetCluster/2 candidate rows
@@ -897,16 +916,12 @@ object Dedup extends CacheLedger {
       threshold: Double = 0.85, nClusters: Int = 0, iters: Int = 5,
       sampleSize: Int = 10000, seed: Long = 42L,
       baseCount: Long = -1L): DataFrame = {
-    val w = Window.partitionBy("comp").orderBy(col("__s").desc, col(idCol))
-    val losers = components(
-      semanticPairs(emb, idCol, vecCol, threshold, nClusters, iters,
-        sampleSize, seed, baseCount).select(col("i"), col("j")))
-      .select(col("doc_id").as(idCol), col("comp"))
-      .join(emb.select(col(idCol).cast("long").as(idCol),
-        col(scoreCol).as("__s")), Seq(idCol))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1)
-      .select(col(idCol))
+    val losers = bestScoreLosers(
+      components(semanticPairs(emb, idCol, vecCol, threshold, nClusters,
+        iters, sampleSize, seed, baseCount).select(col("i"), col("j"))),
+      emb.select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).as("__s")))
+      .select(col("doc_id").as(idCol))
     emb.select(col(idCol).cast("long").as(idCol))
       .join(losers, Seq(idCol), "left_anti")
   }

@@ -79,18 +79,27 @@ object QualityModel {
     require(dims > 0 && iters > 0 && lr > 0, s"bad hyperparams: $dims/$iters/$lr")
     val n = if (baseCount >= 0L) baseCount else docs.count()
     val rate = math.min(1.0, sampleSize.toDouble / math.max(n, 1L))
-    val cut = (rate * 1000000L).toLong
-    // id-hash rate sample: membership is a pure function of the id, so
-    // the training set is identical under any partitioning — and sorting
-    // the collected rows pins the gradient's float-summation order
+    // ceil, never floor: a floor cut truncates to 0 at sub-ppm rates
+    // (corpora past sampleSize·10⁶ rows) and would match nothing — the
+    // same reason meanQuantError/Pq's samplers ceil
+    val cut = math.max(1L, math.ceil(rate * 1000000L).toLong)
+    // id-hash rate sample, seed-salted like every sampler here:
+    // membership is a pure function of (id, seed), so the training set
+    // is identical under any partitioning and different seeds draw
+    // different samples — and sorting the collected rows pins the
+    // gradient's float-summation order
     val rows = docs
-      .filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < lit(cut))
+      .filter(pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)) < lit(cut))
       .select(col(idCol).cast("long"), col(textCol),
         col(labelCol).cast("double"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
       .sortBy(_._1)
     require(rows.nonEmpty, "empty training sample")
+    rows.foreach { case (id, _, label) =>
+      require(label == 0.0 || label == 1.0,
+        s"labels must be 0/1, doc $id has $label")
+    }
     // pre-hash once: sparse (bucket, count) features per sampled doc
     val feats = rows.map { case (_, text, label) =>
       val toks = tokensOf(text)
@@ -105,9 +114,19 @@ object QualityModel {
     val w = new Array[Double](dims)
     var b = 0.0
     val m = feats.length.toDouble
+    // untouched buckets have zero gradient forever and start at 0, so
+    // they stay 0 under any l2 (decay of 0 is 0): the update loop only
+    // ever needs the sample's touched buckets — iters × dims array
+    // churn (1.7 GB transient at the probe's 2^20 dims) becomes one
+    // reused buffer walked at the sample's vocabulary size
+    val touched: Array[Int] =
+      feats.iterator.flatMap(_._1.iterator.map(_._1.toInt))
+        .toArray.distinct.sorted
+    val grad = new Array[Double](dims)
     var it = 0
     while (it < iters) {
-      val grad = new Array[Double](dims)
+      var t = 0
+      while (t < touched.length) { grad(touched(t)) = 0.0; t += 1 }
       var gb = 0.0
       var r = 0
       while (r < feats.length) {
@@ -122,9 +141,10 @@ object QualityModel {
         gb += err
         r += 1
       }
-      var d = 0
-      while (d < dims) {
-        w(d) -= lr * (grad(d) / m + l2 * w(d)); d += 1
+      t = 0
+      while (t < touched.length) {
+        val d = touched(t)
+        w(d) -= lr * (grad(d) / m + l2 * w(d)); t += 1
       }
       b -= lr * gb / m
       it += 1
@@ -199,12 +219,20 @@ object QualityModel {
 
   /** Persist the training-corpus score histogram beside the model —
     * call once after [[save]], with the corpus the model was fit on.
+    * Rows carry the bin count so a later read under a different
+    * `PsiBins` fails loudly instead of mis-bucketing silently.
     */
   def writeBaseline(
       docs: DataFrame, idCol: String, textCol: String, m: Model,
-      path: String): Unit =
-    binCounts(docs, idCol, textCol, m)
-      .repartition(1).write.mode("overwrite").parquet(s"$path/baseline")
+      path: String): Unit = {
+    val counts = binCounts(docs, idCol, textCol, m)
+      .withColumn("bins", lit(PsiBins))
+    counts.repartition(1).write.mode("overwrite").parquet(s"$path/baseline")
+    // fail at WRITE time, not first probe: an empty baseline can never
+    // monitor anything (the meta-reads-fail-loudly rule)
+    require(docs.sparkSession.read.parquet(s"$path/baseline").count() > 0,
+      s"wrote an empty drift baseline at $path — empty corpus?")
+  }
 
   /** PSI of the current corpus's score distribution against the stored
     * baseline (Σ (p−q)·ln(p/q) over the fixed bins, Jeffreys-smoothed
@@ -214,12 +242,17 @@ object QualityModel {
       docs: DataFrame, idCol: String, textCol: String, m: Model,
       path: String): Double = {
     val spark = docs.sparkSession
-    val before = spark.read.parquet(s"$path/baseline").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = spark.read.parquet(s"$path/baseline").collect()
+    require(raw.nonEmpty, s"empty drift baseline at $path")
+    raw.foreach(r => require(r.getInt(2) == PsiBins,
+      s"baseline at $path was written with ${r.getInt(2)} bins, " +
+        s"this build uses $PsiBins — rewrite it via writeBaseline/refit"))
+    val before = raw.map(r => r.getLong(0) -> r.getLong(1)).toMap
     val after = binCounts(docs, idCol, textCol, m).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val tb = before.values.sum.toDouble
     val ta = after.values.sum.toDouble
+    require(tb > 0, s"zero-count drift baseline at $path")
     require(ta > 0, "empty corpus in scorePsi")
     val smooth = 0.5 * (PsiBins + 2)
     (0L until PsiBins.toLong).map { b =>
