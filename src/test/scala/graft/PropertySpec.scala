@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Indexing, Sampling}
+import graft.operators.{Dedup, Indexing, Sampling}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -104,6 +104,60 @@ class PropertySpec extends SparkSpec {
       assert(moved.forall(k => next(k) == n),
         s"n=$n: a key migrated between existing shards")
     }
+  }
+
+  test("semanticDedup(k=1) == min-id closure over brute-force cosine pairs on adversarial vectors") {
+    import spark.implicits._
+    // generated corpus with the hostile shapes: random directions, exact
+    // clones, SCALED copies (cosine exactly 1 up to fp — a semantic dup
+    // the magnitude-blind metric must catch), and zero vectors
+    val dim = 8
+    val raws = sample(Gen.listOfN(60,
+      Gen.listOfN(dim, Gen.chooseNum(-1.0, 1.0).map(_.toFloat))))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    val clones = raws.take(6).map { case (id, v) => (id + 1000L, v.clone) }
+    val scaled = raws.slice(6, 12).map { case (id, v) =>
+      (id + 2000L, v.map(x => x * 2.0f))
+    }
+    val zeros = Seq((3000L, new Array[Float](dim)), (3001L, new Array[Float](dim)))
+    val all = raws ++ clones ++ scaled ++ zeros
+    val emb = all.toDF("vec_id", "embedding")
+    val threshold = 0.8
+    // in-test oracle mirrors the kernel's exact accumulation order
+    // (one pass, denom = sqrt(na)*sqrt(nb), zero denom -> 0.0), so the
+    // threshold decision is bit-identical and the equality is exact
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    all.foreach { case (id, _) => parent(id) = id }
+    for {
+      (i, vi) <- all; (j, vj) <- all if i < j
+      if cos(vi, vj) >= threshold
+    } {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) { if (ri < rj) parent(rj) = ri else parent(ri) = rj }
+    }
+    val want = all.map(_._1).filter(id => find(id) == id).toSet
+    val got = Dedup.semanticDedup(emb.repartition(5), "vec_id", "embedding",
+      threshold = threshold, nClusters = 1)
+      .collect().map(_.getLong(0)).toSet
+    Dedup.releaseCaches()
+    assert(got == want,
+      s"missing=${(want -- got).toSeq.sorted} extra=${(got -- want).toSeq.sorted}")
+    // the zero vectors must be among the survivors (they pair with nothing)
+    assert(got.contains(3000L) && got.contains(3001L))
   }
 
   test("runningTotal equals the window cumsum for arbitrary (incl. negative) weights") {
