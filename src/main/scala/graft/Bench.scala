@@ -192,7 +192,11 @@ object Bench {
     // and ext_max_query names where it landed; a run with no /proc access
     // cannot certify isolation at all.
     val extMax = if (ext.isEmpty) ("none", -1.0) else ext.maxBy(_._2)
-    val iso = startQuiet(loadBefore) && ext.nonEmpty &&
+    // coverage, not just quietness: a query that FAILED (or whose
+    // /proc read failed) contributes no ext sample, and the missing
+    // sample is exactly where a spike could hide — the flag certifies
+    // isolation only when every attempted query carries one
+    val iso = startQuiet(loadBefore) && ext.size == results.size &&
       ext.forall(_._2 < extQuiet)
     val loadJson =
       s""""load":{"before":$loadBefore,"after":$loadAfter,"isolated":$iso,""" +

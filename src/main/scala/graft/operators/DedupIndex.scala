@@ -141,32 +141,22 @@ final class MinHashIndex private[operators] (
     */
   def append(incoming: DataFrame, idCol: String, textCol: String): Long = {
     spark.catalog.refreshTable(setsTable)
-    // one signature pass, materialized BEFORE the guard so the guard's
-    // effect is measurable without re-running the kernel
-    val hashed = Dedup.hashedSets(
-      incoming.select(col(idCol).cast("long").as(idCol), col(textCol)),
-      idCol, textCol, shingleN)
-      .localCheckpoint(true)
-    try {
-      val inSets = hashed
-        .join(spark.table(setsTable).select("doc_id"), Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      try {
-        val (in, kept) = (hashed.count(), inSets.count())
-        if (kept < in) DedupIndex.log.warn(
-          s"append dropped ${in - kept} of $in already-indexed ids " +
-            s"($setsTable): redelivery is benign, but a changed payload " +
-            "under a re-sent id is NOT updated - delete+append to replace")
-        Dedup.bandBuckets(inSets, numHashes, bands)
-          .write.mode(SaveMode.Append)
-          .bucketBy(buckets, "band", "bh")
-          .saveAsTable(bucketsTable)
-        inSets.write.mode(SaveMode.Append)
-          .bucketBy(buckets, "doc_id")
-          .saveAsTable(setsTable)
-        kept
-      } finally inSets.unpersist()
-    } finally hashed.unpersist()
+    GuardedAppend(spark,
+      Dedup.hashedSets(
+        incoming.select(col(idCol).cast("long").as(idCol), col(textCol)),
+        idCol, textCol, shingleN),
+      "doc_id", setsTable, "payload") { inSets =>
+      // buckets BEFORE sets: a torn append leaves orphan bucket rows the
+      // next redelivery's guard (keyed on the sets table) re-appends —
+      // self-healing, where the reverse order would permanently lose pairs
+      Dedup.bandBuckets(inSets, numHashes, bands)
+        .write.mode(SaveMode.Append)
+        .bucketBy(buckets, "band", "bh")
+        .saveAsTable(bucketsTable)
+      inSets.write.mode(SaveMode.Append)
+        .bucketBy(buckets, "doc_id")
+        .saveAsTable(setsTable)
+    }
   }
 
   /** Indexed corpus size (bucketed scan + count, no signature work). */

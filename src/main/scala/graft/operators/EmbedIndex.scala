@@ -224,30 +224,21 @@ final class SrpEmbedIndex private[operators] (
     */
   def append(incoming: DataFrame, idCol: String, vecCol: String): Long = {
     spark.catalog.refreshTable(vectorsTable)
-    // one kernel pass, materialized BEFORE the guard so the guard's
-    // effect is measurable without re-running the kernel
-    val k0 = keyed(incoming, idCol, vecCol).localCheckpoint(true)
-    try {
-      val k = k0
-        .join(spark.table(vectorsTable).select("vid"), Seq("vid"), "left_anti")
-        .localCheckpoint(true)
-      try {
-        val (in, kept) = (k0.count(), k.count())
-        if (kept < in) DedupIndex.log.warn(
-          s"append dropped ${in - kept} of $in already-indexed vids " +
-            s"($vectorsTable): redelivery is benign, but a changed vector " +
-            "under a re-sent vid is NOT updated - delete+append to replace")
-        k.select(col("vid"), posexplode(col("bks")).as(Seq("t", "bk")))
-          .write.mode(SaveMode.Append)
-          .bucketBy(buckets, "t", "bk")
-          .saveAsTable(bucketsTable)
-        k.select(col("vid"), col("v"))
-          .write.mode(SaveMode.Append)
-          .bucketBy(buckets, "vid")
-          .saveAsTable(vectorsTable)
-        kept
-      } finally k.unpersist()
-    } finally k0.unpersist()
+    GuardedAppend(spark, keyed(incoming, idCol, vecCol),
+      "vid", vectorsTable, "vector") { k =>
+      // buckets BEFORE vectors: the guard keys on the vectors table, so
+      // a torn append (buckets landed, vectors did not) is re-appended
+      // whole on redelivery — the reverse order would lose bucket rows
+      // permanently
+      k.select(col("vid"), posexplode(col("bks")).as(Seq("t", "bk")))
+        .write.mode(SaveMode.Append)
+        .bucketBy(buckets, "t", "bk")
+        .saveAsTable(bucketsTable)
+      k.select(col("vid"), col("v"))
+        .write.mode(SaveMode.Append)
+        .bucketBy(buckets, "vid")
+        .saveAsTable(vectorsTable)
+    }
   }
 
   /** Indexed corpus size (bucketed scan + count, no kernel work). */

@@ -54,7 +54,10 @@ object IvfPq extends CacheLedger {
       .limit(sampleSize).collect().map(_._2)
     require(sample.nonEmpty, "empty embedding table")
     val cents = Similarity.IvfIndex.lloyd(sample, nClusters, iters, seed)
-    val cb = Pq.train(emb, idCol, vecCol, m, kCodes, iters, sampleSize, seed)
+    // share the count this build just paid: Pq.train's baseline MSE
+    // measurement would otherwise re-count the corpus
+    val cb = Pq.train(emb, idCol, vecCol, m, kCodes, iters, sampleSize,
+      seed, baseCount = total)
     Similarity.IvfIndex.writeCentroids(spark, path, cents)
     Pq.writeCodebook(spark, path, cb, buckets)
     // one narrow pass: nearest-centroid assign + PQ encode per vector —
@@ -212,23 +215,11 @@ object IvfPq extends CacheLedger {
               c.encodeVec(v))
           }
         }.toDF("vid", "cluster", "codes")
-        .localCheckpoint(true)
-      try {
-        val kept = coded
-          .join(spark.table(codesTable).select("vid"), Seq("vid"), "left_anti")
-          .localCheckpoint(true)
-        try {
-          val (in, n) = (coded.count(), kept.count())
-          if (n < in) DedupIndex.log.warn(
-            s"append dropped ${in - n} of $in already-indexed vids " +
-              s"($codesTable): redelivery is benign, but a changed vector " +
-              "under a re-sent vid is NOT updated - delete+append to replace")
-          kept.write.mode(org.apache.spark.sql.SaveMode.Append)
-            .bucketBy(buckets, "cluster")
-            .saveAsTable(codesTable)
-          n
-        } finally kept.unpersist()
-      } finally coded.unpersist()
+      GuardedAppend(spark, coded, "vid", codesTable, "vector") { kept =>
+        kept.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .bucketBy(buckets, "cluster")
+          .saveAsTable(codesTable)
+      }
     }
 
     /** Continuous-ingest ANN at the composite layout: a vector STREAM

@@ -27,15 +27,22 @@ object Pq {
   /** Trained per-subspace codebooks: `cents(sub)(code)` is the `dsub`-dim
     * centroid for `code` in subspace `sub`. Total size m·k·dsub doubles.
     *
-    * `trainMse` — mean squared reconstruction error over the TRAINING
-    * sample, recorded at train time: the drift baseline [[Pq.needsRetrain]]
-    * compares against (the PQ twin of the IVF index's persisted `stats`).
-    * It travels with the codebook wherever it is broadcast or stored.
+    * `trainMse` — mean squared CORPUS reconstruction error recorded at
+    * train time: the drift baseline [[Pq.needsRetrain]] compares against
+    * (the PQ twin of the IVF index's persisted `stats`). It travels with
+    * the codebook wherever it is broadcast or stored — TOGETHER with the
+    * rate-sample parameters it was measured under (`mseSampleSize`,
+    * `mseSeed`): a later probe must re-measure the SAME statistic on the
+    * SAME deterministic sample scheme, or drift comparisons on an
+    * id-heterogeneous corpus would mix two different estimators (the
+    * IVF twin's `Stats(sampleSize, seed)` rule).
     */
   final class Codebook private[Pq] (
       val m: Int, val k: Int, val dsub: Int,
       private[Pq] val cents: Array[Array[Array[Double]]],
-      val trainMse: Double = Double.NaN) extends Serializable {
+      val trainMse: Double = Double.NaN,
+      val mseSampleSize: Int = 10000,
+      val mseSeed: Long = 42L) extends Serializable {
 
     /** Nearest-centroid codes for one vector (length m). */
     private[operators] def encodeVec(v: Array[Double]): Array[Int] =
@@ -84,7 +91,8 @@ object Pq {
   def train(
       emb: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 16, iters: Int = 5,
-      sampleSize: Int = 10000, seed: Long = 42L): Codebook = {
+      sampleSize: Int = 10000, seed: Long = 42L,
+      baseCount: Long = -1L): Codebook = {
     val spark = emb.sparkSession
     import spark.implicits._
     val sample = asVectors(emb, idCol, vecCol).toDF("vid", "v")
@@ -123,7 +131,8 @@ object Pq {
     // is the save-time corpus error, never the training-sample error)
     val cb0 = new Codebook(m, k, dsub, cents)
     new Codebook(m, k, dsub, cents,
-      currentMse(emb, idCol, vecCol, cb0, sampleSize, seed))
+      currentMse(emb, idCol, vecCol, cb0, sampleSize, seed, baseCount),
+      sampleSize, seed)
   }
 
   /** Sampled mean squared reconstruction error of the CURRENT corpus under
@@ -136,11 +145,12 @@ object Pq {
     */
   def currentMse(
       emb: DataFrame, idCol: String, vecCol: String, cb: Codebook,
-      sampleSize: Int = 10000, seed: Long = 42L): Double = {
+      sampleSize: Int = 10000, seed: Long = 42L,
+      baseCount: Long = -1L): Double = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vs = asVectors(emb, idCol, vecCol).toDF("vid", "v")
-    val n = vs.count()
+    val n = if (baseCount >= 0L) baseCount else vs.count()
     require(n > 0, "cannot measure reconstruction error of an empty table")
     val denom = 1000000L
     val thresh = math.min(denom,
@@ -173,15 +183,17 @@ object Pq {
     */
   def needsRetrain(
       emb: DataFrame, idCol: String, vecCol: String, cb: Codebook,
-      tolerance: Double = 1.5, sampleSize: Int = 10000,
-      seed: Long = 42L): Boolean = {
+      tolerance: Double = 1.5, baseCount: Long = -1L): Boolean = {
     require(tolerance > 0, s"tolerance must be positive: $tolerance")
     if (cb.trainMse.isNaN)
       throw new IllegalStateException(
         "codebook carries no drift baseline (trained before trainMse " +
           "existed) — retrain to establish one")
-    currentMse(emb, idCol, vecCol, cb, sampleSize, seed) >
-      cb.trainMse * tolerance
+    // the probe re-measures under the codebook's OWN stored sampling
+    // parameters, never caller defaults — baseline and probe must be the
+    // same estimator on the same deterministic sample scheme
+    currentMse(emb, idCol, vecCol, cb, cb.mseSampleSize, cb.mseSeed,
+      baseCount) > cb.trainMse * tolerance
   }
 
   /** Close the [[needsRetrain]] wall: re-train codebooks of the SAME
@@ -191,9 +203,10 @@ object Pq {
     */
   def retrain(
       emb: DataFrame, idCol: String, vecCol: String, cb: Codebook,
-      iters: Int = 5, sampleSize: Int = 10000, seed: Long = 42L): Codebook =
+      iters: Int = 5, baseCount: Long = -1L): Codebook =
     train(emb, idCol, vecCol, m = cb.m, k = cb.k, iters = iters,
-      sampleSize = sampleSize, seed = seed)
+      sampleSize = cb.mseSampleSize, seed = cb.mseSeed,
+      baseCount = baseCount)
 
   /** PQ-encode every vector: (vid, codes array&lt;int&gt;). Narrow — the
     * broadcast codebook goes to the data, the base table never shuffles.
@@ -327,8 +340,10 @@ object Pq {
   private[operators] def writeCodebook(
       spark: SparkSession, path: String, cb: Codebook, buckets: Int): Unit = {
     import spark.implicits._
-    Seq((cb.m, cb.k, cb.dsub, cb.trainMse, buckets))
-      .toDF("m", "k", "dsub", "train_mse", "buckets")
+    Seq((cb.m, cb.k, cb.dsub, cb.trainMse, buckets,
+        cb.mseSampleSize, cb.mseSeed))
+      .toDF("m", "k", "dsub", "train_mse", "buckets",
+        "mse_sample_size", "mse_seed")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/codebook/meta")
@@ -360,7 +375,14 @@ object Pq {
       s"codebook at $path/codebook is missing (sub, code) entries")
     val buckets = if (df.schema.fieldNames.contains("buckets"))
       Some(meta.getAs[Int]("buckets")) else None
-    (new Codebook(m, k, dsub, cents, meta.getAs[Double]("train_mse")), buckets)
+    // sampling params default for codebooks written before they entered
+    // the meta — those defaults ARE what such codebooks measured under
+    val (ss, sd) =
+      if (df.schema.fieldNames.contains("mse_sample_size"))
+        (meta.getAs[Int]("mse_sample_size"), meta.getAs[Long]("mse_seed"))
+      else (10000, 42L)
+    (new Codebook(m, k, dsub, cents, meta.getAs[Double]("train_mse"),
+      ss, sd), buckets)
   }
 
   /** Persist an index: codebook as two driver-sized parquets (meta +
@@ -438,23 +460,12 @@ object Pq {
       */
     def append(emb: DataFrame, idCol: String, vecCol: String): Long = {
       spark.catalog.refreshTable(codesTable)
-      val e0 = encode(emb, idCol, vecCol, cb).localCheckpoint(true)
-      try {
-        val kept = e0
-          .join(spark.table(codesTable).select("vid"), Seq("vid"), "left_anti")
-          .localCheckpoint(true)
-        try {
-          val (in, n) = (e0.count(), kept.count())
-          if (n < in) DedupIndex.log.warn(
-            s"append dropped ${in - n} of $in already-indexed vids " +
-              s"($codesTable): redelivery is benign, but a changed vector " +
-              "under a re-sent vid is NOT updated - delete+append to replace")
-          kept.write.mode(org.apache.spark.sql.SaveMode.Append)
-            .bucketBy(buckets, "vid")
-            .saveAsTable(codesTable)
-          n
-        } finally kept.unpersist()
-      } finally e0.unpersist()
+      GuardedAppend(spark, encode(emb, idCol, vecCol, cb),
+        "vid", codesTable, "vector") { kept =>
+        kept.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .bucketBy(buckets, "vid")
+          .saveAsTable(codesTable)
+      }
     }
 
     /** Continuous-ingest codes: drive a vector STREAM through per-batch

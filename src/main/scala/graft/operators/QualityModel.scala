@@ -29,9 +29,16 @@ object QualityModel {
 
   /** A fitted model: hashed-feature weights + bias. `seed` salts the
     * feature hash so train/score can never disagree on bucketing.
+    *
+    * A plain class, not a case class (the [[Pq.Codebook]] pattern): a
+    * case class would generate equals/hashCode that compare the weights
+    * ARRAY by reference, so two bit-identical models (train vs
+    * save/open round-trip) would never be `==` — compare via the fields
+    * and `java.util.Arrays.equals(weights)` explicitly.
     */
-  final case class Model(
-      dims: Int, bias: Double, weights: Array[Double], seed: Long) {
+  final class Model(
+      val dims: Int, val bias: Double, val weights: Array[Double],
+      val seed: Long) extends Serializable {
     require(weights.length == dims, s"weights ${weights.length} != dims $dims")
 
     def margin(text: String): Double = {
@@ -149,7 +156,7 @@ object QualityModel {
       b -= lr * gb / m
       it += 1
     }
-    Model(dims, b, w, seed)
+    new Model(dims, b, w, seed)
   }
 
   /** Score every document with the broadcast model: one narrow pass,
@@ -175,6 +182,12 @@ object QualityModel {
   /** Persist as parquet: non-zero weights as (idx, w) rows + a 1-row
     * meta (dims, bias, seed) — the same meta-wins layout as the index
     * family, so [[open]] never guesses hyperparameters.
+    *
+    * NOT atomic in place: overwriting a LIVE model path can tear
+    * (weights new, meta old) on a crash between the two writes. Write
+    * each save/[[refit]] to a fresh path and repoint the consumer — the
+    * index family's publication discipline; refit's `toPath` parameter
+    * exists for exactly this.
     */
   def save(spark: SparkSession, m: Model, path: String): Unit = {
     import spark.implicits._
@@ -193,7 +206,7 @@ object QualityModel {
     spark.read.parquet(s"$path/weights").collect().foreach { r =>
       w(r.getInt(0)) = r.getDouble(1)
     }
-    Model(dims, meta(0).getDouble(1), w, meta(0).getLong(2))
+    new Model(dims, meta(0).getDouble(1), w, meta(0).getLong(2))
   }
 
   // ─────────────────── drift observability + refit ───────────────────

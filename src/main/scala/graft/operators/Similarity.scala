@@ -199,30 +199,14 @@ object Similarity extends CacheLedger {
       val ref = requireTable("append")
       val spark = baseAssigned.sparkSession
       spark.catalog.refreshTable(ref.table)
-      val a0 = IvfIndex.assign(spark, emb, idCol, vecCol, centroids)
-        .localCheckpoint(true)
-      try {
-        // checkpoint the guarded frame too: its two consumers (count +
-        // write) must not each re-run the anti-join's scan of the
-        // assignments table — at continuous-ingest scale that doubles
-        // the per-batch read cost
-        val kept = a0
-          .join(spark.table(ref.table).select("vid"), Seq("vid"), "left_anti")
-          .localCheckpoint(true)
-        try {
-          val n = kept.count()
-          val in = a0.count()
-          if (n < in) DedupIndex.log.warn(
-            s"append dropped ${in - n} of $in already-indexed vids " +
-              s"(${ref.table}): redelivery is benign, but a changed vector " +
-              "under a re-sent vid is NOT updated - delete+append to replace")
-          kept.write.mode(org.apache.spark.sql.SaveMode.Append)
-            .bucketBy(ref.buckets, "cluster")
-            .saveAsTable(ref.table)
-          spark.catalog.refreshTable(ref.table)
-          n
-        } finally kept.unpersist()
-      } finally a0.unpersist()
+      GuardedAppend(spark,
+        IvfIndex.assign(spark, emb, idCol, vecCol, centroids),
+        "vid", ref.table, "vector") { kept =>
+        kept.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .bucketBy(ref.buckets, "cluster")
+          .saveAsTable(ref.table)
+        spark.catalog.refreshTable(ref.table)
+      }
     }
 
     /** Continuous-ingest ANN: drive a STREAM of vectors into the saved

@@ -381,8 +381,12 @@ object EventStreams {
     * point leaves either the old table (staging incomplete or complete —
     * the next merge reads the live dir and Overwrite clears staging) or,
     * between the delete and the rename, NO live dir but a COMPLETE
-    * staging dir — which the next batch's merge detects and uses as its
-    * base, so history survives every window.
+    * staging dir — which the next batch COMPLETES (rename first, then
+    * merge normally), so history survives every window INCLUDING a
+    * second crash during the recovery batch: staging is never the merge
+    * base while also being the overwrite target (it was, once — a crash
+    * inside that recovery write would have destroyed the only copy,
+    * since localCheckpoint blocks die with the process).
     */
   def upsertToParquet(
       df: DataFrame, keyCols: Seq[String], outDir: String,
@@ -391,35 +395,44 @@ object EventStreams {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val live = new org.apache.hadoop.fs.Path(outDir)
-        val staging = new org.apache.hadoop.fs.Path(s"$outDir.staging")
-        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // merge base: the live table, or — crash-recovery — a complete
-        // staging dir a died swap left behind (_SUCCESS-gated: a torn
-        // staging write has no marker and is not a valid base)
-        val base =
-          if (fs.exists(live)) Some(outDir)
-          else if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
-            Some(staging.toString)
-          else None
-        val merged = base match {
-          case Some(b) => graft.operators.Ingest.upsert(
-            spark.read.parquet(b), batch.toDF(), keyCols)
-          case None => batch.toDF()
-        }
-        // materialize off the source files, then stage the FULL new state
-        // before touching the live dir
-        merged.localCheckpoint(eager = true)
-          .write.mode("overwrite").parquet(staging.toString)
-        fs.delete(live, true)
-        require(fs.rename(staging, live),
-          s"failed to publish serving table: rename $staging -> $live")
+        upsertBatch(batch.toDF(), keyCols, outDir)
+        ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination()
     finally q.stop()
+  }
+
+  /** One [[upsertToParquet]] micro-batch — package-visible so specs can
+    * drive the crash windows directly.
+    */
+  private[graft] def upsertBatch(
+      batch: DataFrame, keyCols: Seq[String], outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val live = new org.apache.hadoop.fs.Path(outDir)
+    val staging = new org.apache.hadoop.fs.Path(s"$outDir.staging")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash-recovery FIRST: a died swap leaves no live dir but a
+    // COMPLETE staging dir (_SUCCESS-gated — a torn staging write has
+    // no marker). Complete the interrupted rename before merging, so
+    // the sole surviving copy is back under the live path before
+    // staging becomes an overwrite target again
+    if (!fs.exists(live) &&
+        fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+      require(fs.rename(staging, live),
+        s"failed to complete interrupted publish: rename $staging -> $live")
+    val merged =
+      if (fs.exists(live))
+        graft.operators.Ingest.upsert(spark.read.parquet(outDir), batch, keyCols)
+      else batch
+    // materialize off the source files, then stage the FULL new state
+    // before touching the live dir
+    merged.localCheckpoint(eager = true)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(live, true)
+    require(fs.rename(staging, live),
+      s"failed to publish serving table: rename $staging -> $live")
   }
 
   def drainToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {

@@ -264,4 +264,42 @@ class StreamingSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out.staging")),
       "recovery must republish and clear the staging dir")
   }
+
+  test("upsert publication: recovery completes the swap BEFORE merging, so a second crash cannot destroy the only copy") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val out = java.nio.file.Files.createTempDirectory("upsert2")
+      .toString + "/table"
+    val fs = new Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    EventStreams.upsertBatch(
+      Seq((1L, 10L), (2L, 20L)).toDF("user_id", "n"), Seq("user_id"), out)
+    def table() = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v1 = table()
+    // died swap: live demoted to a committed staging dir
+    assert(fs.rename(new Path(out), new Path(s"$out.staging")))
+    // the recovery batch CRASHES during the merge (raise_error fires at
+    // the eager materialization). The fix under test: the interrupted
+    // swap must have been COMPLETED first — live restored, staging gone —
+    // so the merge's staging overwrite can never hold the only copy.
+    // Pre-fix, staging stayed the base AND the overwrite target: this
+    // assertion set fails there with live absent.
+    val poisoned = Seq((3L, 30L)).toDF("user_id", "n")
+      .withColumn("n", when(col("n") === 30L,
+        expr("raise_error('injected crash')").cast("long"))
+        .otherwise(col("n")))
+    intercept[Throwable] {
+      EventStreams.upsertBatch(poisoned, Seq("user_id"), out)
+    }
+    assert(fs.exists(new Path(out)),
+      "live table must be restored before the recovery batch merges")
+    assert(table() == v1, "no history may be lost by the failed recovery")
+    assert(!fs.exists(new Path(s"$out.staging")),
+      "the interrupted staging copy must have been renamed, not re-read in place")
+    // and the redelivered batch completes normally on top of full history
+    EventStreams.upsertBatch(
+      Seq((3L, 30L)).toDF("user_id", "n"), Seq("user_id"), out)
+    assert(table() == v1 + ((3L, 30L)))
+  }
 }
