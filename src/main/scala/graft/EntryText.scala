@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Dedup, DedupIndex, Graph, Indexing, Ingest, Multimodal, Packing, Pq, QualityModel, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, DedupIndex, Dsir, Graph, Indexing, Ingest, Multimodal, Packing, Pq, QualityModel, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
 import graft.sources.Crawl
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -192,6 +192,28 @@ private[graft] object EntryText {
     QualityModel.score(labeled, "doc_id", "text", m)
       .select(col("doc_id"), col("pred"))
       .orderBy("doc_id")
+  }
+
+  /** DSIR data selection against the same planted rule: target corpus =
+    * docs carrying the token, raw = the rest, importance weights from
+    * the two hashed-gram LMs, hard top-k at k = |target|. Every
+    * with-token doc outranks every without-token doc at sf0.01 AND
+    * sf0.1 (measured margins 1.39→9.38 / 0.33→1.02 nats), so the
+    * selected SET is the planted rule and the oracle can state it in
+    * SQL — the `text_quality_model` pattern, with ranking instead of a
+    * trained decision boundary. Gumbel resampling is spec territory
+    * (its noise straddles the sf0.1 margin by design — it samples,
+    * never thresholds).
+    */
+  def textDsir(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val hasTok = array_contains(
+      graft.functions.TextFunctions.tokens(col("text")), "spark")
+    val target = docs.filter(hasTok)
+    val w = Dsir.fit(target, docs.filter(!hasTok), "text")
+    Dsir.topK(docs, "doc_id", "text", w, target.count().toInt,
+        gumbel = false)
+      .select(col("doc_id")).orderBy("doc_id")
   }
 
   /** BM25 top-15 docs for a fixed 3-term query; ordering uses the ROUNDED

@@ -1815,6 +1815,10 @@ private[graft] object Oracles {
         |  CASE WHEN list_contains(string_split(text, ' '), 'spark')
         |       THEN 1 ELSE 0 END AS pred
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_dsir" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'spark')
+        |ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH base AS (
         |  SELECT doc_id,

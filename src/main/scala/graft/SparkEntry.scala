@@ -1532,6 +1532,7 @@ object SparkEntry {
     "text_tfidf" -> (EntryText.textTfidf _),
     "text_repetition" -> (EntryText.textRepetition _),
     "text_quality_model" -> (EntryText.textQualityModel _),
+    "text_dsir" -> (EntryText.textDsir _),
     "text_lm_score" -> (EntryText.textLmScore _),
     "text_redact" -> (EntryText.textRedact _),
     "text_spans" -> (EntryText.textSpans _),
