@@ -216,6 +216,22 @@ private[graft] object EntryText {
       .select(col("doc_id")).orderBy("doc_id")
   }
 
+  /** Persistent BM25 index end-to-end: build on half the corpus, fold
+    * the other half in through the guarded append, search — every
+    * statistic (df, N, avgdl) must reflect the appended half, so the
+    * result equals the batch scorer over the WHOLE corpus and the
+    * `text_bm25` oracle applies verbatim.
+    */
+  def textBm25Index(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_index").toString
+    val idx = graft.operators.Bm25Index.build(
+      docs.filter(col("doc_id") < 250), "doc_id", "text",
+      path, "graft_q_bm25", buckets = 8)
+    idx.append(docs.filter(col("doc_id") >= 250), "doc_id", "text")
+    idx.search(Seq("table", "scan", "join"), 15)
+  }
+
   /** BM25 top-15 docs for a fixed 3-term query; ordering uses the ROUNDED
     * score so near-equal sums (whose last bits depend on summation order)
     * tie-break on doc_id identically in both engines.

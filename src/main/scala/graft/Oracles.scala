@@ -1768,6 +1768,29 @@ private[graft] object Oracles {
         |)
         |SELECT doc_id, score FROM scored
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "text_bm25_index" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents
+        |), dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+        |stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('table', 'scan', 'join') GROUP BY 1, 2
+        |), dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ROUND(SUM(
+        |      ln(1.0 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+        |      tf.tf * (1.2 + 1.0) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+        |    ), 6) AS score
+        |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, score FROM scored
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "text_spans" ->
       """WITH base AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks

@@ -1533,6 +1533,7 @@ object SparkEntry {
     "text_repetition" -> (EntryText.textRepetition _),
     "text_quality_model" -> (EntryText.textQualityModel _),
     "text_dsir" -> (EntryText.textDsir _),
+    "text_bm25_index" -> (EntryText.textBm25Index _),
     "text_lm_score" -> (EntryText.textLmScore _),
     "text_redact" -> (EntryText.textRedact _),
     "text_spans" -> (EntryText.textSpans _),
