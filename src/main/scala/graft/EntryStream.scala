@@ -93,6 +93,33 @@ private[graft] object EntryStream {
       .orderBy("query_id", "rnk")
   }
 
+  /** Continuous lexical-index ingest: build the BM25 index on a third of
+    * the corpus, stream the rest in as a three-wave document stream
+    * through `appendStream`, search — df/N/avgdl are all derived from
+    * the maintained tables, so the result equals the batch scorer over
+    * the whole corpus and the `text_bm25` oracle applies (arrival form
+    * cannot change corpus statistics).
+    */
+  def streamBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_sbm25").toString
+    val idx = graft.operators.Bm25Index.build(
+      docs.filter(col("doc_id") < 170), "doc_id", "text",
+      base + "/idx", "graft_q_sbm25", buckets = 8)
+    Seq((170, 280), (280, 390), (390, 100000)).foreach { case (lo, hi) =>
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    idx.appendStream(
+      s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      "doc_id", "text", s"$base/ckpt")
+    idx.search(Seq("table", "scan", "join"), 15)
+  }
+
   /** Tumbling-window streaming aggregation run to completion over the
     * bounded events fixture (complete output mode ⇒ equals the batch
     * answer; the oracle is the batch SQL).

@@ -209,10 +209,11 @@ private[graft] object EntryText {
     val docs = t(s, d, "documents")
     val hasTok = array_contains(
       graft.functions.TextFunctions.tokens(col("text")), "spark")
-    val target = docs.filter(hasTok)
-    val w = Dsir.fit(target, docs.filter(!hasTok), "text")
-    Dsir.topK(docs, "doc_id", "text", w, target.count().toInt,
-        gumbel = false)
+    // membership is a column of the one corpus, so the one-pass labeled
+    // fit applies (bit-identical to the two-frame form, half the scans)
+    val w = Dsir.fitLabeled(docs.withColumn("is_t", hasTok), "is_t", "text")
+    Dsir.topK(docs, "doc_id", "text", w,
+        docs.filter(hasTok).count().toInt, gumbel = false)
       .select(col("doc_id")).orderBy("doc_id")
   }
 

@@ -23,6 +23,30 @@ private[graft] object Oracles {
       |SELECT i, j, ROUND(jac, 3) AS jac FROM pj WHERE jac >= 0.8
       |ORDER BY i, j""".stripMargin
 
+  private val duckBm25 =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+      |stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+      |tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |  WHERE term IN ('table', 'scan', 'join') GROUP BY 1, 2
+      |), dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    ROUND(SUM(
+      |      ln(1.0 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+      |      tf.tf * (1.2 + 1.0) /
+      |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+      |    ), 6) AS score
+      |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      |  GROUP BY 1
+      |)
+      |SELECT doc_id, score FROM scored
+      |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
   private val duckAnnTopk =
     """WITH q AS (
       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
@@ -1656,6 +1680,7 @@ private[graft] object Oracles {
     // appendStream — full probing is exhaustive, so arrival form cannot
     // change the answers and the brute-force oracle is shared
     "stream_ann" -> duckAnnTopk,
+    "stream_bm25" -> duckBm25,
     "ann_ivf_index" -> duckAnnTopk,
     // the retrain cycle changes the quantizer, never the answers at full
     // probing: search at nprobe = nClusters is brute force over
@@ -1745,52 +1770,8 @@ private[graft] object Oracles {
         |  md5(array_to_string(list_sort(list_distinct(
         |    list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "text_bm25" ->
-      """WITH base AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-        |  FROM documents
-        |), dl AS (SELECT doc_id, len(toks) AS dl FROM base),
-        |stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
-        |tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
-        |tf AS (
-        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
-        |  WHERE term IN ('table', 'scan', 'join') GROUP BY 1, 2
-        |), dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |    ROUND(SUM(
-        |      ln(1.0 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
-        |      tf.tf * (1.2 + 1.0) /
-        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
-        |    ), 6) AS score
-        |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-        |  GROUP BY 1
-        |)
-        |SELECT doc_id, score FROM scored
-        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
-    "text_bm25_index" ->
-      """WITH base AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-        |  FROM documents
-        |), dl AS (SELECT doc_id, len(toks) AS dl FROM base),
-        |stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
-        |tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
-        |tf AS (
-        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
-        |  WHERE term IN ('table', 'scan', 'join') GROUP BY 1, 2
-        |), dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |    ROUND(SUM(
-        |      ln(1.0 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
-        |      tf.tf * (1.2 + 1.0) /
-        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
-        |    ), 6) AS score
-        |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-        |  GROUP BY 1
-        |)
-        |SELECT doc_id, score FROM scored
-        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "text_bm25" -> duckBm25,
+    "text_bm25_index" -> duckBm25,
     "text_spans" ->
       """WITH base AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks

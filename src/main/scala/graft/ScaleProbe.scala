@@ -262,6 +262,64 @@ object ScaleProbe {
         retrained.search(farQuery(3 * n), k = 10, nprobe = 1)
           .filter(col("neighbor_id") >= 3 * n).count()
       },
+      time("bm25_index_search") {
+        // lexical index at scale: plant a common term in 2% of docs and a
+        // rare term in 5, build the postings index on 90% of the corpus,
+        // fold the other 10% in through the guarded append (which holds
+        // every rare-term doc — appended docs must be fully searchable),
+        // then search both terms. The rare term's df=5 idf dominates, so
+        // the 5 rare-term docs must all sit in the top-10 — the gate;
+        // the pruned-bucket scan shape is pinned by Bm25IndexSpec.
+        val bmPath = java.nio.file.Files.createTempDirectory("scale_bm25").toString
+        val salted = base.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 50 === 0, lit(" bmcommon")).otherwise(lit("")),
+            when(col("doc_id") % 100000 === 0, lit(" bmrare")).otherwise(lit("")))
+            .as("text"))
+        val idx = graft.operators.Bm25Index.build(
+          salted.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          bmPath, "scale_bm25", buckets = 32)
+        idx.append(salted.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        idx.search(Seq("bmcommon", "bmrare"), 10)
+          .filter(col("doc_id") % 100000 === 0).count()
+      },
+      time("dsir_select") {
+        // importance resampling at scale, on a corpus shaped like the
+        // method's domain: real text is Zipf-concentrated (a bounded hot
+        // vocabulary carries most gram mass), so this leg's 500k docs
+        // share 30 common tokens and individuate with 2 md5 tokens each
+        // (~2M distinct grams at 2^20 buckets — sparse, like web text's
+        // head+tail split). The salad corpus the other legs use is the
+        // hashed-LM ADVERSARY — ~40M unique grams bury every bucket
+        // ratio under Poisson noise (σ ≈ 2.8 nats/doc, measured 2.4%
+        // threshold leakage), which defeats ANY count-based LM, not this
+        // implementation. A marker in 1/4 of the docs defines the
+        // target; the labeled one-pass fit keeps driver state at two
+        // 2^20-sized vectors, and the narrow threshold selection must
+        // recover the planted set EXACTLY: common-gram ratios cancel
+        // (~0), each doc's ~5 unique grams carry ±log(1/α)-sized signal,
+        // and the marker adds +ln(df·dr/dt·1/α)-sized margin on top.
+        val common = (0 until 30).map(j => s"cw$j").mkString(" ")
+        val uniq = (0 until 2).map(j =>
+          substring(md5(concat(col("id").cast("string"), lit(s"u$j"))), 1, 8))
+        val marked = spark.range(n).select(col("id").as("doc_id"),
+          concat_ws(" ", lit(common) +: uniq :+
+            when(col("id") % 4 === 0, lit("dsirtok")).otherwise(lit("")): _*)
+            .as("text"),
+          (col("id") % 4 === 0).as("is_t"))
+          .localCheckpoint(true)
+        val w = graft.operators.Dsir.fitLabeled(
+          marked, "is_t", "text", dims = 1 << 20)
+        // threshold 8: above the one-in-a-million false-positive ceiling
+        // (a raw doc whose unique gram collides into the marker's bucket
+        // scores ≈ +5 — ~1.4 such docs expected over 1.5M gram draws),
+        // and well below the worst-case target floor (≈ +21 with every
+        // unique-gram bucket contaminated; nominal ≈ +44)
+        val c = graft.operators.Dsir.threshold(marked, "doc_id", "text", w, 8.0)
+          .count()
+        marked.unpersist()
+        c
+      },
       time("ivfpq_build_search") {
         // the composite layout at scale: 555k vectors (505k in-space +
         // the 50k far cluster) through ONE assign+encode pass into
@@ -337,6 +395,16 @@ object ScaleProbe {
     val ivfpqShifted = stages.find(_._1 == "ivfpq_build_search").get._3
     assert(ivfpqShifted == 10,
       s"IVF-PQ nprobe=1 returned $ivfpqShifted far-cluster neighbors of 10")
+    // the 5 rare-term docs (huge idf, all arriving via the APPEND) must
+    // all rank in the top-10
+    val bmRare = stages.find(_._1 == "bm25_index_search").get._3
+    assert(bmRare == 5,
+      s"bm25 index top-10 held $bmRare of the 5 planted rare-term docs")
+    // DSIR threshold selection must recover the planted target set
+    // exactly: 500k/4 docs carry the marker
+    val dsirSel = stages.find(_._1 == "dsir_select").get._3
+    assert(dsirSel == n / 4,
+      s"DSIR selected $dsirSel docs, planted ${n / 4}")
     // compact must not move a single label
     val compactStat = stages.find(_._1 == "components_index_compact").get._3
     assert(compactStat == 5000L * 1000000 + 10000,

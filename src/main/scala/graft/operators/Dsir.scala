@@ -99,7 +99,10 @@ object Dsir {
 
   /** Fit the importance weights: hashed-gram LMs of the target and raw
     * corpora, add-α smoothed, log-ratioed per bucket. Driver state is
-    * two `dims`-sized vectors regardless of corpus size.
+    * two `dims`-sized vectors regardless of corpus size. For two
+    * genuinely separate corpora (the paper's Wikipedia-vs-web shape);
+    * when both sides live in ONE labeled frame, [[fitLabeled]] fits the
+    * same weights in half the scans.
     */
   def fit(
       target: DataFrame, raw: DataFrame, textCol: String,
@@ -108,6 +111,39 @@ object Dsir {
     require(dims > 0 && alpha > 0, s"bad hyperparams: dims=$dims alpha=$alpha")
     val (ct, nt) = bucketCounts(target, textCol, dims, seed)
     val (cr, nr) = bucketCounts(raw, textCol, dims, seed)
+    ratioWeights(ct, nt, cr, nr, dims, alpha, seed)
+  }
+
+  /** [[fit]] when target membership is a COLUMN of one frame (the
+    * in-engine case: a planted rule, a classifier verdict, a user flag):
+    * ONE tokenize pass with a `(bucket, is_target)` hash-agg — half the
+    * corpus scans of the two-frame form, bit-identical weights.
+    */
+  def fitLabeled(
+      docs: DataFrame, targetCol: String, textCol: String,
+      dims: Int = 1 << 13, alpha: Double = 0.01,
+      seed: Long = 42L): Weights = {
+    require(dims > 0 && alpha > 0, s"bad hyperparams: dims=$dims alpha=$alpha")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ct = new Array[Long](dims)
+    val cr = new Array[Long](dims)
+    docs.select(col(targetCol).cast("boolean"), col(textCol))
+      .as[(Boolean, String)]
+      .flatMap { case (t, txt) => grams(txt).map(g => (featIdx(g, dims, seed), t)) }
+      .toDF("idx", "t")
+      .groupBy(col("idx"), col("t")).agg(count(lit(1)).as("c"))
+      .collect()
+      .foreach { r =>
+        if (r.getBoolean(1)) ct(r.getInt(0)) = r.getLong(2)
+        else cr(r.getInt(0)) = r.getLong(2)
+      }
+    ratioWeights(ct, ct.sum, cr, cr.sum, dims, alpha, seed)
+  }
+
+  private def ratioWeights(
+      ct: Array[Long], nt: Long, cr: Array[Long], nr: Long,
+      dims: Int, alpha: Double, seed: Long): Weights = {
     require(nt > 0, "empty target corpus (no grams)")
     require(nr > 0, "empty raw corpus (no grams)")
     val lr = new Array[Double](dims)

@@ -66,6 +66,15 @@ class DsirSpec extends SparkSpec {
     assert(sel == (0L until 60L).toSet)
   }
 
+  test("fitLabeled == fit bitwise: one labeled pass is the same model as two frames") {
+    import spark.implicits._
+    val labeled = target.withColumn("is_t", lit(true))
+      .unionAll(raw.withColumn("is_t", lit(false)))
+    val w1 = Dsir.fit(target, raw, "text")
+    val w2 = Dsir.fitLabeled(labeled.repartition(5), "is_t", "text")
+    assert(java.util.Arrays.equals(w1.logRatio, w2.logRatio))
+  }
+
   test("bit-deterministic and partitioning-invariant: counts are exact, gram order is canonical") {
     val w1 = Dsir.fit(target, raw, "text")
     val w2 = Dsir.fit(target.repartition(7), raw.repartition(3), "text")
