@@ -1114,6 +1114,20 @@ object SparkEntry {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
 
+  /** Sketches AT REST: per-(returnflag, linestatus) HLL slice sketches
+    * of the part key, rolled up to per-returnflag estimates by LOSSLESS
+    * merge — the raw table is scanned once to build the slices and
+    * never again; any rollup reads sketch rows. Rows-only (DataSketches
+    * register estimates have no SQL oracle); SketchesSpec pins the
+    * error envelope and the rolled-up == direct equality.
+    */
+  private def qHllMerge(s: SparkSession, d: String): DataFrame =
+    operators.Sketches.hllRollup(
+      operators.Sketches.hllByGroup(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), "l_partkey"),
+      Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+
   /** KLL/GK-style quantile sketch — implementation-specific, rows-only. */
   private def qApproxQuantile(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -1542,7 +1556,8 @@ object SparkEntry {
     "text_winnow" -> (EntryText.textWinnow _),
     "mm_features" -> (EntryDedup.mmFeatures _),
     "stream_tumbling" -> (EntryStream.streamTumbling _),
-    "q_hll" -> (qHll _))
+    "q_hll" -> (qHll _),
+    "q_hll_merge" -> (qHllMerge _))
 
 
   /** DuckDB oracle SQL, one per SQL-expressible query — the full map

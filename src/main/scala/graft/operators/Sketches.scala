@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches at rest — the architecture that
+  * makes COUNT(DISTINCT) serveable at 100 TB: sketch each storage slice
+  * ONCE (per day, per partition, per source) into a bytes column, then
+  * answer any rollup by MERGING sketch rows — the raw data is never
+  * re-scanned, and a year-over-domains query reads 365·|domains| sketch
+  * rows instead of the corpus.
+  *
+  * Built on Spark's Apache DataSketches HLL functions
+  * (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`, SQL
+  * functions since 3.5). Two properties make the pattern sound, both
+  * spec-pinned:
+  *  - ORDER-FREEDOM: an HLL register set is a pointwise max over hashed
+  *    items, so sketching is insensitive to partitioning and insertion
+  *    order — the persisted slice is deterministic.
+  *  - LOSSLESS MERGE: the union of slice sketches carries the same
+  *    register set as one sketch over the concatenated data, so a
+  *    rolled-up estimate EQUALS the direct estimate — re-aggregation
+  *    costs no accuracy (estimates at the same lgConfigK are equal, not
+  *    merely close).
+  *
+  * The scalar estimate twin (`approx_count_distinct`) is the `q_hll`
+  * query; this module is the sketch-AS-DATA form.
+  */
+object Sketches {
+
+  /** Sketch `valueCol`'s distinct values per group: one hash-agg
+    * (map-side partial merges keep the shuffle at one sketch per
+    * (task, group)), emitting `(groupCols…, hll: binary)` rows sized
+    * ~2^lgk bytes each regardless of input volume. Persist the result
+    * as the slice-sketch table.
+    */
+  def hllByGroup(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lgk: Int = 12): DataFrame = {
+    require(groupCols.nonEmpty, "hllByGroup needs at least one group column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgk)).as("hll"))
+  }
+
+  /** Roll persisted slice sketches up to `rollupCols` (pass Nil for one
+    * global row): merge-then-estimate, never re-scanning raw data.
+    * Input must carry the `hll` bytes column [[hllByGroup]] emits.
+    */
+  def hllRollup(
+      sketches: DataFrame, rollupCols: Seq[String]): DataFrame = {
+    val est = hll_sketch_estimate(hll_union_agg(col("hll"), lit(false)))
+      .as("approx_distinct")
+    if (rollupCols.isEmpty) sketches.agg(est)
+    else sketches.groupBy(rollupCols.map(col): _*).agg(est)
+  }
+
+  /** Estimate of one persisted sketch row's bytes (scalar form, for
+    * joins/projections over a sketch table).
+    */
+  def hllEstimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketches at rest: per-slice HLL rows must estimate within the HLL
+  * error envelope, merge LOSSLESSLY (rolled-up == direct, exactly), and
+  * be insensitive to partitioning — plus survive a parquet round-trip,
+  * which is the whole point of a sketch table.
+  */
+class SketchesSpec extends SparkSpec {
+
+  /** (day, kind, user): 4 days × 2 kinds; user ranges overlap across
+    * slices so rollups genuinely dedupe across sketches (sum-of-slices
+    * would be wrong — that is what the merge must get right).
+    */
+  private lazy val events: DataFrame = {
+    import spark.implicits._
+    (0 until 20000).map { i =>
+      val day = i % 4
+      val kind = if (i % 2 == 0) "view" else "buy"
+      // each (day, kind) slice covers an overlapping 500-user window
+      (day, kind, (i * 7919 % 500) + day * 100L)
+    }.toDF("day", "kind", "user_id")
+  }
+
+  private def estimates(df: DataFrame, keys: String*): Map[Seq[Any], Long] =
+    df.collect().map { r =>
+      keys.map(k => r.get(r.fieldIndex(k))).toSeq ->
+        r.getLong(r.fieldIndex("approx_distinct"))
+    }.toMap
+
+  test("per-slice estimates land within the HLL error envelope of exact") {
+    val slices = Sketches.hllByGroup(events, Seq("day", "kind"), "user_id")
+    val est = estimates(
+      Sketches.hllRollup(slices, Seq("day", "kind")), "day", "kind")
+    val exact = events.groupBy("day", "kind")
+      .agg(countDistinct("user_id").as("x")).collect()
+      .map(r => Seq(r.get(0), r.get(1)) -> r.getLong(2)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (k, e) =>
+      assert(math.abs(e.toDouble - exact(k)) / exact(k) < 0.03,
+        s"slice $k: estimate $e vs exact ${exact(k)}")
+    }
+  }
+
+  test("rollup of slice sketches == direct sketch, EXACTLY (lossless merge)") {
+    val slices = Sketches.hllByGroup(events, Seq("day", "kind"), "user_id")
+    val rolled = estimates(Sketches.hllRollup(slices, Seq("kind")), "kind")
+    val direct = estimates(
+      Sketches.hllRollup(
+        Sketches.hllByGroup(events, Seq("kind"), "user_id"), Seq("kind")),
+      "kind")
+    assert(rolled == direct,
+      "merging slice sketches must carry the same register set as " +
+        "sketching the concatenated data")
+    // and the global rollup from either slicing agrees
+    val g1 = Sketches.hllRollup(slices, Nil).head().getLong(0)
+    val g2 = Sketches.hllRollup(
+      Sketches.hllByGroup(events, Seq("day"), "user_id"), Nil)
+      .head().getLong(0)
+    assert(g1 == g2)
+  }
+
+  test("sketch rows survive a parquet round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("hll").toString + "/t"
+    Sketches.hllByGroup(events, Seq("day", "kind"), "user_id")
+      .write.parquet(dir)
+    val reread = spark.read.parquet(dir)
+    assert(estimates(Sketches.hllRollup(reread, Seq("kind")), "kind") ==
+      estimates(Sketches.hllRollup(
+        Sketches.hllByGroup(events, Seq("kind"), "user_id"), Seq("kind")),
+        "kind"))
+  }
+
+  test("partitioning- and order-invariant: repartitioned input, identical estimates") {
+    val a = estimates(Sketches.hllRollup(
+      Sketches.hllByGroup(events, Seq("day"), "user_id"), Seq("day")), "day")
+    val b = estimates(Sketches.hllRollup(
+      Sketches.hllByGroup(events.repartition(13).sortWithinPartitions(desc("user_id")),
+        Seq("day"), "user_id"), Seq("day")), "day")
+    assert(a == b)
+  }
+}
