@@ -120,6 +120,24 @@ private[graft] object EntryStream {
     idx.search(Seq("table", "scan", "join"), 15)
   }
 
+  /** Continuous distinct-count sketching: the event stream's per-type
+    * user sketches appended per micro-batch as slice rows, rolled up to
+    * estimates after the drain — lossless merge makes the result
+    * arrival-form blind, and redelivered slice rows cannot move it
+    * (pointwise-max union). Rows-only: register estimates have no SQL
+    * oracle (the `q_hll` precedent); SketchesSpec pins streamed ==
+    * batch and redelivery idempotence.
+    */
+  def streamHll(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_shll").toString
+    graft.operators.Sketches.hllSliceStream(
+      EventStreams.readEvents(s, d).select(col("event_type"), col("user_id")),
+      Seq("event_type"), "user_id", s"$base/slices", s"$base/ckpt")
+    graft.operators.Sketches.hllRollup(
+        s.read.parquet(s"$base/slices"), Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   /** Tumbling-window streaming aggregation run to completion over the
     * bounded events fixture (complete output mode ⇒ equals the batch
     * answer; the oracle is the batch SQL).

@@ -58,4 +58,24 @@ object Sketches {
     * joins/projections over a sketch table).
     */
   def hllEstimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  /** Continuous slice sketching: sketch each micro-batch per group and
+    * append the rows to `sliceDir` — [[hllRollup]] over the accumulated
+    * slices equals the batch sketch of everything that has arrived,
+    * because the merge is lossless and register sets are arrival-form
+    * blind.
+    *
+    * Uniquely in the index family, at-least-once redelivery needs NO
+    * guard here: a re-delivered batch re-appends byte-identical sketch
+    * rows, and the rollup's pointwise-max union absorbs duplicates —
+    * the estimate cannot move. (The usual left-anti machinery would be
+    * pure overhead, so this sink intentionally has none.)
+    */
+  def hllSliceStream(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      sliceDir: String, checkpointDir: String, lgk: Int = 12): Unit =
+    IndexStream.run(df, checkpointDir) { batch =>
+      hllByGroup(batch, groupCols, valueCol, lgk)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sliceDir)
+    }
 }

@@ -15,13 +15,14 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("queries without an oracle are exactly the declared sketch/hash set") {
-    // these nine are rows-only BY DESIGN (sketch-, recall- or
+    // these ten are rows-only BY DESIGN (sketch-, recall- or
     // hash-specific output with no SQL-expressible oracle; ann_pq_index
     // and ann_ivfpq share ann_pq's measured necessity and are pinned
     // bit-identical to flat ADC by PqSpec/IvfPqSpec); anything new
     // appearing here means someone forgot to write an oracle
     val declared = Set("ann_lsh", "ann_pq", "ann_pq_index", "ann_ivfpq",
-      "q_hll", "q_hll_merge", "q_approx_quantile", "text_bpe", "text_winnow",
+      "q_hll", "q_hll_merge", "stream_hll", "q_approx_quantile",
+      "text_bpe", "text_winnow",
       // recall-scoped by the published method (cluster-boundary pairs are
       // out of scope); SemanticDedupSpec pins clustered == exact on a
       // separable fixture, dedup_semantic is the oracle-exact k=1 form
@@ -45,7 +46,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the shipped inventory") {
-    assert(SparkEntry.queries.size == 167,
+    assert(SparkEntry.queries.size == 168,
       s"query count drifted: ${SparkEntry.queries.size} (update this pin " +
         "AND SURVEY §2.4 when adding operators)")
   }

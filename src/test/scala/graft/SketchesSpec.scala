@@ -74,6 +74,29 @@ class SketchesSpec extends SparkSpec {
         "kind"))
   }
 
+  test("streamed slices == batch sketch; redelivered slice rows cannot move the estimate") {
+    val base = java.nio.file.Files.createTempDirectory("hllstream").toString
+    // two arrival waves on disk
+    events.filter(col("day") < 2).write.parquet(s"$base/in/w1")
+    events.filter(col("day") >= 2).write.parquet(s"$base/in/w2")
+    Sketches.hllSliceStream(
+      spark.readStream.schema("day INT, kind STRING, user_id LONG")
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in/w*"),
+      Seq("kind"), "user_id", s"$base/slices", s"$base/ckpt")
+    val slices = spark.read.parquet(s"$base/slices")
+    assert(slices.count() >= 4, "two waves x two kinds must leave >= 4 slice rows")
+    val streamed = estimates(Sketches.hllRollup(slices, Seq("kind")), "kind")
+    val direct = estimates(Sketches.hllRollup(
+      Sketches.hllByGroup(events, Seq("kind"), "user_id"), Seq("kind")), "kind")
+    assert(streamed == direct,
+      "arrival form must be invisible to the rolled-up estimates")
+    // at-least-once redelivery: re-append every slice row verbatim — the
+    // pointwise-max union absorbs the duplicates, estimates cannot move
+    slices.write.mode("append").parquet(s"$base/slices")
+    assert(estimates(Sketches.hllRollup(
+      spark.read.parquet(s"$base/slices"), Seq("kind")), "kind") == direct)
+  }
+
   test("partitioning- and order-invariant: repartitioned input, identical estimates") {
     val a = estimates(Sketches.hllRollup(
       Sketches.hllByGroup(events, Seq("day"), "user_id"), Seq("day")), "day")
