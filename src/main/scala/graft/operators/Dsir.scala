@@ -118,6 +118,9 @@ object Dsir {
     * in-engine case: a planted rule, a classifier verdict, a user flag):
     * ONE tokenize pass with a `(bucket, is_target)` hash-agg — half the
     * corpus scans of the two-frame form, bit-identical weights.
+    * `targetCol` must be non-null boolean for every row (a null is a
+    * membership the fit cannot decide — the typed encoder fails loudly
+    * rather than silently defaulting the row to either corpus).
     */
   def fitLabeled(
       docs: DataFrame, targetCol: String, textCol: String,
