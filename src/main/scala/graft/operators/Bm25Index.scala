@@ -95,10 +95,13 @@ final class Bm25Index private[operators] (
     * drops counted). Postings are written FIRST, doc lengths LAST: the
     * guard keys on the doc-length table, so a torn append (postings
     * landed, lengths did not) is re-appended whole on redelivery. The
-    * torn window's visible effect is df counting a doc that cannot
-    * score yet — transiently conservative ranking, never a wrong score;
-    * the duplicate postings rows redelivery leaves behind are shed by
-    * [[search]]'s query-bounded `distinct()` and permanently by
+    * torn window's visible effect: the orphan doc cannot score (no
+    * length row), but its postings inflate df for exactly the terms it
+    * contains, deflating those terms' idf — which can transiently
+    * REORDER two fully-indexed docs on a multi-term query (one leaning
+    * on the deflated term, one not) until the redelivery heals the
+    * window. The duplicate postings rows redelivery leaves behind are
+    * shed by [[search]]'s query-bounded `distinct()` and permanently by
     * [[compact]].
     *
     * @return documents actually appended; a full redelivery returns 0

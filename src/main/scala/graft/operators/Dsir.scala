@@ -215,27 +215,54 @@ object Dsir {
       .limit(k)
   }
 
-  /** Persist the fitted weights: non-zero log-ratios as (idx, w) rows +
-    * a 1-row meta — the model family's meta-wins layout. Same
+  /** Persist the fitted weights in the model family's meta-wins layout,
+    * SPARSELY: under add-α smoothing every untouched bucket carries the
+    * same baseline `log((α/dt)/(α/dr))` (one identical double — all of
+    * them ran the same two-log computation), and on a real corpus the
+    * untouched buckets are most of `dims`. The baseline is stored in
+    * meta as the modal log-ratio and only rows differing from it are
+    * written — bit-exact round-trip, weights file ∝ TOUCHED buckets.
+    * (A naive "non-zero rows" cut would save nothing: the baseline is
+    * non-zero whenever the two corpora differ in gram mass.) Same
     * publication caveat as [[QualityModel.save]]: write to a fresh path.
     */
   def save(spark: SparkSession, w: Weights, path: String): Unit = {
     import spark.implicits._
-    w.logRatio.zipWithIndex.collect { case (v, i) if v != 0.0 => (i, v) }
+    val base = baselineOf(w.logRatio)
+    w.logRatio.zipWithIndex.collect { case (v, i) if v != base => (i, v) }
       .toSeq.toDF("idx", "w")
       .repartition(1).write.mode("overwrite").parquet(s"$path/weights")
-    Seq((w.dims, w.seed, w.alpha)).toDF("dims", "seed", "alpha")
+    Seq((w.dims, w.seed, w.alpha, base))
+      .toDF("dims", "seed", "alpha", "base")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Modal value of the ratio vector — the shared untouched-bucket
+    * baseline (exact double equality: identical inputs, identical
+    * computation). O(dims) time and space.
+    */
+  private def baselineOf(lr: Array[Double]): Double = {
+    val counts = new java.util.HashMap[Double, Int](lr.length * 2)
+    var i = 0
+    while (i < lr.length) { counts.merge(lr(i), 1, _ + _); i += 1 }
+    var (best, n) = (0.0, -1)
+    counts.forEach { (v, c) => if (c > n) { best = v; n = c } }
+    best
   }
 
   def open(spark: SparkSession, path: String): Weights = {
     val meta = spark.read.parquet(s"$path/meta").collect()
     require(meta.length == 1, s"corrupt DSIR meta at $path: ${meta.length} rows")
-    val dims = meta(0).getInt(0)
-    val lr = new Array[Double](dims)
+    val m = meta(0)
+    val dims = m.getInt(0)
+    // models written before the sparse layout stored every row and no
+    // baseline — absent field ⇒ 0.0, exactly their untouched value
+    val base =
+      if (m.schema.fieldNames.contains("base")) m.getDouble(3) else 0.0
+    val lr = Array.fill(dims)(base)
     spark.read.parquet(s"$path/weights").collect().foreach { r =>
       lr(r.getInt(0)) = r.getDouble(1)
     }
-    new Weights(dims, meta(0).getLong(1), meta(0).getDouble(2), lr)
+    new Weights(dims, m.getLong(1), m.getDouble(2), lr)
   }
 }

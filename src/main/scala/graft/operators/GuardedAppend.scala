@@ -2,8 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** The counted-drops idempotent-append core all five persistent indexes
-  * share (minhash, SRP embedding, IVF, PQ codes, IVF-PQ composite) — one
+/** The counted-drops idempotent-append core all six persistent indexes
+  * share (minhash, SRP embedding, IVF, PQ codes, IVF-PQ composite, BM25
+  * postings — whose guard keys the doclens table, written last) — one
   * implementation so the contract cannot drift per index, the
   * [[IndexStream]] rationale applied to the batch side. The contract:
   * foreachBatch redelivery is at-least-once, so every append left-anti

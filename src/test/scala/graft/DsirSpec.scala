@@ -119,6 +119,21 @@ class DsirSpec extends SparkSpec {
     assert(java.util.Arrays.equals(r.logRatio, w.logRatio))
   }
 
+  test("save is genuinely sparse on an ASYMMETRIC fit: untouched-bucket baseline lives in meta, round-trip stays bit-exact") {
+    // unequal gram masses => the untouched-bucket baseline log(dr/dt) is
+    // NON-zero, the case where a naive non-zero row cut would write all
+    // dims rows
+    val w = Dsir.fit(target, raw.limit(20), "text")
+    val dir = java.nio.file.Files.createTempDirectory("dsir_sparse").toString
+    Dsir.save(spark, w, dir)
+    val stored = spark.read.parquet(s"$dir/weights").count()
+    assert(stored < w.dims / 4,
+      s"asymmetric fit stored $stored of ${w.dims} rows — baseline " +
+        "sparsification is not firing")
+    val r = Dsir.open(spark, dir)
+    assert(java.util.Arrays.equals(r.logRatio, w.logRatio))
+  }
+
   test("weigh is one narrow pass: zero exchanges") {
     val w = Dsir.fit(target, raw, "text")
     val p = Dsir.weigh(target, "doc_id", "text", w)
