@@ -1114,6 +1114,21 @@ object SparkEntry {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
 
+  /** Time-series subsequence search: the query pattern is user 0's
+    * first 8 values; the 15 nearest z-normalized windows across every
+    * user's value series. Both engines assemble the series in the same
+    * deterministic (ts, event_id) order and compute the same
+    * population-std z-norm, distances rounded to 6 decimals with a
+    * (user, off) tie-break.
+    */
+  private def qSeriesTopk(s: SparkSession, d: String): DataFrame = {
+    val series = operators.SeriesSearch.seriesOf(
+      t(s, d, "events"), "user_id", Seq("ts", "event_id"), "value")
+    val q = series.filter(col("user_id") === 0)
+      .head().getSeq[Double](1).take(8).toArray
+    operators.SeriesSearch.topK(series, "user_id", q, 15)
+  }
+
   /** Sketches AT REST: per-(returnflag, linestatus) HLL slice sketches
     * of the part key, rolled up to per-returnflag estimates by LOSSLESS
     * merge — the raw table is scanned once to build the slices and
@@ -1558,7 +1573,8 @@ object SparkEntry {
     "mm_features" -> (EntryDedup.mmFeatures _),
     "stream_tumbling" -> (EntryStream.streamTumbling _),
     "q_hll" -> (qHll _),
-    "q_hll_merge" -> (qHllMerge _))
+    "q_hll_merge" -> (qHllMerge _),
+    "q_series_topk" -> (qSeriesTopk _))
 
 
   /** DuckDB oracle SQL, one per SQL-expressible query — the full map

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-series subsequence similarity search — the data-series twin of
+  * the text/embedding ANN family (REPOSE ICDE'21, Odyssey VLDB'23, and
+  * the streaming-subsequence line of work EDBT'19 all serve this query
+  * shape): given a query pattern of length m, find the k nearest
+  * z-NORMALIZED windows across every series in the corpus. Z-norming
+  * per window makes the match amplitude- and offset-invariant (a scaled
+  * + shifted copy of the pattern is distance 0), which is what
+  * "similar shape" means in the UCR tradition.
+  *
+  * Engine shape:
+  *  - [[seriesOf]] materializes one `(key, xs)` row per series with a
+  *    DETERMINISTIC order (array_sort on the full (order, value)
+  *    struct — collect_list order is partition-dependent, sorting in
+  *    the array domain is not).
+  *  - [[slidingZDist]] is ONE narrow pass: each task scans its series
+  *    rows and emits (key, off, dist) per window. Window stats are
+  *    summed LEFT-TO-RIGHT (the naive O(n·m) loop, not a prefix-sum
+  *    trick) so the float result is bit-reproducible and matches an
+  *    engine-independent per-window computation — m is small, the
+  *    clever version changes rounding, and the oracle cares.
+  *  - [[topK]] is orderBy+limit (TakeOrderedAndProject: per-partition
+  *    top-k, k rows to the driver).
+  *  - [[chunked]] is the long-series escape hatch: split each series
+  *    into `chunk`-sized pieces overlapping by m−1, so every window
+  *    lives whole in exactly one piece — per-task memory is bounded by
+  *    `chunk` at ANY series length and the result set is IDENTICAL to
+  *    the unchunked scan (spec-pinned), the standard partitioning of
+  *    distributed data-series systems.
+  */
+object SeriesSearch {
+
+  /** One row per series: `(key, xs)` with values ordered by `orderCols`
+    * (ties included in the sort key, so the array is deterministic
+    * under any partitioning).
+    */
+  def seriesOf(
+      df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(
+        orderCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)))
+        .as("__s"))
+      .select(col(keyCol),
+        expr("transform(__s, r -> r.__v)").as("xs"))
+
+  /** Z-normalized Euclidean distance of `q` against every length-|q|
+    * window of every series: `(key, off, dist)`, `off` 0-based. Windows
+    * shorter series contribute nothing. A flat window (sd < 1e-12)
+    * z-norms to the zero vector (the UCR convention), so its distance
+    * is `|z(q)| = sqrt(m)` — reported, not dropped, and never NaN.
+    */
+  def slidingZDist(
+      series: DataFrame, keyCol: String, q: Array[Double]): DataFrame = {
+    require(q.length >= 2, s"query pattern needs >= 2 points: ${q.length}")
+    val zq = znorm(q)
+    require(zq.exists(_ != 0.0), "query pattern is flat - z-norm undefined")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(zq)
+    series.select(col(keyCol).cast("long"), col("xs"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (key, xs) =>
+        val zqv = bc.value
+        val m = zqv.length
+        if (xs == null || xs.length < m) Iterator.empty
+        else Iterator.tabulate(xs.length - m + 1) { off =>
+          (key, off, windowDist(xs, off, zqv))
+        }
+      }
+      .toDF(keyCol, "off", "dist")
+  }
+
+  /** The k nearest windows corpus-wide, deterministic tie-break on
+    * (key, off); `dist` rounded to 6 decimals so near-equal sums order
+    * identically across engines.
+    */
+  def topK(
+      series: DataFrame, keyCol: String, q: Array[Double],
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    slidingZDist(series, keyCol, q)
+      .select(col(keyCol), col("off"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("dist"), col(keyCol), col("off"))
+      .limit(k)
+  }
+
+  /** Exact long-series partitioning: one `(key, start, xs)` piece row
+    * per `chunk` window positions, each piece carrying the m−1 follow-on
+    * values so every window lives whole in exactly one piece. Feed the
+    * pieces to [[slidingZDist]] keyed however you like and add `start`
+    * to its offsets — or use [[chunkedZDist]] which does both.
+    */
+  def chunked(
+      series: DataFrame, keyCol: String, chunk: Int, m: Int): DataFrame = {
+    require(chunk >= m && m >= 2, s"need chunk >= m >= 2: chunk=$chunk m=$m")
+    val spark = series.sparkSession
+    import spark.implicits._
+    series.select(col(keyCol).cast("long"), col("xs"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (key, xs) =>
+        if (xs == null || xs.length < m) Iterator.empty
+        else {
+          val nWin = xs.length - m + 1
+          Iterator.range(0, nWin, chunk).map { start =>
+            val end = math.min(start + chunk + m - 1, xs.length)
+            (key, start, xs.slice(start, end))
+          }
+        }
+      }
+      .toDF(keyCol, "start", "xs")
+  }
+
+  /** [[slidingZDist]] over [[chunked]] pieces with offsets mapped back
+    * to series coordinates — result rows IDENTICAL to the unchunked
+    * scan (same floats: each window's left-to-right loop sees the same
+    * values regardless of which piece carries it). Each piece scores
+    * only its own `chunk` window positions; the m−1 overlap values are
+    * context, not starts, so no window is scored twice.
+    */
+  def chunkedZDist(
+      series: DataFrame, keyCol: String, q: Array[Double],
+      chunk: Int): DataFrame = {
+    val zq = znorm(q)
+    require(zq.exists(_ != 0.0), "query pattern is flat - z-norm undefined")
+    val pieces = chunked(series, keyCol, chunk, q.length)
+    val spark = pieces.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(zq)
+    pieces.select(col(keyCol).cast("long"), col("start"), col("xs"))
+      .as[(Long, Int, Array[Double])]
+      .flatMap { case (key, start, xs) =>
+        val zqv = bc.value
+        val m = zqv.length
+        // only the first `chunk` positions are this piece's own starts
+        val own = math.min(chunk, xs.length - m + 1)
+        Iterator.tabulate(math.max(own, 0)) { off =>
+          (key, start + off, windowDist(xs, off, zqv))
+        }
+      }
+      .toDF(keyCol, "off", "dist")
+  }
+
+  private[operators] def znorm(xs: Array[Double]): Array[Double] = {
+    val m = xs.length
+    var s = 0.0; var i = 0
+    while (i < m) { s += xs(i); i += 1 }
+    val mu = s / m
+    var s2 = 0.0; i = 0
+    while (i < m) { val d = xs(i) - mu; s2 += d * d; i += 1 }
+    val sd = math.sqrt(s2 / m)
+    if (sd < 1e-12) new Array[Double](m)
+    else xs.map(x => (x - mu) / sd)
+  }
+
+  /** Distance of the window xs[off, off+m) against the z-normed query:
+    * window stats summed left-to-right over the window itself.
+    */
+  private def windowDist(
+      xs: Array[Double], off: Int, zq: Array[Double]): Double = {
+    val m = zq.length
+    var s = 0.0; var i = 0
+    while (i < m) { s += xs(off + i); i += 1 }
+    val mu = s / m
+    var s2 = 0.0; i = 0
+    while (i < m) { val d = xs(off + i) - mu; s2 += d * d; i += 1 }
+    val sd = math.sqrt(s2 / m)
+    var acc = 0.0; i = 0
+    if (sd < 1e-12) {
+      while (i < m) { val d = -zq(i); acc += d * d; i += 1 }
+    } else {
+      while (i < m) {
+        val z = (xs(off + i) - mu) / sd
+        val d = z - zq(i); acc += d * d; i += 1
+      }
+    }
+    math.sqrt(acc)
+  }
+}

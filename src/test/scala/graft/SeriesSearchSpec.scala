@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.SeriesSearch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Subsequence search: z-norm invariance (the semantic point), exact
+  * chunked == unchunked equality (the scale point), deterministic
+  * series assembly, and degenerate-window safety.
+  */
+class SeriesSearchSpec extends SparkSpec {
+
+  private val pattern = Array(1.0, 3.0, 2.0, 5.0, 4.0)
+
+  /** Three series: key 1 embeds an exact affine copy of the pattern
+    * (y = 3x + 7) at offset 4; key 2 is noise-ish; key 3 is flat.
+    */
+  private lazy val series: DataFrame = {
+    import spark.implicits._
+    val s1 = Array(9.0, 8.0, 7.0, 6.0) ++ pattern.map(3.0 * _ + 7.0) ++
+      Array(0.0, 2.0)
+    val s2 = Array(5.0, 1.0, 5.0, 1.0, 5.0, 1.0, 5.0, 1.0, 5.0, 1.0)
+    val s3 = Array.fill(9)(4.2)
+    Seq((1L, s1), (2L, s2), (3L, s3)).toDF("key", "xs")
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Int, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+
+  test("an affine copy of the pattern is distance ~0 and ranks first") {
+    val top = rows(SeriesSearch.topK(series, "key", pattern, 3))
+    assert(top.head._1 == 1L && top.head._2 == 4,
+      s"nearest window must be the planted affine copy: $top")
+    assert(top.head._3 < 1e-6, s"affine copy must z-norm to distance 0: $top")
+    assert(top(1)._3 > 0.5, "nothing else in the fixture resembles the pattern")
+  }
+
+  test("flat windows score sqrt(m) against any query, never NaN") {
+    val d = rows(SeriesSearch.slidingZDist(series, "key", pattern))
+      .filter(_._1 == 3L)
+    assert(d.size == 9 - pattern.length + 1)
+    d.foreach { case (_, _, dist) =>
+      assert(!dist.isNaN)
+      assert(math.abs(dist - math.sqrt(pattern.length)) < 1e-9,
+        s"flat window distance must be |z(q)| = sqrt(m): $dist")
+    }
+  }
+
+  test("series shorter than the pattern contribute nothing") {
+    import spark.implicits._
+    val short = Seq((9L, Array(1.0, 2.0))).toDF("key", "xs")
+    assert(SeriesSearch.slidingZDist(short, "key", pattern).count() == 0)
+  }
+
+  test("chunked scan == unchunked scan, bit-exactly, at every chunk size") {
+    val full = rows(SeriesSearch.slidingZDist(series, "key", pattern)).toSet
+    for (chunk <- Seq(5, 6, 7, 100)) {
+      val ch = rows(SeriesSearch.chunkedZDist(series, "key", pattern, chunk)).toSet
+      assert(ch == full, s"chunk=$chunk diverged from the unchunked scan")
+    }
+  }
+
+  test("seriesOf assembles a deterministic order under any partitioning") {
+    import spark.implicits._
+    val pts = (0 until 40).map(i => (i % 3L, i / 3, (i * 37 % 11).toDouble))
+      .toDF("key", "t", "v")
+    def xs(df: DataFrame): Map[Long, Seq[Double]] =
+      SeriesSearch.seriesOf(df, "key", Seq("t"), "v").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val a = xs(pts)
+    assert(a == xs(pts.repartition(7)))
+    // and the order really is by t
+    assert(a(0L) == (0 until 40).filter(_ % 3 == 0).map(i => (i * 37 % 11).toDouble))
+  }
+
+  test("topK is deterministic with (key, off) tie-break and k-bounded") {
+    val top = rows(SeriesSearch.topK(series, "key", pattern, 4))
+    assert(top.size == 4)
+    assert(top == top.sortBy(t => (t._3, t._1, t._2)))
+  }
+}
