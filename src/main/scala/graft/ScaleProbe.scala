@@ -320,6 +320,40 @@ object ScaleProbe {
         marked.unpersist()
         c
       },
+      time("series_search_chunked") {
+        // data-series search at scale: 5k series x 10k points = 50M
+        // points, scanned through the CHUNKED path (chunk=1024 window
+        // positions per piece, so per-task memory is piece-bounded no
+        // matter how long a series grows). One affine copy of an
+        // 8-point pattern (y = 3x + 7, z-norm-invisible scaling) is
+        // planted at a known (series, offset); the gate is top-1
+        // landing exactly there at distance ~0 among ~50M candidate
+        // windows.
+        val pat = Array(1.0, 9.0, 2.0, 8.0, 3.0, 7.0, 4.0, 6.0)
+        val pts = spark.range(5000L * 10000L).select(
+          // `div`, not `/`: Spark's `/` on longs is DOUBLE division, so
+          // an === against it matches one exact point, not the slice
+          expr("id div 10000").as("key"),
+          (col("id") % 10000L).as("t"),
+          when(expr("id div 10000") === 777L &&
+              col("id") % 10000L >= 4321L && col("id") % 10000L < 4329L,
+            // the planted affine copy at (777, 4321)
+            element_at(typedlit(pat.map(3.0 * _ + 7.0).toSeq),
+              (col("id") % 10000L - 4321L + 1L).cast("int")))
+            .otherwise((pmod(xxhash64(col("id")), lit(1000L)).cast("double")
+              - 500.0) / 100.0)
+            .as("v"))
+        val series = graft.operators.SeriesSearch.seriesOf(
+          pts, "key", Seq("t"), "v").localCheckpoint(true)
+        val top = graft.operators.SeriesSearch
+          .chunkedZDist(series, "key", pat, chunk = 1024)
+          .orderBy(col("dist"), col("key"), col("off")).limit(1)
+          .collect()(0)
+        series.unpersist()
+        require(top.getDouble(2) < 1e-9,
+          s"planted affine copy must be distance ~0: ${top.getDouble(2)}")
+        top.getLong(0) * 100000L + top.getInt(1)
+      },
       time("ivfpq_build_search") {
         // the composite layout at scale: 555k vectors (505k in-space +
         // the 50k far cluster) through ONE assign+encode pass into
@@ -395,6 +429,11 @@ object ScaleProbe {
     val ivfpqShifted = stages.find(_._1 == "ivfpq_build_search").get._3
     assert(ivfpqShifted == 10,
       s"IVF-PQ nprobe=1 returned $ivfpqShifted far-cluster neighbors of 10")
+    // the 50M-window chunked scan's nearest window is the planted
+    // affine copy at (series 777, offset 4321)
+    val seriesTop = stages.find(_._1 == "series_search_chunked").get._3
+    assert(seriesTop == 777L * 100000L + 4321L,
+      s"chunked series search top-1 stat $seriesTop != planted (777, 4321)")
     // the 5 rare-term docs (huge idf, all arriving via the APPEND) must
     // all rank in the top-10
     val bmRare = stages.find(_._1 == "bm25_index_search").get._3
