@@ -56,21 +56,16 @@ object SeriesSearch {
     */
   def slidingZDist(
       series: DataFrame, keyCol: String, q: Array[Double]): DataFrame = {
-    require(q.length >= 2, s"query pattern needs >= 2 points: ${q.length}")
-    val zq = znorm(q)
-    require(zq.exists(_ != 0.0), "query pattern is flat - z-norm undefined")
+    val zq = preparedQuery(q)
+    requireIntegralKey(series, keyCol)
     val spark = series.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(zq)
     series.select(col(keyCol).cast("long"), col("xs"))
       .as[(Long, Array[Double])]
       .flatMap { case (key, xs) =>
-        val zqv = bc.value
-        val m = zqv.length
-        if (xs == null || xs.length < m) Iterator.empty
-        else Iterator.tabulate(xs.length - m + 1) { off =>
-          (key, off, windowDist(xs, off, zqv))
-        }
+        scoreWindows(xs, base = 0, ownStarts = Int.MaxValue, bc.value)
+          .map { case (off, d) => (key, off, d) }
       }
       .toDF(keyCol, "off", "dist")
   }
@@ -98,6 +93,7 @@ object SeriesSearch {
   def chunked(
       series: DataFrame, keyCol: String, chunk: Int, m: Int): DataFrame = {
     require(chunk >= m && m >= 2, s"need chunk >= m >= 2: chunk=$chunk m=$m")
+    requireIntegralKey(series, keyCol)
     val spark = series.sparkSession
     import spark.implicits._
     series.select(col(keyCol).cast("long"), col("xs"))
@@ -107,7 +103,11 @@ object SeriesSearch {
         else {
           val nWin = xs.length - m + 1
           Iterator.range(0, nWin, chunk).map { start =>
-            val end = math.min(start + chunk + m - 1, xs.length)
+            // Long domain: start + chunk + m - 1 overflows Int when the
+            // caller passes chunk = Int.MaxValue to mean "unchunked",
+            // and the overflowed negative end would slice to empty —
+            // a silent empty result instead of the full scan
+            val end = math.min(start.toLong + chunk + m - 1, xs.length.toLong).toInt
             (key, start, xs.slice(start, end))
           }
         }
@@ -125,24 +125,60 @@ object SeriesSearch {
   def chunkedZDist(
       series: DataFrame, keyCol: String, q: Array[Double],
       chunk: Int): DataFrame = {
-    val zq = znorm(q)
-    require(zq.exists(_ != 0.0), "query pattern is flat - z-norm undefined")
+    val zq = preparedQuery(q)
     val pieces = chunked(series, keyCol, chunk, q.length)
     val spark = pieces.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(zq)
-    pieces.select(col(keyCol).cast("long"), col("start"), col("xs"))
+    pieces.select(col(keyCol), col("start"), col("xs"))
       .as[(Long, Int, Array[Double])]
       .flatMap { case (key, start, xs) =>
-        val zqv = bc.value
-        val m = zqv.length
-        // only the first `chunk` positions are this piece's own starts
-        val own = math.min(chunk, xs.length - m + 1)
-        Iterator.tabulate(math.max(own, 0)) { off =>
-          (key, start + off, windowDist(xs, off, zqv))
-        }
+        // only the first `chunk` positions are this piece's own starts;
+        // the m−1 overlap values are context, scored by the next piece
+        scoreWindows(xs, base = start, ownStarts = chunk, bc.value)
+          .map { case (off, d) => (key, off, d) }
       }
       .toDF(keyCol, "off", "dist")
+  }
+
+  /** Validate + z-norm the query once — both scan entry points share
+    * the same contract and message.
+    */
+  private def preparedQuery(q: Array[Double]): Array[Double] = {
+    require(q.length >= 2, s"query pattern needs >= 2 points: ${q.length}")
+    val zq = znorm(q)
+    require(zq.exists(_ != 0.0), "query pattern is flat - z-norm undefined")
+    zq
+  }
+
+  /** The ONE scoring core both the flat and the chunked scan call:
+    * windows [0, min(ownStarts, |xs|−m+1)) of `xs`, offsets reported at
+    * `base +` — so the chunked path cannot drift from the unchunked one
+    * (their bit-equality is a spec contract).
+    */
+  private def scoreWindows(
+      xs: Array[Double], base: Int, ownStarts: Int,
+      zq: Array[Double]): Iterator[(Int, Double)] = {
+    val m = zq.length
+    if (xs == null || xs.length < m) Iterator.empty
+    else {
+      val n = math.min(ownStarts, xs.length - m + 1)
+      Iterator.tabulate(math.max(n, 0)) { off =>
+        (base + off, windowDist(xs, off, zq))
+      }
+    }
+  }
+
+  /** Scans cast the key to long for one canonical output type; anything
+    * non-integral would cast silently (strings to null, doubles by
+    * truncation — two series merging under one key). Refuse loudly.
+    */
+  private def requireIntegralKey(series: DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = series.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"series key '$keyCol' must be an integral type, got $dt - " +
+        "map string/other keys through a dense id first (Indexing.globalIds)")
   }
 
   private[operators] def znorm(xs: Array[Double]): Array[Double] = {

@@ -53,11 +53,23 @@ class SeriesSearchSpec extends SparkSpec {
   }
 
   test("chunked scan == unchunked scan, bit-exactly, at every chunk size") {
-    val full = rows(SeriesSearch.slidingZDist(series, "key", pattern)).toSet
-    for (chunk <- Seq(5, 6, 7, 100)) {
-      val ch = rows(SeriesSearch.chunkedZDist(series, "key", pattern, chunk)).toSet
+    // sorted Seq, NOT Set: a double-scored overlap window would emit a
+    // bit-identical duplicate row that a set comparison cannot see
+    val full = rows(SeriesSearch.slidingZDist(series, "key", pattern)).sorted
+    for (chunk <- Seq(5, 6, 7, 100, Int.MaxValue)) {
+      val ch = rows(SeriesSearch.chunkedZDist(series, "key", pattern, chunk)).sorted
       assert(ch == full, s"chunk=$chunk diverged from the unchunked scan")
     }
+  }
+
+  test("non-integral series keys are refused loudly, not silently merged") {
+    import spark.implicits._
+    val bad = Seq(("doc_a", Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)))
+      .toDF("key", "xs")
+    val e = intercept[IllegalArgumentException] {
+      SeriesSearch.slidingZDist(bad, "key", pattern)
+    }
+    assert(e.getMessage.contains("integral"))
   }
 
   test("seriesOf assembles a deterministic order under any partitioning") {
