@@ -59,6 +59,21 @@ object Sketches {
     */
   def hllEstimate(sketch: Column): Column = hll_sketch_estimate(sketch)
 
+  /** Distinct-overlap estimate between two sketches by inclusion-
+    * exclusion: `|A| + |B| − |A ∪ B|`, clamped at 0 (disjoint sets can
+    * estimate slightly negative — three independent ±rsd estimates
+    * compound). The 100 TB corpus-overlap audit: how much does corpus B
+    * share with corpus A — train/benchmark, this month/last month —
+    * answered from two persisted sketch rows, NO join, NO re-scan of
+    * either corpus. Error scales with |A ∪ B|·rsd, so a small true
+    * overlap between huge sets disappears into noise — this is the
+    * screening tool; the dedup/decontamination operators are the exact
+    * instruments once screening says "look closer".
+    */
+  def hllOverlap(a: Column, b: Column): Column =
+    greatest(lit(0L), hll_sketch_estimate(a) + hll_sketch_estimate(b) -
+      hll_sketch_estimate(hll_union(a, b)))
+
   /** Continuous slice sketching: sketch each micro-batch per group and
     * append the rows to `sliceDir` — [[hllRollup]] over the accumulated
     * slices equals the batch sketch of everything that has arrived,

@@ -97,6 +97,27 @@ class SketchesSpec extends SparkSpec {
       spark.read.parquet(s"$base/slices"), Seq("kind")), "kind") == direct)
   }
 
+  test("overlap estimate by inclusion-exclusion lands near truth, clamps at 0 when disjoint") {
+    import spark.implicits._
+    // |A| = 800, |B| = 700, true overlap 500 (users 300..799)
+    val a = (0L until 800L).map(("a", _)).toDF("side", "u")
+    val b = (300L until 1000L).map(("b", _)).toDF("side", "u")
+    val sk = Sketches.hllByGroup(a.unionAll(b), Seq("side"), "u")
+      .groupBy().pivot("side").agg(first("hll"))
+    val est = sk.select(Sketches.hllOverlap(col("a"), col("b")).as("o"))
+      .head().getLong(0)
+    assert(math.abs(est - 500.0) / 500.0 < 0.10,
+      s"overlap estimate $est vs true 500 — outside the compounded-error band")
+    // disjoint: clamp, never negative
+    val c = (5000L until 5800L).map(("c", _)).toDF("side", "u")
+    val sk2 = Sketches.hllByGroup(a.unionAll(c), Seq("side"), "u")
+      .groupBy().pivot("side").agg(first("hll"))
+    val est2 = sk2.select(Sketches.hllOverlap(col("a"), col("c")).as("o"))
+      .head().getLong(0)
+    assert(est2 >= 0L && est2 < 40L,
+      s"disjoint overlap must clamp near 0: $est2")
+  }
+
   test("partitioning- and order-invariant: repartitioned input, identical estimates") {
     val a = estimates(Sketches.hllRollup(
       Sketches.hllByGroup(events, Seq("day"), "user_id"), Seq("day")), "day")
