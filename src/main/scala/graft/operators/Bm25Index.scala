@@ -56,9 +56,14 @@ final class Bm25Index private[operators] (
     val sess = spark
     sess.catalog.refreshTable(postingsTable)
     sess.catalog.refreshTable(doclensTable)
-    val post = sess.table(postingsTable)
+    // cache barrier (repo rule: every self-joined derived relation is
+    // cached): the pruned postings feed BOTH the df agg and the scoring
+    // join, and Spark has no cross-branch CSE — uncached, the bucket
+    // scan + distinct would execute twice per search
+    val post = Bm25Index.searchCache(sess.table(postingsTable)
       .filter(col("term").isin(queryTerms: _*))
       .distinct()
+      .cache())
     val dl = sess.table(doclensTable)
     val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
     val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
@@ -178,7 +183,12 @@ final class Bm25Index private[operators] (
   }
 }
 
-object Bm25Index {
+object Bm25Index extends CacheLedger {
+
+  /** [[CacheLedger.ledgered]] is protected; the index class lives
+    * outside this object, so its per-search cache routes through here.
+    */
+  private[operators] def searchCache(df: DataFrame): DataFrame = ledgered(df)
 
   /** Build the index for `docs` at `path`, registering
     * `<name>_postings` / `<name>_doclens`. One tokenize pass over the

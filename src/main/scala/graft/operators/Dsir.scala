@@ -74,9 +74,11 @@ object Dsir {
     }
   }
 
+  /** One hashing rule across the model family: DSIR buckets grams with
+    * exactly [[QualityModel.featIdx]] (murmur3, seed-salted, floorMod).
+    */
   private[operators] def featIdx(gram: String, dims: Int, seed: Long): Int =
-    math.floorMod(
-      scala.util.hashing.MurmurHash3.stringHash(gram, seed.toInt), dims)
+    QualityModel.featIdx(gram, dims, seed)
 
   /** Distributed hashed-gram counts of one corpus: a narrow flatMap to
     * bucket ids, one hash-agg (partial aggregation caps the shuffle at
