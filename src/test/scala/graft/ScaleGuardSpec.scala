@@ -195,4 +195,34 @@ class ScaleGuardSpec extends SparkSpec {
     // exact duplicates need one table regardless of width
     assert(Lsh.autoTables(24, 1.0) == 1)
   }
+
+  test("BM25 search reads only the query terms' buckets, at two corpus sizes") {
+    // The 100 TB property of the postings index: a search READS the
+    // buckets its terms hash into, independent of corpus size — pinned
+    // as the scan's SelectedBucketsCount at two sizes (count-not-time,
+    // the IVF gate's pattern applied to text). Dropping the literal-IN
+    // bucket pruning turns the selected count to `all` at both sizes.
+    def selectedBuckets(n: Long): (Int, Int) = {
+      val docs = saladDocs(n, 0)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0, lit(" guardterm"))
+              .otherwise(lit(""))).as("text"))
+      val dir = java.nio.file.Files.createTempDirectory(s"bm25_guard_$n").toString
+      val idx = graft.operators.Bm25Index.build(docs, "doc_id", "text",
+        dir, s"bm25_guard_$n", buckets = 8)
+      val res = idx.search(Seq("guardterm"), 5)
+      res.count() // settle AQE before reading the final plan
+      val plan = res.queryExecution.executedPlan.toString
+      graft.operators.Bm25Index.releaseCaches()
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined, s"no bucket pruning in the postings scan at n=$n:\n$plan")
+      (m.get.group(1).toInt, m.get.group(2).toInt)
+    }
+    for (n <- Seq(4000L, 16000L)) {
+      val (sel, total) = selectedBuckets(n)
+      assert(total == 8, s"bucket count drifted at n=$n: $total")
+      assert(sel == 1, s"a 1-term search must read exactly its term's bucket at n=$n: $sel")
+    }
+  }
 }
