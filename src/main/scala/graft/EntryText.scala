@@ -333,6 +333,39 @@ private[graft] object EntryText {
       .limit(20)
   }
 
+  /** The modern retrieval stack served from the AT-REST indexes: the
+    * lexical leg ranks through the persistent BM25 postings index, the
+    * vector leg through a saved IVF index at nprobe=all (exact), fused
+    * by reciprocal-rank fusion — `text_rrf`'s pipeline with both legs
+    * replaced by their serving-path twins. The oracle re-derives both
+    * rankings from raw data (the duckAnnTopk precedent: ranking on
+    * unrounded cosine is engine-stable at this fixture's cos gaps), so
+    * the hash only matches if the indexes reproduce the batch rankings
+    * exactly.
+    */
+  def hybridIndexSearch(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft_hybrid").toString
+    val bmIdx = graft.operators.Bm25Index.build(
+      docs, "doc_id", "text", s"$base/bm", "graft_q_hyb_bm", buckets = 8)
+    val wB = Window.orderBy(col("score").desc, col("doc_id"))
+    val bmRank = bmIdx.search(Seq("table", "scan", "join"), 50)
+      .withColumn("rank", row_number().over(wB)).select("doc_id", "rank")
+    val emb = t(s, d, "embeddings")
+    val ivf = Similarity.IvfIndex.build(
+      s, emb, "vec_id", "embedding", nClusters = 16)
+    Similarity.IvfIndex.save(ivf, "graft_q_hyb_ivf", s"$base/ivf")
+    val opened = Similarity.IvfIndex.open(s, "graft_q_hyb_ivf", s"$base/ivf")
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")))
+      .head().getSeq[Double](0).toArray
+    val cosRank = opened.search(Map(0L -> q0), k = 50, nprobe = 16)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Similarity.rrfFuse(Seq(bmRank, cosRank), "doc_id", "rank")
+      .select(col("doc_id"), round(col("rrf"), 9).as("rrf"), col("n_lists"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+  }
+
   /** Native NFC normalization over the corpus: per-doc md5 of the
     * canonicalized text (NFC + lower + whitespace collapse + trim) and
     * its length — the canonical form every dedup/fingerprint pass keys

@@ -932,6 +932,45 @@ private[graft] object Oracles {
         |SELECT doc_id, ROUND(SUM(CAST(1.0 AS DOUBLE) / (60 + r)), 9) AS rrf,
         |  COUNT(*) AS n_lists
         |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "hybrid_index_search" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents
+        |), dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+        |stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('table', 'scan', 'join') GROUP BY 1, 2
+        |), dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ROUND(SUM(
+        |      ln(1.0 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+        |      tf.tf * (1.2 + 1.0) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+        |    ), 6) AS score
+        |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1
+        |), bmr AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        |  FROM scored QUALIFY r <= 50
+        |), cosd AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+        |  FROM embeddings e,
+        |    (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |     WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |), cr AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r
+        |  FROM cosd QUALIFY r <= 50
+        |), u AS (
+        |  SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM cr
+        |)
+        |SELECT doc_id, ROUND(SUM(CAST(1.0 AS DOUBLE) / (60 + r)), 9) AS rrf,
+        |  COUNT(*) AS n_lists
+        |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "q91_attrition" ->
       """SELECT COALESCE(CASE
         |    WHEN NOT COALESCE(strlen(text) > 0, FALSE) THEN 'nonempty'

@@ -1503,6 +1503,7 @@ object SparkEntry {
     "q89_fuzzy" -> (q89 _),
     "q90_qnorm" -> (q90 _),
     "text_rrf" -> (EntryText.textRrf _),
+    "hybrid_index_search" -> (EntryText.hybridIndexSearch _),
     "q91_attrition" -> (q91 _),
     "q92_project" -> (q92 _),
     "q93_psi" -> (q93 _),
