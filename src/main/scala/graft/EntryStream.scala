@@ -138,6 +138,44 @@ private[graft] object EntryStream {
       .orderBy("event_type")
   }
 
+  /** Continuous subsequence matching: the event stream's per-user value
+    * points drained through `SeriesSearch.scanStream` in time-ordered
+    * waves, then the 15 nearest windows read from the cumulative scored
+    * output — batch-boundary invariance makes the result identical to
+    * the batch scan, so the `q_series_topk` oracle applies verbatim.
+    * Waves split on event TIME (each wave is one file), honouring the
+    * operator's per-key order contract.
+    */
+  def streamSeries(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft_sseries").toString
+    // event_id is assigned in ts order by the fixture generator, so
+    // event-id thirds are time-ordered waves (the per-key order contract)
+    val n = ev.agg(max("event_id")).head.getLong(0)
+    Seq(
+      col("event_id") <= n / 3,
+      col("event_id") > n / 3 && col("event_id") <= 2 * n / 3,
+      col("event_id") > 2 * n / 3).zipWithIndex.foreach { case (p, i) =>
+      ev.filter(p).coalesce(1).write.parquet(s"$base/in/w$i")
+    }
+    // the query pattern: user 0's first 8 values, as in q_series_topk
+    val q = graft.operators.SeriesSearch.seriesOf(
+        ev, "user_id", Seq("ts", "event_id"), "value")
+      .filter(col("user_id") === 0)
+      .head().getSeq[Double](1).take(8).toArray
+    graft.operators.SeriesSearch.scanStream(
+      s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in/w*"),
+      "user_id", Seq("ts", "event_id"), "value", q,
+      s"$base/out", s"$base/state", s"$base/ck")
+    s.read.parquet(s"$base/out")
+      .distinct() // at-least-once redelivery re-appends identical rows
+      .select(col("user_id"), col("off"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("dist"), col("user_id"), col("off"))
+      .limit(15)
+  }
+
   /** Tumbling-window streaming aggregation run to completion over the
     * bounded events fixture (complete output mode ⇒ equals the batch
     * answer; the oracle is the batch SQL).

@@ -47,6 +47,44 @@ private[graft] object Oracles {
       |SELECT doc_id, score FROM scored
       |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
+  private val duckSeriesTopk =
+    """WITH s AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+        |  FROM events GROUP BY 1
+        |), q0 AS (
+        |  SELECT xs[1:8] AS qw FROM s WHERE user_id = 0
+        |), qm AS (SELECT qw, list_avg(qw) AS mu FROM q0),
+        |qs AS (
+        |  SELECT qw, mu,
+        |    sqrt(list_avg([(x - mu) * (x - mu) for x in qw])) AS sd
+        |  FROM qm
+        |), qz AS (SELECT [(x - mu) / sd for x in qw] AS zq FROM qs),
+        |wraw AS (
+        |  SELECT user_id,
+        |    unnest([{'off': i - 1, 'w': xs[i : i + 7]}
+        |            for i in range(1, len(xs) - 6)]) AS r
+        |  FROM s
+        |), wins AS (
+        |  SELECT user_id, r.off AS off, r.w AS w FROM wraw
+        |), wm AS (
+        |  SELECT user_id, off, w, list_avg(w) AS mu FROM wins
+        |), ws AS (
+        |  SELECT user_id, off, w, mu,
+        |    sqrt(list_avg([(x - mu) * (x - mu) for x in w])) AS sd
+        |  FROM wm
+        |), scored AS (
+        |  SELECT user_id, CAST(off AS INT) AS off,
+        |    ROUND(CASE WHEN sd < 1e-12
+        |      THEN sqrt(list_sum([z * z for z in zq]))
+        |      ELSE sqrt(list_sum([((w[i] - mu) / sd - zq[i]) *
+        |                          ((w[i] - mu) / sd - zq[i])
+        |                          for i in range(1, 9)]))
+        |    END, 6) AS dist
+        |  FROM ws, qz
+        |)
+        |SELECT user_id, off, dist FROM scored
+        |ORDER BY dist, user_id, off LIMIT 15""".stripMargin
+
   private val duckAnnTopk =
     """WITH q AS (
       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
@@ -1084,43 +1122,7 @@ private[graft] object Oracles {
         |)
         |SELECT v, CAST(MIN(d) AS INT) AS d, COUNT(*) AS paths
         |FROM reach GROUP BY v ORDER BY v""".stripMargin,
-    "q_series_topk" ->
-      """WITH s AS (
-        |  SELECT user_id, list(value ORDER BY ts, event_id) AS xs
-        |  FROM events GROUP BY 1
-        |), q0 AS (
-        |  SELECT xs[1:8] AS qw FROM s WHERE user_id = 0
-        |), qm AS (SELECT qw, list_avg(qw) AS mu FROM q0),
-        |qs AS (
-        |  SELECT qw, mu,
-        |    sqrt(list_avg([(x - mu) * (x - mu) for x in qw])) AS sd
-        |  FROM qm
-        |), qz AS (SELECT [(x - mu) / sd for x in qw] AS zq FROM qs),
-        |wraw AS (
-        |  SELECT user_id,
-        |    unnest([{'off': i - 1, 'w': xs[i : i + 7]}
-        |            for i in range(1, len(xs) - 6)]) AS r
-        |  FROM s
-        |), wins AS (
-        |  SELECT user_id, r.off AS off, r.w AS w FROM wraw
-        |), wm AS (
-        |  SELECT user_id, off, w, list_avg(w) AS mu FROM wins
-        |), ws AS (
-        |  SELECT user_id, off, w, mu,
-        |    sqrt(list_avg([(x - mu) * (x - mu) for x in w])) AS sd
-        |  FROM wm
-        |), scored AS (
-        |  SELECT user_id, CAST(off AS INT) AS off,
-        |    ROUND(CASE WHEN sd < 1e-12
-        |      THEN sqrt(list_sum([z * z for z in zq]))
-        |      ELSE sqrt(list_sum([((w[i] - mu) / sd - zq[i]) *
-        |                          ((w[i] - mu) / sd - zq[i])
-        |                          for i in range(1, 9)]))
-        |    END, 6) AS dist
-        |  FROM ws, qz
-        |)
-        |SELECT user_id, off, dist FROM scored
-        |ORDER BY dist, user_id, off LIMIT 15""".stripMargin,
+    "q_series_topk" -> duckSeriesTopk,
     "text_normalize" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(nfc_normalize(text)),
@@ -1756,6 +1758,7 @@ private[graft] object Oracles {
     // appendStream — full probing is exhaustive, so arrival form cannot
     // change the answers and the brute-force oracle is shared
     "stream_ann" -> duckAnnTopk,
+    "stream_series" -> duckSeriesTopk,
     "stream_bm25" -> duckBm25,
     "ann_ivf_index" -> duckAnnTopk,
     // the retrain cycle changes the quantizer, never the answers at full

@@ -1530,6 +1530,7 @@ object SparkEntry {
     "stream_ann" -> (EntryStream.streamAnn _),
     "stream_bm25" -> (EntryStream.streamBm25 _),
     "stream_hll" -> (EntryStream.streamHll _),
+    "stream_series" -> (EntryStream.streamSeries _),
     "stream_components" -> (EntryDedup.streamComponents _),
     "stream_sliding" -> (EntryStream.streamSliding _),
     "stream_session" -> (EntryStream.streamSession _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Time-series subsequence similarity search — the data-series twin of
@@ -179,6 +179,104 @@ object SeriesSearch {
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
       s"series key '$keyCol' must be an integral type, got $dt - " +
         "map string/other keys through a dense id first (Indexing.globalIds)")
+  }
+
+  /** Continuous subsequence matching — the streaming twin (the EDBT'19
+    * streaming-subsequence query shape): drive a STREAM of (key, order,
+    * value) points through per-batch scoring, appending each batch's
+    * NEW window distances to `outDir`. Cumulative output is
+    * batch-boundary INVARIANT: a window is scored by the first batch
+    * that completes it — per-key state is the last m−1 values (no
+    * complete window, so nothing is ever scored twice) plus the count
+    * seen, and the concatenation tail+batch scores exactly the windows
+    * the batch completes at their true series offsets. Over ANY
+    * partitioning of a series into time-ordered batches, the appended
+    * rows equal [[slidingZDist]] on the assembled series — which is
+    * what makes the streaming form oracle-checkable against the batch
+    * scan.
+    *
+    * Contract: arrivals must respect per-key ORDER (each micro-batch's
+    * points all follow the previous batch's — the file-wave/event-time
+    * ingestion discipline); late data is out of scope by construction,
+    * like every index stream here.
+    *
+    * Crash safety is the versioned-state discipline: state is written
+    * to `stateDir/state-v{batchId}` and each batch reads
+    * `state-v{batchId-1}`, so an at-least-once redelivery re-reads the
+    * SAME input state and re-appends byte-identical rows (dedupe on
+    * read with `distinct()`, the [[IndexStream]] rule) instead of
+    * corrupting offsets by scoring against post-update state.
+    */
+  def scanStream(
+      points: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, q: Array[Double], outDir: String, stateDir: String,
+      checkpointDir: String): Unit = {
+    val zq = preparedQuery(q)
+    requireIntegralKey(points, keyCol)
+    val m = zq.length
+    val spark0 = points.sparkSession
+    val bc = spark0.sparkContext.broadcast(zq)
+    val query = points.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prev = s"$stateDir/state-v${batchId - 1}"
+        val state: DataFrame =
+          if (fs.exists(new org.apache.hadoop.fs.Path(prev)))
+            spark.read.parquet(prev)
+          else Seq.empty[(Long, Array[Double], Long)]
+            .toDF(keyCol, "tail", "seen")
+        val batchSeries = seriesOf(batch, keyCol, orderCols, valueCol)
+        val joined = batchSeries
+          .join(state, Seq(keyCol), "full_outer")
+          .select(col(keyCol).cast("long"), col("xs"), col("tail"),
+            coalesce(col("seen"), lit(0L)).as("seen"))
+          .as[(Long, Array[Double], Array[Double], Long)]
+          .map { case (key, xs0, tail0, seen) =>
+            val tail = if (tail0 == null) Array.empty[Double] else tail0
+            val xs = if (xs0 == null) Array.empty[Double] else xs0
+            (key, tail ++ xs, seen)
+          }
+          .toDF(keyCol, "xs", "seen")
+          .localCheckpoint(true)
+        try {
+          // score: every window of tail++batch is NEW (the tail alone is
+          // m-1 points — no complete window), at series offset
+          // seen - |tail| + local. |tail| = min(seen, m-1).
+          joined.as[(Long, Array[Double], Long)]
+            .flatMap { case (key, xs, seen) =>
+              val base = (seen - math.min(seen, (bc.value.length - 1).toLong)).toInt
+              scoreWindows(xs, base, Int.MaxValue, bc.value)
+                .map { case (off, d) => (key, off, d) }
+            }
+            .toDF(keyCol, "off", "dist")
+            .write.mode(SaveMode.Append).parquet(outDir)
+          // state for the NEXT batch: last m-1 points, total seen
+          joined.as[(Long, Array[Double], Long)]
+            .map { case (key, xs, seen) =>
+              val tailLen = math.min(seen, (m - 1).toLong).toInt
+              (key, xs.takeRight(math.min(xs.length, m - 1)),
+                seen + (xs.length - tailLen))
+            }
+            .toDF(keyCol, "tail", "seen")
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$stateDir/state-v$batchId")
+          // prune superseded versions, keeping v{batchId-1}: a redelivery
+          // of THIS batch re-reads it; nothing can re-deliver earlier
+          fs.delete(
+            new org.apache.hadoop.fs.Path(s"$stateDir/state-v${batchId - 2}"),
+            true)
+        } finally joined.unpersist()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination()
+    finally query.stop()
   }
 
   private[operators] def znorm(xs: Array[Double]): Array[Double] = {

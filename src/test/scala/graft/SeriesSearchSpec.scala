@@ -85,6 +85,49 @@ class SeriesSearchSpec extends SparkSpec {
     assert(a(0L) == (0 until 40).filter(_ % 3 == 0).map(i => (i * 37 % 11).toDouble))
   }
 
+  test("scanStream: a three-wave point stream scores exactly the batch windows, at true offsets") {
+    import spark.implicits._
+    // two series of 23 points each, split into waves of 9/8/6 points —
+    // every wave boundary slices windows (m=5), so cross-boundary
+    // completion is exercised on both keys; key 2 skips wave 2 entirely
+    val pts = (0 until 23).flatMap { t =>
+      Seq((1L, t, math.sin(t * 0.7) * 3 + t % 5),
+        (2L, t, (t * 37 % 11).toDouble))
+    }.toDF("key", "t", "v")
+    val base = java.nio.file.Files.createTempDirectory("sscan").toString
+    // ONE file per wave: the stream feeds a file per micro-batch, and a
+    // multi-part wave would scatter each wave's time range across
+    // batches — violating the per-key order contract the operator states
+    pts.filter(col("t") < 9).coalesce(1).write.parquet(s"$base/in/w1")
+    pts.filter(col("t") >= 9 && col("t") < 17 && col("key") === 1)
+      .coalesce(1).write.parquet(s"$base/in/w2")
+    pts.filter(col("t") >= 17 ||
+        (col("t") >= 9 && col("t") < 17 && col("key") === 2))
+      .coalesce(1).write.parquet(s"$base/in/w3")
+    SeriesSearch.scanStream(
+      spark.readStream.schema("key LONG, t INT, v DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in/w*"),
+      "key", Seq("t"), "v", pattern,
+      s"$base/out", s"$base/state", s"$base/ck")
+    val streamed = spark.read.parquet(s"$base/out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq.sorted
+    val batch = SeriesSearch.slidingZDist(
+      SeriesSearch.seriesOf(pts, "key", Seq("t"), "v"), "key", pattern)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(streamed == batch,
+      "cumulative streamed windows must equal the batch scan bit-for-bit")
+    // (wave 3 carries key 2's t in [9,17) together with t >= 17 — the
+    // per-key order contract holds because both ranges arrive in ONE
+    // micro-batch and seriesOf sorts within the batch)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/state"))
+      .map(_.getPath.getName).filter(_.startsWith("state-v"))
+    assert(versions.length <= 2,
+      s"superseded state versions must be pruned: ${versions.toSeq}")
+  }
+
   test("topK is deterministic with (key, off) tie-break and k-bounded") {
     val top = rows(SeriesSearch.topK(series, "key", pattern, 4))
     assert(top.size == 4)
