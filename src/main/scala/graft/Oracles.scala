@@ -23,7 +23,12 @@ private[graft] object Oracles {
       |SELECT i, j, ROUND(jac, 3) AS jac FROM pj WHERE jac >= 0.8
       |ORDER BY i, j""".stripMargin
 
-  private val duckBm25 =
+  /** Shared CTE chain computing per-doc BM25 scores for the fixed
+    * 3-term query — ends at the `scored` relation; [[duckBm25]] and the
+    * hybrid-search oracle append different tails, so the BM25 semantics
+    * cannot drift between them.
+    */
+  private val duckBm25Scored =
     """WITH base AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
       |  FROM documents
@@ -43,9 +48,13 @@ private[graft] object Oracles {
       |    ), 6) AS score
       |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
       |  GROUP BY 1
-      |)
+      |)""".stripMargin
+
+  private val duckBm25 = duckBm25Scored +
+    """
       |SELECT doc_id, score FROM scored
       |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
 
   private val duckSeriesTopk =
     """WITH s AS (
@@ -970,27 +979,8 @@ private[graft] object Oracles {
         |SELECT doc_id, ROUND(SUM(CAST(1.0 AS DOUBLE) / (60 + r)), 9) AS rrf,
         |  COUNT(*) AS n_lists
         |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
-    "hybrid_index_search" ->
-      """WITH base AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-        |  FROM documents
-        |), dl AS (SELECT doc_id, len(toks) AS dl FROM base),
-        |stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
-        |tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
-        |tf AS (
-        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
-        |  WHERE term IN ('table', 'scan', 'join') GROUP BY 1, 2
-        |), dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |    ROUND(SUM(
-        |      ln(1.0 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
-        |      tf.tf * (1.2 + 1.0) /
-        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
-        |    ), 6) AS score
-        |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-        |  GROUP BY 1
-        |), bmr AS (
+    "hybrid_index_search" -> (duckBm25Scored +
+      """, bmr AS (
         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
         |  FROM scored QUALIFY r <= 50
         |), cosd AS (
@@ -1008,7 +998,7 @@ private[graft] object Oracles {
         |)
         |SELECT doc_id, ROUND(SUM(CAST(1.0 AS DOUBLE) / (60 + r)), 9) AS rrf,
         |  COUNT(*) AS n_lists
-        |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+        |FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
     "q91_attrition" ->
       """SELECT COALESCE(CASE
         |    WHEN NOT COALESCE(strlen(text) > 0, FALSE) THEN 'nonempty'

@@ -28,12 +28,21 @@ private[operators] object IndexStream {
 
   /** Drive `body` once per micro-batch with AvailableNow semantics. */
   def run(incoming: DataFrame, checkpointDir: String)(
-      body: DataFrame => Unit): Unit = {
+      body: DataFrame => Unit): Unit =
+    runIndexed(incoming, checkpointDir)((batch, _) => body(batch))
+
+  /** [[run]] with the micro-batch id exposed — for bodies whose
+    * idempotence discipline is VERSIONED on the batch id (e.g.
+    * [[SeriesSearch.scanStream]]'s state-v{batchId} publication) rather
+    * than guarded by a key anti-join.
+    */
+  def runIndexed(incoming: DataFrame, checkpointDir: String)(
+      body: (DataFrame, Long) => Unit): Unit = {
     val q = incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        body(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        body(batch, batchId)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -211,72 +211,87 @@ object SeriesSearch {
       points: DataFrame, keyCol: String, orderCols: Seq[String],
       valueCol: String, q: Array[Double], outDir: String, stateDir: String,
       checkpointDir: String): Unit = {
-    val zq = preparedQuery(q)
+    preparedQuery(q) // validate once, loudly, before the stream starts
     requireIntegralKey(points, keyCol)
+    IndexStream.runIndexed(points, checkpointDir) { (batch, batchId) =>
+      scanBatch(batch, batchId, keyCol, orderCols, valueCol, q,
+        outDir, stateDir)
+    }
+  }
+
+  /** One [[scanStream]] micro-batch — package-visible so specs can drive
+    * the redelivery window directly (the [[graft.streaming.EventStreams]]
+    * `upsertBatch` precedent).
+    */
+  private[graft] def scanBatch(
+      batch: DataFrame, batchId: Long, keyCol: String,
+      orderCols: Seq[String], valueCol: String, q: Array[Double],
+      outDir: String, stateDir: String): Unit = {
+    val zq = preparedQuery(q)
     val m = zq.length
-    val spark0 = points.sparkSession
-    val bc = spark0.sparkContext.broadcast(zq)
-    val query = points.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prev = s"$stateDir/state-v${batchId - 1}"
-        val state: DataFrame =
-          if (fs.exists(new org.apache.hadoop.fs.Path(prev)))
-            spark.read.parquet(prev)
-          else Seq.empty[(Long, Array[Double], Long)]
-            .toDF(keyCol, "tail", "seen")
-        val batchSeries = seriesOf(batch, keyCol, orderCols, valueCol)
-        val joined = batchSeries
-          .join(state, Seq(keyCol), "full_outer")
-          .select(col(keyCol).cast("long"), col("xs"), col("tail"),
-            coalesce(col("seen"), lit(0L)).as("seen"))
-          .as[(Long, Array[Double], Array[Double], Long)]
-          .map { case (key, xs0, tail0, seen) =>
-            val tail = if (tail0 == null) Array.empty[Double] else tail0
-            val xs = if (xs0 == null) Array.empty[Double] else xs0
-            (key, tail ++ xs, seen)
-          }
-          .toDF(keyCol, "xs", "seen")
-          .localCheckpoint(true)
-        try {
-          // score: every window of tail++batch is NEW (the tail alone is
-          // m-1 points — no complete window), at series offset
-          // seen - |tail| + local. |tail| = min(seen, m-1).
-          joined.as[(Long, Array[Double], Long)]
-            .flatMap { case (key, xs, seen) =>
-              val base = (seen - math.min(seen, (bc.value.length - 1).toLong)).toInt
-              scoreWindows(xs, base, Int.MaxValue, bc.value)
-                .map { case (off, d) => (key, off, d) }
-            }
-            .toDF(keyCol, "off", "dist")
-            .write.mode(SaveMode.Append).parquet(outDir)
-          // state for the NEXT batch: last m-1 points, total seen
-          joined.as[(Long, Array[Double], Long)]
-            .map { case (key, xs, seen) =>
-              val tailLen = math.min(seen, (m - 1).toLong).toInt
-              (key, xs.takeRight(math.min(xs.length, m - 1)),
-                seen + (xs.length - tailLen))
-            }
-            .toDF(keyCol, "tail", "seen")
-            .write.mode(SaveMode.Overwrite)
-            .parquet(s"$stateDir/state-v$batchId")
-          // prune superseded versions, keeping v{batchId-1}: a redelivery
-          // of THIS batch re-reads it; nothing can re-deliver earlier
-          fs.delete(
-            new org.apache.hadoop.fs.Path(s"$stateDir/state-v${batchId - 2}"),
-            true)
-        } finally joined.unpersist()
-        ()
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(zq)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = s"$stateDir/state-v${batchId - 1}"
+    val state: DataFrame =
+      if (fs.exists(new org.apache.hadoop.fs.Path(prev)))
+        spark.read.parquet(prev)
+      else Seq.empty[(Long, Array[Double], Long)]
+        .toDF(keyCol, "tail", "seen")
+    val batchSeries = seriesOf(batch, keyCol, orderCols, valueCol)
+    val joined = batchSeries
+      .join(state, Seq(keyCol), "full_outer")
+      .select(col(keyCol).cast("long"), col("xs"), col("tail"),
+        coalesce(col("seen"), lit(0L)).as("seen"))
+      .as[(Long, Array[Double], Array[Double], Long)]
+      .map { case (key, xs0, tail0, seen) =>
+        val tail = if (tail0 == null) Array.empty[Double] else tail0
+        val xs = if (xs0 == null) Array.empty[Double] else xs0
+        // offsets are Int (the batch family's array-index domain): a key
+        // past 2^31 points would WRAP its series offsets — refuse loudly,
+        // the repo's convention, instead of colliding (key, off) pairs
+        require(seen + xs.length <= Int.MaxValue.toLong,
+          s"series $key exceeds 2^31 points - offsets would overflow")
+        (key, tail ++ xs, seen)
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try query.awaitTermination()
-    finally query.stop()
+      .toDF(keyCol, "xs", "seen")
+      .localCheckpoint(true)
+    try {
+      // score: every window of tail++batch is NEW (the tail alone is
+      // m-1 points — no complete window), at series offset
+      // seen - |tail| + local. |tail| = min(seen, m-1).
+      joined.as[(Long, Array[Double], Long)]
+        .flatMap { case (key, xs, seen) =>
+          val base = (seen - math.min(seen, (bc.value.length - 1).toLong)).toInt
+          scoreWindows(xs, base, Int.MaxValue, bc.value)
+            .map { case (off, d) => (key, off, d) }
+        }
+        .toDF(keyCol, "off", "dist")
+        .write.mode(SaveMode.Append).parquet(outDir)
+      // state for the NEXT batch: last m-1 points, total seen
+      joined.as[(Long, Array[Double], Long)]
+        .map { case (key, xs, seen) =>
+          val tailLen = math.min(seen, (m - 1).toLong).toInt
+          (key, xs.takeRight(m - 1), seen + (xs.length - tailLen))
+        }
+        .toDF(keyCol, "tail", "seen")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/state-v$batchId")
+      // prune EVERY superseded version below v{batchId-1} (a redelivery
+      // of THIS batch re-reads v{batchId-1}; nothing re-delivers
+      // earlier). Listing instead of deleting just v{batchId-2} makes
+      // the prune self-healing: a crash between the state write and the
+      // prune would otherwise orphan one version per crash forever.
+      val dir = new org.apache.hadoop.fs.Path(stateDir)
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("state-v") &&
+            name.stripPrefix("state-v").toLong < batchId - 1)
+          fs.delete(st.getPath, true)
+      }
+    } finally joined.unpersist()
   }
 
   private[operators] def znorm(xs: Array[Double]): Array[Double] = {

@@ -128,6 +128,44 @@ class SeriesSearchSpec extends SparkSpec {
       s"superseded state versions must be pruned: ${versions.toSeq}")
   }
 
+  test("scanStream redelivery: a re-run batch re-reads v{batchId-1} state and re-appends byte-identical rows") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sredeliver").toString
+    val w1 = (0 until 9).map(t => (1L, t, (t * 37 % 11).toDouble)).toDF("key", "t", "v")
+    val w2 = (9 until 16).map(t => (1L, t, (t * 53 % 13).toDouble)).toDF("key", "t", "v")
+    def out() = spark.read.parquet(s"$base/out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    SeriesSearch.scanBatch(w1, 0L, "key", Seq("t"), "v", pattern,
+      s"$base/out", s"$base/state")
+    SeriesSearch.scanBatch(w2, 1L, "key", Seq("t"), "v", pattern,
+      s"$base/out", s"$base/state")
+    val once = out().sorted
+    // at-least-once: batch 1 crashes after its work but before the
+    // checkpoint commit, and is re-delivered — the versioned state makes
+    // the re-run read the SAME v0 input state, so the appended rows are
+    // byte-identical duplicates (dedupe on read), never offset-shifted
+    // rows scored against the post-update v1 state
+    SeriesSearch.scanBatch(w2, 1L, "key", Seq("t"), "v", pattern,
+      s"$base/out", s"$base/state")
+    val twice = out().sorted
+    assert(twice.distinct.sorted == once,
+      "redelivery must re-append byte-identical rows only")
+    assert(twice.size == once.size + (once.size - (9 - pattern.length + 1)),
+      "the redelivered batch's rows must appear exactly twice")
+    // and the stream continues correctly after the redelivery
+    val w3 = (16 until 20).map(t => (1L, t, t.toDouble)).toDF("key", "t", "v")
+    SeriesSearch.scanBatch(w3, 2L, "key", Seq("t"), "v", pattern,
+      s"$base/out", s"$base/state")
+    val all = (0 until 20).map(t =>
+      (1L, t, if (t < 9) (t * 37 % 11).toDouble
+        else if (t < 16) (t * 53 % 13).toDouble else t.toDouble))
+      .toDF("key", "t", "v")
+    val batch = SeriesSearch.slidingZDist(
+      SeriesSearch.seriesOf(all, "key", Seq("t"), "v"), "key", pattern)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(out().distinct.sorted == batch.sorted)
+  }
+
   test("topK is deterministic with (key, off) tie-break and k-bounded") {
     val top = rows(SeriesSearch.topK(series, "key", pattern, 4))
     assert(top.size == 4)
