@@ -159,6 +159,10 @@ private[graft] object EntryStream {
       col("event_id") > 2 * n / 3).zipWithIndex.foreach { case (p, i) =>
       ev.filter(p).coalesce(1).write.parquet(s"$base/in/w$i")
     }
+    // FileStreamSource orders files by mtime, not name: pin strictly
+    // increasing wave timestamps so same-tick writes can't arrive swapped
+    graft.operators.SeriesSearch.pinArrivalOrder(
+      s, (0 to 2).map(i => s"$base/in/w$i"))
     // the query pattern: user 0's first 8 values, as in q_series_topk
     val q = graft.operators.SeriesSearch.seriesOf(
         ev, "user_id", Seq("ts", "event_id"), "value")

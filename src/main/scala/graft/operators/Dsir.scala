@@ -257,8 +257,9 @@ object Dsir {
     require(meta.length == 1, s"corrupt DSIR meta at $path: ${meta.length} rows")
     val m = meta(0)
     val dims = m.getInt(0)
-    // models written before the sparse layout stored every row and no
-    // baseline — absent field ⇒ 0.0, exactly their untouched value
+    // models written before the sparse layout stored every NON-ZERO row
+    // and no baseline — absent row ⇒ 0.0, exactly the value that cut
+    // dropped, so zero-filling reconstructs the old format bit-exactly
     val base =
       if (m.schema.fieldNames.contains("base")) m.getDouble(3) else 0.0
     val lr = Array.fill(dims)(base)

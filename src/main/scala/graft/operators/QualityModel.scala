@@ -267,7 +267,12 @@ object QualityModel {
     val ta = after.values.sum.toDouble
     require(tb > 0, s"zero-count drift baseline at $path")
     require(ta > 0, "empty corpus in scorePsi")
-    val smooth = 0.5 * (PsiBins + 2)
+    // NOT Ingest.psi's 0.5·(bins+2): that +2 pays for its under/overflow
+    // bins, which this histogram lacks (scores live in [0,1] by
+    // construction, the top edge clamped into the last bin) — with
+    // exactly PsiBins bins, 0.5·PsiBins makes the smoothed shares sum
+    // to 1 exactly
+    val smooth = 0.5 * PsiBins
     (0L until PsiBins.toLong).map { b =>
       val p = (before.getOrElse(b, 0L) + 0.5) / (tb + smooth)
       val q = (after.getOrElse(b, 0L) + 0.5) / (ta + smooth)

@@ -181,6 +181,28 @@ object SeriesSearch {
         "map string/other keys through a dense id first (Indexing.globalIds)")
   }
 
+  /** Pin a strictly increasing modification-time order across wave
+    * directories feeding [[scanStream]]. FileStreamSource orders newly
+    * discovered files by mtime: two waves written inside one mtime
+    * granularity tick can be picked up OUT of write order, violating the
+    * per-key order contract below and silently mis-offsetting every
+    * window the swapped waves complete. Call after the waves are fully
+    * written, in intended arrival order; each wave's files get the same
+    * timestamp, one minute apart per wave (well past any FS granularity,
+    * and within FileStreamSource's 7-day `maxFileAge` of each other,
+    * which is measured relative to the newest file).
+    */
+  def pinArrivalOrder(spark: org.apache.spark.sql.SparkSession,
+      waveDirs: Seq[String]): Unit = {
+    val t0 = System.currentTimeMillis()
+    waveDirs.zipWithIndex.foreach { case (dir, i) =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile).foreach(st =>
+        fs.setTimes(st.getPath, t0 + i * 60000L, -1))
+    }
+  }
+
   /** Continuous subsequence matching — the streaming twin (the EDBT'19
     * streaming-subsequence query shape): drive a STREAM of (key, order,
     * value) points through per-batch scoring, appending each batch's

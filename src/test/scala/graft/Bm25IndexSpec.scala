@@ -57,6 +57,22 @@ class Bm25IndexSpec extends SparkSpec {
       "df, N and avgdl must all reflect the appended half")
   }
 
+  test("within-batch duplicate keys collapse to one copy: stats uncorrupted") {
+    // the GuardedAppend anti-join only sees the LIVE table, so before the
+    // within-batch guard a doc_id repeated in ONE batch wrote doubled tf
+    // and two doclens rows — inflating N/avgdl and double-counting the
+    // doc's score via the length join. Appending the back half with every
+    // row sent twice must equal appending it once.
+    val idx = Bm25Index.build(docs.filter(col("doc_id") < 30), "doc_id",
+      "text", tmp("bm25w"), "bm25_tw", buckets = 4)
+    val back = docs.filter(col("doc_id") >= 30)
+    assert(idx.append(back.unionAll(back), "doc_id", "text") == 30,
+      "30 unique docs appended, the 30 within-batch repeats collapsed")
+    assert(rows(idx.search(terms, 15)) == batchTopK(docs, 15),
+      "df, N and avgdl must reflect each appended doc exactly once")
+    assert(idx.indexedDocs() == 60)
+  }
+
   test("redelivered append is a no-op: 0 rows, searches unchanged") {
     val idx = Bm25Index.build(docs, "doc_id", "text", tmp("bm25c"),
       "bm25_t3", buckets = 4)

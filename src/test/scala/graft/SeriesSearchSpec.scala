@@ -104,6 +104,9 @@ class SeriesSearchSpec extends SparkSpec {
     pts.filter(col("t") >= 17 ||
         (col("t") >= 9 && col("t") < 17 && col("key") === 2))
       .coalesce(1).write.parquet(s"$base/in/w3")
+    // mtime order IS arrival order for FileStreamSource — pin it so three
+    // writes inside one mtime tick can't be picked up swapped
+    SeriesSearch.pinArrivalOrder(spark, (1 to 3).map(i => s"$base/in/w$i"))
     SeriesSearch.scanStream(
       spark.readStream.schema("key LONG, t INT, v DOUBLE")
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in/w*"),
