@@ -120,6 +120,37 @@ private[graft] object EntryStream {
     idx.search(Seq("table", "scan", "join"), 15)
   }
 
+  /** Continuously maintained aggregate: build on half the corpus, fold
+    * the rest in as a three-wave document stream — each micro-batch is
+    * one ledgered monoid merge, so arrival form cannot change exact
+    * counts/sums/mins/maxes and the `q_incr_agg` oracle applies
+    * verbatim (the stream_bm25 equivalence argument, applied to
+    * aggregation state instead of retrieval statistics).
+    */
+  def streamIncrAgg(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val base = java.nio.file.Files.createTempDirectory("graft_smagg").toString
+    val n = docs.agg(max("doc_id")).head.getLong(0)
+    val m = graft.operators.MaterializedAgg.build(
+      docs.filter(col("doc_id") * 2 <= n), Seq("lang", "source"),
+      Seq("n_chars"), s"$base/agg")
+    val rest = docs.filter(col("doc_id") * 2 > n)
+    Seq(
+      col("doc_id") * 3 <= 2 * n,
+      col("doc_id") * 3 > 2 * n && col("doc_id") * 6 <= 5 * n,
+      col("doc_id") * 6 > 5 * n).foreach { p =>
+      rest.filter(p).coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    m.updateStream(
+      s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in"), s"$base/ck")
+    m.read().select(col("lang"), col("source"), col("n"),
+        col("s_n_chars").as("s"), col("mn_n_chars").as("mn"),
+        col("mx_n_chars").as("mx"))
+      .orderBy("lang", "source")
+  }
+
   /** Continuous distinct-count sketching: the event stream's per-type
     * user sketches appended per micro-batch as slice rows, rolled up to
     * estimates after the drain — lossless merge makes the result

@@ -141,6 +141,12 @@ private[graft] object Oracles {
       |SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp
       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  private val duckIncrAgg =
+    """SELECT lang, source, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS s,
+      |  MIN(n_chars) AS mn, MAX(n_chars) AS mx
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private def duckScore(lang: String): String =
     s"len(list_filter(toks, t -> list_contains(${duckMarkers(lang)}, t)))"
 
@@ -1113,6 +1119,11 @@ private[graft] object Oracles {
         |SELECT v, CAST(MIN(d) AS INT) AS d, COUNT(*) AS paths
         |FROM reach GROUP BY v ORDER BY v""".stripMargin,
     "q_series_topk" -> duckSeriesTopk,
+    // exactly-once incremental folding == one-shot GROUP BY (integral
+    // monoids are exact at any batch split); the stream form shares the
+    // oracle because arrival form cannot change exact aggregates
+    "q_incr_agg" -> duckIncrAgg,
+    "stream_incr_agg" -> duckIncrAgg,
     "text_normalize" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(nfc_normalize(text)),

@@ -1129,6 +1129,29 @@ object SparkEntry {
     operators.SeriesSearch.topK(series, "user_id", q, 15)
   }
 
+  /** Incrementally maintained aggregate: build on the first slice of the
+    * corpus, fold two more batches in through the ledgered monoid merge
+    * (one of them REDELIVERED — the ledger must absorb it), read the
+    * served state. Counts/sums/mins/maxes over integral columns fold
+    * exactly, so the oracle is the one-shot GROUP BY over everything —
+    * the equality that certifies a 100 TB dashboard aggregate can refresh
+    * per batch without ever re-scanning the corpus.
+    */
+  private def qIncrAgg(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft_magg").toString
+    val m = operators.MaterializedAgg.build(
+      docs.filter(col("doc_id") < 150), Seq("lang", "source"),
+      Seq("n_chars"), base)
+    m.update(docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), 0L)
+    m.update(docs.filter(col("doc_id") >= 300), 1L)
+    m.update(docs.filter(col("doc_id") >= 300), 1L) // redelivery: no-op
+    m.read().select(col("lang"), col("source"), col("n"),
+        col("s_n_chars").as("s"), col("mn_n_chars").as("mn"),
+        col("mx_n_chars").as("mx"))
+      .orderBy("lang", "source")
+  }
+
   /** Sketches AT REST: per-(returnflag, linestatus) HLL slice sketches
     * of the part key, rolled up to per-returnflag estimates by LOSSLESS
     * merge — the raw table is scanned once to build the slices and
@@ -1576,6 +1599,8 @@ object SparkEntry {
     "stream_tumbling" -> (EntryStream.streamTumbling _),
     "q_hll" -> (qHll _),
     "q_hll_merge" -> (qHllMerge _),
+    "q_incr_agg" -> (qIncrAgg _),
+    "stream_incr_agg" -> (EntryStream.streamIncrAgg _),
     "q_series_topk" -> (qSeriesTopk _))
 
 
