@@ -286,6 +286,40 @@ private[graft] object EntryStream {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join run to completion: clicks
+    * with their following purchases, or NULL once the watermark proves no
+    * match can arrive. Per the operator's bounded-drain contract, two
+    * sentinel waves (one NULL-user click + purchase each, ts 1–2 days
+    * past the corpus) advance BOTH branch watermarks — the type filters
+    * are pushed below the watermark operator, so only rows a branch keeps
+    * can move its watermark — flushing every pending null wing; the
+    * second wave guarantees a batch after the watermark moved. Null keys
+    * never equi-join, so the sentinels fabricate no pairs; the wave-1
+    * click sentinel's own null-wing row is dropped by its negative id.
+    * Oracle = the batch LEFT JOIN under the same interval condition.
+    */
+  def streamLeftJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val base = java.nio.file.Files.createTempDirectory("graft_sljoin").toString
+    ev.write.parquet(s"$base/in")
+    val hi = ev.agg(max("ts")).head.getTimestamp(0)
+    import s.implicits._
+    Seq(1L, 2L).foreach { i =>
+      val ts = new java.sql.Timestamp(hi.getTime + 86400000L * i)
+      Seq((-2 * i, ts, Option.empty[Long], "click"),
+        (-2 * i - 1, ts, Option.empty[Long], "purchase"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    val joined = EventStreams.purchaseAttribution(
+      s.readStream.schema(ev.schema).parquet(s"$base/in"))
+    EventStreams.runToMemory(s, joined,
+        s"stream_left_join_${System.nanoTime()}", "append")
+      .filter(col("click_id") >= 0) // drop the sentinel's own null wing
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Streaming dedup: drop duplicate (user_id, event_type) pairs, then a
     * complete-mode count per type — whichever physical row survives the
     * dedup, the count equals the batch COUNT(DISTINCT user_id).

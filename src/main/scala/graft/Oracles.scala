@@ -1532,6 +1532,14 @@ private[graft] object Oracles {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
         |ORDER BY purchase_id, click_id""".stripMargin,
+    "stream_left_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c LEFT JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click'
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_sliding" ->
       """SELECT CAST(FLOOR(epoch(ts) / 300) * 300 - i.i * 300 AS BIGINT) AS ws,
         |  COUNT(*) AS c

@@ -1559,6 +1559,7 @@ object SparkEntry {
     "stream_session" -> (EntryStream.streamSession _),
     "stream_state" -> (EntryStream.streamState _),
     "stream_join" -> (EntryStream.streamJoin _),
+    "stream_left_join" -> (EntryStream.streamLeftJoin _),
     "dedup_exact" -> (EntryDedup.dedupExact _),
     "dedup_minhash" -> (EntryDedup.dedupMinhash _),
     "dedup_incremental" -> (EntryDedup.dedupIncremental _),

@@ -110,6 +110,44 @@ object EventStreams {
       .select(col("purchase_id"), col("click_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the attribution query:
+    * every click emits, paired with the same user's purchases in the
+    * following `within` interval, or with a NULL purchase once the
+    * watermark proves no match can still arrive. The null wing is the
+    * semantics [[purchaseAfterClick]]'s inner join cannot express, and
+    * it exercises a distinct engine path: unmatched left state is
+    * EVICTED-and-emitted by watermark passage, not matched-and-emitted
+    * by arriving rows.
+    *
+    * Bounded-drain caveat that shapes the fixture contract: null-wing
+    * rows only emit when the GLOBAL watermark (the min across both
+    * branches) passes `click ts + within`, and each branch's watermark
+    * advances only from rows that branch actually scans — the type
+    * filters are pushed below the watermark operator into the source, so
+    * a sentinel of a type neither branch keeps moves NOTHING. A caller
+    * draining a bounded fixture must append one far-future sentinel PER
+    * TYPE with a NULL user_id: null keys can never equi-join (no fake
+    * pairs), the purchase sentinel's watermark lets every real click
+    * evict, and the click sentinel itself surfaces as one null-wing row
+    * the caller drops by its negative id.
+    */
+  def purchaseAttribution(events: DataFrame, within: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    val clicks = wm.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val purchases = wm.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $within"),
+      "left_outer")
+      .select(col("click_id"), col("purchase_id"))
+  }
+
   /** Streaming dedup on the given key columns within the watermark
     * horizon — late duplicates beyond it are dropped with their state.
     */

@@ -71,6 +71,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("stream-stream LEFT OUTER join: null wings flush and equal the batch left join") {
+    val got = EntryStream.streamLeftJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    val clicks = batch.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val want = clicks.join(
+        batch.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_id"), col("ts").as("p_ts")),
+        col("c_user") === col("p_user") && col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 minutes"),
+        "left_outer")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq.sorted
+    assert(got.sorted == want,
+      "every click must emit exactly once - matched rows immediately, " +
+        "null wings on watermark passage (the sentinel contract)")
+    assert(got.exists(_._2 == -1L), "the fixture must exercise the null wing")
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     val stream = EventStreams.readEvents(spark, sfDir)
     val totals = EventStreams.runToMemory(spark,
