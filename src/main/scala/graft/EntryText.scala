@@ -393,4 +393,23 @@ private[graft] object EntryText {
       .map { case ((a, b, c), i) => (i, a, b, c) }
       .toDF("rank", "left", "right", "c")
   }
+
+  /** Unigram-LM (SentencePiece) tokenizer training: the 30 most probable
+    * learned pieces. Like text_bpe, the training loop (lattice EM +
+    * likelihood pruning) has no SQL form — rows-only in the driver gate;
+    * UnigramSpec certifies the fit against an exhaustive-enumeration
+    * reference and bit-determinism across partitionings.
+    */
+  def textUnigram(s: SparkSession, d: String): DataFrame = {
+    val m = graft.operators.Unigram.train(
+      graft.operators.Bpe.wordCounts(t(s, d, "documents"), "text"),
+      vocabSize = 60, seedSize = 400, maxPieceLen = 6)
+    import s.implicits._
+    m.pieces.take(30).zipWithIndex
+      .map { case ((p, l), i) =>
+        (i, p, BigDecimal(l).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("rank", "piece", "logp")
+  }
 }

@@ -1536,6 +1536,7 @@ object SparkEntry {
     "q96_folds" -> (q96 _),
     "text_normalize" -> (EntryText.textNormalize _),
     "text_bpe" -> (EntryText.textBpe _),
+    "text_unigram" -> (EntryText.textUnigram _),
     "q97_exists" -> (q97 _),
     "stream_timer" -> (EntryStream.streamTimer _),
     "q98_setops_all" -> (q98 _),

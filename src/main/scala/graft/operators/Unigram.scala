@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
+  * SentencePiece unigram model), the EM counterpart of [[Bpe]]: where BPE
+  * grows a vocabulary bottom-up by merge rules, the unigram model starts
+  * from a large seed of candidate pieces and PRUNES toward the target
+  * size, keeping the pieces an EM-fit unigram language model finds most
+  * load-bearing. Together they are the two production tokenizer trainers.
+  *
+  * Distributed the way [[Bpe]] is: the corpus collapses ONCE into a
+  * (word, count) table, and every EM iteration is one NARROW
+  * forward-backward pass over that table (each word's lattice is local
+  * to its row; the piece table rides along as a broadcast model) plus one
+  * map-side-combined hash aggregate of expected counts — shuffle ∝
+  * vocabulary × partitions, never corpus-sized. Vocabulary state is
+  * model-sized driver state (the centroid/codebook pattern); pruning and
+  * re-normalization run there.
+  *
+  * Determinism: per-word lattice sums run in fixed position order;
+  * corpus-level expected counts are rounded to 9 dp after the aggregate
+  * (so float-association ulps under any partitioning vanish — the
+  * [[Sampling.weightedSample]] rounded-priorities rule); all ranking
+  * tie-breaks are (score, piece) lexicographic. The fit is a pure
+  * function of the corpus: spec-pinned bit-exact across partitionings,
+  * and against an EXHAUSTIVE-enumeration reference (every segmentation
+  * of every word enumerated — a genuinely different algorithm) with the
+  * piece set identical and probabilities to 1e-9 (the lattice computes
+  * in log space, the enumeration in linear space, so the last ulps
+  * legitimately differ).
+  */
+object Unigram {
+
+  /** A trained model: pieces with natural-log probabilities. */
+  final case class Model(pieces: Seq[(String, Double)]) {
+    require(pieces.nonEmpty, "empty unigram model")
+    val maxLen: Int = pieces.iterator.map(_._1.length).max
+    def logp: Map[String, Double] = pieces.toMap
+  }
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Seed vocabulary: every substring of every word up to `maxPieceLen`,
+    * scored by corpus frequency × length (Kudo's seed heuristic — long
+    * frequent substrings are the valuable candidates), top `seedSize`
+    * kept plus ALL single characters (they guarantee every word stays
+    * segmentable through any amount of pruning).
+    */
+  private[operators] def seed(wordCounts: DataFrame, seedSize: Int,
+      maxPieceLen: Int): Seq[(String, Long)] = {
+    val spark = wordCounts.sparkSession
+    import spark.implicits._
+    val subs = wordCounts.as[(String, Long)].flatMap { case (w, c) =>
+      for {
+        i <- 0 until w.length
+        j <- (i + 1) to math.min(w.length, i + maxPieceLen)
+      } yield (w.substring(i, j), c)
+    }.toDF("piece", "c").groupBy("piece").agg(sum("c").as("c"))
+      .as[(String, Long)].collect()
+    val chars = subs.filter(_._1.length == 1)
+    val multi = subs.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c * p.length, p) }
+      .take(math.max(0, seedSize - chars.length))
+    (chars.sortBy(_._1) ++ multi).toSeq
+  }
+
+  /** One E-step: expected piece counts over all segmentations of every
+    * word (forward-backward over each word's lattice, weighted by word
+    * frequency), aggregated corpus-wide. Narrow over the word table; the
+    * model broadcasts.
+    */
+  private[operators] def expectedCounts(words: Dataset[(String, Long)],
+      model: Map[String, Double], maxLen: Int): Seq[(String, Double)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    words.mapPartitions { it =>
+      val lp = bc.value
+      it.flatMap { case (w, cnt) =>
+        val n = w.length
+        val alpha = forward(w, lp, maxLen)
+        val z = alpha(n)
+        if (z == Double.NegativeInfinity) Iterator.empty
+        else {
+          val beta = backward(w, lp, maxLen)
+          for {
+            i <- (0 until n).iterator
+            j <- (i + 1) to math.min(n, i + maxLen)
+            p = w.substring(i, j)
+            l <- lp.get(p).iterator
+          } yield (p, math.exp(alpha(i) + l + beta(j) - z) * cnt)
+        }
+      }
+    }.toDF("piece", "c").groupBy("piece").agg(sum("c").as("c"))
+      .as[(String, Double)].collect()
+      .map { case (p, c) => (p, round9(c)) }
+      .sortBy(_._1).toSeq
+  }
+
+  private def forward(w: String, lp: Map[String, Double],
+      maxLen: Int): Array[Double] = {
+    val n = w.length
+    val a = Array.fill(n + 1)(Double.NegativeInfinity)
+    a(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        lp.get(w.substring(j, i)).foreach(l => a(i) = logAdd(a(i), a(j) + l))
+        j += 1
+      }
+      i += 1
+    }
+    a
+  }
+
+  private def backward(w: String, lp: Map[String, Double],
+      maxLen: Int): Array[Double] = {
+    val n = w.length
+    val b = Array.fill(n + 1)(Double.NegativeInfinity)
+    b(n) = 0.0
+    var i = n - 1
+    while (i >= 0) {
+      var j = i + 1
+      val hi = math.min(n, i + maxLen)
+      while (j <= hi) {
+        lp.get(w.substring(i, j)).foreach(l => b(i) = logAdd(b(i), l + b(j)))
+        j += 1
+      }
+      i -= 1
+    }
+    b
+  }
+
+  private def logAdd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else { val m = math.max(a, b); m + math.log1p(math.exp(math.min(a, b) - m)) }
+
+  /** M-step over driver-side counts (piece-sorted, so the normalization
+    * folds in one canonical order): p = c / Σc in log space.
+    */
+  private def normalize(counts: Seq[(String, Double)]): Map[String, Double] = {
+    val total = counts.iterator.map(_._2).sum
+    require(total > 0, "EM collapsed: zero total expected count")
+    val logTotal = math.log(total)
+    counts.iterator.map { case (p, c) =>
+      (p, if (c <= 0) -1e9 else math.log(c) - logTotal)
+    }.toMap
+  }
+
+  /** Viterbi log-prob of the best segmentation of `s`, excluding piece
+    * `skip` (the pruning loss needs "how well do the OTHER pieces cover
+    * this string").
+    */
+  private def viterbi(s: String, lp: Map[String, Double], maxLen: Int,
+      skip: String): Double = {
+    val n = s.length
+    val a = Array.fill(n + 1)(Double.NegativeInfinity)
+    a(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        val p = s.substring(j, i)
+        if (p != skip) lp.get(p).foreach { l =>
+          val c = a(j) + l
+          if (c > a(i)) a(i) = c
+        }
+        j += 1
+      }
+      i += 1
+    }
+    a(n)
+  }
+
+  /** Train a unigram model: seed → (EM ×`emIters` → prune to
+    * `shrink` × current) until ≤ `vocabSize` → final EM. Pruning drops
+    * the pieces whose removal costs the corpus likelihood LEAST
+    * (expected count × (own logp − best alternative segmentation of the
+    * piece's own string), rounded to 9 dp, ties piece-lexicographic);
+    * single characters are never dropped, so every word stays
+    * segmentable.
+    */
+  def train(wordCounts: DataFrame, vocabSize: Int, seedSize: Int = 2000,
+      maxPieceLen: Int = 8, emIters: Int = 2,
+      shrink: Double = 0.75): Model = {
+    require(vocabSize > 0 && seedSize >= vocabSize,
+      s"need seedSize >= vocabSize > 0: $seedSize, $vocabSize")
+    val spark = wordCounts.sparkSession
+    import spark.implicits._
+    val words = wordCounts.as[(String, Long)]
+    val s0 = seed(wordCounts, seedSize, maxPieceLen)
+    val total0 = s0.iterator.map(_._2.toDouble).sum
+    var model: Map[String, Double] =
+      s0.iterator.map { case (p, c) =>
+        (p, math.log(c.toDouble) - math.log(total0))
+      }.toMap
+    var vocab = model.size
+    var rounds = 0
+    while (vocab > vocabSize) {
+      var it = 0
+      while (it < emIters) {
+        model = normalize(expectedCounts(words, model, maxPieceLen))
+        it += 1
+      }
+      // prune on driver: loss of removing x = c_x * (lp_x - alt_x)
+      val counts = expectedCounts(words, model, maxPieceLen).toMap
+      val (chars, multi) = model.keys.toSeq.partition(_.length == 1)
+      val keep = math.max(vocabSize - chars.length,
+        math.min(multi.length - 1, (multi.length * shrink).toInt))
+      val kept = multi
+        .map { p =>
+          val c = counts.getOrElse(p, 0.0)
+          val loss = round9(c * (model(p) - viterbi(p, model, maxPieceLen, p)))
+          (p, loss)
+        }
+        .sortBy { case (p, loss) => (-loss, p) }
+        .take(keep).map(_._1)
+      model = (chars ++ kept).map(p => (p, model(p))).toMap
+      vocab = model.size
+      // the single-char floor is unprunable: a target below it stops at
+      // the floor (characters alone), loudly rather than looping
+      if (kept.isEmpty && vocab > vocabSize) {
+        DedupIndex.log.warn(s"unigram vocabSize=$vocabSize is below the " +
+          s"corpus's ${chars.length} distinct characters - stopping at the " +
+          "character floor")
+        vocab = vocabSize
+      }
+      rounds += 1
+      require(rounds <= 100, "unigram pruning failed to converge")
+    }
+    var it = 0
+    while (it < emIters) {
+      model = normalize(expectedCounts(words, model, maxPieceLen))
+      it += 1
+    }
+    Model(model.toSeq.sortBy { case (p, l) => (-l, p) })
+  }
+
+  /** Viterbi-encode a corpus with a trained model: per-word best
+    * segmentation (strictly-greater DP in ascending split order —
+    * deterministic), narrow, model broadcast. Returns (id, pieces).
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      m: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((m.logp, m.maxLen))
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (lp, maxLen) = bc.value
+        it.map { case (id, text) =>
+          val toks = Option(text).getOrElse("").split("\\s+")
+            .filter(_.nonEmpty)
+          (id, toks.toSeq.flatMap(w => encodeWord(w, lp, maxLen)))
+        }
+      }.toDF(idCol, "pieces")
+  }
+
+  private[graft] def encodeWord(w: String, lp: Map[String, Double],
+      maxLen: Int): Seq[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        lp.get(w.substring(j, i)).foreach { l =>
+          val c = best(j) + l
+          if (c > best(i)) { best(i) = c; back(i) = j }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (best(n) == Double.NegativeInfinity) Seq(w) // unsegmentable: raw
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var k = n
+      while (k > 0) { out += w.substring(back(k), k); k = back(k) }
+      out.reverseIterator.toSeq
+    }
+  }
+}

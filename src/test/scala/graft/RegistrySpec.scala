@@ -22,7 +22,7 @@ class RegistrySpec extends AnyFunSuite {
     // appearing here means someone forgot to write an oracle
     val declared = Set("ann_lsh", "ann_pq", "ann_pq_index", "ann_ivfpq",
       "q_hll", "q_hll_merge", "stream_hll", "q_approx_quantile",
-      "text_bpe", "text_winnow",
+      "text_bpe", "text_unigram", "text_winnow",
       // recall-scoped by the published method (cluster-boundary pairs are
       // out of scope); SemanticDedupSpec pins clustered == exact on a
       // separable fixture, dedup_semantic is the oracle-exact k=1 form
@@ -46,7 +46,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the shipped inventory") {
-    assert(SparkEntry.queries.size == 174,
+    assert(SparkEntry.queries.size == 175,
       s"query count drifted: ${SparkEntry.queries.size} (update this pin " +
         "AND SURVEY §2.4 when adding operators)")
   }
