@@ -1122,6 +1122,12 @@ private[graft] object Oracles {
     // exactly-once incremental folding == one-shot GROUP BY (integral
     // monoids are exact at any batch split); the stream form shares the
     // oracle because arrival form cannot change exact aggregates
+    "q102_sql_udf" ->
+      """SELECT flag, l_linestatus, rev FROM (
+        |  SELECT l_returnflag AS flag, l_linestatus,
+        |    ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS rev
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2
+        |) ORDER BY flag, l_linestatus""".stripMargin,
     "q_incr_agg" -> duckIncrAgg,
     "stream_incr_agg" -> duckIncrAgg,
     "text_normalize" ->

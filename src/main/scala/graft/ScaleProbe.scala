@@ -371,6 +371,28 @@ object ScaleProbe {
         val idx = graft.operators.IvfPq.open(spark, "scale_ivfpq", ivfpqPath)
         idx.search(farQuery(3 * n), k = 10, nprobe = 1)
           .filter(col("neighbor_id") >= 3 * n).count()
+      },
+      time("materialized_agg_fold") {
+        // the monoid-at-rest leg: 505k rows into a 1000-group aggregate,
+        // built on the first half and folded forward in two ledgered
+        // batches plus one REDELIVERY (which must not move a number);
+        // the served state must equal the one-shot groupBy exactly —
+        // count-not-time, per ScaleGuard doctrine
+        val maggPath = java.nio.file.Files.createTempDirectory("scale_magg").toString
+        val rows = corpus.select(col("doc_id"),
+          (col("doc_id") % 1000L).as("g"), length(col("text")).as("len"))
+        val m = graft.operators.MaterializedAgg.build(
+          rows.filter(col("doc_id") < n / 2), Seq("g"), Seq("len"), maggPath)
+        m.update(rows.filter(col("doc_id") >= n / 2 && col("doc_id") < n), 0L)
+        m.update(rows.filter(col("doc_id") >= n), 1L)
+        m.update(rows.filter(col("doc_id") >= n), 1L) // redelivery: no-op
+        val direct = rows.groupBy("g").agg(
+          count(lit(1)).as("n"), count(col("len")).as("c_len"),
+          sum("len").as("s_len"), min("len").as("mn_len"),
+          max("len").as("mx_len"))
+        val mismatches = m.read().drop("avg_len")
+          .unionByName(direct).distinct().count() - 1000L
+        mismatches * 1000000L + m.read().count()
       })
     graft.operators.Dedup.releaseCaches()
     val dedupCount = stages.find(_._1 == "exact_dedup").get._3
@@ -453,6 +475,11 @@ object ScaleProbe {
     val compStat = stages.find(_._1 == "components_index_update").get._3
     assert(compStat == 5000L * 1000000 + 10000,
       s"components index stat $compStat != 5000 comps over 10000 docs")
+    // incremental fold == one-shot groupBy at 505k: zero mismatched
+    // group rows (union ∪ distinct collapses identical states to 1000)
+    val maggStat = stages.find(_._1 == "materialized_agg_fold").get._3
+    assert(maggStat == 1000L,
+      s"materialized agg stat $maggStat != 0 mismatches over 1000 groups")
     val probeS = stages.find(_._1 == "index_probe_batch").get._2
     val fullS = stages.find(_._1 == "minhash_pairs").get._2
     // ADVISORY, not a gate: the two timings come from the same run, and

@@ -1426,6 +1426,30 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** SQL-defined functions (Spark 4 `CREATE FUNCTION ... RETURN`): a
+    * scalar UDF and a TABLE function declared in SQL, resolved and
+    * INLINED by Catalyst (no opaque closure — pushdown and codegen see
+    * through them, unlike a Scala udf()). The oracle states the inlined
+    * expressions directly, so the hash only matches if the function
+    * bodies round-trip through the SQL front door unchanged.
+    */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_rev(p DOUBLE, disc DOUBLE)
+        |RETURNS DOUBLE RETURN p * (1.0 - disc)""".stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_flag_rev(flag STRING)
+        |RETURNS TABLE (l_linestatus STRING, rev DOUBLE) RETURN
+        |  SELECT l_linestatus,
+        |    ROUND(SUM(graft_rev(l_extendedprice, l_discount)), 2)
+        |  FROM lineitem WHERE l_returnflag = flag GROUP BY 1""".stripMargin)
+    s.sql(
+      """SELECT 'A' AS flag, * FROM graft_flag_rev('A')
+        |UNION ALL SELECT 'R', * FROM graft_flag_rev('R')
+        |ORDER BY flag, l_linestatus""".stripMargin)
+  }
+
   // ------------------------------------------------------------ registry --
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1543,6 +1567,7 @@ object SparkEntry {
     "q99_recursive" -> (q99 _),
     "q100_nullsafe" -> (q100 _),
     "q101_variant" -> (q101 _),
+    "q102_sql_udf" -> (q102 _),
     "text_pmi" -> (EntryText.textPmi _),
     "text_diversity" -> (EntryText.textDiversity _),
     "text_decontaminate" -> (EntryText.textDecontaminate _),

@@ -59,12 +59,21 @@ object Unigram {
         j <- (i + 1) to math.min(w.length, i + maxPieceLen)
       } yield (w.substring(i, j), c)
     }.toDF("piece", "c").groupBy("piece").agg(sum("c").as("c"))
-      .as[(String, Long)].collect()
-    val chars = subs.filter(_._1.length == 1)
-    val multi = subs.filter(_._1.length > 1)
-      .sortBy { case (p, c) => (-c * p.length, p) }
-      .take(math.max(0, seedSize - chars.length))
-    (chars.sortBy(_._1) ++ multi).toSeq
+      .localCheckpoint(true)
+    try {
+      // the driver only ever sees charset + seedSize rows: the substring
+      // table itself can approach corpus scale on adversarial
+      // vocabularies (40M distinct grams in the 505k probe salad), so
+      // the top-k cut runs as TakeOrdered on the cluster, never as a
+      // collect-then-sort
+      val chars = subs.filter(length(col("piece")) === 1)
+        .as[(String, Long)].collect().sortBy(_._1)
+      val multi = subs.filter(length(col("piece")) > 1)
+        .orderBy((col("c") * length(col("piece"))).desc, col("piece"))
+        .limit(math.max(0, seedSize - chars.length))
+        .as[(String, Long)].collect()
+      (chars ++ multi).toSeq
+    } finally subs.unpersist()
   }
 
   /** One E-step: expected piece counts over all segmentations of every

@@ -48,4 +48,49 @@ object Bfs {
     persisted.foreach(_.unpersist())
     out
   }
+
+  /** [[expand]] with the crawl state AT REST — the reference's `Pool.List`
+    * given the restart property its in-memory channels cannot have: every
+    * completed level persists as a `level-{k}` parquet (committed
+    * atomically by its `_SUCCESS` marker, the index family's publication
+    * discipline), so a crawl killed at level 40 of a deep tree resumes
+    * from level 40, recomputing at most the one torn level instead of
+    * re-expanding the tree from the root. A 100 TB crawl is exactly the
+    * job that dies mid-flight; per-level idempotent commits are what make
+    * `children` re-runs safe (same purity contract [[expand]] states).
+    *
+    * Completion persists too (`_CRAWL_DONE`): re-invoking a finished
+    * crawl returns the stored result without calling `children` at all.
+    * A `maxLevels` stop leaves the state resumable — call again with a
+    * higher budget to continue. Levels are append-only; the result is
+    * the union of all committed levels.
+    */
+  def expandResumable[T: Encoder](
+      spark: SparkSession,
+      start: Seq[T],
+      children: T => Seq[T],
+      path: String,
+      maxLevels: Int = 1000): Dataset[T] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def levelDir(k: Int) = s"$path/level-$k"
+    def committed(k: Int) = fs.exists(new Path(levelDir(k), "_SUCCESS"))
+    val done = new Path(path, "_CRAWL_DONE")
+    if (!committed(0))
+      spark.createDataset(start)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(levelDir(0))
+    var level = 0
+    while (committed(level + 1)) level += 1
+    while (level < maxLevels && !fs.exists(done)) {
+      // Overwrite clears the torn level a previous crash may have left
+      spark.read.parquet(levelDir(level)).as[T].flatMap(children)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(levelDir(level + 1))
+      if (spark.read.parquet(levelDir(level + 1)).isEmpty) {
+        fs.delete(new Path(levelDir(level + 1)), true) // empty = no level
+        fs.create(done, true).close()
+      } else level += 1
+    }
+    spark.read.parquet((0 to level).map(levelDir): _*).as[T]
+  }
 }

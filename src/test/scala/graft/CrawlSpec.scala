@@ -217,6 +217,48 @@ class CrawlSpec extends SparkSpec {
       s"persisted RDDs grew $before -> $after; frontier caches leaked")
   }
 
+  test("resumable BFS: full crawl == in-memory expand; finished state never re-expands") {
+    import spark.implicits._
+    def kids(n: Int) = if (n < 13) Seq(3 * n + 1, 3 * n + 2, 3 * n + 3) else Seq.empty
+    val path = Files.createTempDirectory("bfsres").toString
+    val got = Bfs.expandResumable[Int](spark, Seq(0), kids, path).collect().toSet
+    val want = Bfs.expand[Int](spark, Seq(0), kids).collect().toSet
+    assert(got == want, "at-rest crawl must equal the in-memory expansion")
+    // a finished crawl is served from the stored levels: children must
+    // never be invoked again (a poisoned expander proves it)
+    val again = Bfs.expandResumable[Int](spark, Seq(0),
+      (_: Int) => sys.error("children called on a finished crawl"), path)
+    assert(again.collect().toSet == want)
+  }
+
+  test("resumable BFS: a budget stop resumes where it left; completed levels are not rewritten") {
+    import spark.implicits._
+    def kids(n: Int) = if (n < 13) Seq(3 * n + 1, 3 * n + 2, 3 * n + 3) else Seq.empty
+    val path = Files.createTempDirectory("bfsres2").toString
+    val partial = Bfs.expandResumable[Int](spark, Seq(0), kids, path,
+      maxLevels = 2).collect().toSet
+    assert(partial == Set(0, 1, 2, 3) ++ (1 to 3).flatMap(n =>
+      Seq(3 * n + 1, 3 * n + 2, 3 * n + 3)),
+      s"two levels exactly: $partial")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtime(k: Int) = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$path/level-$k/_SUCCESS"))
+      .getModificationTime
+    val (m0, m1) = (mtime(0), mtime(1))
+    // simulate a crash mid-level-3: an uncommitted directory with wrong
+    // content must be invisible and overwritten on resume
+    Seq(999).toDF("value").write.parquet(s"$path/level-3")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/level-3/_SUCCESS"), false)
+    val full = Bfs.expandResumable[Int](spark, Seq(0), kids, path)
+      .collect().toSet
+    val want = Bfs.expand[Int](spark, Seq(0), kids).collect().toSet
+    assert(full == want, "resume must recompute only the torn level")
+    assert(!full.contains(999), "torn uncommitted content must be discarded")
+    assert(mtime(0) == m0 && mtime(1) == m1,
+      "completed levels are append-only - resume must not rewrite them")
+  }
+
   test("gzipped files crawl transparently (web-archive ingestion shape)") {
     import spark.implicits._
     import java.util.zip.GZIPOutputStream
