@@ -1204,6 +1204,26 @@ private[graft] object Oracles {
         |FROM n a JOIN n b
         |  ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 2
         |ORDER BY 1, 2""".stripMargin,
+    "q103_entity" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT p_name AS nm, MIN(p_partkey) AS id FROM part GROUP BY 1
+        |), p AS (
+        |  SELECT a.id AS i, b.id AS j FROM n a JOIN n b
+        |  ON a.id < b.id AND levenshtein(a.nm, b.nm) <= 2
+        |), e(a, b) AS (
+        |  SELECT i, j FROM p UNION SELECT j, i FROM p
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        |), comp AS (
+        |  SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+        |), lab AS (
+        |  SELECT n.nm, COALESCE(c.comp, n.id) AS comp
+        |  FROM n LEFT JOIN comp c ON n.id = c.id
+        |), canon AS (SELECT comp, MIN(nm) AS canon FROM lab GROUP BY 1)
+        |SELECT lab.nm, canon.canon FROM lab JOIN canon USING (comp)
+        |ORDER BY nm""".stripMargin,
     "q90_qnorm" ->
       """WITH v AS (
         |  SELECT event_type, value FROM events WHERE value IS NOT NULL

@@ -1241,6 +1241,27 @@ object SparkEntry {
       .orderBy("i", "j")
   }
 
+  /** Entity resolution (composition): near-identical part names clustered
+    * into canonical entities — the fuzzy-join pair generation (q89's
+    * Ed-Join prefix filter, no cross product), the components closure
+    * (dedup_corpus's engine), and a lexicographic-min canonical pick,
+    * composed end-to-end. Certifies that the dedup stack generalizes
+    * from document identity to entity identity; every (name → canon)
+    * assignment is pinned by the oracle's recursive-CTE replay.
+    */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val names = t(s, d, "part").groupBy(col("p_name").as("nm"))
+      .agg(min("p_partkey").as("id"))
+    val pairs = operators.FuzzyJoin
+      .editDistanceJoin(names, "id", "nm", k = 2, q = 2)
+      .select("i", "j")
+    val labels = operators.Dedup.components(pairs)
+    val lab = names.join(labels, names("id") === labels("doc_id"), "left")
+      .select(col("nm"), coalesce(col("comp"), col("id")).as("comp"))
+    val canon = lab.groupBy("comp").agg(min("nm").as("canon"))
+    lab.join(canon, Seq("comp")).select("nm", "canon").orderBy("nm")
+  }
+
   /** Quantile normalization of event values across event types: each
     * row's value maps to the global order statistic at its within-type
     * rank fraction. The per-(type, mapped-value) histogram pins the
@@ -1568,6 +1589,7 @@ object SparkEntry {
     "q100_nullsafe" -> (q100 _),
     "q101_variant" -> (q101 _),
     "q102_sql_udf" -> (q102 _),
+    "q103_entity" -> (q103 _),
     "text_pmi" -> (EntryText.textPmi _),
     "text_diversity" -> (EntryText.textDiversity _),
     "text_decontaminate" -> (EntryText.textDecontaminate _),

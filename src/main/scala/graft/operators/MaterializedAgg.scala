@@ -67,7 +67,7 @@ object MaterializedAgg {
     * partials re-applies the same shapes: sum of n, sum of s, min of mn,
     * max of mx), so the fold and the combine cannot drift.
     */
-  private[operators] def partial(df: DataFrame, groupCols: Seq[String],
+  private[graft] def partial(df: DataFrame, groupCols: Seq[String],
       valCols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n") +: valCols.flatMap(c => Seq(
       count(col(c)).as(s"c_$c"), sum(col(c)).as(s"s_$c"),

@@ -37,6 +37,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length == 2, p)
   }
 
+  test("materialized-agg partial fold shuffles once, pre-reduced map-side") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i % 9, i)).toDF("g", "v")
+    val p = plan(graft.operators.MaterializedAgg.partial(rows, Seq("g"), Seq("v")))
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    // partial + final aggregate pair = map-side combine before the shuffle
+    // (the monoid's fold/combine split, exactly the reference's O3/O4)
+    assert("HashAggregate".r.findAllIn(p).length == 2, p)
+  }
+
   test("encode probes the vocabulary via broadcast, not a shuffle join") {
     val vocab = TextAnalysis.buildVocab(docs, "text", 5)
     val p = plan(TextAnalysis.encode(docs, "doc_id", "text", vocab))
