@@ -1130,6 +1130,19 @@ private[graft] object Oracles {
         |) ORDER BY flag, l_linestatus""".stripMargin,
     "q_incr_agg" -> duckIncrAgg,
     "stream_incr_agg" -> duckIncrAgg,
+    // MG summaries at full counter capacity ARE the exact count table
+    // (never overcount + nothing to decrement), so the at-rest rollup
+    // oracles as the plain GROUP BY ranking
+    "q_mg_topk" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, user_id, c, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY c DESC, user_id) AS rnk
+        |  FROM c
+        |)
+        |SELECT event_type, rnk, user_id, c FROM r WHERE rnk <= 10
+        |ORDER BY event_type, rnk""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(nfc_normalize(text)),

@@ -1129,6 +1129,29 @@ object SparkEntry {
     operators.SeriesSearch.topK(series, "user_id", q, 15)
   }
 
+  /** Heavy hitters AT REST — the top-k twin of q_hll_merge: per-(day,
+    * event_type) Misra–Gries slice summaries of the user column, rolled
+    * up to per-type summaries by the mergeable-summaries merge, top-10
+    * emitted. At full counter capacity (k=4096 ≫ distinct users) the
+    * summary IS the exact count table — the nprobe=all ⇒ exact
+    * precedent — so the oracle is the plain GROUP BY ranking;
+    * SketchesSpec pins the lossy-regime MG bounds.
+    */
+  private def qMgTopk(s: SparkSession, d: String): DataFrame = {
+    val slices = operators.Sketches.mgByGroup(
+      t(s, d, "events").select(to_date(col("ts")).as("day"),
+        col("event_type"), col("user_id")),
+      Seq("day", "event_type"), "user_id", k = 4096)
+    val rolled = operators.Sketches.mgRollup(slices, Seq("event_type"),
+      "user_id", k = 4096)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("mg_count").desc, col("user_id"))
+    rolled.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      .select(col("event_type"), col("rnk"), col("user_id"),
+        col("mg_count").as("c"))
+      .orderBy("event_type", "rnk")
+  }
+
   /** Incrementally maintained aggregate: build on the first slice of the
     * corpus, fold two more batches in through the ledgered monoid merge
     * (one of them REDELIVERED — the ledger must absorb it), read the
@@ -1649,6 +1672,7 @@ object SparkEntry {
     "q_hll" -> (qHll _),
     "q_hll_merge" -> (qHllMerge _),
     "q_incr_agg" -> (qIncrAgg _),
+    "q_mg_topk" -> (qMgTopk _),
     "stream_incr_agg" -> (EntryStream.streamIncrAgg _),
     "q_series_topk" -> (qSeriesTopk _))
 

@@ -74,6 +74,70 @@ object Sketches {
     greatest(lit(0L), hll_sketch_estimate(a) + hll_sketch_estimate(b) -
       hll_sketch_estimate(hll_union(a, b)))
 
+  // ------------------------------------------------------- heavy hitters --
+
+  /** Compress exact per-(keys, item) counts into a k-counter Misra–Gries
+    * summary per key group: rank items by (count desc, item asc), subtract
+    * the (k+1)-th largest count from every survivor, keep the top k with
+    * positive adjusted counts. This is exactly the MG state an O(k)-memory
+    * streaming pass would hold (Agarwal et al., Mergeable Summaries), built
+    * from exact counts: `mg_count` never overcounts, undercounts by at
+    * most n/(k+1), and any item with true frequency > n/(k+1) survives.
+    * Both windows share one exchange (same partitioning). Deterministic:
+    * the (count, item) order makes the summary a pure function of the
+    * counts.
+    */
+  private def mgCompress(counts: DataFrame, keys: Seq[String],
+      itemCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(keys.map(col): _*)
+    val w = part.orderBy(col("cnt").desc, col(itemCol))
+    counts
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("kth1", max(when(col("rnk") === k + 1, col("cnt")))
+        .over(part.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("rnk") <= k)
+      .select(keys.map(col) :+ col(itemCol) :+
+        (col("cnt") - coalesce(col("kth1"), lit(0L))).as("mg_count"): _*)
+      .filter(col("mg_count") > 0)
+  }
+
+  /** Heavy-hitter summary of `itemCol` per slice — the top-k twin of
+    * [[hllByGroup]] (HLL serves COUNT(DISTINCT) at rest, this serves
+    * top-k at rest): each storage slice compresses ONCE into ≤ k
+    * `(sliceCols…, item, mg_count)` rows, and any rollup merges summary
+    * rows instead of re-scanning raw data. At full counter capacity
+    * (k ≥ distinct items per slice) the summary IS the exact count table
+    * — the nprobe=all ⇒ exact precedent, which is what makes the
+    * declared query oracle-checkable; under pressure the MG bounds
+    * (never overcount, miss nothing above n/(k+1)) take over,
+    * spec-pinned.
+    */
+  def mgByGroup(df: DataFrame, sliceCols: Seq[String], itemCol: String,
+      k: Int): DataFrame = {
+    require(sliceCols.nonEmpty, "mgByGroup needs at least one slice column")
+    require(k > 0, s"k must be positive: $k")
+    mgCompress(
+      df.groupBy((sliceCols :+ itemCol).map(col): _*)
+        .agg(count(lit(1)).as("cnt")),
+      sliceCols, itemCol, k)
+  }
+
+  /** Roll persisted slice summaries up to `rollupCols`: sum matching
+    * counters per (rollup, item), then re-compress to k — the Agarwal et
+    * al. MG merge, so the result is itself a valid summary whose error
+    * bound is the SUM of the input bounds (Σ nᵢ/(k+1) = n/(k+1)); at
+    * capacity everywhere the rollup equals the direct exact counts. Input
+    * must carry the `(item, mg_count)` columns [[mgByGroup]] emits.
+    */
+  def mgRollup(slices: DataFrame, rollupCols: Seq[String], itemCol: String,
+      k: Int): DataFrame =
+    mgCompress(
+      slices.groupBy((rollupCols :+ itemCol).map(col): _*)
+        .agg(sum("mg_count").as("cnt")),
+      rollupCols, itemCol, k)
+
   /** Continuous slice sketching: sketch each micro-batch per group and
     * append the rows to `sliceDir` — [[hllRollup]] over the accumulated
     * slices equals the batch sketch of everything that has arrived,

@@ -118,6 +118,88 @@ class SketchesSpec extends SparkSpec {
       s"disjoint overlap must clamp near 0: $est2")
   }
 
+  test("MG at capacity: slice summaries + rollup == exact counts (the oracle regime)") {
+    val slices = Sketches.mgByGroup(events, Seq("day", "kind"), "user_id",
+      k = 4096)
+    val rolled = Sketches.mgRollup(slices, Seq("kind"), "user_id", k = 4096)
+    val got = rolled.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val want = events.groupBy("kind", "user_id")
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == want,
+      "with counters >= distinct items the summary IS the count table")
+  }
+
+  test("MG under pressure: never overcounts, misses nothing above n/(k+1), error bounded") {
+    import spark.implicits._
+    // one group: a=50, b=30, c=10, plus 20 singletons; k=2 => decrement by
+    // the 3rd-largest (10): a->40, b->20 survive
+    val items = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c") ++
+      (0 until 20).map(i => s"s$i")
+    val df = items.map(("g", _)).toDF("grp", "item")
+    val n = items.length
+    val k = 2
+    val mg = Sketches.mgByGroup(df, Seq("grp"), "item", k).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(mg == Map("a" -> 40L, "b" -> 20L),
+      s"hand-computed MG state (decrement by the (k+1)-th largest): $mg")
+    val truth = items.groupBy(identity).map { case (i, xs) => (i, xs.length.toLong) }
+    mg.foreach { case (i, c) =>
+      assert(c <= truth(i), s"$i: mg $c overcounts true ${truth(i)}")
+      assert(truth(i) - c <= n / (k + 1), s"$i: error beyond n/(k+1)")
+    }
+    truth.filter(_._2 > n.toDouble / (k + 1)).keys.foreach(i =>
+      assert(mg.contains(i), s"heavy hitter $i (> n/(k+1)) was lost"))
+  }
+
+  test("MG rollup is the mergeable-summaries merge: bounds hold across lossy slices") {
+    import spark.implicits._
+    // two slices with disjoint tails; 'hot' is heavy in both
+    val s1 = Seq.fill(40)("hot") ++ Seq.fill(12)("w1") ++ (0 until 8).map(i => s"x$i")
+    val s2 = Seq.fill(35)("hot") ++ Seq.fill(15)("w2") ++ (0 until 10).map(i => s"y$i")
+    val df = (s1.map(("d1", "g", _)) ++ s2.map(("d2", "g", _)))
+      .toDF("day", "grp", "item")
+    val k = 2
+    val rolled = Sketches.mgRollup(
+      Sketches.mgByGroup(df, Seq("day", "grp"), "item", k),
+      Seq("grp"), "item", k).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    val n = s1.length + s2.length
+    val truth = (s1 ++ s2).groupBy(identity)
+      .map { case (i, xs) => (i, xs.length.toLong) }
+    rolled.foreach { case (i, c) =>
+      assert(c <= truth(i), s"$i: rolled mg $c overcounts true ${truth(i)}")
+      assert(truth(i) - c <= n / (k + 1),
+        s"$i: rolled error ${truth(i) - c} beyond n/(k+1) = ${n / (k + 1)}")
+    }
+    truth.filter(_._2 > n.toDouble / (k + 1)).keys.foreach(i =>
+      assert(rolled.contains(i), s"heavy hitter $i lost in the rollup"))
+  }
+
+  test("MG determinism: ties at the cut resolve symmetrically, any partitioning") {
+    import spark.implicits._
+    // a and b tie at the kept boundary: the decrement uses the COUNT
+    // value, so the outcome is symmetric in the tied items — both kept
+    // at 5-2=3 — and a three-way tie at k=2 correctly wipes all three
+    // (none exceeds n/(k+1): losing them is within the MG contract)
+    val df = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(2)("c"))
+      .map(("g", _)).toDF("grp", "item")
+    val mg = Sketches.mgByGroup(df, Seq("grp"), "item", k = 2)
+      .orderBy("item").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(mg == Seq(("a", 3L), ("b", 3L)), s"boundary tie: $mg")
+    val mg2 = Sketches.mgByGroup(df.repartition(7), Seq("grp"), "item", k = 2)
+      .orderBy("item").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(mg2 == mg, "pure function of the counts under any partitioning")
+    val wiped = Sketches.mgByGroup(
+      (Seq.fill(5)("a") ++ Seq.fill(5)("b") ++ Seq.fill(5)("c") ++
+        Seq.fill(2)("z")).map(("g", _)).toDF("grp", "item"),
+      Seq("grp"), "item", k = 2).count()
+    assert(wiped == 0, "a full tie at the cut decrements everything away")
+  }
+
   test("partitioning- and order-invariant: repartitioned input, identical estimates") {
     val a = estimates(Sketches.hllRollup(
       Sketches.hllByGroup(events, Seq("day"), "user_id"), Seq("day")), "day")
