@@ -130,6 +130,14 @@ object Sketches {
     * bound is the SUM of the input bounds (Σ nᵢ/(k+1) = n/(k+1)); at
     * capacity everywhere the rollup equals the direct exact counts. Input
     * must carry the `(item, mg_count)` columns [[mgByGroup]] emits.
+    *
+    * NO [[hllSliceStream]] twin, deliberately: HLL's guard-free streamed
+    * slices work because union is a pointwise MAX (a redelivered
+    * byte-identical slice row moves nothing), but MG merges by SUM — a
+    * redelivered slice row double-counts. Continuous top-k ingest
+    * therefore needs delivery-exactly-once machinery: route it through
+    * [[MaterializedAgg]]-style ledgered folding of (slice, item) counts
+    * and compress at read, rather than appending raw summary rows.
     */
   def mgRollup(slices: DataFrame, rollupCols: Seq[String], itemCol: String,
       k: Int): DataFrame =
