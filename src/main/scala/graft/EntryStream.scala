@@ -302,7 +302,15 @@ private[graft] object EntryStream {
     val ev = t(s, d, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     val base = java.nio.file.Files.createTempDirectory("graft_sljoin").toString
-    ev.write.parquet(s"$base/in")
+    // ONE corpus file + one file per sentinel wave, processed one file
+    // per micro-batch with pinned mtime order: the whole corpus must
+    // share a batch (part files are not time-ordered across each other,
+    // so per-file batches would drop genuinely-early rows as late data
+    // once a later-ts file advanced the watermark), and each sentinel
+    // wave must get its OWN, LATER batch so the "batch after the
+    // watermark moved" this fixture promises actually exists instead of
+    // silently leaning on the no-data-micro-batch feature
+    ev.coalesce(1).write.parquet(s"$base/in/w0")
     val hi = ev.agg(max("ts")).head.getTimestamp(0)
     import s.implicits._
     Seq(1L, 2L).foreach { i =>
@@ -310,10 +318,13 @@ private[graft] object EntryStream {
       Seq((-2 * i, ts, Option.empty[Long], "click"),
         (-2 * i - 1, ts, Option.empty[Long], "purchase"))
         .toDF("event_id", "ts", "user_id", "event_type")
-        .coalesce(1).write.mode("append").parquet(s"$base/in")
+        .coalesce(1).write.parquet(s"$base/in/w$i")
     }
+    graft.operators.SeriesSearch.pinArrivalOrder(
+      s, (0 to 2).map(i => s"$base/in/w$i"))
     val joined = EventStreams.purchaseAttribution(
-      s.readStream.schema(ev.schema).parquet(s"$base/in"))
+      s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in/w*"))
     EventStreams.runToMemory(s, joined,
         s"stream_left_join_${System.nanoTime()}", "append")
       .filter(col("click_id") >= 0) // drop the sentinel's own null wing

@@ -17,11 +17,17 @@ import org.apache.spark.sql.functions._
   * append-family indexes (where a key anti-join makes redelivery benign),
   * re-folding a batch into a SUM double-counts — there is no key to
   * guard on. The ledger is the guard: every committed version carries the
-  * applied batch-id set in its meta, and [[MatAgg.update]] no-ops on an
-  * already-applied id. State publishes as `v{n}/state` + `v{n}/meta`
-  * version directories, meta written LAST and gated on its `_SUCCESS`
-  * marker (the [[ComponentsIndex]] remap-v{n} discipline): a crash
-  * mid-update leaves an uncommitted partial the redelivered batch
+  * HIGH-WATER batch id in its meta, and [[MatAgg.update]] no-ops on any
+  * id at or below it. Batch ids must be MONOTONE per table — exactly
+  * what foreachBatch micro-batch ids are per checkpoint lineage, and
+  * what redelivery preserves (a re-sent batch re-uses its original id,
+  * never a later one) — which is what makes the guard O(1): a full
+  * applied-id set would grow and rewrite linearly with stream lifetime,
+  * the wrong shape for a table whose whole point is
+  * history-independent update cost. State publishes as `v{n}/state` +
+  * `v{n}/meta` version directories, meta written LAST and gated on its
+  * `_SUCCESS` marker (the [[ComponentsIndex]] remap-v{n} discipline): a
+  * crash mid-update leaves an uncommitted partial the redelivered batch
   * overwrites, never a state/ledger mismatch — the two commit atomically
   * because the ledger lives inside the version it describes.
   *
@@ -44,8 +50,13 @@ object MaterializedAgg {
     require(valCols.forall(c => !reserved.contains(c)),
       s"value columns $valCols collide with group columns or 'n'")
     val spark = df.sparkSession
-    publish(spark, path, partial(df, groupCols, valCols), 1L,
-      groupCols, valCols, Seq.empty)
+    // a re-build at a path holding an older lifecycle must SUPERSEDE it:
+    // readers resolve the highest committed version, so publishing at v1
+    // under a live v3 would leave the fresh build invisible and updates
+    // folding into the obsolete state
+    val next = currentVersion(spark, path).getOrElse(0L) + 1
+    publish(spark, path, partial(df, groupCols, valCols), next,
+      groupCols, valCols, -1L)
     new MatAgg(spark, path, groupCols, valCols)
   }
 
@@ -109,18 +120,18 @@ object MaterializedAgg {
     committedVersions(spark, base).lastOption
 
   /** Publish `state` as version `ver`: state first, meta (geometry +
-    * applied-batch ledger) LAST so the `_SUCCESS`-gated meta commits the
+    * high-water ledger) LAST so the `_SUCCESS`-gated meta commits the
     * version and its ledger atomically; then prune superseded versions,
     * marker-first, best-effort.
     */
   private def publish(spark: SparkSession, base: String, state: DataFrame,
       ver: Long, groupCols: Seq[String], valCols: Seq[String],
-      applied: Seq[Long]): Unit = {
+      appliedHwm: Long): Unit = {
     import spark.implicits._
     // Overwrite clears any uncommitted partial a previous crash left here
     state.write.mode(SaveMode.Overwrite).parquet(s"$base/v$ver/state")
-    Seq((groupCols, valCols, applied))
-      .toDF("group_cols", "val_cols", "applied")
+    Seq((groupCols, valCols, appliedHwm))
+      .toDF("group_cols", "val_cols", "applied_hwm")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$base/v$ver/meta")
     val f = fs(spark, base)
@@ -147,35 +158,42 @@ object MaterializedAgg {
     private def cur: Long = currentVersion(spark, path).getOrElse(
       sys.error(s"no committed version under $path — concurrent prune?"))
 
-    private def meta(v: Long): (Seq[String], Seq[String], Seq[Long]) = {
-      val m = spark.read.parquet(s"$path/v$v/meta").collect()(0)
-      (m.getSeq[String](0), m.getSeq[String](1), m.getSeq[Long](2))
+    private def meta(v: Long): (Seq[String], Seq[String], Long) = {
+      val rows = spark.read.parquet(s"$path/v$v/meta").collect()
+      require(rows.length == 1,
+        s"corrupt meta under $path/v$v: ${rows.length} rows")
+      val m = rows(0)
+      (m.getSeq[String](0), m.getSeq[String](1), m.getLong(2))
     }
 
-    /** Batch ids already folded in — the exactly-once ledger. */
-    def appliedBatches(): Seq[Long] = meta(cur)._3
+    /** Highest batch id folded in (−1 before any update) — the
+      * exactly-once ledger's high-water mark.
+      */
+    def lastAppliedBatch(): Long = meta(cur)._3
 
-    /** Fold one batch in under `batchId`; an already-applied id no-ops
-      * (WARNed) — at-least-once redelivery cannot double-count. Ids must
-      * be unique per logical batch and stable under redelivery (a stream
-      * checkpoint's micro-batch ids; resuming a table under a FRESH
-      * checkpoint restarts ids at 0 and would collide — one checkpoint
-      * lineage per table, like every index stream here).
+    /** Fold one batch in under `batchId`; any id at or below the
+      * high-water mark no-ops (WARNed) — at-least-once redelivery cannot
+      * double-count, because a redelivered batch re-uses its ORIGINAL id.
+      * Ids must be monotone per table — a stream checkpoint's micro-batch
+      * ids are; manual callers own the same contract (resuming a table
+      * under a FRESH checkpoint restarts ids at 0 and would all be
+      * skipped — one checkpoint lineage per table, like every index
+      * stream here).
       *
       * @return true if folded, false if skipped as already applied
       */
     def update(batch: DataFrame, batchId: Long): Boolean = {
       val v = cur
-      val (_, _, applied) = meta(v)
-      if (applied.contains(batchId)) {
+      val (_, _, hwm) = meta(v)
+      if (batchId <= hwm) {
         DedupIndex.log.warn(s"materialized aggregate $path: batch $batchId " +
-          s"already applied (of ${applied.length}) — redelivery skipped")
+          s"at or below the applied high-water mark $hwm — redelivery (or " +
+          "a non-monotone id, which violates the update contract) skipped")
         false
       } else {
         val merged = merge(spark.read.parquet(s"$path/v$v/state"),
           partial(batch, groupCols, valCols), groupCols, valCols)
-        publish(spark, path, merged, v + 1, groupCols, valCols,
-          applied :+ batchId)
+        publish(spark, path, merged, v + 1, groupCols, valCols, batchId)
         true
       }
     }
@@ -183,7 +201,7 @@ object MaterializedAgg {
     /** Continuous maintenance: fold a STREAM of rows in, one ledgered
       * update per micro-batch through the shared [[IndexStream]] harness
       * — the micro-batch id IS the ledger id, so foreachBatch redelivery
-      * hits the applied set and no-ops.
+      * lands at or below the high-water mark and no-ops.
       */
     def updateStream(rows: DataFrame, checkpointDir: String): Unit =
       IndexStream.runIndexed(rows, checkpointDir)(

@@ -140,11 +140,13 @@ object Sketches {
     * and compress at read, rather than appending raw summary rows.
     */
   def mgRollup(slices: DataFrame, rollupCols: Seq[String], itemCol: String,
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
     mgCompress(
       slices.groupBy((rollupCols :+ itemCol).map(col): _*)
         .agg(sum("mg_count").as("cnt")),
       rollupCols, itemCol, k)
+  }
 
   /** Continuous slice sketching: sketch each micro-batch per group and
     * append the rows to `sliceDir` — [[hllRollup]] over the accumulated

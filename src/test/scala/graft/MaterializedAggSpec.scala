@@ -39,7 +39,7 @@ class MaterializedAggSpec extends SparkSpec {
     val davg = docs.groupBy("lang", "source").agg(avg("n_chars").as("a"))
       .orderBy("lang", "source").collect().map(_.getDouble(2)).toSeq
     assert(got == davg, "avg derives as s/c exactly")
-    assert(m.appliedBatches() == Seq(0L, 1L))
+    assert(m.lastAppliedBatch() == 1L)
   }
 
   test("redelivered batch id no-ops: ledger is the guard") {
@@ -50,8 +50,10 @@ class MaterializedAggSpec extends SparkSpec {
     val before = canon(m.read())
     assert(!m.update(docs.filter(col("doc_id") >= 250), 7L),
       "same batch id must be skipped")
+    assert(!m.update(docs.filter(col("doc_id") >= 250), 3L),
+      "an id below the high-water mark must be skipped too")
     assert(canon(m.read()) == before, "a redelivered fold must not double-count")
-    assert(m.appliedBatches() == Seq(7L))
+    assert(m.lastAppliedBatch() == 7L)
   }
 
   test("torn version is invisible: meta _SUCCESS gates, ledger commits with state") {
@@ -66,7 +68,7 @@ class MaterializedAggSpec extends SparkSpec {
       .write.parquet(s"$dir/v3/state")
     assert(canon(MaterializedAgg.open(spark, dir).read()) == before,
       "an uncommitted version must be invisible to readers")
-    assert(MaterializedAgg.open(spark, dir).appliedBatches() == Seq(0L),
+    assert(MaterializedAgg.open(spark, dir).lastAppliedBatch() == 0L,
       "the ledger always matches the state it was committed with")
     // the redelivered update overwrites the partial and commits cleanly
     assert(MaterializedAgg.open(spark, dir)
@@ -89,6 +91,23 @@ class MaterializedAggSpec extends SparkSpec {
     val o = MaterializedAgg.open(spark, dir)
     assert(o.groupCols == Seq("lang", "source") && o.valCols == Seq("n_chars"),
       "geometry comes from meta, never from the caller")
+  }
+
+  test("re-build at a live path supersedes the old lifecycle") {
+    val dir = tmp("magg_rebuild")
+    val m = MaterializedAgg.build(docs, Seq("lang", "source"),
+      Seq("n_chars"), dir)
+    m.update(docs.limit(0), 5L)
+    // a from-scratch rebuild (corpus reset) must be what readers see —
+    // publishing under the old lifecycle's higher version would leave
+    // the fresh build invisible and updates folding into obsolete state
+    val m2 = MaterializedAgg.build(docs.filter(col("doc_id") < 100),
+      Seq("lang", "source"), Seq("n_chars"), dir)
+    assert(canon(MaterializedAgg.open(spark, dir).read()) == canon(m2.read()),
+      "the rebuild supersedes the old committed versions")
+    assert(m2.lastAppliedBatch() == -1L, "a rebuild starts a fresh ledger")
+    assert(m2.update(docs.filter(col("doc_id") >= 100), 0L))
+    assert(canon(m2.read().drop("avg_n_chars")) == canon(direct(docs)))
   }
 
   test("null group keys and null values aggregate like groupBy") {
@@ -124,7 +143,7 @@ class MaterializedAggSpec extends SparkSpec {
         .parquet(s"$in/w*"), s"$dir/ck")
     assert(canon(m.read().drop("avg_n_chars")) == canon(direct(docs)),
       "streamed folding equals the one-shot aggregate")
-    assert(m.appliedBatches().length == 3)
+    assert(m.lastAppliedBatch() == 2L, "three micro-batches: ids 0..2")
     // re-running over the same checkpoint discovers nothing new: no-op
     m.updateStream(
       spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
