@@ -269,6 +269,26 @@ private[graft] object Oracles {
         |                          WHERE o2.o_custkey = e.user_id
         |                            AND o2.o_orderdate <= e.ts)) AS o_orderkey
         |FROM events e ORDER BY e.event_id""".stripMargin,
+    "q104_asof_forward" ->
+      """SELECT e.event_id,
+        |  (SELECT MAX(o.o_orderkey) FROM orders o
+        |   WHERE o.o_custkey = e.user_id
+        |     AND o.o_orderdate = (SELECT MIN(o2.o_orderdate) FROM orders o2
+        |                          WHERE o2.o_custkey = e.user_id
+        |                            AND o2.o_orderdate >= e.ts)) AS o_orderkey
+        |FROM events e ORDER BY e.event_id""".stripMargin,
+    "q105_asof_nearest" ->
+      """SELECT e.event_id,
+        |  (SELECT MAX(o.o_orderkey) FROM orders o
+        |   WHERE o.o_custkey = e.user_id
+        |     AND o.o_orderdate = (
+        |       SELECT o2.o_orderdate FROM orders o2
+        |       WHERE o2.o_custkey = e.user_id
+        |       ORDER BY ABS(epoch(CAST(o2.o_orderdate AS TIMESTAMP))
+        |                    - epoch(e.ts)),
+        |                (o2.o_orderdate > e.ts)
+        |       LIMIT 1)) AS o_orderkey
+        |FROM events e ORDER BY e.event_id""".stripMargin,
     "q24_range_join" ->
       """SELECT band, COUNT(*) AS c, ROUND(SUM(value), 2) AS v
         |FROM events

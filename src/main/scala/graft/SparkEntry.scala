@@ -217,6 +217,42 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Forward as-of join — the q23 fixture with direction flipped: each
+    * event matched to the user's EARLIEST order at or after it (the
+    * "next action after the event" query shape); ties at the matched
+    * date resolve to the greatest orderkey, same convention as q23.
+    */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val events = t(s, d, "events").select("event_id", "user_id", "ts")
+    val orders = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    AsOfJoin.asof(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightVals = Seq("o_orderkey"), tieBreak = Some("o_orderkey"),
+        direction = "forward")
+      .select("event_id", "o_orderkey")
+      .orderBy("event_id")
+  }
+
+  /** Nearest as-of join — closer of the backward/forward matches per
+    * event, exact distance ties going backward (the pandas merge_asof
+    * convention). Distances compare as exact epoch seconds, so both
+    * engines resolve every tie identically.
+    */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    val events = t(s, d, "events").select("event_id", "user_id", "ts")
+    val orders = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    AsOfJoin.asof(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightVals = Seq("o_orderkey"), tieBreak = Some("o_orderkey"),
+        direction = "nearest")
+      .select("event_id", "o_orderkey")
+      .orderBy("event_id")
+  }
+
   /** Skew-safe as-of join (segmented prefix scan over month buckets) —
     * same semantics and oracle as q23, exercising the hot-key escape
     * hatch end-to-end.
@@ -1613,6 +1649,8 @@ object SparkEntry {
     "q101_variant" -> (q101 _),
     "q102_sql_udf" -> (q102 _),
     "q103_entity" -> (q103 _),
+    "q104_asof_forward" -> (q104 _),
+    "q105_asof_nearest" -> (q105 _),
     "text_pmi" -> (EntryText.textPmi _),
     "text_diversity" -> (EntryText.textDiversity _),
     "text_decontaminate" -> (EntryText.textDecontaminate _),

@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  private val Reserved = Seq("_k", "_t", "_side", "_r", "_c", "_b", "_cl", "_ci", "_rn")
+  private val Reserved = Seq("_k", "_t", "_side", "_r", "_c", "_b", "_cl",
+    "_ci", "_rn", "_cb", "_cf")
 
   /** Tagged union of both sides: (_k, _t, _side, leftCols…, _r) where _r is
     * the right-row snapshot struct (null on left rows).
@@ -71,15 +72,38 @@ object AsOfJoin {
     Seq(col("_t").asc, col("_side").asc) ++
       tieBreak.map(v => col("_r").getField(v).asc_nulls_first)
 
+  /** The forward mirror: time DESCENDS so `last(...)` carries the nearest
+    * FUTURE right row; `_side` asc still puts right before left at equal
+    * time (inclusive), and tieBreak asc still makes the greatest win.
+    */
+  private def sortKeysFwd(tieBreak: Option[String]): Seq[Column] =
+    Seq(col("_t").desc, col("_side").asc) ++
+      tieBreak.map(v => col("_r").getField(v).asc_nulls_first)
+
+  /** Epoch seconds of a match/probe time for nearest-distance arithmetic —
+    * exact doubles (micros < 2^53), date coerced via timestamp in the
+    * session's pinned UTC, matching DuckDB's epoch().
+    */
+  private def secs(c: Column): Column = c.cast("timestamp").cast("double")
+
   /** Final projection: left rows only, carried right columns nulled when
-    * older than the tolerance.
+    * outside the tolerance (staleness for backward, lead for forward,
+    * either side for nearest — which does NOT fall back to the other
+    * direction when its pick is out of tolerance, the pandas semantics).
     */
   private def finish(
       carried: DataFrame, leftCols: Seq[String], rightVals: Seq[String],
-      tolerance: Option[String]): DataFrame = {
+      tolerance: Option[String], direction: String = "backward"): DataFrame = {
     val fresh = tolerance match {
       case Some(tol) =>
-        col("_c").getField("__mt") >= col("_t") - expr(s"INTERVAL $tol")
+        val mt = col("_c").getField("__mt")
+        val lo = mt >= col("_t") - expr(s"INTERVAL $tol")
+        val hi = mt <= col("_t") + expr(s"INTERVAL $tol")
+        direction match {
+          case "backward" => lo
+          case "forward" => hi
+          case _ => lo && hi
+        }
       case None => lit(true)
     }
     carried
@@ -98,8 +122,12 @@ object AsOfJoin {
     * @param tieBreak   column among rightVals that orders right rows sharing
     *                   the same (key, time) — the greatest wins, making the
     *                   picked match deterministic
-    * @param tolerance  optional maximum staleness (e.g. "30 days"): matches
-    *                   older than leftTime - tolerance are nulled out
+    * @param tolerance  optional maximum distance (e.g. "30 days"): matches
+    *                   beyond it in the joined direction are nulled out
+    * @param direction  "backward" (default — latest right ≤ left time),
+    *                   "forward" (earliest right ≥ left time), or
+    *                   "nearest" (closer of the two; exact ties go
+    *                   backward, the pandas merge_asof convention)
     * @return left rows + carried right columns (null when no match yet)
     */
   def asof(
@@ -108,13 +136,38 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightVals: Seq[String],
       tieBreak: Option[String] = None,
-      tolerance: Option[String] = None): DataFrame = {
+      tolerance: Option[String] = None,
+      direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward | forward | nearest: $direction")
     val unioned = unionFrame(left, right, leftKey, rightKey, leftTime, rightTime, rightVals)
-    val w = Window.partitionBy("_k")
+    val wB = Window.partitionBy("_k")
       .orderBy(sortKeys(tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned.withColumn("_c", last(col("_r"), ignoreNulls = true).over(w))
-    finish(carried, left.columns.toSeq, rightVals, tolerance)
+    val wF = Window.partitionBy("_k")
+      .orderBy(sortKeysFwd(tieBreak): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // both windows share the _k hash partitioning: one exchange, and the
+    // nearest case pays a second sort of the same partitions, never a
+    // second shuffle
+    val carried = direction match {
+      case "backward" =>
+        unioned.withColumn("_c", last(col("_r"), ignoreNulls = true).over(wB))
+      case "forward" =>
+        unioned.withColumn("_c", last(col("_r"), ignoreNulls = true).over(wF))
+      case _ =>
+        unioned
+          .withColumn("_cb", last(col("_r"), ignoreNulls = true).over(wB))
+          .withColumn("_cf", last(col("_r"), ignoreNulls = true).over(wF))
+          .withColumn("_c",
+            when(col("_cf").isNull, col("_cb"))
+              .when(col("_cb").isNull, col("_cf"))
+              .when(secs(col("_t")) - secs(col("_cb").getField("__mt")) <=
+                secs(col("_cf").getField("__mt")) - secs(col("_t")),
+                col("_cb"))
+              .otherwise(col("_cf")))
+    }
+    finish(carried, left.columns.toSeq, rightVals, tolerance, direction)
   }
 
   /** Skew-safe as-of join: a segmented prefix scan. `bucketOf` maps the

@@ -39,6 +39,54 @@ class JoinsSpec extends SparkSpec {
     assert(got.head.getAs[Long]("ref") == 9L)
   }
 
+  test("asof forward and nearest directions: hand-computed picks, ties go backward") {
+    val left = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),  // back 09:00, fwd 12:00 -> back
+      (1L, ts("2024-01-01 11:30:00"), "e2"),  // back 09:00, fwd 12:00 -> fwd
+      (1L, ts("2024-01-01 10:30:00"), "e3"),  // equidistant 90m -> backward
+      (1L, ts("2024-01-01 13:00:00"), "e4"),  // after last right: fwd = none
+      (2L, ts("2024-01-01 09:00:00"), "e5")   // no right rows for key 2
+    )).toDF("k", "t", "name")
+    val right = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 200L)
+    )).toDF("k", "t", "ref")
+    def run(dir: String) = AsOfJoin.asof(left, right, "k", "k", "t", "t",
+        Seq("ref"), direction = dir).orderBy("name")
+      .collect().map(r => (r.getAs[String]("name"),
+        Option(r.getAs[Any]("ref")))).toSeq
+    assert(run("forward") == Seq(("e1", Some(200L)), ("e2", Some(200L)),
+      ("e3", Some(200L)), ("e4", None), ("e5", None)),
+      "forward = earliest right at or after")
+    assert(run("nearest") == Seq(("e1", Some(100L)), ("e2", Some(200L)),
+      ("e3", Some(100L)), ("e4", Some(200L)), ("e5", None)),
+      "nearest picks the closer side; the exact tie (e3) goes backward")
+    // forward is inclusive at equal timestamps, like backward
+    val eq = AsOfJoin.asof(
+      spark.createDataFrame(Seq((1L, ts("2024-01-01 12:00:00"), "x")))
+        .toDF("k", "t", "name"),
+      right, "k", "k", "t", "t", Seq("ref"), direction = "forward").head()
+    assert(eq.getAs[Long]("ref") == 200L)
+  }
+
+  test("asof forward/nearest tolerance: out-of-range picks null, no fallback") {
+    val left = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"))).toDF("k", "t", "name")
+    val right = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 09:55:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 200L))).toDF("k", "t", "ref")
+    def run(dir: String, tol: String) = Option(
+      AsOfJoin.asof(left, right, "k", "k", "t", "t", Seq("ref"),
+        tolerance = Some(tol), direction = dir).head().getAs[Any]("ref"))
+    assert(run("forward", "30 minutes").isEmpty,
+      "the forward pick (12:00) is beyond 30m - nulled")
+    assert(run("forward", "3 hours") == Some(200L))
+    assert(run("nearest", "2 minutes").isEmpty,
+      "nearest picked 09:55 (5m away): out of 2m tolerance, and it must " +
+        "NOT fall back to the forward row - the pandas semantics")
+    assert(run("nearest", "10 minutes") == Some(100L))
+  }
+
   test("asof join tolerance nulls out stale matches") {
     val left = spark.createDataFrame(Seq(
       (1L, ts("2024-01-01 12:00:00"), "fresh"),
