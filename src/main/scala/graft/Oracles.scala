@@ -147,6 +147,30 @@ private[graft] object Oracles {
       |  MIN(n_chars) AS mn, MAX(n_chars) AS mx
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Bit-exact Morton-key replica of [[graft.operators.Layout.zkey]]:
+    * same bucket formula in the same IEEE-double operation order
+    * (subtract, divide, multiply, floor, clamp), then the 16-bit
+    * interleave spelled out as generated shift/mask terms — value bits
+    * on even key positions, user_id bits on odd.
+    */
+  private val duckZorderKey: String = {
+    val terms = (0 until 16).flatMap(j => Seq(
+      s"(((bv >> $j) & 1) << ${2 * j})",
+      s"(((bu >> $j) & 1) << ${2 * j + 1})")).mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT CAST(MIN(value) AS DOUBLE) AS vlo, CAST(MAX(value) AS DOUBLE) AS vhi,
+       |         CAST(MIN(user_id) AS DOUBLE) AS ulo, CAST(MAX(user_id) AS DOUBLE) AS uhi
+       |  FROM events
+       |), k AS (
+       |  SELECT event_id,
+       |    LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - vlo) / (vhi - vlo) * 65536.0) AS BIGINT), 0), 65535) AS bv,
+       |    LEAST(GREATEST(CAST(FLOOR((CAST(user_id AS DOUBLE) - ulo) / (uhi - ulo) * 65536.0) AS BIGINT), 0), 65535) AS bu
+       |  FROM events, b
+       |)
+       |SELECT event_id, CAST($terms AS BIGINT) AS zkey
+       |FROM k ORDER BY event_id""".stripMargin
+  }
+
   private def duckScore(lang: String): String =
     s"len(list_filter(toks, t -> list_contains(${duckMarkers(lang)}, t)))"
 
@@ -1150,6 +1174,47 @@ private[graft] object Oracles {
         |) ORDER BY flag, l_linestatus""".stripMargin,
     "q_incr_agg" -> duckIncrAgg,
     "stream_incr_agg" -> duckIncrAgg,
+    // zone-map pruning is conservative and the exact predicate is
+    // re-applied on read, so the pruned scan oracles as the plain filter
+    "q_zonemap_scan" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events WHERE value BETWEEN 100 AND 200
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_zonemap_maintain" ->
+      """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events WHERE user_id BETWEEN 10 AND 40
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the relayout is row-preserving and pruning conservative, so the
+    // z-ordered + zone-pruned scan oracles as the plain two-band filter
+    "layout_zorder" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events
+        |WHERE value BETWEEN 200 AND 600 AND user_id BETWEEN 5 AND 25
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_zorder_key" -> duckZorderKey,
+    // moments slices merge by pure addition, so the at-rest rollup
+    // oracles as the direct GROUP BY with the same binning arithmetic;
+    // n_chars is integral → sums are exact doubles → no rounding at all
+    "sketch_moments" ->
+      """WITH x AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+        |), h AS (
+        |  SELECT lang, v,
+        |    CASE WHEN v IS NULL THEN NULL
+        |         WHEN v < 0.0 THEN 0
+        |         WHEN v >= 2000.0 THEN 9
+        |         ELSE CAST(FLOOR((v - 0.0) / 250.0) AS INT) + 1 END AS b
+        |  FROM x)
+        |SELECT lang, COUNT(v) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v*v) AS BIGINT) AS s2,
+        |  CAST(MIN(v) AS BIGINT) AS mn, CAST(MAX(v) AS BIGINT) AS mx,
+        |  SUM(v) / COUNT(v) AS mean,
+        |  SUM(v*v) / COUNT(v) - (SUM(v) / COUNT(v)) * (SUM(v) / COUNT(v)) AS variance,
+        |  CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h_under,
+        |  CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(SUM(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+        |  CAST(SUM(CASE WHEN b = 9 THEN 1 ELSE 0 END) AS BIGINT) AS h_over
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
     // MG summaries at full counter capacity ARE the exact count table
     // (never overcount + nothing to decrement), so the at-rest rollup
     // oracles as the plain GROUP BY ranking

@@ -1225,6 +1225,123 @@ object SparkEntry {
       Seq("l_returnflag"))
       .orderBy("l_returnflag")
 
+  /** Zone-map-pruned scan: events laid out range-partitioned by `value`
+    * into 8 files, per-file (min, max, nulls) zones built over
+    * (value, user_id) at metadata scale (one tiny row per file), then a
+    * selective value band answered by reading ONLY the files whose zone
+    * can intersect it, with the exact predicate re-applied on read.
+    * Pruning is conservative, so the result equals the plain filtered
+    * scan — the oracle; ZoneMapSpec pins that the pruned plan really
+    * reads fewer files and survives stale/missing-index states.
+    */
+  private def qZonemapScan(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_zm").toString
+    val (data, idx) = (s"$base/data", s"$base/zones")
+    t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+      .repartitionByRange(8, col("value")).sortWithinPartitions("value")
+      .write.parquet(data)
+    operators.ZoneMap.build(s, data, Seq("value", "user_id"), idx)
+    operators.ZoneMap.scan(s, data, idx,
+        Seq(operators.ZoneMap.Range("value", 100.0, 200.0)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
+  /** Zone-map maintenance cycle: build zones over the first half of
+    * events, land the second half as NEW files, then `append` indexes
+    * exactly the late files (idempotent — the second call is a no-op)
+    * and the pruned scan covers both generations. The staleness window
+    * in between only widens the read (unindexed files join the plan
+    * unpruned), so correctness never depends on the index being caught
+    * up — the property that lets a 100 TB table index lag its ingest.
+    */
+  private def qZonemapMaintain(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_zm2").toString
+    val (data, idx) = (s"$base/data", s"$base/zones")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    ev.filter(col("event_id") % 2 === 0)
+      .repartitionByRange(4, col("user_id")).sortWithinPartitions("user_id")
+      .write.parquet(data)
+    operators.ZoneMap.build(s, data, Seq("user_id"), idx)
+    ev.filter(col("event_id") % 2 === 1)
+      .repartitionByRange(4, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(data)
+    require(operators.ZoneMap.append(s, data, idx) >= 1,
+      "late files must be indexed")
+    require(operators.ZoneMap.append(s, data, idx) == 0,
+      "append must be idempotent")
+    operators.ZoneMap.scan(s, data, idx,
+        Seq(operators.ZoneMap.Range("user_id", 10L, 40L)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("user_id")
+  }
+
+  /** Z-order relayout composed with zone maps: events rewritten along
+    * the (value, user_id) Morton curve into 8 files, zones built over
+    * both columns, then a TWO-column band scanned through the pruned
+    * file list. A linear sort would make only its leading column
+    * prunable; the interleaved layout keeps per-file ranges narrow in
+    * BOTH, which is the whole point (LayoutSpec pins the pruning-power
+    * gap). The relayout is row-preserving and pruning conservative, so
+    * the oracle is the plain two-predicate filter.
+    */
+  private def qLayoutZorder(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_zord").toString
+    val (data, idx) = (s"$base/data", s"$base/zones")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    operators.Layout.rewrite(ev, Seq("value", "user_id"), data, nFiles = 8)
+    operators.ZoneMap.build(s, data, Seq("value", "user_id"), idx)
+    operators.ZoneMap.scan(s, data, idx, Seq(
+        operators.ZoneMap.Range("value", 200.0, 600.0),
+        operators.ZoneMap.Range("user_id", 5L, 25L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
+  /** The Morton key itself, bit-exact across engines: bucket =
+    * clamp(floor((v − min) / (max − min) · 2^16)) per column, bits
+    * interleaved value-then-user_id. Both engines run the identical
+    * IEEE-double expression (same operation order), so the oracle — the
+    * same arithmetic spelled as generated SQL — must hash-match exactly,
+    * certifying that a relayout computed by this engine and one computed
+    * by any SQL engine sharing the formula produce the same curve.
+    */
+  private def qZorderKey(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select("event_id", "user_id", "value")
+    val stats = operators.Layout.colStats(ev, Seq("value", "user_id"))
+    ev.withColumn("zkey",
+        operators.Layout.zkey(Seq("value", "user_id"), stats, bits = 16))
+      .select("event_id", "zkey")
+      .orderBy("event_id")
+  }
+
+  /** Moments sketch at rest — the exactly-mergeable sibling of
+    * q_hll_merge, and the one sketch whose rollup carries a full SQL
+    * oracle: documents sliced per (lang, source) into constant-size
+    * (n, Σv, Σv², min, max, fixed-domain histogram) rows, rolled up to
+    * per-lang stats by pure addition. n_chars is integral, so every sum
+    * is an exact double and slice→rollup equals the direct computation
+    * BIT-exactly — mean/variance included, no rounding needed.
+    */
+  private def qMoments(s: SparkSession, d: String): DataFrame = {
+    val slices = operators.Sketches.momentsByGroup(
+      t(s, d, "documents"), Seq("lang", "source"), "n_chars", 0.0, 2000.0, 8)
+    operators.Sketches.momentsStats(
+        operators.Sketches.momentsRollup(slices, Seq("lang"), 8))
+      .select(col("lang"), col("n"),
+        col("s").cast("long").as("s"), col("s2").cast("long").as("s2"),
+        col("mn").cast("long").as("mn"), col("mx").cast("long").as("mx"),
+        col("mean"), col("variance"),
+        element_at(col("hist"), 1).as("h_under"),
+        element_at(col("hist"), 2).as("h1"),
+        element_at(col("hist"), 5).as("h4"),
+        element_at(col("hist"), 10).as("h_over"))
+      .orderBy("lang")
+  }
+
   /** KLL/GK-style quantile sketch — implementation-specific, rows-only. */
   private def qApproxQuantile(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -1710,6 +1827,11 @@ object SparkEntry {
     "q_hll" -> (qHll _),
     "q_hll_merge" -> (qHllMerge _),
     "q_incr_agg" -> (qIncrAgg _),
+    "q_zonemap_scan" -> (qZonemapScan _),
+    "q_zonemap_maintain" -> (qZonemapMaintain _),
+    "layout_zorder" -> (qLayoutZorder _),
+    "q_zorder_key" -> (qZorderKey _),
+    "sketch_moments" -> (qMoments _),
     "q_mg_topk" -> (qMgTopk _),
     "stream_incr_agg" -> (EntryStream.streamIncrAgg _),
     "q_series_topk" -> (qSeriesTopk _))

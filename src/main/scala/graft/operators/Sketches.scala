@@ -148,6 +148,77 @@ object Sketches {
       rollupCols, itemCol, k)
   }
 
+  // ------------------------------------------------------ moments sketch --
+
+  /** EXACTLY-mergeable moments + fixed-domain histogram summary per
+    * slice — the deterministic sibling of [[hllByGroup]]: where HLL
+    * trades exactness for constant size, this summary is constant-size
+    * AND rolls up with zero error, so it carries a full SQL oracle.
+    * Per slice: non-null count, Σv, Σv² (mean/variance at read via the
+    * textbook identity), min, max, and a `bins+2` equi-width histogram
+    * over the FIXED domain [lo, hi) — index 0 = underflow (< lo), last =
+    * overflow (≥ hi), interior bin i = [lo + (i−1)·w, lo + i·w).
+    *
+    * Why the domain is a parameter and not derived: mergeability. Counts
+    * sum, sums sum, min/min max/max, histograms vector-add — but ONLY
+    * if every slice binned against the same edges. Deriving edges
+    * per-slice (as a quantile sketch would) buys adaptivity at the cost
+    * of approximate merges; the fixed domain buys exact merges at the
+    * cost of choosing [lo, hi) up front — the right trade for monitoring
+    * pipelines where the domain is a schema-level fact.
+    *
+    * Exactness note spec-pinned in SketchesSpec: for integer-valued
+    * columns every Σv/Σv² under 2^53 is an exactly-representable double
+    * and float addition of exact integers is order-free, so slice→rollup
+    * equals direct computation BIT-exactly, not merely approximately.
+    * The histogram is long counts — exact for any column type.
+    */
+  def momentsByGroup(df: DataFrame, sliceCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(sliceCols.nonEmpty, "momentsByGroup needs at least one slice column")
+    require(bins > 0 && hi > lo, s"need bins > 0 and hi > lo: $bins, [$lo, $hi)")
+    val v = col(valueCol).cast("double")
+    val w = (hi - lo) / bins
+    val idx = when(v.isNull, lit(null))
+      .when(v < lo, 0)
+      .when(v >= hi, bins + 1)
+      .otherwise(floor((v - lit(lo)) / lit(w)).cast("int") + 1)
+    val hist = array((0 to bins + 1).map(i =>
+      sum(when(idx === i, 1L).otherwise(0L))): _*)
+    df.groupBy(sliceCols.map(col): _*)
+      .agg(sum(when(v.isNotNull, 1L).otherwise(0L)).as("n"),
+        sum(v).as("s"), sum(v * v).as("s2"),
+        min(v).as("mn"), max(v).as("mx"), hist.as("hist"))
+  }
+
+  /** Roll moments slices up to `rollupCols` (Nil for one global row):
+    * counts/sums add, extrema fold, histograms vector-add — every
+    * operation the exact merge of the per-slice computation, so the
+    * rollup EQUALS [[momentsByGroup]] run directly on the concatenated
+    * data (bit-exactly for integer-valued columns). `bins` must match
+    * the slicing call — the histogram length is the check.
+    */
+  def momentsRollup(slices: DataFrame, rollupCols: Seq[String],
+      bins: Int): DataFrame = {
+    val aggs = Seq(
+      sum("n").as("n"), sum("s").as("s"), sum("s2").as("s2"),
+      min("mn").as("mn"), max("mx").as("mx"),
+      array((0 to bins + 1).map(i =>
+        sum(element_at(col("hist"), i + 1))): _*).as("hist"))
+    if (rollupCols.isEmpty) slices.agg(aggs.head, aggs.tail: _*)
+    else slices.groupBy(rollupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Derived mean/variance columns for a moments row: population
+    * variance via E[v²] − E[v]², the same expression an oracle spells,
+    * so derived stats inherit the rollup's exactness for integer
+    * domains.
+    */
+  def momentsStats(df: DataFrame): DataFrame =
+    df.withColumn("mean", col("s") / col("n"))
+      .withColumn("variance",
+        col("s2") / col("n") - (col("s") / col("n")) * (col("s") / col("n")))
+
   /** Continuous slice sketching: sketch each micro-batch per group and
     * append the rows to `sliceDir` — [[hllRollup]] over the accumulated
     * slices equals the batch sketch of everything that has arrived,

@@ -208,4 +208,43 @@ class SketchesSpec extends SparkSpec {
         Seq("day"), "user_id"), Seq("day")), "day")
     assert(a == b)
   }
+
+  // ------------------------------------------------------ moments sketch --
+
+  test("moments histogram semantics: underflow, interior edges, overflow, nulls") {
+    import spark.implicits._
+    // domain [0, 10), 5 bins of width 2: -1→under, 0→b1, 1.9→b1, 2→b2,
+    // 9.99→b5, 10→over, null→nowhere (and excluded from n/s/s2)
+    val df = Seq(Some(-1.0), Some(0.0), Some(1.9), Some(2.0), Some(9.99),
+      Some(10.0), None).map(("g", _)).toDF("g", "v")
+    val m = Sketches.momentsByGroup(df, Seq("g"), "v", 0.0, 10.0, 5)
+      .collect()(0)
+    assert(m.getAs[Long]("n") == 6)
+    assert(m.getAs[Double]("mn") == -1.0 && m.getAs[Double]("mx") == 10.0)
+    assert(m.getAs[scala.collection.Seq[Long]]("hist").toSeq ==
+      Seq(1L, 2L, 1L, 0L, 0L, 1L, 1L))
+  }
+
+  test("moments rollup == direct computation, bit-exact on an integer domain") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val slices = Sketches.momentsByGroup(
+      docs, Seq("lang", "source"), "n_chars", 0.0, 2000.0, 8)
+    val rolled = Sketches.momentsRollup(slices, Seq("lang"), 8)
+      .orderBy("lang").collect().toSeq
+    val direct = Sketches.momentsByGroup(docs, Seq("lang"), "n_chars",
+        0.0, 2000.0, 8)
+      .orderBy("lang").collect().toSeq
+    // integer Σv/Σv² under 2^53 are exact doubles and float addition of
+    // exact integers is order-free — so this is ==, not ≈
+    assert(rolled.map(_.toSeq) == direct.map(_.toSeq))
+    assert(rolled.nonEmpty)
+
+    // and the global rollup (Nil) folds everything to one row
+    val g = Sketches.momentsStats(Sketches.momentsRollup(slices, Nil, 8))
+      .collect()(0)
+    assert(g.getAs[Long]("n") == docs.filter(col("n_chars").isNotNull).count())
+    val vals = docs.filter(col("n_chars").isNotNull)
+      .select(col("n_chars").cast("double")).collect().map(_.getDouble(0))
+    assert(g.getAs[Double]("mean") == vals.sum / vals.length)
+  }
 }

@@ -1,0 +1,147 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The zone-map contract: (a) pruning reads strictly fewer files yet the
+  * scan result is row-identical to the unpruned filter under EVERY index
+  * state — fresh, stale (new files not yet indexed), shrunk (files
+  * deleted), or missing entirely; (b) the maintenance legs are keyed on
+  * the file path so they are idempotent; (c) the all-null zone row is
+  * pruned for range predicates, which range semantics make correct.
+  */
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 1000 rows laid out range-partitioned by k into 8 files, so each
+    * file covers a narrow k stripe — the layout that makes zone maps
+    * selective. `nv` is null except in the top stripe.
+    */
+  private def writeFixture(dir: String): Unit =
+    (0L until 1000L).map(k => (k, k * 2.0, if (k >= 875) k else -1L))
+      .toDF("k", "v", "nvRaw")
+      .withColumn("nv", when(col("nvRaw") >= 0, col("nvRaw")))
+      .drop("nvRaw")
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
+      .write.parquet(dir)
+
+  private def mkDirs(): (String, String) = (
+    Files.createTempDirectory("zm_data").toString + "/t",
+    Files.createTempDirectory("zm_idx").toString + "/z")
+
+  test("pruned scan == full filter, and actually prunes") {
+    val (data, idx) = mkDirs()
+    writeFixture(data)
+    assert(ZoneMap.build(spark, data, Seq("k", "v", "nv"), idx) == 8)
+
+    val preds = Seq(ZoneMap.Range("k", 100L, 240L))
+    val files = ZoneMap.prunedFiles(spark, data, idx, preds).get
+    assert(files.size < 8 && files.nonEmpty,
+      s"a 140-wide k stripe must prune most of 8 files, got ${files.size}")
+
+    val got = ZoneMap.scan(spark, data, idx, preds)
+      .orderBy("k").select("k", "v").collect().toSeq
+    val want = spark.read.parquet(data)
+      .filter(col("k") >= 100L && col("k") <= 240L)
+      .orderBy("k").select("k", "v").collect().toSeq
+    assert(got == want && got.size == 141)
+  }
+
+  test("disjoint predicate reads zero files but keeps schema; one-sided bounds work") {
+    val (data, idx) = mkDirs()
+    writeFixture(data)
+    ZoneMap.build(spark, data, Seq("k"), idx)
+
+    val none = ZoneMap.scan(spark, data, idx, Seq(ZoneMap.Range("k", 5000L, 9000L)))
+    assert(ZoneMap.prunedFiles(spark, data, idx,
+      Seq(ZoneMap.Range("k", 5000L, 9000L))).get.isEmpty)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v", "nv"))
+
+    val hiOnly = ZoneMap.scan(spark, data, idx, Seq(ZoneMap.Range("k", hi = 99L)))
+    assert(hiOnly.count() == 100)
+    val loOnly = ZoneMap.scan(spark, data, idx, Seq(ZoneMap.Range("k", lo = 900L)))
+    assert(loOnly.count() == 100)
+  }
+
+  test("all-null zone rows are pruned for range predicates, kept results exact") {
+    val (data, idx) = mkDirs()
+    writeFixture(data)
+    ZoneMap.build(spark, data, Seq("k", "nv"), idx)
+    // nv is non-null only in the top stripe: 7 of 8 files carry null
+    // min_nv/max_nv and must be pruned even though the predicate is wide
+    // repartitionByRange samples its boundaries, so the non-null stripe
+    // may straddle two files — but never more
+    val files = ZoneMap.prunedFiles(spark, data, idx,
+      Seq(ZoneMap.Range("nv", 0L, 10000L))).get
+    assert(files.size <= 2, s"only the top stripe has non-null nv: $files")
+    assert(ZoneMap.scan(spark, data, idx, Seq(ZoneMap.Range("nv", 0L, 10000L)))
+      .count() == 125)
+  }
+
+  test("stale index widens the read (never loses rows); append is idempotent") {
+    val (data, idx) = mkDirs()
+    writeFixture(data)
+    ZoneMap.build(spark, data, Seq("k"), idx)
+    // new data arrives AFTER the build: 2 more files, k in [1000, 1200)
+    (1000L until 1200L).map(k => (k, k * 2.0, Option.empty[Long]))
+      .toDF("k", "v", "nv")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+      .write.mode("append").parquet(data)
+
+    assert(ZoneMap.staleness(spark, data, idx) == ((2L, 0L)))
+    // unindexed files are unioned in unpruned — the predicate only
+    // matches rows in the NEW files, and they must all be found
+    val stale = ZoneMap.scan(spark, data, idx, Seq(ZoneMap.Range("k", 1050L, 1100L)))
+    assert(stale.count() == 51)
+
+    assert(ZoneMap.append(spark, data, idx) == 2)
+    assert(ZoneMap.append(spark, data, idx) == 0, "append must be idempotent")
+    assert(ZoneMap.staleness(spark, data, idx) == ((0L, 0L)))
+    // now the same predicate prunes down to the one new file covering it
+    val files = ZoneMap.prunedFiles(spark, data, idx,
+      Seq(ZoneMap.Range("k", 1050L, 1100L))).get
+    assert(files.size <= 2 && ZoneMap.scan(spark, data, idx,
+      Seq(ZoneMap.Range("k", 1050L, 1100L))).count() == 51)
+  }
+
+  test("vanished files drop from the plan; retract cleans the index") {
+    val (data, idx) = mkDirs()
+    writeFixture(data)
+    ZoneMap.build(spark, data, Seq("k"), idx)
+    // delete the file that holds the smallest ks
+    val victim = ZoneMap.prunedFiles(spark, data, idx,
+      Seq(ZoneMap.Range("k", 0L, 0L))).get.head
+    val fs = new org.apache.hadoop.fs.Path(victim)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(victim), false))
+
+    // scan plans only live files — no failure, and the survivors match a
+    // direct read of what remains on disk
+    val got = ZoneMap.scan(spark, data, idx, Seq(ZoneMap.Range("k", 0L, 999L))).count()
+    val live = spark.read.parquet(data).count()
+    assert(got == live && live < 1000)
+
+    assert(ZoneMap.staleness(spark, data, idx) == ((0L, 1L)))
+    assert(ZoneMap.retract(spark, data, idx) == 1)
+    assert(ZoneMap.staleness(spark, data, idx) == ((0L, 0L)))
+    assert(ZoneMap.retract(spark, data, idx) == 0, "retract must be idempotent")
+    assert(ZoneMap.scan(spark, data, idx, Seq(ZoneMap.Range("k", 0L, 999L)))
+      .count() == live)
+  }
+
+  test("missing index falls back to the full filtered scan; unknown column is loud") {
+    val (data, idx) = mkDirs()
+    writeFixture(data)
+    val df = ZoneMap.scan(spark, data, idx + "_nowhere", Seq(ZoneMap.Range("k", 10L, 20L)))
+    assert(df.count() == 11)
+
+    ZoneMap.build(spark, data, Seq("k"), idx)
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.prunedFiles(spark, data, idx, Seq(ZoneMap.Range("v", 0.0, 1.0)))
+    }
+    assert(e.getMessage.contains("not in zone map"))
+  }
+}
