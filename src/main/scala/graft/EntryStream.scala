@@ -169,6 +169,37 @@ private[graft] object EntryStream {
       .orderBy("event_type")
   }
 
+  /** Zone maps under continuous ingest: three user_id-disjoint event
+    * waves drain through [[graft.operators.ZoneMap.ingestStream]] — each
+    * micro-batch lands data files and the unindexed-file diff indexes
+    * them (first batch bootstraps the index). The final pruned scan
+    * equals the plain filter over everything that arrived (the oracle);
+    * ZoneMapSpec's staleness argument covers every in-between state, so
+    * the index lagging the sink is harmless by construction.
+    */
+  def streamZonemap(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val base = java.nio.file.Files.createTempDirectory("graft_szm").toString
+    Seq(col("user_id") < 30, col("user_id") >= 30 && col("user_id") < 70,
+        col("user_id") >= 70)
+      .foreach(p => ev.filter(p).coalesce(1)
+        .write.mode("append").parquet(s"$base/in"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", org.apache.spark.sql.types.DoubleType)))
+    graft.operators.ZoneMap.ingestStream(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in"),
+      Seq("user_id"), s"$base/data", s"$base/zones", s"$base/ckpt")
+    graft.operators.ZoneMap.scan(s, s"$base/data", s"$base/zones",
+        Seq(graft.operators.ZoneMap.Range("user_id", 20L, 60L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
   /** Continuous subsequence matching: the event stream's per-user value
     * points drained through `SeriesSearch.scanStream` in time-ordered
     * waves, then the 15 nearest windows read from the cumulative scored

@@ -1184,6 +1184,19 @@ private[graft] object Oracles {
       """SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
         |FROM events WHERE user_id BETWEEN 10 AND 40
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // compaction is a pure relayout and pruning conservative, so the
+    // compact + re-sort + zone-pruned scan oracles as the plain filter
+    "q_compact" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events WHERE user_id BETWEEN 50 AND 80
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the wave union is the whole table and the pruned scan re-applies
+    // the exact predicate, so the streamed zone-map ingest oracles as
+    // the plain filter over events
+    "stream_zonemap" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events WHERE user_id BETWEEN 20 AND 60
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the relayout is row-preserving and pruning conservative, so the
     // z-ordered + zone-pruned scan oracles as the plain two-band filter
     "layout_zorder" ->

@@ -1342,6 +1342,32 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Small-file compaction as the streaming sink's maintenance leg:
+    * events landed as 50 hash-scattered files (an append-per-micro-batch
+    * table a week in), the trigger confirms fragmentation, and the
+    * rewrite folds them into ~4 files RE-SORTED by user_id — restoring
+    * the zone-map pruning interleaved appends destroyed. The scan then
+    * goes through the fresh index. Compaction is a pure relayout and
+    * pruning conservative, so the oracle is the plain filtered agg.
+    */
+  private def qCompact(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    ev.repartition(50).write.parquet(s"$base/frag")
+    require(operators.Compaction.needsCompaction(s, s"$base/frag",
+      targetRows = 3000), "50 scattered files must trip the trigger")
+    val (before, after, _) = operators.Compaction.compactTo(
+      s, s"$base/frag", s"$base/data", targetRows = 3000,
+      sortCols = Seq("user_id"))
+    require(after < before, s"compaction must shrink the file count: $before -> $after")
+    operators.ZoneMap.build(s, s"$base/data", Seq("user_id"), s"$base/zones")
+    operators.ZoneMap.scan(s, s"$base/data", s"$base/zones",
+        Seq(operators.ZoneMap.Range("user_id", 50L, 80L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
   /** KLL/GK-style quantile sketch — implementation-specific, rows-only. */
   private def qApproxQuantile(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -1832,6 +1858,8 @@ object SparkEntry {
     "layout_zorder" -> (qLayoutZorder _),
     "q_zorder_key" -> (qZorderKey _),
     "sketch_moments" -> (qMoments _),
+    "q_compact" -> (qCompact _),
+    "stream_zonemap" -> (EntryStream.streamZonemap _),
     "q_mg_topk" -> (qMgTopk _),
     "stream_incr_agg" -> (EntryStream.streamIncrAgg _),
     "q_series_topk" -> (qSeriesTopk _))

@@ -234,6 +234,28 @@ object ZoneMap {
       (survivors.filter(disk.toSet) ++ unindexed).toSeq
     }
 
+  /** Continuous ingest with zone maintenance folded into the sink: each
+    * micro-batch lands as fresh data files, then the unindexed-file diff
+    * indexes exactly those files (first batch bootstraps via [[build]]).
+    * The index may lag the sink arbitrarily — a crash between the data
+    * write and the zone append, a redelivered batch, a maintenance pass
+    * that never ran — and scans stay exact throughout, because
+    * staleness only WIDENS the read; the next append heals the whole
+    * backlog at once, since the diff sees every unindexed file, not
+    * just its own batch's. This is the guard-free idempotence argument
+    * of [[Sketches.hllSliceStream]] in file-key form: the zone row for
+    * a file is a pure function of that immutable file, so re-running
+    * maintenance can never write a second, different row for it.
+    */
+  def ingestStream(df: DataFrame, cols: Seq[String], dataDir: String,
+      indexPath: String, checkpointDir: String): Unit =
+    IndexStream.run(df, checkpointDir) { batch =>
+      batch.write.mode(SaveMode.Append).parquet(dataDir)
+      val spark = batch.sparkSession
+      if (zones(spark, indexPath).isEmpty) build(spark, dataDir, cols, indexPath)
+      else append(spark, dataDir, indexPath)
+    }
+
   /** Zone-map-pruned scan of `dataPath` under `preds`: reads only the
     * surviving files and re-applies the exact predicate. Result is
     * row-identical to `spark.read.parquet(dataPath).filter(predicate)`
