@@ -118,7 +118,7 @@ final class MinHashIndex private[operators] (
     * append them to the two tables with the SAME bucket spec — parquet
     * datasource tables accept bucketed appends, each append adding one
     * file per populated bucket id. Run [[compact]]-style maintenance
-    * (e.g. [[graft.sources.Sinks.compactParquet]] + rebuild) when the
+    * (e.g. [[graft.operators.Compaction.compactToBytes]] + rebuild) when the
     * accumulated file count starts to dominate scan setup.
     *
     * IDEMPOTENT under at-least-once redelivery: already-indexed doc_ids

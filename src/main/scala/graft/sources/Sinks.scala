@@ -63,79 +63,12 @@ object Sinks {
       .saveAsTable(table)
   }
 
-  /** Small-file compaction: rewrite a parquet directory into
-    * ~`targetFileBytes`-sized files. The maintenance pass every
-    * long-lived ingest needs — streaming/micro-batch writers and
-    * over-parallel jobs leave thousands of KB-sized files whose
-    * per-file open cost (and NameNode/liststatus pressure) dominates
-    * reads long before data volume does.
-    *
-    * The file count is computed from the directory's actual on-disk
-    * bytes, and the rewrite uses `coalesce` — a NARROW merge of read
-    * partitions, no shuffle; the read itself already packs small files
-    * into `spark.sql.files.maxPartitionBytes`-sized splits, so the job
-    * is one scan + one write. (Use a partitioned rewrite via
-    * [[parquet]] with `repartition` instead when the layout — not just
-    * the file size — must change.)
-    *
-    * @return number of output files requested
-    */
-  def compactParquet(
-      spark: SparkSession, inDir: String, outDir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    require(targetFileBytes > 0, s"target must be positive: $targetFileBytes")
-    val path = new org.apache.hadoop.fs.Path(inDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var total = 0L
-    val it = fs.listFiles(path, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
-    }
-    val n = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
-    spark.read.parquet(inDir).coalesce(n)
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
-    n
-  }
-
-  /** Z-order clustered write: interleave the bit patterns of two
-    * normalized numeric columns into one Morton key, range-partition and
-    * sort the data by it, and write — so rows close in EITHER dimension
-    * land in the same files, and a point/range filter on either column
-    * touches a small fraction of them (parquet row-group min/max stats
-    * skip the rest at read time). The multi-dimensional data-skipping
-    * layout for a 100 TB fact table queried by more than one key; a plain
-    * sort clusters only its leading column.
-    *
-    * Normalization is fixed-bounds floor binning to `bits`-bit ranks
-    * (clamped), interleaving is a closed-form bit fold — both narrow; the
-    * only exchange is the range partition that the write needs anyway.
-    */
-  def zorderWrite(
-      df: DataFrame, path: String,
-      colA: String, loA: Double, hiA: Double,
-      colB: String, loB: Double, hiB: Double,
-      files: Int, bits: Int = 16): Unit = {
-    import org.apache.spark.sql.functions._
-    require(bits > 0 && bits <= 31, s"bits out of (0,31]: $bits")
-    require(files > 0, s"files must be positive: $files")
-    require(hiA > loA && hiB > loB, "empty normalization range")
-    val max = (1L << bits) - 1
-    def rank(c: String, lo: Double, hi: Double) =
-      greatest(lit(0L), least(lit(max),
-        floor((col(c).cast("double") - lo) / (hi - lo) * (max + 1))))
-    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(rank(colA, loA, hiA).bitwiseAND(lit(1L << i)), i))
-        .bitwiseOR(shiftleft(rank(colB, loB, hiB).bitwiseAND(lit(1L << i)), i + 1))
-    }
-    df.withColumn("__z", z)
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode(SaveMode.Overwrite).parquet(path)
-  }
+  // Small-file compaction and Z-order clustered writes moved to the
+  // maintenance-operator family — [[graft.operators.Compaction]]
+  // (row- and byte-driven sizing, sorted rewrites, the needsCompaction
+  // trigger) and [[graft.operators.Layout]] (n-column Morton relayout
+  // with reusable global bucket stats) — where they share the zone-map
+  // data-skipping story and its specs.
 
   /** Write with free metrics: attach an `Observation` so row count and
     * per-column null counts are collected DURING the write — no second

@@ -64,18 +64,18 @@ class SinksSpec extends SparkSpec {
     Sinks.blackhole(Tables.load(spark, sfDir, "lineitem").groupBy("l_returnflag").count())
   }
 
-  test("compactParquet collapses a small-file directory, preserving content") {
+  test("byte-driven compaction collapses a small-file directory, preserving content") {
     val in = Files.createTempDirectory("compact_in").toString
-    val out = Files.createTempDirectory("compact_out").toString
+    val out = Files.createTempDirectory("compact_out").toString + "/t"
     val df = Tables.load(spark, sfDir, "lineitem")
     df.repartition(40).write.mode("overwrite").parquet(in)
     def parquetFiles(dir: String) =
       new java.io.File(dir).listFiles.count(f => f.getName.endsWith(".parquet"))
     assert(parquetFiles(in) == 40)
     // target sized so the whole directory fits in a couple of files
-    val n = Sinks.compactParquet(spark, in, out, targetFileBytes = 64L * 1024 * 1024)
-    assert(n >= 1 && parquetFiles(out) <= 4,
-      s"requested $n files, wrote ${parquetFiles(out)}")
+    val (nBefore, nAfter) = graft.operators.Compaction.compactToBytes(spark, in, out,
+      targetBytes = 64L * 1024 * 1024)
+    assert(nBefore == 40 && nAfter <= 4, s"compacted $nBefore files into $nAfter")
     // content identical: same rows, same per-flag aggregates
     val a = spark.read.parquet(in).groupBy("l_returnflag").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -85,7 +85,7 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == df.count())
   }
 
-  test("zorderWrite clusters BOTH dimensions into few files; linear sort only one") {
+  test("z-order relayout clusters BOTH dimensions into few files; linear sort only one") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -95,7 +95,7 @@ class SinksSpec extends SparkSpec {
       .map(i => (i % 200L, ((i * 2654435761L) >> 8) % 1000, i.toLong))
       .toDF("u", "v", "payload")
     val zdir = Files.createTempDirectory("zorder").toString + "/t"
-    Sinks.zorderWrite(df, zdir, "u", 0, 200, "v", 0, 1000, files = 16)
+    graft.operators.Layout.rewrite(df, Seq("u", "v"), zdir, nFiles = 16)
     val ldir = Files.createTempDirectory("linear").toString + "/t"
     df.repartitionByRange(16, col("v")).sortWithinPartitions("v")
       .write.mode("overwrite").parquet(ldir)
