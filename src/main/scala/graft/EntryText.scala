@@ -233,6 +233,37 @@ private[graft] object EntryText {
     idx.search(Seq("table", "scan", "join"), 15)
   }
 
+  /** Exact phrase hits from the positional index: built on half the
+    * corpus, the rest folded in through the guarded append, then the
+    * phrase "table part" answered by position-chain arithmetic over a
+    * bucket-pruned scan of just those two terms' postings — the
+    * decontamination primitive BM25's tf-only postings cannot express.
+    * Oracle replays tokenization and adjacency as a positional
+    * self-join in SQL; overlapping matches count on both sides.
+    */
+  def textPhrase(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_phrase").toString
+    val idx = graft.operators.PhraseIndex.build(
+      docs.filter(col("doc_id") < 250), "doc_id", "text",
+      path, "graft_q_phrase", buckets = 8)
+    idx.append(docs.filter(col("doc_id") >= 250), "doc_id", "text")
+    idx.phrase(Seq("table", "part")).orderBy("doc_id")
+  }
+
+  /** Proximity screen from the same index machinery: docs where "spark"
+    * occurs within 3 tokens of "vector", with the true minimal gap —
+    * the co-occurrence audit shape ("entity X near entity Y") at
+    * postings cost instead of a corpus scan.
+    */
+  def textNear(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_nearidx").toString
+    val idx = graft.operators.PhraseIndex.build(docs, "doc_id", "text",
+      path, "graft_q_near", buckets = 8)
+    idx.near("spark", "vector", window = 3).orderBy("doc_id")
+  }
+
   /** BM25 top-15 docs for a fixed 3-term query; ordering uses the ROUNDED
     * score so near-equal sums (whose last bits depend on summation order)
     * tie-break on doc_id identically in both engines.

@@ -1997,6 +1997,30 @@ private[graft] object Oracles {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_bm25" -> duckBm25,
     "text_bm25_index" -> duckBm25,
+    // positional-index oracles: re-tokenize (single-space split, empties
+    // dropped — the TF.tokens convention) with 1-based positions and
+    // replay adjacency/proximity as positional self-joins
+    "text_phrase" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(lf) AS tok, unnest(range(1, len(lf)+1)) AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), t -> t <> '') AS lf
+        |        FROM documents))
+        |SELECT a.doc_id, COUNT(*) AS n_matches
+        |FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.tok = 'table' AND b.tok = 'part'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "text_near" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(lf) AS tok, unnest(range(1, len(lf)+1)) AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), t -> t <> '') AS lf
+        |        FROM documents))
+        |SELECT a.doc_id, MIN(ABS(a.pos - b.pos)) AS gap
+        |FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+        |WHERE a.tok = 'spark' AND b.tok = 'vector'
+        |GROUP BY a.doc_id HAVING MIN(ABS(a.pos - b.pos)) <= 3
+        |ORDER BY a.doc_id""".stripMargin,
     "text_spans" ->
       """WITH base AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks

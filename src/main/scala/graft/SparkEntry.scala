@@ -1843,6 +1843,8 @@ object SparkEntry {
     "text_quality_model" -> (EntryText.textQualityModel _),
     "text_dsir" -> (EntryText.textDsir _),
     "text_bm25_index" -> (EntryText.textBm25Index _),
+    "text_phrase" -> (EntryText.textPhrase _),
+    "text_near" -> (EntryText.textNear _),
     "text_lm_score" -> (EntryText.textLmScore _),
     "text_redact" -> (EntryText.textRedact _),
     "text_spans" -> (EntryText.textSpans _),

@@ -39,15 +39,19 @@ class PhraseIndex private[operators] (
 
   /** Position lists of the query terms, one map column per candidate
     * doc — the shared candidate fetch of [[phrase]] and [[near]]. The
-    * `distinct()` sheds byte-identical duplicate postings a torn
-    * [[append]] redelivery can leave (the [[Bm25Index.search]] rule);
-    * it is query-bounded, never corpus-sized.
+    * (term, doc_id) fold sheds byte-identical duplicate postings a torn
+    * [[append]] redelivery can leave (the [[Bm25Index.search]] rule),
+    * and does it as an EXCHANGE-FREE aggregate: hash-partitioning on
+    * term satisfies the (term, doc_id) clustering (subset rule), which
+    * also keeps the planner from auto-disabling the bucketed scan — a
+    * bare filter+distinct would lose both the bucket pruning and pay a
+    * shuffle. Query-bounded either way, never corpus-sized.
     */
   private def termMaps(terms: Seq[String]): DataFrame = {
     spark.catalog.refreshTable(postingsTable)
     spark.table(postingsTable)
       .filter(col("term").isin(terms.distinct: _*))
-      .distinct()
+      .groupBy("term", "doc_id").agg(first("positions").as("positions"))
       .groupBy("doc_id")
       .agg(map_from_entries(
         collect_list(struct(col("term"), col("positions")))).as("m"))

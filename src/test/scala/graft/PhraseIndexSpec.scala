@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Positional-index contract: phrase matches are exact position chains
+  * (overlapping occurrences counted, repeated terms handled), proximity
+  * is the true minimal gap, the candidate fetch is a bucket-pruned scan
+  * of only the query terms' postings, and append is guarded/idempotent.
+  */
+class PhraseIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkIndex(name: String, docs: Seq[(Long, String)]): PhraseIndex = {
+    val path = Files.createTempDirectory("phrase_idx").toString
+    PhraseIndex.build(docs.toDF("doc_id", "text"), "doc_id", "text",
+      path, name, buckets = 4)
+  }
+
+  test("phrase semantics: chains, overlaps, repeated terms, missing terms") {
+    val idx = mkIndex("pidx_a", Seq(
+      (1L, "a b a b a"),       // "a b" at 1,3; "b a" at 2,4; "a b a" at 1,3
+      (2L, "x x x"),           // "x x" overlapping at 1,2
+      (3L, "a c b"),           // no "a b"
+      (4L, "b a b")))          // "a b" at 2
+    def hits(terms: String*) =
+      idx.phrase(terms).orderBy("doc_id").as[(Long, Int)].collect().toSeq
+
+    assert(hits("a", "b") == Seq((1L, 2), (4L, 1)))
+    assert(hits("b", "a") == Seq((1L, 2), (4L, 1)))
+    assert(hits("a", "b", "a") == Seq((1L, 2)))
+    assert(hits("x", "x") == Seq((2L, 2)), "overlapping matches each count")
+    assert(hits("a", "a").isEmpty, "no adjacent repeat of a")
+    assert(hits("zz").isEmpty, "unknown term matches nothing")
+    assert(hits("a") == Seq((1L, 3), (3L, 1), (4L, 1)),
+      "single-term phrase = term frequency by position count")
+  }
+
+  test("near: true minimal gap within the window, both terms required") {
+    val idx = mkIndex("pidx_b", Seq(
+      (1L, "p q"),             // gap 1
+      (2L, "p z z z q p"),     // min gap: q(5) to p(6) = 1
+      (3L, "p z z z z q"),     // gap 5
+      (4L, "p only here")))
+    val got = idx.near("p", "q", window = 3)
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1), (2L, 1)))
+    val wide = idx.near("p", "q", window = 5)
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(wide == Seq((1L, 1), (2L, 1), (3L, 5)))
+  }
+
+  test("append is guarded and idempotent; new docs match immediately") {
+    val idx = mkIndex("pidx_c", Seq((1L, "m n")))
+    val batch = Seq((2L, "m n m n"), (1L, "m n CHANGED")).toDF("doc_id", "text")
+    assert(idx.append(batch, "doc_id", "text") == 1,
+      "existing doc 1 must be guard-dropped")
+    assert(idx.append(batch, "doc_id", "text") == 0, "full redelivery is a no-op")
+    assert(idx.indexedDocs() == 2)
+    assert(idx.phrase(Seq("m", "n")).orderBy("doc_id")
+      .as[(Long, Int)].collect().toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("phrase plan: bucket-pruned postings scan, one exchange total") {
+    val docs = (0L until 200L).map(i => (i, s"w$i common w${i % 7}"))
+    val idx = mkIndex("pidx_d", docs)
+    val res = idx.phrase(Seq("common", "w3"))
+    assert(res.count() == 200 / 7 + 1) // "common w3" adjacent iff i % 7 == 3
+    val plan = res.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in the postings scan:\n$plan")
+    assert(m.get.group(1).toInt <= 2 && m.get.group(2).toInt == 4,
+      s"two terms must read at most their two buckets: ${m.get}")
+    // exactly one exchange — the doc_id map-build; the (term, doc_id)
+    // dedupe fold rides the bucket layout shuffle-free
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, saw $exchanges:\n$plan")
+  }
+}
