@@ -1190,6 +1190,12 @@ private[graft] object Oracles {
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
         |FROM events WHERE user_id BETWEEN 50 AND 80
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // blooms have no false negatives and the equality predicate
+    // re-applies on read, so the bloom-pruned lookup oracles as the
+    // plain point filter
+    "q_bloommap" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id = 123 ORDER BY event_id""".stripMargin,
     // the wave union is the whole table and the pruned scan re-applies
     // the exact predicate, so the streamed zone-map ingest oracles as
     // the plain filter over events

@@ -372,6 +372,38 @@ object ScaleProbe {
         idx.search(farQuery(3 * n), k = 10, nprobe = 1)
           .filter(col("neighbor_id") >= 3 * n).count()
       },
+      time("zonemap_prune_scan") {
+        // data-skipping leg: 505k (k, v) rows landed as 64 range-
+        // clustered files and zone-mapped; a ~1% k-band must plan only
+        // its files and return exactly the direct-filter count. Encoded
+        // files·10^6 + rows so both gates read off one value.
+        val zmBase = java.nio.file.Files.createTempDirectory("scale_zm").toString
+        val rows = corpus.select(col("doc_id").as("k"),
+          (col("doc_id") % 977L).as("v"))
+        rows.repartitionByRange(64, col("k")).sortWithinPartitions("k")
+          .write.parquet(s"$zmBase/data")
+        graft.operators.ZoneMap.build(spark, s"$zmBase/data", Seq("k"),
+          s"$zmBase/zones")
+        val band = Seq(graft.operators.ZoneMap.Range("k", 1000L, 6000L))
+        val files = graft.operators.ZoneMap.prunedFiles(spark, s"$zmBase/data",
+          s"$zmBase/zones", band).get
+        val got = graft.operators.ZoneMap.scan(spark, s"$zmBase/data",
+          s"$zmBase/zones", band).count()
+        files.size.toLong * 1000000L + got
+      },
+      time("phrase_index_search") {
+        // positional-index leg: " zz qq" planted in every 50th doc of
+        // the 505k salad; the phrase must hit exactly the planted
+        // carriers through a bucket-pruned postings fetch (hex salad
+        // cannot collide with the marker tokens)
+        val phPath = java.nio.file.Files.createTempDirectory("scale_ph").toString
+        val salted = corpus.select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 50 === 0, lit(" zz qq")).otherwise(lit("")))
+          .as("text"))
+        val pidx = graft.operators.PhraseIndex.build(salted, "doc_id", "text",
+          phPath, "scale_phrase", buckets = 32)
+        pidx.phrase(Seq("zz", "qq")).count()
+      },
       time("materialized_agg_fold") {
         // the monoid-at-rest leg: 505k rows into a 1000-group aggregate,
         // built on the first half and folded forward in two ledgered
@@ -475,6 +507,16 @@ object ScaleProbe {
     val compStat = stages.find(_._1 == "components_index_update").get._3
     assert(compStat == 5000L * 1000000 + 10000,
       s"components index stat $compStat != 5000 comps over 10000 docs")
+    // the ~1% k-band plans at most 3 of 64 files (sampled range
+    // boundaries can smear a stripe) and returns exactly the 5001
+    // direct-filter rows — data skipping that can never change results
+    val zmStat = stages.find(_._1 == "zonemap_prune_scan").get._3
+    assert(zmStat % 1000000L == 5001L && zmStat / 1000000L <= 3,
+      s"zonemap leg stat $zmStat != (files<=3)e6 + 5001 rows")
+    // the planted phrase hits exactly its carriers: every 50th doc
+    val phHits = stages.find(_._1 == "phrase_index_search").get._3
+    assert(phHits == total / 50,
+      s"phrase search hit $phHits docs, planted ${total / 50}")
     // incremental fold == one-shot groupBy at 505k: zero mismatched
     // group rows (union ∪ distinct collapses identical states to 1000)
     val maggStat = stages.find(_._1 == "materialized_agg_fold").get._3

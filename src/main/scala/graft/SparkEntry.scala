@@ -1368,6 +1368,29 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Per-file bloom pruning for point lookups: events landed
+    * ROUND-ROBIN (every file spans the full id range — min/max zones
+    * keep all 16 files, the layout blooms exist for), blooms built on
+    * event_id, then a single-key lookup plans ~1 file. Blooms have no
+    * false negatives and the exact predicate re-applies on read, so the
+    * oracle is the plain equality filter.
+    */
+  private def qBloommap(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val (data, idx) = (s"$base/data", s"$base/zones")
+    t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+      .repartition(16).write.parquet(data)
+    operators.ZoneMap.build(s, data, Seq("event_id"), idx,
+      bloomCols = Seq("event_id"), bloomItems = 100000L, bloomFpp = 0.01)
+    val kept = operators.ZoneMap.prunedFiles(s, data, idx,
+      Seq(operators.ZoneMap.Point("event_id", 123L))).get
+    require(kept.size <= 4, s"bloom must prune the scattered layout: ${kept.size}")
+    operators.ZoneMap.scan(s, data, idx,
+        Seq(operators.ZoneMap.Point("event_id", 123L)))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** KLL/GK-style quantile sketch — implementation-specific, rows-only. */
   private def qApproxQuantile(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -1862,6 +1885,7 @@ object SparkEntry {
     "sketch_moments" -> (qMoments _),
     "q_compact" -> (qCompact _),
     "stream_zonemap" -> (EntryStream.streamZonemap _),
+    "q_bloommap" -> (qBloommap _),
     "q_mg_topk" -> (qMgTopk _),
     "stream_incr_agg" -> (EntryStream.streamIncrAgg _),
     "q_series_topk" -> (qSeriesTopk _))

@@ -51,12 +51,31 @@ import org.apache.spark.sql.functions._
   */
 object ZoneMap {
 
+  /** A prunable predicate on an indexed column. [[Range]] prunes by
+    * zone min/max; [[Point]] additionally consults the per-file bloom
+    * filter when one was built — the complement that matters on
+    * hash-scattered layouts, where every file spans the full value
+    * range (min/max prunes nothing) but each file still CONTAINS only
+    * its own keys (a bloom prunes almost everything).
+    */
+  sealed trait Pred { def col: String }
+
   /** Inclusive range predicate on an indexed column; `lo`/`hi` may be
     * null for a one-sided bound. Used both for pruning (against zone
     * min/max) and for the exact re-filter on read.
     */
-  final case class Range(col: String, lo: Any = null, hi: Any = null) {
+  final case class Range(col: String, lo: Any = null, hi: Any = null)
+      extends Pred {
     require(lo != null || hi != null, s"Range on $col needs at least one bound")
+  }
+
+  /** Equality predicate. Prunes by zone min/max (when the column is
+    * zone-indexed) AND by the per-file bloom (when built) — both checks
+    * are conservative, so they compose by AND. `IS NULL` is not a
+    * [[Point]]: blooms and min/max both ignore nulls.
+    */
+  final case class Point(col: String, v: Any) extends Pred {
+    require(v != null, s"Point on $col needs a non-null value")
   }
 
   private val FileCol = "file"
@@ -85,16 +104,52 @@ object ZoneMap {
     out.result()
   }
 
+  /** Bloom sizing: bits for `items` at false-positive rate `fpp`
+    * (the standard m = −n·ln p / ln²2), floored at 64.
+    */
+  private def bloomBits(items: Long, fpp: Double): Long =
+    math.max(64L, math.ceil(
+      -items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+
+  /** What a bloom hashes: the value's STRING form, canonicalized by the
+    * engine cast at build and by `toString` at probe — identical for
+    * the longs/ints/strings point lookups use, and immune to the
+    * caller's literal type differing from the column type (hashing
+    * native types would make `Point("k", 400)` miss a LongType column —
+    * a silent FALSE NEGATIVE, the one failure mode a pruning index must
+    * never have).
+    */
+  private def bloomKey(c: Column): Column = xxhash64(c.cast("string"))
+
+  private def probeHash(v: Any): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(v.toString)),
+      42L).eval(null).asInstanceOf[Long]
+
+  private def bloomAgg(c: String, items: Long, bits: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.graft.ColumnBridge.expression(bloomKey(col(c))),
+        org.apache.spark.sql.catalyst.expressions.Literal(items),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits))
+        .toAggregateExpression())
+
   /** Zone rows for exactly `files`: one group per file out of a single
-    * scan — `(file, cnt, min_c…, max_c…, nulls_c…)`. The shuffle moves
-    * |files| tiny rows; partial aggregation collapses everything
-    * map-side first.
+    * scan — `(file, cnt, min_c…, max_c…, nulls_c…[, bloom_c…])`. The
+    * shuffle moves |files| tiny rows (a bloom adds its fixed bit array);
+    * partial aggregation collapses everything map-side first. Blooms
+    * hash via `xxhash64`, the same hash [[survives]] probes with; each
+    * file's bloom is self-contained, so files indexed by different
+    * calls never need matching sizes.
     */
   private def zoneRows(spark: SparkSession, files: Seq[String],
-      cols: Seq[String]): DataFrame = {
+      cols: Seq[String], bloomCols: Seq[String],
+      bloomItems: Long, bloomFpp: Double): DataFrame = {
     val aggs = cols.flatMap { c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    } ++ bloomCols.map { c =>
+      bloomAgg(c, bloomItems, bloomBits(bloomItems, bloomFpp)).as(s"bloom_$c")
     }
     spark.read.parquet(files: _*)
       .groupBy(canonical(input_file_name()).as(FileCol))
@@ -109,11 +164,13 @@ object ZoneMap {
     * @return number of files indexed
     */
   def build(spark: SparkSession, dataPath: String, cols: Seq[String],
-      indexPath: String): Long = {
-    require(cols.nonEmpty, "ZoneMap.build needs at least one column")
+      indexPath: String, bloomCols: Seq[String] = Nil,
+      bloomItems: Long = 1000000L, bloomFpp: Double = 0.03): Long = {
+    require(cols.nonEmpty || bloomCols.nonEmpty,
+      "ZoneMap.build needs at least one column")
     val files = listDataFiles(spark, dataPath)
     require(files.nonEmpty, s"no parquet files under $dataPath")
-    zoneRows(spark, files, cols)
+    zoneRows(spark, files, cols, bloomCols, bloomItems, bloomFpp)
       .repartition(1) // |files| metadata rows — one file keeps reads cheap
       .write.mode(SaveMode.Overwrite).parquet(indexPath)
     files.size.toLong
@@ -131,6 +188,9 @@ object ZoneMap {
   private def indexedCols(z: DataFrame): Seq[String] =
     z.schema.fieldNames.collect { case f if f.startsWith("min_") => f.drop(4) }.toSeq
 
+  private def bloomedCols(z: DataFrame): Seq[String] =
+    z.schema.fieldNames.collect { case f if f.startsWith("bloom_") => f.drop(6) }.toSeq
+
   /** Index files that appeared since the last build/append — the
     * incremental leg of the maintenance cycle. Keyed on the canonical
     * file path, so re-running after a partial ingest (or an at-least-
@@ -139,14 +199,15 @@ object ZoneMap {
     *
     * @return number of newly indexed files
     */
-  def append(spark: SparkSession, dataPath: String, indexPath: String): Long = {
+  def append(spark: SparkSession, dataPath: String, indexPath: String,
+      bloomItems: Long = 1000000L, bloomFpp: Double = 0.03): Long = {
     val z = zones(spark, indexPath).getOrElse(
       throw new IllegalStateException(
         s"no committed zone map at $indexPath - build first"))
     val have = z.select(FileCol).collect().map(_.getString(0)).toSet
     val fresh = listDataFiles(spark, dataPath).filterNot(have)
     if (fresh.isEmpty) return 0L
-    zoneRows(spark, fresh, indexedCols(z))
+    zoneRows(spark, fresh, indexedCols(z), bloomedCols(z), bloomItems, bloomFpp)
       .repartition(1)
       .write.mode(SaveMode.Append).parquet(indexPath)
     fresh.size.toLong
@@ -173,7 +234,8 @@ object ZoneMap {
 
   /** Fresh derivation at a (possibly new) location — the rebuild leg. */
   def rebuild(spark: SparkSession, dataPath: String, cols: Seq[String],
-      toPath: String): Long = build(spark, dataPath, cols, toPath)
+      toPath: String, bloomCols: Seq[String] = Nil): Long =
+    build(spark, dataPath, cols, toPath, bloomCols)
 
   /** How stale is the index: (files on disk but unindexed, zone rows
     * whose files vanished). (0, 0) means the index exactly covers the
@@ -190,28 +252,47 @@ object ZoneMap {
     ((disk diff idx).size.toLong, (idx diff disk).size.toLong)
   }
 
-  /** Survivor test for one file's zone row against every range: keep the
-    * file iff for EACH range the [min,max] interval can intersect it —
-    * null min/max (all-null column in that file) fails every range,
-    * correctly, because range predicates reject nulls.
+  /** Survivor test for one file's zone row against every predicate:
+    * keep the file iff EACH check that exists for its column can
+    * intersect — null min/max (all-null column in that file) fails
+    * every range/point, correctly, because both reject nulls; a bloom
+    * miss (no false negatives) proves the key absent. Every check is
+    * conservative, so multiple checks on one column compose by AND.
     */
-  private def survives(preds: Seq[Range]): Column =
-    preds.map { r =>
-      val lo = if (r.lo == null) lit(true)
-        else col(s"max_${r.col}").isNotNull && col(s"max_${r.col}") >= lit(r.lo)
-      val hi = if (r.hi == null) lit(true)
-        else col(s"min_${r.col}").isNotNull && col(s"min_${r.col}") <= lit(r.hi)
-      lo && hi
+  private def survives(preds: Seq[Pred], zoned: Set[String],
+      bloomed: Set[String]): Column =
+    preds.map {
+      case Range(c, lo0, hi0) =>
+        require(zoned(c), s"column $c not zone-indexed " +
+          s"(indexed: ${zoned.mkString(", ")})")
+        val lo = if (lo0 == null) lit(true)
+          else col(s"max_$c").isNotNull && col(s"max_$c") >= lit(lo0)
+        val hi = if (hi0 == null) lit(true)
+          else col(s"min_$c").isNotNull && col(s"min_$c") <= lit(hi0)
+        lo && hi
+      case Point(c, v) =>
+        require(zoned(c) || bloomed(c), s"column $c neither zone- nor " +
+          s"bloom-indexed (zones: ${zoned.mkString(", ")}; " +
+          s"blooms: ${bloomed.mkString(", ")})")
+        // the bloom half of a Point check runs driver-side over the
+        // collected zone rows ([[prunedFiles]]) — might_contain demands
+        // a constant bloom, and the rows are metadata we collect anyway
+        if (zoned(c))
+          col(s"max_$c").isNotNull && col(s"max_$c") >= lit(v) &&
+            col(s"min_$c") <= lit(v)
+        else lit(true)
     }.reduce(_ && _)
 
-  /** The exact row-level predicate the ranges describe — re-applied on
+  /** The exact row-level predicate the preds describe — re-applied on
     * read so pruning coarseness can never change results.
     */
-  def predicate(preds: Seq[Range]): Column =
-    preds.map { r =>
-      val lo = if (r.lo == null) lit(true) else col(r.col) >= lit(r.lo)
-      val hi = if (r.hi == null) lit(true) else col(r.col) <= lit(r.hi)
-      lo && hi
+  def predicate(preds: Seq[Pred]): Column =
+    preds.map {
+      case Range(c, lo0, hi0) =>
+        val lo = if (lo0 == null) lit(true) else col(c) >= lit(lo0)
+        val hi = if (hi0 == null) lit(true) else col(c) <= lit(hi0)
+        lo && hi
+      case Point(c, v) => col(c) === lit(v)
     }.reduce(_ && _)
 
   /** File paths a pruned scan must read: indexed survivors that still
@@ -220,14 +301,27 @@ object ZoneMap {
     * should full-scan.
     */
   def prunedFiles(spark: SparkSession, dataPath: String, indexPath: String,
-      preds: Seq[Range]): Option[Seq[String]] =
+      preds: Seq[Pred]): Option[Seq[String]] =
     zones(spark, indexPath).map { z =>
-      val zc = indexedCols(z).toSet
-      val bad = preds.map(_.col).filterNot(zc)
-      require(bad.isEmpty, s"columns not in zone map: ${bad.mkString(", ")} " +
-        s"(indexed: ${zc.mkString(", ")})")
-      val survivors = z.filter(survives(preds))
-        .select(FileCol).collect().map(_.getString(0))
+      val bloomed = bloomedCols(z).toSet
+      val bloomPts = preds.collect {
+        case p: Point if bloomed(p.col) => (s"bloom_${p.col}", probeHash(p.v))
+      }
+      val zoneSurvivors = z
+        .filter(survives(preds, indexedCols(z).toSet, bloomed))
+        .select((FileCol +: bloomPts.map(_._1).distinct).map(col): _*)
+        .collect()
+      // bloom half of every Point check, driver-side on the metadata
+      // rows: a null bloom (all-null column in that file) cannot
+      // contain the key — prune; no false negatives otherwise
+      val survivors = zoneSurvivors.filter { r =>
+        bloomPts.forall { case (bc, h) =>
+          val bytes = r.getAs[Array[Byte]](bc)
+          bytes != null && org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+            .mightContainLong(h)
+        }
+      }.map(_.getString(0))
       val disk = listDataFiles(spark, dataPath)
       val idx = z.select(FileCol).collect().map(_.getString(0)).toSet
       val unindexed = disk.filterNot(idx)
@@ -248,11 +342,13 @@ object ZoneMap {
     * maintenance can never write a second, different row for it.
     */
   def ingestStream(df: DataFrame, cols: Seq[String], dataDir: String,
-      indexPath: String, checkpointDir: String): Unit =
+      indexPath: String, checkpointDir: String,
+      bloomCols: Seq[String] = Nil): Unit =
     IndexStream.run(df, checkpointDir) { batch =>
       batch.write.mode(SaveMode.Append).parquet(dataDir)
       val spark = batch.sparkSession
-      if (zones(spark, indexPath).isEmpty) build(spark, dataDir, cols, indexPath)
+      if (zones(spark, indexPath).isEmpty)
+        build(spark, dataDir, cols, indexPath, bloomCols)
       else append(spark, dataDir, indexPath)
     }
 
@@ -263,7 +359,7 @@ object ZoneMap {
     * changes how many files open.
     */
   def scan(spark: SparkSession, dataPath: String, indexPath: String,
-      preds: Seq[Range]): DataFrame = {
+      preds: Seq[Pred]): DataFrame = {
     require(preds.nonEmpty, "ZoneMap.scan needs at least one range")
     val full = spark.read.parquet(dataPath)
     prunedFiles(spark, dataPath, indexPath, preds) match {

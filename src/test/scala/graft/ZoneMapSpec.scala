@@ -132,6 +132,65 @@ class ZoneMapSpec extends SparkSpec {
       .count() == live)
   }
 
+  test("bloom pruning: point lookups on a hash-scattered layout") {
+    val (data, idx) = mkDirs()
+    // round-robin layout: every file spans the full k range, so min/max
+    // pruning keeps everything — the layout blooms exist for
+    (0L until 1000L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .repartition(16).write.parquet(data)
+    ZoneMap.build(spark, data, Seq("k"), idx, bloomCols = Seq("k"),
+      bloomItems = 1000L, bloomFpp = 0.01)
+
+    val ranged = ZoneMap.prunedFiles(spark, data, idx,
+      Seq(ZoneMap.Range("k", 400L, 400L))).get
+    assert(ranged.size == 16, "min/max cannot prune a scattered layout")
+
+    val pointed = ZoneMap.prunedFiles(spark, data, idx,
+      Seq(ZoneMap.Point("k", 400L))).get
+    assert(pointed.size <= 3,
+      s"bloom must prune a point lookup to ~1 file (+fp): ${pointed.size}")
+    val got = ZoneMap.scan(spark, data, idx, Seq(ZoneMap.Point("k", 400L)))
+      .select("k", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((400L, 800.0)))
+
+    // absent key: bloom's no-false-negative guarantee means pruning to
+    // nothing is CORRECT, and the scan is exactly empty
+    assert(ZoneMap.scan(spark, data, idx, Seq(ZoneMap.Point("k", 5000L)))
+      .count() == 0)
+
+    // Point on a zone-only column still prunes via min/max; on a
+    // range-clustered layout that's the right tool
+    val (data2, idx2) = mkDirs()
+    writeFixture(data2)
+    ZoneMap.build(spark, data2, Seq("k"), idx2)
+    val zp = ZoneMap.prunedFiles(spark, data2, idx2,
+      Seq(ZoneMap.Point("k", 400L))).get
+    assert(zp.size == 1 && ZoneMap.scan(spark, data2, idx2,
+      Seq(ZoneMap.Point("k", 400L))).count() == 1)
+  }
+
+  test("bloom append: late files get blooms; mixed Range+Point predicates compose") {
+    val (data, idx) = mkDirs()
+    (0L until 500L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .repartition(8).write.parquet(data)
+    ZoneMap.build(spark, data, Seq("k", "v"), idx, bloomCols = Seq("k"),
+      bloomItems = 1000L, bloomFpp = 0.01)
+    (500L until 1000L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .repartition(8).write.mode("append").parquet(data)
+    assert(ZoneMap.append(spark, data, idx) == 8)
+
+    // the late key is only findable through an appended bloom row
+    val files = ZoneMap.prunedFiles(spark, data, idx,
+      Seq(ZoneMap.Point("k", 777L))).get
+    assert(files.size <= 3, s"appended blooms must prune: ${files.size}")
+    // Range on v (zones) AND Point on k (bloom): conservative checks AND
+    val both = ZoneMap.scan(spark, data, idx, Seq(
+      ZoneMap.Point("k", 777L), ZoneMap.Range("v", 1000.0, 2000.0)))
+    assert(both.count() == 1)
+    assert(ZoneMap.scan(spark, data, idx, Seq(
+      ZoneMap.Point("k", 777L), ZoneMap.Range("v", 0.0, 100.0))).count() == 0)
+  }
+
   test("missing index falls back to the full filtered scan; unknown column is loud") {
     val (data, idx) = mkDirs()
     writeFixture(data)
@@ -142,6 +201,6 @@ class ZoneMapSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       ZoneMap.prunedFiles(spark, data, idx, Seq(ZoneMap.Range("v", 0.0, 1.0)))
     }
-    assert(e.getMessage.contains("not in zone map"))
+    assert(e.getMessage.contains("not zone-indexed"))
   }
 }
