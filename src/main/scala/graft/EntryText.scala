@@ -251,6 +251,20 @@ private[graft] object EntryText {
     idx.phrase(Seq("table", "part")).orderBy("doc_id")
   }
 
+  /** Keyword-in-context rendering of the phrase hits: the ±2-token
+    * window around each matching doc's first "table part" — the
+    * human-review surface of a decontamination hit; only matched docs
+    * re-tokenize.
+    */
+  def textSnippet(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_snip").toString
+    val idx = graft.operators.PhraseIndex.build(docs, "doc_id", "text",
+      path, "graft_q_snip", buckets = 8)
+    idx.snippets(docs, "doc_id", "text", Seq("table", "part"), width = 2)
+      .orderBy("doc_id")
+  }
+
   /** Proximity screen from the same index machinery: docs where "spark"
     * occurs within 3 tokens of "vector", with the true minimal gap —
     * the co-occurrence audit shape ("entity X near entity Y") at

@@ -1190,6 +1190,34 @@ private[graft] object Oracles {
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
         |FROM events WHERE user_id BETWEEN 50 AND 80
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the composed pipeline replays stage-by-stage as one CTE chain:
+    // every stage is hash-reproducible (md5 weights, 6-dp rates,
+    // unique sort keys), so per-shard integer sums pin the whole run
+    "q_pipeline" ->
+      """WITH clean AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE n_chars >= 150),
+        |kept AS (SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY text),
+        |surv AS (SELECT c.doc_id, c.lang FROM clean c JOIN kept USING (doc_id)),
+        |cnt AS (SELECT lang, COUNT(*) AS n FROM surv GROUP BY 1),
+        |rt AS (SELECT lang, ROUND(POWER(CAST(n AS DOUBLE)
+        |         / (SELECT MIN(n) FROM cnt), -0.5), 6) AS rate FROM cnt),
+        |mixed AS (
+        |  SELECT s.doc_id FROM surv s JOIN rt USING (lang)
+        |  WHERE CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) / 4294967296.0 < rt.rate),
+        |ids AS (SELECT doc_id,
+        |          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS gid FROM mixed),
+        |w AS (SELECT doc_id, gid, s,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |          CAST(s AS VARCHAR)), 1, 8)) AS BIGINT) AS wt
+        |      FROM ids CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s)),
+        |pick AS (SELECT doc_id, gid, CAST(s AS INT) AS shard,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                              ORDER BY wt DESC, s DESC) AS rn
+        |         FROM w)
+        |SELECT shard, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(gid) AS BIGINT) AS gid_sum
+        |FROM pick WHERE rn = 1 GROUP BY shard ORDER BY shard""".stripMargin,
     // blooms have no false negatives and the equality predicate
     // re-applies on read, so the bloom-pruned lookup oracles as the
     // plain point filter
@@ -2016,6 +2044,23 @@ private[graft] object Oracles {
         |FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |WHERE a.tok = 'table' AND b.tok = 'part'
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "text_snippet" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(lf) AS tok, unnest(range(1, len(lf)+1)) AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), t -> t <> '') AS lf
+        |        FROM documents)),
+        |d AS (SELECT doc_id,
+        |        list_filter(string_split(text, ' '), t -> t <> '') AS lf
+        |      FROM documents),
+        |m AS (SELECT a.doc_id, MIN(a.pos) AS s0
+        |      FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |      WHERE a.tok = 'table' AND b.tok = 'part'
+        |      GROUP BY a.doc_id)
+        |SELECT m.doc_id,
+        |  array_to_string(d.lf[GREATEST(s0 - 2, 1):LEAST(s0 + 3, len(d.lf))],
+        |    ' ') AS snippet
+        |FROM m JOIN d USING (doc_id) ORDER BY m.doc_id""".stripMargin,
     "text_near" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(lf) AS tok, unnest(range(1, len(lf)+1)) AS pos

@@ -1391,6 +1391,34 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** The end-to-end training-data pipeline, composed from the shipped
+    * operators and pinned by ONE oracle: quality gate → exact dedup
+    * (min-id survivor) → temperature-flattened language mixing (α=0.5)
+    * → contiguous global ids in doc order → rendezvous sharding, rolled
+    * up per shard over exact integer sums (membership via id_sum,
+    * ordering via gid_sum). Every stage is deterministic and
+    * hash-reproducible (md5 weights, rounded rates, unique sort keys),
+    * so the whole composition replays as one DuckDB CTE chain — the
+    * "switch your pipeline to this library" demonstration in a single
+    * query.
+    */
+  private def qPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val clean = docs.filter(col("n_chars") >= 150)
+    val survivors = clean.join(
+      operators.Dedup.exact(clean, "doc_id", Seq("text")).select("doc_id"),
+      Seq("doc_id"))
+    val mixed = operators.Sampling.temperatureSample(
+      survivors, "lang", "doc_id", 0.5)
+    val ids = operators.Indexing.globalIds(
+      mixed.select("doc_id", "lang"), Seq("doc_id"))
+    operators.Indexing.rendezvousShard(ids, "doc_id", 4)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
+        sum("gid").as("gid_sum"))
+      .orderBy("shard")
+  }
+
   /** KLL/GK-style quantile sketch — implementation-specific, rows-only. */
   private def qApproxQuantile(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -1868,6 +1896,7 @@ object SparkEntry {
     "text_bm25_index" -> (EntryText.textBm25Index _),
     "text_phrase" -> (EntryText.textPhrase _),
     "text_near" -> (EntryText.textNear _),
+    "text_snippet" -> (EntryText.textSnippet _),
     "text_lm_score" -> (EntryText.textLmScore _),
     "text_redact" -> (EntryText.textRedact _),
     "text_spans" -> (EntryText.textSpans _),
@@ -1886,6 +1915,7 @@ object SparkEntry {
     "q_compact" -> (qCompact _),
     "stream_zonemap" -> (EntryStream.streamZonemap _),
     "q_bloommap" -> (qBloommap _),
+    "q_pipeline" -> (qPipeline _),
     "q_mg_topk" -> (qMgTopk _),
     "stream_incr_agg" -> (EntryStream.streamIncrAgg _),
     "q_series_topk" -> (qSeriesTopk _))

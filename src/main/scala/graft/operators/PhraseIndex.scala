@@ -57,13 +57,13 @@ class PhraseIndex private[operators] (
         collect_list(struct(col("term"), col("positions")))).as("m"))
   }
 
-  /** Docs containing `terms` consecutively: `(doc_id, n_matches)`,
-    * overlapping occurrences counted. The chain fold — positions of
-    * term k that extend a chain = `intersect(prev + 1, pos(term k))` —
-    * is pure array arithmetic inside codegen; docs missing any term
-    * fall out through the empty intersect.
+  /** Matching docs with the chain's END positions — the shared core of
+    * [[phrase]] and [[snippets]]. The chain fold — positions of term k
+    * that extend a chain = `intersect(prev + 1, pos(term k))` — is pure
+    * array arithmetic inside codegen; docs missing any term fall out
+    * through the empty intersect.
     */
-  def phrase(terms: Seq[String]): DataFrame = {
+  private def chainEnds(terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "phrase needs at least one term")
     val m = termMaps(terms)
     val chain = terms.tail.foldLeft(
@@ -71,9 +71,33 @@ class PhraseIndex private[operators] (
       array_intersect(transform(s, p => p + 1),
         coalesce(element_at(col("m"), lit(t)), emptyPos))
     }
-    m.withColumn("n_matches", size(chain))
-      .filter(col("n_matches") > 0)
-      .select("doc_id", "n_matches")
+    m.withColumn("ends", chain).filter(size(col("ends")) > 0)
+  }
+
+  /** Docs containing `terms` consecutively: `(doc_id, n_matches)`,
+    * overlapping occurrences counted.
+    */
+  def phrase(terms: Seq[String]): DataFrame =
+    chainEnds(terms).select(col("doc_id"), size(col("ends")).as("n_matches"))
+
+  /** Keyword-in-context: the token window around each matching doc's
+    * FIRST phrase occurrence, `width` tokens of context either side —
+    * the human-review surface of a decontamination hit. Only matched
+    * docs re-tokenize (a match-sized semi-join back to the corpus, not
+    * a corpus scan); the index finds, the corpus renders.
+    */
+  def snippets(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], width: Int = 5): DataFrame = {
+    require(width >= 0, s"width must be non-negative: $width")
+    val k = terms.size
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      TF.tokens(col(textCol)).as("toks"))
+    val start0 = array_min(col("ends")) - (k - 1)
+    val start = greatest(start0 - width, lit(1))
+    val end = least(start0 + lit(k - 1 + width), size(col("toks")))
+    chainEnds(terms).join(toks, Seq("doc_id"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), start, end - start + 1)).as("snippet"))
   }
 
   /** Docs where `a` and `b` occur within `window` tokens:

@@ -63,6 +63,21 @@ class PhraseIndexSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSeq == Seq((1L, 1), (2L, 2)))
   }
 
+  test("snippets: first-match window, clamped at both document edges") {
+    val docsSeq = Seq(
+      (1L, "c1 c2 a b c3 c4 c5"),
+      (2L, "a b x y z"),
+      (3L, "x y z a b"))
+    val idx = mkIndex("pidx_e", docsSeq)
+    val got = idx.snippets(docsSeq.toDF("doc_id", "text"), "doc_id", "text",
+        Seq("a", "b"), width = 2)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "c1 c2 a b c3 c4"), // interior window
+      (2L, "a b x y"),         // clamped at the left edge
+      (3L, "y z a b")))        // clamped at the right edge
+  }
+
   test("phrase plan: bucket-pruned postings scan, one exchange total") {
     val docs = (0L until 200L).map(i => (i, s"w$i common w${i % 7}"))
     val idx = mkIndex("pidx_d", docs)
