@@ -200,6 +200,17 @@ object Sketches {
     */
   def momentsRollup(slices: DataFrame, rollupCols: Seq[String],
       bins: Int): DataFrame = {
+    // fail loudly on a bins mismatch: element_at past the stored length
+    // would null the tail and a SMALLER bins would silently reinterpret
+    // interior bins as the overflow bucket — one limit-1 probe of the
+    // metadata-scale slice table is cheap insurance
+    slices.select(size(col("hist")).as("n")).limit(1).collect()
+      .foreach { r =>
+        require(r.getInt(0) == bins + 2,
+          s"momentsRollup(bins = $bins) over slices with ${r.getInt(0)} " +
+            s"histogram entries - bins must match the momentsByGroup call " +
+            s"(expected ${bins + 2} = bins + under/overflow)")
+      }
     val aggs = Seq(
       sum("n").as("n"), sum("s").as("s"), sum("s2").as("s2"),
       min("mn").as("mn"), max("mx").as("mx"),

@@ -340,6 +340,12 @@ object ZoneMap {
     * of [[Sketches.hllSliceStream]] in file-key form: the zone row for
     * a file is a pure function of that immutable file, so re-running
     * maintenance can never write a second, different row for it.
+    *
+    * Scope of the claim: the INDEX stays exact over whatever data
+    * landed. The data sink itself is at-least-once — a redelivered
+    * batch re-lands its rows as fresh files (which the index then
+    * indexes, correctly); route through a keyed upsert sink instead
+    * when row-level exactly-once matters.
     */
   def ingestStream(df: DataFrame, cols: Seq[String], dataDir: String,
       indexPath: String, checkpointDir: String,

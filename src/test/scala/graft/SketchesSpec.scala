@@ -239,6 +239,12 @@ class SketchesSpec extends SparkSpec {
     assert(rolled.map(_.toSeq) == direct.map(_.toSeq))
     assert(rolled.nonEmpty)
 
+    // a mismatched bins fails loudly instead of reinterpreting buckets
+    val e = intercept[IllegalArgumentException] {
+      Sketches.momentsRollup(slices, Seq("lang"), bins = 6)
+    }
+    assert(e.getMessage.contains("bins must match"))
+
     // and the global rollup (Nil) folds everything to one row
     val g = Sketches.momentsStats(Sketches.momentsRollup(slices, Nil, 8))
       .collect()(0)
