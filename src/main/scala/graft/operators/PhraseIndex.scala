@@ -154,6 +154,54 @@ class PhraseIndex private[operators] (
         .saveAsTable(docsTable)
     }
   }
+
+  /** Continuous document ingest — one guarded append per micro-batch
+    * through the shared [[IndexStream]] harness (the [[Bm25Index.appendStream]]
+    * shape); phrase queries between batches see every completed append.
+    */
+  def appendStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      checkpointDir: String): Unit =
+    IndexStream.run(docs, checkpointDir) { batch =>
+      append(batch, idCol, textCol); ()
+    }
+
+  /** Remove documents: anti-join both tables and rewrite into `toPath`
+    * (bucketed parquet has no in-place delete — the rewrite doubles as
+    * a [[compact]]). Removal is immediately complete: phrase/near
+    * results derive only from the tables, so the deleted docs stop
+    * matching the moment the tables point at `toPath`.
+    */
+  def delete(docIds: DataFrame, idCol: String, toPath: String): PhraseIndex = {
+    val ids = docIds.select(col(idCol).cast("long").as("doc_id"))
+    rewrite(toPath, _.join(ids, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Small-file maintenance; `newBuckets` > 0 re-buckets during the
+    * rewrite (recorded in meta, so later `open`s see it).
+    */
+  def compact(toPath: String, newBuckets: Int = 0): PhraseIndex =
+    rewrite(toPath, identity, newBuckets)
+
+  private def rewrite(
+      toPath: String, f: DataFrame => DataFrame,
+      newBuckets: Int = 0): PhraseIndex = {
+    require(toPath != path, s"rewrite target must differ from current path: $path")
+    require(newBuckets >= 0,
+      s"newBuckets must be positive, or 0 to keep the current count: $newBuckets")
+    val b = if (newBuckets > 0) newBuckets else buckets
+    // distinct() on postings: shed torn-append duplicates for good
+    Sinks.bucketed(
+      f(spark.read.parquet(s"$path/postings")).distinct()
+        .repartition(b, col("term")),
+      postingsTable, s"$toPath/postings", b, Seq("term"))
+    Sinks.bucketed(
+      f(spark.read.parquet(s"$path/docs")).distinct()
+        .repartition(b, col("doc_id")),
+      docsTable, s"$toPath/docs", b, Seq("doc_id"))
+    Bm25Index.writeMeta(spark, toPath, b)
+    new PhraseIndex(spark, postingsTable, docsTable, toPath, b)
+  }
 }
 
 object PhraseIndex {

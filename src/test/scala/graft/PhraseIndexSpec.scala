@@ -78,6 +78,44 @@ class PhraseIndexSpec extends SparkSpec {
       (3L, "y z a b")))        // clamped at the right edge
   }
 
+  test("delete and compact rewrite the lifecycle; stream ingest == batch") {
+    val path = Files.createTempDirectory("phrase_cycle").toString
+    val corpus = (0L until 40L).map(i =>
+      (i, if (i % 4 == 0) "hit me now" else s"w$i filler row"))
+    val idx = PhraseIndex.build(corpus.take(20).toDF("doc_id", "text"),
+      "doc_id", "text", s"$path/v1", "pidx_f", buckets = 4)
+
+    // three-wave stream ingest of the second half == batch append
+    val waves = s"$path/waves"
+    Seq(corpus.slice(20, 27), corpus.slice(27, 34), corpus.slice(34, 40))
+      .foreach(w => w.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(waves))
+    idx.appendStream(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(waves),
+      "doc_id", "text", s"$path/ckpt")
+    assert(idx.indexedDocs() == 40)
+    val full = idx.phrase(Seq("hit", "me", "now"))
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(full == (0L until 40L by 4).map((_, 1)).toSeq)
+
+    // delete the first half's hits; results immediately reflect it
+    val afterDel = idx.delete(
+      (0L until 20L).toDF("doc_id"), "doc_id", s"$path/v2")
+    assert(afterDel.indexedDocs() == 20)
+    assert(afterDel.phrase(Seq("hit", "me", "now"))
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq ==
+      (20L until 40L).filter(_ % 4 == 0).map((_, 1)).toSeq)
+
+    // compact with re-bucketing preserves every result; meta wins on open
+    val compacted = afterDel.compact(s"$path/v3", newBuckets = 2)
+    assert(compacted.phrase(Seq("hit", "me", "now")).count() ==
+      afterDel.phrase(Seq("hit", "me", "now")).count())
+    val reopened = PhraseIndex.open(spark, "pidx_f", s"$path/v3", buckets = 99)
+    assert(reopened.buckets == 2, "meta must win over the open argument")
+    assert(reopened.near("hit", "now", 2).count() == 5)
+  }
+
   test("phrase plan: bucket-pruned postings scan, one exchange total") {
     val docs = (0L until 200L).map(i => (i, s"w$i common w${i % 7}"))
     val idx = mkIndex("pidx_d", docs)
