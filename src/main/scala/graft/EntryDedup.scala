@@ -72,6 +72,21 @@ private[graft] object EntryDedup {
         shingleN = 3, threshold = 0.8)
       .orderBy("i", "j")
 
+  /** Cross-corpus contamination screen: the 0–399 corpus against the
+    * ≥ 400 arriving batch through the exact R-S PPJoin
+    * ([[Dedup.crossJaccardPairs]]) — the dedup_incremental split, but
+    * EXACT (no LSH recall argument) and strictly cross-side: batch-batch
+    * pairs are out of scope by definition, so the oracle is the
+    * brute-force pair set restricted to one member per side.
+    */
+  def dedupCross(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Dedup.crossJaccardPairs(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", shingleN = 3, threshold = 0.8)
+      .orderBy("i", "j")
+  }
+
   def dedupCorpus(s: SparkSession, d: String): DataFrame =
     Dedup.dedupeCorpus(t(s, d, "documents"), "doc_id", "text")
       .orderBy("doc_id")

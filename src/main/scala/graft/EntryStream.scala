@@ -374,6 +374,23 @@ private[graft] object EntryStream {
       .orderBy("event_type")
   }
 
+  /** Bounded-state streaming dedup: [[streamDedup]]'s question answered
+    * by `dropDuplicatesWithinWatermark` — a horizon wider than the whole
+    * bounded fixture makes the result equal exact dedup (the same batch
+    * COUNT(DISTINCT) oracle), while the operator's state stays
+    * watermark-evicted by construction (the eviction behavior itself is
+    * StreamingSpec's bounded-state test; a bounded replay fixture cannot
+    * distinguish eviction, only correctness).
+    */
+  def streamDedupWm(s: SparkSession, d: String): DataFrame = {
+    val deduped = EventStreams.dedupEventsBounded(EventStreams.readEvents(s, d),
+      watermark = "30 days", keys = Seq("user_id", "event_type"))
+    EventStreams.runToMemory(s, deduped,
+        s"stream_dedup_wm_${System.nanoTime()}", "append")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** Stream-static broadcast join: the event stream enriched with a
     * batch user-segment dimension, then complete-mode counts per
     * (segment, type) — must equal the batch group-by. No state store,

@@ -610,6 +610,40 @@ private[graft] object Oracles {
         |SELECT user_id, event_id, event_type, us AS ef,
         |  LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS et
         |FROM c ORDER BY user_id, ef, event_id""".stripMargin,
+    // q67's versions + an hourly probe grid: latest version opening at or
+    // before each probe (ties by event_id, the Spark tieBreak), nulled
+    // when the probe falls past the version's close (the gap check)
+    "q_scd2_pit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts
+        |  FROM events WHERE user_id % 50 = 0
+        |), m AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM e
+        |), c AS (
+        |  SELECT user_id, event_id, event_type, ts AS ef FROM m
+        |  WHERE prev IS NULL OR prev <> event_type
+        |), v AS (
+        |  SELECT user_id, event_id, event_type, ef,
+        |    LEAD(ef) OVER (PARTITION BY user_id ORDER BY ef, event_id) AS et
+        |  FROM c
+        |), g AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(date_trunc('hour', MIN(ts)), MAX(ts),
+        |      INTERVAL 1 HOUR)) AS at
+        |  FROM e GROUP BY user_id
+        |), pit AS (
+        |  SELECT g.user_id, g.at, v.event_type, v.event_id, v.et,
+        |    ROW_NUMBER() OVER (PARTITION BY g.user_id, g.at
+        |      ORDER BY v.ef DESC, v.event_id DESC) AS rn
+        |  FROM g LEFT JOIN v ON v.user_id = g.user_id AND v.ef <= g.at
+        |)
+        |SELECT user_id, CAST(epoch(at) AS BIGINT) AS at_s,
+        |  CASE WHEN et IS NULL OR at < et THEN event_type END AS event_type,
+        |  CASE WHEN et IS NULL OR at < et THEN event_id END AS ver
+        |FROM pit WHERE rn = 1 ORDER BY user_id, at_s""".stripMargin,
     "q68_vocab_encode" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -1639,6 +1673,10 @@ private[graft] object Oracles {
     "stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // horizon covers the bounded fixture => equals exact dedup
+    "stream_dedup_wm" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // cumulative streamed pairs == full corpus closure (batch-boundary
     // invariance — see streamIndexDedup)
     "stream_index_dedup" -> duckShingles,
@@ -1745,6 +1783,22 @@ private[graft] object Oracles {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_minhash" -> duckShingles,
+    // R-S join: strictly one member per side (sides are id-disjoint, so
+    // no a < b tie-break is needed)
+    "dedup_cross" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |                   for i in range(1, len(l)-1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |), pj AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j,
+        |    len(list_intersect(a.s, b.s)) * 1.0
+        |      / len(list_distinct(a.s || b.s)) AS jac
+        |  FROM sh a, sh b WHERE a.doc_id < 400 AND b.doc_id >= 400
+        |)
+        |SELECT i, j, ROUND(jac, 3) AS jac FROM pj WHERE jac >= 0.8
+        |ORDER BY i, j""".stripMargin,
     "dedup_incremental" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -812,6 +812,29 @@ object SparkEntry {
       .orderBy("user_id", "ef", "event_id")
   }
 
+  /** Point-in-time enrichment of an hourly probe grid against the q67
+    * SCD2 dimension: for every sampled user and every hour of their
+    * activity span, the event_type version live at that instant (null
+    * before the first version) — [[Ingest.pointInTime]]: an as-of
+    * backward join plus the gap check, never an interval join. `ver` is
+    * the version-opening event_id, pinning WHICH version matched, not
+    * just its attribute value.
+    */
+  private def qScd2Pit(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").filter(col("user_id") % 50 === 0)
+    val dim = Ingest.changeHistory(ev, Seq("user_id"), "ts",
+      Seq("event_id"), Seq("event_type"))
+    val grid = ev.groupBy("user_id").agg(min("ts").as("lo"), max("ts").as("hi"))
+      .select(col("user_id"), explode(sequence(
+        date_trunc("hour", col("lo")), col("hi"),
+        expr("interval 1 hour"))).as("at"))
+    Ingest.pointInTime(grid, dim, "user_id", "at",
+        Seq("event_type", "event_id"), tieBreak = Some("event_id"))
+      .select(col("user_id"), unix_timestamp(col("at")).as("at_s"),
+        col("event_type"), col("event_id").as("ver"))
+      .orderBy("user_id", "at_s")
+  }
+
   /** Vocabulary build (top-20 tokens by count, rank-assigned ids — the
     * fixture corpus has 31 distinct tokens, so ~1/3 of the stream is OOV
     * and the 0-mapping path is genuinely exercised) + document encoding to
@@ -1794,6 +1817,7 @@ object SparkEntry {
     "q65_pagerank" -> (q65 _),
     "q66_triangles" -> (q66 _),
     "q67_scd2" -> (q67 _),
+    "q_scd2_pit" -> (qScd2Pit _),
     "q68_vocab_encode" -> (q68 _),
     "q69_winsorize" -> (q69 _),
     "q70_global_ids" -> (q70 _),
@@ -1852,6 +1876,7 @@ object SparkEntry {
     "text_selfdedup" -> (EntryText.textSelfDedup _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (EntryStream.streamDedup _),
+    "stream_dedup_wm" -> (EntryStream.streamDedupWm _),
     "stream_index_dedup" -> (EntryStream.streamIndexDedup _),
     "stream_ann" -> (EntryStream.streamAnn _),
     "stream_bm25" -> (EntryStream.streamBm25 _),
@@ -1869,6 +1894,7 @@ object SparkEntry {
     "dedup_index" -> (EntryDedup.dedupIndex _),
     "dedup_simhash" -> (EntryDedup.dedupSimhash _),
     "dedup_ngram" -> (EntryDedup.dedupNgram _),
+    "dedup_cross" -> (EntryDedup.dedupCross _),
     "dedup_embedding" -> (EntryDedup.dedupEmbedding _),
     "dedup_semantic" -> (EntryDedup.dedupSemantic _),
     "dedup_semantic_clustered" -> (EntryDedup.dedupSemanticClustered _),

@@ -334,43 +334,114 @@ object Dedup extends CacheLedger {
       shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sets = hashedSets(docs, idCol, textCol, shingleN)
     val sh = explodedHashes(sets)
-    // Both PPJoin filters must round in EXACT arithmetic: in doubles,
-    // (1-0.8)·10 = 1.999…96 floors one short (undersized prefix) and
-    // 0.8/1.8·18 = 8.000…02 ceils one high (over-tight overlap bound) —
-    // each silently drops pairs sitting exactly ON the threshold
-    // (J = 8/10 at t = 0.8 was lost on the sf0.1 fixture). The threshold
-    // becomes a decimal fraction tNum/tDen, rounded DOWN (recall-safe:
-    // a smaller t only weakens the filters) and the bounds are integer
-    // expressions — products stay < 2^53, exact in the engine's math.
-    val (tNum, tDen) = {
-      val bd = BigDecimal(threshold.toString).setScale(6, BigDecimal.RoundingMode.FLOOR)
-      ((bd * BigDecimal(1000000)).toLongExact, 1000000L)
-    }
-    // prefix length: n - ceil(t·n) + 1, ceil(t·n) = floor((tNum·n + tDen-1)/tDen)
+    val (tNum, tDen) = thresholdFraction(threshold)
+    val prefixes = ppjoinPrefixes(
+        sh, sh.groupBy("h").agg(count(lit(1)).as("df")), tNum, tDen)
+      .cache() // self-joined below; avoid recomputing df-join + windows twice
+      .transform(ledgered)
+    val candidates = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          ppjoinPositional(tNum, tDen))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    verifyHashed(sets, candidates, threshold)
+  }
+
+  /** Both PPJoin filters must round in EXACT arithmetic: in doubles,
+    * (1-0.8)·10 = 1.999…96 floors one short (undersized prefix) and
+    * 0.8/1.8·18 = 8.000…02 ceils one high (over-tight overlap bound) —
+    * each silently drops pairs sitting exactly ON the threshold
+    * (J = 8/10 at t = 0.8 was lost on the sf0.1 fixture). The threshold
+    * becomes a decimal fraction tNum/tDen, rounded DOWN (recall-safe:
+    * a smaller t only weakens the filters) and the bounds are integer
+    * expressions — products stay < 2^53, exact in the engine's math.
+    */
+  private def thresholdFraction(threshold: Double): (Long, Long) = {
+    val bd = BigDecimal(threshold.toString).setScale(6, BigDecimal.RoundingMode.FLOOR)
+    ((bd * BigDecimal(1000000)).toLongExact, 1000000L)
+  }
+
+  /** Per-document PPJoin prefix rows (doc_id, h, rk, n) under the global
+    * canonical order "ascending document frequency, ties by hash". Any
+    * total order shared by all participating documents preserves the
+    * prefix-filter guarantee; rarest-first additionally makes prefixes
+    * carry the shingles LEAST likely to collide. `dfStats` is (h, df) —
+    * the caller decides which corpus the frequencies come from (the
+    * document's own corpus for a self-join, the union for a cross-join:
+    * what matters is that every side ranks by the SAME df).
+    *
+    * Prefix length: n - ceil(t·n) + 1, ceil(t·n) = floor((tNum·n + tDen-1)/tDen).
+    */
+  private def ppjoinPrefixes(
+      sh: DataFrame, dfStats: DataFrame, tNum: Long, tDen: Long): DataFrame = {
     val byFreq = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
-    val prefixes = sh
-      .join(sh.groupBy("h").agg(count(lit(1)).as("df")), Seq("h"))
+    sh.join(dfStats, Seq("h"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rk", row_number().over(byFreq))
       .filter(col("rk") <=
         col("n") - floor((lit(tNum) * col("n") + lit(tDen - 1)) / lit(tDen)) + 1)
       .select("doc_id", "h", "rk", "n")
-      .cache() // self-joined below; avoid recomputing df-join + windows twice
+  }
+
+  /** Positional filter (PPJoin) over prefix aliases `a`/`b`: J >= t needs
+    * overlap c >= t/(1+t)·(na+nb), and a match at prefix positions
+    * (ra, rb) can contribute at most 1 + min(na-ra, nb-rb) shared
+    * elements. The first shared element of a qualifying pair always
+    * passes, so dropping failing matches loses no true pair while pruning
+    * most spurious rare-shingle collisions.
+    * Integer form: c·(tDen+tNum) >= tNum·(na+nb).
+    */
+  private def ppjoinPositional(tNum: Long, tDen: Long): Column =
+    (lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))) *
+      lit(tDen + tNum) >= lit(tNum) * (col("a.n") + col("b.n"))
+
+  /** Exact set-similarity JOIN between two different corpora (the R-S
+    * form of [[ngramJaccardPairs]]): every (left, right) pair with
+    * shingle-Jaccard ≥ threshold, prefix-filtered and exact-verified —
+    * the contamination screen run between a training corpus and an
+    * arriving batch (or a benchmark set) without ever self-joining
+    * either side.
+    *
+    * Same PPJoin machinery as the self-join; the one cross-specific
+    * requirement is the CANONICAL ORDER: both sides must rank shingles by
+    * the same frequencies, so df is computed over the UNION of the two
+    * corpora (each side alone would rank differently and the prefix
+    * theorem would not hold across sides). The candidate join is
+    * left-prefix × right-prefix on the shared shingle — never O(|L|·|R|):
+    * only pairs sharing a rare shingle materialize, and the positional
+    * filter prunes the rest before exact verification.
+    *
+    * Ids must be unique ACROSS both inputs (they name pair members in the
+    * output, and verification resolves them per side — a collision would
+    * be reported ambiguously, not mis-verified).
+    *
+    * @return (i from left, j from right, jac) — exact Jaccard, 3 dp
+    */
+  def crossJaccardPairs(
+      left: DataFrame, right: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val lSets = hashedSets(left, idCol, textCol, shingleN)
+    val rSets = hashedSets(right, idCol, textCol, shingleN)
+    val (tNum, tDen) = thresholdFraction(threshold)
+    val lSh = explodedHashes(lSets)
+    val rSh = explodedHashes(rSets)
+    val dfStats = lSh.unionByName(rSh)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .cache() // feeds both sides' prefix ranking below
       .transform(ledgered)
-    // Positional filter (PPJoin): J >= t needs overlap c >= t/(1+t)·(na+nb),
-    // and a match at prefix positions (ra, rb) can contribute at most
-    // 1 + min(na-ra, nb-rb) shared elements. The first shared element of a
-    // qualifying pair always passes, so dropping failing matches loses no
-    // true pair while pruning most spurious rare-shingle collisions.
-    // Integer form: c·(tDen+tNum) >= tNum·(na+nb).
-    val candidates = prefixes.as("a")
-      .join(prefixes.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          (lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))) *
-            lit(tDen + tNum) >= lit(tNum) * (col("a.n") + col("b.n")))
+    val candidates = ppjoinPrefixes(lSh, dfStats, tNum, tDen).as("a")
+      .join(ppjoinPrefixes(rSh, dfStats, tNum, tDen).as("b"),
+        col("a.h") === col("b.h") && ppjoinPositional(tNum, tDen))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    verifyHashed(sets, candidates, threshold)
+    candidates
+      .join(lSets.as("si"), col("i") === col("si.doc_id"))
+      .join(rSets.as("sj"), col("j") === col("sj.doc_id"))
+      .select(col("i"), col("j"),
+        graft.plans.SortedJaccard(col("si.hs"), col("sj.hs")).as("jac"))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), round(col("jac"), 3).as("jac"))
   }
 
   /** Connected components over near-duplicate pairs via distributed label

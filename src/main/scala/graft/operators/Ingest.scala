@@ -152,6 +152,40 @@ object Ingest {
       .drop("_prev", tsCol)
   }
 
+  /** Point-in-time enrichment of facts against an SCD2 dimension (the
+    * [[changeHistory]] output shape): each fact carries the attribute
+    * version whose [effective_from, effective_to) interval contains the
+    * fact's timestamp — the "which dim version was live when this event
+    * happened" join every versioned-dimension warehouse runs.
+    *
+    * NOT an interval join: version validity is contiguous per key, so the
+    * containing interval is just the LATEST version opening at or before
+    * the fact — an as-of backward join ([[AsOfJoin.asof]]'s segmented
+    * prefix scan: ONE shuffle of facts ∪ versions, no fact×version
+    * blow-up, no per-interval explode). The one case as-of alone gets
+    * wrong is a HISTORY GAP (a dim key deleted then re-created: the
+    * latest-opening version may have CLOSED before the fact), so the
+    * carried `effective_to` is checked and the attributes nulled when the
+    * fact falls in a gap — a comparison per row, not a join. Facts before
+    * a key's first version, or on keys the dim never saw, carry nulls the
+    * same way.
+    *
+    * @param tieBreak column among `attrCols` ordering same-instant
+    *                 versions (greatest wins), for dims where one key can
+    *                 open two versions at one timestamp
+    * @return every fact row + `attrCols` (null when no version contains
+    *         the fact time)
+    */
+  def pointInTime(
+      facts: DataFrame, dim: DataFrame, key: String, factTs: String,
+      attrCols: Seq[String], tieBreak: Option[String] = None): DataFrame = {
+    val joined = AsOfJoin.asof(facts, dim, key, key, factTs, "effective_from",
+      attrCols :+ "effective_to", tieBreak = tieBreak)
+    val valid = col("effective_to").isNull || col(factTs) < col("effective_to")
+    joined.select(facts.columns.toSeq.map(col) ++
+      attrCols.map(a => when(valid, col(a)).as(a)): _*)
+  }
+
   /** Bloom-filter pre-screen for ingest dedup: mark each batch row as
     * probably-seen (its key may be in the corpus) or certainly-new — the
     * "skip URLs we already crawled" primitive. NO false negatives: a

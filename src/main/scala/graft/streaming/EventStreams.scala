@@ -155,6 +155,23 @@ object EventStreams {
       keys: Seq[String] = Seq("event_id")): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(keys)
 
+  /** Bounded-state streaming dedup (Spark 4
+    * `dropDuplicatesWithinWatermark`): duplicates arriving within the
+    * watermark horizon of each other are guaranteed dropped, and a key's
+    * state is EVICTED once the watermark passes its event time — so state
+    * is bounded by the horizon's key-arrival rate, not the stream's
+    * lifetime key count. [[dedupEvents]]'s plain `dropDuplicates` keeps
+    * every key forever (exact dedup, unbounded state) — the right tool
+    * only when the key domain itself is bounded; THIS is the 100 TB
+    * continuous-ingest shape, trading exactness beyond the horizon for
+    * state that cannot grow without bound. The event-time column stays
+    * OUT of the keys: physical duplicates of one logical event may carry
+    * slightly different timestamps and still collapse.
+    */
+  def dedupEventsBounded(events: DataFrame, watermark: String = "1 hour",
+      keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
   final case class UserState(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Custom keyed state via flatMapGroupsWithState: running per-user event

@@ -121,6 +121,60 @@ class DedupSpec extends SparkSpec {
     assert(got2.contains((0L, 2L)))
   }
 
+  test("cross-corpus R-S jaccard join: strictly cross-side, exact, both boundary-safe") {
+    // corpus 0-1 vs batch 2-5: the exact-dup pair (0,2) crosses the split
+    val got = Dedup.crossJaccardPairs(
+      docs.filter(col("doc_id") < 2), docs.filter(col("doc_id") >= 2),
+      "doc_id", "text").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 2L)))
+    // strictly cross: put BOTH dup members on the right side — the pair is
+    // right-internal, so the R-S join must report nothing even though a
+    // self-join over the union would find it
+    assert(Dedup.crossJaccardPairs(
+      docs.filter(col("doc_id") === 3), docs.filter(col("doc_id") =!= 3),
+      "doc_id", "text").count() == 0)
+    // the J = 8/10 = 0.8 threshold-boundary pair survives across sides too
+    // (the exact-arithmetic PPJoin bounds, cross form)
+    val a = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    val left = spark.createDataFrame(Seq((1L, a))).toDF("doc_id", "text")
+    val right = spark.createDataFrame(Seq((2L, a + " x0 x1"))).toDF("doc_id", "text")
+    val boundary = Dedup.crossJaccardPairs(left, right, "doc_id", "text",
+      threshold = 0.8).collect()
+    assert(boundary.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(boundary.head.getDouble(2) == 0.8)
+  }
+
+  test("randomized corpus: cross pairs equal brute force restricted to cross-side") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Array.tabulate(400)(i => s"w$i")
+    def mkDoc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val bases = (0 until 60).map(i => (i.toLong, mkDoc(30)))
+    // plant copies and one-token edits of LEFT docs into the RIGHT ids
+    val planted = (0 until 30).map { k =>
+      val (_, text) = bases(rnd.nextInt(bases.length))
+      val toks = text.split(" ")
+      val edited = toks.updated(rnd.nextInt(toks.length),
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (100L + k, if (k % 2 == 0) text else edited)
+    }
+    val all = bases ++ planted
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val m = all.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val brute = (for {
+      i <- m.keys if i < 100; j <- m.keys if j >= 100
+      inter = (m(i) & m(j)).size.toDouble
+      uni = (m(i) | m(j)).size.toDouble
+      if uni > 0 && inter / uni >= 0.8
+    } yield (i, j)).toSet
+    assert(brute.nonEmpty, "fixture must plant at least one qualifying cross pair")
+    val got = Dedup.crossJaccardPairs(
+      spark.createDataFrame(bases).toDF("doc_id", "text"),
+      spark.createDataFrame(planted).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+  }
+
   test("simhash block-LSH candidate volume stays far below all-pairs at 5k docs") {
     // A corpus of 5k distinct random documents: with 8-bit blocks (256
     // bucket values per block) plus the Hamming pre-filter, candidate

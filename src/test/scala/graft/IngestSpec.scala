@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Ingest
+import org.apache.spark.sql.functions.col
 
 class IngestSpec extends SparkSpec {
 
@@ -132,6 +133,57 @@ class IngestSpec extends SparkSpec {
     val h = Ingest.changeHistory(df, Seq("k"), "ts", Seq("eid"), Seq("status"))
       .select("eid", "status").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(h.sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b"), (3L, "a")))
+  }
+
+  test("pointInTime: facts carry the version live at their timestamp; gaps/pre-history null") {
+    // key 1: [10,20) "a", [20,40) "b", a GAP [40,50), then [50,∞) "c" —
+    // the gap is the case a bare as-of backward join gets wrong
+    val dim = spark.createDataFrame(Seq(
+        (1L, 10L, Option(20L), "a"),
+        (1L, 20L, Option(40L), "b"),
+        (1L, 50L, Option.empty[Long], "c"),
+        (2L, 5L, Option.empty[Long], "z")))
+      .toDF("k", "effective_from", "effective_to", "status")
+    val facts = spark.createDataFrame(Seq(
+        (1L, 5L), (1L, 10L), (1L, 19L), (1L, 20L), (1L, 45L), (1L, 50L),
+        (1L, 99L), (2L, 7L), (3L, 7L)))
+      .toDF("k", "t")
+    val got = Ingest.pointInTime(facts, dim, "k", "t", Seq("status"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSet
+    assert(got == Set[(Long, Long, Any)](
+      (1L, 5L, null),   // before the first version
+      (1L, 10L, "a"),   // opening boundary is inclusive
+      (1L, 19L, "a"),
+      (1L, 20L, "b"),   // closing boundary excludes v1, opens v2
+      (1L, 45L, null),  // inside the gap — the as-of carry is nulled
+      (1L, 50L, "c"), (1L, 99L, "c"),
+      (2L, 7L, "z"),
+      (3L, 7L, null)))  // key the dim never saw
+  }
+
+  test("pointInTime equals the interval-containment join on a randomized history") {
+    val rnd = new scala.util.Random(7)
+    val logRows = (for { k <- 0L until 20L; _ <- 0 until 15 }
+      yield (k, rnd.nextInt(1000).toLong, s"s${rnd.nextInt(4)}"))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (k, ts)
+    val dim = Ingest.changeHistory(
+      spark.createDataFrame(logRows).toDF("k", "ts", "status"),
+      Seq("k"), "ts", Seq.empty, Seq("status"))
+    val facts = spark.createDataFrame(
+        (0 until 300).map(_ => (rnd.nextInt(22).toLong, rnd.nextInt(1100).toLong))
+          .distinct)
+      .toDF("k", "t")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), String.valueOf(r.get(2)))
+    val got = Ingest.pointInTime(facts, dim, "k", "t", Seq("status"))
+      .collect().map(key).sorted.toSeq
+    val ref = facts.as("f").join(dim.as("d"),
+        col("f.k") === col("d.k") && col("d.effective_from") <= col("f.t") &&
+          (col("d.effective_to").isNull || col("f.t") < col("d.effective_to")),
+        "left")
+      .select(col("f.k"), col("f.t"), col("d.status"))
+      .collect().map(key).sorted.toSeq
+    assert(got == ref)
   }
 
   test("probablyNew: no false negatives; false positives bounded near fpp") {

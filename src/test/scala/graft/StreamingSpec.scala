@@ -47,6 +47,44 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == batch.select("event_id").distinct().count())
   }
 
+  test("dropDuplicatesWithinWatermark: dups collapse within the horizon, state evicts past it") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(h: Double) = new Timestamp(t0.getTime + (h * 3600000L).toLong)
+    val base = java.nio.file.Files.createTempDirectory("dedup_wm").toString
+    import spark.implicits._
+    // wave 1: K at t0 (state expiry t0+1h), L at t0+3h (expiry t0+4h)
+    Seq((100L, at(0)), (200L, at(3))).toDF("event_id", "ts")
+      .coalesce(1).write.parquet(s"$base/in/w0")
+    // wave 2: L's duplicate within its horizon — dropped; M at t0+6h
+    // advances the NEXT batch's watermark to t0+5h, past K's expiry
+    // (eviction happens between batches, so the watermark-advancer and
+    // the re-sent duplicate need separate waves)
+    Seq((200L, at(3.5)), (300L, at(6))).toDF("event_id", "ts")
+      .coalesce(1).write.parquet(s"$base/in/w1")
+    // wave 3: K re-sent after its state evicted — re-emitted, the
+    // bounded-state trade the operator makes past the horizon
+    Seq((100L, at(7))).toDF("event_id", "ts")
+      .coalesce(1).write.parquet(s"$base/in/w2")
+    graft.operators.SeriesSearch.pinArrivalOrder(
+      spark, Seq(s"$base/in/w0", s"$base/in/w1", s"$base/in/w2"))
+    def waves() = spark.readStream.schema("event_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/w*")
+    val bounded = EventStreams.runToMemory(spark,
+      EventStreams.dedupEventsBounded(waves(), watermark = "1 hour"),
+      "t_dedup_wm", "append")
+    val emitted = bounded.groupBy("event_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(emitted == Map(100L -> 2L, 200L -> 1L, 300L -> 1L),
+      s"K must re-emit after eviction, L must collapse in-horizon: $emitted")
+    // contrast: the unbounded-state dedup keeps every key exactly once —
+    // exactness the bounded form deliberately trades past the horizon
+    val exact = EventStreams.runToMemory(spark,
+      EventStreams.dedupEvents(waves(), watermark = "1 hour",
+        keys = Seq("event_id")), "t_dedup_exact", "append")
+    assert(exact.count() == 3)
+  }
+
   test("session windows produce per-user sessions covering all events") {
     val stream = EventStreams.readEvents(spark, sfDir)
     val sessions = EventStreams.runToMemory(spark,
