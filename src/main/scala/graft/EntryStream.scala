@@ -169,6 +169,36 @@ private[graft] object EntryStream {
       .orderBy("event_type")
   }
 
+  /** Continuous heavy hitters — the composition [[graft.operators.Sketches.mgRollup]]'s
+    * doc prescribes for top-k ingest: MG merges by SUM, so replayed slice
+    * rows would double-count, and the exactly-once machinery already
+    * exists in [[graft.operators.MaterializedAgg]]'s batch ledger. Exact
+    * (day, type, user) counts fold through `updateStream`; the MG
+    * compression happens at READ (counts → mg_count slices → per-type
+    * rollup → top-10). At full counter capacity the rollup is exact, so
+    * the q_mg_topk oracle applies verbatim — arrival form cannot move
+    * ledgered exact counts.
+    */
+  def streamMgTopk(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_smg").toString
+    def shape(df: DataFrame) = df.select(to_date(col("ts")).as("day"),
+      col("event_type"), col("user_id"))
+    val m = graft.operators.MaterializedAgg.build(
+      shape(t(s, d, "events")).filter(lit(false)),
+      Seq("day", "event_type", "user_id"), Seq.empty, s"$base/agg")
+    m.updateStream(shape(EventStreams.readEvents(s, d)), s"$base/ck")
+    val slices = m.read().select(col("day"), col("event_type"),
+      col("user_id"), col("n").as("mg_count"))
+    val rolled = graft.operators.Sketches.mgRollup(
+      slices, Seq("event_type"), "user_id", k = 4096)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("mg_count").desc, col("user_id"))
+    rolled.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      .select(col("event_type"), col("rnk"), col("user_id"),
+        col("mg_count").as("c"))
+      .orderBy("event_type", "rnk")
+  }
+
   /** Zone maps under continuous ingest: three user_id-disjoint event
     * waves drain through [[graft.operators.ZoneMap.ingestStream]] — each
     * micro-batch lands data files and the unindexed-file diff indexes

@@ -1299,6 +1299,18 @@ private[graft] object Oracles {
     // MG summaries at full counter capacity ARE the exact count table
     // (never overcount + nothing to decrement), so the at-rest rollup
     // oracles as the plain GROUP BY ranking
+    // ledgered exact counts compressed at read: arrival form cannot move
+    // them, so the streamed top-k shares q_mg_topk's oracle verbatim
+    "stream_mg_topk" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, user_id, c, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY c DESC, user_id) AS rnk
+        |  FROM c
+        |)
+        |SELECT event_type, rnk, user_id, c FROM r WHERE rnk <= 10
+        |ORDER BY event_type, rnk""".stripMargin,
     "q_mg_topk" ->
       """WITH c AS (
         |  SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2

@@ -101,6 +101,17 @@ object ScaleProbe {
           .select((col("doc_id") + 10 * n).as("doc_id"), col("text"))
         idx.probe(batch, "doc_id", "text", threshold = 0.9).count()
       },
+      time("cross_jaccard_screen") {
+        // R-S contamination screen at scale: a 5k "benchmark" batch of
+        // clones (sources 20000-24999, disjoint from the 0-4999 planted
+        // clone block) screened against the 500k base — exactly one
+        // cross pair per batch doc, and the candidate join is
+        // prefix×prefix on union-df order, never 500k×5k
+        val batch = base.filter(col("doc_id") >= 20000 && col("doc_id") < 25000)
+          .select((col("doc_id") + 20L * n).as("doc_id"), col("text"))
+        graft.operators.Dedup.crossJaccardPairs(
+          base, batch, "doc_id", "text", shingleN = 3, threshold = 0.8).count()
+      },
       time("selfdedup_hot_gram") {
         // hot-gram skew leg: one 8-token phrase planted in 20% of docs
         // makes a single gram-hash group ~n/5-sized in BOTH the
@@ -452,6 +463,11 @@ object ScaleProbe {
     // persistent index — per-batch cost is NOT a corpus re-hash)
     val probePairs = stages.find(_._1 == "index_probe_batch").get._3
     assert(probePairs == 5000, s"index probe found $probePairs pairs, planted 5000")
+    // the R-S screen finds exactly its 5k batch-to-source pairs — the
+    // exact-verify stage kills every spurious rare-shingle collision
+    val crossPairs = stages.find(_._1 == "cross_jaccard_screen").get._3
+    assert(crossPairs == 5000,
+      s"cross screen found $crossPairs pairs, planted 5000")
     // the hot-gram leg keeps one copy of the planted phrase (its first
     // owner) and strips the suffix from every other carrier — exactly
     // n/5 − 1 affected docs, and nothing else in the salad repeats

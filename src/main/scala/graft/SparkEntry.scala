@@ -1877,6 +1877,7 @@ object SparkEntry {
     "q_approx_quantile" -> (qApproxQuantile _),
     "stream_dedup" -> (EntryStream.streamDedup _),
     "stream_dedup_wm" -> (EntryStream.streamDedupWm _),
+    "stream_mg_topk" -> (EntryStream.streamMgTopk _),
     "stream_index_dedup" -> (EntryStream.streamIndexDedup _),
     "stream_ann" -> (EntryStream.streamAnn _),
     "stream_bm25" -> (EntryStream.streamBm25 _),

@@ -137,7 +137,8 @@ object Sketches {
     * redelivered slice row double-counts. Continuous top-k ingest
     * therefore needs delivery-exactly-once machinery: route it through
     * [[MaterializedAgg]]-style ledgered folding of (slice, item) counts
-    * and compress at read, rather than appending raw summary rows.
+    * and compress at read, rather than appending raw summary rows —
+    * the `stream_mg_topk` query is exactly that composition.
     */
   def mgRollup(slices: DataFrame, rollupCols: Seq[String], itemCol: String,
       k: Int): DataFrame = {

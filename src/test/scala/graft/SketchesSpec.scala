@@ -131,6 +131,31 @@ class SketchesSpec extends SparkSpec {
       "with counters >= distinct items the summary IS the count table")
   }
 
+  test("continuous top-k composition: ledgered counts + read-time compression, redelivery absorbed") {
+    // the stream_mg_topk shape with the ledger driven directly: fold the
+    // corpus in two batches, REDELIVER one, compress at read — MG merges
+    // by sum, so only the exactly-once ledger keeps replay from
+    // double-counting (the composition mgRollup's doc prescribes)
+    val path = java.nio.file.Files.createTempDirectory("mg_ledger").toString
+    val m = graft.operators.MaterializedAgg.build(
+      events.filter(lit(false)), Seq("day", "kind", "user_id"),
+      Seq.empty, path)
+    m.update(events.filter(col("day") < 2), 0L)
+    m.update(events.filter(col("day") >= 2), 1L)
+    m.update(events.filter(col("day") >= 2), 1L) // redelivery: ledger no-op
+    val rolled = Sketches.mgRollup(
+      m.read().select(col("day"), col("kind"), col("user_id"),
+        col("n").as("mg_count")),
+      Seq("kind"), "user_id", k = 4096)
+    val got = rolled.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val want = events.groupBy("kind", "user_id")
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == want,
+      "ledgered fold + compression must equal the direct exact counts")
+  }
+
   test("MG under pressure: never overcounts, misses nothing above n/(k+1), error bounded") {
     import spark.implicits._
     // one group: a=50, b=30, c=10, plus 20 singletons; k=2 => decrement by
