@@ -137,6 +137,31 @@ class PlanShapeSpec extends SparkSpec {
       !pFuzzy.contains("BroadcastNestedLoopJoin"), pFuzzy)
   }
 
+  test("crossJaccardPairs: equi-joins throughout, never a cross product") {
+    import org.apache.spark.sql.functions.col
+    val left = docs
+    val right = docs.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val p = plan(graft.operators.Dedup.crossJaccardPairs(
+      left, right, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    graft.operators.Dedup.releaseCaches()
+  }
+
+  test("pointInTime shuffles once: the shared union-window partitioning") {
+    import org.apache.spark.sql.functions.col
+    val dim = docs.select(col("doc_id").as("k"),
+        (col("doc_id") * 10).as("effective_from"))
+      .withColumn("effective_to", col("effective_from") + 10)
+      .withColumn("status", col("k") % 3)
+    val facts = docs.select(col("doc_id").as("k"), (col("doc_id") * 7).as("t"))
+    // facts ∪ versions into ONE hash partitioning on the key; the prefix
+    // scan and the gap check add no further exchange — the property that
+    // makes PIT enrichment an as-of, not an interval join
+    assert(exchanges(Ingest.pointInTime(facts, dim, "k", "t",
+      Seq("status"))) == 1)
+  }
+
   test("quantileNormalize: the only nested-loop is the broadcast 1-row N count") {
     import org.apache.spark.sql.functions.col
     val grouped = docs.withColumn("g", (col("doc_id") % 5).cast("string"))
