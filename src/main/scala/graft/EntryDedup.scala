@@ -87,6 +87,43 @@ private[graft] object EntryDedup {
       .orderBy("i", "j")
   }
 
+  /** The persistent form of [[dedupCross]]: benchmark side (≥ 400)
+    * materialized once as the [[graft.operators.ScreenIndex]] (sets +
+    * frozen-order prefixes + df ranks, all bucketed parquet), then the
+    * corpus probes against parquet — same split, same oracle.
+    */
+  def dedupScreenIndex(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_screen").toString
+    val idx = graft.operators.ScreenIndex.build(
+      docs.filter(col("doc_id") >= 400), "doc_id", "text",
+      path, "graft_q_screen", shingleN = 3, threshold = 0.8, buckets = 8)
+    idx.probe(docs.filter(col("doc_id") < 400), "doc_id", "text")
+      .orderBy("i", "j")
+  }
+
+  /** The screen's maintenance cycle: build on half the benchmark, append
+    * the rest past the frozen-order drift trip, rebuild (order re-derived
+    * from STORED sets — no original text), probe — pairs cannot move
+    * (the shared order is pruning, not semantics), so the cross oracle
+    * applies to the full cycle, the dedup_embedding_rebuild pattern.
+    */
+  def dedupScreenRebuild(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val bench = docs.filter(col("doc_id") >= 400)
+    val path = java.nio.file.Files.createTempDirectory("graft_screen_rb").toString
+    val idx = graft.operators.ScreenIndex.build(
+      bench.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+      s"$path/v1", "graft_q_screen_rb", shingleN = 3, threshold = 0.8,
+      buckets = 8)
+    idx.append(bench.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    require(idx.needsRebuild(),
+      "tripling the benchmark must trip the frozen-order rebuild")
+    idx.rebuild(s"$path/v2")
+      .probe(docs.filter(col("doc_id") < 400), "doc_id", "text")
+      .orderBy("i", "j")
+  }
+
   def dedupCorpus(s: SparkSession, d: String): DataFrame =
     Dedup.dedupeCorpus(t(s, d, "documents"), "doc_id", "text")
       .orderBy("doc_id")

@@ -169,6 +169,33 @@ private[graft] object EntryStream {
       .orderBy("event_type")
   }
 
+  /** Continuous decontamination: the corpus arrives as a three-wave
+    * document stream, each micro-batch screened against the persistent
+    * benchmark index ([[graft.operators.ScreenIndex.probeStream]]) —
+    * the index is static during the stream, so cumulative pairs are
+    * arrival-form blind and the batch cross oracle applies verbatim.
+    */
+  def streamScreen(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_sscreen").toString
+    val idx = graft.operators.ScreenIndex.build(
+      docs.filter(col("doc_id") >= 400), "doc_id", "text",
+      s"$base/idx", "graft_q_sscreen", shingleN = 3, threshold = 0.8,
+      buckets = 8)
+    val corpus = docs.filter(col("doc_id") < 400)
+    Seq(col("doc_id") < 150, col("doc_id") >= 150 && col("doc_id") < 300,
+        col("doc_id") >= 300)
+      .foreach(p => corpus.filter(p).coalesce(1)
+        .write.mode("append").parquet(s"$base/in"))
+    idx.probeStream(
+      s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      "doc_id", "text", s"$base/pairs", s"$base/ckpt")
+    s.read.parquet(s"$base/pairs").distinct().orderBy("i", "j")
+  }
+
   /** Continuous heavy hitters — the composition [[graft.operators.Sketches.mgRollup]]'s
     * doc prescribes for top-k ingest: MG merges by SUM, so replayed slice
     * rows would double-count, and the exactly-once machinery already

@@ -7,6 +7,25 @@ package graft
   */
 private[graft] object Oracles {
 
+  /** Cross-corpus exact-Jaccard pairs over the 0–399 / ≥400 split —
+    * shared by the batch R-S join, the persistent screen, its stream,
+    * and its rebuild cycle.
+    */
+  private val duckCrossPairs =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+      |                   for i in range(1, len(l)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      |), pj AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j,
+      |    len(list_intersect(a.s, b.s)) * 1.0
+      |      / len(list_distinct(a.s || b.s)) AS jac
+      |  FROM sh a, sh b WHERE a.doc_id < 400 AND b.doc_id >= 400
+      |)
+      |SELECT i, j, ROUND(jac, 3) AS jac FROM pj WHERE jac >= 0.8
+      |ORDER BY i, j""".stripMargin
+
   /** Shared DuckDB fragment: distinct 3-gram shingle sets per document. */
   private val duckShingles =
     """WITH sh AS (
@@ -1797,20 +1816,15 @@ private[graft] object Oracles {
     "dedup_minhash" -> duckShingles,
     // R-S join: strictly one member per side (sides are id-disjoint, so
     // no a < b tie-break is needed)
-    "dedup_cross" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
-        |                   for i in range(1, len(l)-1)]) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-        |), pj AS (
-        |  SELECT a.doc_id AS i, b.doc_id AS j,
-        |    len(list_intersect(a.s, b.s)) * 1.0
-        |      / len(list_distinct(a.s || b.s)) AS jac
-        |  FROM sh a, sh b WHERE a.doc_id < 400 AND b.doc_id >= 400
-        |)
-        |SELECT i, j, ROUND(jac, 3) AS jac FROM pj WHERE jac >= 0.8
-        |ORDER BY i, j""".stripMargin,
+    "dedup_cross" -> duckCrossPairs,
+    // the persistent screen answers the same cross question from parquet
+    // (i = probe doc < 400, j = benchmark doc >= 400) — and the streamed
+    // probe's cumulative pairs are arrival-form blind against a static
+    // index, so all three share the oracle; the rebuild cycle cannot
+    // move pairs either (the shared order is pruning, not semantics)
+    "dedup_screen_index" -> duckCrossPairs,
+    "dedup_screen_rebuild" -> duckCrossPairs,
+    "stream_screen" -> duckCrossPairs,
     "dedup_incremental" ->
       """WITH sh AS (
         |  SELECT doc_id,

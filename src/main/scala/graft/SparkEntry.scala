@@ -1896,6 +1896,9 @@ object SparkEntry {
     "dedup_simhash" -> (EntryDedup.dedupSimhash _),
     "dedup_ngram" -> (EntryDedup.dedupNgram _),
     "dedup_cross" -> (EntryDedup.dedupCross _),
+    "dedup_screen_index" -> (EntryDedup.dedupScreenIndex _),
+    "dedup_screen_rebuild" -> (EntryDedup.dedupScreenRebuild _),
+    "stream_screen" -> (EntryStream.streamScreen _),
     "dedup_embedding" -> (EntryDedup.dedupEmbedding _),
     "dedup_semantic" -> (EntryDedup.dedupSemantic _),
     "dedup_semantic_clustered" -> (EntryDedup.dedupSemanticClustered _),

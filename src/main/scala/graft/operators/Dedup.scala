@@ -67,7 +67,7 @@ object Dedup extends CacheLedger {
       .cache())
 
   /** (doc_id, h) exploded from the cached hash sets. */
-  private def explodedHashes(sets: DataFrame): DataFrame =
+  private[operators] def explodedHashes(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"), explode(col("hs")).as("h"))
 
   /** Verify candidate (i, j) pairs with exact shingle Jaccard ≥ threshold,
@@ -357,7 +357,7 @@ object Dedup extends CacheLedger {
     * a smaller t only weakens the filters) and the bounds are integer
     * expressions — products stay < 2^53, exact in the engine's math.
     */
-  private def thresholdFraction(threshold: Double): (Long, Long) = {
+  private[operators] def thresholdFraction(threshold: Double): (Long, Long) = {
     val bd = BigDecimal(threshold.toString).setScale(6, BigDecimal.RoundingMode.FLOOR)
     ((bd * BigDecimal(1000000)).toLongExact, 1000000L)
   }
@@ -373,7 +373,7 @@ object Dedup extends CacheLedger {
     *
     * Prefix length: n - ceil(t·n) + 1, ceil(t·n) = floor((tNum·n + tDen-1)/tDen).
     */
-  private def ppjoinPrefixes(
+  private[operators] def ppjoinPrefixes(
       sh: DataFrame, dfStats: DataFrame, tNum: Long, tDen: Long): DataFrame = {
     val byFreq = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
     sh.join(dfStats, Seq("h"))
@@ -392,7 +392,7 @@ object Dedup extends CacheLedger {
     * most spurious rare-shingle collisions.
     * Integer form: c·(tDen+tNum) >= tNum·(na+nb).
     */
-  private def ppjoinPositional(tNum: Long, tDen: Long): Column =
+  private[operators] def ppjoinPositional(tNum: Long, tDen: Long): Column =
     (lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))) *
       lit(tDen + tNum) >= lit(tNum) * (col("a.n") + col("b.n"))
 
