@@ -1347,6 +1347,25 @@ private[graft] object Oracles {
         |  CAST(strlen(trim(regexp_replace(lower(nfc_normalize(text)),
         |    '\s+', ' ', 'g'))) AS INT) AS n_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // global time rank cut into 5 equal-count folds by integer division;
+    // emb = the preceding fold when the row sits within 1800 s of its
+    // close (left join to the k-row fold-close table)
+    "q_purged_folds" ->
+      """WITH r AS (
+        |  SELECT event_id, ts::TIMESTAMP AS ts,
+        |    ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM events
+        |), f AS (
+        |  SELECT event_id, ts, (rn * 5) // n AS fold FROM r
+        |), hi AS (
+        |  SELECT fold, MAX(ts) AS hi FROM f GROUP BY fold
+        |)
+        |SELECT f.event_id, f.fold,
+        |  CASE WHEN h.hi IS NOT NULL AND epoch(f.ts) <= epoch(h.hi) + 1800
+        |       THEN f.fold - 1 END AS emb
+        |FROM f LEFT JOIN hi h ON h.fold = f.fold - 1
+        |ORDER BY f.event_id""".stripMargin,
     "q96_folds" ->
       """SELECT CAST(LEAST(4, FLOOR(
         |    CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)

@@ -1623,6 +1623,19 @@ object SparkEntry {
 
 
 
+  /** Purged time-series 5-fold split of the event stream with a 30-min
+    * embargo: contiguous equal-count time folds via the global-rank
+    * integer cut, plus the embargo flag naming the fold each row leaks
+    * into — q96's temporal sibling ([[Sampling.purgedTimeFolds]]), where
+    * hash folds would mix future into past.
+    */
+  private def qPurgedFolds(s: SparkSession, d: String): DataFrame =
+    Sampling.purgedTimeFolds(
+        t(s, d, "events").select(col("event_id"), col("ts")),
+        "ts", Seq("event_id"), k = 5, embargoSeconds = 1800)
+      .select(col("event_id"), col("fold"), col("emb"))
+      .orderBy("event_id")
+
   /** Correlated EXISTS + NOT EXISTS in one query — the two remaining
     * subquery decorrelation paths (semi- and anti-join rewrites) after
     * q31's scalar and q49's lateral forms.
@@ -1856,6 +1869,7 @@ object SparkEntry {
     "q95_skew" -> (q95 _),
     "stream_static" -> (EntryStream.streamStatic _),
     "q96_folds" -> (q96 _),
+    "q_purged_folds" -> (qPurgedFolds _),
     "text_normalize" -> (EntryText.textNormalize _),
     "text_bpe" -> (EntryText.textBpe _),
     "text_unigram" -> (EntryText.textUnigram _),

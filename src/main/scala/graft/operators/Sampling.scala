@@ -281,6 +281,46 @@ object Sampling {
       least(lit(k - 1L), floor(hashWeight(col(keyCol)) * k)))
   }
 
+  /** Purged time-series k-fold with embargo — the leakage-safe CV split
+    * for TEMPORAL data, where [[kfold]]'s hash assignment is exactly
+    * wrong: a random fold mixes future rows into the training set of a
+    * past validation fold. Rows are ranked in global time order
+    * (`tsCol`, then `tieCols` — together a unique total order), cut into
+    * k contiguous equal-count folds, and each row additionally carries
+    * `emb` — the PRECEDING fold's id when the row falls within
+    * `embargoSeconds` after that fold's close, else null: training for
+    * validation fold f must drop rows with emb = f, because serially-
+    * correlated features leak f's immediate future even after the time
+    * cut (the published purged/embargoed CV recipe, López de Prado 2018).
+    *
+    * Scale shape: the global rank comes from [[Indexing.globalIds]]
+    * (range shuffle + per-partition zip — never a one-partition window);
+    * fold = rank·k div n in INTEGER arithmetic (engine-exact, the
+    * quantileNormalize rule); n rides a broadcast 1-row frame and the k
+    * fold-close times a broadcast k-row frame. Everything is a selected
+    * element or integer division — SQL replays it row for row.
+    */
+  def purgedTimeFolds(df: DataFrame, tsCol: String, tieCols: Seq[String],
+      k: Int, embargoSeconds: Long,
+      foldCol: String = "fold", embCol: String = "emb"): DataFrame = {
+    require(k > 1, s"k must exceed 1: $k")
+    require(embargoSeconds >= 0, s"embargo must be non-negative: $embargoSeconds")
+    val g = Indexing.globalIds(df, tsCol +: tieCols, "_pf_gid")
+    val folded = g
+      .crossJoin(broadcast(g.agg(count(lit(1)).as("_pf_n"))))
+      .withColumn(foldCol, expr(s"(_pf_gid * $k) div _pf_n"))
+    val closes = folded.groupBy(foldCol)
+      .agg(max(col(tsCol)).as("_pf_hi"))
+      .select((col(foldCol) + 1).as("_pf_next"), col("_pf_hi"))
+    folded.join(broadcast(closes), col(foldCol) === col("_pf_next"), "left")
+      .withColumn(embCol,
+        when(col("_pf_hi").isNotNull &&
+            col(tsCol).cast("double") <=
+              col("_pf_hi").cast("double") + embargoSeconds,
+          col(foldCol) - 1))
+      .drop("_pf_gid", "_pf_n", "_pf_next", "_pf_hi")
+  }
+
   /** Quantile normalization across groups: replace each row's value with
     * the GLOBAL order statistic at the row's within-group rank fraction —
     * after it, every group's value distribution is (up to rank

@@ -238,6 +238,28 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("purgedTimeFolds: contiguous equal folds, exact embargo window, reshuffle-stable") {
+    import spark.implicits._
+    // 100 rows at ts = 0..99, k = 4, embargo = 3: folds are the exact
+    // quarters, and rows 25-27 / 50-52 / 75-77 sit within 3 s of the
+    // previous fold's close (24 / 49 / 74) — nothing else is flagged
+    val rows = (0L until 100L).map(i => (i, i)).toDF("id", "ts")
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Any)] =
+      Sampling.purgedTimeFolds(df, "ts", Seq("id"), k = 4, embargoSeconds = 3)
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("fold"), r.get(r.fieldIndex("emb"))))).toMap
+    val got = labels(rows)
+    (0L until 100L).foreach { i =>
+      assert(got(i)._1 == i / 25, s"row $i fold")
+      val wantEmb: Any =
+        if (i % 25 <= 2 && i >= 25) (i / 25 - 1) else null
+      assert(got(i)._2 == wantEmb, s"row $i emb: got ${got(i)._2}")
+    }
+    // value-deterministic under any partitioning (the rank is a pure
+    // function of the total order, not of the range boundaries)
+    assert(labels(rows.repartition(7)) == got)
+  }
+
   test("quantileNormalize: group ranks map onto global order statistics") {
     import spark.implicits._
     // group a: 1,2,3,4 — group b: 100,200 ; global sorted:
