@@ -374,9 +374,17 @@ object Dedup extends CacheLedger {
     * Prefix length: n - ceil(t·n) + 1, ceil(t·n) = floor((tNum·n + tDen-1)/tDen).
     */
   private[operators] def ppjoinPrefixes(
-      sh: DataFrame, dfStats: DataFrame, tNum: Long, tDen: Long): DataFrame = {
+      sh: DataFrame, dfStats: DataFrame, tNum: Long, tDen: Long): DataFrame =
+    ppjoinPrefixRank(sh.join(dfStats, Seq("h")), tNum, tDen)
+
+  /** The window-and-cut half of [[ppjoinPrefixes]], for callers that
+    * already carry a `df` column per (doc_id, h) row (e.g. a stored-order
+    * lookup with a default — one join instead of two).
+    */
+  private[operators] def ppjoinPrefixRank(
+      ranked: DataFrame, tNum: Long, tDen: Long): DataFrame = {
     val byFreq = Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
-    sh.join(dfStats, Seq("h"))
+    ranked
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rk", row_number().over(byFreq))
       .filter(col("rk") <=
@@ -435,13 +443,9 @@ object Dedup extends CacheLedger {
         col("a.h") === col("b.h") && ppjoinPositional(tNum, tDen))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    candidates
-      .join(lSets.as("si"), col("i") === col("si.doc_id"))
-      .join(rSets.as("sj"), col("j") === col("sj.doc_id"))
-      .select(col("i"), col("j"),
-        graft.plans.SortedJaccard(col("si.hs"), col("sj.hs")).as("jac"))
-      .filter(col("jac") >= threshold)
-      .select(col("i"), col("j"), round(col("jac"), 3).as("jac"))
+    // ids are unique across both inputs (the documented contract), so the
+    // shared verifier resolves each side by key from the union
+    verifyHashed(lSets.unionByName(rSets), candidates, threshold)
   }
 
   /** Connected components over near-duplicate pairs via distributed label
