@@ -40,18 +40,24 @@ object Compaction {
     */
   val DefaultTargetRows = 4 * 1000 * 1000L
 
-  private def parquetFiles(spark: SparkSession, dir: String): Seq[Path] = {
+  /** (path, length) per data file — lengths ride along from the one
+    * listing pass, so byte-driven sizing never re-asks the namenode
+    * per file (on the millions-of-small-files scenario this operator
+    * targets, a per-file getFileStatus would double the metadata
+    * pressure the module exists to relieve).
+    */
+  private def parquetFiles(spark: SparkSession, dir: String): Seq[(Path, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
     val it = fs.listFiles(p, true)
-    val out = Seq.newBuilder[Path]
+    val out = Seq.newBuilder[(Path, Long)]
     while (it.hasNext) {
       val f = it.next()
       val n = f.getPath.getName
       if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
         !n.startsWith("."))
-        out += f.getPath
+        out += ((f.getPath, f.getLen))
     }
     out.result()
   }
@@ -114,9 +120,7 @@ object Compaction {
       sortCols: Seq[String] = Nil): (Long, Long) = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val files = parquetFiles(spark, dir)
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = files.map(f => fs.getFileStatus(f).getLen).sum
+    val totalBytes = files.map(_._2).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(dir)
     val out =

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
 
 /** File-level zone maps — the data-skipping layer between partition
   * pruning and row-group statistics: a tiny parquet table holding
@@ -43,6 +44,16 @@ import org.apache.spark.sql.functions._
   * per-file `nulls_c` count is persisted for that audit, not consulted
   * by pruning).
   *
+  * On-disk layout is the family's versioned-meta discipline
+  * ([[ScreenIndex]], [[MaterializedAgg]]): `indexPath/zones` holds the
+  * zone rows, `indexPath/meta` a single geometry row — indexed columns,
+  * bloom columns, bloom sizing, and the indexed columns' data types —
+  * written LAST, so its `_SUCCESS` marker commits the index. Geometry
+  * therefore lives in exactly one place: [[append]] and [[ingestStream]]
+  * take no sizing parameters at all (meta wins), which makes the
+  * mis-sized-late-bloom drift of a caller re-guessing build parameters
+  * impossible by construction.
+  *
   * Maintenance cycle, matching the repo's persistent-index family:
   * [[build]] / [[append]] (new files only, idempotent — keyed on file
   * path) / [[retract]] (drop zone rows for vanished files) / [[rebuild]]
@@ -80,13 +91,17 @@ object ZoneMap {
 
   private val FileCol = "file"
 
-  /** Scheme-free canonical file path: `input_file_name()` yields
-    * `file:///a/b.parquet` while Hadoop listings yield `file:/a/b.parquet`
-    * — both normalize to `/a/b.parquet`, which local and HDFS readers
-    * accept back.
+  /** Canonical file path: scheme AND authority stripped, so
+    * `file:/a/b.parquet`, `file:///a/b.parquet` and
+    * `hdfs://nn:8020/a/b.parquet` all normalize to the same `/a/b...`
+    * form `Path.toUri.getPath` yields — `input_file_name()` carries the
+    * full URI while Hadoop listings are keyed authority-free, and the
+    * two sides MUST agree or pruning silently never applies (zone keys
+    * would never equal the listing) and [[append]] would re-index every
+    * file on every call.
     */
-  private def canonical(c: Column): Column =
-    regexp_replace(c, "^[a-zA-Z0-9]+:/+", "/")
+  private[operators] def canonical(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?(?=/)", "")
 
   private def listDataFiles(spark: SparkSession, dataPath: String): Seq[String] = {
     val p = new Path(dataPath)
@@ -111,20 +126,29 @@ object ZoneMap {
     math.max(64L, math.ceil(
       -items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
 
-  /** What a bloom hashes: the value's STRING form, canonicalized by the
-    * engine cast at build and by `toString` at probe — identical for
-    * the longs/ints/strings point lookups use, and immune to the
-    * caller's literal type differing from the column type (hashing
-    * native types would make `Point("k", 400)` miss a LongType column —
-    * a silent FALSE NEGATIVE, the one failure mode a pruning index must
-    * never have).
+  /** What a bloom hashes: the value's STRING form as the ENGINE casts
+    * it. The probe side ([[probeHash]]) routes the caller's literal
+    * through the same two casts — to the indexed column's data type,
+    * then to string — so a probe value whose Scala rendering differs
+    * from the SQL cast (`Point("v", 123)` on a DoubleType column is
+    * "123.0" to the engine, a timestamp's `toString` carries a trailing
+    * ".0") can never hash differently. A hash mismatch here would be a
+    * silent FALSE NEGATIVE — files dropped that contain matching rows —
+    * the one failure mode a pruning index must never have.
     */
   private def bloomKey(c: Column): Column = xxhash64(c.cast("string"))
 
-  private def probeHash(v: Any): Long =
-    org.apache.spark.sql.catalyst.expressions.XxHash64(
-      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(v.toString)),
-      42L).eval(null).asInstanceOf[Long]
+  /** The probe-side twin of [[bloomKey]]: cast the literal to the
+    * indexed column's type, then to string, through Catalyst itself —
+    * identical canonicalization by construction. Fails loudly on a
+    * probe value the column type cannot hold rather than guessing.
+    */
+  private def probeHash(v: Any, dt: DataType): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val typed = Cast(Literal(v), dt, Some("UTC"))
+    XxHash64(Seq(Cast(typed, StringType, Some("UTC"))), 42L)
+      .eval(null).asInstanceOf[Long]
+  }
 
   private def bloomAgg(c: String, items: Long, bits: Long): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
@@ -134,15 +158,16 @@ object ZoneMap {
         org.apache.spark.sql.catalyst.expressions.Literal(bits))
         .toAggregateExpression())
 
-  /** Zone rows for exactly `files`: one group per file out of a single
-    * scan — `(file, cnt, min_c…, max_c…, nulls_c…[, bloom_c…])`. The
-    * shuffle moves |files| tiny rows (a bloom adds its fixed bit array);
-    * partial aggregation collapses everything map-side first. Blooms
-    * hash via `xxhash64`, the same hash [[survives]] probes with; each
-    * file's bloom is self-contained, so files indexed by different
-    * calls never need matching sizes.
+  /** Zone rows for every file behind `df` (one group per file out of a
+    * single scan): `(file, cnt, min_c…, max_c…, nulls_c…[, bloom_c…])`.
+    * The shuffle moves |files| tiny rows (a bloom adds its fixed bit
+    * array); partial aggregation collapses everything map-side first.
+    * Blooms hash via `xxhash64`, the same hash [[survives]] probes
+    * with; each file's bloom is self-contained, so files indexed by
+    * different calls never need matching sizes — but [[append]] reads
+    * sizing from meta anyway, so they DO match.
     */
-  private def zoneRows(spark: SparkSession, files: Seq[String],
+  private[operators] def zoneRows(df: DataFrame,
       cols: Seq[String], bloomCols: Seq[String],
       bloomItems: Long, bloomFpp: Double): DataFrame = {
     val aggs = cols.flatMap { c => Seq(
@@ -151,15 +176,43 @@ object ZoneMap {
     } ++ bloomCols.map { c =>
       bloomAgg(c, bloomItems, bloomBits(bloomItems, bloomFpp)).as(s"bloom_$c")
     }
-    spark.read.parquet(files: _*)
-      .groupBy(canonical(input_file_name()).as(FileCol))
+    df.groupBy(canonical(input_file_name()).as(FileCol))
       .agg(count(lit(1)).as("cnt"), aggs: _*)
   }
 
+  /** The persisted geometry: indexed cols, bloom cols, bloom sizing,
+    * and the DDL type of every indexed/bloomed column (the probe-side
+    * cast target — without it a bloom-only column's probe could not be
+    * canonicalized through the engine).
+    */
+  private[operators] final case class Meta(cols: Seq[String],
+      bloomCols: Seq[String], bloomItems: Long, bloomFpp: Double,
+      types: Map[String, String]) {
+    def dataType(c: String): DataType = DataType.fromDDL(types(c))
+  }
+
+  private def writeMeta(spark: SparkSession, indexPath: String, m: Meta): Unit = {
+    import spark.implicits._
+    val (tc, td) = m.types.toSeq.sorted.unzip
+    Seq((m.cols, m.bloomCols, m.bloomItems, m.bloomFpp, tc, td))
+      .toDF("cols", "bloom_cols", "bloom_items", "bloom_fpp",
+        "type_cols", "type_ddls")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/meta")
+  }
+
+  private def readMeta(spark: SparkSession, indexPath: String): Meta = {
+    val r = spark.read.parquet(s"$indexPath/meta").head()
+    Meta(r.getSeq[String](0), r.getSeq[String](1), r.getLong(2), r.getDouble(3),
+      r.getSeq[String](4).zip(r.getSeq[String](5)).toMap)
+  }
+
   /** Derive the zone table for every data file currently under
-    * `dataPath` and publish it at `indexPath` (overwrite — the index is
-    * derivable metadata, and [[scan]] tolerates its absence, so the
-    * crash window costs a re-run, not correctness).
+    * `dataPath` and publish it at `indexPath`: zone rows first, the
+    * geometry meta LAST — its `_SUCCESS` marker commits the index
+    * (the family's meta-written-last discipline). The index is
+    * derivable metadata and [[scan]] tolerates its absence, so a crash
+    * anywhere in the window costs a re-run, not correctness.
     *
     * @return number of files indexed
     */
@@ -170,66 +223,75 @@ object ZoneMap {
       "ZoneMap.build needs at least one column")
     val files = listDataFiles(spark, dataPath)
     require(files.nonEmpty, s"no parquet files under $dataPath")
-    zoneRows(spark, files, cols, bloomCols, bloomItems, bloomFpp)
+    val df = spark.read.parquet(files: _*)
+    val types = (cols ++ bloomCols).distinct
+      .map(c => c -> df.schema(c).dataType.sql).toMap
+    zoneRows(df, cols, bloomCols, bloomItems, bloomFpp)
       .repartition(1) // |files| metadata rows — one file keeps reads cheap
-      .write.mode(SaveMode.Overwrite).parquet(indexPath)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/zones")
+    writeMeta(spark, indexPath, Meta(cols, bloomCols, bloomItems, bloomFpp, types))
     files.size.toLong
   }
 
-  /** The persisted zone table, or None when absent/uncommitted. */
-  def zones(spark: SparkSession, indexPath: String): Option[DataFrame] = {
+  /** The persisted zone table + geometry, or None when absent or not
+    * yet committed (meta is written last, so its `_SUCCESS` gates both).
+    */
+  private def committed(spark: SparkSession,
+      indexPath: String): Option[(DataFrame, Meta)] = {
     val p = new Path(indexPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(indexPath, "_SUCCESS")))
-      Some(spark.read.parquet(indexPath))
+    if (fs.exists(new Path(s"$indexPath/meta/_SUCCESS")) &&
+      fs.exists(new Path(s"$indexPath/zones/_SUCCESS")))
+      Some((spark.read.parquet(s"$indexPath/zones"), readMeta(spark, indexPath)))
     else None
   }
 
-  private def indexedCols(z: DataFrame): Seq[String] =
-    z.schema.fieldNames.collect { case f if f.startsWith("min_") => f.drop(4) }.toSeq
-
-  private def bloomedCols(z: DataFrame): Seq[String] =
-    z.schema.fieldNames.collect { case f if f.startsWith("bloom_") => f.drop(6) }.toSeq
+  /** The persisted zone table, or None when absent/uncommitted. */
+  def zones(spark: SparkSession, indexPath: String): Option[DataFrame] =
+    committed(spark, indexPath).map(_._1)
 
   /** Index files that appeared since the last build/append — the
     * incremental leg of the maintenance cycle. Keyed on the canonical
     * file path, so re-running after a partial ingest (or an at-least-
     * once redelivery of the same files) appends nothing twice; a zone
-    * row, once written, is immutable because its file is.
+    * row, once written, is immutable because its file is. Geometry —
+    * columns AND bloom sizing — comes from meta, never from the caller:
+    * late files' blooms are sized exactly like the build's.
     *
     * @return number of newly indexed files
     */
-  def append(spark: SparkSession, dataPath: String, indexPath: String,
-      bloomItems: Long = 1000000L, bloomFpp: Double = 0.03): Long = {
-    val z = zones(spark, indexPath).getOrElse(
+  def append(spark: SparkSession, dataPath: String, indexPath: String): Long = {
+    val (z, m) = committed(spark, indexPath).getOrElse(
       throw new IllegalStateException(
         s"no committed zone map at $indexPath - build first"))
     val have = z.select(FileCol).collect().map(_.getString(0)).toSet
     val fresh = listDataFiles(spark, dataPath).filterNot(have)
     if (fresh.isEmpty) return 0L
-    zoneRows(spark, fresh, indexedCols(z), bloomedCols(z), bloomItems, bloomFpp)
+    zoneRows(spark.read.parquet(fresh: _*), m.cols, m.bloomCols,
+        m.bloomItems, m.bloomFpp)
       .repartition(1)
-      .write.mode(SaveMode.Append).parquet(indexPath)
+      .write.mode(SaveMode.Append).parquet(s"$indexPath/zones")
     fresh.size.toLong
   }
 
   /** Drop zone rows whose files no longer exist (after a compaction or
-    * retention delete). Publishes a fresh single-file index; pure
-    * metadata rewrite, no data scan.
+    * retention delete). The rewrite is a distributed filter over the
+    * zone table (materialized via localCheckpoint before the overwrite,
+    * since a plan cannot read the directory it replaces) — no
+    * driver-side row materialization; only the live-file LIST is driver
+    * state, the same listing every maintenance leg holds.
     *
     * @return number of zone rows retracted
     */
   def retract(spark: SparkSession, dataPath: String, indexPath: String): Long = {
     val z = zones(spark, indexPath).getOrElse(return 0L)
     val live = listDataFiles(spark, dataPath).toSet
-    val rows = z.collect()
-    val (keep, drop) = rows.partition(r =>
-      live(r.getString(r.fieldIndex(FileCol))))
-    if (drop.isEmpty) return 0L
-    val kept = spark.createDataFrame(
-      spark.sparkContext.parallelize(keep.toSeq, 1), z.schema)
-    kept.write.mode(SaveMode.Overwrite).parquet(indexPath)
-    drop.length.toLong
+    val total = z.count()
+    val keep = z.filter(col(FileCol).isInCollection(live)).localCheckpoint(true)
+    val dropped = total - keep.count()
+    if (dropped == 0L) return 0L
+    keep.repartition(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/zones")
+    dropped
   }
 
   /** Fresh derivation at a (possibly new) location — the rebuild leg. */
@@ -259,7 +321,7 @@ object ZoneMap {
     * miss (no false negatives) proves the key absent. Every check is
     * conservative, so multiple checks on one column compose by AND.
     */
-  private def survives(preds: Seq[Pred], zoned: Set[String],
+  private[operators] def survives(preds: Seq[Pred], zoned: Set[String],
       bloomed: Set[String]): Column =
     preds.map {
       case Range(c, lo0, hi0) =>
@@ -295,6 +357,38 @@ object ZoneMap {
       case Point(c, v) => col(c) === lit(v)
     }.reduce(_ && _)
 
+  /** Survivors of zone + bloom pruning among the indexed rows of `z`:
+    * ONE collect of (file, zone verdict, bloom columns), then the bloom
+    * half of every Point check driver-side on the metadata rows — a
+    * null bloom (all-null column in that file) cannot contain the key,
+    * prune; no false negatives otherwise. Returns (survivor files,
+    * all indexed files). Shared with [[graft.operators.GraftTable]],
+    * whose manifest rows have the same shape.
+    */
+  private[operators] def pruneZoneRows(z: DataFrame, meta: Meta,
+      preds: Seq[Pred]): (Seq[String], Set[String]) = {
+    val zoned = z.schema.fieldNames
+      .collect { case f if f.startsWith("min_") => f.drop(4) }.toSet
+    val bloomed = meta.bloomCols.toSet
+    val bloomPts = preds.collect {
+      case p: Point if bloomed(p.col) =>
+        (s"bloom_${p.col}", probeHash(p.v, meta.dataType(p.col)))
+    }
+    val rows = z.select(
+      (Seq(col(FileCol), survives(preds, zoned, bloomed).as("_keep")) ++
+        bloomPts.map(_._1).distinct.map(col)): _*)
+      .collect()
+    val survivors = rows.filter { r =>
+      r.getBoolean(1) && bloomPts.forall { case (bc, h) =>
+        val bytes = r.getAs[Array[Byte]](bc)
+        bytes != null && org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainLong(h)
+      }
+    }.map(_.getString(0)).toSeq
+    (survivors, rows.map(_.getString(0)).toSet)
+  }
+
   /** File paths a pruned scan must read: indexed survivors that still
     * exist, plus every not-yet-indexed file (unpruned — staleness must
     * widen the read, never narrow it). None = no committed index, caller
@@ -302,42 +396,25 @@ object ZoneMap {
     */
   def prunedFiles(spark: SparkSession, dataPath: String, indexPath: String,
       preds: Seq[Pred]): Option[Seq[String]] =
-    zones(spark, indexPath).map { z =>
-      val bloomed = bloomedCols(z).toSet
-      val bloomPts = preds.collect {
-        case p: Point if bloomed(p.col) => (s"bloom_${p.col}", probeHash(p.v))
-      }
-      val zoneSurvivors = z
-        .filter(survives(preds, indexedCols(z).toSet, bloomed))
-        .select((FileCol +: bloomPts.map(_._1).distinct).map(col): _*)
-        .collect()
-      // bloom half of every Point check, driver-side on the metadata
-      // rows: a null bloom (all-null column in that file) cannot
-      // contain the key — prune; no false negatives otherwise
-      val survivors = zoneSurvivors.filter { r =>
-        bloomPts.forall { case (bc, h) =>
-          val bytes = r.getAs[Array[Byte]](bc)
-          bytes != null && org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(bytes))
-            .mightContainLong(h)
-        }
-      }.map(_.getString(0))
+    committed(spark, indexPath).map { case (z, m) =>
+      val (survivors, idx) = pruneZoneRows(z, m, preds)
       val disk = listDataFiles(spark, dataPath)
-      val idx = z.select(FileCol).collect().map(_.getString(0)).toSet
       val unindexed = disk.filterNot(idx)
-      (survivors.filter(disk.toSet) ++ unindexed).toSeq
+      survivors.filter(disk.toSet) ++ unindexed
     }
 
   /** Continuous ingest with zone maintenance folded into the sink: each
     * micro-batch lands as fresh data files, then the unindexed-file diff
-    * indexes exactly those files (first batch bootstraps via [[build]]).
-    * The index may lag the sink arbitrarily — a crash between the data
-    * write and the zone append, a redelivered batch, a maintenance pass
-    * that never ran — and scans stay exact throughout, because
-    * staleness only WIDENS the read; the next append heals the whole
-    * backlog at once, since the diff sees every unindexed file, not
-    * just its own batch's. This is the guard-free idempotence argument
-    * of [[Sketches.hllSliceStream]] in file-key form: the zone row for
+    * indexes exactly those files (first batch bootstraps via [[build]],
+    * which persists the bloom sizing every later [[append]] reads back —
+    * geometry is forwarded once and then owned by meta). The index may
+    * lag the sink arbitrarily — a crash between the data write and the
+    * zone append, a redelivered batch, a maintenance pass that never ran
+    * — and scans stay exact throughout, because staleness only WIDENS
+    * the read; the next append heals the whole backlog at once, since
+    * the diff sees every unindexed file, not just its own batch's. This
+    * is the guard-free idempotence argument of
+    * [[Sketches.hllSliceStream]] in file-key form: the zone row for
     * a file is a pure function of that immutable file, so re-running
     * maintenance can never write a second, different row for it.
     *
@@ -349,12 +426,13 @@ object ZoneMap {
     */
   def ingestStream(df: DataFrame, cols: Seq[String], dataDir: String,
       indexPath: String, checkpointDir: String,
-      bloomCols: Seq[String] = Nil): Unit =
+      bloomCols: Seq[String] = Nil, bloomItems: Long = 1000000L,
+      bloomFpp: Double = 0.03): Unit =
     IndexStream.run(df, checkpointDir) { batch =>
       batch.write.mode(SaveMode.Append).parquet(dataDir)
       val spark = batch.sparkSession
       if (zones(spark, indexPath).isEmpty)
-        build(spark, dataDir, cols, indexPath, bloomCols)
+        build(spark, dataDir, cols, indexPath, bloomCols, bloomItems, bloomFpp)
       else append(spark, dataDir, indexPath)
     }
 

@@ -191,6 +191,64 @@ class ZoneMapSpec extends SparkSpec {
       ZoneMap.Point("k", 777L), ZoneMap.Range("v", 0.0, 100.0))).count() == 0)
   }
 
+  test("canonical strips scheme AND authority — URI forms all key identically") {
+    // input_file_name() yields full URIs (file:///…, hdfs://nn:8020/…)
+    // while Hadoop listings key on toUri.getPath; if the two sides ever
+    // disagree, pruning silently never applies and append re-indexes
+    // everything forever. Pin the normalization over every URI shape.
+    val forms = Seq(
+      "file:/a/b.parquet", "file:///a/b.parquet",
+      "hdfs://nn:8020/a/b.parquet", "s3a://bucket/a/b.parquet",
+      "/a/b.parquet")
+    val got = forms.toDF("p").select(ZoneMap.canonical(col("p"))).as[String]
+      .collect().toSeq
+    assert(got == Seq.fill(forms.size)("/a/b.parquet"), got.toString)
+  }
+
+  test("bloom probe literal is canonicalized through the column type") {
+    val (data, idx) = mkDirs()
+    // DoubleType bloom column: the engine's string cast of 400.0 is
+    // "400.0" while an Int literal's toString is "400" — the probe must
+    // route through the column type or every Int-literal probe on a
+    // double column is a silent false negative (files dropped that
+    // contain the row)
+    (0L until 1000L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .repartition(16).write.parquet(data)
+    ZoneMap.build(spark, data, Nil, idx, bloomCols = Seq("v"),
+      bloomItems = 1000L, bloomFpp = 0.01)
+    val got = ZoneMap.scan(spark, data, idx, Seq(ZoneMap.Point("v", 400)))
+      .select("k").as[Long].collect().toSeq
+    assert(got == Seq(200L),
+      s"Int-literal probe of a DoubleType bloom must not false-negative: $got")
+    // and it still PRUNES (the typed hash matches, so ~1 file survives)
+    val files = ZoneMap.prunedFiles(spark, data, idx,
+      Seq(ZoneMap.Point("v", 400))).get
+    assert(files.size <= 3, s"typed probe must prune: ${files.size}")
+    // a probe value the column type cannot hold fails loudly, not wrongly
+    intercept[Exception] {
+      ZoneMap.prunedFiles(spark, data, idx, Seq(ZoneMap.Point("v", "nope")))
+    }
+  }
+
+  test("append sizes late blooms from meta — geometry is not re-guessable") {
+    val (data, idx) = mkDirs()
+    (0L until 500L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .repartition(8).write.parquet(data)
+    // custom sizing at build; append takes NO sizing — meta wins
+    ZoneMap.build(spark, data, Seq("k"), idx, bloomCols = Seq("k"),
+      bloomItems = 2000L, bloomFpp = 0.001)
+    (500L until 1000L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .repartition(8).write.mode("append").parquet(data)
+    assert(ZoneMap.append(spark, data, idx) == 8)
+    // a key only in the appended generation prunes as sharply as a
+    // build-time key would: late blooms carry the build's tight fpp
+    val late = ZoneMap.prunedFiles(spark, data, idx,
+      Seq(ZoneMap.Point("k", 777L))).get
+    assert(late.size <= 2, s"meta-sized late bloom must prune: ${late.size}")
+    assert(ZoneMap.scan(spark, data, idx, Seq(ZoneMap.Point("k", 777L)))
+      .count() == 1)
+  }
+
   test("missing index falls back to the full filtered scan; unknown column is loud") {
     val (data, idx) = mkDirs()
     writeFixture(data)
