@@ -1,0 +1,630 @@
+package graft
+
+import graft.functions.MonoidAggregator
+import graft.operators.{AsOfJoin, Dedup, DedupIndex, Graph, Indexing, Ingest, Multimodal, Packing, Pq, RangeJoin, Resample, Sampling, Similarity, TextAnalysis}
+import graft.sources.Crawl
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Sketch / layout-maintenance / ML-prep query bodies of the
+  * [[SparkEntry]] registry (HLL and moments at rest, zone-map and
+  * compaction cycles, z-order, pipeline composition, SQL-frontier
+  * queries) — split from SparkEntry.scala so the registry file stays
+  * reviewable. Bodies byte-identical to their pre-split form.
+  */
+private[graft] object EntryExt {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+  // ------------------------------------------------------------ streaming --
+
+
+
+
+
+
+
+
+  /** HLL sketch cardinality — implementation-specific, rows-only check in
+    * the driver gate; SketchSpec bounds it within ±2% of exact. rsd=0.01
+    * (vs the 0.05 default) — a few KB more sketch for percent-level error,
+    * the right trade anywhere near 100 TB cardinalities.
+    */
+  private[graft] def qHll(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  /** Time-series subsequence search: the query pattern is user 0's
+    * first 8 values; the 15 nearest z-normalized windows across every
+    * user's value series. Both engines assemble the series in the same
+    * deterministic (ts, event_id) order and compute the same
+    * population-std z-norm, distances rounded to 6 decimals with a
+    * (user, off) tie-break.
+    */
+  private[graft] def qSeriesTopk(s: SparkSession, d: String): DataFrame = {
+    val series = operators.SeriesSearch.seriesOf(
+      t(s, d, "events"), "user_id", Seq("ts", "event_id"), "value")
+    val q = series.filter(col("user_id") === 0)
+      .head().getSeq[Double](1).take(8).toArray
+    operators.SeriesSearch.topK(series, "user_id", q, 15)
+  }
+
+  /** Heavy hitters AT REST — the top-k twin of q_hll_merge: per-(day,
+    * event_type) Misra–Gries slice summaries of the user column, rolled
+    * up to per-type summaries by the mergeable-summaries merge, top-10
+    * emitted. At full counter capacity (k=4096 ≫ distinct users) the
+    * summary IS the exact count table — the nprobe=all ⇒ exact
+    * precedent — so the oracle is the plain GROUP BY ranking;
+    * SketchesSpec pins the lossy-regime MG bounds.
+    */
+  private[graft] def qMgTopk(s: SparkSession, d: String): DataFrame = {
+    val slices = operators.Sketches.mgByGroup(
+      t(s, d, "events").select(to_date(col("ts")).as("day"),
+        col("event_type"), col("user_id")),
+      Seq("day", "event_type"), "user_id", k = 4096)
+    val rolled = operators.Sketches.mgRollup(slices, Seq("event_type"),
+      "user_id", k = 4096)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("mg_count").desc, col("user_id"))
+    rolled.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+      .select(col("event_type"), col("rnk"), col("user_id"),
+        col("mg_count").as("c"))
+      .orderBy("event_type", "rnk")
+  }
+
+  /** Incrementally maintained aggregate: build on the first slice of the
+    * corpus, fold two more batches in through the ledgered monoid merge
+    * (one of them REDELIVERED — the ledger must absorb it), read the
+    * served state. Counts/sums/mins/maxes over integral columns fold
+    * exactly, so the oracle is the one-shot GROUP BY over everything —
+    * the equality that certifies a 100 TB dashboard aggregate can refresh
+    * per batch without ever re-scanning the corpus.
+    */
+  private[graft] def qIncrAgg(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft_magg").toString
+    val m = operators.MaterializedAgg.build(
+      docs.filter(col("doc_id") < 150), Seq("lang", "source"),
+      Seq("n_chars"), base)
+    m.update(docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), 0L)
+    m.update(docs.filter(col("doc_id") >= 300), 1L)
+    m.update(docs.filter(col("doc_id") >= 300), 1L) // redelivery: no-op
+    m.read().select(col("lang"), col("source"), col("n"),
+        col("s_n_chars").as("s"), col("mn_n_chars").as("mn"),
+        col("mx_n_chars").as("mx"))
+      .orderBy("lang", "source")
+  }
+
+  /** Sketches AT REST: per-(returnflag, linestatus) HLL slice sketches
+    * of the part key, rolled up to per-returnflag estimates by LOSSLESS
+    * merge — the raw table is scanned once to build the slices and
+    * never again; any rollup reads sketch rows. Rows-only (DataSketches
+    * register estimates have no SQL oracle); SketchesSpec pins the
+    * error envelope and the rolled-up == direct equality.
+    */
+  private[graft] def qHllMerge(s: SparkSession, d: String): DataFrame =
+    operators.Sketches.hllRollup(
+      operators.Sketches.hllByGroup(t(s, d, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), "l_partkey"),
+      Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+
+  /** Zone-map-pruned scan: events laid out range-partitioned by `value`
+    * into 8 files, per-file (min, max, nulls) zones built over
+    * (value, user_id) at metadata scale (one tiny row per file), then a
+    * selective value band answered by reading ONLY the files whose zone
+    * can intersect it, with the exact predicate re-applied on read.
+    * Pruning is conservative, so the result equals the plain filtered
+    * scan — the oracle; ZoneMapSpec pins that the pruned plan really
+    * reads fewer files and survives stale/missing-index states.
+    */
+  private[graft] def qZonemapScan(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_zm").toString
+    val (data, idx) = (s"$base/data", s"$base/zones")
+    t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+      .repartitionByRange(8, col("value")).sortWithinPartitions("value")
+      .write.parquet(data)
+    operators.ZoneMap.build(s, data, Seq("value", "user_id"), idx)
+    operators.ZoneMap.scan(s, data, idx,
+        Seq(operators.ZoneMap.Range("value", 100.0, 200.0)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
+  /** Zone-map maintenance cycle: build zones over the first half of
+    * events, land the second half as NEW files, then `append` indexes
+    * exactly the late files (idempotent — the second call is a no-op)
+    * and the pruned scan covers both generations. The staleness window
+    * in between only widens the read (unindexed files join the plan
+    * unpruned), so correctness never depends on the index being caught
+    * up — the property that lets a 100 TB table index lag its ingest.
+    */
+  private[graft] def qZonemapMaintain(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_zm2").toString
+    val (data, idx) = (s"$base/data", s"$base/zones")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    ev.filter(col("event_id") % 2 === 0)
+      .repartitionByRange(4, col("user_id")).sortWithinPartitions("user_id")
+      .write.parquet(data)
+    operators.ZoneMap.build(s, data, Seq("user_id"), idx)
+    ev.filter(col("event_id") % 2 === 1)
+      .repartitionByRange(4, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(data)
+    require(operators.ZoneMap.append(s, data, idx) >= 1,
+      "late files must be indexed")
+    require(operators.ZoneMap.append(s, data, idx) == 0,
+      "append must be idempotent")
+    operators.ZoneMap.scan(s, data, idx,
+        Seq(operators.ZoneMap.Range("user_id", 10L, 40L)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("user_id")
+  }
+
+  /** Z-order relayout composed with zone maps: events rewritten along
+    * the (value, user_id) Morton curve into 8 files, zones built over
+    * both columns, then a TWO-column band scanned through the pruned
+    * file list. A linear sort would make only its leading column
+    * prunable; the interleaved layout keeps per-file ranges narrow in
+    * BOTH, which is the whole point (LayoutSpec pins the pruning-power
+    * gap). The relayout is row-preserving and pruning conservative, so
+    * the oracle is the plain two-predicate filter.
+    */
+  private[graft] def qLayoutZorder(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_zord").toString
+    val (data, idx) = (s"$base/data", s"$base/zones")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    operators.Layout.rewrite(ev, Seq("value", "user_id"), data, nFiles = 8)
+    operators.ZoneMap.build(s, data, Seq("value", "user_id"), idx)
+    operators.ZoneMap.scan(s, data, idx, Seq(
+        operators.ZoneMap.Range("value", 200.0, 600.0),
+        operators.ZoneMap.Range("user_id", 5L, 25L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
+  /** The Morton key itself, bit-exact across engines: bucket =
+    * clamp(floor((v − min) / (max − min) · 2^16)) per column, bits
+    * interleaved value-then-user_id. Both engines run the identical
+    * IEEE-double expression (same operation order), so the oracle — the
+    * same arithmetic spelled as generated SQL — must hash-match exactly,
+    * certifying that a relayout computed by this engine and one computed
+    * by any SQL engine sharing the formula produce the same curve.
+    */
+  private[graft] def qZorderKey(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select("event_id", "user_id", "value")
+    val stats = operators.Layout.colStats(ev, Seq("value", "user_id"))
+    ev.withColumn("zkey",
+        operators.Layout.zkey(Seq("value", "user_id"), stats, bits = 16))
+      .select("event_id", "zkey")
+      .orderBy("event_id")
+  }
+
+  /** Moments sketch at rest — the exactly-mergeable sibling of
+    * q_hll_merge, and the one sketch whose rollup carries a full SQL
+    * oracle: documents sliced per (lang, source) into constant-size
+    * (n, Σv, Σv², min, max, fixed-domain histogram) rows, rolled up to
+    * per-lang stats by pure addition. n_chars is integral, so every sum
+    * is an exact double and slice→rollup equals the direct computation
+    * BIT-exactly — mean/variance included, no rounding needed.
+    */
+  private[graft] def qMoments(s: SparkSession, d: String): DataFrame = {
+    val slices = operators.Sketches.momentsByGroup(
+      t(s, d, "documents"), Seq("lang", "source"), "n_chars", 0.0, 2000.0, 8)
+    operators.Sketches.momentsStats(
+        operators.Sketches.momentsRollup(slices, Seq("lang"), 8))
+      .select(col("lang"), col("n"),
+        col("s").cast("long").as("s"), col("s2").cast("long").as("s2"),
+        col("mn").cast("long").as("mn"), col("mx").cast("long").as("mx"),
+        col("mean"), col("variance"),
+        element_at(col("hist"), 1).as("h_under"),
+        element_at(col("hist"), 2).as("h1"),
+        element_at(col("hist"), 5).as("h4"),
+        element_at(col("hist"), 10).as("h_over"))
+      .orderBy("lang")
+  }
+
+  /** Small-file compaction as the streaming sink's maintenance leg:
+    * events landed as 50 hash-scattered files (an append-per-micro-batch
+    * table a week in), the trigger confirms fragmentation, and the
+    * rewrite folds them into ~4 files RE-SORTED by user_id — restoring
+    * the zone-map pruning interleaved appends destroyed. The scan then
+    * goes through the fresh index. Compaction is a pure relayout and
+    * pruning conservative, so the oracle is the plain filtered agg.
+    */
+  private[graft] def qCompact(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    ev.repartition(50).write.parquet(s"$base/frag")
+    require(operators.Compaction.needsCompaction(s, s"$base/frag",
+      targetRows = 3000), "50 scattered files must trip the trigger")
+    val (before, after, _) = operators.Compaction.compactTo(
+      s, s"$base/frag", s"$base/data", targetRows = 3000,
+      sortCols = Seq("user_id"))
+    require(after < before, s"compaction must shrink the file count: $before -> $after")
+    operators.ZoneMap.build(s, s"$base/data", Seq("user_id"), s"$base/zones")
+    operators.ZoneMap.scan(s, s"$base/data", s"$base/zones",
+        Seq(operators.ZoneMap.Range("user_id", 50L, 80L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
+  /** Per-file bloom pruning for point lookups: events landed
+    * ROUND-ROBIN (every file spans the full id range — min/max zones
+    * keep all 16 files, the layout blooms exist for), blooms built on
+    * event_id, then a single-key lookup plans ~1 file. Blooms have no
+    * false negatives and the exact predicate re-applies on read, so the
+    * oracle is the plain equality filter.
+    */
+  private[graft] def qBloommap(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val (data, idx) = (s"$base/data", s"$base/zones")
+    t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+      .repartition(16).write.parquet(data)
+    operators.ZoneMap.build(s, data, Seq("event_id"), idx,
+      bloomCols = Seq("event_id"), bloomItems = 100000L, bloomFpp = 0.01)
+    val kept = operators.ZoneMap.prunedFiles(s, data, idx,
+      Seq(operators.ZoneMap.Point("event_id", 123L))).get
+    require(kept.size <= 4, s"bloom must prune the scattered layout: ${kept.size}")
+    operators.ZoneMap.scan(s, data, idx,
+        Seq(operators.ZoneMap.Point("event_id", 123L)))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  /** The end-to-end training-data pipeline, composed from the shipped
+    * operators and pinned by ONE oracle: quality gate → exact dedup
+    * (min-id survivor) → temperature-flattened language mixing (α=0.5)
+    * → contiguous global ids in doc order → rendezvous sharding, rolled
+    * up per shard over exact integer sums (membership via id_sum,
+    * ordering via gid_sum). Every stage is deterministic and
+    * hash-reproducible (md5 weights, rounded rates, unique sort keys),
+    * so the whole composition replays as one DuckDB CTE chain — the
+    * "switch your pipeline to this library" demonstration in a single
+    * query.
+    */
+  private[graft] def qPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val clean = docs.filter(col("n_chars") >= 150)
+    val survivors = clean.join(
+      operators.Dedup.exact(clean, "doc_id", Seq("text")).select("doc_id"),
+      Seq("doc_id"))
+    val mixed = operators.Sampling.temperatureSample(
+      survivors, "lang", "doc_id", 0.5)
+    val ids = operators.Indexing.globalIds(
+      mixed.select("doc_id", "lang"), Seq("doc_id"))
+    operators.Indexing.rendezvousShard(ids, "doc_id", 4)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
+        sum("gid").as("gid_sum"))
+      .orderBy("shard")
+  }
+
+  /** KLL/GK-style quantile sketch — implementation-specific, rows-only. */
+  private[graft] def qApproxQuantile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile_approx(l_extendedprice, 0.5, 1000)"), 2).as("p50"))
+      .orderBy("l_returnflag")
+
+
+  /** Temperature-flattened language mixing (α = 0.5) over the skewed
+    * `lang` column: per-language kept counts, kept-id sums (pinning the
+    * exact kept set), and the realized keep rate.
+    */
+  private[graft] def q85(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureSample(t(s, d, "documents"), "lang", "doc_id", alpha = 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"),
+        max("rate").as("rate"))
+      .orderBy("lang")
+
+  /** Token-budget trim: keep documents in (n_chars desc, doc_id) order
+    * while the inclusive running character total stays ≤ 75k — the
+    * "best docs until the budget is spent" selection, grouped per source.
+    * Integer arithmetic end to end, so the cut is engine-exact.
+    */
+  private[graft] def q86(s: SparkSession, d: String): DataFrame =
+    Sampling.budgetTrim(t(s, d, "documents"),
+        Seq(col("n_chars").desc, col("doc_id")), "n_chars", budget = 75000L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"),
+        sum("n_chars").as("chars"))
+      .orderBy("source")
+
+  /** Robust MAD outliers on event values per type (k = 3): the group
+    * median/MAD (rank-selected order statistics, engine-exact) plus
+    * outlier counts and flagged-id sums pinning the exact flag set.
+    */
+  private[graft] def q87(s: SparkSession, d: String): DataFrame =
+    Ingest.madOutliers(t(s, d, "events"), Seq("event_type"), "value", k = 3.0)
+      .groupBy("event_type")
+      .agg(round(max("med"), 6).as("med"), round(max("mad"), 6).as("mad"),
+        count(when(col("is_outlier"), lit(1))).as("n_out"),
+        sum(when(col("is_outlier"), col("event_id"))).as("out_ids"))
+      .orderBy("event_type")
+
+  /** Bucketed interval-overlap self-join: per-user event intervals
+    * [ts, ts + floor(value)] in epoch seconds, all overlapping pairs via
+    * the equi-join bucket grid (width 600 s ≥ the max span, so fan-out
+    * ≤ 2 buckets/interval), aggregated to per-user pair counts + id-sum
+    * checksums. The oracle replays the plain theta self-join.
+    */
+  private[graft] def q88(s: SparkSession, d: String): DataFrame = {
+    val iv = t(s, d, "events").select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("lo"),
+      (unix_timestamp(col("ts")) + floor(col("value")).cast("long")).as("hi"))
+    RangeJoin.intervalOverlap(iv, iv, Seq("user_id"), "lo", "hi",
+        bucketWidth = 600L)
+      .filter(col("l_event_id") < col("r_event_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("l_event_id") + col("r_event_id")).as("pair_sum"))
+      .orderBy("user_id")
+  }
+
+  /** Fuzzy (edit-distance ≤ 2) self-join over the 64 distinct part names
+    * (id = min partkey per name): every near-identical name pair with its
+    * exact distance, generated by q-gram prefix filtering and verified
+    * with levenshtein — the oracle replays the naive theta join.
+    */
+  private[graft] def q89(s: SparkSession, d: String): DataFrame = {
+    val names = t(s, d, "part").groupBy(col("p_name").as("nm"))
+      .agg(min("p_partkey").as("id"))
+    graft.operators.FuzzyJoin.editDistanceJoin(names, "id", "nm", k = 2, q = 2)
+      .orderBy("i", "j")
+  }
+
+  /** Entity resolution (composition): near-identical part names clustered
+    * into canonical entities — the fuzzy-join pair generation (q89's
+    * Ed-Join prefix filter, no cross product), the components closure
+    * (dedup_corpus's engine), and a lexicographic-min canonical pick,
+    * composed end-to-end. Certifies that the dedup stack generalizes
+    * from document identity to entity identity; every (name → canon)
+    * assignment is pinned by the oracle's recursive-CTE replay.
+    */
+  private[graft] def q103(s: SparkSession, d: String): DataFrame = {
+    val names = t(s, d, "part").groupBy(col("p_name").as("nm"))
+      .agg(min("p_partkey").as("id"))
+    val pairs = operators.FuzzyJoin
+      .editDistanceJoin(names, "id", "nm", k = 2, q = 2)
+      .select("i", "j")
+    val labels = operators.Dedup.components(pairs)
+    val lab = names.join(labels, names("id") === labels("doc_id"), "left")
+      .select(col("nm"), coalesce(col("comp"), col("id")).as("comp"))
+    val canon = lab.groupBy("comp").agg(min("nm").as("canon"))
+    lab.join(canon, Seq("comp")).select("nm", "canon").orderBy("nm")
+  }
+
+  /** Quantile normalization of event values across event types: each
+    * row's value maps to the global order statistic at its within-type
+    * rank fraction. The per-(type, mapped-value) histogram pins the
+    * whole mapping; values are selected elements, so engine-exact.
+    */
+  private[graft] def q90(s: SparkSession, d: String): DataFrame =
+    Sampling.quantileNormalize(
+        t(s, d, "events").select("event_type", "value")
+          .filter(col("value").isNotNull),
+        Seq("event_type"), "value")
+      .groupBy(col("event_type"), round(col("qnorm"), 6).as("qn"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("event_type", "qn")
+
+
+  /** Filter-funnel attrition report: every document tagged with the
+    * FIRST quality rule it fails (order: nonempty → lang_en → len_band →
+    * min_tokens), bucket counts + id sums. Buckets are additive — they
+    * sum to the corpus — which per-rule independent counts can't give.
+    */
+  private[graft] def q91(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.filterFunnel(t(s, d, "documents"), Seq(
+        "nonempty" -> (length(col("text")) > 0),
+        "lang_en" -> (col("lang") === "en"),
+        "len_band" -> col("n_chars").between(150, 1500),
+        "min_tokens" -> (size(graft.functions.TextFunctions.tokens(col("text"))) >= 30)))
+      .groupBy(coalesce(col("fail_rule"), lit("survived")).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+      .orderBy("bucket")
+
+  /** Quantized ±1 random projection (JL) of the embeddings to 8 integer
+    * components, in tall (vec_id, j, p) form — integer arithmetic and
+    * md5-derived signs, so the oracle replays it exactly.
+    */
+  private[graft] def q92(s: SparkSession, d: String): DataFrame =
+    Similarity.randomProject(t(s, d, "embeddings"), "vec_id", "embedding",
+        inDim = 64, outDim = 8)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "p")))
+      .orderBy("vec_id", "j")
+
+  /** PSI drift between the first and second half of the events month:
+    * 20 fixed bins over value ∈ [0, 500) plus under/overflow, per-bin
+    * counts and (rounded) PSI contributions. The oracle replays the
+    * smoothing arithmetic exactly.
+    */
+  private[graft] def q93(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val cut = lit("2024-01-15").cast("timestamp")
+    Ingest.psi(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        "value", lo = 0.0, hi = 500.0, bins = 20)
+      .select(col("bin"), col("n_before"), col("n_after"),
+        round(col("contrib"), 9).as("contrib"))
+      .orderBy("bin")
+  }
+
+  /** Rendezvous-hash shard assignment of documents to 5 shards: per-shard
+    * counts and id sums pin every key's argmax. The oracle replays the
+    * highest-random-weight pick via a window over the exploded shard list.
+    */
+  private[graft] def q94(s: SparkSession, d: String): DataFrame =
+    Indexing.rendezvousShard(t(s, d, "documents"), "doc_id", nShards = 5)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+      .orderBy("shard")
+
+  /** Key-skew report: the 10 heaviest users by event count with exact
+    * ppm shares — the pre-salting diagnosis run.
+    */
+  private[graft] def q95(s: SparkSession, d: String): DataFrame =
+    Ingest.skewReport(t(s, d, "events"), "user_id", topK = 10)
+
+
+  /** Group-aware 5-fold CV assignment keyed on `source` (all docs of a
+    * source share a fold — leakage-safe): per-fold doc counts, id sums,
+    * and distinct-source counts.
+    */
+  private[graft] def q96(s: SparkSession, d: String): DataFrame =
+    Sampling.kfold(t(s, d, "documents"), "source", k = 5)
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
+        countDistinct("source").as("n_src"))
+      .orderBy("fold")
+
+
+
+  /** Purged time-series 5-fold split of the event stream with a 30-min
+    * embargo: contiguous equal-count time folds via the global-rank
+    * integer cut, plus the embargo flag naming the fold each row leaks
+    * into — q96's temporal sibling ([[Sampling.purgedTimeFolds]]), where
+    * hash folds would mix future into past.
+    */
+  private[graft] def qPurgedFolds(s: SparkSession, d: String): DataFrame =
+    Sampling.purgedTimeFolds(
+        t(s, d, "events").select(col("event_id"), col("ts")),
+        "ts", Seq("event_id"), k = 5, embargoSeconds = 1800)
+      .select(col("event_id"), col("fold"), col("emb"))
+      .orderBy("event_id")
+
+  /** Correlated EXISTS + NOT EXISTS in one query — the two remaining
+    * subquery decorrelation paths (semi- and anti-join rewrites) after
+    * q31's scalar and q49's lateral forms.
+    */
+  private[graft] def q97(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL) — duplicate-
+    * preserving semantics, a different operator family than q07/q19's
+    * set-distinct forms.
+    */
+  private[graft] def q98(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """WITH ia AS (
+        |  SELECT l_quantity AS q FROM lineitem WHERE l_returnflag = 'A'
+        |  INTERSECT ALL
+        |  SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+        |), ea AS (
+        |  SELECT l_quantity AS q FROM lineitem WHERE l_returnflag = 'A'
+        |  EXCEPT ALL
+        |  SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+        |)
+        |SELECT 'intersect_all' AS op, COUNT(*) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS qsum FROM ia
+        |UNION ALL
+        |SELECT 'except_all' AS op, COUNT(*) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS qsum FROM ea
+        |ORDER BY op""".stripMargin)
+  }
+
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): bounded-depth reachability
+    * with path counts over the order graph — the same recursion the
+    * DuckDB oracles use, now running native in Spark too.
+    */
+  private[graft] def q99(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """WITH RECURSIVE reach(v, d) AS (
+        |  SELECT CAST(0 AS BIGINT) AS v, 0 AS d
+        |  UNION ALL
+        |  SELECT e.dst, r.d + 1
+        |  FROM reach r
+        |  JOIN (SELECT DISTINCT o_custkey % 50 AS src,
+        |               o_orderkey % 50 AS dst FROM orders) e
+        |    ON e.src = r.v
+        |  WHERE r.d < 3
+        |)
+        |SELECT v, MIN(d) AS d, COUNT(*) AS paths
+        |FROM reach GROUP BY v ORDER BY v""".stripMargin)
+  }
+
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): a derived
+    * bucket key that is NULL for sub-unit values joins a 4-row dimension
+    * that includes a NULL-keyed label — the comparator plain `=` can't
+    * express (NULL = NULL is NULL; NULL <=> NULL is TRUE).
+    */
+  private[graft] def q100(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(
+      when(col("value") < 1.0, lit(null).cast("long"))
+        .otherwise(floor(col("value") / 100.0).cast("long")).as("k"),
+      col("event_id"))
+    val dim = s.createDataFrame(Seq(
+        (Option.empty[Long], "missing"), (Some(0L), "low"),
+        (Some(2L), "mid"), (Some(4L), "high")))
+      .toDF("k", "label")
+    ev.join(dim, ev("k") <=> dim("k"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+      .orderBy("label")
+  }
+
+  /** Spark 4 VARIANT path: props parsed with parse_json into a VARIANT
+    * column, fields extracted with variant_get — the semi-structured
+    * storage type (vs q10's string-path get_json_object).
+    */
+  private[graft] def q101(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(variant_get(parse_json(props), '$.k', 'long')) AS BIGINT)
+        |    AS ksum,
+        |  MIN(variant_get(parse_json(props), '$.k', 'int')) AS kmin,
+        |  MAX(variant_get(parse_json(props), '$.k', 'int')) AS kmax
+        |FROM events WHERE props IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** SQL-defined functions (Spark 4 `CREATE FUNCTION ... RETURN`): a
+    * scalar UDF and a TABLE function declared in SQL, resolved and
+    * INLINED by Catalyst (no opaque closure — pushdown and codegen see
+    * through them, unlike a Scala udf()). The oracle states the inlined
+    * expressions directly, so the hash only matches if the function
+    * bodies round-trip through the SQL front door unchanged.
+    */
+  private[graft] def q102(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_rev(p DOUBLE, disc DOUBLE)
+        |RETURNS DOUBLE RETURN p * (1.0 - disc)""".stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_flag_rev(flag STRING)
+        |RETURNS TABLE (l_linestatus STRING, rev DOUBLE) RETURN
+        |  SELECT l_linestatus,
+        |    ROUND(SUM(graft_rev(l_extendedprice, l_discount)), 2)
+        |  FROM lineitem WHERE l_returnflag = flag GROUP BY 1""".stripMargin)
+    s.sql(
+      """SELECT 'A' AS flag, * FROM graft_flag_rev('A')
+        |UNION ALL SELECT 'R', * FROM graft_flag_rev('R')
+        |ORDER BY flag, l_linestatus""".stripMargin)
+  }
+
+  // ------------------------------------------------------------ registry --
+
+}
