@@ -238,6 +238,37 @@ private[graft] object EntryExt {
     * goes through the fresh index. Compaction is a pure relayout and
     * pruning conservative, so the oracle is the plain filtered agg.
     */
+  /** The unified table end to end, through ONE handle: ingest → ledgered
+    * append → z-order relayout → sorted compaction → vacuum → pruned
+    * scan — every mutation committing data files, zone manifest and
+    * ledger as ONE atomic version ([[graft.operators.GraftTable]]), the
+    * choreography that previously took separate Compaction + Layout +
+    * ZoneMap calls with a staleness window between them. Each mutation
+    * is row-preserving and pruning conservative, so the oracle is the
+    * plain two-predicate filtered aggregate; GraftTableSpec kills the
+    * writer inside the publish window to pin the atomicity half.
+    */
+  private[graft] def qTable(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_tbl").toString + "/t"
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    val tbl = operators.GraftTable.create(
+      ev.filter(col("event_id") % 2 === 0), base,
+      zoneCols = Seq("value", "user_id"), nFiles = 8)
+    tbl.append(ev.filter(col("event_id") % 2 === 1))
+    tbl.zorder(Seq("value", "user_id"), nFiles = 12)
+    require(tbl.scanFileCount(Seq(
+      operators.ZoneMap.Range("value", 150.0, 650.0))) < 12,
+      "the z-ordered manifest must prune a half-range band")
+    val (before, after) = tbl.compact(targetRows = 60000, sortCols = Seq("value"))
+    require(after < before, s"compaction must shrink the file count: $before -> $after")
+    require(tbl.vacuum() >= 8, "superseded generations must be collected")
+    tbl.scan(Seq(operators.ZoneMap.Range("value", 150.0, 650.0),
+        operators.ZoneMap.Range("user_id", 10L, 30L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
   private[graft] def qCompact(s: SparkSession, d: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")

@@ -257,6 +257,40 @@ private[graft] object EntryStream {
       .orderBy("event_type")
   }
 
+  /** The unified table under continuous ingest: three user_id-disjoint
+    * event waves drain through [[graft.operators.GraftTable.ingestStream]]
+    * — the first micro-batch CREATES the table with its batch id seeded
+    * into the ledger atomically, every later batch is a ledgered append,
+    * so any redelivery (first batch included) no-ops and the table is
+    * file-level exactly-once — the guarantee [[streamZonemap]]'s
+    * raw-directory sink explicitly does NOT make. The final pruned scan
+    * equals the plain filter over everything that arrived (the oracle).
+    */
+  def streamTable(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val base = java.nio.file.Files.createTempDirectory("graft_stbl").toString
+    Seq(col("user_id") < 30, col("user_id") >= 30 && col("user_id") < 70,
+        col("user_id") >= 70)
+      .foreach(p => ev.filter(p).coalesce(1)
+        .write.mode("append").parquet(s"$base/in"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", org.apache.spark.sql.types.DoubleType)))
+    graft.operators.GraftTable.ingestStream(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in"),
+      s"$base/tbl", Seq("user_id"), s"$base/ckpt")
+    val tbl = graft.operators.GraftTable.open(s, s"$base/tbl")
+    require(tbl.lastAppliedBatch() >= 2,
+      s"three waves must ledger three batches: ${tbl.lastAppliedBatch()}")
+    tbl.scan(Seq(graft.operators.ZoneMap.Range("user_id", 25L, 65L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
   /** Continuous subsequence matching: the event stream's per-user value
     * points drained through `SeriesSearch.scanStream` in time-ordered
     * waves, then the 15 nearest windows read from the cumulative scored

@@ -991,6 +991,20 @@ private[graft] object OraclesExt {
     "mm_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // every GraftTable mutation is row-preserving (append unions, zorder
+    // and compact relayout, vacuum touches only unreferenced files) and
+    // pruning is conservative with the exact predicate re-applied on
+    // read, so the whole lifecycle oracles as the plain filtered agg
+    "q_table" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events
+        |WHERE value BETWEEN 150 AND 650 AND user_id BETWEEN 10 AND 30
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_table" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events
+        |WHERE user_id BETWEEN 25 AND 65
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS h, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 2) AS v

@@ -1,0 +1,162 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The unified-table contract: (a) every mutation — append, compact,
+  * z-order — commits data files, zone manifest and ledger as ONE
+  * version, so a reader never sees files without their zones or vice
+  * versa; (b) a writer killed anywhere before the meta marker leaves
+  * the OLD version fully visible and scans exact, and the next mutation
+  * heals the torn state; (c) appends are ledgered exactly-once under
+  * at-least-once redelivery; (d) scans never list the data directory —
+  * the manifest is authoritative — and prune through zones + blooms;
+  * (e) vacuum removes exactly the unreferenced files.
+  */
+class GraftTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base(): String =
+    Files.createTempDirectory("graft_table").toString + "/t"
+
+  private def rows(lo: Long, hi: Long) =
+    (lo until hi).map(k => (k, k * 2.0, s"u${k % 7}")).toDF("k", "v", "u")
+
+  test("create/append/scan: one version per mutation, results exact, pruning real") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 800), p, zoneCols = Seq("k", "v"),
+      nFiles = 8)
+    assert(t.version == 1 && t.files().size == 8)
+
+    t.append(rows(800, 1000))
+    assert(t.version == 2)
+    assert(t.read().count() == 1000)
+
+    // scan == read().filter(...) exactly, and opens fewer files than the
+    // manifest lists (create's 8 + append's generation)
+    val preds = Seq(ZoneMap.Range("k", 850L, 920L))
+    val got = t.scan(preds).orderBy("k").select("k", "v").collect().toSeq
+    val want = t.read().filter(col("k") >= 850L && col("k") <= 920L)
+      .orderBy("k").select("k", "v").collect().toSeq
+    assert(got == want && got.size == 71)
+    assert(t.scanFileCount(preds) < t.files().size,
+      "a narrow k band must not open every file")
+    // reopen resolves the same state from meta alone
+    val t2 = GraftTable.open(spark, p)
+    assert(t2.version == 2 && t2.read().count() == 1000)
+  }
+
+  test("torn publish: old version stays visible and exact; next mutation heals") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 500), p, zoneCols = Seq("k"), nFiles = 4)
+    val v1Rows = t.read().count()
+
+    // simulate the writer dying BETWEEN data-publish and manifest-publish:
+    // a v2 generation lands with no manifest and no meta
+    rows(500, 600).write.parquet(s"$p/data/g2")
+    assert(t.version == 1, "uncommitted generation must be invisible")
+    assert(t.read().count() == v1Rows)
+
+    // ...and dying between manifest-publish and meta-publish
+    spark.read.parquet(s"$p/v1/manifest").limit(1)
+      .write.parquet(s"$p/v2/manifest")
+    assert(t.version == 1, "a manifest without meta is not a commit")
+    assert(t.scan(Seq(ZoneMap.Range("k", 0L, 99L))).count() == 100,
+      "scans through the torn state read the OLD version exactly")
+
+    // the next real append overwrites both partials and commits v2 whole
+    t.append(rows(500, 700))
+    assert(t.version == 2 && t.read().count() == 700)
+    assert(t.scan(Seq(ZoneMap.Range("k", 450L, 550L))).count() == 101)
+  }
+
+  test("ledgered appends: redelivery no-ops, rows land exactly once") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 100), p, zoneCols = Seq("k"), nFiles = 2)
+    assert(t.lastAppliedBatch() == -1L)
+
+    assert(t.append(rows(100, 200), batchId = 7L))
+    assert(t.lastAppliedBatch() == 7L && t.read().count() == 200)
+    // redelivered batch re-uses its ORIGINAL id: must not double-land
+    assert(!t.append(rows(100, 200), batchId = 7L))
+    assert(!t.append(rows(150, 160), batchId = 3L), "non-monotone id skips")
+    assert(t.read().count() == 200)
+    // the unledgered convenience append advances past the high-water mark
+    t.append(rows(200, 250))
+    assert(t.read().count() == 250 && t.lastAppliedBatch() == 8L)
+  }
+
+  test("compact: files + zones + ledger move as one version; rows exact; pruning restored") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 100), p, zoneCols = Seq("k"), nFiles = 1)
+    // fragment the table with many small ledgered appends
+    (1 to 9).foreach(i => t.append(rows(i * 100L, i * 100L + 100L)))
+    assert(t.files().size >= 10)
+    val beforeRows = t.read().orderBy("k").collect().toSeq
+    val hwm = t.lastAppliedBatch()
+
+    val (before, after) = t.compact(targetRows = 250, sortCols = Seq("k"))
+    assert(after < before, s"compaction must shrink the file count: $before -> $after")
+    assert(t.read().orderBy("k").collect().toSeq == beforeRows,
+      "compaction is a pure relayout")
+    assert(t.lastAppliedBatch() == hwm, "the ledger survives a relayout")
+    // the sorted rewrite makes the k band prune again
+    assert(t.scanFileCount(Seq(ZoneMap.Range("k", 0L, 99L))) <= 2)
+    assert(t.scan(Seq(ZoneMap.Range("k", 0L, 99L))).count() == 100)
+  }
+
+  test("zorder: atomic relayout makes BOTH columns prunable; rows exact") {
+    val p = base()
+    // k and y independent: a linear sort on one leaves the other unprunable
+    val df = (0L until 4096L).map(k => (k % 64, k / 64, k)).toDF("x", "y", "id")
+    val t = GraftTable.create(df, p, zoneCols = Seq("x", "y"), nFiles = 8)
+    val beforeRows = t.read().count()
+
+    t.zorder(Seq("x", "y"), nFiles = 16)
+    assert(t.read().count() == beforeRows)
+    val xFiles = t.scanFileCount(Seq(ZoneMap.Range("x", 10L, 17L)))
+    val yFiles = t.scanFileCount(Seq(ZoneMap.Range("y", 10L, 17L)))
+    assert(xFiles < 16 && yFiles < 16,
+      s"z-order must keep both columns prunable: x=$xFiles y=$yFiles")
+    assert(t.scan(Seq(ZoneMap.Range("x", 10L, 17L))).count() == 8 * 64)
+  }
+
+  test("bloom point pruning through the manifest; empty scan keeps schema") {
+    val p = base()
+    // hash-scattered layout: min/max prunes nothing, blooms must
+    val t = GraftTable.create(rows(0, 1000).repartition(16), p,
+      zoneCols = Seq("v"), bloomCols = Seq("k"), bloomItems = 1000L,
+      bloomFpp = 0.01)
+    val pointed = t.scanFileCount(Seq(ZoneMap.Point("k", 400L)))
+    assert(pointed <= 3, s"bloom must prune the scattered layout: $pointed")
+    assert(t.scan(Seq(ZoneMap.Point("k", 400L))).select("k", "v")
+      .as[(Long, Double)].collect().toSeq == Seq((400L, 800.0)))
+    val none = t.scan(Seq(ZoneMap.Range("v", 1e9, 2e9)))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v", "u"))
+  }
+
+  test("vacuum deletes exactly the unreferenced files; reads unaffected") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 400), p, zoneCols = Seq("k"), nFiles = 4)
+    t.append(rows(400, 500))
+    val liveBefore = t.files().size
+    // a torn publish leaves an orphaned generation
+    rows(900, 950).write.parquet(s"$p/data/g99")
+    // compaction supersedes EVERY earlier generation
+    t.compact(targetRows = 250, sortCols = Seq("k"))
+    val referenced = t.files().toSet
+
+    val deleted = t.vacuum()
+    assert(deleted >= liveBefore, s"superseded + orphaned files must go: $deleted")
+    // referenced files untouched; a second vacuum is a no-op
+    assert(t.files().toSet == referenced)
+    assert(t.read().count() == 500)
+    assert(t.vacuum() == 0L)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/data/g99")),
+      "the orphaned generation must be collected")
+  }
+}
