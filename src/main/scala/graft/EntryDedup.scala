@@ -439,6 +439,62 @@ private[graft] object EntryDedup {
       .orderBy("query_id", "rnk")
   }
 
+  /** 36×32 synthetic RGB image for ordinal `j`: groups of three variants
+    * per seed — base, uniformly brightness-shifted (+40 on every
+    * channel; base values stay < 200, so no clamping and dHash is
+    * exactly invariant), and a locally edited copy (+50 red across the
+    * top-left 4×4 cell, which can flip at most the one comparison that
+    * cell participates in). Pure integer arithmetic, so a SQL engine
+    * can replay pixel → luma → cell → hash bit-exactly.
+    */
+  private def synthPpm(j: Long): Array[Byte] = {
+    val (w, h) = (36, 32)
+    val seed = j / 3
+    val variant = j % 3
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var r = (seed * 7919L + x * 31L + y * 17L) % 200
+        var g = (seed * 104729L + x * 13L + y * 29L) % 200
+        var b = (seed * 1299709L + x * 37L + y * 11L) % 200
+        if (variant == 1) { r += 40; g += 40; b += 40 }
+        if (variant == 2 && x < 4 && y < 4) r += 50
+        val o = (y * w + x) * 3
+        rgb(o) = r.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Multimodal.Codecs.encodePpm(w, h, rgb)
+  }
+
+  /** Image near-dup dedup over REAL payload bytes: 48 synthetic PPMs
+    * (16 groups of original / brightness-shifted / locally-edited
+    * copies) round-trip the actual P6 encoder and decoder
+    * ([[Multimodal.Codecs]]), pool to the integer dHash, and the banded
+    * self-join + exact Hamming verify recovers the planted near-dup
+    * pairs. Recall is exact (Hamming ≤ 3 over 4 bands — pigeonhole), so
+    * the oracle is the same integer pixel → luma grid → hash → Hamming
+    * arithmetic spelled as brute-force SQL: a hash match certifies the
+    * whole decode→hash path, the q_zorder_key precedent for generated
+    * bit-exact oracles.
+    */
+  def mmDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy("doc_id")
+    val ids = t(s, d, "documents").select("doc_id").orderBy("doc_id").limit(48)
+      .withColumn("j", row_number().over(w).cast("long") - 1)
+      .as[(Long, Long)]
+    val items = ids.map { case (docId, j) =>
+      Multimodal.MediaItem(docId, synthPpm(j), "ppm") }
+    val pairs = Multimodal.nearDupPairs(
+      Multimodal.dhash(items).toDF(), maxHamming = 3)
+    pairs.select(col("id_a").as("a"), col("id_b").as("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
   def mmFeatures(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val feats = Multimodal.extractFeatures(

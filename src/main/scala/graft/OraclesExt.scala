@@ -991,6 +991,59 @@ private[graft] object OraclesExt {
     "mm_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // bit-exact replay of the whole image near-dup path: the same
+    // integer pixel generator -> Rec.601 luma (x1000, no division) ->
+    // 9x8 cell sums -> cross-multiplied dHash comparisons -> per-band
+    // xor/bit_count Hamming, as brute-force SQL (the banded Spark join
+    // has EXACT recall at Hamming <= 3 over 4 bands, by pigeonhole);
+    // P6 encode/decode is the identity on pixels, so the decode
+    // round-trip drops out of the arithmetic
+    "mm_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS j
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48)
+        |),
+        |px AS (
+        |  SELECT i.doc_id, i.j, x.range AS x, y.range AS y,
+        |    i.j // 3 AS seed, i.j % 3 AS variant
+        |  FROM ids i, range(36) x, range(32) y
+        |),
+        |lum AS (
+        |  SELECT doc_id, j, (y * 8) // 32 AS gy, (x * 9) // 36 AS gx,
+        |    299 * ((seed * 7919 + x * 31 + y * 17) % 200
+        |      + CASE WHEN variant = 1 THEN 40 ELSE 0 END
+        |      + CASE WHEN variant = 2 AND x < 4 AND y < 4 THEN 50 ELSE 0 END)
+        |    + 587 * ((seed * 104729 + x * 13 + y * 29) % 200
+        |      + CASE WHEN variant = 1 THEN 40 ELSE 0 END)
+        |    + 114 * ((seed * 1299709 + x * 37 + y * 11) % 200
+        |      + CASE WHEN variant = 1 THEN 40 ELSE 0 END) AS l
+        |  FROM px
+        |),
+        |cells AS (
+        |  SELECT doc_id, j, gy, gx, CAST(SUM(l) AS BIGINT) AS s, COUNT(*) AS c
+        |  FROM lum GROUP BY doc_id, j, gy, gx
+        |),
+        |bits AS (
+        |  SELECT a.doc_id, a.j, a.gy * 8 + a.gx AS k,
+        |    CASE WHEN a.s * b.c < b.s * a.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.j = b.j AND a.gy = b.gy AND b.gx = a.gx + 1
+        |),
+        |hashes AS (
+        |  SELECT doc_id, j,
+        |    CAST(SUM(CASE WHEN k < 16 THEN bit << k ELSE 0 END) AS BIGINT) AS b0,
+        |    CAST(SUM(CASE WHEN k >= 16 AND k < 32 THEN bit << (k - 16) ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(SUM(CASE WHEN k >= 32 AND k < 48 THEN bit << (k - 32) ELSE 0 END) AS BIGINT) AS b2,
+        |    CAST(SUM(CASE WHEN k >= 48 THEN bit << (k - 48) ELSE 0 END) AS BIGINT) AS b3
+        |  FROM bits GROUP BY doc_id, j
+        |)
+        |SELECT h1.doc_id AS a, h2.doc_id AS b,
+        |  CAST(bit_count(xor(h1.b0, h2.b0)) + bit_count(xor(h1.b1, h2.b1))
+        |     + bit_count(xor(h1.b2, h2.b2)) + bit_count(xor(h1.b3, h2.b3)) AS BIGINT) AS hamming
+        |FROM hashes h1 JOIN hashes h2 ON h1.j < h2.j
+        |WHERE bit_count(xor(h1.b0, h2.b0)) + bit_count(xor(h1.b1, h2.b1))
+        |    + bit_count(xor(h1.b2, h2.b2)) + bit_count(xor(h1.b3, h2.b3)) <= 3
+        |ORDER BY a, b""".stripMargin,
     // every GraftTable mutation is row-preserving (append unions, zorder
     // and compact relayout, vacuum touches only unreferenced files) and
     // pruning is conservative with the exact predicate re-applied on

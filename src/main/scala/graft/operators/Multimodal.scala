@@ -377,6 +377,134 @@ object Multimodal {
       while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
       h
     }
+
+    /** Real P6 PPM encoder — the inverse of [[decodePpm]] (P6 is
+      * lossless 8-bit RGB, so encode∘decode is the identity on pixels,
+      * which is what lets a generated-image oracle replay the decode
+      * path as pure integer arithmetic).
+      */
+    def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"raster ${rgb.length} != $w x $h x 3")
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + rgb.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(rgb, 0, out, header.length, rgb.length)
+      out
+    }
+
+    /** Difference hash (dHash) of a decoded image, as four 16-bit bands.
+      *
+      * The classic perceptual hash (public recipe: pool to a 9×8
+      * luminance grid, emit one bit per horizontally adjacent cell pair
+      * — 8 rows × 8 comparisons = 64 bits), kept in INTEGER arithmetic
+      * end to end so the hash is bit-exact replayable by any SQL engine:
+      * per-pixel luma = 299·R + 587·G + 114·B (Rec.601 scaled by 1000,
+      * no division), per-cell SUM + COUNT, and the comparison
+      * cross-multiplied (sL·cR < sR·cL) so unequal cell populations
+      * never need a float. Bit k = gy·8+gx lives in band k/16 at
+      * position k%16 — four non-negative 16-bit ints instead of one
+      * signed 64-bit word, which keeps every downstream xor/bit_count/
+      * band-extract free of sign pitfalls in both engines.
+      *
+      * Why dHash for near-dup: a uniform brightness shift adds the same
+      * constant to every cell sum, so all comparisons — and the hash —
+      * are INVARIANT; re-encodes are identity (P6) or lossless (PNG);
+      * small local edits flip only the few bits whose cells they touch.
+      * Hamming distance therefore measures perceptual difference, and
+      * banding gives exact recall for distance < 4 (pigeonhole over the
+      * 4 bands, the [[graft.operators.Dedup]] SimHash argument).
+      */
+    def dhashBands(bytes: Array[Byte]): Option[Array[Int]] =
+      decodePpm(bytes).orElse(decodePng(bytes)).orElse(decodeJpeg(bytes))
+        .map { case (w, h, rgb) =>
+          val s = Array.ofDim[Long](8, 9)
+          val c = Array.ofDim[Long](8, 9)
+          var p = 0
+          val n = w * h
+          while (p < n) {
+            val x = p % w
+            val y = p / w
+            val gx = x * 9 / w
+            val gy = y * 8 / h
+            val lum = 299L * (rgb(3 * p) & 0xff) +
+              587L * (rgb(3 * p + 1) & 0xff) + 114L * (rgb(3 * p + 2) & 0xff)
+            s(gy)(gx) += lum
+            c(gy)(gx) += 1
+            p += 1
+          }
+          val bands = new Array[Int](4)
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              val k = gy * 8 + gx
+              // BigInt: sums reach 255000·2^24 on degenerate aspect
+              // ratios, and the cross-product must not overflow a Long
+              val bit = BigInt(s(gy)(gx)) * c(gy)(gx + 1) <
+                BigInt(s(gy)(gx + 1)) * c(gy)(gx)
+              if (bit) bands(k / 16) |= 1 << (k % 16)
+              gx += 1
+            }
+            gy += 1
+          }
+          bands
+        }
+  }
+
+  /** One image's perceptual hash: four 16-bit dHash bands. */
+  final case class MediaHash(id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Perceptual-hash every decodable payload ([[Codecs.dhashBands]];
+    * narrow, batched, non-images dropped — a histogram pseudo-hash would
+    * make unrelated binaries collide, the wrong failure mode for dedup).
+    */
+  def dhash(items: Dataset[MediaItem]): Dataset[MediaHash] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.flatMap(m => Codecs.dhashBands(m.media).map(b =>
+      MediaHash(m.id, b(0), b(1), b(2), b(3))))
+  }
+
+  /** Near-duplicate image pairs among `hashes` (columns id, b0..b3):
+    * all (id_a < id_b) pairs at Hamming distance ≤ `maxHamming`, found
+    * WITHOUT all-pairs — candidates must share one exact 16-bit band
+    * (banded self-join, the [[Dedup.simHashPairs]] shape), then the
+    * exact integer Hamming verify filters. Recall is EXACT, not
+    * approximate: maxHamming < 4 differing bits cannot touch all 4
+    * bands, so every true pair shares a band (pigeonhole) — which is
+    * what lets the declared query oracle as brute-force Hamming in SQL.
+    *
+    * Scale shape: one shuffle on (band, key); candidate volume is the
+    * band-collision count, not n² — hash-scattered 16-bit bands keep
+    * buckets tiny except for genuinely similar populations.
+    */
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"pigeonhole recall over 4 bands needs 0 <= maxHamming < 4: $maxHamming")
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    val bands = hashes.select(
+      (col("id") +: bandCols.map(col)) :+ explode(array(
+        bandCols.zipWithIndex.map { case (c, i) =>
+          struct(lit(i).as("bi"), col(c).as("key")) }: _*)).as("band"): _*)
+      .select(col("id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("band.bi").as("bi"), col("band.key").as("key"))
+    val left = bands.select(col("bi"), col("key"), col("id").as("id_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+      col("b3").as("a3"))
+    val right = bands.select(col("bi"), col("key"), col("id").as("id_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"),
+      col("b3").as("c3"))
+    val hamming =
+      bit_count(col("a0").bitwiseXOR(col("c0"))) +
+        bit_count(col("a1").bitwiseXOR(col("c1"))) +
+        bit_count(col("a2").bitwiseXOR(col("c2"))) +
+        bit_count(col("a3").bitwiseXOR(col("c3")))
+    left.join(right, Seq("bi", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b") // pairs sharing several bands count once
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** Wrap a string column as a binary media payload (the fixtures carry no

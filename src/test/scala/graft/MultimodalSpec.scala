@@ -294,4 +294,88 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.payload.length <= 16))
     assert(frames.groupBy(_.id).forall(_._2.map(_.frame).sorted.toSeq == Seq(0, 1, 2)))
   }
+
+  private def synthRgb(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val raster = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      val o = (y * w + x) * 3
+      raster(o) = r.toByte; raster(o + 1) = g.toByte; raster(o + 2) = b.toByte
+    }
+    raster
+  }
+
+  private def basePx(seed: Long)(x: Int, y: Int): (Int, Int, Int) = (
+    ((seed * 7919 + x * 31 + y * 17) % 200).toInt,
+    ((seed * 104729 + x * 13 + y * 29) % 200).toInt,
+    ((seed * 1299709 + x * 37 + y * 11) % 200).toInt)
+
+  test("encodePpm is the exact inverse of decodePpm") {
+    import graft.operators.Multimodal.Codecs
+    val rgb = synthRgb(36, 32)(basePx(5))
+    val Some((w, h, back)) = Codecs.decodePpm(Codecs.encodePpm(36, 32, rgb))
+    assert(w == 36 && h == 32 && java.util.Arrays.equals(back, rgb),
+      "P6 is lossless 8-bit RGB: encode then decode must be the identity")
+  }
+
+  test("dHash: brightness-shift invariant, local edits flip at most their cell's bit") {
+    import graft.operators.Multimodal.Codecs
+    def hash(px: (Int, Int) => (Int, Int, Int)): Seq[Int] =
+      Codecs.dhashBands(Codecs.encodePpm(36, 32, synthRgb(36, 32)(px))).get.toSeq
+    val base = hash(basePx(3))
+    // +40 on every channel (no clamp: base < 200): every cell sum moves
+    // by the same constant, so every comparison — and the hash — is fixed
+    val bright = hash((x, y) => {
+      val (r, g, b) = basePx(3)(x, y); (r + 40, g + 40, b + 40) })
+    assert(bright == base, "dHash must be invariant to uniform brightness")
+    // +50 red over the top-left 4×4 cell: only comparison k=0 touches
+    // that cell, so Hamming distance is at most 1
+    val edited = hash((x, y) => {
+      val (r, g, b) = basePx(3)(x, y)
+      (if (x < 4 && y < 4) r + 50 else r, g, b) })
+    val dist = base.zip(edited)
+      .map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    assert(dist <= 1, s"a one-cell edit must flip at most one bit: $dist")
+    // an unrelated image is far: the banded join's precision story
+    assert(base.zip(hash(basePx(4)))
+      .map { case (a, b) => Integer.bitCount(a ^ b) }.sum > 3)
+  }
+
+  test("nearDupPairs == brute-force Hamming (exact recall by pigeonhole); non-images dropped") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.Codecs
+    import spark.implicits._
+    // 10 groups × 3 variants, same shape as the declared mm_dedup query
+    val items = (0L until 30L).map { j =>
+      val seed = j / 3
+      val v = j % 3
+      val rgb = synthRgb(36, 32)((x, y) => {
+        val (r, g, b) = basePx(seed)(x, y)
+        (if (v == 2 && x < 4 && y < 4) r + 50 else if (v == 1) r + 40 else r,
+          if (v == 1) g + 40 else g, if (v == 1) b + 40 else b) })
+      Multimodal.MediaItem(j, Codecs.encodePpm(36, 32, rgb), "ppm")
+    } :+ Multimodal.MediaItem(99L, "not an image".getBytes, "bin")
+    val hashes = Multimodal.dhash(items.toDS())
+    assert(hashes.count() == 30, "non-decodable payloads must be dropped")
+
+    val got = Multimodal.nearDupPairs(hashes.toDF(), maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force over the collected hashes — the ground truth the
+    // banded join must reproduce EXACTLY (≤3 differing bits cannot
+    // touch all 4 bands)
+    val hs = hashes.collect()
+    val want = (for {
+      a <- hs; b <- hs if a.id < b.id
+      d = Integer.bitCount(a.b0 ^ b.b0) + Integer.bitCount(a.b1 ^ b.b1) +
+        Integer.bitCount(a.b2 ^ b.b2) + Integer.bitCount(a.b3 ^ b.b3)
+      if d <= 3
+    } yield (a.id, b.id)).toSet
+    assert(got == want && want.size >= 30,
+      s"banded recall must be exact: got ${got.size}, want ${want.size}")
+    assert(Multimodal.nearDupPairs(hashes.toDF(), maxHamming = 0)
+      .count() >= 10, "each group's base/bright pair hashes identically")
+    intercept[IllegalArgumentException] {
+      Multimodal.nearDupPairs(hashes.toDF(), maxHamming = 4)
+    }
+  }
 }
