@@ -424,29 +424,18 @@ private[graft] object EntryStream {
     val ev = t(s, d, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     val base = java.nio.file.Files.createTempDirectory("graft_sljoin").toString
-    // ONE corpus file + one file per sentinel wave, processed one file
-    // per micro-batch with pinned mtime order: the whole corpus must
-    // share a batch (part files are not time-ordered across each other,
-    // so per-file batches would drop genuinely-early rows as late data
-    // once a later-ts file advanced the watermark), and each sentinel
-    // wave must get its OWN, LATER batch so the "batch after the
-    // watermark moved" this fixture promises actually exists instead of
-    // silently leaning on the no-data-micro-batch feature
-    ev.coalesce(1).write.parquet(s"$base/in/w0")
-    val hi = ev.agg(max("ts")).head.getTimestamp(0)
     import s.implicits._
-    Seq(1L, 2L).foreach { i =>
-      val ts = new java.sql.Timestamp(hi.getTime + 86400000L * i)
-      Seq((-2 * i, ts, Option.empty[Long], "click"),
-        (-2 * i - 1, ts, Option.empty[Long], "purchase"))
-        .toDF("event_id", "ts", "user_id", "event_type")
-        .coalesce(1).write.parquet(s"$base/in/w$i")
+    // one sentinel per branch-surviving type and wave, null join keys,
+    // negative ids — the bounded-drain contract, owned by the helper
+    val glob = EventStreams.drainWithSentinels(ev, s"$base/in", "ts", waves = 2) {
+      (i, ts) =>
+        Seq((-2L * i, ts, Option.empty[Long], "click"),
+          (-2L * i - 1, ts, Option.empty[Long], "purchase"))
+          .toDF("event_id", "ts", "user_id", "event_type")
     }
-    graft.operators.SeriesSearch.pinArrivalOrder(
-      s, (0 to 2).map(i => s"$base/in/w$i"))
     val joined = EventStreams.purchaseAttribution(
       s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
-        .parquet(s"$base/in/w*"))
+        .parquet(glob))
     EventStreams.runToMemory(s, joined,
         s"stream_left_join_${System.nanoTime()}", "append")
       .filter(col("click_id") >= 0) // drop the sentinel's own null wing

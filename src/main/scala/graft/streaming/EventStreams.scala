@@ -131,6 +131,42 @@ object EventStreams {
     * evict, and the click sentinel itself surfaces as one null-wing row
     * the caller drops by its negative id.
     */
+  /** Bounded-drain fixture layout for stream-stream OUTER joins (and any
+    * watermark-flushed operator): land `corpus` as ONE file, then one
+    * file per caller-built sentinel wave stamped `i` days past the
+    * corpus max `tsCol`, with file mtimes pinned ascending
+    * ([[graft.operators.SeriesSearch.pinArrivalOrder]]). Processed with
+    * `maxFilesPerTrigger=1` this guarantees:
+    *  - the whole corpus shares a micro-batch (part files are NOT
+    *    time-ordered across each other, so per-file corpus batches would
+    *    drop genuinely-early rows as late data once a later-ts file
+    *    advanced the watermark);
+    *  - each sentinel wave gets its OWN, LATER batch, so the "batch
+    *    after the watermark moved" the flush needs actually exists
+    *    instead of leaning on the no-data-micro-batch feature.
+    * Sentinel subtlety the waves must respect (the reason this helper
+    * exists): watermarks advance only from rows a branch actually SCANS
+    * — branch filters push below the watermark operator — so a wave
+    * needs one row PER branch-surviving type, with NULL join keys (null
+    * never equi-joins) and negative ids the caller drops from its own
+    * output.
+    *
+    * @return the glob to `readStream` from
+    */
+  def drainWithSentinels(corpus: DataFrame, dir: String, tsCol: String,
+      waves: Int)(mkWave: (Int, java.sql.Timestamp) => DataFrame): String = {
+    require(waves >= 1, "at least one sentinel wave is needed to flush")
+    corpus.coalesce(1).write.parquet(s"$dir/w0")
+    val hi = corpus.agg(max(col(tsCol))).head.getTimestamp(0)
+    (1 to waves).foreach { i =>
+      val ts = new java.sql.Timestamp(hi.getTime + 86400000L * i)
+      mkWave(i, ts).coalesce(1).write.parquet(s"$dir/w$i")
+    }
+    graft.operators.SeriesSearch.pinArrivalOrder(
+      corpus.sparkSession, (0 to waves).map(i => s"$dir/w$i"))
+    s"$dir/w*"
+  }
+
   def purchaseAttribution(events: DataFrame, within: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame = {
     val wm = events.withWatermark("ts", watermark)
