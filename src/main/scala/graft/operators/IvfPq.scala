@@ -13,13 +13,22 @@ import org.apache.spark.sql.functions._
   * touches a raw vector — the multiplicative combination of the IVF
   * index's read pruning and the PQ index's compression.
   *
-  * Variant note: codes quantize the RAW vectors, not per-cluster
-  * residuals. Residual encoding buys accuracy at the cost of
-  * cluster-specific decoding; the raw variant keeps codes comparable
-  * across clusters, which is what makes search at nprobe = nClusters
-  * EXACTLY equal the flat [[Pq.adcTopK]] ranking under the same codebook
+  * Variant note: by default codes quantize the RAW vectors, not
+  * per-cluster residuals. The raw variant keeps codes comparable across
+  * clusters, which is what makes search at nprobe = nClusters EXACTLY
+  * equal the flat [[Pq.adcTopK]] ranking under the same codebook
   * (spec-pinned) and lets one codebook survive a coarse-quantizer
-  * retrain untouched.
+  * retrain untouched. `residual = true` selects the published FAISS
+  * IVFPQ recipe instead: the codebook trains on and encodes v −
+  * centroid(cluster), so the PQ cells only have to cover intra-cluster
+  * spread rather than the corpus diameter — materially better recall at
+  * the SAME m bytes/vector (IvfPqSpec pins recall@k ≥ the raw variant
+  * on a spread-cluster fixture). The cost is cluster-specific decoding:
+  * codes are comparable only within a cluster — which the
+  * per-(query, cluster) probe relation already enforces, each probe
+  * scoring against a LUT built from ITS cluster's query residual — and
+  * a coarse-quantizer retrain now invalidates the codes. The flag lives
+  * in the index meta (meta wins; `open` never guesses the variant).
   *
   * Maintenance mirrors the component indexes: counted-idempotent
   * [[IvfPqIndex.append]], anti-join [[IvfPqIndex.delete]] /
@@ -40,7 +49,7 @@ object IvfPq extends CacheLedger {
       name: String, path: String,
       nClusters: Int = 16, m: Int = 8, kCodes: Int = 16, iters: Int = 5,
       sampleSize: Int = 10000, seed: Long = 42L,
-      buckets: Int = 16): IvfPqIndex = {
+      buckets: Int = 16, residual: Boolean = false): IvfPqIndex = {
     val spark = emb.sparkSession
     import spark.implicits._
     val base = emb.select(col(idCol).cast("long").as("vid"),
@@ -55,25 +64,64 @@ object IvfPq extends CacheLedger {
     require(sample.nonEmpty, "empty embedding table")
     val cents = Similarity.IvfIndex.lloyd(sample, nClusters, iters, seed)
     // share the count this build just paid: Pq.train's baseline MSE
-    // measurement would otherwise re-count the corpus
-    val cb = Pq.train(emb, idCol, vecCol, m, kCodes, iters, sampleSize,
-      seed, baseCount = total)
+    // measurement would otherwise re-count the corpus. The residual
+    // variant trains on v − centroid(cluster) — a narrow map, no
+    // shuffle — so the codebook's cells cover intra-cluster spread only
+    val bcC0 = spark.sparkContext.broadcast(cents)
+    val trainInput =
+      if (residual)
+        base.as[(Long, Array[Double])].mapPartitions { it =>
+          val cs = bcC0.value
+          it.map { case (vid, v) =>
+            (vid, subtract(v, cs(Similarity.IvfIndex.nearest(cs, v))))
+          }
+        }.toDF("vid", "v")
+      else emb
+    val cb =
+      if (residual) Pq.train(trainInput, "vid", "v", m, kCodes, iters,
+        sampleSize, seed, baseCount = total)
+      else Pq.train(emb, idCol, vecCol, m, kCodes, iters, sampleSize,
+        seed, baseCount = total)
     Similarity.IvfIndex.writeCentroids(spark, path, cents)
     Pq.writeCodebook(spark, path, cb, buckets)
+    writeVariant(spark, path, residual)
     // one narrow pass: nearest-centroid assign + PQ encode per vector —
     // neither quantizer shuffles the corpus
-    val bcC = spark.sparkContext.broadcast(cents)
     val bcCb = spark.sparkContext.broadcast(cb)
     val coded = base.as[(Long, Array[Double])].mapPartitions { it =>
-      val cs = bcC.value; val c = bcCb.value
+      val cs = bcC0.value; val c = bcCb.value
       it.map { case (vid, v) =>
-        (vid, Similarity.IvfIndex.nearest(cs, v),
-          c.encodeVec(v))
+        val cl = Similarity.IvfIndex.nearest(cs, v)
+        (vid, cl, c.encodeVec(if (residual) subtract(v, cs(cl)) else v))
       }
     }.toDF("vid", "cluster", "codes")
     Sinks.bucketed(coded.repartition(buckets, col("cluster")),
       s"${name}_ivfpq", s"$path/codes", buckets, Seq("cluster"))
-    new IvfPqIndex(spark, cents, cb, s"${name}_ivfpq", path, buckets)
+    new IvfPqIndex(spark, cents, cb, s"${name}_ivfpq", path, buckets, residual)
+  }
+
+  private[operators] def subtract(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val out = new Array[Double](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i) - b(i); i += 1 }
+    out
+  }
+
+  private def writeVariant(spark: SparkSession, path: String,
+      residual: Boolean): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(residual)).toDF("residual").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/variant")
+  }
+
+  private def readVariant(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/variant/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // absent = raw: indexes written before the variant entered the meta
+    // ARE raw-coded, so the default reads them correctly
+    fs.exists(p) &&
+      spark.read.parquet(s"$path/variant").head().getBoolean(0)
   }
 
   /** Re-open a saved index: both quantizers load to the driver (always
@@ -92,7 +140,8 @@ object IvfPq extends CacheLedger {
     require(cents.nonEmpty, s"no centroids at $path/centroids")
     val (cb, stored) = Pq.readCodebook(spark, path)
     new IvfPqIndex(spark, cents, cb,
-      s"${name}_ivfpq", path, stored.getOrElse(buckets))
+      s"${name}_ivfpq", path, stored.getOrElse(buckets),
+      readVariant(spark, path))
   }
 
   final class IvfPqIndex private[operators] (
@@ -101,7 +150,8 @@ object IvfPq extends CacheLedger {
       val cb: Pq.Codebook,
       val codesTable: String,
       val path: String,
-      val buckets: Int) {
+      val buckets: Int,
+      val residual: Boolean = false) {
 
     /** The stored (vid, cluster, codes) relation, catalog-fresh. */
     def codes: DataFrame = {
@@ -132,17 +182,26 @@ object IvfPq extends CacheLedger {
       val probed = probes.map(_._2).distinct
       val bcCb = spark.sparkContext.broadcast(cb)
       val bcQ = spark.sparkContext.broadcast(queries)
+      val bcCents = spark.sparkContext.broadcast(centroids)
+      val res = residual // local copy: the closure must not capture `this`
       val scored = codes
         .filter(col("cluster").isin(probed.map(Int.box): _*))
         .join(broadcast(probes.toDF("query_id", "cluster")), Seq("cluster"))
         .filter(col("vid") =!= col("query_id"))
-        .select(col("query_id"), col("vid"), col("codes"))
-        .as[(Long, Long, Array[Int])]
+        .select(col("query_id"), col("cluster"), col("vid"), col("codes"))
+        .as[(Long, Int, Long, Array[Int])]
         .mapPartitions { it =>
-          val c = bcCb.value; val qs = bcQ.value
-          val luts = scala.collection.mutable.LongMap.empty[Array[Array[Double]]]
-          it.map { case (qid, vid, codes) =>
-            val lut = luts.getOrElseUpdate(qid, Pq.buildLut(c, qs(qid)))
+          val c = bcCb.value; val qs = bcQ.value; val cs = bcCents.value
+          // residual codes live in per-cluster space, so the LUT keys on
+          // (query, cluster) and scores the query's residual against
+          // THAT centroid (‖q−x‖ = ‖(q−c)−(x−c)‖); raw codes collapse
+          // the key so exactly one LUT builds per query, as before
+          val luts = scala.collection.mutable
+            .HashMap.empty[(Long, Int), Array[Array[Double]]]
+          it.map { case (qid, cl, vid, codes) =>
+            val lut = luts.getOrElseUpdate((qid, if (res) cl else -1),
+              Pq.buildLut(c,
+                if (res) IvfPq.subtract(qs(qid), cs(cl)) else qs(qid)))
             (qid, vid, Pq.adcDist(lut, codes))
           }
         }.toDF("query_id", "neighbor_id", "adist")
@@ -179,17 +238,21 @@ object IvfPq extends CacheLedger {
       val probed = probes.select("cluster").distinct()
         .collect().map(_.getInt(0)).toSeq
       val bcCb = spark.sparkContext.broadcast(cb)
+      val res = residual // local copy: the closure must not capture `this`
       val scored = codes
         .filter(col("cluster").isin(probed.map(Int.box): _*))
         .join(broadcast(probes), Seq("cluster"))
         .filter(col("vid") =!= col("query_id"))
-        .select(col("query_id"), col("qv"), col("vid"), col("codes"))
-        .as[(Long, Array[Double], Long, Array[Int])]
+        .select(col("query_id"), col("qv"), col("cluster"), col("vid"),
+          col("codes"))
+        .as[(Long, Array[Double], Int, Long, Array[Int])]
         .mapPartitions { it =>
-          val c = bcCb.value
-          val luts = scala.collection.mutable.LongMap.empty[Array[Array[Double]]]
-          it.map { case (qid, qv, vid, codes) =>
-            val lut = luts.getOrElseUpdate(qid, Pq.buildLut(c, qv))
+          val c = bcCb.value; val cs = bcC.value
+          val luts = scala.collection.mutable
+            .HashMap.empty[(Long, Int), Array[Array[Double]]]
+          it.map { case (qid, qv, cl, vid, codes) =>
+            val lut = luts.getOrElseUpdate((qid, if (res) cl else -1),
+              Pq.buildLut(c, if (res) IvfPq.subtract(qv, cs(cl)) else qv))
             (qid, vid, Pq.adcDist(lut, codes))
           }
         }.toDF("query_id", "neighbor_id", "adist")
@@ -205,14 +268,16 @@ object IvfPq extends CacheLedger {
       import spark.implicits._
       val bcC = spark.sparkContext.broadcast(centroids)
       val bcCb = spark.sparkContext.broadcast(cb)
+      val res = residual // local copy: the closure must not capture `this`
       val coded = emb.select(col(idCol).cast("long").as("vid"),
           transform(col(vecCol), x => x.cast("double")).as("v"))
         .as[(Long, Array[Double])]
         .mapPartitions { it =>
           val cs = bcC.value; val c = bcCb.value
           it.map { case (vid, v) =>
-            (vid, Similarity.IvfIndex.nearest(cs, v),
-              c.encodeVec(v))
+            val cl = Similarity.IvfIndex.nearest(cs, v)
+            (vid, cl,
+              c.encodeVec(if (res) IvfPq.subtract(v, cs(cl)) else v))
           }
         }.toDF("vid", "cluster", "codes")
       GuardedAppend(spark, coded, "vid", codesTable, "vector") { kept =>
@@ -266,11 +331,12 @@ object IvfPq extends CacheLedger {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$toPath/centroids")
       Pq.writeCodebook(spark, toPath, cb, b)
+      writeVariant(spark, toPath, residual)
       Sinks.bucketed(
         f(spark.read.parquet(s"$path/codes"))
           .repartition(b, col("cluster")),
         codesTable, s"$toPath/codes", b, Seq("cluster"))
-      new IvfPqIndex(spark, centroids, cb, codesTable, toPath, b)
+      new IvfPqIndex(spark, centroids, cb, codesTable, toPath, b, residual)
     }
   }
 }

@@ -153,6 +153,80 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("residual variant: recall@k at the SAME bytes beats-or-matches raw codes; meta-wins reopen; append encodes residuals") {
+    import spark.implicits._
+    // spread clusters with planted TWINS: centers far from the origin,
+    // unit intra-cluster noise, and each base point id < 200 has a
+    // near-identical twin at id + 200 (base + 0.01 noise). Raw PQ cells
+    // must cover the corpus diameter, so every member of a cluster
+    // collapses to (nearly) the same code and the twin is
+    // indistinguishable from its 48 cluster-mates; residual cells only
+    // cover the unit noise, so the twin's code matches the query's own
+    // and ADC ranks it first — exactly the regime the published FAISS
+    // IVFPQ residual recipe exists for.
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4, 16)(rnd.nextGaussian() * 100.0)
+    val bases = Array.tabulate(200)(i =>
+      centers(i % 4).map(_ + rnd.nextGaussian()))
+    val df = (0L until 400L).map { id =>
+      val v = if (id < 200) bases(id.toInt)
+        else bases(id.toInt - 200).map(_ + rnd.nextGaussian() * 0.01)
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    val vecs = df.as[(Long, Array[Double])].collect().toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qids = Seq(0L, 3L, 5L, 100L, 113L)
+    val qs = qids.map(q => q -> vecs(q)).toMap
+    // exact ground truth, computed not assumed (it IS the twin)
+    val truth = qids.map { q =>
+      q -> vecs.keys.filter(_ != q).minBy(n => l2(vecs(q), vecs(n)))
+    }.toMap
+    assert(truth.forall { case (q, n) => n == q + 200 },
+      "fixture self-check: the exact nearest neighbor must be the twin")
+
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_res").toString
+    // identical geometry — nClusters, m, kCodes, buckets — so both
+    // variants spend exactly the same bytes per vector
+    val raw = IvfPq.build(df, "vec_id", "embedding", "ivfpq_raw", s"$base/raw",
+      nClusters = 16, m = 4, kCodes = 16, buckets = 8)
+    val res = IvfPq.build(df, "vec_id", "embedding", "ivfpq_rv", s"$base/res",
+      nClusters = 16, m = 4, kCodes = 16, buckets = 8, residual = true)
+    def recall(idx: IvfPq.IvfPqIndex): Double = {
+      val got = rows(idx.search(qs, k = 1, nprobe = 16))
+        .map(r => (r._1, r._3)).toMap
+      qids.count(q => got(q) == truth(q)).toDouble / qids.size
+    }
+    val (rRaw, rRes) = (recall(raw), recall(res))
+    assert(rRes >= rRaw,
+      s"residual recall@1 must not lose to raw at equal bytes: $rRes < $rRaw")
+    assert(rRes >= 0.8,
+      s"residual codes over noise-sized cells must find the twins: $rRes")
+
+    // meta wins: a reopened index knows its variant without being told,
+    // and searches bit-identically to the in-memory handle
+    val reopened = IvfPq.open(spark, "ivfpq_rv", s"$base/res")
+    assert(reopened.residual, "the variant flag must come from the index meta")
+    assert(rows(reopened.search(qs, k = 5, nprobe = 16)) ==
+      rows(res.search(qs, k = 5, nprobe = 16)))
+    // the DataFrame query path scores the same per-(query, cluster) LUTs
+    val qdf = df.filter(col("vec_id").isin(qids: _*))
+    assert(rows(res.search(qdf, "vec_id", "embedding", k = 5, nprobe = 16)) ==
+      rows(res.search(qs, k = 5, nprobe = 16)))
+
+    // append must encode residuals under the frozen quantizers: searches
+    // over an index built at once == build-then-append split
+    val oldPart = df.filter(col("vec_id") < 300)
+    val newPart = df.filter(col("vec_id") >= 300)
+    IvfPq.build(oldPart, "vec_id", "embedding", "ivfpq_rv2", s"$base/res2",
+      nClusters = 16, m = 4, kCodes = 16, buckets = 8, residual = true)
+    val grown = IvfPq.open(spark, "ivfpq_rv2", s"$base/res2")
+    assert(grown.append(newPart, "vec_id", "embedding") == newPart.count())
+    val grownRecall = recall(grown)
+    assert(grownRecall >= 0.8,
+      s"appended residual codes must rank like built ones: $grownRecall")
+  }
+
   test("appendStream folds a two-wave vector stream in; results == batch append") {
     import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
     val df = clustered

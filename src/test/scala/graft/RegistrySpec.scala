@@ -21,6 +21,8 @@ class RegistrySpec extends AnyFunSuite {
     // bit-identical to flat ADC by PqSpec/IvfPqSpec); anything new
     // appearing here means someone forgot to write an oracle
     val declared = Set("ann_lsh", "ann_pq", "ann_pq_index", "ann_ivfpq",
+      "ann_ivfpq_res", // residual recipe: same no-ADC-oracle reality as
+      // ann_ivfpq; recall-at-equal-bytes and meta round-trip spec-pinned
       "q_hll", "q_hll_merge", "stream_hll", "q_approx_quantile",
       "text_bpe", "text_unigram", "text_winnow",
       // recall-scoped by the published method (cluster-boundary pairs are
@@ -46,7 +48,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches the shipped inventory") {
-    assert(SparkEntry.queries.size == 203,
+    assert(SparkEntry.queries.size == 204,
       s"query count drifted: ${SparkEntry.queries.size} (update this pin " +
         "AND SURVEY §2.4 when adding operators)")
   }
