@@ -402,6 +402,34 @@ object ScaleProbe {
           s"$zmBase/zones", band).count()
         files.size.toLong * 1000000L + got
       },
+      time("graft_table_lifecycle") {
+        // unified-table leg: the zonemap leg's data-skipping invariant,
+        // through ONE atomic handle — create 505k rows as 64 range-
+        // clustered files, ledger-append the 5k tail, pruned-scan the
+        // ~1% band, then a sorted compaction (files + zones + ledger
+        // move as one version) must leave the scan row-identical and
+        // vacuum must collect every superseded generation. Encoded
+        // files·10^6 + rows, the zonemap leg's convention.
+        val gtBase = java.nio.file.Files.createTempDirectory("scale_gt")
+          .toString + "/t"
+        val rows = corpus.select(col("doc_id").as("k"),
+          (col("doc_id") % 977L).as("v"))
+        val tbl = graft.operators.GraftTable.create(
+          rows.filter(col("k") < n)
+            .repartitionByRange(64, col("k")).sortWithinPartitions("k"),
+          gtBase, zoneCols = Seq("k"))
+        tbl.append(rows.filter(col("k") >= n))
+        val band = Seq(graft.operators.ZoneMap.Range("k", 1000L, 6000L))
+        val files = tbl.scanFileCount(band)
+        val got = tbl.scan(band).count()
+        tbl.compact(targetRows = n / 8, sortCols = Seq("k"))
+        val gotAfter = tbl.scan(band).count()
+        require(gotAfter == got,
+          s"compaction changed scan results: $got -> $gotAfter")
+        require(tbl.vacuum() >= 64L,
+          "superseded generations must be collected")
+        files * 1000000L + got
+      },
       time("phrase_index_search") {
         // positional-index leg: " zz qq" planted in every 50th doc of
         // the 505k salad; the phrase must hit exactly the planted
@@ -529,6 +557,11 @@ object ScaleProbe {
     val zmStat = stages.find(_._1 == "zonemap_prune_scan").get._3
     assert(zmStat % 1000000L == 5001L && zmStat / 1000000L <= 3,
       s"zonemap leg stat $zmStat != (files<=3)e6 + 5001 rows")
+    // same band, same bound, through the unified table's manifest —
+    // planning from ONE metadata read, no directory listing on the path
+    val gtStat = stages.find(_._1 == "graft_table_lifecycle").get._3
+    assert(gtStat % 1000000L == 5001L && gtStat / 1000000L <= 3,
+      s"graft-table leg stat $gtStat != (files<=3)e6 + 5001 rows")
     // the planted phrase hits exactly its carriers: every 50th doc
     val phHits = stages.find(_._1 == "phrase_index_search").get._3
     assert(phHits == total / 50,

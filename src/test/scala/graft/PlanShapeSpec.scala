@@ -137,6 +137,17 @@ class PlanShapeSpec extends SparkSpec {
       !pFuzzy.contains("BroadcastNestedLoopJoin"), pFuzzy)
   }
 
+  test("nearDupPairs: banded equi-join, never a cross product") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val hashes = (0L until 100L)
+      .map(i => (i, (i % 7).toInt, (i % 11).toInt, (i % 13).toInt, (i % 5).toInt))
+      .toDF("id", "b0", "b1", "b2", "b3")
+    val p = plan(graft.operators.Multimodal.nearDupPairs(hashes, maxHamming = 3))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("crossJaccardPairs: equi-joins throughout, never a cross product") {
     import org.apache.spark.sql.functions.col
     val left = docs
