@@ -273,10 +273,15 @@ private[graft] object EntryExt {
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
     ev.repartition(50).write.parquet(s"$base/frag")
+    // scale-proof target: ~quarter-corpus files, so 50 fragments exceed
+    // the ideal-files × slack trigger at EVERY sf (a fixed row target
+    // tripped at sf0.01 but silently stopped tripping at sf0.1, where
+    // ideal files × slack outgrew the 50 fragments — the r11 bench bug)
+    val target = math.max(1L, (ev.count() + 3) / 4)
     require(operators.Compaction.needsCompaction(s, s"$base/frag",
-      targetRows = 3000), "50 scattered files must trip the trigger")
+      targetRows = target), "50 scattered files must trip the trigger")
     val (before, after, _) = operators.Compaction.compactTo(
-      s, s"$base/frag", s"$base/data", targetRows = 3000,
+      s, s"$base/frag", s"$base/data", targetRows = target,
       sortCols = Seq("user_id"))
     require(after < before, s"compaction must shrink the file count: $before -> $after")
     operators.ZoneMap.build(s, s"$base/data", Seq("user_id"), s"$base/zones")
