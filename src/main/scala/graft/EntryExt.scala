@@ -269,6 +269,40 @@ private[graft] object EntryExt {
       .orderBy("event_type")
   }
 
+  /** File-pruned MERGE INTO the unified table: a key-clustered table of
+    * the non-multiple-of-4 events takes ONE latest-wins merge batch —
+    * value-bumped updates confined to the low-id stripe, plus inserts
+    * keyed above every existing range — and only the stripe's files
+    * rewrite ([[graft.operators.GraftTable.merge]]; the require pins
+    * it), everything else carries forward by manifest row. Merge
+    * semantics are deterministic set algebra (delete-matching ∪ batch),
+    * so the oracle replays them as a CASE + UNION over the same
+    * arithmetic; integer division of the max id matches across engines
+    * on positives.
+    */
+  private[graft] def qMerge(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    val kept = ev.filter(col("event_id") % 4 =!= 0)
+    val tbl = operators.GraftTable.create(
+      kept.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"),
+      base, zoneCols = Seq("event_id"))
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val updates = kept.filter(col("event_id") < maxId / 8)
+      .withColumn("value", col("value") + 1000)
+    val inserts = ev.filter(col("event_id") % 4 === 0)
+      .withColumn("event_id", col("event_id") + maxId + 1)
+    val files = tbl.files().size
+    val (rew, carried) = tbl.merge(updates.unionByName(inserts), "event_id")
+    require(rew >= 1 && rew < files && carried == files - rew,
+      s"merge must rewrite only the low-id stripe: $rew of $files")
+    tbl.read()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
   private[graft] def qCompact(s: SparkSession, d: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")

@@ -1044,6 +1044,22 @@ private[graft] object OraclesExt {
         |WHERE bit_count(xor(h1.b0, h2.b0)) + bit_count(xor(h1.b1, h2.b1))
         |    + bit_count(xor(h1.b2, h2.b2)) + bit_count(xor(h1.b3, h2.b3)) <= 3
         |ORDER BY a, b""".stripMargin,
+    // merge is deterministic set algebra — (table minus batch keys) plus
+    // the batch — so it replays as CASE + UNION ALL over the identical
+    // arithmetic; // is integer division, matching Scala Long '/' on
+    // positives, and the inserted ids are disjoint from every stored id
+    "q_merge" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+        |merged AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN e.event_id < mx.m // 8 THEN e.value + 1000
+        |         ELSE e.value END AS value
+        |  FROM events e, mx WHERE e.event_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT event_type, value FROM events WHERE event_id % 4 = 0
+        |)
+        |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     // every GraftTable mutation is row-preserving (append unions, zorder
     // and compact relayout, vacuum touches only unreferenced files) and
     // pruning is conservative with the exact predicate re-applied on

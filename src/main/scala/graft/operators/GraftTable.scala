@@ -337,6 +337,72 @@ final class GraftTable private[operators] (spark: SparkSession,
     IndexStream.runIndexed(rows, checkpointDir)(
       (batch, id) => { append(batch, id); () })
 
+  /** MERGE (latest-wins upsert) at FILE granularity: delete every stored
+    * row whose `keyCol` appears in `batch`, insert `batch`, and commit
+    * the result as one version — rewriting ONLY the files whose zone
+    * [min, max] on `keyCol` can contain a batch key. Every other file's
+    * manifest row carries forward untouched, so merge cost scales with
+    * the AFFECTED files, not the corpus — on a key-clustered 100 TB
+    * table an update batch touches its key range's files and nothing
+    * else (the pruned-rewrite idea behind the public formats' MERGE
+    * INTO). Selection is conservative-by-construction: a file is
+    * skipped only when its zone range provably excludes every batch key
+    * (all-null zone rows exclude all non-null keys), decided by one
+    * broadcast join of the metadata-scale manifest against the batch —
+    * batch keys never visit the driver.
+    *
+    * Contract: `keyCol` must be zone-indexed; batch keys must be
+    * non-null and unique within the batch (both checked loudly — a
+    * duplicated key would make "latest wins" order-dependent inside one
+    * commit). Ledgered like [[append]]: a redelivered merge no-ops.
+    *
+    * @return (files rewritten, files carried forward untouched)
+    */
+  def merge(batch: DataFrame, keyCol: String, batchId: Long): (Long, Long) = {
+    val v = version
+    val m = readMeta(spark, path, v)
+    require(m.zoneCols.contains(keyCol),
+      s"merge key $keyCol must be zone-indexed (zones: ${m.zoneCols.mkString(", ")})")
+    if (batchId <= m.appliedHwm) {
+      DedupIndex.log.warn(s"graft table $path: merge batch $batchId at or " +
+        s"below the applied high-water mark ${m.appliedHwm} — redelivery " +
+        "(or a non-monotone id) skipped")
+      return (0L, 0L)
+    }
+    val keys = batch.select(col(keyCol))
+    require(keys.filter(col(keyCol).isNull).isEmpty,
+      s"merge keys ($keyCol) must be non-null")
+    require(batch.count() == keys.distinct().count(),
+      s"merge batch keys ($keyCol) must be unique within the batch — " +
+        "latest-wins is order-dependent otherwise")
+    val manifest = manifestDf(v)
+    // one broadcast join, manifest side (metadata-scale) broadcast: a
+    // file is affected iff SOME batch key falls inside its zone range
+    val affected = keys.join(
+        broadcast(manifest.select(col("file"),
+          col(s"min_$keyCol").as("_mn"), col(s"max_$keyCol").as("_mx"))),
+        col(keyCol) >= col("_mn") && col(keyCol) <= col("_mx"))
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val carried = manifest.filter(!col("file").isInCollection(affected))
+      // the previous manifest dir is superseded by this publish — cut
+      // lineage so the carried rows outlive its pruning
+      .localCheckpoint(true)
+    val carriedCount = carried.count()
+    val rewrittenRows =
+      if (affected.isEmpty) batch
+      else spark.read.schema(m.schema).parquet(affected.toSeq: _*)
+        .join(keys, Seq(keyCol), "left_anti")
+        .unionByName(batch)
+    publishGeneration(spark, path, rewrittenRows, v + 1,
+      m.copy(appliedHwm = batchId), carryForward = Some(carried))
+    (affected.size.toLong, carriedCount)
+  }
+
+  /** [[merge]] with ledger id = high-water + 1, for manual callers. */
+  def merge(batch: DataFrame, keyCol: String): (Long, Long) =
+    merge(batch, keyCol, lastAppliedBatch() + 1)
+
   /** Rewrite the table into ~`ceil(rows / targetRows)` files, optionally
     * re-sorted (range-partition + sort-within, restoring [[ZoneMap]]
     * pruning power interleaved appends destroyed — [[Compaction]]'s

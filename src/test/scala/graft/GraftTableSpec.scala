@@ -137,6 +137,42 @@ class GraftTableSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.toSeq == Seq("k", "v", "u"))
   }
 
+  test("merge: latest-wins upsert rewrites ONLY the affected files; ledgered; loud contracts") {
+    val p = base()
+    // key-clustered layout: ~10 files, each a narrow k stripe
+    val t = GraftTable.create(
+      rows(0, 1000).repartitionByRange(10, col("k")).sortWithinPartitions("k"),
+      p, zoneCols = Seq("k"))
+    val nFiles = t.files().size
+    assert(nFiles >= 8)
+    // update 30 keys inside one stripe + insert 50 keys above every range
+    val updates = (120L until 150L).map(k => (k, -1.0, "upd")).toDF("k", "v", "u")
+    val inserts = rows(1000, 1050)
+    val (rew, kept) = t.merge(updates.unionByName(inserts), "k")
+    assert(rew <= 2 && rew >= 1 && kept >= nFiles - 2,
+      s"merge must rewrite only the touched stripe: rew=$rew kept=$kept of $nFiles")
+    assert(t.read().count() == 1050)
+    // latest wins: every updated key carries the batch's row now
+    assert(t.scan(Seq(ZoneMap.Range("k", 120L, 149L)))
+      .select("v").as[Double].collect().toSet == Set(-1.0))
+    // untouched keys are bit-identical
+    assert(t.scan(Seq(ZoneMap.Range("k", 150L, 160L)))
+      .orderBy("k").select("k", "v").as[(Long, Double)].collect().toSeq ==
+      (150L to 160L).map(k => (k, k * 2.0)))
+    // redelivered merge (original id) no-ops
+    val hwm = t.lastAppliedBatch()
+    assert(t.merge(updates.unionByName(inserts), "k", hwm) == ((0L, 0L)))
+    assert(t.read().count() == 1050)
+    // vacuum collects exactly the rewritten stripe's old files
+    assert(t.vacuum() >= rew)
+    assert(t.read().count() == 1050)
+    // contracts are loud: duplicate batch keys, un-zoned key column
+    intercept[IllegalArgumentException] {
+      t.merge(updates.unionByName(updates), "k")
+    }
+    intercept[IllegalArgumentException] { t.merge(updates, "v") }
+  }
+
   test("vacuum deletes exactly the unreferenced files; reads unaffected") {
     val p = base()
     val t = GraftTable.create(rows(0, 400), p, zoneCols = Seq("k"), nFiles = 4)
