@@ -303,6 +303,31 @@ private[graft] object EntryExt {
       .orderBy("event_type")
   }
 
+  /** Snapshot isolation / time travel on the unified table: a
+    * `keepVersions = 2` table built from the even events, then the odds
+    * appended — and BOTH states stay queryable, the pre-append snapshot
+    * through [[graft.operators.GraftTable.readVersion]] (its own
+    * manifest + schema over the shared immutable data files) and the
+    * current head through `read()`. Snapshots are plain row subsets of
+    * the source, so the oracle is the two filtered aggregates UNION'd.
+    */
+  private[graft] def qTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/t"
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    val tbl = operators.GraftTable.create(ev.filter(col("event_id") % 2 === 0),
+      base, zoneCols = Seq("user_id"), nFiles = 4, keepVersions = 2)
+    val v1 = tbl.version
+    tbl.append(ev.filter(col("event_id") % 2 === 1))
+    require(tbl.versions() == Seq(v1, v1 + 1),
+      s"both snapshots must stay retained: ${tbl.versions()}")
+    def agg(df: DataFrame, snap: String) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .withColumn("snap", lit(snap))
+    agg(tbl.readVersion(v1), "v1").unionByName(agg(tbl.read(), "v2"))
+      .select("snap", "event_type", "n", "v")
+      .orderBy("snap", "event_type")
+  }
+
   private[graft] def qCompact(s: SparkSession, d: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")

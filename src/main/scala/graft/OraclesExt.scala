@@ -1044,6 +1044,17 @@ private[graft] object OraclesExt {
         |WHERE bit_count(xor(h1.b0, h2.b0)) + bit_count(xor(h1.b1, h2.b1))
         |    + bit_count(xor(h1.b2, h2.b2)) + bit_count(xor(h1.b3, h2.b3)) <= 3
         |ORDER BY a, b""".stripMargin,
+    // snapshots are plain row subsets of the source: v1 = the evens the
+    // table was created from, v2 = everything after the append
+    "q_time_travel" ->
+      """SELECT 'v1' AS snap, event_type, COUNT(*) AS n,
+        |  ROUND(SUM(value), 2) AS v
+        |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v2' AS snap, event_type, COUNT(*) AS n,
+        |  ROUND(SUM(value), 2) AS v
+        |FROM events GROUP BY event_type
+        |ORDER BY snap, event_type""".stripMargin,
     // merge is deterministic set algebra — (table minus batch keys) plus
     // the batch — so it replays as CASE + UNION ALL over the identical
     // arithmetic; // is integer division, matching Scala Long '/' on

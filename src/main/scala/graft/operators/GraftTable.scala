@@ -73,9 +73,10 @@ object GraftTable {
   def create(df: DataFrame, path: String, zoneCols: Seq[String],
       bloomCols: Seq[String] = Nil, nFiles: Int = 0,
       bloomItems: Long = 1000000L, bloomFpp: Double = 0.03,
-      firstBatchId: Long = -1L): GraftTable = {
+      firstBatchId: Long = -1L, keepVersions: Int = 1): GraftTable = {
     require(zoneCols.nonEmpty || bloomCols.nonEmpty,
       "a graft table needs at least one zone or bloom column")
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     val spark = df.sparkSession
     val types = (zoneCols ++ bloomCols).distinct
       .map(c => c -> df.schema(c).dataType.sql).toMap
@@ -84,7 +85,8 @@ object GraftTable {
     // the create commit would open a crash window in which batch 0's rows
     // are committed but unledgered, and its redelivery would double-land
     val meta = Meta(zoneCols, bloomCols, bloomItems, bloomFpp, types,
-      layoutCols = Nil, appliedHwm = firstBatchId, schemaDdl = df.schema.toDDL)
+      layoutCols = Nil, appliedHwm = firstBatchId,
+      schemaDdl = df.schema.toDDL, keepVersions = keepVersions)
     val v = currentVersion(spark, path).getOrElse(0L) + 1
     val sized = if (nFiles > 0) df.repartition(nFiles) else df
     publishGeneration(spark, path, sized, v, meta, carryForward = None)
@@ -127,7 +129,7 @@ object GraftTable {
   private[operators] final case class Meta(zoneCols: Seq[String],
       bloomCols: Seq[String], bloomItems: Long, bloomFpp: Double,
       types: Map[String, String], layoutCols: Seq[String],
-      appliedHwm: Long, schemaDdl: String) {
+      appliedHwm: Long, schemaDdl: String, keepVersions: Int) {
     def zoneMeta: ZoneMap.Meta =
       ZoneMap.Meta(zoneCols, bloomCols, bloomItems, bloomFpp, types)
     def schema: StructType = StructType.fromDDL(schemaDdl)
@@ -164,9 +166,10 @@ object GraftTable {
     import spark.implicits._
     val (tc, td) = m.types.toSeq.sorted.unzip
     Seq((m.zoneCols, m.bloomCols, m.bloomItems, m.bloomFpp, tc, td,
-        m.layoutCols, m.appliedHwm, m.schemaDdl))
+        m.layoutCols, m.appliedHwm, m.schemaDdl, m.keepVersions))
       .toDF("zone_cols", "bloom_cols", "bloom_items", "bloom_fpp",
-        "type_cols", "type_ddls", "layout_cols", "applied_hwm", "schema_ddl")
+        "type_cols", "type_ddls", "layout_cols", "applied_hwm", "schema_ddl",
+        "keep_versions")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$base/v$v/meta")
   }
@@ -177,7 +180,7 @@ object GraftTable {
     Meta(r.getSeq[String](0), r.getSeq[String](1), r.getLong(2),
       r.getDouble(3),
       r.getSeq[String](4).zip(r.getSeq[String](5)).toMap,
-      r.getSeq[String](6), r.getLong(7), r.getString(8))
+      r.getSeq[String](6), r.getLong(7), r.getString(8), r.getInt(9))
   }
 
   private def listGeneration(spark: SparkSession, gen: String): Seq[String] = {
@@ -226,12 +229,17 @@ object GraftTable {
       s"parquet commit left no _SUCCESS under $base/v$v/meta " +
         "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?) — " +
         "versioned publication depends on the marker")
-    committedVersions(spark, base).filter(_ < v).foreach { old =>
-      try {
-        f.delete(new Path(s"$base/v$old/meta/_SUCCESS"), false)
-        f.delete(new Path(s"$base/v$old"), true)
-      } catch { case _: Throwable => () } // prune is best-effort cleanup
-    }
+    // retention: keep the newest `keepVersions` committed versions (the
+    // time-travel window); everything older is pruned marker-first,
+    // best-effort — and only AFTER the new commit, so a reader that
+    // resolved a retained version never loses it to the commit itself
+    committedVersions(spark, base).sorted.dropRight(meta.keepVersions)
+      .foreach { old =>
+        try {
+          f.delete(new Path(s"$base/v$old/meta/_SUCCESS"), false)
+          f.delete(new Path(s"$base/v$old"), true)
+        } catch { case _: Throwable => () } // prune is best-effort cleanup
+      }
   }
 }
 
@@ -246,6 +254,28 @@ final class GraftTable private[operators] (spark: SparkSession,
 
   def version: Long = currentVersion(spark, path).getOrElse(
     sys.error(s"no committed version under $path — concurrent prune?"))
+
+  /** Committed versions ascending — the retained time-travel window
+    * (bounded by the table's `keepVersions`; older versions were pruned
+    * at commit time).
+    */
+  def versions(): Seq[Long] = committedVersions(spark, path)
+
+  /** Time travel: the table AS OF a retained version — its own manifest
+    * and schema, immutable data files shared with every other version
+    * that references them. Fails loudly on a version outside the
+    * retention window rather than guessing.
+    */
+  def readVersion(v: Long): DataFrame = {
+    require(versions().contains(v),
+      s"version $v is not committed/retained under $path " +
+        s"(retained: ${versions().mkString(", ")})")
+    val m = readMeta(spark, path, v)
+    val fl = manifestDf(v).select("file").collect().map(_.getString(0)).toSeq
+    if (fl.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.schema(m.schema).parquet(fl: _*)
+  }
 
   private def metaNow: Meta = readMeta(spark, path, version)
 
@@ -462,7 +492,10 @@ final class GraftTable private[operators] (spark: SparkSession,
     * @return number of data files deleted
     */
   def vacuum(): Long = {
-    val referenced = files().toSet
+    // every RETAINED version's manifest pins its files — time travel
+    // must survive a vacuum (only unreferenced-by-anyone files go)
+    val referenced = versions().flatMap(ver =>
+      manifestDf(ver).select("file").collect().map(_.getString(0))).toSet
     val f = fs(spark, path)
     val dataDir = new Path(s"$path/data")
     if (!f.exists(dataDir)) return 0L

@@ -173,6 +173,35 @@ class GraftTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.merge(updates, "v") }
   }
 
+  test("version retention: time travel within the window; vacuum keeps retained files") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 300), p, zoneCols = Seq("k"),
+      nFiles = 3, keepVersions = 3)
+    t.append(rows(300, 400)) // v2
+    t.append(rows(400, 500)) // v3
+    assert(t.versions() == Seq(1L, 2L, 3L))
+    assert(t.readVersion(1).count() == 300 && t.readVersion(2).count() == 400)
+    assert(t.read().count() == 500)
+    // vacuum must not break a retained snapshot: its files are referenced
+    assert(t.vacuum() == 0L)
+    assert(t.readVersion(1).orderBy("k").select("k").as[Long]
+      .collect().toSeq == (0L until 300L))
+    // a 4th mutation slides the window: v1 pruned, time travel refuses it
+    t.append(rows(500, 600)) // v4 -> retained {2,3,4}
+    assert(t.versions() == Seq(2L, 3L, 4L))
+    intercept[IllegalArgumentException] { t.readVersion(1) }
+    // compaction supersedes the append generations, but v3/v4 still
+    // reference them — vacuum keeps them until the window slides past
+    t.compact(targetRows = 600) // v5 -> retained {3,4,5}
+    assert(t.read().count() == 600 && t.readVersion(3).count() == 500)
+    assert(t.vacuum() == 0L,
+      "retained snapshots v3/v4 still reference the pre-compaction files")
+    t.append(rows(600, 610)) // v6 -> {4,5,6}
+    t.append(rows(610, 620)) // v7 -> {5,6,7}: g1..g4 now unreferenced
+    assert(t.vacuum() >= 3)
+    assert(t.read().count() == 620 && t.readVersion(5).count() == 600)
+  }
+
   test("vacuum deletes exactly the unreferenced files; reads unaffected") {
     val p = base()
     val t = GraftTable.create(rows(0, 400), p, zoneCols = Seq("k"), nFiles = 4)
