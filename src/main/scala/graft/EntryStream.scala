@@ -291,6 +291,50 @@ private[graft] object EntryStream {
       .orderBy("event_type")
   }
 
+  /** Continuous upsert (the CDC-apply shape) through
+    * [[graft.operators.GraftTable.mergeStream]]: three pinned-order
+    * waves — the even events, then value-bumped updates of the
+    * multiples of 4 plus the ≡1 (mod 4) inserts, then a second bump of
+    * the multiples of 8 plus the ≡3 (mod 4) inserts — fold in as
+    * ledgered latest-wins merges, so the final table is every event
+    * with a deterministic per-key CASE of bumps: exactly what the
+    * oracle states. Redelivery of any wave (first included) would
+    * no-op against the ledger; each version along the way is a
+    * consistent snapshot.
+    */
+  def streamMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val base = java.nio.file.Files.createTempDirectory("graft_smerge").toString
+    val waves = Seq(
+      ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 4 === 0)
+        .withColumn("value", col("value") + 1000)
+        .unionByName(ev.filter(col("event_id") % 4 === 1)),
+      ev.filter(col("event_id") % 8 === 0)
+        .withColumn("value", col("value") + 2000)
+        .unionByName(ev.filter(col("event_id") % 4 === 3)))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      w.coalesce(1).write.parquet(s"$base/in/w$i") }
+    graft.operators.SeriesSearch.pinArrivalOrder(
+      s, waves.indices.map(i => s"$base/in/w$i"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", org.apache.spark.sql.types.DoubleType)))
+    graft.operators.GraftTable.mergeStream(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in/w*"),
+      s"$base/tbl", "event_id", s"$base/ckpt")
+    val tbl = graft.operators.GraftTable.open(s, s"$base/tbl")
+    require(tbl.lastAppliedBatch() >= 2,
+      s"three waves must ledger three merges: ${tbl.lastAppliedBatch()}")
+    tbl.read()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
   /** Continuous subsequence matching: the event stream's per-user value
     * points drained through `SeriesSearch.scanStream` in time-ordered
     * waves, then the 15 nearest windows read from the cumulative scored

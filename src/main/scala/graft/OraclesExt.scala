@@ -1044,6 +1044,20 @@ private[graft] object OraclesExt {
         |WHERE bit_count(xor(h1.b0, h2.b0)) + bit_count(xor(h1.b1, h2.b1))
         |    + bit_count(xor(h1.b2, h2.b2)) + bit_count(xor(h1.b3, h2.b3)) <= 3
         |ORDER BY a, b""".stripMargin,
+    // three latest-wins merge waves compose to a deterministic per-key
+    // CASE: evens carry the deepest bump that reached them (mod 8 wins
+    // over mod 4), odds arrive once with their original value — arrival
+    // ORDER is pinned by the fixture, so the replay is closed-form
+    "stream_merge" ->
+      """WITH merged AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 8 = 0 THEN value + 2000
+        |         WHEN event_id % 4 = 0 THEN value + 1000
+        |         ELSE value END AS value
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     // snapshots are plain row subsets of the source: v1 = the evens the
     // table was created from, v2 = everything after the append
     "q_time_travel" ->

@@ -115,6 +115,29 @@ object GraftTable {
       }
     }
 
+  /** Continuous UPSERT: one ledgered [[GraftTable.merge]] per
+    * micro-batch — latest-wins on `keyCol` within and across batches,
+    * file-pruned rewrites, exactly-once under redelivery (the first
+    * batch bootstraps the table with its id seeded into the create
+    * commit, like [[ingestStream]]). This is the CDC-apply shape: a
+    * change stream folds into a queryable table whose every version is
+    * a consistent snapshot.
+    */
+  def mergeStream(rows: DataFrame, path: String, keyCol: String,
+      checkpointDir: String, nFiles: Int = 0,
+      keepVersions: Int = 1): Unit =
+    IndexStream.runIndexed(rows, checkpointDir) { (batch, id) =>
+      val spark = batch.sparkSession
+      currentVersion(spark, path) match {
+        case None =>
+          create(batch, path, Seq(keyCol), nFiles = nFiles,
+            firstBatchId = id, keepVersions = keepVersions)
+          ()
+        case Some(_) =>
+          new GraftTable(spark, path).merge(batch, keyCol, id); ()
+      }
+    }
+
   /** Reopen a committed table; all geometry comes from meta (the family
     * meta-wins rule — `open` never guesses what `create` was told).
     */
