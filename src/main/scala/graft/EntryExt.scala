@@ -328,6 +328,27 @@ private[graft] object EntryExt {
       .orderBy("snap", "event_type")
   }
 
+  /** Additive schema evolution on the unified table: the even events
+    * create the table, the odds append WITH A NEW nullable `flag`
+    * column (deterministic: event_id divisible by 3) — the table's
+    * schema widens in the same commit, every pre-evolution row reads
+    * the new column as null, and the aggregate over the widened table
+    * replays in SQL as a CASE over the same arithmetic.
+    */
+  private[graft] def qSchemaEvolve(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_se").toString + "/t"
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    val tbl = operators.GraftTable.create(ev.filter(col("event_id") % 2 === 0),
+      base, zoneCols = Seq("event_id"), nFiles = 4)
+    tbl.append(ev.filter(col("event_id") % 2 === 1)
+      .withColumn("flag", col("event_id") % 3 === 0))
+    tbl.read()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("flagged"))
+      .orderBy("event_type")
+  }
+
   private[graft] def qCompact(s: SparkSession, d: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")

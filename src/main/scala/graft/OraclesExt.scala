@@ -1058,6 +1058,14 @@ private[graft] object OraclesExt {
         |)
         |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
         |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the widened table = all events, flag non-null only on the appended
+    // odds (null for the pre-evolution evens) — when(flag) counts only
+    // true, so the replay is one CASE over the same arithmetic
+    "q_schema_evolve" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v,
+        |  CAST(SUM(CASE WHEN event_id % 2 = 1 AND event_id % 3 = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS flagged
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // snapshots are plain row subsets of the source: v1 = the evens the
     // table was created from, v2 = everything after the append
     "q_time_travel" ->

@@ -158,6 +158,35 @@ object GraftTable {
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
 
+  /** Additive schema evolution (the public formats' mergeSchema
+    * semantics): a batch column with an existing name must match the
+    * stored type EXACTLY (parquet cannot re-type already-written files —
+    * loud, never a silent coercion); brand-new columns append as
+    * nullable, and every earlier file reads them back as null; indexed
+    * (zone/bloom) columns must be present in the batch, because the new
+    * generation's zone row derives from it. A batch may DROP a non-
+    * indexed column — its generation's files read it back as null.
+    */
+  private[operators] def evolveSchema(m: Meta,
+      batch: StructType): StructType = {
+    val old = m.schema
+    val stored = old.fields.map(f => f.name -> f.dataType).toMap
+    batch.fields.foreach { f =>
+      stored.get(f.name).foreach { dt =>
+        require(dt == f.dataType, s"column ${f.name}: batch type " +
+          s"${f.dataType.sql} conflicts with stored ${dt.sql} — " +
+          "parquet files cannot re-type")
+      }
+    }
+    (m.zoneCols ++ m.bloomCols).foreach { c =>
+      require(batch.fieldNames.contains(c), s"batch must carry indexed " +
+        s"column $c — the new generation's zone row derives from it")
+    }
+    val fresh = batch.fields.filterNot(f => stored.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType(old.fields ++ fresh)
+  }
+
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -366,8 +395,10 @@ final class GraftTable private[operators] (spark: SparkSession,
         "non-monotone id, which violates the append contract) skipped")
       false
     } else {
+      val evolved = GraftTable.evolveSchema(m, batch.schema)
       publishGeneration(spark, path, batch, v + 1,
-        m.copy(appliedHwm = batchId), carryForward = Some(manifestDf(v)))
+        m.copy(appliedHwm = batchId, schemaDdl = evolved.toDDL),
+        carryForward = Some(manifestDf(v)))
       true
     }
   }
@@ -442,13 +473,15 @@ final class GraftTable private[operators] (spark: SparkSession,
       // lineage so the carried rows outlive its pruning
       .localCheckpoint(true)
     val carriedCount = carried.count()
+    val evolved = GraftTable.evolveSchema(m, batch.schema)
     val rewrittenRows =
       if (affected.isEmpty) batch
-      else spark.read.schema(m.schema).parquet(affected.toSeq: _*)
+      else spark.read.schema(evolved).parquet(affected.toSeq: _*)
         .join(keys, Seq(keyCol), "left_anti")
-        .unionByName(batch)
+        .unionByName(batch, allowMissingColumns = true)
     publishGeneration(spark, path, rewrittenRows, v + 1,
-      m.copy(appliedHwm = batchId), carryForward = Some(carried))
+      m.copy(appliedHwm = batchId, schemaDdl = evolved.toDDL),
+      carryForward = Some(carried))
     (affected.size.toLong, carriedCount)
   }
 

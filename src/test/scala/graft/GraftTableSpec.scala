@@ -202,6 +202,37 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() == 620 && t.readVersion(5).count() == 600)
   }
 
+  test("schema evolution: appends add nullable columns; conflicts and missing indexed columns are loud") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 100), p, zoneCols = Seq("k"),
+      nFiles = 2, keepVersions = 2)
+    val v1 = t.version
+    // extra column rides in; every pre-evolution row reads it as null
+    val withFlag = (100L until 200L)
+      .map(k => (k, k * 2.0, s"u${k % 7}", k % 3 == 0))
+      .toDF("k", "v", "u", "flag")
+    t.append(withFlag)
+    assert(t.read().columns.toSeq == Seq("k", "v", "u", "flag"))
+    assert(t.read().filter(col("k") < 100 && col("flag").isNull).count() == 100)
+    assert(t.read().filter(col("flag") === true).count() ==
+      (100L until 200L).count(_ % 3 == 0))
+    // scans stay exact through the widened schema
+    assert(t.scan(Seq(ZoneMap.Range("k", 50L, 149L))).count() == 100)
+    // time travel serves each version under its OWN schema
+    assert(t.readVersion(v1).columns.toSeq == Seq("k", "v", "u"))
+    // dropping a non-indexed column is fine: it reads back null
+    t.append((200L until 210L).map(k => (k, k * 2.0)).toDF("k", "v"))
+    assert(t.read().filter(col("k") >= 200L && col("u").isNull).count() == 10)
+    // loud: type conflict on an existing column; missing indexed column
+    intercept[IllegalArgumentException] {
+      t.append((210L until 220L).map(k => (k, "oops")).toDF("k", "v"))
+    }
+    intercept[IllegalArgumentException] {
+      t.append((210L until 220L).map(k => (k, 1.0)).toDF("kk", "v"))
+    }
+    assert(t.read().count() == 210, "failed appends must not land rows")
+  }
+
   test("vacuum deletes exactly the unreferenced files; reads unaffected") {
     val p = base()
     val t = GraftTable.create(rows(0, 400), p, zoneCols = Seq("k"), nFiles = 4)
