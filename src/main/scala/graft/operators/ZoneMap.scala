@@ -135,8 +135,24 @@ object ZoneMap {
     * ".0") can never hash differently. A hash mismatch here would be a
     * silent FALSE NEGATIVE — files dropped that contain matching rows —
     * the one failure mode a pruning index must never have.
+    *
+    * The cast is PINNED to UTC, not left to the analyzer: a bare
+    * `cast("string")` resolves with the SESSION time zone, and
+    * [[probeHash]] evaluates driver-side with an explicit zone — if the
+    * two differed, every timestamp bloom built under a non-UTC session
+    * would silently false-negative on probe (index side renders local
+    * time, probe side UTC, hashes diverge). Pinning the SAME constant
+    * zone on both sides makes them agree regardless of session config,
+    * and keeps a persisted index portable across sessions with
+    * different zones — a session-zone key would bake the builder's
+    * zone into the bits with no record of it in meta.
     */
-  private def bloomKey(c: Column): Column = xxhash64(c.cast("string"))
+  private def bloomKey(c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, XxHash64}
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    bridge.column(XxHash64(
+      Seq(Cast(bridge.expression(c), StringType, Some("UTC"))), 42L))
+  }
 
   /** The probe-side twin of [[bloomKey]]: cast the literal to the
     * indexed column's type, then to string, through Catalyst itself —

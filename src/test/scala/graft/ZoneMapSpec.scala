@@ -230,6 +230,37 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("timestamp bloom probes agree across session time zones") {
+    // the bloom hashes the engine's string cast of the value; a bare
+    // cast resolves with the SESSION zone while the probe evaluates with
+    // an explicit one — unless BOTH sides pin the same constant zone, a
+    // timestamp bloom built under a non-UTC session false-negatives on
+    // probe (files containing the row silently pruned). Build AND probe
+    // under America/Los_Angeles to pin the agreement.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val (data, idx) = mkDirs()
+      (0L until 1000L)
+        .map(k => (k, new java.sql.Timestamp(1700000000000L + k * 3600000L)))
+        .toDF("k", "ts").repartition(16).write.parquet(data)
+      ZoneMap.build(spark, data, Nil, idx, bloomCols = Seq("ts"),
+        bloomItems = 1000L, bloomFpp = 0.01)
+      val needle = new java.sql.Timestamp(1700000000000L + 400L * 3600000L)
+      val got = ZoneMap.scan(spark, data, idx, Seq(ZoneMap.Point("ts", needle)))
+        .select("k").as[Long].collect().toSeq
+      assert(got == Seq(400L),
+        s"timestamp bloom probe under a non-UTC session must not false-negative: $got")
+      val files = ZoneMap.prunedFiles(spark, data, idx,
+        Seq(ZoneMap.Point("ts", needle))).get
+      assert(files.size <= 3, s"typed timestamp probe must prune: ${files.size}")
+      // cross-zone portability: probing the SAME index under UTC agrees
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      assert(ZoneMap.scan(spark, data, idx, Seq(ZoneMap.Point("ts", needle)))
+        .count() == 1, "an index built under one session zone must probe under another")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("append sizes late blooms from meta — geometry is not re-guessable") {
     val (data, idx) = mkDirs()
     (0L until 500L).map(k => (k, k * 2.0)).toDF("k", "v")
