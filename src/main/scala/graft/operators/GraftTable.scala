@@ -16,19 +16,26 @@ import org.apache.spark.sql.types.StructType
   *
   * On-disk layout:
   * {{{
-  *   base/data/g{v}/part-*.parquet   immutable data files, written once
-  *                                   by the version-v publish, shared by
-  *                                   every later manifest that still
-  *                                   references them
+  *   base/data/g{v}_{token}/part-*.parquet
+  *                                   immutable data files, written once
+  *                                   by one version-v publish ATTEMPT
+  *                                   (the token makes racing attempts
+  *                                   collision-free), shared by every
+  *                                   later manifest referencing them
   *   base/v{v}/manifest/             one zone row per referenced file:
   *                                   (file, cnt, min_c…, max_c…,
   *                                   nulls_c…[, bloom_c…]) — the
-  *                                   manifest IS the zone map
+  *                                   manifest IS the zone map. File
+  *                                   paths are TABLE-ROOT-RELATIVE, so
+  *                                   a committed table can be moved,
+  *                                   renamed or DR-copied wholesale
+  *                                   (legacy absolute rows still
+  *                                   resolve — the read shim)
   *   base/v{v}/meta/                 1 row: geometry (zone/bloom columns,
   *                                   bloom sizing, column types), layout
   *                                   columns, schema, applied batch
-  *                                   high-water mark — written LAST; its
-  *                                   _SUCCESS commits the version
+  *                                   high-water mark, stream-ledger flag
+  *   base/v{v}/_publisher            the committing attempt's token
   * }}}
   *
   * Why the manifest matters at scale: a plain-directory scan pays a
@@ -40,13 +47,24 @@ import org.apache.spark.sql.types.StructType
   * all. There is no staleness state: a version either committed (files
   * AND zones, atomically) or it didn't happen.
   *
-  * Atomicity and crash windows (the contract GraftTableSpec kills the
-  * writer to prove):
-  *  - every mutation writes NEW data files under `data/g{v+1}` first,
-  *    then the v{v+1} manifest, then meta — meta's `_SUCCESS` is the
-  *    commit point. A crash anywhere before it leaves the previous
-  *    version fully intact and visible; the orphaned generation dir is
-  *    unreferenced garbage [[GraftTable.vacuum]] collects.
+  * Atomicity, crash windows and WRITER RACES (GraftTableSpec kills the
+  * writer and races two handles to prove this):
+  *  - every mutation writes NEW data files under a publish-unique
+  *    `data/g{v}_{token}` first, then manifest + meta + the token into a
+  *    hidden staging dir, and COMMITS with one atomic directory rename
+  *    to `v{v}` — the version becomes visible whole or not at all. A
+  *    crash anywhere before the rename leaves the previous version fully
+  *    intact; the orphaned generation/staging dirs are unreferenced
+  *    garbage [[GraftTable.vacuum]] collects.
+  *  - commit conflicts are DETECTED, not silently lost: a publish first
+  *    refuses if its target version is already committed (the stale-
+  *    handle race), and after the rename re-reads `v{v}/_publisher` —
+  *    a loser whose rename raced a winner sees the winner's token,
+  *    removes its own debris and throws
+  *    `java.util.ConcurrentModificationException`. Exactly one commit
+  *    survives; no torn state (racing attempts never share a data or
+  *    staging directory, so the loser cannot clobber the winner's
+  *    files).
   *  - data files are immutable and superseded versions are pruned only
   *    AFTER the new commit (best-effort, marker-first), so a reader that
   *    resolved a committed version never has files deleted under it by
@@ -56,15 +74,28 @@ import org.apache.spark.sql.types.StructType
   *    [[GraftTable.append]] no-ops at or below it — at-least-once
   *    redelivery (a foreachBatch retry re-using its original id) cannot
   *    land rows twice, the [[MaterializedAgg]] exactly-once argument
-  *    with files instead of sums.
+  *    with files instead of sums. A table whose ledger is OWNED by a
+  *    streaming checkpoint ([[ingestStream]]/[[mergeStream]] bootstrap)
+  *    refuses the unledgered convenience mutations: stamping `hwm + 1`
+  *    under a live checkpoint could advance the mark past the stream's
+  *    next micro-batch id, which would then no-op as "redelivery" — a
+  *    silent batch drop, the exact failure the ledger exists to prevent.
   *
-  * Single-writer per table (the index-family contract); readers are safe
-  * concurrently with a writer because they resolve the highest COMMITTED
-  * version.
+  * Single-writer per table remains the OPERATING contract (the index-
+  * family rule); the conflict detection above is the backstop that turns
+  * a violated contract into a loud error instead of a lost commit.
+  * Readers are safe concurrently with a writer because they resolve the
+  * highest COMMITTED version.
   */
 object GraftTable {
 
-  /** Create version 1 from `df`: data files under `data/g1`, zone
+  /** Op-column value that marks a change row as a row-level DELETE in
+    * [[GraftTable.merge]]/[[mergeStream]] — the [[Ingest.applyChanges]]
+    * convention (any other value upserts).
+    */
+  val DeleteOp = "delete"
+
+  /** Create version 1 from `df`: data files under `data/g1_*`, zone
     * manifest over them, meta last. `nFiles` bounds the initial file
     * count (0 = keep `df`'s partitioning). A live table already at
     * `path` is SUPERSEDED (readers resolve the highest committed
@@ -83,10 +114,13 @@ object GraftTable {
     // firstBatchId seeds the ledger ATOMICALLY with the first data when a
     // stream bootstraps the table ([[ingestStream]]): stamping it after
     // the create commit would open a crash window in which batch 0's rows
-    // are committed but unledgered, and its redelivery would double-land
+    // are committed but unledgered, and its redelivery would double-land.
+    // It also flips the stream-ledger flag: from then on the checkpoint
+    // lineage OWNS the ledger and manual unledgered mutations refuse.
     val meta = Meta(zoneCols, bloomCols, bloomItems, bloomFpp, types,
       layoutCols = Nil, appliedHwm = firstBatchId,
-      schemaDdl = df.schema.toDDL, keepVersions = keepVersions)
+      schemaDdl = df.schema.toDDL, keepVersions = keepVersions,
+      streamed = firstBatchId >= 0L)
     val v = currentVersion(spark, path).getOrElse(0L) + 1
     val sized = if (nFiles > 0) df.repartition(nFiles) else df
     publishGeneration(spark, path, sized, v, meta, carryForward = None)
@@ -115,26 +149,33 @@ object GraftTable {
       }
     }
 
-  /** Continuous UPSERT: one ledgered [[GraftTable.merge]] per
+  /** Continuous CDC apply: one ledgered [[GraftTable.merge]] per
     * micro-batch — latest-wins on `keyCol` within and across batches,
     * file-pruned rewrites, exactly-once under redelivery (the first
     * batch bootstraps the table with its id seeded into the create
-    * commit, like [[ingestStream]]). This is the CDC-apply shape: a
-    * change stream folds into a queryable table whose every version is
-    * a consistent snapshot.
+    * commit, like [[ingestStream]]). With `opCol` set, rows whose op is
+    * [[DeleteOp]] are row-level TOMBSTONES: their keys are deleted from
+    * the affected files and NOT re-inserted — a real change stream's
+    * deletes apply as deletes, never silently as upserts. Every version
+    * along the way is a consistent snapshot.
     */
   def mergeStream(rows: DataFrame, path: String, keyCol: String,
       checkpointDir: String, nFiles: Int = 0,
-      keepVersions: Int = 1): Unit =
+      keepVersions: Int = 1, opCol: String = null): Unit =
     IndexStream.runIndexed(rows, checkpointDir) { (batch, id) =>
       val spark = batch.sparkSession
       currentVersion(spark, path) match {
         case None =>
-          create(batch, path, Seq(keyCol), nFiles = nFiles,
+          // bootstrap: deletes against a table that does not exist yet
+          // are no-ops by definition — seed from the upsert rows only
+          val seed =
+            if (opCol == null) batch
+            else batch.filter(col(opCol) =!= lit(DeleteOp)).drop(opCol)
+          create(seed, path, Seq(keyCol), nFiles = nFiles,
             firstBatchId = id, keepVersions = keepVersions)
           ()
         case Some(_) =>
-          new GraftTable(spark, path).merge(batch, keyCol, id); ()
+          new GraftTable(spark, path).merge(batch, keyCol, id, opCol); ()
       }
     }
 
@@ -152,7 +193,8 @@ object GraftTable {
   private[operators] final case class Meta(zoneCols: Seq[String],
       bloomCols: Seq[String], bloomItems: Long, bloomFpp: Double,
       types: Map[String, String], layoutCols: Seq[String],
-      appliedHwm: Long, schemaDdl: String, keepVersions: Int) {
+      appliedHwm: Long, schemaDdl: String, keepVersions: Int,
+      streamed: Boolean) {
     def zoneMeta: ZoneMap.Meta =
       ZoneMap.Meta(zoneCols, bloomCols, bloomItems, bloomFpp, types)
     def schema: StructType = StructType.fromDDL(schemaDdl)
@@ -192,10 +234,14 @@ object GraftTable {
 
   private val VerRe = "v(\\d+)".r
 
+  private def isCommitted(f: FileSystem, base: String, v: Long): Boolean =
+    f.exists(new Path(s"$base/v$v/meta/_SUCCESS")) &&
+      f.exists(new Path(s"$base/v$v/manifest/_SUCCESS"))
+
   /** Committed versions ascending — a version counts only once BOTH its
-    * manifest and its meta `_SUCCESS` exist (meta is written last, so
-    * meta's marker implies a complete publish; the manifest check guards
-    * a manually-truncated directory).
+    * manifest and its meta `_SUCCESS` exist (the publish rename is
+    * atomic, so both appear together; the check guards a manually-
+    * truncated directory).
     */
   private def committedVersions(spark: SparkSession, base: String): Seq[Long] = {
     val f = fs(spark, base)
@@ -203,8 +249,7 @@ object GraftTable {
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq.filter(_.isDirectory)
       .flatMap(st => st.getPath.getName match {
-        case VerRe(n) if f.exists(new Path(st.getPath, "meta/_SUCCESS")) &&
-          f.exists(new Path(st.getPath, "manifest/_SUCCESS")) => Some(n.toLong)
+        case VerRe(n) if isCommitted(f, base, n.toLong) => Some(n.toLong)
         case _ => None
       }).sorted
   }
@@ -213,26 +258,34 @@ object GraftTable {
       spark: SparkSession, base: String): Option[Long] =
     committedVersions(spark, base).lastOption
 
-  private def writeMeta(spark: SparkSession, base: String, v: Long,
-      m: Meta): Unit = {
+  private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
     import spark.implicits._
     val (tc, td) = m.types.toSeq.sorted.unzip
     Seq((m.zoneCols, m.bloomCols, m.bloomItems, m.bloomFpp, tc, td,
-        m.layoutCols, m.appliedHwm, m.schemaDdl, m.keepVersions))
+        m.layoutCols, m.appliedHwm, m.schemaDdl, m.keepVersions, m.streamed))
       .toDF("zone_cols", "bloom_cols", "bloom_items", "bloom_fpp",
         "type_cols", "type_ddls", "layout_cols", "applied_hwm", "schema_ddl",
-        "keep_versions")
+        "keep_versions", "streamed")
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$base/v$v/meta")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
   }
 
   private[operators] def readMeta(spark: SparkSession, base: String,
       v: Long): Meta = {
-    val r = spark.read.parquet(s"$base/v$v/meta").head()
-    Meta(r.getSeq[String](0), r.getSeq[String](1), r.getLong(2),
-      r.getDouble(3),
-      r.getSeq[String](4).zip(r.getSeq[String](5)).toMap,
-      r.getSeq[String](6), r.getLong(7), r.getString(8), r.getInt(9))
+    val df = spark.read.parquet(s"$base/v$v/meta")
+    val r = df.head()
+    def ix(n: String) = r.fieldIndex(n)
+    // `streamed` arrived after the first committed tables: default false
+    // (pre-flag tables were never stream-bootstrapped under the flag's
+    // contract anyway — the shim only widens, never changes, semantics)
+    val streamed = df.schema.fieldNames.contains("streamed") &&
+      r.getBoolean(ix("streamed"))
+    Meta(r.getSeq[String](ix("zone_cols")), r.getSeq[String](ix("bloom_cols")),
+      r.getLong(ix("bloom_items")), r.getDouble(ix("bloom_fpp")),
+      r.getSeq[String](ix("type_cols"))
+        .zip(r.getSeq[String](ix("type_ddls"))).toMap,
+      r.getSeq[String](ix("layout_cols")), r.getLong(ix("applied_hwm")),
+      r.getString(ix("schema_ddl")), r.getInt(ix("keep_versions")), streamed)
   }
 
   private def listGeneration(spark: SparkSession, gen: String): Seq[String] = {
@@ -251,36 +304,100 @@ object GraftTable {
     out.result()
   }
 
+  private def conflict(base: String, v: Long): Nothing =
+    throw new java.util.ConcurrentModificationException(
+      s"graft table $base: version $v was committed by another writer — " +
+        "this handle raced a concurrent mutation (single-writer contract " +
+        "violated); re-open the table and retry against the new head")
+
+  private def writeSmall(f: FileSystem, p: Path, s: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmall(f: FileSystem, p: Path): Option[String] =
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+
   /** The whole publish cycle for a mutation that lands `rows` as the
-    * version-`v` generation: data files first (Overwrite clears any
-    * partial a previous crash left at g{v}), then the manifest — the
-    * new files' zone rows plus, for appends, every carried-forward row
-    * of the previous manifest — then meta LAST, whose `_SUCCESS` commits
-    * the version; finally superseded version dirs are pruned,
-    * marker-first, best-effort. Crash anywhere before the meta marker:
-    * the previous version stays current and the orphaned generation is
-    * vacuum fodder.
+    * version-`v` generation. Collision-free until one atomic commit:
+    * data files land under a publish-unique `data/g{v}_{token}`, the
+    * manifest (new files' zone rows, paths RELATIVIZED to the table
+    * root, plus any carried-forward rows of the previous manifest), the
+    * meta and the publisher token are staged under a hidden dir, and ONE
+    * directory rename makes `v{v}` visible whole. The token read back
+    * after the rename certifies whose attempt won; a loser cleans its
+    * debris and throws `ConcurrentModificationException` — exactly one
+    * commit per version survives, and the winner's files were never
+    * touched by the loser (no shared directories before the commit
+    * point). A crash anywhere before the rename leaves the previous
+    * version current and only vacuum-fodder behind; an existing
+    * UNCOMMITTED `v{v}` dir can only be such a remnant (a live racer
+    * stages elsewhere) and is cleared.
     */
-  private def publishGeneration(spark: SparkSession, base: String,
+  private[operators] def publishGeneration(spark: SparkSession, base: String,
       rows: DataFrame, v: Long, meta: Meta,
       carryForward: Option[DataFrame]): Unit = {
-    val gen = s"$base/data/g$v"
+    val f = fs(spark, base)
+    val verDir = new Path(s"$base/v$v")
+    if (isCommitted(f, base, v)) conflict(base, v)
+    if (f.exists(verDir)) f.delete(verDir, true)
+    val token = java.util.UUID.randomUUID().toString
+    val gen = s"$base/data/g${v}_$token"
     rows.write.mode(SaveMode.Overwrite).parquet(gen)
     val files = listGeneration(spark, gen)
-    val fresh = ZoneMap.zoneRows(spark.read.parquet(files: _*),
+    val rootNorm = new Path(base).toUri.getPath
+    // an all-delete merge can land a generation with ZERO data files —
+    // the zone-row schema still has to come from somewhere, so derive it
+    // from the (empty) generation rows instead of a zero-path read
+    val genRows =
+      if (files.isEmpty) rows.limit(0) else spark.read.parquet(files: _*)
+    val fresh = ZoneMap.zoneRows(genRows,
       meta.zoneCols, meta.bloomCols, meta.bloomItems, meta.bloomFpp)
+      // root-relative storage: the committed table survives a directory
+      // move/rename/DR-copy; absolute rows (legacy, or files genuinely
+      // outside the root) pass through and resolve as-is on read
+      .withColumn("file",
+        when(col("file").startsWith(rootNorm + "/"),
+          col("file").substr(lit(rootNorm.length + 2), lit(Int.MaxValue)))
+          .otherwise(col("file")))
     val manifest = carryForward match {
       case Some(prev) => prev.unionByName(fresh)
       case None => fresh
     }
+    val staging = s"$base/.v${v}_stage_$token"
     manifest.repartition(1) // |files| metadata rows — one file keeps reads cheap
-      .write.mode(SaveMode.Overwrite).parquet(s"$base/v$v/manifest")
-    writeMeta(spark, base, v, meta)
-    val f = fs(spark, base)
-    require(f.exists(new Path(s"$base/v$v/meta/_SUCCESS")),
-      s"parquet commit left no _SUCCESS under $base/v$v/meta " +
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
+    writeMeta(spark, s"$staging/meta", meta)
+    require(f.exists(new Path(s"$staging/meta/_SUCCESS")),
+      s"parquet commit left no _SUCCESS under $staging/meta " +
         "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?) — " +
         "versioned publication depends on the marker")
+    writeSmall(f, new Path(s"$staging/_publisher"), token)
+    // the commit point: one atomic rename publishes the version whole
+    val renamed =
+      try f.rename(new Path(staging), verDir)
+      catch { case _: Throwable => false }
+    val won = renamed &&
+      readSmall(f, new Path(verDir, "_publisher")).contains(token)
+    if (!won) {
+      // lost the race: remove own debris (including the rename-into-dir
+      // fallback some local filesystems perform), leave the winner alone
+      try f.delete(new Path(staging), true) catch { case _: Throwable => () }
+      try f.delete(new Path(verDir, s".v${v}_stage_$token"), true)
+      catch { case _: Throwable => () }
+      try f.delete(new Path(gen), true) catch { case _: Throwable => () }
+      conflict(base, v)
+    }
     // retention: keep the newest `keepVersions` committed versions (the
     // time-travel window); everything older is pruned marker-first,
     // best-effort — and only AFTER the new commit, so a reader that
@@ -298,7 +415,8 @@ object GraftTable {
 /** A graft table at rest. Every method resolves the CURRENT committed
   * version at call time, so a handle stays valid across its own
   * mutations and across another handle's (single writer still required
-  * for mutations).
+  * for mutations — a violated race is detected, not lost: see
+  * [[GraftTable$]] atomicity notes).
   */
 final class GraftTable private[operators] (spark: SparkSession,
     val path: String) {
@@ -313,6 +431,14 @@ final class GraftTable private[operators] (spark: SparkSession,
     */
   def versions(): Seq[Long] = committedVersions(spark, path)
 
+  private val rootNorm = new Path(path).toUri.getPath
+
+  /** Manifest rows store table-root-relative paths ([[publishGeneration]]);
+    * absolute rows (legacy tables, out-of-root files) pass through.
+    */
+  private def resolve(file: String): String =
+    if (file.startsWith("/")) file else s"$rootNorm/$file"
+
   /** Time travel: the table AS OF a retained version — its own manifest
     * and schema, immutable data files shared with every other version
     * that references them. Fails loudly on a version outside the
@@ -323,7 +449,7 @@ final class GraftTable private[operators] (spark: SparkSession,
       s"version $v is not committed/retained under $path " +
         s"(retained: ${versions().mkString(", ")})")
     val m = readMeta(spark, path, v)
-    val fl = manifestDf(v).select("file").collect().map(_.getString(0)).toSeq
+    val fl = storedFiles(v).map(resolve)
     if (fl.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
     else spark.read.schema(m.schema).parquet(fl: _*)
@@ -334,23 +460,20 @@ final class GraftTable private[operators] (spark: SparkSession,
   private def manifestDf(v: Long): DataFrame =
     spark.read.parquet(s"$path/v$v/manifest")
 
-  /** The files the current version references — the authoritative scan
-    * list; no directory listing happens anywhere on the read path.
+  private def storedFiles(v: Long): Seq[String] =
+    manifestDf(v).select("file").collect().map(_.getString(0)).toSeq
+
+  /** The files the current version references (resolved to full paths) —
+    * the authoritative scan list; no directory listing happens anywhere
+    * on the read path.
     */
-  def files(): Seq[String] =
-    manifestDf(version).select("file").collect().map(_.getString(0)).toSeq
+  def files(): Seq[String] = storedFiles(version).map(resolve)
 
   /** Highest batch id folded in (−1 on a fresh table). */
   def lastAppliedBatch(): Long = metaNow.appliedHwm
 
   /** Full read of the current version. */
-  def read(): DataFrame = {
-    val m = metaNow
-    val fl = files()
-    if (fl.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read.schema(m.schema).parquet(fl: _*)
-  }
+  def read(): DataFrame = readVersion(version)
 
   /** Zone-and-bloom-pruned scan under `preds`: manifest rows prune to
     * the surviving file list ([[ZoneMap.pruneZoneRows]], conservative by
@@ -365,7 +488,7 @@ final class GraftTable private[operators] (spark: SparkSession,
       ZoneMap.pruneZoneRows(manifestDf(version), m.zoneMeta, preds)
     if (survivors.isEmpty)
       read().filter(lit(false)) // schema-only, zero splits read
-    else spark.read.schema(m.schema).parquet(survivors: _*)
+    else spark.read.schema(m.schema).parquet(survivors.map(resolve): _*)
       .filter(ZoneMap.predicate(preds))
   }
 
@@ -403,12 +526,30 @@ final class GraftTable private[operators] (spark: SparkSession,
     }
   }
 
+  /** A streaming checkpoint that bootstrapped this table OWNS its
+    * ledger: a manual `hwm + 1` stamp could advance the high-water mark
+    * past the stream's next micro-batch id, which would then no-op as
+    * "redelivery" — a silent batch drop. Refuse loudly instead.
+    */
+  private def requireManualLedgerAllowed(m: Meta, what: String): Unit =
+    require(!m.streamed,
+      s"graft table $path is stream-ledgered (bootstrapped by " +
+        s"ingestStream/mergeStream): an unledgered $what would stamp " +
+        s"hwm + 1 = ${m.appliedHwm + 1} and could overtake the live " +
+        "checkpoint's next micro-batch id, silently no-op'ing that batch " +
+        "as redelivery — route the mutation through the owning stream, " +
+        "or use the (…, batchId) overload only with ids from that " +
+        "checkpoint's lineage")
+
   /** Unledgered convenience append for manual (non-stream) callers:
-    * ledger id = high-water + 1, so it composes with ledgered streams
-    * on the same table.
+    * ledger id = high-water + 1. REFUSED on a stream-ledgered table —
+    * see [[requireManualLedgerAllowed]]; composing manual mutations with
+    * a live checkpoint lineage is exactly the silent-batch-drop foot-gun.
     */
   def append(batch: DataFrame): Unit = {
-    append(batch, lastAppliedBatch() + 1); ()
+    val m = metaNow
+    requireManualLedgerAllowed(m, "append")
+    append(batch, m.appliedHwm + 1); ()
   }
 
   /** Continuous ingest: one ledgered [[append]] per micro-batch through
@@ -421,47 +562,71 @@ final class GraftTable private[operators] (spark: SparkSession,
     IndexStream.runIndexed(rows, checkpointDir)(
       (batch, id) => { append(batch, id); () })
 
-  /** MERGE (latest-wins upsert) at FILE granularity: delete every stored
-    * row whose `keyCol` appears in `batch`, insert `batch`, and commit
-    * the result as one version — rewriting ONLY the files whose zone
-    * [min, max] on `keyCol` can contain a batch key. Every other file's
-    * manifest row carries forward untouched, so merge cost scales with
-    * the AFFECTED files, not the corpus — on a key-clustered 100 TB
-    * table an update batch touches its key range's files and nothing
-    * else (the pruned-rewrite idea behind the public formats' MERGE
-    * INTO). Selection is conservative-by-construction: a file is
-    * skipped only when its zone range provably excludes every batch key
-    * (all-null zone rows exclude all non-null keys), decided by one
-    * broadcast join of the metadata-scale manifest against the batch —
-    * batch keys never visit the driver.
+  /** MERGE (latest-wins upsert + row-level DELETE) at FILE granularity:
+    * delete every stored row whose `keyCol` appears in `batch`, insert
+    * the batch's NON-tombstone rows, and commit the result as one
+    * version — rewriting ONLY the files whose zone [min, max] on
+    * `keyCol` can contain a batch key. Every other file's manifest row
+    * carries forward untouched, so merge cost scales with the AFFECTED
+    * files, not the corpus — on a key-clustered 100 TB table a change
+    * batch touches its key range's files and nothing else (the
+    * pruned-rewrite idea behind the public formats' MERGE INTO).
+    *
+    * With `opCol` non-null, rows whose op equals [[GraftTable.DeleteOp]]
+    * are TOMBSTONES (the [[Ingest.applyChanges]] convention): their keys
+    * delete without re-insert, so a CDC stream's deletes apply as
+    * deletes. `opCol` is consumed here and never stored. Tombstone rows
+    * must still carry the indexed columns (the batch schema is one
+    * schema; change streams ship key + image anyway).
+    *
+    * Selection is conservative-by-construction: a file is skipped only
+    * when its zone range provably excludes every batch key (all-null
+    * zone rows exclude all non-null keys), decided by one broadcast join
+    * of the metadata-scale manifest against the batch — batch keys never
+    * visit the driver.
     *
     * Contract: `keyCol` must be zone-indexed; batch keys must be
-    * non-null and unique within the batch (both checked loudly — a
+    * non-null and unique within the batch (ONE aggregate answers both —
+    * this runs per micro-batch on [[mergeStream]]'s hot path; a
     * duplicated key would make "latest wins" order-dependent inside one
-    * commit). Ledgered like [[append]]: a redelivered merge no-ops.
+    * commit, and a same-batch delete+upsert of one key is ambiguous).
+    * Ledgered like [[append]]: a redelivered merge no-ops.
     *
     * @return (files rewritten, files carried forward untouched)
     */
-  def merge(batch: DataFrame, keyCol: String, batchId: Long): (Long, Long) = {
+  def merge(batch: DataFrame, keyCol: String, batchId: Long,
+      opCol: String): (Long, Long) = {
     val v = version
     val m = readMeta(spark, path, v)
     require(m.zoneCols.contains(keyCol),
       s"merge key $keyCol must be zone-indexed (zones: ${m.zoneCols.mkString(", ")})")
+    if (opCol != null)
+      require(batch.columns.contains(opCol),
+        s"merge op column $opCol is not in the batch: ${batch.columns.mkString(", ")}")
     if (batchId <= m.appliedHwm) {
       DedupIndex.log.warn(s"graft table $path: merge batch $batchId at or " +
         s"below the applied high-water mark ${m.appliedHwm} — redelivery " +
         "(or a non-monotone id) skipped")
       return (0L, 0L)
     }
+    // one aggregate, three contract answers: row count, non-null key
+    // count, distinct key count — not three separate Spark jobs
+    val stats = batch.agg(count(lit(1)).as("n"), count(col(keyCol)).as("nk"),
+      countDistinct(col(keyCol)).as("nd")).head()
+    val (n, nk, nd) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    require(n == nk,
+      s"merge keys ($keyCol) must be non-null: ${n - nk} null keys in the batch")
+    require(nk == nd,
+      s"merge batch keys ($keyCol) must be unique within the batch " +
+        s"($nk rows, $nd distinct) — latest-wins is order-dependent otherwise")
     val keys = batch.select(col(keyCol))
-    require(keys.filter(col(keyCol).isNull).isEmpty,
-      s"merge keys ($keyCol) must be non-null")
-    require(batch.count() == keys.distinct().count(),
-      s"merge batch keys ($keyCol) must be unique within the batch — " +
-        "latest-wins is order-dependent otherwise")
+    val upserts =
+      if (opCol == null) batch
+      else batch.filter(col(opCol) =!= lit(DeleteOp)).drop(opCol)
     val manifest = manifestDf(v)
     // one broadcast join, manifest side (metadata-scale) broadcast: a
-    // file is affected iff SOME batch key falls inside its zone range
+    // file is affected iff SOME batch key — upsert or tombstone — falls
+    // inside its zone range
     val affected = keys.join(
         broadcast(manifest.select(col("file"),
           col(s"min_$keyCol").as("_mn"), col(s"max_$keyCol").as("_mx"))),
@@ -473,21 +638,124 @@ final class GraftTable private[operators] (spark: SparkSession,
       // lineage so the carried rows outlive its pruning
       .localCheckpoint(true)
     val carriedCount = carried.count()
-    val evolved = GraftTable.evolveSchema(m, batch.schema)
+    val evolved = GraftTable.evolveSchema(m, upserts.schema)
     val rewrittenRows =
-      if (affected.isEmpty) batch
-      else spark.read.schema(evolved).parquet(affected.toSeq: _*)
+      if (affected.isEmpty) upserts
+      else spark.read.schema(evolved).parquet(affected.toSeq.map(resolve): _*)
         .join(keys, Seq(keyCol), "left_anti")
-        .unionByName(batch, allowMissingColumns = true)
+        .unionByName(upserts, allowMissingColumns = true)
     publishGeneration(spark, path, rewrittenRows, v + 1,
       m.copy(appliedHwm = batchId, schemaDdl = evolved.toDDL),
       carryForward = Some(carried))
     (affected.size.toLong, carriedCount)
   }
 
-  /** [[merge]] with ledger id = high-water + 1, for manual callers. */
-  def merge(batch: DataFrame, keyCol: String): (Long, Long) =
-    merge(batch, keyCol, lastAppliedBatch() + 1)
+  /** Upsert-only [[merge]] (no op column). */
+  def merge(batch: DataFrame, keyCol: String, batchId: Long): (Long, Long) =
+    merge(batch, keyCol, batchId, null)
+
+  /** [[merge]] with ledger id = high-water + 1, for manual callers —
+    * refused on a stream-ledgered table ([[requireManualLedgerAllowed]]).
+    */
+  def merge(batch: DataFrame, keyCol: String): (Long, Long) = {
+    val m = metaNow
+    requireManualLedgerAllowed(m, "merge")
+    merge(batch, keyCol, m.appliedHwm + 1, null)
+  }
+
+  /** Manual [[merge]] with an op column ([[GraftTable.DeleteOp]] rows
+    * tombstone); ledger id = high-water + 1, refused on a
+    * stream-ledgered table.
+    */
+  def merge(batch: DataFrame, keyCol: String, opCol: String): (Long, Long) = {
+    val m = metaNow
+    requireManualLedgerAllowed(m, "merge")
+    merge(batch, keyCol, m.appliedHwm + 1, opCol)
+  }
+
+  /** Row-level CHANGE FEED between two committed versions, derived from
+    * the per-version manifests alone: for every commit step `w − 1 → w`
+    * in `(fromVersion, toVersion]`, the rows of files that LEFT the
+    * manifest emit as `_change_type = 'delete'` and the rows of files
+    * that JOINED it as `'insert'`, both stamped `_commit_version = w` —
+    * Delta/Iceberg CDF semantics at FILE granularity. An append step
+    * therefore reads only its new files (no history rewrite); a merge
+    * step emits its affected files' old rows as deletes and the
+    * rewritten generation as inserts, so an untouched row of a rewritten
+    * file appears as a same-version delete+insert pair of EQUAL images —
+    * consumers fold per key with latest-version-wins and classify
+    * equal-image churn as no-op (the [[Ingest.diff]] statuses fall out:
+    * a key whose FIRST feed touch is a delete existed at the base).
+    *
+    * `fromVersion = 0` means "before the first commit" and is valid only
+    * while version 1 is still retained; any gap (a consumed-from version
+    * already pruned) fails loudly — widen `keepVersions` to the feed lag
+    * you need, never guess across a gap. Columns: the `toVersion`
+    * schema (additive evolution keeps every historical column), plus
+    * `_change_type`, `_commit_version`.
+    */
+  def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+    val vs = versions()
+    require(toVersion > fromVersion,
+      s"readChanges needs toVersion > fromVersion: $fromVersion..$toVersion")
+    require(vs.contains(toVersion),
+      s"version $toVersion is not committed/retained under $path")
+    require(if (fromVersion == 0L) vs.head == 1L else vs.contains(fromVersion),
+      s"change feed gap: version $fromVersion is no longer retained under " +
+        s"$path (retained: ${vs.mkString(", ")}) — increase keepVersions " +
+        "to cover the consumer's lag")
+    val m = readMeta(spark, path, toVersion)
+    val fileSets = scala.collection.mutable.Map[Long, Set[String]](
+      0L -> Set.empty[String])
+    def fileSet(w: Long): Set[String] =
+      fileSets.getOrElseUpdate(w, storedFiles(w).toSet)
+    val parts = ((fromVersion + 1) to toVersion).flatMap { w =>
+      val prev = fileSet(w - 1)
+      val cur = fileSet(w)
+      def part(fl: Seq[String], tpe: String): Option[DataFrame] =
+        if (fl.isEmpty) None
+        else Some(spark.read.schema(m.schema).parquet(fl.map(resolve): _*)
+          .withColumn("_change_type", lit(tpe))
+          .withColumn("_commit_version", lit(w)))
+      part((prev -- cur).toSeq.sorted, "delete") ++
+        part((cur -- prev).toSeq.sorted, "insert")
+    }
+    if (parts.isEmpty)
+      readVersion(toVersion).limit(0)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+    else parts.reduce(_.unionByName(_))
+  }
+
+  /** [[readChanges]] up to the current head. */
+  def readChanges(fromVersion: Long): DataFrame =
+    readChanges(fromVersion, version)
+
+  /** The streaming-source shape over the change feed: resolve every
+    * version committed since the durable cursor under `cursorDir`,
+    * invoke `f` once per commit with THAT commit's [[readChanges]] slice
+    * and its version, and advance the cursor after each callback returns
+    * — at-least-once per commit (a consumer crash between callback and
+    * cursor write redelivers that commit, never skips one), the
+    * foreachBatch discipline with versions as batch ids. A fresh cursor
+    * starts after `startAfter` (0 = consume from the very first commit).
+    * Single consumer per cursorDir; feed-gap rules are [[readChanges]]'s.
+    *
+    * @return number of commits drained this call
+    */
+  def drainChanges(cursorDir: String, startAfter: Long = 0L)(
+      f: (DataFrame, Long) => Unit): Long = {
+    val fy = new Path(cursorDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cp = new Path(s"$cursorDir/cursor")
+    val cur = readSmall(fy, cp).map(_.trim.toLong).getOrElse(startAfter)
+    val pending = versions().filter(_ > cur)
+    pending.foreach { w =>
+      f(readChanges(w - 1, w), w)
+      writeSmall(fy, cp, w.toString)
+    }
+    pending.size.toLong
+  }
 
   /** Rewrite the table into ~`ceil(rows / targetRows)` files, optionally
     * re-sorted (range-partition + sort-within, restoring [[ZoneMap]]
@@ -538,21 +806,28 @@ final class GraftTable private[operators] (spark: SparkSession,
   }
 
   /** Delete data files no committed manifest references (orphans from
-    * crashed publishes, generations superseded by compaction/relayout)
-    * and empty generation dirs. Safe for readers OF THE CURRENT VERSION;
-    * a reader still holding a long-superseded version loses its files —
-    * the explicit deletion window every public table format documents
-    * (Delta VACUUM). Single-writer: never run concurrently with a
-    * mutation.
+    * crashed publishes, generations superseded by compaction/relayout),
+    * empty generation dirs, and stale publish-staging dirs. Safe for
+    * readers OF THE CURRENT VERSION; a reader still holding a
+    * long-superseded version loses its files — the explicit deletion
+    * window every public table format documents (Delta VACUUM).
+    * Single-writer: never run concurrently with a mutation (an in-flight
+    * publish's staging dir would be swept).
     *
     * @return number of data files deleted
     */
   def vacuum(): Long = {
     // every RETAINED version's manifest pins its files — time travel
     // must survive a vacuum (only unreferenced-by-anyone files go)
-    val referenced = versions().flatMap(ver =>
-      manifestDf(ver).select("file").collect().map(_.getString(0))).toSet
+    val referenced = versions().flatMap(storedFiles(_).map(resolve)).toSet
     val f = fs(spark, path)
+    // crashed publishes leave hidden staging dirs next to the v dirs
+    val baseDir = new Path(path)
+    if (f.exists(baseDir))
+      f.listStatus(baseDir).filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(".v"))
+        .foreach(st => try f.delete(st.getPath, true)
+        catch { case _: Throwable => () })
     val dataDir = new Path(s"$path/data")
     if (!f.exists(dataDir)) return 0L
     var deleted = 0L

@@ -233,6 +233,199 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() == 210, "failed appends must not land rows")
   }
 
+  test("commit conflict: a stale writer's publish loses loudly; winner state intact") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 200), p, zoneCols = Seq("k"), nFiles = 2)
+    t.append(rows(200, 300)) // v2 committed by the live writer
+    val headRows = t.read().orderBy("k").collect().toSeq
+
+    // a writer that resolved v1 earlier and now publishes v2 BLIND (the
+    // lost-update race the conflict detection exists for) must throw,
+    // not silently replace the committed v2
+    val m = GraftTable.readMeta(spark, p, 2L)
+    intercept[java.util.ConcurrentModificationException] {
+      GraftTable.publishGeneration(spark, p, rows(900, 950), 2L, m,
+        carryForward = None)
+    }
+    assert(t.version == 2 && t.read().orderBy("k").collect().toSeq == headRows,
+      "the loser must leave the winner's commit untouched")
+    // the loser's debris is unreferenced garbage, collected by vacuum
+    t.vacuum()
+    assert(t.read().orderBy("k").collect().toSeq == headRows)
+
+    // two genuinely concurrent mutations: at most one commit per version
+    // survives; any loser throws ConcurrentModificationException and the
+    // table stays consistent (contiguous committed versions, exact rows)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = Seq(300L, 400L).map { lo =>
+      new Thread(() => {
+        barrier.await()
+        try {
+          new GraftTable(spark, p).append(rows(lo, lo + 50))
+          outcomes.add("ok")
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            outcomes.add("conflict")
+          case e: Throwable => outcomes.add(s"unexpected: $e")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val os = outcomes.asScala.toSeq
+    assert(os.count(_ == "ok") >= 1 && os.forall(o => o == "ok" || o == "conflict"),
+      s"racing writers must commit or lose loudly, never corrupt: $os")
+    val vs = t.versions()
+    assert(vs == (vs.head to vs.last), s"committed versions contiguous: $vs")
+    assert(t.read().count() == 300L + os.count(_ == "ok") * 50L,
+      "every surviving commit's rows — and only those — are visible")
+  }
+
+  test("CDC deletes: tombstone rows delete without re-insert; rewrite stays file-pruned") {
+    val p = base()
+    val t = GraftTable.create(
+      rows(0, 1000).repartitionByRange(10, col("k")).sortWithinPartitions("k"),
+      p, zoneCols = Seq("k"))
+    val nFiles = t.files().size
+    // one CDC batch: update 20 keys and DELETE 20 keys, all inside the
+    // low-k stripe, plus an out-of-range insert
+    val ups = (100L until 120L).map(k => (k, -1.0, "upd", "u"))
+    val dels = (130L until 150L).map(k => (k, 0.0, "dead", GraftTable.DeleteOp))
+    val ins = Seq((5000L, 9.0, "new", "u"))
+    val batch = (ups ++ dels ++ ins).toDF("k", "v", "u", "op")
+    val (rew, kept) = t.merge(batch, "k", "op")
+    assert(rew >= 1 && rew < nFiles && kept == nFiles - rew,
+      s"delete-bearing merge must still rewrite only the touched stripe: $rew of $nFiles")
+    assert(t.read().count() == 1000 - 20 + 1,
+      "tombstones must DELETE, not upsert")
+    assert(t.scan(Seq(ZoneMap.Range("k", 130L, 149L))).count() == 0,
+      "deleted keys are gone")
+    assert(t.scan(Seq(ZoneMap.Range("k", 100L, 119L)))
+      .select("v").as[Double].collect().toSet == Set(-1.0))
+    assert(!t.read().columns.contains("op"), "the op column is consumed, never stored")
+    // a tombstone-only batch works too (and is ledgered)
+    val hwm = t.lastAppliedBatch()
+    val only = (0L until 10L).map(k => (k, 0.0, "x", GraftTable.DeleteOp))
+      .toDF("k", "v", "u", "op")
+    t.merge(only, "k", "op")
+    assert(t.read().count() == 971 && t.lastAppliedBatch() == hwm + 1)
+    // redelivery still no-ops with the op column in play
+    assert(t.merge(only, "k", hwm + 1, "op") == ((0L, 0L)))
+    assert(t.read().count() == 971)
+    // same-batch duplicate across ops (delete+upsert of one key) is loud
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((1L, 1.0, "a", "u"), (1L, 1.0, "a", GraftTable.DeleteOp))
+        .toDF("k", "v", "u", "op"), "k", "op")
+    }
+  }
+
+  test("relative manifests: a committed table survives a directory move wholesale") {
+    val dir = Files.createTempDirectory("graft_mv").toString
+    val p = s"$dir/old/t"
+    val t = GraftTable.create(rows(0, 400), p, zoneCols = Seq("k"),
+      nFiles = 4, keepVersions = 2)
+    t.append(rows(400, 500))
+    t.merge((10L until 20L).map(k => (k, -5.0, "m")).toDF("k", "v", "u"), "k")
+    val want = t.read().orderBy("k").collect().toSeq
+    val wantV2 = t.readVersion(2).count()
+
+    // move the WHOLE table directory — the DR-copy / rename scenario
+    val p2 = s"$dir/new/t"
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/new"))
+    Files.move(java.nio.file.Paths.get(p), java.nio.file.Paths.get(p2))
+    val moved = GraftTable.open(spark, p2)
+    assert(moved.read().orderBy("k").collect().toSeq == want,
+      "reads must follow the moved root")
+    assert(moved.readVersion(2).count() == wantV2, "time travel too")
+    assert(moved.scan(Seq(ZoneMap.Range("k", 10L, 19L)))
+      .select("v").as[Double].collect().toSet == Set(-5.0), "pruned scans too")
+    assert(moved.scanFileCount(Seq(ZoneMap.Range("k", 0L, 50L))) <
+      moved.files().size)
+    // vacuum at the new root resolves the same (referenced) files
+    assert(moved.vacuum() == 0L ||
+      moved.read().orderBy("k").collect().toSeq == want)
+    moved.append(rows(500, 520))
+    assert(moved.read().count() == 520, "mutations continue at the new root")
+  }
+
+  test("stream-ledgered tables refuse unledgered mutations; explicit ids still work") {
+    val p = base()
+    // firstBatchId >= 0 is exactly the ingestStream/mergeStream bootstrap
+    val t = GraftTable.create(rows(0, 100), p, zoneCols = Seq("k"),
+      nFiles = 2, firstBatchId = 0L)
+    assert(t.lastAppliedBatch() == 0L)
+    val e1 = intercept[IllegalArgumentException] { t.append(rows(100, 150)) }
+    assert(e1.getMessage.contains("stream-ledgered"))
+    val up = (0L until 5L).map(k => (k, -1.0, "x")).toDF("k", "v", "u")
+    intercept[IllegalArgumentException] { t.merge(up, "k") }
+    intercept[IllegalArgumentException] { t.merge(up, "k", "op") }
+    assert(t.read().count() == 100, "refused mutations must not land rows")
+    // the owning checkpoint's ids keep working
+    assert(t.append(rows(100, 150), batchId = 1L))
+    assert(t.merge(up, "k", 2L)._1 >= 1)
+    assert(t.read().count() == 150)
+    // a manually-created table (no stream) keeps the convenience forms
+    val p2 = base()
+    val t2 = GraftTable.create(rows(0, 50), p2, zoneCols = Seq("k"))
+    t2.append(rows(50, 60))
+    assert(t2.read().count() == 60)
+  }
+
+  test("change feed: per-commit inserts/deletes from manifests; cursor drain; gap is loud") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 100), p, zoneCols = Seq("k"),
+      nFiles = 2, keepVersions = 4)
+    t.append(rows(100, 140)) // v2: pure append -> inserts only
+    val batch = ((10L until 15L).map(k => (k, -1.0, "upd", "u")) ++
+      (20L until 25L).map(k => (k, 0.0, "d", GraftTable.DeleteOp)))
+      .toDF("k", "v", "u", "op")
+    t.merge(batch, "k", "op") // v3: rewrite -> deletes + inserts
+
+    val v2c = t.readChanges(1L, 2L)
+    assert(v2c.filter(col("_change_type") === "insert").count() == 40 &&
+      v2c.filter(col("_change_type") === "delete").count() == 0,
+      "an append step reads only its new files")
+    val v3c = t.readChanges(2L, 3L)
+    // the affected file(s)' old rows delete, the rewritten generation inserts
+    assert(v3c.filter(col("_change_type") === "delete" && col("k").between(20, 24))
+      .count() == 5, "tombstoned keys appear as deletes")
+    assert(v3c.filter(col("_change_type") === "insert" && col("k").between(20, 24))
+      .count() == 0, "…and are never re-inserted")
+    assert(v3c.filter(col("_change_type") === "insert" && col("k").between(10, 14) &&
+      col("v") === -1.0).count() == 5, "updated keys insert their post-image")
+    // folding the FULL feed (from 0) by key reproduces the head exactly
+    val feed = t.readChanges(0L)
+    val alive = feed.withColumn("_w",
+        when(col("_change_type") === "insert", 1).otherwise(0))
+      .groupBy("k")
+      .agg(max(struct(col("_commit_version"), col("_w"), col("v"), col("u")))
+        .as("last"))
+      .filter(col("last._w") === 1)
+      .select(col("k"), col("last.v").as("v"), col("last.u").as("u"))
+    assert(alive.orderBy("k").collect().toSeq ==
+      t.read().orderBy("k").collect().toSeq,
+      "latest-version-wins fold of the feed == the head snapshot")
+
+    // the streaming shape: cursor drain is incremental and redelivery-safe
+    val cdir = Files.createTempDirectory("graft_cdf").toString
+    var seen = Seq.empty[(Long, Long)] // (version, change rows)
+    def drain(): Long = t.drainChanges(cdir) { (df, v) =>
+      seen = seen :+ (v, df.count())
+    }
+    assert(drain() == 3L && seen.map(_._1) == Seq(1L, 2L, 3L))
+    assert(drain() == 0L, "a drained cursor re-drains nothing")
+    t.append(rows(140, 150)) // v4
+    assert(drain() == 1L && seen.last._1 == 4L && seen.last._2 == 10L)
+
+    // feed gap: consuming from a pruned version is loud, never guessed
+    t.append(rows(150, 160)) // v5 -> retention window {2,3,4,5}
+    intercept[IllegalArgumentException] { t.readChanges(0L) }
+    intercept[IllegalArgumentException] { t.readChanges(1L, 5L) }
+    assert(t.readChanges(2L, 5L).filter(col("_change_type") === "insert")
+      .count() >= 20)
+  }
+
   test("vacuum deletes exactly the unreferenced files; reads unaffected") {
     val p = base()
     val t = GraftTable.create(rows(0, 400), p, zoneCols = Seq("k"), nFiles = 4)
