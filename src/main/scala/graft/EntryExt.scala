@@ -303,6 +303,42 @@ private[graft] object EntryExt {
       .orderBy("event_type")
   }
 
+  /** CDC merge with row-level DELETES into the unified table
+    * ([[graft.operators.GraftTable.merge]] with an op column): one mixed
+    * batch against the key-clustered table of all events — the low-id
+    * stripe's multiples of 8 upsert with a +1000 bump, its ≡4 (mod 8)
+    * keys TOMBSTONE — and only the stripe's files rewrite (the require
+    * pins it); tombstones delete without re-insert, never silently
+    * upsert. Merge-with-deletes is still deterministic set algebra
+    * ((table minus batch keys) ∪ upserts), so the oracle replays it as
+    * one CASE + tombstone-excluding WHERE over the same arithmetic.
+    */
+  private[graft] def qMergeDelete(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_mdel").toString + "/t"
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    val tbl = operators.GraftTable.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"),
+      base, zoneCols = Seq("event_id"))
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val stripe = col("event_id") < maxId / 4
+    val batch = ev.filter(stripe && col("event_id") % 8 === 0)
+      .withColumn("value", col("value") + 1000)
+      .withColumn("op", lit("upsert"))
+      .unionByName(ev.filter(stripe && col("event_id") % 8 === 4)
+        .withColumn("op", lit(operators.GraftTable.DeleteOp)))
+    val files = tbl.files().size
+    val before = tbl.read().count()
+    val (rew, carried) = tbl.merge(batch, "event_id", "op")
+    require(rew >= 1 && rew < files && carried == files - rew,
+      s"delete-bearing merge must rewrite only the low-id stripe: $rew of $files")
+    require(tbl.read().count() < before, "tombstones must shrink the table")
+    tbl.read()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
   /** Snapshot isolation / time travel on the unified table: a
     * `keepVersions = 2` table built from the even events, then the odds
     * appended — and BOTH states stay queryable, the pre-append snapshot

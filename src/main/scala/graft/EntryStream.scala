@@ -335,6 +335,141 @@ private[graft] object EntryStream {
       .orderBy("event_type")
   }
 
+  /** CDC apply with DELETES through
+    * [[graft.operators.GraftTable.mergeStream]]: three pinned-order waves
+    * — the even events; then the ≡0 (mod 4) bumped +1000 plus TOMBSTONES
+    * of the ≡2 (mod 8); then the ≡0 (mod 8) re-bumped +2000 (latest
+    * wins) plus tombstones of the ≡4 (mod 8), which w1 had just bumped
+    * (delete-after-upsert). Deletes apply as deletes — the rows are GONE
+    * from the table, never silently upserted — so the final state is
+    * closed-form: evens minus the two tombstoned classes, multiples of 8
+    * carrying +2000. Redelivery of any wave would no-op against the
+    * ledger; each intermediate version is a consistent snapshot.
+    */
+  def streamMergeDelete(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val del = graft.operators.GraftTable.DeleteOp
+    val base = java.nio.file.Files.createTempDirectory("graft_smdel").toString
+    val waves = Seq(
+      ev.filter(col("event_id") % 2 === 0).withColumn("op", lit("upsert")),
+      ev.filter(col("event_id") % 4 === 0)
+        .withColumn("value", col("value") + 1000)
+        .withColumn("op", lit("upsert"))
+        .unionByName(ev.filter(col("event_id") % 8 === 2)
+          .withColumn("op", lit(del))),
+      ev.filter(col("event_id") % 8 === 0)
+        .withColumn("value", col("value") + 2000)
+        .withColumn("op", lit("upsert"))
+        .unionByName(ev.filter(col("event_id") % 8 === 4)
+          .withColumn("op", lit(del))))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      w.coalesce(1).write.parquet(s"$base/in/w$i") }
+    graft.operators.SeriesSearch.pinArrivalOrder(
+      s, waves.indices.map(i => s"$base/in/w$i"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", org.apache.spark.sql.types.DoubleType),
+      StructField("op", StringType)))
+    graft.operators.GraftTable.mergeStream(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in/w*"),
+      s"$base/tbl", "event_id", s"$base/ckpt", opCol = "op")
+    val tbl = graft.operators.GraftTable.open(s, s"$base/tbl")
+    require(tbl.lastAppliedBatch() >= 2,
+      s"three waves must ledger three merges: ${tbl.lastAppliedBatch()}")
+    require(tbl.read().filter(col("event_id") % 8 === 2 ||
+      col("event_id") % 8 === 4).count() == 0,
+      "tombstoned keys must be GONE, not upserted")
+    tbl.read()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
+  /** The change feed consumed as a stream
+    * ([[graft.operators.GraftTable.drainChanges]], the Delta/Iceberg CDF
+    * shape over the per-version manifests): a base snapshot of the
+    * evens, then three commits — a CDC merge (bump ≡0 mod 8, delete
+    * ≡2 mod 8), an append of the odd multiples of 3, and a second merge
+    * (re-bump ≡0 mod 16 latest-wins, delete ≡4 mod 8) — each drained
+    * through the durable cursor exactly once. The consumed feed, folded
+    * per key (earliest delete = the pre-image, latest insert = the
+    * post-image, a first-touch insert means the key post-dates the
+    * base), must equal `Ingest.diff(base, head)` — required in-body —
+    * and the non-unchanged fold is closed-form over the fixture, which
+    * is what the oracle states.
+    */
+  def streamTableCdf(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val del = graft.operators.GraftTable.DeleteOp
+    val base = java.nio.file.Files.createTempDirectory("graft_cdfq").toString
+    val tbl = graft.operators.GraftTable.create(
+      ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"),
+      s"$base/tbl", zoneCols = Seq("event_id"), keepVersions = 4)
+    val v1 = tbl.version
+    val consumed = s"$base/consumed"
+    def drain(): Long = tbl.drainChanges(s"$base/cursor", startAfter = v1) {
+      (changes, _) => changes.write.mode("append").parquet(consumed)
+    }
+    require(drain() == 0L, "nothing to consume before the first commit")
+    tbl.merge(
+      ev.filter(col("event_id") % 8 === 0)
+        .withColumn("value", col("value") + 1000)
+        .withColumn("op", lit("upsert"))
+        .unionByName(ev.filter(col("event_id") % 8 === 2)
+          .withColumn("op", lit(del))),
+      "event_id", "op")
+    require(drain() == 1L, "one commit, one feed slice")
+    tbl.append(ev.filter(col("event_id") % 2 === 1 && col("event_id") % 3 === 0))
+    require(drain() == 1L, "appends feed too")
+    tbl.merge(
+      ev.filter(col("event_id") % 16 === 0)
+        .withColumn("value", col("value") + 2000)
+        .withColumn("op", lit("upsert"))
+        .unionByName(ev.filter(col("event_id") % 8 === 4)
+          .withColumn("op", lit(del))),
+      "event_id", "op")
+    require(drain() == 1L && drain() == 0L,
+      "each commit is consumed exactly once — the cursor never re-drains")
+
+    val feed = s.read.parquet(consumed)
+    val img = struct(col("user_id"), col("event_type"), col("value"))
+    val ins = feed.filter(col("_change_type") === "insert").groupBy("event_id")
+      .agg(max_by(img, col("_commit_version")).as("post"),
+        max("_commit_version").as("vi"), min("_commit_version").as("viMin"))
+    val dels = feed.filter(col("_change_type") === "delete").groupBy("event_id")
+      .agg(min_by(img, col("_commit_version")).as("pre"),
+        min("_commit_version").as("vdMin"), max("_commit_version").as("vdMax"))
+    val folded = ins.join(dels, Seq("event_id"), "full_outer")
+      .withColumn("status",
+        when(col("vi").isNull || col("vdMax") > col("vi"), lit("removed"))
+          .when(col("vdMin").isNull || col("viMin") < col("vdMin"), lit("added"))
+          .when(col("pre") <=> col("post"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .filter(col("status") =!= "unchanged")
+    // the feed IS the diff: fold == Ingest.diff(base snapshot, head)
+    val want = graft.operators.Ingest
+      .diff(tbl.readVersion(v1), tbl.read(), Seq("event_id"))
+      .filter(col("status") =!= "unchanged")
+    val got = folded.select("event_id", "status")
+    require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "the folded change feed must equal the head-minus-base diff")
+    folded
+      .withColumn("val", when(col("status") === "removed", col("pre.value"))
+        .otherwise(col("post.value")))
+      .withColumn("etype",
+        when(col("status") === "removed", col("pre.event_type"))
+          .otherwise(col("post.event_type")))
+      .groupBy(col("status"), col("etype").as("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("v"))
+      .orderBy("status", "event_type")
+  }
+
   /** Continuous subsequence matching: the event stream's per-user value
     * points drained through `SeriesSearch.scanStream` in time-ordered
     * waves, then the 15 nearest windows read from the cumulative scored

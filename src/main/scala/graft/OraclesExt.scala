@@ -1077,6 +1077,55 @@ private[graft] object OraclesExt {
         |  ROUND(SUM(value), 2) AS v
         |FROM events GROUP BY event_type
         |ORDER BY snap, event_type""".stripMargin,
+    // delete-wave stream_merge: w1 tombstones the ≡2 (mod 8), w2 the
+    // ≡4 (mod 8) it had just bumped, and re-bumps the multiples of 8 to
+    // +2000 (latest-wins REPLACE, not increment) — survivors and values
+    // are closed-form over the pinned arrival order
+    "stream_merge_delete" ->
+      """WITH merged AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 8 = 0 THEN value + 2000 ELSE value END AS value
+        |  FROM events
+        |  WHERE event_id % 2 = 0 AND event_id % 8 <> 2 AND event_id % 8 <> 4
+        |)
+        |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the consumed change feed folds to the head-minus-base diff (the
+    // query body require()s exact equality with Ingest.diff), and the
+    // fixture's three commits are closed-form: %8==0 changed (+2000 if
+    // %16==0, latest-wins, else +1000), %8 in (2,4) removed at base
+    // value, odd multiples of 3 added
+    "stream_table_cdf" ->
+      """WITH changed AS (
+        |  SELECT 'changed' AS status, event_type,
+        |    value + CASE WHEN event_id % 16 = 0 THEN 2000 ELSE 1000 END AS val
+        |  FROM events WHERE event_id % 8 = 0
+        |), removed AS (
+        |  SELECT 'removed' AS status, event_type, value AS val
+        |  FROM events WHERE event_id % 8 = 2 OR event_id % 8 = 4
+        |), added AS (
+        |  SELECT 'added' AS status, event_type, value AS val
+        |  FROM events WHERE event_id % 2 = 1 AND event_id % 3 = 0
+        |)
+        |SELECT status, event_type, COUNT(*) AS n, ROUND(SUM(val), 2) AS v
+        |FROM (SELECT * FROM changed UNION ALL SELECT * FROM removed
+        |      UNION ALL SELECT * FROM added)
+        |GROUP BY status, event_type ORDER BY status, event_type""".stripMargin,
+    // merge-with-deletes is the same set algebra with the tombstoned
+    // keys EXCLUDED instead of re-inserted: one CASE bumps the low
+    // stripe's multiples of 8, one WHERE drops its ≡4 (mod 8); // is
+    // integer division, matching Scala Long '/' on positives
+    "q_merge_delete" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+        |merged AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN e.event_id < mx.m // 4 AND e.event_id % 8 = 0
+        |         THEN e.value + 1000 ELSE e.value END AS value
+        |  FROM events e, mx
+        |  WHERE NOT (e.event_id < mx.m // 4 AND e.event_id % 8 = 4)
+        |)
+        |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     // merge is deterministic set algebra — (table minus batch keys) plus
     // the batch — so it replays as CASE + UNION ALL over the identical
     // arithmetic; // is integer division, matching Scala Long '/' on
