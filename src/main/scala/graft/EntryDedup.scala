@@ -523,6 +523,68 @@ private[graft] object EntryDedup {
       .orderBy("a", "b")
   }
 
+  /** Deterministic 16-bit PCM WAV for ordinal `j`: groups of FOUR
+    * variants per seed — a base square-wave clip whose per-window
+    * amplitude envelope A_w = (seed·7919 + w·104729 + seed·w·337)
+    * % 6000 + 2000 IS the fingerprint content (65 windows × 64 mono
+    * frames at 8 kHz; the seed-dependent step keeps seeds' envelopes
+    * decorrelated);
+    * a PITCH-shifted copy (half the square-wave period — every sample
+    * differs, every |sample| and hence every window energy is
+    * identical); a VOLUME-shifted copy (amplitudes ×2 — energies scale
+    * uniformly ×4, comparisons invariant); and a locally edited copy
+    * (window 0's amplitude +3000, which can flip only the one
+    * comparison that window joins). Pure integer arithmetic with exact
+    * 64-frame windows, so a SQL engine replays amplitude → energy →
+    * comparison → hash bit-exactly.
+    */
+  private def synthWav(j: Long): Array[Byte] = {
+    val seed = j / 4
+    val variant = j % 4
+    val half = if (variant == 1) 2 else 4 // pitch shift: shorter period
+    val samples = new Array[Short](65 * 64)
+    var i = 0
+    while (i < samples.length) {
+      val w = i / 64
+      // the seed-dependent w-step decorrelates envelopes ACROSS seeds
+      // (a fixed step walks one orbit phase-shifted, and close phases
+      // made unplanted cross-seed pairs collide within Hamming 3)
+      var a = (seed * 7919L + w * 104729L + seed * w * 337L) % 6000L + 2000L
+      if (variant == 3 && w == 0) a += 3000L
+      if (variant == 2) a *= 2L
+      val v = if ((i / half) % 2 == 0) a else -a
+      samples(i) = v.toShort
+      i += 1
+    }
+    Multimodal.Codecs.encodeWav(8000, 1, samples)
+  }
+
+  /** Audio near-dup dedup over REAL payload bytes — the [[mmDedup]]
+    * shape for the remaining modality: 48 synthetic WAVs (12 groups of
+    * original / pitch-shifted / volume-shifted / locally-edited clips)
+    * round-trip the actual RIFF encoder and decoder
+    * ([[Multimodal.Codecs]]), pool to the integer banded energy
+    * fingerprint, and the banded self-join + exact Hamming verify
+    * recovers the planted near-dup pairs. Recall is exact (Hamming ≤ 3
+    * over 4 bands — pigeonhole), so the oracle is the same integer
+    * amplitude → energy → comparison → Hamming arithmetic spelled as
+    * brute-force SQL; 16-bit PCM encode∘decode is the identity on
+    * samples, so the decode round-trip drops out of the arithmetic.
+    */
+  def mmAudioDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy("doc_id")
+    val ids = t(s, d, "documents").select("doc_id").orderBy("doc_id").limit(48)
+      .withColumn("j", row_number().over(w).cast("long") - 1)
+      .as[(Long, Long)]
+    val items = ids.map { case (docId, j) =>
+      Multimodal.MediaItem(docId, synthWav(j), "wav") }
+    val pairs = Multimodal.nearDupPairs(
+      Multimodal.audioHash(items).toDF(), maxHamming = 3)
+    pairs.select(col("id_a").as("a"), col("id_b").as("b"), col("hamming"))
+      .orderBy("a", "b")
+  }
+
   def mmFeatures(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val feats = Multimodal.extractFeatures(

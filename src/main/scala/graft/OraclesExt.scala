@@ -1044,6 +1044,47 @@ private[graft] object OraclesExt {
         |WHERE bit_count(xor(h1.b0, h2.b0)) + bit_count(xor(h1.b1, h2.b1))
         |    + bit_count(xor(h1.b2, h2.b2)) + bit_count(xor(h1.b3, h2.b3)) <= 3
         |ORDER BY a, b""".stripMargin,
+    // bit-exact replay of the audio near-dup path: the same integer
+    // amplitude envelope -> per-window energy (64 exact frames per
+    // window, so the cross-multiplied energy comparison reduces to
+    // A_k^2 < A_{k+1}^2) -> 64 comparison bits -> per-band
+    // xor/bit_count Hamming, as brute-force SQL (the banded Spark join
+    // has EXACT recall at Hamming <= 3 over 4 bands, by pigeonhole);
+    // 16-bit PCM encode/decode is the identity on samples, so the WAV
+    // round-trip drops out of the arithmetic — the mm_dedup precedent
+    "mm_audio_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS j
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48)
+        |),
+        |amps AS (
+        |  SELECT i.doc_id, i.j, w.range AS w,
+        |    ((i.j // 4 * 7919 + w.range * 104729
+        |       + (i.j // 4) * w.range * 337) % 6000 + 2000
+        |      + CASE WHEN i.j % 4 = 3 AND w.range = 0 THEN 3000 ELSE 0 END)
+        |    * CASE WHEN i.j % 4 = 2 THEN 2 ELSE 1 END AS a
+        |  FROM ids i, range(65) w
+        |),
+        |bits AS (
+        |  SELECT x.doc_id, x.j, x.w AS k,
+        |    CASE WHEN x.a * x.a < y.a * y.a THEN 1 ELSE 0 END AS bit
+        |  FROM amps x JOIN amps y ON x.j = y.j AND y.w = x.w + 1
+        |),
+        |hashes AS (
+        |  SELECT doc_id, j,
+        |    CAST(SUM(CASE WHEN k < 16 THEN bit << k ELSE 0 END) AS BIGINT) AS b0,
+        |    CAST(SUM(CASE WHEN k >= 16 AND k < 32 THEN bit << (k - 16) ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(SUM(CASE WHEN k >= 32 AND k < 48 THEN bit << (k - 32) ELSE 0 END) AS BIGINT) AS b2,
+        |    CAST(SUM(CASE WHEN k >= 48 THEN bit << (k - 48) ELSE 0 END) AS BIGINT) AS b3
+        |  FROM bits GROUP BY doc_id, j
+        |)
+        |SELECT h1.doc_id AS a, h2.doc_id AS b,
+        |  CAST(bit_count(xor(h1.b0, h2.b0)) + bit_count(xor(h1.b1, h2.b1))
+        |     + bit_count(xor(h1.b2, h2.b2)) + bit_count(xor(h1.b3, h2.b3)) AS BIGINT) AS hamming
+        |FROM hashes h1 JOIN hashes h2 ON h1.j < h2.j
+        |WHERE bit_count(xor(h1.b0, h2.b0)) + bit_count(xor(h1.b1, h2.b1))
+        |    + bit_count(xor(h1.b2, h2.b2)) + bit_count(xor(h1.b3, h2.b3)) <= 3
+        |ORDER BY a, b""".stripMargin,
     // three latest-wins merge waves compose to a deterministic per-key
     // CASE: evens carry the deepest bump that reached them (mod 8 wins
     // over mod 4), odds arrive once with their original value — arrival

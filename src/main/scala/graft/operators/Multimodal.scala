@@ -371,6 +371,83 @@ object Multimodal {
         out
       }
 
+    /** Real RIFF/WAVE encoder for 16-bit PCM — the inverse of
+      * [[decodeWav]] (16-bit PCM is lossless on samples, so
+      * encode∘decode is the identity, which is what lets a generated-
+      * audio oracle replay the fingerprint path as pure integer
+      * arithmetic — the [[encodePpm]] argument for images).
+      */
+    def encodeWav(rate: Int, channels: Int,
+        samples: Array[Short]): Array[Byte] = {
+      require(channels > 0 && samples.length % channels == 0,
+        s"${samples.length} samples do not tile $channels channels")
+      val data = samples.length * 2
+      val out = new Array[Byte](44 + data)
+      def le16(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def le32(o: Int, v: Int): Unit = {
+        le16(o, v & 0xffff); le16(o + 2, (v >> 16) & 0xffff)
+      }
+      def tag(o: Int, s: String): Unit = {
+        val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, out, o, 4)
+      }
+      tag(0, "RIFF"); le32(4, 36 + data); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, channels)
+      le32(24, rate); le32(28, rate * channels * 2); le16(32, channels * 2)
+      le16(34, 16)
+      tag(36, "data"); le32(40, data)
+      var i = 0
+      while (i < samples.length) { le16(44 + 2 * i, samples(i) & 0xffff); i += 1 }
+      out
+    }
+
+    /** Banded audio fingerprint of a 16-bit PCM WAV, as four 16-bit
+      * bands — the audio twin of [[dhashBands]].
+      *
+      * The clip splits into 65 equal time windows; per window the
+      * INTEGER energy sum S_w = Σ (Σ_channels s)² and frame count C_w
+      * accumulate, and bit k (k = 0…63) compares adjacent windows
+      * cross-multiplied: S_k·C_{k+1} < S_{k+1}·C_k — the [[dhashBands]]
+      * recipe with time windows for cells and energy for luma, integer
+      * end to end so any SQL engine replays it bit-exactly. Invariances
+      * mirror dHash's brightness argument: a volume change scales every
+      * window's energy by the same factor, so all comparisons — and the
+      * hash — are EXACT-invariant; a pitch change that preserves the
+      * amplitude envelope (the energy profile) leaves S_w untouched;
+      * a local edit flips only the comparisons its windows join. Bit
+      * k lives in band k/16 at position k%16; Hamming distance over the
+      * four bands measures profile difference, and banding gives exact
+      * recall for distance < 4 (pigeonhole — the [[nearDupPairs]]
+      * argument, which this feeds via [[audioHash]]). Comparisons go
+      * through BigInt: S_w can reach frames·(32768·channels)² on
+      * pathological input, and the cross-product must not overflow.
+      */
+    def audioBands(bytes: Array[Byte]): Option[Array[Int]] =
+      decodeWav(bytes).map { case (_, channels, pcm) =>
+        val frames = pcm.length / channels
+        val s = new Array[Long](65)
+        val c = new Array[Long](65)
+        var f = 0
+        while (f < frames) {
+          var v = 0L
+          var ch = 0
+          while (ch < channels) { v += pcm(f * channels + ch); ch += 1 }
+          val w = math.min((f.toLong * 65 / frames).toInt, 64)
+          s(w) += v * v
+          c(w) += 1
+          f += 1
+        }
+        val bands = new Array[Int](4)
+        var k = 0
+        while (k < 64) {
+          if (BigInt(s(k)) * c(k + 1) < BigInt(s(k + 1)) * c(k))
+            bands(k / 16) |= 1 << (k % 16)
+          k += 1
+        }
+        bands
+      }
+
     def checksum(bytes: Array[Byte]): Long = {
       var h = 1125899906842597L
       var i = 0
@@ -462,6 +539,19 @@ object Multimodal {
     val spark = items.sparkSession
     import spark.implicits._
     items.flatMap(m => Codecs.dhashBands(m.media).map(b =>
+      MediaHash(m.id, b(0), b(1), b(2), b(3))))
+  }
+
+  /** Banded audio fingerprint for every decodable WAV payload
+    * ([[Codecs.audioBands]]; narrow, batched, non-audio dropped — the
+    * [[dhash]] argument: a histogram pseudo-hash would make unrelated
+    * binaries collide, the wrong failure mode for dedup). The output
+    * shape is [[MediaHash]], so [[nearDupPairs]] applies unchanged.
+    */
+  def audioHash(items: Dataset[MediaItem]): Dataset[MediaHash] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.flatMap(m => Codecs.audioBands(m.media).map(b =>
       MediaHash(m.id, b(0), b(1), b(2), b(3))))
   }
 

@@ -378,4 +378,65 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.nearDupPairs(hashes.toDF(), maxHamming = 4)
     }
   }
+
+  test("audio fingerprint: WAV round-trip; pitch/volume invariant; local edit ≤ 1 bit; non-audio dropped") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.Codecs
+    import spark.implicits._
+    // a clip = amplitude envelope over 65 windows × 64 frames; variants
+    // mirror the declared mm_audio_dedup fixture
+    def clip(seed: Long, variant: Long): Array[Byte] = {
+      val half = if (variant == 1) 2 else 4
+      val samples = new Array[Short](65 * 64)
+      var i = 0
+      while (i < samples.length) {
+        val w = i / 64
+        var a = (seed * 7919L + w * 104729L + seed * w * 337L) % 6000L + 2000L
+        if (variant == 3 && w == 0) a += 3000L
+        if (variant == 2) a *= 2L
+        samples(i) = (if ((i / half) % 2 == 0) a else -a).toShort
+        i += 1
+      }
+      Codecs.encodeWav(8000, 1, samples)
+    }
+    // encode∘decode is the identity on samples (16-bit PCM is lossless)
+    val enc = clip(3, 0)
+    val dec = Codecs.decodeWav(enc)
+    assert(dec.isDefined && dec.get._1 == 8000 && dec.get._2 == 1)
+    assert(dec.get._3.length == 65 * 64)
+    assert(Codecs.decodeWav(enc).get._3.toSeq ==
+      Codecs.decodeWav(Codecs.encodeWav(8000, 1, dec.get._3)).get._3.toSeq)
+
+    def ham(x: Array[Int], y: Array[Int]): Int =
+      x.zip(y).map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    val base = Codecs.audioBands(clip(5, 0)).get
+    // pitch shift: every SAMPLE differs, every window energy is equal
+    assert(!clip(5, 1).sameElements(clip(5, 0)))
+    assert(ham(base, Codecs.audioBands(clip(5, 1)).get) == 0,
+      "an energy-profile-preserving pitch shift must not move the hash")
+    // volume shift: energies scale uniformly — comparisons invariant
+    assert(ham(base, Codecs.audioBands(clip(5, 2)).get) == 0,
+      "a uniform volume change must not move the hash")
+    // a local edit touches one window — at most its one comparison flips
+    assert(ham(base, Codecs.audioBands(clip(5, 3)).get) <= 1)
+    // different seeds are far apart
+    assert(ham(base, Codecs.audioBands(clip(6, 0)).get) > 3)
+    // malformed audio is dropped, never pseudo-hashed
+    assert(Codecs.audioBands("RIFF????WAVEnope".getBytes).isEmpty)
+    assert(Codecs.audioBands(enc.dropRight(1)).isEmpty)
+
+    // end to end through the banded join: planted pairs recovered
+    // exactly, non-audio payloads dropped
+    val items = (0L until 12L).map(j =>
+      Multimodal.MediaItem(j, clip(j / 4, j % 4), "wav")) :+
+      Multimodal.MediaItem(99L, "not audio".getBytes, "bin")
+    val hashes = Multimodal.audioHash(items.toDS())
+    assert(hashes.count() == 12, "non-decodable payloads must be dropped")
+    val got = Multimodal.nearDupPairs(hashes.toDF(), maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      g <- 0L until 3L; a <- 0L until 4L; b <- (a + 1) until 4L
+    } yield (g * 4 + a, g * 4 + b)).toSet
+    assert(got == want, s"planted audio pairs must be recovered exactly: $got")
+  }
 }
