@@ -51,7 +51,7 @@ private[graft] object EntryDedup {
     */
   def dedupIndex(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val path = java.nio.file.Files.createTempDirectory("graft_mh_index").toString
+    val path = Scratch.dir("graft_mh_index")
     val idx = DedupIndex.build(docs.filter(col("doc_id") < 400),
       "doc_id", "text", path, "graft_q_mhidx",
       shingleN = 3, numHashes = 64, bands = 16, buckets = 8)
@@ -94,7 +94,7 @@ private[graft] object EntryDedup {
     */
   def dedupScreenIndex(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val path = java.nio.file.Files.createTempDirectory("graft_screen").toString
+    val path = Scratch.dir("graft_screen")
     val idx = graft.operators.ScreenIndex.build(
       docs.filter(col("doc_id") >= 400), "doc_id", "text",
       path, "graft_q_screen", shingleN = 3, threshold = 0.8, buckets = 8)
@@ -111,7 +111,7 @@ private[graft] object EntryDedup {
   def dedupScreenRebuild(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val bench = docs.filter(col("doc_id") >= 400)
-    val path = java.nio.file.Files.createTempDirectory("graft_screen_rb").toString
+    val path = Scratch.dir("graft_screen_rb")
     val idx = graft.operators.ScreenIndex.build(
       bench.filter(col("doc_id") % 3 === 0), "doc_id", "text",
       s"$path/v1", "graft_q_screen_rb", shingleN = 3, threshold = 0.8,
@@ -179,7 +179,7 @@ private[graft] object EntryDedup {
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
       .select("i", "j").localCheckpoint(true)
-    val path = java.nio.file.Files.createTempDirectory("graft_comp_index").toString
+    val path = Scratch.dir("graft_comp_index")
     val idx = ComponentsIndex.build(pairs.filter(col("j") < 250),
       path, "graft_q_cidx", buckets = 8)
     idx.update(pairs.filter(col("j") >= 250))
@@ -199,7 +199,7 @@ private[graft] object EntryDedup {
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
       .select("i", "j").localCheckpoint(true)
-    val path = java.nio.file.Files.createTempDirectory("graft_comp_rb").toString
+    val path = Scratch.dir("graft_comp_rb")
     val idx = ComponentsIndex.build(pairs, path, "graft_q_crb", buckets = 8)
     val retract = pairs.agg(min(col("i"))).head.getLong(0)
     val rebuilt = idx.rebuildFrom(
@@ -218,7 +218,7 @@ private[graft] object EntryDedup {
     */
   def dedupEmbeddingRebuild(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    val path = java.nio.file.Files.createTempDirectory("graft_emb_rb").toString
+    val path = Scratch.dir("graft_emb_rb")
     val idx = EmbedIndex.build(emb.filter(col("vec_id") < 250),
       "vec_id", "embedding", path, "graft_q_erb",
       dim = 64, threshold = 0.95, buckets = 8, targetBucket = 1)
@@ -245,7 +245,7 @@ private[graft] object EntryDedup {
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
       .select("i", "j").localCheckpoint(true)
-    val base = java.nio.file.Files.createTempDirectory("graft_comp_stream").toString
+    val base = Scratch.dir("graft_comp_stream")
     Seq(col("j") < 150, col("j") >= 150 && col("j") < 300, col("j") >= 300)
       .foreach { p =>
         pairs.filter(p).coalesce(1).write.mode("append").parquet(s"$base/in")
@@ -273,7 +273,7 @@ private[graft] object EntryDedup {
     */
   def dedupEmbeddingIndex(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    val path = java.nio.file.Files.createTempDirectory("graft_emb_index").toString
+    val path = Scratch.dir("graft_emb_index")
     val idx = EmbedIndex.build(emb, "vec_id", "embedding", path,
       "graft_q_eidx", dim = 64, threshold = 0.95, buckets = 8)
     val batch = emb.filter(col("vec_id") < 10)
@@ -318,7 +318,7 @@ private[graft] object EntryDedup {
   def annIvfIndex(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val idx = Similarity.IvfIndex.build(s, emb, "vec_id", "embedding", nClusters = 16)
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+    val path = Scratch.dir("graft_ivf_index")
     Similarity.IvfIndex.save(idx, "graft_q_ivfidx", path)
     val reopened = Similarity.IvfIndex.open(s, "graft_q_ivfidx", path)
     val queries = emb.filter(col("vec_id") < 5)
@@ -345,7 +345,7 @@ private[graft] object EntryDedup {
     */
   def annIvfRetrain(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
+    val path = Scratch.dir("graft_ivf_rt")
     val idx = Similarity.IvfIndex.build(s, emb, "vec_id", "embedding", nClusters = 16)
     Similarity.IvfIndex.save(idx, "graft_q_ivfrt", s"$path/v1")
     val opened = Similarity.IvfIndex.open(s, "graft_q_ivfrt", s"$path/v1")
@@ -404,7 +404,7 @@ private[graft] object EntryDedup {
     import s.implicits._
     val emb = t(s, d, "embeddings")
     val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16)
-    val path = java.nio.file.Files.createTempDirectory("graft_pq_index").toString
+    val path = Scratch.dir("graft_pq_index")
     Pq.saveIndex(emb, "vec_id", "embedding", cb, "graft_q_pqidx", path)
     val idx = Pq.openIndex(s, "graft_q_pqidx", path)
     val qs = emb.filter(col("vec_id") < 5)
@@ -426,7 +426,7 @@ private[graft] object EntryDedup {
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = t(s, d, "embeddings")
-    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val path = Scratch.dir("graft_ivfpq")
     IvfPq.build(emb, "vec_id", "embedding", "graft_q_ivfpq", path,
       nClusters = 16, m = 8, kCodes = 16)
     val idx = IvfPq.open(s, "graft_q_ivfpq", path)
@@ -453,7 +453,7 @@ private[graft] object EntryDedup {
   def annIvfPqRes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = t(s, d, "embeddings")
-    val path = java.nio.file.Files.createTempDirectory("graft_ivfpqr").toString
+    val path = Scratch.dir("graft_ivfpqr")
     IvfPq.build(emb, "vec_id", "embedding", "graft_q_ivfpqr", path,
       nClusters = 16, m = 8, kCodes = 16, residual = true)
     val idx = IvfPq.open(s, "graft_q_ivfpqr", path)

@@ -86,7 +86,7 @@ private[graft] object EntryExt {
     */
   private[graft] def qIncrAgg(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val base = java.nio.file.Files.createTempDirectory("graft_magg").toString
+    val base = Scratch.dir("graft_magg")
     val m = operators.MaterializedAgg.build(
       docs.filter(col("doc_id") < 150), Seq("lang", "source"),
       Seq("n_chars"), base)
@@ -123,7 +123,7 @@ private[graft] object EntryExt {
     * reads fewer files and survives stale/missing-index states.
     */
   private[graft] def qZonemapScan(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_zm").toString
+    val base = Scratch.dir("graft_zm")
     val (data, idx) = (s"$base/data", s"$base/zones")
     t(s, d, "events").select("event_id", "user_id", "event_type", "value")
       .repartitionByRange(8, col("value")).sortWithinPartitions("value")
@@ -145,7 +145,7 @@ private[graft] object EntryExt {
     * up — the property that lets a 100 TB table index lag its ingest.
     */
   private[graft] def qZonemapMaintain(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_zm2").toString
+    val base = Scratch.dir("graft_zm2")
     val (data, idx) = (s"$base/data", s"$base/zones")
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
     ev.filter(col("event_id") % 2 === 0)
@@ -176,7 +176,7 @@ private[graft] object EntryExt {
     * the oracle is the plain two-predicate filter.
     */
   private[graft] def qLayoutZorder(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_zord").toString
+    val base = Scratch.dir("graft_zord")
     val (data, idx) = (s"$base/data", s"$base/zones")
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
     operators.Layout.rewrite(ev, Seq("value", "user_id"), data, nFiles = 8)
@@ -249,7 +249,7 @@ private[graft] object EntryExt {
     * writer inside the publish window to pin the atomicity half.
     */
   private[graft] def qTable(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_tbl").toString + "/t"
+    val base = Scratch.dir("graft_tbl") + "/t"
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
     val tbl = operators.GraftTable.create(
       ev.filter(col("event_id") % 2 === 0), base,
@@ -281,7 +281,7 @@ private[graft] object EntryExt {
     * on positives.
     */
   private[graft] def qMerge(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    val base = Scratch.dir("graft_merge") + "/t"
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
     val kept = ev.filter(col("event_id") % 4 =!= 0)
     val tbl = operators.GraftTable.create(
@@ -314,7 +314,7 @@ private[graft] object EntryExt {
     * one CASE + tombstone-excluding WHERE over the same arithmetic.
     */
   private[graft] def qMergeDelete(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_mdel").toString + "/t"
+    val base = Scratch.dir("graft_mdel") + "/t"
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
     val tbl = operators.GraftTable.create(
       ev.repartitionByRange(8, col("event_id"))
@@ -348,7 +348,7 @@ private[graft] object EntryExt {
     * the source, so the oracle is the two filtered aggregates UNION'd.
     */
   private[graft] def qTimeTravel(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/t"
+    val base = Scratch.dir("graft_tt") + "/t"
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
     val tbl = operators.GraftTable.create(ev.filter(col("event_id") % 2 === 0),
       base, zoneCols = Seq("user_id"), nFiles = 4, keepVersions = 2)
@@ -372,7 +372,7 @@ private[graft] object EntryExt {
     * replays in SQL as a CASE over the same arithmetic.
     */
   private[graft] def qSchemaEvolve(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_se").toString + "/t"
+    val base = Scratch.dir("graft_se") + "/t"
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
     val tbl = operators.GraftTable.create(ev.filter(col("event_id") % 2 === 0),
       base, zoneCols = Seq("event_id"), nFiles = 4)
@@ -386,7 +386,7 @@ private[graft] object EntryExt {
   }
 
   private[graft] def qCompact(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val base = Scratch.dir("graft_compact")
     val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
     ev.repartition(50).write.parquet(s"$base/frag")
     // scale-proof target: ~quarter-corpus files, so 50 fragments exceed
@@ -416,7 +416,7 @@ private[graft] object EntryExt {
     * oracle is the plain equality filter.
     */
   private[graft] def qBloommap(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val base = Scratch.dir("graft_bloom")
     val (data, idx) = (s"$base/data", s"$base/zones")
     t(s, d, "events").select("event_id", "user_id", "event_type", "value")
       .repartition(16).write.parquet(data)

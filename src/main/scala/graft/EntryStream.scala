@@ -29,7 +29,7 @@ private[graft] object EntryStream {
     */
   def streamIndexDedup(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-    val base = java.nio.file.Files.createTempDirectory("graft_sid").toString
+    val base = Scratch.dir("graft_sid")
     val n = docs.agg(max("doc_id")).head.getLong(0) + 1
     // three arrival waves, one file each, so maxFilesPerTrigger=1 yields
     // three micro-batches (wave ORDER is irrelevant — see invariance above)
@@ -64,7 +64,7 @@ private[graft] object EntryStream {
   def streamAnn(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    val base = java.nio.file.Files.createTempDirectory("graft_sann").toString
+    val base = Scratch.dir("graft_sann")
     val n = emb.agg(max("vec_id")).head.getLong(0) + 1
     val half = n / 2
     val idx = Similarity.IvfIndex.build(s, emb.filter(col("vec_id") < half),
@@ -102,7 +102,7 @@ private[graft] object EntryStream {
     */
   def streamBm25(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-    val base = java.nio.file.Files.createTempDirectory("graft_sbm25").toString
+    val base = Scratch.dir("graft_sbm25")
     val idx = graft.operators.Bm25Index.build(
       docs.filter(col("doc_id") < 170), "doc_id", "text",
       base + "/idx", "graft_q_sbm25", buckets = 8)
@@ -130,7 +130,7 @@ private[graft] object EntryStream {
   def streamIncrAgg(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    val base = java.nio.file.Files.createTempDirectory("graft_smagg").toString
+    val base = Scratch.dir("graft_smagg")
     val n = docs.agg(max("doc_id")).head.getLong(0)
     val m = graft.operators.MaterializedAgg.build(
       docs.filter(col("doc_id") * 2 <= n), Seq("lang", "source"),
@@ -160,7 +160,7 @@ private[graft] object EntryStream {
     * batch and redelivery idempotence.
     */
   def streamHll(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_shll").toString
+    val base = Scratch.dir("graft_shll")
     graft.operators.Sketches.hllSliceStream(
       EventStreams.readEvents(s, d).select(col("event_type"), col("user_id")),
       Seq("event_type"), "user_id", s"$base/slices", s"$base/ckpt")
@@ -177,7 +177,7 @@ private[graft] object EntryStream {
     */
   def streamScreen(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-    val base = java.nio.file.Files.createTempDirectory("graft_sscreen").toString
+    val base = Scratch.dir("graft_sscreen")
     val idx = graft.operators.ScreenIndex.build(
       docs.filter(col("doc_id") >= 400), "doc_id", "text",
       s"$base/idx", "graft_q_sscreen", shingleN = 3, threshold = 0.8,
@@ -207,7 +207,7 @@ private[graft] object EntryStream {
     * ledgered exact counts.
     */
   def streamMgTopk(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_smg").toString
+    val base = Scratch.dir("graft_smg")
     def shape(df: DataFrame) = df.select(to_date(col("ts")).as("day"),
       col("event_type"), col("user_id"))
     val m = graft.operators.MaterializedAgg.build(
@@ -237,7 +237,7 @@ private[graft] object EntryStream {
   def streamZonemap(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
       .select("event_id", "user_id", "event_type", "value")
-    val base = java.nio.file.Files.createTempDirectory("graft_szm").toString
+    val base = Scratch.dir("graft_szm")
     Seq(col("user_id") < 30, col("user_id") >= 30 && col("user_id") < 70,
         col("user_id") >= 70)
       .foreach(p => ev.filter(p).coalesce(1)
@@ -269,7 +269,7 @@ private[graft] object EntryStream {
   def streamTable(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
       .select("event_id", "user_id", "event_type", "value")
-    val base = java.nio.file.Files.createTempDirectory("graft_stbl").toString
+    val base = Scratch.dir("graft_stbl")
     Seq(col("user_id") < 30, col("user_id") >= 30 && col("user_id") < 70,
         col("user_id") >= 70)
       .foreach(p => ev.filter(p).coalesce(1)
@@ -305,7 +305,7 @@ private[graft] object EntryStream {
   def streamMerge(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
       .select("event_id", "user_id", "event_type", "value")
-    val base = java.nio.file.Files.createTempDirectory("graft_smerge").toString
+    val base = Scratch.dir("graft_smerge")
     val waves = Seq(
       ev.filter(col("event_id") % 2 === 0),
       ev.filter(col("event_id") % 4 === 0)
@@ -350,7 +350,7 @@ private[graft] object EntryStream {
     val ev = t(s, d, "events")
       .select("event_id", "user_id", "event_type", "value")
     val del = graft.operators.GraftTable.DeleteOp
-    val base = java.nio.file.Files.createTempDirectory("graft_smdel").toString
+    val base = Scratch.dir("graft_smdel")
     val waves = Seq(
       ev.filter(col("event_id") % 2 === 0).withColumn("op", lit("upsert")),
       ev.filter(col("event_id") % 4 === 0)
@@ -405,7 +405,7 @@ private[graft] object EntryStream {
     val ev = t(s, d, "events")
       .select("event_id", "user_id", "event_type", "value")
     val del = graft.operators.GraftTable.DeleteOp
-    val base = java.nio.file.Files.createTempDirectory("graft_cdfq").toString
+    val base = Scratch.dir("graft_cdfq")
     val tbl = graft.operators.GraftTable.create(
       ev.filter(col("event_id") % 2 === 0)
         .repartitionByRange(8, col("event_id"))
@@ -481,7 +481,7 @@ private[graft] object EntryStream {
   def streamSeries(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-    val base = java.nio.file.Files.createTempDirectory("graft_sseries").toString
+    val base = Scratch.dir("graft_sseries")
     // event_id is assigned in ts order by the fixture generator, so
     // event-id thirds are time-ordered waves (the per-key order contract)
     val n = ev.agg(max("event_id")).head.getLong(0)
@@ -602,7 +602,7 @@ private[graft] object EntryStream {
   def streamLeftJoin(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-    val base = java.nio.file.Files.createTempDirectory("graft_sljoin").toString
+    val base = Scratch.dir("graft_sljoin")
     import s.implicits._
     // one sentinel per branch-surviving type and wave, null join keys,
     // negative ids — the bounded-drain contract, owned by the helper

@@ -225,7 +225,7 @@ private[graft] object EntryText {
     */
   def textBm25Index(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val path = java.nio.file.Files.createTempDirectory("graft_bm25_index").toString
+    val path = Scratch.dir("graft_bm25_index")
     val idx = graft.operators.Bm25Index.build(
       docs.filter(col("doc_id") < 250), "doc_id", "text",
       path, "graft_q_bm25", buckets = 8)
@@ -243,7 +243,7 @@ private[graft] object EntryText {
     */
   def textPhrase(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val path = java.nio.file.Files.createTempDirectory("graft_phrase").toString
+    val path = Scratch.dir("graft_phrase")
     val idx = graft.operators.PhraseIndex.build(
       docs.filter(col("doc_id") < 250), "doc_id", "text",
       path, "graft_q_phrase", buckets = 8)
@@ -258,7 +258,7 @@ private[graft] object EntryText {
     */
   def textSnippet(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val path = java.nio.file.Files.createTempDirectory("graft_snip").toString
+    val path = Scratch.dir("graft_snip")
     val idx = graft.operators.PhraseIndex.build(docs, "doc_id", "text",
       path, "graft_q_snip", buckets = 8)
     idx.snippets(docs, "doc_id", "text", Seq("table", "part"), width = 2)
@@ -272,7 +272,7 @@ private[graft] object EntryText {
     */
   def textNear(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val path = java.nio.file.Files.createTempDirectory("graft_nearidx").toString
+    val path = Scratch.dir("graft_nearidx")
     val idx = graft.operators.PhraseIndex.build(docs, "doc_id", "text",
       path, "graft_q_near", buckets = 8)
     idx.near("spark", "vector", window = 3).orderBy("doc_id")
@@ -390,7 +390,7 @@ private[graft] object EntryText {
     */
   def hybridIndexSearch(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val base = java.nio.file.Files.createTempDirectory("graft_hybrid").toString
+    val base = Scratch.dir("graft_hybrid")
     val bmIdx = graft.operators.Bm25Index.build(
       docs, "doc_id", "text", s"$base/bm", "graft_q_hyb_bm", buckets = 8)
     val wB = Window.orderBy(col("score").desc, col("doc_id"))

@@ -52,8 +52,8 @@ object ScaleProbe {
       })
     def farQuery(id: Long): Map[Long, Array[Double]] =
       Map(id -> Array.tabulate(64)(j => 25.0 + (id % 7) * 0.3 + j * 0.01))
-    val eidxPath = java.nio.file.Files.createTempDirectory("scale_eidx").toString
-    val cidxPath = java.nio.file.Files.createTempDirectory("scale_cidx").toString
+    val eidxPath = Scratch.dir("scale_eidx")
+    val cidxPath = Scratch.dir("scale_cidx")
 
     val stages = Seq(
       time("exact_dedup") {
@@ -85,7 +85,7 @@ object ScaleProbe {
       time("index_build") {
         // pay-once: materialize the persistent band-bucket index for the
         // whole corpus (the LAST full signature pass it ever needs)
-        val tmp = java.nio.file.Files.createTempDirectory("scale_idx").toString
+        val tmp = Scratch.dir("scale_idx")
         graft.operators.DedupIndex.build(corpus, "doc_id", "text",
           tmp, "scale_mhidx", shingleN = 3, numHashes = 64, bands = 16,
           buckets = 32).indexedDocs()
@@ -251,7 +251,7 @@ object ScaleProbe {
         // baseline to read quiet again. Gate: a query from the shifted
         // cluster at nprobe=1 finds only shifted neighbors — the far
         // cluster owns (at least) a centroid of its own after retrain.
-        val ivfPath = java.nio.file.Files.createTempDirectory("scale_ivf").toString
+        val ivfPath = Scratch.dir("scale_ivf")
         val baseVecs = spark.range(n)
           .select(col("id").as("vec_id"), vecExpr.as("embedding"))
         val ivf = graft.operators.Similarity.IvfIndex.build(
@@ -281,7 +281,7 @@ object ScaleProbe {
         // then search both terms. The rare term's df=5 idf dominates, so
         // the 5 rare-term docs must all sit in the top-10 — the gate;
         // the pruned-bucket scan shape is pinned by Bm25IndexSpec.
-        val bmPath = java.nio.file.Files.createTempDirectory("scale_bm25").toString
+        val bmPath = Scratch.dir("scale_bm25")
         val salted = base.select(col("doc_id"),
           concat(col("text"),
             when(col("doc_id") % 50 === 0, lit(" bmcommon")).otherwise(lit("")),
@@ -371,7 +371,7 @@ object ScaleProbe {
         // cluster-bucketed m-byte codes; a far-cluster query at nprobe=1
         // must read only its bucket and return far-cluster neighbors —
         // the coarse quantizer owns the cluster, the codes rank within it
-        val ivfpqPath = java.nio.file.Files.createTempDirectory("scale_ivfpq").toString
+        val ivfpqPath = Scratch.dir("scale_ivfpq")
         val allVecs = spark.range(n)
           .select(col("id").as("vec_id"), vecExpr.as("embedding"))
           .unionByName(spark.range(3 * n, 3 * n + 50000)
@@ -388,7 +388,7 @@ object ScaleProbe {
         // clustered files and zone-mapped; a ~1% k-band must plan only
         // its files and return exactly the direct-filter count. Encoded
         // files·10^6 + rows so both gates read off one value.
-        val zmBase = java.nio.file.Files.createTempDirectory("scale_zm").toString
+        val zmBase = Scratch.dir("scale_zm")
         val rows = corpus.select(col("doc_id").as("k"),
           (col("doc_id") % 977L).as("v"))
         rows.repartitionByRange(64, col("k")).sortWithinPartitions("k")
@@ -410,8 +410,7 @@ object ScaleProbe {
         // move as one version) must leave the scan row-identical and
         // vacuum must collect every superseded generation. Encoded
         // files·10^6 + rows, the zonemap leg's convention.
-        val gtBase = java.nio.file.Files.createTempDirectory("scale_gt")
-          .toString + "/t"
+        val gtBase = Scratch.dir("scale_gt") + "/t"
         val rows = corpus.select(col("doc_id").as("k"),
           (col("doc_id") % 977L).as("v"))
         val tbl = graft.operators.GraftTable.create(
@@ -435,7 +434,7 @@ object ScaleProbe {
         // the 505k salad; the phrase must hit exactly the planted
         // carriers through a bucket-pruned postings fetch (hex salad
         // cannot collide with the marker tokens)
-        val phPath = java.nio.file.Files.createTempDirectory("scale_ph").toString
+        val phPath = Scratch.dir("scale_ph")
         val salted = corpus.select(col("doc_id"), concat(col("text"),
           when(col("doc_id") % 50 === 0, lit(" zz qq")).otherwise(lit("")))
           .as("text"))
@@ -449,7 +448,7 @@ object ScaleProbe {
         // batches plus one REDELIVERY (which must not move a number);
         // the served state must equal the one-shot groupBy exactly —
         // count-not-time, per ScaleGuard doctrine
-        val maggPath = java.nio.file.Files.createTempDirectory("scale_magg").toString
+        val maggPath = Scratch.dir("scale_magg")
         val rows = corpus.select(col("doc_id"),
           (col("doc_id") % 1000L).as("g"), length(col("text")).as("len"))
         val m = graft.operators.MaterializedAgg.build(

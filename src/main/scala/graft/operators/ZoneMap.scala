@@ -196,31 +196,55 @@ object ZoneMap {
       .agg(count(lit(1)).as("cnt"), aggs: _*)
   }
 
+  /** What the bloom bits hash, as a versioned tag written by build and
+    * CHECKED against on read: pre-tag indexes hashed the SESSION-zone
+    * string cast of timestamps (the bug the UTC pin fixed), so their
+    * bloom bits silently false-negative when probed under a different
+    * zone — the one failure a pruning index must never have. A bloomed
+    * index whose meta carries a different (or no) scheme is refused
+    * loudly with a rebuild instruction instead of probed wrong;
+    * min/max-only indexes are scheme-independent and unaffected.
+    */
+  private[operators] val BloomScheme = "xxhash64(utc-string),seed=42"
+
   /** The persisted geometry: indexed cols, bloom cols, bloom sizing,
-    * and the DDL type of every indexed/bloomed column (the probe-side
+    * the DDL type of every indexed/bloomed column (the probe-side
     * cast target — without it a bloom-only column's probe could not be
-    * canonicalized through the engine).
+    * canonicalized through the engine), and the bloom hash scheme tag.
     */
   private[operators] final case class Meta(cols: Seq[String],
       bloomCols: Seq[String], bloomItems: Long, bloomFpp: Double,
-      types: Map[String, String]) {
+      types: Map[String, String], scheme: String = BloomScheme) {
     def dataType(c: String): DataType = DataType.fromDDL(types(c))
   }
 
   private def writeMeta(spark: SparkSession, indexPath: String, m: Meta): Unit = {
     import spark.implicits._
     val (tc, td) = m.types.toSeq.sorted.unzip
-    Seq((m.cols, m.bloomCols, m.bloomItems, m.bloomFpp, tc, td))
+    Seq((m.cols, m.bloomCols, m.bloomItems, m.bloomFpp, tc, td, m.scheme))
       .toDF("cols", "bloom_cols", "bloom_items", "bloom_fpp",
-        "type_cols", "type_ddls")
+        "type_cols", "type_ddls", "bloom_scheme")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/meta")
   }
 
   private def readMeta(spark: SparkSession, indexPath: String): Meta = {
-    val r = spark.read.parquet(s"$indexPath/meta").head()
-    Meta(r.getSeq[String](0), r.getSeq[String](1), r.getLong(2), r.getDouble(3),
-      r.getSeq[String](4).zip(r.getSeq[String](5)).toMap)
+    val df = spark.read.parquet(s"$indexPath/meta")
+    val r = df.head()
+    val scheme =
+      if (df.schema.fieldNames.contains("bloom_scheme"))
+        r.getString(r.fieldIndex("bloom_scheme"))
+      else "" // pre-tag index: unknown hash basis
+    val m = Meta(r.getSeq[String](0), r.getSeq[String](1), r.getLong(2),
+      r.getDouble(3), r.getSeq[String](4).zip(r.getSeq[String](5)).toMap,
+      scheme)
+    require(m.bloomCols.isEmpty || m.scheme == BloomScheme,
+      s"zone-map index at $indexPath has bloom bits under hash scheme " +
+        s"'${m.scheme}' but this engine probes '$BloomScheme' — indexes " +
+        "built before the UTC cast pin hashed session-local timestamp " +
+        "strings and can silently false-negative; rebuild the index " +
+        "(ZoneMap.rebuild) instead of probing it")
+    m
   }
 
   /** Derive the zone table for every data file currently under

@@ -156,12 +156,14 @@ object EventStreams {
   def drainWithSentinels(corpus: DataFrame, dir: String, tsCol: String,
       waves: Int)(mkWave: (Int, java.sql.Timestamp) => DataFrame): String = {
     require(waves >= 1, "at least one sentinel wave is needed to flush")
-    corpus.coalesce(1).write.parquet(s"$dir/w0")
+    // validate BEFORE landing w0: an all-null/empty corpus must fail
+    // without leaving a partial sentinel layout behind
     val hiRow = corpus.agg(max(col(tsCol))).head
     require(!hiRow.isNullAt(0), "drainWithSentinels needs a non-empty " +
       s"corpus with at least one non-null $tsCol row — sentinel waves " +
       "are timed strictly past its maximum")
     val hi = hiRow.getTimestamp(0)
+    corpus.coalesce(1).write.parquet(s"$dir/w0")
     (1 to waves).foreach { i =>
       val ts = new java.sql.Timestamp(hi.getTime + 86400000L * i)
       mkWave(i, ts).coalesce(1).write.parquet(s"$dir/w$i")

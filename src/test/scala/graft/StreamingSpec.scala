@@ -131,6 +131,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._2 == -1L), "the fixture must exercise the null wing")
   }
 
+  test("drainWithSentinels on an all-null corpus fails BEFORE landing any wave") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sent").toString
+    val bad = Seq((1L, null: java.sql.Timestamp),
+      (2L, null: java.sql.Timestamp)).toDF("event_id", "ts")
+    intercept[IllegalArgumentException] {
+      EventStreams.drainWithSentinels(bad, dir, "ts", waves = 1)(
+        (_, ts) => Seq((-1L, ts)).toDF("event_id", "ts"))
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/w0")),
+      "a refused drain must leave no partial sentinel layout behind")
+  }
+
+  test("Scratch dirs are swept recursively; later dirs still register") {
+    val a = graft.Scratch.dir("graft_scr_a")
+    java.nio.file.Files.write(java.nio.file.Paths.get(a, "x.txt"),
+      "payload".getBytes)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(a, "sub"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(a, "sub", "y.txt"),
+      "nested".getBytes)
+    graft.Scratch.sweep()
+    assert(!new java.io.File(a).exists(),
+      "sweep must remove a scratch dir and everything under it")
+    // the hook registers once, but dirs created AFTER a sweep still sweep
+    val b = graft.Scratch.dir("graft_scr_b")
+    java.nio.file.Files.write(java.nio.file.Paths.get(b, "z.txt"),
+      "again".getBytes)
+    graft.Scratch.sweep()
+    assert(!new java.io.File(b).exists())
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     val stream = EventStreams.readEvents(spark, sfDir)
     val totals = EventStreams.runToMemory(spark,

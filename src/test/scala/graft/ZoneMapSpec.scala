@@ -280,6 +280,39 @@ class ZoneMapSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("bloom hash-scheme tag: pre-UTC-pin indexes are refused, not probed wrong") {
+    // an index written before the UTC cast pin hashed SESSION-zone
+    // timestamp strings — its meta has no scheme tag, and probing its
+    // bits can silently false-negative. Simulate one by rewriting a
+    // fresh index's meta WITHOUT the tag column: any read must refuse
+    // with a rebuild instruction. Min/max-only indexes stay readable.
+    val (data, idx) = mkDirs()
+    writeFixture(data)
+    ZoneMap.build(spark, data, Seq("k"), idx, bloomCols = Seq("k"),
+      bloomItems = 1000L, bloomFpp = 0.01)
+    val legacy = spark.read.parquet(s"$idx/meta")
+      .drop("bloom_scheme").collect()
+    val schema = spark.read.parquet(s"$idx/meta").drop("bloom_scheme").schema
+    spark.createDataFrame(spark.sparkContext.parallelize(legacy.toSeq), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/meta")
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.prunedFiles(spark, data, idx, Seq(ZoneMap.Point("k", 10L)))
+    }
+    assert(e.getMessage.contains("rebuild"),
+      s"a bloomed pre-tag index must demand a rebuild: ${e.getMessage}")
+    // a min/max-only legacy index has no bloom bits to mistrust
+    val (data2, idx2) = mkDirs()
+    writeFixture(data2)
+    ZoneMap.build(spark, data2, Seq("k"), idx2)
+    val legacy2 = spark.read.parquet(s"$idx2/meta").drop("bloom_scheme")
+      .collect()
+    val schema2 = spark.read.parquet(s"$idx2/meta").drop("bloom_scheme").schema
+    spark.createDataFrame(spark.sparkContext.parallelize(legacy2.toSeq), schema2)
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx2/meta")
+    assert(ZoneMap.scan(spark, data2, idx2, Seq(ZoneMap.Range("k", 10L, 20L)))
+      .count() == 11, "min/max-only legacy indexes are scheme-independent")
+  }
+
   test("missing index falls back to the full filtered scan; unknown column is loud") {
     val (data, idx) = mkDirs()
     writeFixture(data)
