@@ -190,6 +190,24 @@ object GraftTable {
 
   // ------------------------------------------------------------ internals --
 
+  /** ONE aggregate, three contract answers — row count, non-null key
+    * count, distinct key count — instead of three separate Spark jobs:
+    * this runs per micro-batch on [[mergeStream]]'s hot path, and
+    * GraftTableSpec pins the single-job shape with a listener.
+    */
+  private[operators] def requireMergeContract(batch: DataFrame,
+      keyCol: String): Unit = {
+    val stats = batch.agg(count(lit(1)).as("n"), count(col(keyCol)).as("nk"),
+      countDistinct(col(keyCol)).as("nd")).head()
+    val (n, nk, nd) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    require(n == nk,
+      s"merge keys ($keyCol) must be non-null: ${n - nk} null keys in the batch")
+    require(nk == nd,
+      s"merge batch keys ($keyCol) must be unique within the batch " +
+        s"($nk rows, $nd distinct) — latest-wins is order-dependent otherwise")
+  }
+
+
   private[operators] final case class Meta(zoneCols: Seq[String],
       bloomCols: Seq[String], bloomItems: Long, bloomFpp: Double,
       types: Map[String, String], layoutCols: Seq[String],
@@ -609,16 +627,7 @@ final class GraftTable private[operators] (spark: SparkSession,
         "(or a non-monotone id) skipped")
       return (0L, 0L)
     }
-    // one aggregate, three contract answers: row count, non-null key
-    // count, distinct key count — not three separate Spark jobs
-    val stats = batch.agg(count(lit(1)).as("n"), count(col(keyCol)).as("nk"),
-      countDistinct(col(keyCol)).as("nd")).head()
-    val (n, nk, nd) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
-    require(n == nk,
-      s"merge keys ($keyCol) must be non-null: ${n - nk} null keys in the batch")
-    require(nk == nd,
-      s"merge batch keys ($keyCol) must be unique within the batch " +
-        s"($nk rows, $nd distinct) — latest-wins is order-dependent otherwise")
+    requireMergeContract(batch, keyCol)
     val keys = batch.select(col(keyCol))
     val upserts =
       if (opCol == null) batch

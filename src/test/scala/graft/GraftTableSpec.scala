@@ -320,6 +320,43 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("merge contract checks run as ONE Spark job") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 100), p, zoneCols = Seq("k"), nFiles = 2)
+    val batch = rows(100, 200)
+    batch.count() // materialize lineage state outside the window
+    val sc = spark.sparkContext
+    // AQE stages even one aggregate as several scheduler jobs; turn it
+    // off so the job count measures AGGREGATE PASSES over the batch
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("graft-contract", "fused merge contract", false)
+    try GraftTable.requireMergeContract(batch, "k")
+    finally {
+      sc.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    // the status tracker is fed asynchronously: poll until stable
+    def groupJobs(): Int =
+      sc.statusTracker.getJobIdsForGroup("graft-contract").length
+    val deadline = System.nanoTime() + 2000000000L
+    while (groupJobs() == 0 && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(groupJobs() >= 1 && groupJobs() <= 2, // one aggregate; AQE may stage it as 2
+      s"the fused contract check must not fan out into per-check jobs: ${groupJobs()}")
+    assert(t.version == 1)
+    // the fused form still answers all three questions loudly
+    intercept[IllegalArgumentException] {
+      GraftTable.requireMergeContract(
+        rows(0, 5).unionByName(rows(0, 5)), "k")
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.requireMergeContract(
+        Seq((null.asInstanceOf[java.lang.Long], 1.0, "x"))
+          .toDF("k", "v", "u"), "k")
+    }
+  }
+
   test("relative manifests: a committed table survives a directory move wholesale") {
     val dir = Files.createTempDirectory("graft_mv").toString
     val p = s"$dir/old/t"
