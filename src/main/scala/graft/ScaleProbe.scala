@@ -429,6 +429,50 @@ object ScaleProbe {
           "superseded generations must be collected")
         files * 1000000L + got
       },
+      time("graft_table_cdc_feed") {
+        // CDC + change-feed leg: row-level deletes through a file-pruned
+        // merge at 505k rows, and the feed derived from the manifests
+        // alone. Invariants (count-not-time): an append step's feed
+        // slice is ONLY its new rows (no history rewrite — the property
+        // that keeps a 100 TB table's feed cost ∝ the commit, not the
+        // corpus); a tombstone leaves exactly one delete and NO
+        // re-insert; the merge rewrite stays confined to the stripe's
+        // files. Encoded rewritten·10^6 + tombstone-delete rows.
+        val base = Scratch.dir("scale_cdc") + "/t"
+        val rows = corpus.select(col("doc_id").as("k"),
+          (col("doc_id") % 977L).as("v"))
+        val tbl = graft.operators.GraftTable.create(
+          rows.filter(col("k") < n)
+            .repartitionByRange(64, col("k")).sortWithinPartitions("k"),
+          base, zoneCols = Seq("k"), keepVersions = 3)
+        val nf = tbl.files().size
+        tbl.append(rows.filter(col("k") >= n)) // v2: the 5k tail
+        val app = tbl.readChanges(1L, 2L)
+        require(app.filter(col("_change_type") === "delete").count() == 0L,
+          "an append step's feed must not read or emit history")
+        require(app.filter(col("_change_type") === "insert").count() ==
+          total - n, "the append feed slice is exactly the appended rows")
+        // v3: CDC merge confined to the [1000, 3000) key stripe —
+        // evens tombstone, odds bump
+        val stripe = col("k") >= 1000L && col("k") < 3000L
+        val batch = rows.filter(stripe && col("k") % 2 === 0)
+          .withColumn("op", lit(graft.operators.GraftTable.DeleteOp))
+          .unionByName(rows.filter(stripe && col("k") % 2 === 1)
+            .withColumn("v", col("v") + 10000L)
+            .withColumn("op", lit("upsert")))
+        val (rew, _) = tbl.merge(batch, "k", "op")
+        require(rew >= 1 && rew < nf,
+          s"a stripe-confined CDC merge must rewrite a file subset: $rew of $nf")
+        require(tbl.scan(Seq(graft.operators.ZoneMap.Range("k", 1000L, 2999L)))
+          .count() == 1000L, "tombstoned evens gone, bumped odds present")
+        val mrg = tbl.readChanges(2L, 3L)
+        require(mrg.filter(col("_change_type") === "insert" && stripe &&
+          col("k") % 2 === 0).count() == 0L,
+          "a tombstoned key must never re-insert in the feed")
+        val tomb = mrg.filter(col("_change_type") === "delete" && stripe &&
+          col("k") % 2 === 0).count()
+        rew * 1000000L + tomb
+      },
       time("phrase_index_search") {
         // positional-index leg: " zz qq" planted in every 50th doc of
         // the 505k salad; the phrase must hit exactly the planted
@@ -561,6 +605,12 @@ object ScaleProbe {
     val gtStat = stages.find(_._1 == "graft_table_lifecycle").get._3
     assert(gtStat % 1000000L == 5001L && gtStat / 1000000L <= 3,
       s"graft-table leg stat $gtStat != (files<=3)e6 + 5001 rows")
+    // CDC feed leg: every tombstoned even in [1000, 3000) surfaced as
+    // exactly one feed delete, and the rewrite stayed on the stripe's
+    // file(s) — file-pruned CDC at 505k
+    val cdcStat = stages.find(_._1 == "graft_table_cdc_feed").get._3
+    assert(cdcStat % 1000000L == 1000L && cdcStat / 1000000L <= 3,
+      s"cdc-feed leg stat $cdcStat != (rewritten<=3)e6 + 1000 tombstones")
     // the planted phrase hits exactly its carriers: every 50th doc
     val phHits = stages.find(_._1 == "phrase_index_search").get._3
     assert(phHits == total / 50,
