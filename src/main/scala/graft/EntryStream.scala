@@ -439,10 +439,17 @@ private[graft] object EntryStream {
 
     val feed = s.read.parquet(consumed)
     val img = struct(col("user_id"), col("event_type"), col("value"))
-    val ins = feed.filter(col("_change_type") === "insert").groupBy("event_id")
+    // the r14 persisted slices speak Delta's four-type vocabulary:
+    // update_postimage folds with insert, update_preimage with delete
+    // (file-diff legs — appends — still emit plain insert/delete)
+    val ins = feed
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .groupBy("event_id")
       .agg(max_by(img, col("_commit_version")).as("post"),
         max("_commit_version").as("vi"), min("_commit_version").as("viMin"))
-    val dels = feed.filter(col("_change_type") === "delete").groupBy("event_id")
+    val dels = feed
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .groupBy("event_id")
       .agg(min_by(img, col("_commit_version")).as("pre"),
         min("_commit_version").as("vdMin"), max("_commit_version").as("vdMax"))
     val folded = ins.join(dels, Seq("event_id"), "full_outer")

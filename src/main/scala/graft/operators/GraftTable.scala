@@ -1,9 +1,9 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** The unified table: data files + zone statistics + layout committed as
   * ONE atomic version — the composition of [[Compaction]], [[Layout]]
@@ -168,9 +168,11 @@ object GraftTable {
         case None =>
           // bootstrap: deletes against a table that does not exist yet
           // are no-ops by definition — seed from the upsert rows only
+          // null-safe: a NULL op is "any other value", i.e. an upsert —
+          // a bare =!= would evaluate to null and silently drop the row
           val seed =
             if (opCol == null) batch
-            else batch.filter(col(opCol) =!= lit(DeleteOp)).drop(opCol)
+            else batch.filter(!(col(opCol) <=> lit(DeleteOp))).drop(opCol)
           create(seed, path, Seq(keyCol), nFiles = nFiles,
             firstBatchId = id, keepVersions = keepVersions)
           ()
@@ -194,9 +196,13 @@ object GraftTable {
     * count, distinct key count — instead of three separate Spark jobs:
     * this runs per micro-batch on [[mergeStream]]'s hot path, and
     * GraftTableSpec pins the single-job shape with a listener.
+    *
+    * @return the batch row count (free from the same aggregate; callers
+    *         use it to bound driver-adjacent work like the bloom-probe
+    *         hash array)
     */
   private[operators] def requireMergeContract(batch: DataFrame,
-      keyCol: String): Unit = {
+      keyCol: String): Long = {
     val stats = batch.agg(count(lit(1)).as("n"), count(col(keyCol)).as("nk"),
       countDistinct(col(keyCol)).as("nd")).head()
     val (n, nk, nd) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
@@ -205,6 +211,7 @@ object GraftTable {
     require(nk == nd,
       s"merge batch keys ($keyCol) must be unique within the batch " +
         s"($nk rows, $nd distinct) — latest-wins is order-dependent otherwise")
+    n
   }
 
 
@@ -212,9 +219,10 @@ object GraftTable {
       bloomCols: Seq[String], bloomItems: Long, bloomFpp: Double,
       types: Map[String, String], layoutCols: Seq[String],
       appliedHwm: Long, schemaDdl: String, keepVersions: Int,
-      streamed: Boolean) {
+      streamed: Boolean, bloomScheme: String = ZoneMap.BloomScheme) {
     def zoneMeta: ZoneMap.Meta =
-      ZoneMap.Meta(zoneCols, bloomCols, bloomItems, bloomFpp, types)
+      ZoneMap.Meta(zoneCols, bloomCols, bloomItems, bloomFpp, types,
+        bloomScheme)
     def schema: StructType = StructType.fromDDL(schemaDdl)
   }
 
@@ -280,10 +288,11 @@ object GraftTable {
     import spark.implicits._
     val (tc, td) = m.types.toSeq.sorted.unzip
     Seq((m.zoneCols, m.bloomCols, m.bloomItems, m.bloomFpp, tc, td,
-        m.layoutCols, m.appliedHwm, m.schemaDdl, m.keepVersions, m.streamed))
+        m.layoutCols, m.appliedHwm, m.schemaDdl, m.keepVersions, m.streamed,
+        m.bloomScheme))
       .toDF("zone_cols", "bloom_cols", "bloom_items", "bloom_fpp",
         "type_cols", "type_ddls", "layout_cols", "applied_hwm", "schema_ddl",
-        "keep_versions", "streamed")
+        "keep_versions", "streamed", "bloom_scheme")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
@@ -298,12 +307,30 @@ object GraftTable {
     // contract anyway — the shim only widens, never changes, semantics)
     val streamed = df.schema.fieldNames.contains("streamed") &&
       r.getBoolean(ix("streamed"))
-    Meta(r.getSeq[String](ix("zone_cols")), r.getSeq[String](ix("bloom_cols")),
+    // bloom bits hash what the scheme tag says ([[ZoneMap.BloomScheme]]);
+    // a meta without the tag predates it — unknown hash basis, refused
+    // below iff the table actually carries blooms (min/max pruning is
+    // scheme-independent and keeps working)
+    val scheme =
+      if (df.schema.fieldNames.contains("bloom_scheme"))
+        r.getString(ix("bloom_scheme"))
+      else ""
+    val m = Meta(r.getSeq[String](ix("zone_cols")),
+      r.getSeq[String](ix("bloom_cols")),
       r.getLong(ix("bloom_items")), r.getDouble(ix("bloom_fpp")),
       r.getSeq[String](ix("type_cols"))
         .zip(r.getSeq[String](ix("type_ddls"))).toMap,
       r.getSeq[String](ix("layout_cols")), r.getLong(ix("applied_hwm")),
-      r.getString(ix("schema_ddl")), r.getInt(ix("keep_versions")), streamed)
+      r.getString(ix("schema_ddl")), r.getInt(ix("keep_versions")), streamed,
+      scheme)
+    require(m.bloomCols.isEmpty || m.bloomScheme == ZoneMap.BloomScheme,
+      s"graft table $base has manifest blooms under hash scheme " +
+        s"'${m.bloomScheme}' but this engine probes " +
+        s"'${ZoneMap.BloomScheme}' — tables committed before the UTC cast " +
+        "pin hashed session-local timestamp strings and can silently " +
+        "false-negative on probe; rewrite the table (compact) instead of " +
+        "probing it")
+    m
   }
 
   private def listGeneration(spark: SparkSession, gen: String): Seq[String] = {
@@ -364,12 +391,32 @@ object GraftTable {
     */
   private[operators] def publishGeneration(spark: SparkSession, base: String,
       rows: DataFrame, v: Long, meta: Meta,
-      carryForward: Option[DataFrame]): Unit = {
+      carryForward: Option[DataFrame],
+      changes: Option[DataFrame] = None): Unit = {
     val f = fs(spark, base)
     val verDir = new Path(s"$base/v$v")
     if (isCommitted(f, base, v)) conflict(base, v)
-    if (f.exists(verDir)) f.delete(verDir, true)
     val token = java.util.UUID.randomUUID().toString
+    if (f.exists(verDir)) {
+      // an occupant that is not a committed version can only be debris —
+      // but NEVER delete it in place: between an isCommitted check and a
+      // delete, a racing writer may have atomically renamed its committed
+      // staging dir into v{v}, and deleting that would silently lose an
+      // ACKNOWLEDGED commit (the TOCTOU the conflict backstop exists to
+      // prevent). Rename the occupant ASIDE atomically instead, inspect
+      // it at leisure, and restore it if it turns out to be a commit we
+      // raced — a genuinely torn remnant stays aside as hidden
+      // vacuum-fodder. (Two-writer safe; a three-way race on one version
+      // is outside the backstop's guarantee, like the public formats'.)
+      val aside = new Path(s"$base/.v${v}_aside_$token")
+      val moved = try f.rename(verDir, aside) catch { case _: Throwable => false }
+      if (!moved) conflict(base, v) // undisplaceable occupant = a racer
+      if (f.exists(new Path(aside, "meta/_SUCCESS")) &&
+        f.exists(new Path(aside, "manifest/_SUCCESS"))) {
+        try f.rename(aside, verDir) catch { case _: Throwable => () }
+        conflict(base, v)
+      }
+    }
     val gen = s"$base/data/g${v}_$token"
     rows.write.mode(SaveMode.Overwrite).parquet(gen)
     val files = listGeneration(spark, gen)
@@ -400,6 +447,13 @@ object GraftTable {
       s"parquet commit left no _SUCCESS under $staging/meta " +
         "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?) — " +
         "versioned publication depends on the marker")
+    // the ROW-LEVEL change slice, persisted inside the same atomic commit
+    // (Delta CDF's _change_data discipline): when the mutation knows its
+    // exact row-level effect — merge computes it anyway, compaction's is
+    // empty by definition — the slice commits alongside the data and
+    // [[GraftTable.readChanges]] serves it instead of the whole-file diff
+    changes.foreach(_.write.mode(SaveMode.Overwrite)
+      .parquet(s"$staging/_changes"))
     writeSmall(f, new Path(s"$staging/_publisher"), token)
     // the commit point: one atomic rename publishes the version whole
     val renamed =
@@ -527,21 +581,53 @@ final class GraftTable private[operators] (spark: SparkSession,
     *
     * @return true if folded, false if skipped as already applied
     */
-  def append(batch: DataFrame, batchId: Long): Boolean = {
-    val v = version
-    val m = readMeta(spark, path, v)
-    if (batchId <= m.appliedHwm) {
-      DedupIndex.log.warn(s"graft table $path: batch $batchId at or below " +
-        s"the applied high-water mark ${m.appliedHwm} — redelivery (or a " +
-        "non-monotone id, which violates the append contract) skipped")
-      false
-    } else {
+  def append(batch: DataFrame, batchId: Long): Boolean =
+    appendImpl(batch, Some(batchId))
+
+  /** Append body with OPTIMISTIC REBASE: an append reads nothing — its
+    * manifest carry-forward re-resolves from whatever head it publishes
+    * against — so losing a commit race to ANY winner (another append, a
+    * merge, a compaction) is always a false conflict: re-attempt against
+    * the new head. Two concurrent appenders therefore BOTH commit, at
+    * contiguous versions, with the exact union of their rows. The one
+    * true conflict left: an explicit-id append whose id the winner's
+    * ledger already reached (same checkpoint lineage racing itself) —
+    * silently skipping it as "redelivery" would drop rows, so it throws.
+    * `batchId = None` (the manual form) re-ledgers at high-water + 1 on
+    * every attempt.
+    */
+  private def appendImpl(batch: DataFrame, batchId: Option[Long]): Boolean = {
+    var attempt = 0
+    while (true) {
+      val v = version
+      val m = readMeta(spark, path, v)
+      val id = batchId.getOrElse {
+        requireManualLedgerAllowed(m, "append")
+        m.appliedHwm + 1
+      }
+      if (id <= m.appliedHwm) {
+        DedupIndex.log.warn(s"graft table $path: batch $id at or below " +
+          s"the applied high-water mark ${m.appliedHwm} — redelivery (or a " +
+          "non-monotone id, which violates the append contract) skipped")
+        return false
+      }
       val evolved = GraftTable.evolveSchema(m, batch.schema)
-      publishGeneration(spark, path, batch, v + 1,
-        m.copy(appliedHwm = batchId, schemaDdl = evolved.toDDL),
-        carryForward = Some(manifestDf(v)))
-      true
+      try {
+        publishGeneration(spark, path, batch, v + 1,
+          m.copy(appliedHwm = id, schemaDdl = evolved.toDDL),
+          carryForward = Some(manifestDf(v)))
+        return true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          val idCollides =
+            batchId.exists(_ <= readMeta(spark, path, version).appliedHwm)
+          if (attempt >= 5 || idCollides) throw e
+          DedupIndex.log.info(s"graft table $path: append lost the " +
+            s"v${v + 1} race — rebasing onto v$version (attempt $attempt)")
+      }
     }
+    sys.error("unreachable")
   }
 
   /** A streaming checkpoint that bootstrapped this table OWNS its
@@ -564,11 +650,7 @@ final class GraftTable private[operators] (spark: SparkSession,
     * see [[requireManualLedgerAllowed]]; composing manual mutations with
     * a live checkpoint lineage is exactly the silent-batch-drop foot-gun.
     */
-  def append(batch: DataFrame): Unit = {
-    val m = metaNow
-    requireManualLedgerAllowed(m, "append")
-    append(batch, m.appliedHwm + 1); ()
-  }
+  def append(batch: DataFrame): Unit = { appendImpl(batch, None); () }
 
   /** Continuous ingest: one ledgered [[append]] per micro-batch through
     * the shared [[IndexStream]] harness — the micro-batch id IS the
@@ -613,50 +695,285 @@ final class GraftTable private[operators] (spark: SparkSession,
     * @return (files rewritten, files carried forward untouched)
     */
   def merge(batch: DataFrame, keyCol: String, batchId: Long,
-      opCol: String): (Long, Long) = {
-    val v = version
-    val m = readMeta(spark, path, v)
-    require(m.zoneCols.contains(keyCol),
-      s"merge key $keyCol must be zone-indexed (zones: ${m.zoneCols.mkString(", ")})")
+      opCol: String): (Long, Long) =
+    mergeImpl(batch, keyCol, Some(batchId), opCol, None, Nil)
+
+  /** Conditional / partial-column MERGE (the public formats' WHEN MATCHED
+    * AND … THEN UPDATE SET …): like [[merge]] but a MATCHED pair updates
+    * only when `matchedCond` holds — written against the aliases `t`
+    * (the stored row) and `s` (the batch row), e.g.
+    * `col("s.ts") > col("t.ts")` — and the update writes ONLY
+    * `updateCols` from the batch, preserving every other stored column
+    * (`Nil` = every batch column updates; columns the batch doesn't
+    * carry are ALWAYS preserved — SQL UPDATE SET semantics, unlike
+    * [[merge]]'s whole-row replacement). A matched pair failing the
+    * condition carries the stored row UNCHANGED (and feeds nothing to
+    * the change feed); an unmatched batch row INSERTS unconditionally
+    * (missing table columns null); with `opCol`, [[DeleteOp]] rows
+    * tombstone unconditionally. Duplicate stored keys each update
+    * independently (SQL UPDATE semantics; [[merge]]'s upsert instead
+    * collapses them — the two operations differ by design).
+    *
+    * File pruning, the persisted row-level change slice, the ledger, the
+    * batch-key contract and the optimistic rebase are all [[merge]]'s.
+    */
+  def mergeCond(batch: DataFrame, keyCol: String, matchedCond: Column,
+      updateCols: Seq[String], opCol: String, batchId: Long): (Long, Long) =
+    mergeImpl(batch, keyCol, Some(batchId), opCol, Some(matchedCond),
+      updateCols)
+
+  /** Manual-ledger [[mergeCond]] (id = high-water + 1, refused on a
+    * stream-ledgered table).
+    */
+  def mergeCond(batch: DataFrame, keyCol: String, matchedCond: Column,
+      updateCols: Seq[String] = Nil, opCol: String = null): (Long, Long) =
+    mergeImpl(batch, keyCol, None, opCol, Some(matchedCond), updateCols)
+
+  private val ChangeType = "_change_type"
+
+  /** Align `df` to the slice schema (`schema` + `_change_type`): missing
+    * columns null, extras dropped — the one shape every change-slice leg
+    * unions into.
+    */
+  private def alignSlice(df: DataFrame, schema: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select((schema.fields.map(f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)) :+ col(ChangeType)): _*)
+  }
+
+  /** The shared engine behind [[merge]] and [[mergeCond]].
+    *
+    * `batchId = None` is the manual-ledger form: the id is recomputed as
+    * high-water + 1 on EVERY attempt, so an optimistic rebase after a
+    * lost race re-ledgers against the new head instead of colliding.
+    *
+    * OPTIMISTIC REBASE (the Delta/Iceberg retry discipline): when the
+    * publish loses a commit race, the merge re-attempts against the new
+    * head iff it is provably serializable after the winner — the files
+    * this attempt planned to rewrite are all still referenced (the
+    * winner's rewrite-set is disjoint from this read-set) and, for an
+    * explicit-id merge, the winner did not advance the ledger past this
+    * batch's id. A true overlap (two merges on the same key stripe, a
+    * concurrent compaction) still throws
+    * `ConcurrentModificationException` — rebase never papers over a
+    * genuine conflict, it only removes the false ones. The re-attempt
+    * recomputes EVERYTHING (affected set, carried manifest, schema
+    * evolution) from the new head, so winner-added files that contain
+    * batch keys are rewritten correctly.
+    */
+  private def mergeImpl(batch: DataFrame, keyCol: String,
+      batchId: Option[Long], opCol: String, matchedCond: Option[Column],
+      updateCols: Seq[String]): (Long, Long) = {
     if (opCol != null)
       require(batch.columns.contains(opCol),
         s"merge op column $opCol is not in the batch: ${batch.columns.mkString(", ")}")
-    if (batchId <= m.appliedHwm) {
-      DedupIndex.log.warn(s"graft table $path: merge batch $batchId at or " +
-        s"below the applied high-water mark ${m.appliedHwm} — redelivery " +
-        "(or a non-monotone id) skipped")
-      return (0L, 0L)
-    }
-    requireMergeContract(batch, keyCol)
+    require(updateCols.forall(batch.columns.contains),
+      s"updateCols must exist in the batch: " +
+        s"${updateCols.filterNot(batch.columns.contains).mkString(", ")}")
+    val batchRows = requireMergeContract(batch, keyCol)
+    // null-safe: a NULL op is "any other value", i.e. an upsert — a bare
+    // =!= would evaluate to null and silently drop the row while its key
+    // still tombstoned through the delete set
+    val isDel =
+      if (opCol == null) lit(false) else col(opCol) <=> lit(DeleteOp)
     val keys = batch.select(col(keyCol))
-    val upserts =
-      if (opCol == null) batch
-      else batch.filter(col(opCol) =!= lit(DeleteOp)).drop(opCol)
-    val manifest = manifestDf(v)
-    // one broadcast join, manifest side (metadata-scale) broadcast: a
-    // file is affected iff SOME batch key — upsert or tombstone — falls
-    // inside its zone range
-    val affected = keys.join(
-        broadcast(manifest.select(col("file"),
-          col(s"min_$keyCol").as("_mn"), col(s"max_$keyCol").as("_mx"))),
-        col(keyCol) >= col("_mn") && col(keyCol) <= col("_mx"))
-      .select("file").distinct()
-      .collect().map(_.getString(0)).toSet
-    val carried = manifest.filter(!col("file").isInCollection(affected))
-      // the previous manifest dir is superseded by this publish — cut
-      // lineage so the carried rows outlive its pruning
-      .localCheckpoint(true)
-    val carriedCount = carried.count()
-    val evolved = GraftTable.evolveSchema(m, upserts.schema)
-    val rewrittenRows =
-      if (affected.isEmpty) upserts
-      else spark.read.schema(evolved).parquet(affected.toSeq.map(resolve): _*)
-        .join(keys, Seq(keyCol), "left_anti")
+    var attempt = 0
+    while (true) {
+      val v = version
+      val m = readMeta(spark, path, v)
+      require(m.zoneCols.contains(keyCol),
+        s"merge key $keyCol must be zone-indexed (zones: ${m.zoneCols.mkString(", ")})")
+      val id = batchId.getOrElse {
+        requireManualLedgerAllowed(m, "merge")
+        m.appliedHwm + 1
+      }
+      if (id <= m.appliedHwm) {
+        DedupIndex.log.warn(s"graft table $path: merge batch $id at or " +
+          s"below the applied high-water mark ${m.appliedHwm} — redelivery " +
+          "(or a non-monotone id) skipped")
+        return (0L, 0L)
+      }
+      val manifest = manifestDf(v)
+      // one broadcast join, manifest side (metadata-scale) broadcast: a
+      // file is affected iff SOME batch key — upsert or tombstone — falls
+      // inside its zone range…
+      val rangeAffected = keys.join(
+          broadcast(manifest.select(col("file"),
+            col(s"min_$keyCol").as("_mn"), col(s"max_$keyCol").as("_mx"))),
+          col(keyCol) >= col("_mn") && col(keyCol) <= col("_mx"))
+        .select("file").distinct()
+        .collect().map(_.getString(0)).toSet
+      // …tightened by the per-file manifest blooms when the key column
+      // carries them: on a hash-scattered layout every file spans the
+      // full key range (min/max prunes nothing) but contains only its
+      // own keys, so the bloom shrinks the rewrite set to the files that
+      // might actually hold a batch key. No false negatives ⇒ exact.
+      // Distinct key hashes ride as ONE array row (executor-side, never
+      // the driver), each candidate file's bloom deserializes once;
+      // capped so a giant batch can't fold into a single fat row.
+      val affected =
+        if (!m.bloomCols.contains(keyCol) || rangeAffected.isEmpty ||
+          batchRows > 5000000L) rangeAffected
+        else {
+          val anyHit = udf((bytes: Array[Byte], hs: Seq[Long]) =>
+            bytes != null && {
+              val bf = org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(bytes))
+              hs.exists(bf.mightContainLong)
+            })
+          val khs = keys
+            .select(ZoneMap.bloomHash(col(keyCol)).as("_kh")).distinct()
+            .agg(collect_list("_kh").as("_khs"))
+          manifest.filter(col("file").isInCollection(rangeAffected))
+            .select(col("file"), col(s"bloom_$keyCol").as("_bl"))
+            .crossJoin(khs)
+            .filter(anyHit(col("_bl"), col("_khs")))
+            .select("file").collect().map(_.getString(0)).toSet
+        }
+      val carried = manifest.filter(!col("file").isInCollection(affected))
+        // the previous manifest dir is superseded by this publish — cut
+        // lineage so the carried rows outlive its pruning
+        .localCheckpoint(true)
+      val carriedCount = carried.count()
+      val evolved = GraftTable.evolveSchema(m,
+        StructType(batch.schema.filterNot(_.name == opCol)))
+      val sliceSchema = evolved
+      val stored =
+        if (affected.isEmpty) None
+        else Some(spark.read.schema(evolved)
+          .parquet(affected.toSeq.map(resolve): _*))
+      val (rewrittenRows, slice) = matchedCond match {
+        case None =>
+          classicMerge(batch, keyCol, isDel, opCol, stored, sliceSchema)
+        case Some(cond) =>
+          condMerge(batch, keyCol, isDel, opCol, cond, updateCols, stored,
+            evolved, sliceSchema)
+      }
+      try {
+        publishGeneration(spark, path, rewrittenRows, v + 1,
+          m.copy(appliedHwm = id, schemaDdl = evolved.toDDL),
+          carryForward = Some(carried), changes = Some(slice))
+        return (affected.size.toLong, carriedCount)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          val head = version
+          val removed = storedFiles(v).toSet -- storedFiles(head).toSet
+          val headHwm = readMeta(spark, path, head).appliedHwm
+          val idCollides = batchId.exists(_ <= headHwm)
+          if (attempt >= 5 || idCollides || affected.exists(removed))
+            throw e
+          DedupIndex.log.info(s"graft table $path: merge lost the v${v + 1} " +
+            s"race but is disjoint from the winner — rebasing onto v$head " +
+            s"(attempt $attempt)")
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** [[merge]]'s latest-wins upsert body: delete every stored row whose
+    * key appears in the batch, insert the non-tombstone batch rows.
+    * Returns (rewritten rows, row-level change slice).
+    */
+  private def classicMerge(batch: DataFrame, keyCol: String, isDel: Column,
+      opCol: String, stored: Option[DataFrame],
+      sliceSchema: StructType): (DataFrame, DataFrame) = {
+    val keys = batch.select(col(keyCol))
+    val upserts = (if (opCol == null) batch else batch.filter(!isDel)
+      .drop(opCol))
+    val rewritten = stored match {
+      case None => upserts
+      case Some(st) => st.join(keys, Seq(keyCol), "left_anti")
         .unionByName(upserts, allowMissingColumns = true)
-    publishGeneration(spark, path, rewrittenRows, v + 1,
-      m.copy(appliedHwm = batchId, schemaDdl = evolved.toDDL),
-      carryForward = Some(carried))
-    (affected.size.toLong, carriedCount)
+    }
+    // the row-level change slice the merge computes anyway: stored rows
+    // whose key the batch touches are the pre-images (delete for
+    // tombstoned keys, update_preimage otherwise); batch upserts are the
+    // post-images (update_postimage when a pre-image exists, insert when
+    // the key is new). O(batch + matched stored rows), never O(file).
+    val keyOps = batch.select(col(keyCol), isDel.as("_del"))
+    val slice = stored match {
+      case None =>
+        alignSlice(upserts.withColumn(ChangeType, lit("insert")), sliceSchema)
+      case Some(st) =>
+        val pre = st.join(keyOps, Seq(keyCol), "inner")
+          .withColumn(ChangeType,
+            when(col("_del"), lit("delete")).otherwise(lit("update_preimage")))
+        val existed = st.join(keys, Seq(keyCol), "left_semi")
+          .select(col(keyCol)).distinct().withColumn("_ex", lit(true))
+        val post = upserts.join(existed, Seq(keyCol), "left")
+          .withColumn(ChangeType,
+            when(col("_ex"), lit("update_postimage")).otherwise(lit("insert")))
+        alignSlice(pre, sliceSchema)
+          .unionByName(alignSlice(post, sliceSchema))
+    }
+    (rewritten, slice)
+  }
+
+  /** [[mergeCond]]'s SQL-MERGE body over one full-outer join of the
+    * affected files (`t`) with the batch (`s`). Returns
+    * (rewritten rows, row-level change slice).
+    */
+  private def condMerge(batch: DataFrame, keyCol: String, isDel: Column,
+      opCol: String, cond: Column, updateCols: Seq[String],
+      stored: Option[DataFrame], evolved: StructType,
+      sliceSchema: StructType): (DataFrame, DataFrame) = {
+    val s0 = batch.withColumn("_del", isDel)
+    val sBatch = (if (opCol == null) s0 else s0.drop(opCol)).alias("s")
+    val batchCols = batch.columns.filterNot(_ == opCol).toSet
+    val updateSet =
+      if (updateCols.nonEmpty) updateCols.toSet else batchCols - keyCol
+    def sCol(c: String) =
+      if (batchCols(c)) col(s"s.$c")
+      else lit(null).cast(evolved(c).dataType)
+    stored match {
+      case None =>
+        val ins = sBatch.filter(!col("_del"))
+        val img = ins.select(evolved.fieldNames.map(c => sCol(c).as(c)): _*)
+        (img, alignSlice(img.withColumn(ChangeType, lit("insert")),
+          sliceSchema))
+      case Some(st) =>
+        val joined = st.alias("t")
+          .join(sBatch, col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
+        val matched = col(s"t.$keyCol").isNotNull && col(s"s.$keyCol").isNotNull
+        val sOnly = col(s"t.$keyCol").isNull
+        val doDelete = matched && col("_del")
+        val doUpdate = matched && !col("_del") && coalesce(cond, lit(false))
+        val doInsert = sOnly && !col("_del")
+        // per-column final image: insert rows take the batch value,
+        // condition-passing updates take the batch value for updateSet
+        // columns, everything else preserves the stored value
+        val rewritten = joined.filter(!doDelete && !(sOnly && col("_del")))
+          .select(evolved.fieldNames.map { c =>
+            val out =
+              if (c == keyCol) coalesce(col(s"t.$c"), col(s"s.$c"))
+              else when(doInsert, sCol(c))
+                .when(doUpdate && lit(updateSet(c)), sCol(c))
+                .otherwise(col(s"t.$c"))
+            out.as(c)
+          }: _*)
+        def leg(rows: DataFrame, tpe: String) =
+          alignSlice(rows.withColumn(ChangeType, lit(tpe)), sliceSchema)
+        def tImage(of: DataFrame) =
+          of.select(evolved.fieldNames.map(c => col(s"t.$c").as(c)): _*)
+        val postImage = joined.filter(doUpdate)
+          .select(evolved.fieldNames.map { c =>
+            val out =
+              if (c == keyCol) col(s"t.$c")
+              else if (updateSet(c)) sCol(c) else col(s"t.$c")
+            out.as(c)
+          }: _*)
+        val slice =
+          leg(tImage(joined.filter(doDelete)), "delete")
+            .unionByName(leg(tImage(joined.filter(doUpdate)),
+              "update_preimage"))
+            .unionByName(leg(postImage, "update_postimage"))
+            .unionByName(leg(joined.filter(doInsert)
+              .select(evolved.fieldNames.map(c => sCol(c).as(c)): _*),
+              "insert"))
+        (rewritten, slice)
+    }
   }
 
   /** Upsert-only [[merge]] (no op column). */
@@ -664,37 +981,42 @@ final class GraftTable private[operators] (spark: SparkSession,
     merge(batch, keyCol, batchId, null)
 
   /** [[merge]] with ledger id = high-water + 1, for manual callers —
-    * refused on a stream-ledgered table ([[requireManualLedgerAllowed]]).
+    * refused on a stream-ledgered table ([[requireManualLedgerAllowed]]);
+    * the id is re-resolved on every rebase attempt, so two concurrent
+    * manual mergers of DISJOINT stripes both commit.
     */
-  def merge(batch: DataFrame, keyCol: String): (Long, Long) = {
-    val m = metaNow
-    requireManualLedgerAllowed(m, "merge")
-    merge(batch, keyCol, m.appliedHwm + 1, null)
-  }
+  def merge(batch: DataFrame, keyCol: String): (Long, Long) =
+    mergeImpl(batch, keyCol, None, null, None, Nil)
 
   /** Manual [[merge]] with an op column ([[GraftTable.DeleteOp]] rows
     * tombstone); ledger id = high-water + 1, refused on a
     * stream-ledgered table.
     */
-  def merge(batch: DataFrame, keyCol: String, opCol: String): (Long, Long) = {
-    val m = metaNow
-    requireManualLedgerAllowed(m, "merge")
-    merge(batch, keyCol, m.appliedHwm + 1, opCol)
-  }
+  def merge(batch: DataFrame, keyCol: String, opCol: String): (Long, Long) =
+    mergeImpl(batch, keyCol, None, opCol, None, Nil)
 
-  /** Row-level CHANGE FEED between two committed versions, derived from
-    * the per-version manifests alone: for every commit step `w − 1 → w`
-    * in `(fromVersion, toVersion]`, the rows of files that LEFT the
-    * manifest emit as `_change_type = 'delete'` and the rows of files
-    * that JOINED it as `'insert'`, both stamped `_commit_version = w` —
-    * Delta/Iceberg CDF semantics at FILE granularity. An append step
-    * therefore reads only its new files (no history rewrite); a merge
-    * step emits its affected files' old rows as deletes and the
-    * rewritten generation as inserts, so an untouched row of a rewritten
-    * file appears as a same-version delete+insert pair of EQUAL images —
-    * consumers fold per key with latest-version-wins and classify
-    * equal-image churn as no-op (the [[Ingest.diff]] statuses fall out:
-    * a key whose FIRST feed touch is a delete existed at the base).
+  /** Row-level CHANGE FEED between two committed versions — Delta CDF
+    * semantics, served at ROW granularity whenever the commit persisted
+    * its change slice and at FILE granularity otherwise:
+    *
+    *  - a commit that wrote `v{w}/_changes` ([[merge]]/[[mergeCond]]
+    *    persist the exact insert / delete / update_preimage /
+    *    update_postimage slice they compute anyway; [[compact]]/
+    *    [[zorder]] persist an EMPTY slice — a pure relayout changes no
+    *    rows and feeds NOTHING) serves that slice verbatim, stamped
+    *    `_commit_version = w`. A k-key merge therefore feeds O(k) rows,
+    *    never the whole rewritten file.
+    *  - a commit without a persisted slice (appends — their new files
+    *    ARE the insert slice, so persisting one would double-write the
+    *    data; `create`; legacy versions) derives it from the manifest
+    *    diff: rows of files that LEFT the manifest emit as `'delete'`,
+    *    rows of files that JOINED it as `'insert'`. An untouched row of
+    *    a legacy-rewritten file appears as a same-version delete+insert
+    *    pair of EQUAL images — consumers fold per key with
+    *    latest-version-wins, counting `update_postimage` with `insert`
+    *    and `update_preimage` with `delete`, and classify equal-image
+    *    churn as no-op (the [[Ingest.diff]] statuses fall out: a key
+    *    whose FIRST feed touch is a delete existed at the base).
     *
     * `fromVersion = 0` means "before the first commit" and is valid only
     * while version 1 is still retained; any gap (a consumed-from version
@@ -714,24 +1036,33 @@ final class GraftTable private[operators] (spark: SparkSession,
         s"$path (retained: ${vs.mkString(", ")}) — increase keepVersions " +
         "to cover the consumer's lag")
     val m = readMeta(spark, path, toVersion)
+    val f = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sliceSchema =
+      StructType(m.schema.fields :+ StructField(ChangeType, StringType))
     val fileSets = scala.collection.mutable.Map[Long, Set[String]](
       0L -> Set.empty[String])
     def fileSet(w: Long): Set[String] =
       fileSets.getOrElseUpdate(w, storedFiles(w).toSet)
     val parts = ((fromVersion + 1) to toVersion).flatMap { w =>
-      val prev = fileSet(w - 1)
-      val cur = fileSet(w)
-      def part(fl: Seq[String], tpe: String): Option[DataFrame] =
-        if (fl.isEmpty) None
-        else Some(spark.read.schema(m.schema).parquet(fl.map(resolve): _*)
-          .withColumn("_change_type", lit(tpe))
+      if (f.exists(new Path(s"$path/v$w/_changes/_SUCCESS")))
+        Seq(spark.read.schema(sliceSchema).parquet(s"$path/v$w/_changes")
           .withColumn("_commit_version", lit(w)))
-      part((prev -- cur).toSeq.sorted, "delete") ++
-        part((cur -- prev).toSeq.sorted, "insert")
+      else {
+        val prev = fileSet(w - 1)
+        val cur = fileSet(w)
+        def part(fl: Seq[String], tpe: String): Option[DataFrame] =
+          if (fl.isEmpty) None
+          else Some(spark.read.schema(m.schema).parquet(fl.map(resolve): _*)
+            .withColumn(ChangeType, lit(tpe))
+            .withColumn("_commit_version", lit(w)))
+        part((prev -- cur).toSeq.sorted, "delete") ++
+          part((cur -- prev).toSeq.sorted, "insert")
+      }
     }
     if (parts.isEmpty)
       readVersion(toVersion).limit(0)
-        .withColumn("_change_type", lit(""))
+        .withColumn(ChangeType, lit(""))
         .withColumn("_commit_version", lit(0L))
     else parts.reduce(_.unionByName(_))
   }
@@ -750,18 +1081,43 @@ final class GraftTable private[operators] (spark: SparkSession,
     * starts after `startAfter` (0 = consume from the very first commit).
     * Single consumer per cursorDir; feed-gap rules are [[readChanges]]'s.
     *
+    * `maxVersions` bounds ONE call's work (the `maxFilesPerTrigger` /
+    * Delta `maxVersionsPerTrigger` analogue): a burst of commits drains
+    * in bounded steps across repeated calls instead of one unbounded
+    * pass; cursor semantics are unchanged, so the folded result is
+    * identical at any limit.
+    *
+    * The cursor write is CRASH-SAFE: content lands in a temp file that
+    * is renamed over the old cursor, and an unparseable cursor (a crash
+    * mid-replace at worst leaves a missing file, a pre-fix truncated one
+    * an empty file) falls back to `startAfter` with a loud warning —
+    * redelivery, never a wedged consumer.
+    *
     * @return number of commits drained this call
     */
-  def drainChanges(cursorDir: String, startAfter: Long = 0L)(
+  def drainChanges(cursorDir: String, startAfter: Long = 0L,
+      maxVersions: Int = Int.MaxValue)(
       f: (DataFrame, Long) => Unit): Long = {
+    require(maxVersions > 0, s"maxVersions must be positive: $maxVersions")
     val fy = new Path(cursorDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cp = new Path(s"$cursorDir/cursor")
-    val cur = readSmall(fy, cp).map(_.trim.toLong).getOrElse(startAfter)
-    val pending = versions().filter(_ > cur)
+    val raw = readSmall(fy, cp)
+    val cur = raw.flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse {
+        if (raw.isDefined) DedupIndex.log.warn(
+          s"change-feed cursor $cp is unreadable (crash mid-write?) — " +
+            s"falling back to startAfter=$startAfter; at-least-once " +
+            "delivery means the consumer re-sees commits, never skips them")
+        startAfter
+      }
+    val pending = versions().filter(_ > cur).take(maxVersions)
     pending.foreach { w =>
       f(readChanges(w - 1, w), w)
-      writeSmall(fy, cp, w.toString)
+      val tmp = new Path(s"$cursorDir/.cursor_tmp")
+      writeSmall(fy, tmp, w.toString)
+      if (fy.exists(cp)) fy.delete(cp, false)
+      require(fy.rename(tmp, cp), s"cursor replace failed: $tmp -> $cp")
     }
     pending.size.toLong
   }
@@ -789,10 +1145,22 @@ final class GraftTable private[operators] (spark: SparkSession,
         df.repartitionByRange(n, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.coalesce(n)
+    // a pure relayout changes NO rows: persist an EMPTY change slice so
+    // the feed serves nothing for this commit instead of churning the
+    // whole table through file-diff delete+insert pairs
     publishGeneration(spark, path, out, v + 1,
-      m.copy(layoutCols = sortCols), carryForward = None)
+      m.copy(layoutCols = sortCols), carryForward = None,
+      changes = Some(emptySlice(m.schema)))
     (before.size.toLong, files().size.toLong)
   }
+
+  /** Zero-row change slice under `schema` — what a row-preserving
+    * relayout ([[compact]]/[[zorder]]) commits to the change feed.
+    */
+  private def emptySlice(schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(schema.fields :+ StructField(ChangeType, StringType)))
 
   /** Relayout along the Z-curve of `cols` ([[Layout.zkey]] — every
     * interleaved column gets narrow per-file ranges, so the manifest
@@ -811,7 +1179,8 @@ final class GraftTable private[operators] (spark: SparkSession,
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
     publishGeneration(spark, path, out, v + 1,
-      m.copy(layoutCols = cols), carryForward = None)
+      m.copy(layoutCols = cols), carryForward = None,
+      changes = Some(emptySlice(m.schema)))
   }
 
   /** Delete data files no committed manifest references (orphans from
@@ -830,12 +1199,22 @@ final class GraftTable private[operators] (spark: SparkSession,
     // must survive a vacuum (only unreferenced-by-anyone files go)
     val referenced = versions().flatMap(storedFiles(_).map(resolve)).toSet
     val f = fs(spark, path)
-    // crashed publishes leave hidden staging dirs next to the v dirs
+    // crashed publishes leave hidden staging/aside dirs next to the v
+    // dirs, and (rarely) an UNCOMMITTED v{N} remnant — publish never
+    // deletes an occupant in place (the lost-commit TOCTOU), it renames
+    // it aside; a remnant that somehow stayed is cleared here, in the
+    // single-writer maintenance window, where no racing commit exists
+    // to lose
     val baseDir = new Path(path)
     if (f.exists(baseDir))
-      f.listStatus(baseDir).filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(".v"))
-        .foreach(st => try f.delete(st.getPath, true)
+      f.listStatus(baseDir).filter { st =>
+        st.isDirectory && (st.getPath.getName.startsWith(".v") ||
+          (st.getPath.getName match {
+            case GraftTable.VerRe(n) =>
+              !GraftTable.isCommitted(f, path, n.toLong)
+            case _ => false
+          }))
+      }.foreach(st => try f.delete(st.getPath, true)
         catch { case _: Throwable => () })
     val dataDir = new Path(s"$path/data")
     if (!f.exists(dataDir)) return 0L

@@ -154,6 +154,14 @@ object ZoneMap {
       Seq(Cast(bridge.expression(c), StringType, Some("UTC"))), 42L))
   }
 
+  /** [[bloomKey]] for sibling operators probing manifest blooms
+    * DISTRIBUTED-side (e.g. [[GraftTable]]'s merge rewrite-set
+    * tightening hashes batch keys in the executors): the exact hash the
+    * bits were built under, so cross-module probes can never diverge
+    * from the scheme tag.
+    */
+  private[operators] def bloomHash(c: Column): Column = bloomKey(c)
+
   /** The probe-side twin of [[bloomKey]]: cast the literal to the
     * indexed column's type, then to string, through Catalyst itself —
     * identical canonicalization by construction. Fails loudly on a

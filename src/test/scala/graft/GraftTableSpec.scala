@@ -253,9 +253,11 @@ class GraftTableSpec extends SparkSpec {
     t.vacuum()
     assert(t.read().orderBy("k").collect().toSeq == headRows)
 
-    // two genuinely concurrent mutations: at most one commit per version
-    // survives; any loser throws ConcurrentModificationException and the
-    // table stays consistent (contiguous committed versions, exact rows)
+    // two genuinely concurrent APPENDS: at most one commit per VERSION
+    // survives, but an append's read-set is empty, so the loser REBASES
+    // onto the winner's head and commits at the next version — BOTH
+    // appends land (optimistic concurrency, the Delta/Iceberg retry
+    // discipline), at contiguous versions, with the exact union of rows
     val barrier = new java.util.concurrent.CyclicBarrier(2)
     val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val threads = Seq(300L, 400L).map { lo =>
@@ -264,22 +266,87 @@ class GraftTableSpec extends SparkSpec {
         try {
           new GraftTable(spark, p).append(rows(lo, lo + 50))
           outcomes.add("ok")
-        } catch {
-          case _: java.util.ConcurrentModificationException =>
-            outcomes.add("conflict")
-          case e: Throwable => outcomes.add(s"unexpected: $e")
-        }
+        } catch { case e: Throwable => outcomes.add(s"unexpected: $e") }
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
     import scala.jdk.CollectionConverters._
     val os = outcomes.asScala.toSeq
-    assert(os.count(_ == "ok") >= 1 && os.forall(o => o == "ok" || o == "conflict"),
-      s"racing writers must commit or lose loudly, never corrupt: $os")
+    assert(os == Seq("ok", "ok"),
+      s"disjoint concurrent appends must BOTH commit via rebase: $os")
     val vs = t.versions()
     assert(vs == (vs.head to vs.last), s"committed versions contiguous: $vs")
-    assert(t.read().count() == 300L + os.count(_ == "ok") * 50L,
-      "every surviving commit's rows — and only those — are visible")
+    assert(t.read().count() == 400L,
+      "both appends' rows — the exact union — are visible")
+    assert(t.read().filter(col("k") >= 300L).count() == 100L,
+      "both racers' 50-row batches are present")
+  }
+
+  test("optimistic rebase: disjoint merges both commit; same-stripe merges lose loudly") {
+    val p = base()
+    val t = GraftTable.create(
+      rows(0, 1000).repartitionByRange(10, col("k")).sortWithinPartitions("k"),
+      p, zoneCols = Seq("k"), keepVersions = 2)
+
+    // two concurrent merges on DISJOINT key stripes: the loser's planned
+    // rewrite-set does not intersect the winner's, so it rebases and both
+    // land — serialized at contiguous versions
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stripes = Seq(100L -> -1.0, 800L -> -2.0)
+    val threads = stripes.map { case (lo, v) =>
+      new Thread(() => {
+        barrier.await()
+        try {
+          new GraftTable(spark, p).merge(
+            (lo until lo + 20L).map(k => (k, v, "m")).toDF("k", "v", "u"), "k")
+          outcomes.add("ok")
+        } catch { case e: Throwable => outcomes.add(s"unexpected: $e") }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(outcomes.asScala.toSeq == Seq("ok", "ok"),
+      s"disjoint-stripe merges must both commit: ${outcomes.asScala.toSeq}")
+    val vs = t.versions()
+    assert(vs == (vs.head to vs.last), s"versions contiguous: $vs")
+    assert(t.read().count() == 1000)
+    assert(t.read().filter(col("k").between(100, 119))
+      .select("v").as[Double].collect().toSet == Set(-1.0))
+    assert(t.read().filter(col("k").between(800, 819))
+      .select("v").as[Double].collect().toSet == Set(-2.0))
+
+    // two concurrent merges on the SAME stripe: if their windows truly
+    // overlap, the loser's planned rewrite-set intersects the winner's
+    // committed one — rebase is REFUSED and the conflict surfaces loudly
+    // (if the scheduler happens to serialize them, both land, latest
+    // wins — also correct). Never silent corruption: afterwards every
+    // stripe key carries exactly ONE of the two batch values.
+    val b2 = new java.util.concurrent.CyclicBarrier(2)
+    val o2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val same = Seq(-7.0, -8.0).map { v =>
+      new Thread(() => {
+        b2.await()
+        try {
+          new GraftTable(spark, p).merge(
+            (500L until 520L).map(k => (k, v, "s")).toDF("k", "v", "u"), "k")
+          o2.add("ok")
+        } catch {
+          case _: java.util.ConcurrentModificationException => o2.add("conflict")
+          case e: Throwable => o2.add(s"unexpected: $e")
+        }
+      })
+    }
+    same.foreach(_.start()); same.foreach(_.join())
+    val so = o2.asScala.toSeq
+    assert(so.count(_ == "ok") >= 1 &&
+      so.forall(o => o == "ok" || o == "conflict"),
+      s"same-stripe racers must commit or lose LOUDLY, never corrupt: $so")
+    val got = t.read().filter(col("k").between(500, 519))
+      .select("v").as[Double].collect().toSet
+    assert(got == Set(-7.0) || got == Set(-8.0),
+      s"the stripe must hold exactly one racer's value: $got")
+    assert(t.read().count() == 1000)
   }
 
   test("CDC deletes: tombstone rows delete without re-insert; rewrite stays file-pruned") {
@@ -424,17 +491,26 @@ class GraftTableSpec extends SparkSpec {
       v2c.filter(col("_change_type") === "delete").count() == 0,
       "an append step reads only its new files")
     val v3c = t.readChanges(2L, 3L)
-    // the affected file(s)' old rows delete, the rewritten generation inserts
+    // the merge PERSISTED its row-level slice: the feed carries exactly
+    // the touched rows — O(k), never the whole rewritten file
+    assert(v3c.count() == 15,
+      s"a 10-key merge (5 upserts -> pre+post, 5 tombstones -> delete) " +
+        s"must feed exactly 15 rows, not file churn: ${v3c.count()}")
     assert(v3c.filter(col("_change_type") === "delete" && col("k").between(20, 24))
       .count() == 5, "tombstoned keys appear as deletes")
-    assert(v3c.filter(col("_change_type") === "insert" && col("k").between(20, 24))
-      .count() == 0, "…and are never re-inserted")
-    assert(v3c.filter(col("_change_type") === "insert" && col("k").between(10, 14) &&
-      col("v") === -1.0).count() == 5, "updated keys insert their post-image")
+    assert(v3c.filter(col("_change_type").isin("insert", "update_postimage") &&
+      col("k").between(20, 24)).count() == 0, "…and are never re-inserted")
+    assert(v3c.filter(col("_change_type") === "update_preimage" &&
+      col("k").between(10, 14) && col("v") =!= -1.0).count() == 5,
+      "updated keys carry their stored pre-image")
+    assert(v3c.filter(col("_change_type") === "update_postimage" &&
+      col("k").between(10, 14) && col("v") === -1.0).count() == 5,
+      "updated keys carry their batch post-image")
     // folding the FULL feed (from 0) by key reproduces the head exactly
     val feed = t.readChanges(0L)
     val alive = feed.withColumn("_w",
-        when(col("_change_type") === "insert", 1).otherwise(0))
+        when(col("_change_type").isin("insert", "update_postimage"), 1)
+          .otherwise(0))
       .groupBy("k")
       .agg(max(struct(col("_commit_version"), col("_w"), col("v"), col("u")))
         .as("last"))
@@ -461,6 +537,175 @@ class GraftTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.readChanges(1L, 5L) }
     assert(t.readChanges(2L, 5L).filter(col("_change_type") === "insert")
       .count() >= 20)
+  }
+
+  test("mergeCond: condition gates updates, unlisted columns preserved, inserts unconditional") {
+    val p = base()
+    val t = GraftTable.create(
+      rows(0, 400).repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      p, zoneCols = Seq("k"), keepVersions = 2)
+    // batch: keys 0..39 matched (half pass the condition), 1000..1009 new
+    val batch = ((0L until 40L).map(k =>
+        (k, if (k % 2 == 0) 1e6 else -1e6, "patched")) ++
+      (1000L until 1010L).map(k => (k, 7.0, "fresh")))
+      .toDF("k", "v", "u")
+    val v1 = t.version
+    // WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v (u preserved)
+    val (rew, _) = t.mergeCond(batch, "k", col("s.v") > col("t.v"),
+      updateCols = Seq("v"))
+    assert(rew >= 1)
+    assert(t.read().count() == 410, "inserts are unconditional")
+    // condition passed (even keys): v updated, u PRESERVED from stored
+    assert(t.read().filter(col("k") < 40 && col("k") % 2 === 0)
+      .select("v").as[Double].collect().toSet == Set(1e6))
+    assert(t.read().filter(col("k") < 40 && col("k") % 2 === 0 &&
+      col("u") === "patched").count() == 0,
+      "columns outside updateCols must keep their stored value")
+    // condition failed (odd keys): the stored row is carried UNCHANGED
+    assert(t.read().filter(col("k") < 40 && col("k") % 2 === 1)
+      .select("k", "v", "u").orderBy("k").collect().toSeq ==
+      (1L until 40L by 2).map(k => org.apache.spark.sql.Row(k, k * 2.0, s"u${k % 7}")),
+      "a non-matching MATCHED row is carried bit-identical")
+    // inserts take the batch image
+    assert(t.read().filter(col("k") >= 1000)
+      .select("u").as[String].collect().toSet == Set("fresh"))
+    // the change feed carries ONLY the real changes: 20 passing updates
+    // (pre+post) + 10 inserts; failing-condition rows feed NOTHING
+    val c = t.readChanges(v1, v1 + 1)
+    assert(c.count() == 50, s"20*(pre+post) + 10 inserts = 50: ${c.count()}")
+    assert(c.filter(col("_change_type") === "update_postimage")
+      .select("v").as[Double].collect().toSet == Set(1e6))
+    assert(c.filter(col("_change_type") === "insert").count() == 10)
+    // deletes still tombstone through the op column, unconditionally
+    val del = (0L until 5L)
+      .map(k => (k, 0.0, "x", GraftTable.DeleteOp))
+      .toDF("k", "v", "u", "op")
+    t.mergeCond(del, "k", lit(false), updateCols = Seq("v"), opCol = "op")
+    assert(t.read().filter(col("k") < 5).count() == 0,
+      "tombstones ignore the matched condition")
+  }
+
+  test("NULL op upserts as documented — never a silent tombstone") {
+    val p = base()
+    val t = GraftTable.create(
+      rows(0, 100).repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      p, zoneCols = Seq("k"))
+    // a CDC batch whose op is NULL for some rows: the contract says any
+    // non-DeleteOp value upserts — null is not DeleteOp
+    val batch = Seq(
+      (10L, -1.0, "a", "upsert"),
+      (11L, -2.0, "b", null.asInstanceOf[String]),
+      (12L, 0.0, "c", GraftTable.DeleteOp))
+      .toDF("k", "v", "u", "op")
+    t.merge(batch, "k", "op")
+    assert(t.read().filter(col("k") === 11L)
+      .select("v").as[Double].collect().toSeq == Seq(-2.0),
+      "a NULL-op row must UPSERT, not vanish")
+    assert(t.read().filter(col("k") === 12L).count() == 0)
+    assert(t.read().count() == 99)
+    // and the stream bootstrap seed follows the same rule
+    val p2 = base()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType), StructField("u", StringType),
+      StructField("op", StringType)))
+    val in = Files.createTempDirectory("graft_nullop").toString
+    batch.coalesce(1).write.parquet(s"$in/w0")
+    GraftTable.mergeStream(
+      spark.readStream.schema(schema).parquet(s"$in/w*"),
+      p2, "k", s"$in/ckpt", opCol = "op")
+    val t2 = GraftTable.open(spark, p2)
+    assert(t2.read().orderBy("k").select("k", "v").as[(Long, Double)]
+      .collect().toSeq == Seq((10L, -1.0), (11L, -2.0)),
+      "the bootstrap seed must keep NULL-op rows and drop only DeleteOp")
+  }
+
+  test("drain cursor: crash-truncated cursor falls back loudly; rate limit bounds one call") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 50), p, zoneCols = Seq("k"),
+      nFiles = 1, keepVersions = 8)
+    (1 to 5).foreach(i => t.append(rows(i * 50L, i * 50L + 50L))) // v2..v6
+    val cdir = Files.createTempDirectory("graft_cur").toString
+
+    // rate limit: 6 pending commits, limit 2 -> three calls, one tail
+    var seen = Seq.empty[Long]
+    def drain(limit: Int): Long =
+      t.drainChanges(cdir, maxVersions = limit)((_, v) => seen = seen :+ v)
+    assert(drain(2) == 2L && drain(2) == 2L && drain(2) == 2L)
+    assert(drain(2) == 0L, "bounded steps drain the burst completely")
+    assert(seen == (1L to 6L), "same commits, same order, bounded batches")
+
+    // crash mid-cursor-write at worst leaves an empty/garbage file: the
+    // next drain must fall back to startAfter and REDELIVER, never wedge
+    val cp = java.nio.file.Paths.get(s"$cdir/cursor")
+    java.nio.file.Files.write(cp, Array.emptyByteArray)
+    var again = Seq.empty[Long]
+    val n = t.drainChanges(cdir, startAfter = 4L)((_, v) => again = again :+ v)
+    assert(n == 2L && again == Seq(5L, 6L),
+      "unparseable cursor = at-least-once from startAfter, not an exception")
+    // ...and the healed cursor resumes exactly
+    assert(t.drainChanges(cdir)((_, _) => ()) == 0L)
+  }
+
+  test("compaction and z-order feed NOTHING through the change feed") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 300), p, zoneCols = Seq("k"),
+      nFiles = 6, keepVersions = 6)
+    t.append(rows(300, 350)) // v2
+    val (before, after) = t.compact(targetRows = 400, sortCols = Seq("k")) // v3
+    assert(after < before)
+    t.zorder(Seq("k", "v"), nFiles = 4) // v4
+    assert(t.readChanges(2L, 3L).count() == 0,
+      "a pure relayout changes no rows — the feed must be EMPTY, not table churn")
+    assert(t.readChanges(3L, 4L).count() == 0, "z-order too")
+    // the cursor walks across the relayouts without manufacturing churn
+    val cdir = Files.createTempDirectory("graft_cmp").toString
+    var rowsSeen = 0L
+    t.drainChanges(cdir)((df, _) => rowsSeen += df.count())
+    assert(rowsSeen == 350L, "only the create + append rows ever feed")
+  }
+
+  test("legacy bloom scheme: a table whose meta lacks the tag refuses bloom probes loudly") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 200).repartition(4), p,
+      zoneCols = Seq("v"), bloomCols = Seq("k"), bloomItems = 1000L)
+    assert(t.scanFileCount(Seq(ZoneMap.Point("k", 7L))) <= 4)
+    // simulate a pre-tag table: rewrite v1's meta without bloom_scheme
+    val metaDir = s"$p/v${t.version}/meta"
+    val legacy = spark.read.parquet(metaDir).drop("bloom_scheme")
+      .localCheckpoint(true)
+    legacy.coalesce(1).write.mode("overwrite").parquet(metaDir)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.open(spark, p).scan(Seq(ZoneMap.Point("k", 7L)))
+    }
+    assert(e.getMessage.contains("hash scheme"),
+      s"the refusal must name the scheme mismatch: ${e.getMessage}")
+  }
+
+  test("manifest blooms tighten the merge rewrite set beyond zone ranges") {
+    // hash-scattered layout: every file spans the full key range, so
+    // zone min/max prunes NOTHING for a sparse key batch — the per-file
+    // bloom must shrink the rewrite set to the files that hold the keys
+    val data = rows(0, 2000).repartition(16)
+    val batch = Seq((777L, -1.0, "x")).toDF("k", "v", "u")
+    val pZones = base()
+    val zonesOnly = GraftTable.create(data, pZones, zoneCols = Seq("k"))
+    val (rewZones, _) = zonesOnly.merge(batch, "k")
+    assert(rewZones >= 12L,
+      s"scattered layout: zones alone cannot prune the rewrite: $rewZones")
+    val pBloom = base()
+    val bloomed = GraftTable.create(data, pBloom, zoneCols = Seq("k"),
+      bloomCols = Seq("k"), bloomItems = 1000L, bloomFpp = 0.01)
+    val (rewBloom, carriedBloom) = bloomed.merge(batch, "k")
+    assert(rewBloom < rewZones && rewBloom >= 1 && rewBloom <= 4,
+      s"per-file blooms must strictly shrink the rewrite set: $rewBloom")
+    assert(rewBloom + carriedBloom == 16L)
+    assert(bloomed.read().filter(col("k") === 777L)
+      .select("v").as[Double].collect().toSeq == Seq(-1.0))
+    assert(bloomed.read().count() == 2000)
+    // correctness unchanged: both tables converge to the same rows
+    assert(bloomed.read().orderBy("k").collect().toSeq ==
+      zonesOnly.read().orderBy("k").collect().toSeq)
   }
 
   test("vacuum deletes exactly the unreferenced files; reads unaffected") {
