@@ -339,6 +339,86 @@ private[graft] object EntryExt {
       .orderBy("event_type")
   }
 
+  /** The PERSISTED row-level change slice, verified against a full SQL
+    * replay: one CDC merge (updates on the stored multiples of 8,
+    * deletes on the stored ≡2 mod 8, inserts keyed on the odd multiples
+    * of 3 — keys the even-only table does not hold) commits its exact
+    * insert / delete / update_preimage / update_postimage slice inside
+    * the same atomic version
+    * ([[graft.operators.GraftTable.readChanges]] serves it verbatim — a
+    * k-key merge feeds O(k) rows, never the rewritten files' churn),
+    * and a follow-up compaction commits an EMPTY slice (required
+    * in-body: a pure relayout feeds NOTHING). The slice is deterministic
+    * set algebra over the fixture, so the oracle replays all four legs
+    * as a UNION ALL of the same arithmetic; per-row `value + c` is exact
+    * IEEE on both engines, no rounding needed.
+    */
+  private[graft] def qMergeCdf(s: SparkSession, d: String): DataFrame = {
+    val base = Scratch.dir("graft_mcdf") + "/t"
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    val tbl = operators.GraftTable.create(
+      ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"),
+      base, zoneCols = Seq("event_id"), keepVersions = 4)
+    val v1 = tbl.version
+    val del = operators.GraftTable.DeleteOp
+    val batch = ev.filter(col("event_id") % 8 === 0)
+        .withColumn("value", col("value") + 1000).withColumn("op", lit("u"))
+      .unionByName(
+        ev.filter(col("event_id") % 2 === 1 && col("event_id") % 3 === 0)
+          .withColumn("value", col("value") + 500).withColumn("op", lit("u")))
+      .unionByName(
+        ev.filter(col("event_id") % 8 === 2).withColumn("op", lit(del)))
+    tbl.merge(batch, "event_id", "op")
+    tbl.compact(targetRows = 1000000)
+    require(tbl.readChanges(v1 + 1, v1 + 2).count() == 0,
+      "a pure relayout commits an empty slice — the feed must carry nothing")
+    tbl.readChanges(v1, v1 + 1)
+      .select(col("event_id"), col("_change_type").as("change_type"),
+        col("value").as("val"))
+      .orderBy("event_id", "change_type")
+  }
+
+  /** Conditional partial-column MERGE
+    * ([[graft.operators.GraftTable.mergeCond]], the WHEN MATCHED AND …
+    * THEN UPDATE SET … shape): the even-keyed table takes one batch
+    * whose matched rows pass the `s.value > t.value` gate only for the
+    * multiples of 8 (+1000; the ≡4 mod 8 rows carry −1000 and FAIL —
+    * they must ride through bit-identical), updating ONLY `value` (the
+    * batch's decoy event_type must never land on a matched row), while
+    * the unmatched odd multiples of 5 insert unconditionally with the
+    * batch's own event_type. Deterministic set algebra → the oracle is
+    * one CASE over the condition's arithmetic plus the insert UNION.
+    */
+  private[graft] def qMergeCond(s: SparkSession, d: String): DataFrame = {
+    val base = Scratch.dir("graft_mcond") + "/t"
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    val tbl = operators.GraftTable.create(
+      ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"),
+      base, zoneCols = Seq("event_id"))
+    val batch = ev.filter(col("event_id") % 4 === 0)
+        .withColumn("value",
+          when(col("event_id") % 8 === 0, col("value") + 1000)
+            .otherwise(col("value") - 1000))
+        .withColumn("event_type", lit("decoy"))
+      .unionByName(
+        ev.filter(col("event_id") % 2 === 1 && col("event_id") % 5 === 0)
+          .withColumn("event_type", lit("fresh")))
+    val files = tbl.files().size
+    val (rew, carried) = tbl.mergeCond(batch, "event_id",
+      col("s.value") > col("t.value"), updateCols = Seq("value"))
+    require(rew + carried == files, s"mergeCond stays file-pruned: $rew+$carried != $files")
+    val head = tbl.read()
+    require(head.filter(col("event_type") === "decoy").count() == 0,
+      "event_type is outside updateCols — the decoy must never land on a matched row")
+    head.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
   /** Snapshot isolation / time travel on the unified table: a
     * `keepVersions = 2` table built from the even events, then the odds
     * appended — and BOTH states stay queryable, the pre-append snapshot

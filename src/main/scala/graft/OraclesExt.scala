@@ -1167,6 +1167,45 @@ private[graft] object OraclesExt {
         |)
         |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
         |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the persisted row-level slice is pure set algebra over the fixture:
+    // stored multiples of 8 emit update_preimage (stored value) +
+    // update_postimage (+1000), stored ≡2 (mod 8) emit delete at the
+    // stored value, the odd multiples of 3 — keys the even-only table
+    // does not hold — emit insert (+500); per-row value+c is exact IEEE
+    // on both engines, no rounding
+    "q_merge_cdf" ->
+      """WITH base AS (
+        |  SELECT event_id, value FROM events WHERE event_id % 2 = 0
+        |)
+        |SELECT event_id, change_type, val FROM (
+        |  SELECT event_id, 'delete' AS change_type, value AS val
+        |  FROM base WHERE event_id % 8 = 2
+        |  UNION ALL
+        |  SELECT event_id, 'update_preimage', value
+        |  FROM base WHERE event_id % 8 = 0
+        |  UNION ALL
+        |  SELECT event_id, 'update_postimage', value + 1000
+        |  FROM base WHERE event_id % 8 = 0
+        |  UNION ALL
+        |  SELECT event_id, 'insert', value + 500
+        |  FROM events WHERE event_id % 2 = 1 AND event_id % 3 = 0
+        |) ORDER BY event_id, change_type""".stripMargin,
+    // conditional merge is one CASE over the gate's arithmetic: matched
+    // multiples of 8 pass s.value > t.value (+1000 lands on value ONLY —
+    // event_type is outside updateCols, so the stored one survives), the
+    // ≡4 (mod 8) rows fail (−1000) and ride through unchanged, the odd
+    // multiples of 5 insert with the batch's own event_type
+    "q_merge_cond" ->
+      """WITH merged AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 8 = 0 THEN value + 1000 ELSE value END AS value
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'fresh' AS event_type, value
+        |  FROM events WHERE event_id % 2 = 1 AND event_id % 5 = 0
+        |)
+        |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     // merge is deterministic set algebra — (table minus batch keys) plus
     // the batch — so it replays as CASE + UNION ALL over the identical
     // arithmetic; // is integer division, matching Scala Long '/' on

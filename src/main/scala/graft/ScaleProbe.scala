@@ -473,6 +473,47 @@ object ScaleProbe {
           col("k") % 2 === 0).count()
         rew * 1000000L + tomb
       },
+      time("graft_table_contention") {
+        // commit-contention leg: 4 writers × 2 appends racing ONE table
+        // at 505k rows — optimistic rebase must land ALL 8 commits
+        // (an append's read-set is empty, so every lost race is a false
+        // conflict), at contiguous versions, with the exact union of
+        // rows and nothing double-landed. Invariants count-not-time:
+        // encoded committed-versions·10^6 + appended rows.
+        val base = Scratch.dir("scale_cont") + "/t"
+        val rows = corpus.select(col("doc_id").as("k"),
+          (col("doc_id") % 977L).as("v"))
+        val tbl = graft.operators.GraftTable.create(
+          rows.repartitionByRange(64, col("k")).sortWithinPartitions("k"),
+          base, zoneCols = Seq("k"), keepVersions = 1)
+        val barrier = new java.util.concurrent.CyclicBarrier(4)
+        val failures =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val threads = (0 until 4).map { i =>
+          new Thread(() => {
+            barrier.await()
+            (0 until 2).foreach { j =>
+              val lo = 10000000L + (i * 2 + j) * 1000L
+              try graft.operators.GraftTable.open(spark, base)
+                .append(spark.range(lo, lo + 1000L).select(
+                  col("id").as("k"), (col("id") % 977L).as("v")))
+              catch { case e: Throwable => failures.add(e) }
+            }
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        require(failures.isEmpty,
+          s"all racing appends must rebase and commit: ${failures.peek()}")
+        val vs = tbl.versions()
+        require(vs == (vs.head to vs.last),
+          s"committed versions must be contiguous under contention: $vs")
+        val appended = tbl.read().filter(col("k") >= 10000000L).count()
+        val distinctAppended = tbl.read().filter(col("k") >= 10000000L)
+          .select("k").distinct().count()
+        require(appended == distinctAppended,
+          s"no appended row may double-land: $appended vs $distinctAppended")
+        tbl.version * 1000000L + appended
+      },
       time("phrase_index_search") {
         // positional-index leg: " zz qq" planted in every 50th doc of
         // the 505k salad; the phrase must hit exactly the planted
@@ -611,6 +652,11 @@ object ScaleProbe {
     val cdcStat = stages.find(_._1 == "graft_table_cdc_feed").get._3
     assert(cdcStat % 1000000L == 1000L && cdcStat / 1000000L <= 3,
       s"cdc-feed leg stat $cdcStat != (rewritten<=3)e6 + 1000 tombstones")
+    // contention leg: 8 racing appends ALL committed (head = v9,
+    // contiguity require()d in-leg) and exactly their 8000 rows landed
+    val contStat = stages.find(_._1 == "graft_table_contention").get._3
+    assert(contStat == 9L * 1000000L + 8000L,
+      s"contention leg stat $contStat != v9·10^6 + 8000 appended rows")
     // the planted phrase hits exactly its carriers: every 50th doc
     val phHits = stages.find(_._1 == "phrase_index_search").get._3
     assert(phHits == total / 50,

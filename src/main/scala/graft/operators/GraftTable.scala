@@ -349,6 +349,23 @@ object GraftTable {
     out.result()
   }
 
+  /** Is `e` the SHAPE of a lost commit race rather than a conflict
+    * exception proper? Under contention with a short retention window
+    * (`keepVersions = 1`), a racing winner's post-commit prune can
+    * delete the loser's resolved version dir MID-ATTEMPT — the loser
+    * then fails with a missing-path error from a metadata read instead
+    * of reaching its own publish's conflict check. Callers treat these
+    * as rebasable ONLY when the head provably advanced past their base
+    * version (otherwise a genuine I/O failure must surface).
+    */
+  private[operators] def raceArtifact(e: Throwable): Boolean = e match {
+    case null => false
+    case _: java.io.FileNotFoundException => true
+    case _: org.apache.spark.sql.AnalysisException => true
+    case se: org.apache.spark.SparkException => raceArtifact(se.getCause)
+    case _ => false
+  }
+
   private def conflict(base: String, v: Long): Nothing =
     throw new java.util.ConcurrentModificationException(
       s"graft table $base: version $v was committed by another writer — " +
@@ -600,29 +617,34 @@ final class GraftTable private[operators] (spark: SparkSession,
     var attempt = 0
     while (true) {
       val v = version
-      val m = readMeta(spark, path, v)
-      val id = batchId.getOrElse {
-        requireManualLedgerAllowed(m, "append")
-        m.appliedHwm + 1
-      }
-      if (id <= m.appliedHwm) {
-        DedupIndex.log.warn(s"graft table $path: batch $id at or below " +
-          s"the applied high-water mark ${m.appliedHwm} — redelivery (or a " +
-          "non-monotone id, which violates the append contract) skipped")
-        return false
-      }
-      val evolved = GraftTable.evolveSchema(m, batch.schema)
       try {
+        val m = readMeta(spark, path, v)
+        val id = batchId.getOrElse {
+          requireManualLedgerAllowed(m, "append")
+          m.appliedHwm + 1
+        }
+        if (id <= m.appliedHwm) {
+          DedupIndex.log.warn(s"graft table $path: batch $id at or below " +
+            s"the applied high-water mark ${m.appliedHwm} — redelivery (or a " +
+            "non-monotone id, which violates the append contract) skipped")
+          return false
+        }
+        val evolved = GraftTable.evolveSchema(m, batch.schema)
         publishGeneration(spark, path, batch, v + 1,
           m.copy(appliedHwm = id, schemaDdl = evolved.toDDL),
-          carryForward = Some(manifestDf(v)))
+          // materialized NOW: under contention a racing winner's
+          // retention prune can delete v's manifest dir before this
+          // attempt's staging write evaluates the lazy read
+          carryForward = Some(manifestDf(v).localCheckpoint(true)))
         return true
       } catch {
-        case e: java.util.ConcurrentModificationException =>
+        case e: Throwable
+            if e.isInstanceOf[java.util.ConcurrentModificationException] ||
+              (GraftTable.raceArtifact(e) && version > v) =>
           attempt += 1
           val idCollides =
             batchId.exists(_ <= readMeta(spark, path, version).appliedHwm)
-          if (attempt >= 5 || idCollides) throw e
+          if (attempt >= 10 || idCollides) throw e
           DedupIndex.log.info(s"graft table $path: append lost the " +
             s"v${v + 1} race — rebasing onto v$version (attempt $attempt)")
       }
@@ -856,13 +878,21 @@ final class GraftTable private[operators] (spark: SparkSession,
           carryForward = Some(carried), changes = Some(slice))
         return (affected.size.toLong, carriedCount)
       } catch {
-        case e: java.util.ConcurrentModificationException =>
+        case e: Throwable
+            if e.isInstanceOf[java.util.ConcurrentModificationException] ||
+              (GraftTable.raceArtifact(e) && version > v) =>
           attempt += 1
           val head = version
-          val removed = storedFiles(v).toSet -- storedFiles(head).toSet
+          // base version pruned by the winner's retention → this
+          // attempt's read-set cannot be proven disjoint: conservative,
+          // the conflict surfaces (widen keepVersions to rebase merges
+          // under heavy contention)
+          val removed =
+            try storedFiles(v).toSet -- storedFiles(head).toSet
+            catch { case _: Throwable => throw e }
           val headHwm = readMeta(spark, path, head).appliedHwm
           val idCollides = batchId.exists(_ <= headHwm)
-          if (attempt >= 5 || idCollides || affected.exists(removed))
+          if (attempt >= 10 || idCollides || affected.exists(removed))
             throw e
           DedupIndex.log.info(s"graft table $path: merge lost the v${v + 1} " +
             s"race but is disjoint from the winner — rebasing onto v$head " +
