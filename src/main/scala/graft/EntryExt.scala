@@ -419,6 +419,79 @@ private[graft] object EntryExt {
       .orderBy("event_type")
   }
 
+  /** Predicate DELETE on the unified table
+    * ([[graft.operators.GraftTable.delete]], the `DELETE FROM t WHERE …`
+    * shape): the key-clustered events table drops every low-quarter row
+    * with `value < 250` — the Range pred prunes the rewrite to the
+    * low-id stripe's files (required in-body), the residual applies
+    * exactly inside them, and the commit's persisted change slice is
+    * precisely the deleted rows, all `'delete'` (required in-body via
+    * the change feed). Deletion is set algebra, so the oracle is the
+    * survivors' aggregate under the same NOT(…) arithmetic.
+    */
+  private[graft] def qDeleteWhere(s: SparkSession, d: String): DataFrame = {
+    val base = Scratch.dir("graft_dwhere") + "/t"
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    val tbl = operators.GraftTable.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"),
+      base, zoneCols = Seq("event_id"), keepVersions = 3)
+    val v1 = tbl.version
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val files = tbl.files().size
+    val before = tbl.read().count()
+    val (rew, carried) = tbl.delete(
+      Seq(operators.ZoneMap.Range("event_id", null, maxId / 4)),
+      col("value") < 250.0)
+    require(rew >= 1 && rew < files && carried == files - rew,
+      s"predicate delete must rewrite only the low-id stripe: $rew of $files")
+    val gone = before - tbl.read().count()
+    val slice = tbl.readChanges(v1, v1 + 1)
+    require(slice.count() == gone &&
+      slice.filter(col("_change_type") =!= "delete").count() == 0,
+      "the change slice must be exactly the deleted rows")
+    tbl.read()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
+  /** Predicate UPDATE on the unified table
+    * ([[graft.operators.GraftTable.update]], the `UPDATE t SET … WHERE …`
+    * shape): the high-quarter rows whose `user_id ≡ 0 (mod 3)` take
+    * `value ← value·2 + 7` (exact IEEE per row), every other row and
+    * column rides through unchanged; the Range pred confines the
+    * rewrite to the high-id stripe (required in-body) and the commit's
+    * change slice is the exact pre/post-image pair set (required
+    * in-body). One CASE over the same arithmetic is the oracle.
+    */
+  private[graft] def qUpdateWhere(s: SparkSession, d: String): DataFrame = {
+    val base = Scratch.dir("graft_uwhere") + "/t"
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    val tbl = operators.GraftTable.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"),
+      base, zoneCols = Seq("event_id"), keepVersions = 3)
+    val v1 = tbl.version
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val files = tbl.files().size
+    val (rew, carried) = tbl.update(
+      Seq(operators.ZoneMap.Range("event_id", maxId * 3 / 4, null)),
+      Map("value" -> (col("value") * 2 + 7)),
+      col("user_id") % 3 === 0)
+    require(rew >= 1 && rew < files && carried == files - rew,
+      s"predicate update must rewrite only the high-id stripe: $rew of $files")
+    val slice = tbl.readChanges(v1, v1 + 1)
+    val nPre = slice.filter(col("_change_type") === "update_preimage").count()
+    val nPost = slice.filter(col("_change_type") === "update_postimage").count()
+    require(nPre == nPost && nPre + nPost == slice.count(),
+      "the change slice must be exactly the pre/post-image pairs")
+    tbl.read()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
   /** Snapshot isolation / time travel on the unified table: a
     * `keepVersions = 2` table built from the even events, then the odds
     * appended — and BOTH states stay queryable, the pre-append snapshot

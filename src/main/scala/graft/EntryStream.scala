@@ -477,6 +477,94 @@ private[graft] object EntryStream {
       .orderBy("status", "event_type")
   }
 
+  /** The change feed as a first-class Structured Streaming SOURCE
+    * ([[graft.streaming.TableChangesSource]], `readStream
+    * .format("graft-table-changes")`): a base snapshot of the evens,
+    * then three commits — a CDC merge (bump ≡0 mod 8 +1000, delete ≡2
+    * mod 8), an append of the odd multiples of 3, and a COMPACTION —
+    * drained by an available-now run at `maxVersionsPerTrigger = 1`:
+    * exactly three micro-batches, one per commit, the relayout's EMPTY
+    * (required in-body). A second merge (re-bump ≡0 mod 16 latest-wins
+    * over the +1000, delete ≡4 mod 8) lands AFTER the stream stopped; a
+    * restart from the same checkpoint delivers exactly that one commit
+    * and nothing already consumed, and a third run delivers nothing at
+    * all (also required in-body) — the engine's offset WAL carrying the
+    * cursor [[graft.operators.GraftTable.drainChanges]] tracks by hand.
+    * Each slice is deterministic set algebra over the fixture, so the
+    * oracle replays every (commit, change_type) group closed-form; the
+    * absent compaction group is pinned by its absence from BOTH sides.
+    */
+  def streamTableChanges(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val del = graft.operators.GraftTable.DeleteOp
+    val base = Scratch.dir("graft_cfsrc")
+    val tbl = graft.operators.GraftTable.create(
+      ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"),
+      s"$base/tbl", zoneCols = Seq("event_id"), keepVersions = 6)
+    val v1 = tbl.version
+    tbl.merge(
+      ev.filter(col("event_id") % 8 === 0)
+        .withColumn("value", col("value") + 1000).withColumn("op", lit("u"))
+        .unionByName(ev.filter(col("event_id") % 8 === 2)
+          .withColumn("op", lit(del))),
+      "event_id", "op")
+    tbl.append(
+      ev.filter(col("event_id") % 2 === 1 && col("event_id") % 3 === 0))
+    tbl.compact(targetRows = 1000000)
+
+    val out = s"$base/consumed"
+    val sizes = scala.collection.concurrent.TrieMap[Long, Long]()
+    def run(): Unit = {
+      val q = s.readStream.format("graft-table-changes")
+        .option("path", s"$base/tbl")
+        .option("startingVersion", v1)
+        .option("maxVersionsPerTrigger", 1)
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val rows = b.count()
+          sizes.put(id, rows)
+          if (rows > 0) b.write.mode("append").parquet(out)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    run()
+    require(sizes.size == 3,
+      s"three commits, one micro-batch each at maxVersionsPerTrigger=1: $sizes")
+    require(sizes.filter(_._2 == 0).keySet == Set(2L),
+      s"the relayout (and ONLY it) must stream an empty batch: $sizes")
+    tbl.merge(
+      ev.filter(col("event_id") % 16 === 0)
+        .withColumn("value", col("value") + 2000).withColumn("op", lit("u"))
+        .unionByName(ev.filter(col("event_id") % 8 === 4)
+          .withColumn("op", lit(del))),
+      "event_id", "op")
+    sizes.clear()
+    run()
+    require(sizes.keySet == Set(3L) && sizes(3L) > 0,
+      s"a restart from the checkpoint delivers ONLY the new commit: $sizes")
+    sizes.clear()
+    run()
+    require(sizes.isEmpty,
+      s"a consumed commit never redelivers across restarts: $sizes")
+
+    val feed = s.read.parquet(out)
+    require(feed.filter(col("_commit_version") === v1 + 3).count() == 0,
+      "the compaction version must be absent from the consumed feed")
+    feed.withColumn("commit_seq", col("_commit_version") - v1)
+      .groupBy(col("commit_seq"), col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("commit_seq", "change_type")
+  }
+
   /** Continuous subsequence matching: the event stream's per-user value
     * points drained through `SeriesSearch.scanStream` in time-ordered
     * waves, then the 15 nearest windows read from the cumulative scored

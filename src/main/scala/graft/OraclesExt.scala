@@ -1152,6 +1152,40 @@ private[graft] object OraclesExt {
         |FROM (SELECT * FROM changed UNION ALL SELECT * FROM removed
         |      UNION ALL SELECT * FROM added)
         |GROUP BY status, event_type ORDER BY status, event_type""".stripMargin,
+    // the streamed feed is the per-commit slices verbatim, so every
+    // (commit, change_type) group is closed-form: seq 1 = merge A
+    // (update pre at base value / post at +1000 on %8==0, delete %8==2),
+    // seq 2 = the append's file-diff inserts (odd multiples of 3),
+    // seq 3 = the compaction — ABSENT from both sides (it feeds
+    // nothing), seq 4 = merge B (pre at +1000 / post at +2000 on
+    // %16==0, delete %8==4 at base value)
+    "stream_table_changes" ->
+      """WITH base AS (
+        |  SELECT event_id, value FROM events WHERE event_id % 2 = 0
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS commit_seq, 'delete' AS change_type,
+        |    COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |  FROM base WHERE event_id % 8 = 2
+        |  UNION ALL
+        |  SELECT 1, 'update_preimage', COUNT(*), ROUND(SUM(value), 2)
+        |  FROM base WHERE event_id % 8 = 0
+        |  UNION ALL
+        |  SELECT 1, 'update_postimage', COUNT(*), ROUND(SUM(value + 1000), 2)
+        |  FROM base WHERE event_id % 8 = 0
+        |  UNION ALL
+        |  SELECT 2, 'insert', COUNT(*), ROUND(SUM(value), 2)
+        |  FROM events WHERE event_id % 2 = 1 AND event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 4, 'delete', COUNT(*), ROUND(SUM(value), 2)
+        |  FROM base WHERE event_id % 8 = 4
+        |  UNION ALL
+        |  SELECT 4, 'update_preimage', COUNT(*), ROUND(SUM(value + 1000), 2)
+        |  FROM base WHERE event_id % 16 = 0
+        |  UNION ALL
+        |  SELECT 4, 'update_postimage', COUNT(*), ROUND(SUM(value + 2000), 2)
+        |  FROM base WHERE event_id % 16 = 0
+        |) ORDER BY commit_seq, change_type""".stripMargin,
     // merge-with-deletes is the same set algebra with the tombstoned
     // keys EXCLUDED instead of re-inserted: one CASE bumps the low
     // stripe's multiples of 8, one WHERE drops its ≡4 (mod 8); // is
@@ -1206,6 +1240,28 @@ private[graft] object OraclesExt {
         |)
         |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
         |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // predicate DELETE is set algebra: survivors = NOT(low quarter AND
+    // value < 250); // is integer division, matching Scala Long '/' on
+    // positives, and NULL-predicate rows are kept on both engines
+    "q_delete_where" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+        |kept AS (
+        |  SELECT e.event_type, e.value FROM events e, mx
+        |  WHERE NOT (e.event_id <= mx.m // 4 AND e.value < 250.0)
+        |)
+        |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // predicate UPDATE is one CASE over the same arithmetic: the high
+    // quarter's user_id ≡ 0 (mod 3) rows take value*2+7 (both exact
+    // IEEE per row), everything else is unchanged
+    "q_update_where" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  ROUND(SUM(CASE WHEN e.event_id >= (3 * mx.m) // 4
+        |                  AND e.user_id % 3 = 0
+        |                 THEN e.value * 2 + 7 ELSE e.value END), 2) AS v
+        |FROM events e, mx
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     // merge is deterministic set algebra — (table minus batch keys) plus
     // the batch — so it replays as CASE + UNION ALL over the identical
     // arithmetic; // is integer division, matching Scala Long '/' on

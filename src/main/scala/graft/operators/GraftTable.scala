@@ -1025,6 +1025,115 @@ final class GraftTable private[operators] (spark: SparkSession,
   def merge(batch: DataFrame, keyCol: String, opCol: String): (Long, Long) =
     mergeImpl(batch, keyCol, None, opCol, None, Nil)
 
+  /** Predicate DELETE (the `DELETE FROM t WHERE …` shape): remove every
+    * row satisfying `ZoneMap.predicate(preds) && extra`, rewriting ONLY
+    * the files zone/bloom pruning says might hold one — `preds` drives
+    * the (conservative, exact) file pruning, `extra` is an arbitrary
+    * residual over the table's columns applied inside the surviving
+    * files. A DML that matches no file is a NO-OP: no version commits
+    * (nothing changed, the feed carries nothing). The deleted rows
+    * persist as the commit's row-level change slice (`delete`), so the
+    * change feed serves O(deleted), never file churn. Not ledgered —
+    * the batch-id high-water mark is untouched, so predicate DML
+    * composes with a live `mergeStream` the way compaction does.
+    * Commit races rebase like [[merge]]: retry against the new head iff
+    * the winner's rewrite set is disjoint from this DML's.
+    *
+    * NULL semantics are SQL DELETE's: a row where the predicate is NULL
+    * is NOT deleted.
+    *
+    * @return (files rewritten, files carried untouched)
+    */
+  def delete(preds: Seq[ZoneMap.Pred], extra: Column = lit(true))
+      : (Long, Long) =
+    dmlImpl(preds, extra, None)
+
+  /** Predicate UPDATE (the `UPDATE t SET … WHERE …` shape): for every
+    * row satisfying `ZoneMap.predicate(preds) && extra`, replace each
+    * `set` column with its expression (evaluated against the row's
+    * CURRENT values, all columns addressable; cast to the column's
+    * stored type — DML never changes the schema); all other rows and
+    * columns ride through unchanged. File pruning, the no-match no-op,
+    * ledger neutrality, and race rebase are [[delete]]'s; the commit's
+    * change slice is the exact `update_preimage`/`update_postimage`
+    * pair set. Updating a zone or bloom column is safe — the rewritten
+    * generation re-indexes.
+    *
+    * @return (files rewritten, files carried untouched)
+    */
+  def update(preds: Seq[ZoneMap.Pred], set: Map[String, Column],
+      extra: Column = lit(true)): (Long, Long) = {
+    require(set.nonEmpty, "update needs at least one SET column")
+    dmlImpl(preds, extra, Some(set))
+  }
+
+  private def dmlImpl(preds: Seq[ZoneMap.Pred], extra: Column,
+      set: Option[Map[String, Column]]): (Long, Long) = {
+    require(preds.nonEmpty,
+      "predicate DML needs at least one pruning predicate — use " +
+        "Range(col) with one-sided bounds for a broad condition")
+    var attempt = 0
+    while (true) {
+      val v = version
+      val m = readMeta(spark, path, v)
+      set.foreach { s =>
+        val bad = s.keySet -- m.schema.fieldNames.toSet
+        require(bad.isEmpty,
+          s"SET columns not in the table schema: ${bad.mkString(", ")}")
+      }
+      val manifest = manifestDf(v)
+      val affected =
+        ZoneMap.pruneZoneRows(manifest, m.zoneMeta, preds)._1.toSet
+      if (affected.isEmpty) return (0L, storedFiles(v).size.toLong)
+      val carried = manifest.filter(!col("file").isInCollection(affected))
+        .localCheckpoint(true)
+      val carriedCount = carried.count()
+      val cond = coalesce(ZoneMap.predicate(preds) && extra, lit(false))
+      val stored = spark.read.schema(m.schema)
+        .parquet(affected.toSeq.map(resolve): _*)
+      val (rewritten, slice) = set match {
+        case None =>
+          (stored.filter(!cond),
+            alignSlice(stored.filter(cond)
+              .withColumn(ChangeType, lit("delete")), m.schema))
+        case Some(sets) =>
+          def image(of: DataFrame, updated: Column) =
+            of.select(m.schema.fieldNames.map { c =>
+              (sets.get(c) match {
+                case Some(e) => when(updated, e.cast(m.schema(c).dataType))
+                  .otherwise(col(c))
+                case None => col(c)
+              }).as(c)
+            }: _*)
+          val pre = stored.filter(cond)
+          (image(stored, cond),
+            alignSlice(pre.withColumn(ChangeType, lit("update_preimage")),
+                m.schema)
+              .unionByName(alignSlice(image(pre, lit(true))
+                .withColumn(ChangeType, lit("update_postimage")), m.schema)))
+      }
+      try {
+        publishGeneration(spark, path, rewritten, v + 1, m,
+          carryForward = Some(carried), changes = Some(slice))
+        return (affected.size.toLong, carriedCount)
+      } catch {
+        case e: Throwable
+            if e.isInstanceOf[java.util.ConcurrentModificationException] ||
+              (GraftTable.raceArtifact(e) && version > v) =>
+          attempt += 1
+          val head = version
+          val removed =
+            try storedFiles(v).toSet -- storedFiles(head).toSet
+            catch { case _: Throwable => throw e }
+          if (attempt >= 10 || affected.exists(removed)) throw e
+          DedupIndex.log.info(s"graft table $path: DML lost the v${v + 1} " +
+            s"race but is disjoint from the winner — rebasing onto v$head " +
+            s"(attempt $attempt)")
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Row-level CHANGE FEED between two committed versions — Delta CDF
     * semantics, served at ROW granularity whenever the commit persisted
     * its change slice and at FILE granularity otherwise:

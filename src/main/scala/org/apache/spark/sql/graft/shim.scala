@@ -24,3 +24,24 @@ object CacheBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.isEmpty
 }
+
+/** Bridge to the session's `private[sql]` internalCreateDataFrame — the
+  * one way a DSv1 streaming Source's `getBatch` can hand the engine a
+  * DataFrame stamped `isStreaming = true` (MicroBatchExecution asserts
+  * it; a plain batch frame is rejected). The physical rows come from the
+  * batch plan's own `queryExecution.toRdd`, so the frame stays lazy —
+  * nothing executes until the micro-batch runs. `schema` is passed
+  * explicitly (the SOURCE's declared schema, not the plan's) so
+  * nullability drift between a parquet scan and the declared stream
+  * schema cannot fail the engine's output-resolution step.
+  */
+object StreamBridge {
+  def asStreamingFrame(df: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val cd = df.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    cd.sparkSession.internalCreateDataFrame(
+      cd.queryExecution.toRdd, schema, isStreaming = true)
+  }
+}

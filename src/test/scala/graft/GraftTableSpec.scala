@@ -730,4 +730,69 @@ class GraftTableSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/data/g99")),
       "the orphaned generation must be collected")
   }
+
+  test("predicate DELETE: pruned rewrite, exact survivors, delete-only slice, no-match no-op") {
+    val p = base()
+    val t = GraftTable.create(
+      rows(0, 800).repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      p, zoneCols = Seq("k"), keepVersions = 3)
+    val nf = t.files().size.toLong
+    val (rew, car) = t.delete(Seq(ZoneMap.Range("k", null, 99L)),
+      col("u") =!= "u0")
+    assert(rew >= 1 && rew < nf && car == nf - rew,
+      s"delete must rewrite only the low-k files: $rew/$car of $nf")
+    // survivors = NOT(k <= 99 AND u != 'u0'), row-exact
+    val want = rows(0, 800).filter(!(col("k") <= 99L && col("u") =!= "u0"))
+      .orderBy("k").collect().toSeq
+    assert(t.read().orderBy("k").collect().toSeq == want)
+    // the commit's change slice is exactly the deleted rows
+    val slice = t.readChanges(1, 2)
+    assert(slice.filter(col("_change_type") =!= "delete").count() == 0)
+    assert(slice.count() == 800L - want.size)
+    // preds that prune every file: NO commit at all
+    val v = t.version
+    val filesNow = t.files().size.toLong
+    assert(t.delete(Seq(ZoneMap.Range("k", 5000L, null))) == (0L, filesNow))
+    assert(t.version == v, "a no-match DML must not commit a version")
+    // SQL NULL semantics: a NULL predicate row is NOT deleted — the
+    // files rewrite (pruning is conservative) but zero rows change
+    val n = t.read().count()
+    t.delete(Seq(ZoneMap.Range("k", 0L, 5000L)),
+      lit(null).cast("boolean"))
+    assert(t.read().count() == n, "NULL predicate must delete nothing")
+    assert(t.readChanges(t.version - 1, t.version).count() == 0)
+  }
+
+  test("predicate UPDATE: exact images, pre/post slice, zone column re-indexes, bad SET loud") {
+    val p = base()
+    val t = GraftTable.create(
+      rows(0, 800).repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      p, zoneCols = Seq("k"), keepVersions = 3)
+    val nf = t.files().size.toLong
+    val (rew, car) = t.update(Seq(ZoneMap.Range("k", 700L, null)),
+      Map("v" -> (col("v") + 0.5)), col("k") % 2 === 0)
+    assert(rew >= 1 && rew < nf && car == nf - rew,
+      s"update must rewrite only the high-k files: $rew/$car of $nf")
+    val want = rows(0, 800).select(col("k"),
+        when(col("k") >= 700L && col("k") % 2 === 0, col("v") + 0.5)
+          .otherwise(col("v")).as("v"), col("u"))
+      .orderBy("k").collect().toSeq
+    assert(t.read().orderBy("k").collect().toSeq == want)
+    // slice = the exact pre/post pairs: 50 even keys in [700, 800)
+    val slice = t.readChanges(1, 2)
+    assert(slice.filter(col("_change_type") === "update_preimage").count() == 50)
+    assert(slice.filter(col("_change_type") === "update_postimage").count() == 50)
+    assert(slice.count() == 100)
+    // updating the ZONE column itself re-indexes the rewritten files:
+    // the moved keys are findable by a pruned scan at their NEW range
+    t.update(Seq(ZoneMap.Range("k", 780L, null)),
+      Map("k" -> (col("k") + 10000L)))
+    assert(t.scan(Seq(ZoneMap.Range("k", 10780L, null))).count() == 20)
+    assert(t.read().count() == 800)
+    // a SET column outside the schema is loud
+    val e = intercept[IllegalArgumentException] {
+      t.update(Seq(ZoneMap.Range("k", 0L, 1L)), Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
 }
