@@ -492,6 +492,85 @@ private[graft] object EntryExt {
       .orderBy("event_type")
   }
 
+  /** The unified table through the SQL READ PATH
+    * ([[graft.sources.GraftTableSource]], `spark.read
+    * .format("graft-table")`): the even events load as a plain
+    * DataFrame, a `<=` filter reaches the manifest through Catalyst's
+    * own pushdown and prunes the scan to the low-id stripe's files
+    * (required in-body via the scan observability hook), and the
+    * relation is a SNAPSHOT — an append committed after `load()` must
+    * not shift the running frame's rows (required in-body), while a
+    * fresh `load()` sees it. The output is the low quarter's aggregate,
+    * a plain filtered group-by in the oracle.
+    */
+  private[graft] def qTableSql(s: SparkSession, d: String): DataFrame = {
+    val base = Scratch.dir("graft_tsql") + "/t"
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    val tbl = operators.GraftTable.create(
+      ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"),
+      base, zoneCols = Seq("event_id"), keepVersions = 2)
+    val evens = tbl.read().count()
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val df = s.read.format("graft-table").option("path", base).load()
+    val low = df.filter(col("event_id") <= maxId / 4)
+    sources.GraftTableRelation.lastScan = None
+    low.count()
+    require(sources.GraftTableRelation.lastScan.exists {
+      case (opened, total) => opened >= 1 && opened < total
+    }, s"the pushed <= filter must prune manifest files: " +
+      s"${sources.GraftTableRelation.lastScan}")
+    tbl.append(ev.filter(col("event_id") % 2 === 1))
+    require(df.count() == evens,
+      "the loaded frame is a snapshot — a later append must not shift it")
+    require(s.read.format("graft-table").option("path", base).load()
+      .count() == ev.count(), "a fresh load sees the append")
+    low.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
+  /** Zero-copy SHALLOW CLONE of the unified table
+    * ([[graft.operators.GraftTable.shallowClone]]): the even events
+    * clone by MANIFEST REFERENCE — no data file copies (required
+    * in-body: the clone root holds zero data files at birth) — then the
+    * clone takes a CDC bump (+1000 on its multiples of 8) that rewrites
+    * only the affected stripe into clone-local files while the source
+    * stays byte-identical at its version (required in-body). Both sides
+    * are closed-form, so the oracle is the two aggregates UNION'd.
+    */
+  private[graft] def qTableClone(s: SparkSession, d: String): DataFrame = {
+    val base = Scratch.dir("graft_clone")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    val src = operators.GraftTable.create(
+      ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"),
+      s"$base/src", zoneCols = Seq("event_id"))
+    val srcV = src.version
+    val cl = operators.GraftTable.shallowClone(s, s"$base/src", s"$base/cl")
+    val fs = new org.apache.hadoop.fs.Path(s"$base/cl")
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/cl/data")),
+      "a shallow clone must copy ZERO data files")
+    val (rew, carried) = cl.merge(
+      ev.filter(col("event_id") % 8 === 0)
+        .withColumn("value", col("value") + 1000),
+      "event_id")
+    require(rew >= 1 && rew + carried == src.files().size,
+      s"the clone's merge stays file-pruned over the referenced files: $rew")
+    require(src.version == srcV &&
+      src.read().count() == cl.read().count(),
+      "copy-on-write: the source must be untouched by the clone's merge")
+    def agg(df: DataFrame, side: String) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .withColumn("side", lit(side))
+    agg(cl.read(), "clone").unionByName(agg(src.read(), "src"))
+      .select("side", "event_type", "n", "v")
+      .orderBy("side", "event_type")
+  }
+
   /** Snapshot isolation / time travel on the unified table: a
     * `keepVersions = 2` table built from the even events, then the odds
     * appended — and BOTH states stay queryable, the pre-append snapshot

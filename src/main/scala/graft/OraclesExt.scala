@@ -1262,6 +1262,31 @@ private[graft] object OraclesExt {
         |                 THEN e.value * 2 + 7 ELSE e.value END), 2) AS v
         |FROM events e, mx
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // the SQL read path serves the pinned snapshot (the evens) with the
+    // pushed filter applied exactly — pruning is a hint the engine
+    // re-checks, so the oracle is the plain filtered aggregate
+    "q_table_sql" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events)
+        |SELECT e.event_type, COUNT(*) AS n, ROUND(SUM(e.value), 2) AS v
+        |FROM events e, mx
+        |WHERE e.event_id % 2 = 0 AND e.event_id <= mx.m // 4
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // a shallow clone shares the source's rows by reference, then the
+    // clone's merge bumps ITS multiples of 8 while the source stays
+    // untouched — both sides are the same closed-form set algebra
+    "q_table_clone" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id, value FROM events WHERE event_id % 2 = 0
+        |)
+        |SELECT 'clone' AS side, event_type, COUNT(*) AS n,
+        |  ROUND(SUM(CASE WHEN event_id % 8 = 0 THEN value + 1000
+        |            ELSE value END), 2) AS v
+        |FROM base GROUP BY event_type
+        |UNION ALL
+        |SELECT 'src' AS side, event_type, COUNT(*) AS n,
+        |  ROUND(SUM(value), 2) AS v
+        |FROM base GROUP BY event_type
+        |ORDER BY side, event_type""".stripMargin,
     // merge is deterministic set algebra — (table minus batch keys) plus
     // the batch — so it replays as CASE + UNION ALL over the identical
     // arithmetic; // is integer division, matching Scala Long '/' on

@@ -514,6 +514,37 @@ object ScaleProbe {
           s"no appended row may double-land: $appended vs $distinctAppended")
         tbl.version * 1000000L + appended
       },
+      time("graft_table_dml") {
+        // predicate-DML leg at 505k rows: DELETE WHERE then UPDATE SET
+        // WHERE, both confined by zone pruning to the [1000, 3000) key
+        // stripe's files. Invariants (count-not-time): survivor and
+        // updated counts exact, each rewrite a strict file subset, and
+        // each commit's persisted slice O(changed) — the property that
+        // keeps a 100 TB table's DML cost ∝ the match, not the corpus.
+        // Encoded rewrittenDelete·10^6 + rewrittenUpdate·10^4 + slices.
+        val base = Scratch.dir("scale_dml") + "/t"
+        val rows = corpus.select(col("doc_id").as("k"),
+          (col("doc_id") % 977L).as("v"))
+        val tbl = graft.operators.GraftTable.create(
+          rows.repartitionByRange(64, col("k")).sortWithinPartitions("k"),
+          base, zoneCols = Seq("k"), keepVersions = 3)
+        val nf = tbl.files().size
+        val stripe = Seq(graft.operators.ZoneMap.Range("k", 1000L, 2999L))
+        val (rewD, _) = tbl.delete(stripe, col("k") % 2 === 0)
+        require(rewD >= 1 && rewD < nf,
+          s"predicate delete must rewrite a strict file subset: $rewD of $nf")
+        require(tbl.read().count() == total - 1000L,
+          "exactly the stripe's 1000 evens must be deleted")
+        val delSlice = tbl.readChanges(1L, 2L).count()
+        val (rewU, _) = tbl.update(stripe,
+          Map("v" -> (col("v") + 100000L)), col("k") % 2 === 1)
+        require(rewU >= 1 && rewU < nf,
+          s"predicate update must rewrite a strict file subset: $rewU of $nf")
+        require(tbl.read().filter(col("v") >= 100000L).count() == 1000L,
+          "exactly the stripe's 1000 odds must be updated")
+        val updSlice = tbl.readChanges(2L, 3L).count()
+        rewD * 1000000L + rewU * 10000L + delSlice + updSlice
+      },
       time("phrase_index_search") {
         // positional-index leg: " zz qq" planted in every 50th doc of
         // the 505k salad; the phrase must hit exactly the planted
@@ -657,6 +688,13 @@ object ScaleProbe {
     val contStat = stages.find(_._1 == "graft_table_contention").get._3
     assert(contStat == 9L * 1000000L + 8000L,
       s"contention leg stat $contStat != v9·10^6 + 8000 appended rows")
+    // predicate-DML leg: the delete slice is exactly the 1000 tombstoned
+    // evens, the update slice exactly the 1000 odds' pre/post pairs
+    // (2000 rows), and both rewrites stayed on the stripe's file(s)
+    val dmlStat = stages.find(_._1 == "graft_table_dml").get._3
+    assert(dmlStat % 10000L == 3000L && dmlStat / 1000000L <= 3 &&
+      (dmlStat % 1000000L) / 10000L <= 3,
+      s"dml leg stat $dmlStat != (rewD<=3)e6 + (rewU<=3)e4 + 3000 slice rows")
     // the planted phrase hits exactly its carriers: every 50th doc
     val phHits = stages.find(_._1 == "phrase_index_search").get._3
     assert(phHits == total / 50,

@@ -406,6 +406,66 @@ object GraftTable {
     * UNCOMMITTED `v{v}` dir can only be such a remnant (a live racer
     * stages elsewhere) and is cleared.
     */
+  /** Zero-copy SHALLOW CLONE (the Delta `CLONE` shape): a NEW table at
+    * `destPath` whose v1 manifest references the SOURCE's data files by
+    * absolute path — no data moves, zone ranges and blooms copy verbatim
+    * (the clone prunes exactly like the source from birth), and the
+    * commit itself is metadata-sized regardless of table size: cloning
+    * 100 TB costs one manifest write. Copy-on-write from there: every
+    * clone mutation writes its own generations under the clone root; a
+    * merge/DML rewrite replaces absolute source references with
+    * clone-local files for the affected stripe only, and the two tables
+    * diverge file-by-file. The clone's ledger resets (hwm −1, stream
+    * flag off — a clone is a new mutation lineage, like Delta's
+    * transaction-id reset) and `keepVersions` is the clone's own.
+    *
+    * The one shared-fate caveat, same as the public formats': `vacuum`
+    * on the SOURCE deletes files only the source's retained versions
+    * reference — a clone holding absolute references into a vacuumed
+    * source breaks. Clone from sources whose data files are stable, or
+    * snapshot-copy instead. The CLONE's own vacuum is safe: it sweeps
+    * only `destPath/data`, never out-of-root references.
+    *
+    * @param versionAsOf clone the source AS OF a retained version
+    *                    (default: current head)
+    */
+  def shallowClone(spark: SparkSession, srcPath: String, destPath: String,
+      versionAsOf: Long = -1L, keepVersions: Int = 1): GraftTable = {
+    val src = open(spark, srcPath)
+    val v = if (versionAsOf >= 0L) versionAsOf else src.version
+    require(src.versions().contains(v),
+      s"clone source version $v is not committed/retained under $srcPath " +
+        s"(retained: ${src.versions().mkString(", ")})")
+    require(currentVersion(spark, destPath).isEmpty,
+      s"clone destination $destPath is already a graft table")
+    require(new Path(srcPath).toUri.getPath !=
+      new Path(destPath).toUri.getPath, "clone destination == source")
+    val m = readMeta(spark, srcPath, v)
+    val srcRoot = new Path(srcPath).toUri.getPath
+    val manifest = src.manifestDf(v).withColumn("file",
+      when(col("file").startsWith("/"), col("file"))
+        .otherwise(concat(lit(srcRoot + "/"), col("file"))))
+    val f = fs(spark, destPath)
+    val token = java.util.UUID.randomUUID().toString
+    val staging = s"$destPath/.v1_stage_$token"
+    manifest.repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
+    writeMeta(spark, s"$staging/meta",
+      m.copy(appliedHwm = -1L, streamed = false,
+        keepVersions = keepVersions))
+    writeSmall(f, new Path(s"$staging/_publisher"), token)
+    val verDir = new Path(s"$destPath/v1")
+    val renamed =
+      try f.rename(new Path(staging), verDir)
+      catch { case _: Throwable => false }
+    if (!(renamed &&
+        readSmall(f, new Path(verDir, "_publisher")).contains(token))) {
+      try f.delete(new Path(staging), true) catch { case _: Throwable => () }
+      conflict(destPath, 1L)
+    }
+    new GraftTable(spark, destPath)
+  }
+
   private[operators] def publishGeneration(spark: SparkSession, base: String,
       rows: DataFrame, v: Long, meta: Meta,
       carryForward: Option[DataFrame],
@@ -588,6 +648,27 @@ final class GraftTable private[operators] (spark: SparkSession,
   def scanFileCount(preds: Seq[ZoneMap.Pred]): Long =
     ZoneMap.pruneZoneRows(manifestDf(version), metaNow.zoneMeta, preds)
       ._1.size.toLong
+
+  /** The files a pruned scan of VERSION `v` must open (resolved), with
+    * the total file count — the version-pinned planning primitive behind
+    * the SQL read path ([[graft.sources.GraftTableSource]]), whose
+    * relation is a snapshot of the version it loaded. Empty `preds`
+    * skips pruning (full manifest).
+    */
+  private[graft] def pruneFiles(v: Long, preds: Seq[ZoneMap.Pred])
+      : (Seq[String], Int) = {
+    val all = storedFiles(v)
+    if (preds.isEmpty) (all.map(resolve), all.size)
+    else {
+      val m = readMeta(spark, path, v)
+      (ZoneMap.pruneZoneRows(manifestDf(v), m.zoneMeta, preds)._1
+        .map(resolve), all.size)
+    }
+  }
+
+  /** Schema of version `v` — for snapshot-pinned readers. */
+  private[graft] def schemaAt(v: Long): StructType =
+    readMeta(spark, path, v).schema
 
   /** Fold a batch in under `batchId`: new data files + the union
     * manifest + the advanced ledger commit as one version. Ids at or

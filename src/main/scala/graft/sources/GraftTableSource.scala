@@ -1,0 +1,147 @@
+package graft.sources
+
+import graft.operators.{GraftTable, ZoneMap}
+import org.apache.spark.internal.Logging
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, Row, SQLContext}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{And, BaseRelation, DataSourceRegister,
+  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
+  LessThan, LessThanOrEqual, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** The SQL batch read path for [[graft.operators.GraftTable]]:
+  * `spark.read.format("graft-table").option("path", root).load()` — a
+  * plain DataFrame whose FILTERS drive the table's zone + bloom manifest
+  * pruning through Catalyst's own pushdown, with no hand-held
+  * `scan(preds)` call. `df.filter($"k" <= 100)` plans a scan that opens
+  * only the files whose zone ranges (and blooms, for equality) might
+  * hold a matching row — the capability that matters at 100 TB, where
+  * "read the manifest, open 3 of 40,000 files" versus "list and read
+  * everything" IS the query's cost.
+  *
+  * Architecture: a DSv1 [[PrunedFilteredScan]] relation (the
+  * declarative-source shape Catalyst has pushed projection + filters
+  * into since Spark 1.3). `buildScan` receives the pushed filters,
+  * translates the zone-expressible ones (`=`, `<`, `<=`, `>`, `>=`,
+  * `AND`; strict bounds widen to the inclusive zone check — pruning is
+  * conservative, never wrong), prunes the version-pinned manifest, and
+  * serves the surviving parquet with the full residual applied — AND
+  * declares every filter unhandled, so the engine re-applies them all:
+  * pruning is a performance hint; exactness never depends on it.
+  * Projection rides the same path (`requiredColumns` → parquet column
+  * pruning), and `needConversion = false` hands Spark the internal rows
+  * directly — no Row round-trip on the hot path.
+  *
+  * SNAPSHOT semantics: the relation pins the table version current at
+  * `load()`; concurrent commits never shift a running query's input
+  * (the time-travel guarantee, free because versions are immutable).
+  *
+  * The read is the only direction here — writes keep going through
+  * [[GraftTable]]'s transactional API, whose ledger/CDF/conflict
+  * machinery a blind `save()` could not honor.
+  */
+final class GraftTableSource
+  extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("path") => v
+    }.getOrElse(sys.error(
+      "graft-table requires option 'path' — the GraftTable root"))
+    val tbl = GraftTable.open(ctx.sparkSession, path)
+    val v = parameters.collectFirst {
+      case (k, s) if k.equalsIgnoreCase("versionAsOf") => s.trim.toLong
+    }.getOrElse(tbl.version)
+    new GraftTableRelation(ctx, tbl, v)
+  }
+}
+
+/** One snapshot-pinned relation; see [[GraftTableSource]]. */
+final class GraftTableRelation(ctx: SQLContext, tbl: GraftTable,
+    snapshotVersion: Long) extends BaseRelation with PrunedFilteredScan
+  with Logging {
+
+  override def sqlContext: SQLContext = ctx
+
+  override val schema: StructType = tbl.schemaAt(snapshotVersion)
+
+  /** Every filter is ALSO re-applied by the engine — this relation uses
+    * them only to prune files and to push row-group filtering into the
+    * inner parquet read, both conservative.
+    */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  /** buildScan's rows are the inner plan's internal rows verbatim. */
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val preds = filters.toSeq.flatMap(toPreds)
+    val (files, total) = tbl.pruneFiles(snapshotVersion, preds)
+    GraftTableRelation.lastScan = Some((files.size, total))
+    logInfo(s"graft-table scan of ${tbl.path}@v$snapshotVersion: " +
+      s"${files.size}/$total files under ${filters.length} pushed filters")
+    val spark = ctx.sparkSession
+    val base =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    // residual inside the inner read too: parquet row-group stats and
+    // codegen'd filtering do their part before rows surface (the engine
+    // still re-applies everything above — see unhandledFilters)
+    val filtered = filters.toSeq.flatMap(toColumn)
+      .foldLeft(base)((df, c) => df.filter(c))
+    val projected =
+      filtered.select(requiredColumns.toIndexedSeq.map(n =>
+        col(s"`$n`")): _*)
+    projected.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  /** Zone-expressible translation — conservative by construction:
+    * strict bounds widen to inclusive (the zone check is min/max
+    * inclusive), untranslatable filters prune nothing. `Or` is skipped:
+    * `pruneZoneRows` ANDs its predicate list, and a wrongly-ANDed `Or`
+    * arm would prune files a disjunct still needs.
+    */
+  private def toPreds(f: Filter): Seq[ZoneMap.Pred] = f match {
+    case EqualTo(a, v) if v != null => Seq(ZoneMap.Point(a, v))
+    case GreaterThan(a, v) if v != null => Seq(ZoneMap.Range(a, lo = v))
+    case GreaterThanOrEqual(a, v) if v != null =>
+      Seq(ZoneMap.Range(a, lo = v))
+    case LessThan(a, v) if v != null => Seq(ZoneMap.Range(a, hi = v))
+    case LessThanOrEqual(a, v) if v != null => Seq(ZoneMap.Range(a, hi = v))
+    case And(l, r) => toPreds(l) ++ toPreds(r)
+    case _ => Nil
+  }
+
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) if vs.nonEmpty => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) =>
+      for (cl <- toColumn(l); cr <- toColumn(r)) yield cl && cr
+    case _ => None
+  }
+
+  override def toString: String =
+    s"GraftTableRelation[${tbl.path}@v$snapshotVersion]"
+}
+
+object GraftTableRelation {
+  /** Last scan's (files opened, files total) — observability for specs
+    * and in-body pruning requires. Process-global and set per action;
+    * read it immediately after the action whose scan you are asserting.
+    */
+  @volatile var lastScan: Option[(Int, Int)] = None
+}

@@ -1,0 +1,90 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.GraftTable
+import org.apache.spark.sql.functions._
+
+/** The SQL read path (`spark.read.format("graft-table")`): pushed
+  * filters prune manifest files, projection reaches the parquet read,
+  * results are exactly the transactional API's — and pruning is a HINT,
+  * so untranslatable shapes (OR) stay row-exact at full scan cost rather
+  * than wrongly pruning.
+  */
+class GraftTableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base(): String =
+    Files.createTempDirectory("graft_sql_spec").toString + "/t"
+
+  private def rows(lo: Long, hi: Long) =
+    (lo until hi).map(k => (k, k * 2.0, s"u${k % 7}")).toDF("k", "v", "u")
+
+  private def load(p: String) =
+    spark.read.format("graft-table").option("path", p).load()
+
+  test("SQL path == transactional read; pushed range filter prunes; projection prunes columns") {
+    val p = base()
+    val t = GraftTable.create(
+      rows(0, 800).repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      p, zoneCols = Seq("k"))
+    val df = load(p)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "v", "u"))
+
+    // full-scan equality with the transactional API
+    assert(df.orderBy("k").collect().toSeq ==
+      t.read().orderBy("k").collect().toSeq)
+
+    // a narrow range filter must open fewer files than the manifest holds
+    GraftTableRelation.lastScan = None
+    val got = df.filter(col("k") >= 650L && col("k") <= 720L)
+      .select("k", "v").orderBy("k").collect().toSeq
+    val want = t.read().filter(col("k") >= 650L && col("k") <= 720L)
+      .select("k", "v").orderBy("k").collect().toSeq
+    assert(got == want && got.size == 71)
+    assert(GraftTableRelation.lastScan.exists {
+      case (opened, total) => opened >= 1 && opened < total
+    }, s"range pushdown must prune: ${GraftTableRelation.lastScan}")
+
+    // equality filter + single-column projection stays exact
+    val one = df.filter(col("k") === 123L).select("u").collect()
+    assert(one.map(_.getString(0)).toSeq == Seq(s"u${123 % 7}"))
+  }
+
+  test("OR filters never wrongly prune; aggregates over the SQL path exact") {
+    val p = base()
+    GraftTable.create(
+      rows(0, 400).repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      p, zoneCols = Seq("k"))
+    val df = load(p)
+    // an OR across distant stripes is untranslatable for an AND-composed
+    // zone check: the scan must open everything and return exact rows
+    GraftTableRelation.lastScan = None
+    val got = df.filter(col("k") < 10L || col("k") >= 390L).count()
+    assert(got == 20)
+    assert(GraftTableRelation.lastScan.exists {
+      case (opened, total) => opened == total
+    }, s"OR must not prune: ${GraftTableRelation.lastScan}")
+    assert(df.agg(sum("v")).head.getDouble(0) ==
+      (0L until 400L).map(_ * 2.0).sum)
+  }
+
+  test("snapshot pinning and versionAsOf; missing path loud") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 100), p, zoneCols = Seq("k"),
+      nFiles = 2, keepVersions = 3)
+    val df = load(p) // pins v1
+    t.append(rows(100, 150))
+    assert(df.count() == 100, "a later append must not shift a loaded frame")
+    assert(load(p).count() == 150, "a fresh load sees the append")
+    val asOf = spark.read.format("graft-table").option("path", p)
+      .option("versionAsOf", "1").load()
+    assert(asOf.count() == 100)
+
+    val e = intercept[Exception] {
+      spark.read.format("graft-table").load()
+    }
+    assert(e.getMessage.contains("path"), e.getMessage)
+  }
+}

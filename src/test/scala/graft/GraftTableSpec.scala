@@ -795,4 +795,52 @@ class GraftTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("shallow clone: zero data copies, pruning inherited, copy-on-write divergence both ways") {
+    val p = base()
+    val src = GraftTable.create(
+      rows(0, 800).repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      s"$p/src", zoneCols = Seq("k"), keepVersions = 3)
+    src.append(rows(800, 900))
+    val srcV = src.version
+
+    val cl = GraftTable.shallowClone(spark, s"$p/src", s"$p/cl")
+    val fs = new org.apache.hadoop.fs.Path(s"$p/cl")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/cl/data")),
+      "a shallow clone must copy zero data files")
+    // identical content, inherited pruning power
+    assert(cl.read().orderBy("k").collect().toSeq ==
+      src.read().orderBy("k").collect().toSeq)
+    assert(cl.scanFileCount(Seq(ZoneMap.Range("k", 850L, 899L))) <
+      cl.files().size.toLong)
+
+    // clone mutates -> source untouched; affected stripe becomes
+    // clone-local, the rest keeps referencing source files
+    val (rew, carried) = cl.delete(Seq(ZoneMap.Range("k", null, 99L)))
+    assert(rew >= 1 && carried == src.files().size.toLong - rew)
+    assert(cl.read().count() == 800)
+    assert(src.version == srcV && src.read().count() == 900,
+      "the clone's DML must never touch the source")
+    assert(cl.files().exists(_.startsWith(s"$p/src/")),
+      "untouched stripes keep referencing source files")
+
+    // source mutates -> clone untouched (snapshot semantics)
+    src.append(rows(900, 950))
+    assert(cl.read().count() == 800)
+
+    // versionAsOf clones the retained PAST; bad destinations are loud
+    val old = GraftTable.shallowClone(spark, s"$p/src", s"$p/old",
+      versionAsOf = 1L)
+    assert(old.read().count() == 800)
+    intercept[IllegalArgumentException] {
+      GraftTable.shallowClone(spark, s"$p/src", s"$p/cl")
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.shallowClone(spark, s"$p/src", s"$p/src")
+    }
+    // the clone's own vacuum never sweeps out-of-root references
+    cl.vacuum()
+    assert(cl.read().count() == 800 && src.read().count() == 950)
+  }
 }
