@@ -571,6 +571,45 @@ private[graft] object EntryExt {
       .orderBy("side", "event_type")
   }
 
+  /** Commit HISTORY + incremental compaction
+    * ([[graft.operators.GraftTable.history]] /
+    * [[graft.operators.GraftTable.compactWhere]], the DESCRIBE HISTORY
+    * and OPTIMIZE…WHERE shapes): the even events take a CDC merge, a
+    * predicate delete, then a stripe-scoped compaction — which must
+    * rewrite only the stripe's files, preserve every row, and feed
+    * NOTHING through the change feed (all required in-body) — and the
+    * commit log reports the four operations at their versions,
+    * metadata-only. Operations and versions are fixed by the fixture,
+    * so the oracle is a VALUES literal.
+    */
+  private[graft] def qTableHistory(s: SparkSession, d: String): DataFrame = {
+    val base = Scratch.dir("graft_hist") + "/t"
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    val tbl = operators.GraftTable.create(
+      ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"),
+      base, zoneCols = Seq("event_id"), keepVersions = 4)
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    tbl.merge(
+      ev.filter(col("event_id") % 8 === 0)
+        .withColumn("value", col("value") + 1000),
+      "event_id")
+    val stripe = Seq(operators.ZoneMap.Range("event_id", null, maxId / 4))
+    tbl.delete(stripe, col("value") < 250.0)
+    val files = tbl.files().size
+    val before = tbl.read().count()
+    val (rew, carried) = tbl.compactWhere(stripe, targetRows = 1000000,
+      sortCols = Seq("event_id"))
+    require(rew >= 1 && rew < files && carried == files - rew,
+      s"compactWhere must rewrite only the stripe: $rew of $files")
+    require(tbl.read().count() == before,
+      "incremental compaction is row-preserving")
+    require(tbl.readChanges(3, 4).count() == 0,
+      "a stripe relayout must feed NOTHING through the change feed")
+    tbl.history().select("version", "operation").orderBy("version")
+  }
+
   /** Snapshot isolation / time travel on the unified table: a
     * `keepVersions = 2` table built from the even events, then the odds
     * appended — and BOTH states stay queryable, the pre-append snapshot

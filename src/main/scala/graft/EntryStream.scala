@@ -565,6 +565,70 @@ private[graft] object EntryStream {
       .orderBy("commit_seq", "change_type")
   }
 
+  /** TABLE-TO-TABLE CDC REPLICATION through the streaming change-feed
+    * source — the classic composition the source exists for: a replica
+    * bootstraps from the source's base snapshot, then one AvailableNow
+    * run of `format("graft-table-changes")` at `maxVersionsPerTrigger=1`
+    * folds each commit's row-level slice into the replica as a CDC merge
+    * (post-images upsert, tombstones delete, pre-images drop — and the
+    * source's COMPACTION replicates as nothing, because its slice is
+    * empty). The replica must equal the source head row-for-row
+    * (required in-body via exceptAll both ways), so the oracle is the
+    * source head's closed form.
+    */
+  def streamTableReplicate(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val del = graft.operators.GraftTable.DeleteOp
+    val base = Scratch.dir("graft_repl")
+    val evens = ev.filter(col("event_id") % 2 === 0)
+      .repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+    val src = graft.operators.GraftTable.create(evens, s"$base/src",
+      zoneCols = Seq("event_id"), keepVersions = 6)
+    val v1 = src.version
+    val replica = graft.operators.GraftTable.create(evens, s"$base/dst",
+      zoneCols = Seq("event_id"))
+    src.merge(
+      ev.filter(col("event_id") % 8 === 0)
+        .withColumn("value", col("value") + 1000).withColumn("op", lit("u"))
+        .unionByName(ev.filter(col("event_id") % 8 === 2)
+          .withColumn("op", lit(del))),
+      "event_id", "op")
+    src.append(
+      ev.filter(col("event_id") % 2 === 1 && col("event_id") % 3 === 0))
+    src.compact(targetRows = 1000000)
+
+    val q = s.readStream.format("graft-table-changes")
+      .option("path", s"$base/src")
+      .option("startingVersion", v1)
+      .option("maxVersionsPerTrigger", 1)
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val cdc = b.filter(col("_change_type") =!= "update_preimage")
+          .withColumn("op",
+            when(col("_change_type") === "delete", lit(del))
+              .otherwise(lit("u")))
+          .drop("_change_type", "_commit_version")
+        if (!cdc.isEmpty) { replica.merge(cdc, "event_id", "op"); () }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+
+    val (srcHead, dstHead) = (src.read(), replica.read())
+    require(srcHead.exceptAll(dstHead).isEmpty &&
+      dstHead.exceptAll(srcHead).isEmpty,
+      "the replica must equal the source head row-for-row")
+    dstHead.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
   /** Continuous subsequence matching: the event stream's per-user value
     * points drained through `SeriesSearch.scanStream` in time-ordered
     * waves, then the 15 nearest windows read from the cumulative scored

@@ -1287,6 +1287,27 @@ private[graft] object OraclesExt {
         |  ROUND(SUM(value), 2) AS v
         |FROM base GROUP BY event_type
         |ORDER BY side, event_type""".stripMargin,
+    // the commit log is fixed by the fixture: create, CDC merge,
+    // predicate delete, stripe compaction — operations at their versions
+    "q_table_history" ->
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'create'),
+        |  (2, 'merge'), (3, 'delete'), (4, 'compact'))
+        |  AS t(version, operation)
+        |ORDER BY version""".stripMargin,
+    // the replica equals the source head (the body require()s it
+    // row-for-row), and the head is closed-form: %8==0 bumped +1000,
+    // %8==2 tombstoned, odd multiples of 3 appended, compaction a no-op
+    "stream_table_replicate" ->
+      """WITH merged AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 8 = 0 THEN value + 1000 ELSE value END AS value
+        |  FROM events WHERE event_id % 2 = 0 AND event_id % 8 <> 2
+        |  UNION ALL
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id % 2 = 1 AND event_id % 3 = 0
+        |)
+        |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     // merge is deterministic set algebra — (table minus batch keys) plus
     // the batch — so it replays as CASE + UNION ALL over the identical
     // arithmetic; // is integer division, matching Scala Long '/' on

@@ -123,7 +123,8 @@ object GraftTable {
       streamed = firstBatchId >= 0L)
     val v = currentVersion(spark, path).getOrElse(0L) + 1
     val sized = if (nFiles > 0) df.repartition(nFiles) else df
-    publishGeneration(spark, path, sized, v, meta, carryForward = None)
+    publishGeneration(spark, path, sized, v, meta, carryForward = None,
+      op = "create")
     new GraftTable(spark, path)
   }
 
@@ -453,6 +454,7 @@ object GraftTable {
     writeMeta(spark, s"$staging/meta",
       m.copy(appliedHwm = -1L, streamed = false,
         keepVersions = keepVersions))
+    writeSmall(f, new Path(s"$staging/_op"), "clone")
     writeSmall(f, new Path(s"$staging/_publisher"), token)
     val verDir = new Path(s"$destPath/v1")
     val renamed =
@@ -469,7 +471,8 @@ object GraftTable {
   private[operators] def publishGeneration(spark: SparkSession, base: String,
       rows: DataFrame, v: Long, meta: Meta,
       carryForward: Option[DataFrame],
-      changes: Option[DataFrame] = None): Unit = {
+      changes: Option[DataFrame] = None,
+      op: String = "write"): Unit = {
     val f = fs(spark, base)
     val verDir = new Path(s"$base/v$v")
     if (isCommitted(f, base, v)) conflict(base, v)
@@ -531,6 +534,9 @@ object GraftTable {
     // [[GraftTable.readChanges]] serves it instead of the whole-file diff
     changes.foreach(_.write.mode(SaveMode.Overwrite)
       .parquet(s"$staging/_changes"))
+    // the operation marker feeds [[GraftTable.history]]; written inside
+    // the staged commit so it is atomic with everything else
+    writeSmall(f, new Path(s"$staging/_op"), op)
     writeSmall(f, new Path(s"$staging/_publisher"), token)
     // the commit point: one atomic rename publishes the version whole
     val renamed =
@@ -716,7 +722,8 @@ final class GraftTable private[operators] (spark: SparkSession,
           // materialized NOW: under contention a racing winner's
           // retention prune can delete v's manifest dir before this
           // attempt's staging write evaluates the lazy read
-          carryForward = Some(manifestDf(v).localCheckpoint(true)))
+          carryForward = Some(manifestDf(v).localCheckpoint(true)),
+          op = "append")
         return true
       } catch {
         case e: Throwable
@@ -956,7 +963,8 @@ final class GraftTable private[operators] (spark: SparkSession,
       try {
         publishGeneration(spark, path, rewrittenRows, v + 1,
           m.copy(appliedHwm = id, schemaDdl = evolved.toDDL),
-          carryForward = Some(carried), changes = Some(slice))
+          carryForward = Some(carried), changes = Some(slice),
+          op = "merge")
         return (affected.size.toLong, carriedCount)
       } catch {
         case e: Throwable
@@ -1195,7 +1203,8 @@ final class GraftTable private[operators] (spark: SparkSession,
       }
       try {
         publishGeneration(spark, path, rewritten, v + 1, m,
-          carryForward = Some(carried), changes = Some(slice))
+          carryForward = Some(carried), changes = Some(slice),
+          op = if (set.isDefined) "update" else "delete")
         return (affected.size.toLong, carriedCount)
       } catch {
         case e: Throwable
@@ -1370,8 +1379,65 @@ final class GraftTable private[operators] (spark: SparkSession,
     // whole table through file-diff delete+insert pairs
     publishGeneration(spark, path, out, v + 1,
       m.copy(layoutCols = sortCols), carryForward = None,
-      changes = Some(emptySlice(m.schema)))
+      changes = Some(emptySlice(m.schema)), op = "compact")
     (before.size.toLong, files().size.toLong)
+  }
+
+  /** INCREMENTAL compaction (the `OPTIMIZE … WHERE …` shape): re-layout
+    * ONLY the files whose zone stats intersect `preds` into
+    * ~`ceil(stripe rows / targetRows)` files (optionally re-sorted),
+    * carrying every other manifest row untouched. Row-preserving by
+    * construction, commits an EMPTY change slice (a relayout feeds
+    * nothing), ledger untouched. At 100 TB this is how compaction debt
+    * is actually paid — stripe by stripe behind the ingest frontier,
+    * never by rewriting the table ([[compact]]'s whole-table pass).
+    * A stripe that prunes to nothing is a NO-OP: no version commits.
+    *
+    * @return (files rewritten, files carried untouched)
+    */
+  def compactWhere(preds: Seq[ZoneMap.Pred], targetRows: Long,
+      sortCols: Seq[String] = Nil): (Long, Long) = {
+    require(preds.nonEmpty, "compactWhere needs at least one predicate — " +
+      "use compact() for the whole-table pass")
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val v = version
+    val m = readMeta(spark, path, v)
+    val affected =
+      ZoneMap.pruneZoneRows(manifestDf(v), m.zoneMeta, preds)._1.toSet
+    if (affected.isEmpty) return (0L, storedFiles(v).size.toLong)
+    val carried = manifestDf(v)
+      .filter(!col("file").isInCollection(affected))
+      .localCheckpoint(true)
+    val carriedCount = carried.count()
+    val df = spark.read.schema(m.schema)
+      .parquet(affected.toSeq.map(resolve): _*)
+    val rows = df.count()
+    val n = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.coalesce(n)
+    publishGeneration(spark, path, out, v + 1, m,
+      carryForward = Some(carried),
+      changes = Some(emptySlice(m.schema)), op = "compact")
+    (affected.size.toLong, carriedCount)
+  }
+
+  /** The commit log over the RETAINED versions — (version, operation,
+    * files), metadata-only (one marker read + one manifest count per
+    * version; versions older than the retention window were pruned with
+    * their markers). Legacy versions committed before the marker
+    * existed report `"write"`.
+    */
+  def history(): DataFrame = {
+    val f = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    versions().map { v =>
+      val op = readSmall(f, new Path(s"$path/v$v/_op")).getOrElse("write")
+      (v, op, storedFiles(v).size)
+    }.toDF("version", "operation", "files")
   }
 
   /** Zero-row change slice under `schema` — what a row-preserving
@@ -1400,7 +1466,7 @@ final class GraftTable private[operators] (spark: SparkSession,
       .drop("__zkey")
     publishGeneration(spark, path, out, v + 1,
       m.copy(layoutCols = cols), carryForward = None,
-      changes = Some(emptySlice(m.schema)))
+      changes = Some(emptySlice(m.schema)), op = "zorder")
   }
 
   /** Delete data files no committed manifest references (orphans from

@@ -843,4 +843,40 @@ class GraftTableSpec extends SparkSpec {
     cl.vacuum()
     assert(cl.read().count() == 800 && src.read().count() == 950)
   }
+
+  test("history + compactWhere: ops logged; fragmented stripe consolidates, rest carried") {
+    val p = base()
+    val t = GraftTable.create(
+      rows(0, 800).repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      p, zoneCols = Seq("k"), keepVersions = 5)
+    t.append(rows(800, 900).coalesce(1)) // fragments the high-k stripe
+    t.delete(Seq(ZoneMap.Range("k", null, 49L)))
+    val filesBefore = t.files().size
+    val before = t.read().count()
+    // consolidate ONLY the fragmented tail (sampled range bounds may
+    // smear the 700 boundary across a neighbor): its files become ONE
+    val (rew, car) = t.compactWhere(Seq(ZoneMap.Range("k", 700L, null)),
+      targetRows = 100000, sortCols = Seq("k"))
+    assert(rew >= 2 && rew <= 3 && car == filesBefore.toLong - rew,
+      s"only the tail's files consolidate: $rew/$car of $filesBefore")
+    assert(t.files().size == filesBefore - rew + 1,
+      "the fragments must merge into one file")
+    assert(t.read().count() == before, "compactWhere is row-preserving")
+    assert(t.readChanges(3, 4).count() == 0,
+      "a stripe relayout feeds nothing")
+    // the tail still scans exactly after its relayout
+    assert(t.scan(Seq(ZoneMap.Range("k", 850L, 899L))).count() == 50)
+    // a stripe that prunes to nothing is a no-op, not an empty commit
+    val v = t.version
+    assert(t.compactWhere(Seq(ZoneMap.Range("k", 5000L, null)),
+      targetRows = 100)._1 == 0L && t.version == v)
+
+    assert(t.history().select("version", "operation")
+      .orderBy("version").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq == Seq((1L, "create"), (2L, "append"), (3L, "delete"),
+        (4L, "compact")))
+    val cl = GraftTable.shallowClone(spark, p, p + "_cl")
+    assert(cl.history().collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "clone")))
+  }
 }
