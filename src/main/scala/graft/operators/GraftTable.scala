@@ -407,6 +407,10 @@ object GraftTable {
     * UNCOMMITTED `v{v}` dir can only be such a remnant (a live racer
     * stages elsewhere) and is cleared.
     */
+  /** Is there a committed graft table at `path`? */
+  def exists(spark: SparkSession, path: String): Boolean =
+    currentVersion(spark, path).isDefined
+
   /** Zero-copy SHALLOW CLONE (the Delta `CLONE` shape): a NEW table at
     * `destPath` whose v1 manifest references the SOURCE's data files by
     * absolute path — no data moves, zone ranges and blooms copy verbatim
@@ -1381,6 +1385,25 @@ final class GraftTable private[operators] (spark: SparkSession,
       m.copy(layoutCols = sortCols), carryForward = None,
       changes = Some(emptySlice(m.schema)), op = "compact")
     (before.size.toLong, files().size.toLong)
+  }
+
+  /** REPLACE the table's rows atomically (`SaveMode.Overwrite` through
+    * the SQL write path, or INSERT OVERWRITE by API): ONE commit whose
+    * manifest holds only the new generation — readers switch snapshots
+    * at the rename, never see a mix, and time travel keeps the replaced
+    * version within retention. The change feed derives the full
+    * delete-old + insert-new from the manifest diff (a replace IS that
+    * change). Ledger untouched — like a relayout, a replace does not
+    * consume batch ids; schema evolves additively like [[append]].
+    */
+  def replace(df: DataFrame, nFiles: Int = 0): Unit = {
+    val v = version
+    val m = readMeta(spark, path, v)
+    val evolved = GraftTable.evolveSchema(m, df.schema)
+    val sized = if (nFiles > 0) df.repartition(nFiles) else df
+    publishGeneration(spark, path, sized, v + 1,
+      m.copy(schemaDdl = evolved.toDDL), carryForward = None,
+      op = "overwrite")
   }
 
   /** INCREMENTAL compaction (the `OPTIMIZE … WHERE …` shape): re-layout

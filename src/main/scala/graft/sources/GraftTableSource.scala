@@ -3,11 +3,12 @@ package graft.sources
 import graft.operators.{GraftTable, ZoneMap}
 import org.apache.spark.internal.Logging
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, Row, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{And, BaseRelation, DataSourceRegister,
-  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull,
-  LessThan, LessThanOrEqual, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.sources.{And, BaseRelation,
+  CreatableRelationProvider, DataSourceRegister, EqualTo, Filter,
+  GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
+  LessThanOrEqual, PrunedFilteredScan, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 /** The SQL batch read path for [[graft.operators.GraftTable]]:
@@ -37,27 +38,73 @@ import org.apache.spark.sql.types.StructType
   * `load()`; concurrent commits never shift a running query's input
   * (the time-travel guarantee, free because versions are immutable).
   *
-  * The read is the only direction here — writes keep going through
-  * [[GraftTable]]'s transactional API, whose ledger/CDF/conflict
-  * machinery a blind `save()` could not honor.
+  * WRITES route through the same transactional machinery, never a blind
+  * directory dump: `df.write.format("graft-table")` with
+  * `SaveMode.Append` appends transactionally (and CREATES the table on
+  * first write — option `zoneCols`, comma-separated, names the indexed
+  * columns; `bloomCols` optionally adds blooms), `ErrorIfExists`
+  * creates-or-refuses, `Ignore` creates-or-no-ops, and `Overwrite` is
+  * an atomic REPLACE commit (one version whose manifest holds only the
+  * new rows — readers switch snapshots at the rename, and the change
+  * feed derives the full delete+insert from the manifest diff). The
+  * ledger is honored by construction: an SQL append is a manual
+  * unledgered mutation, so stream-bootstrapped tables refuse it loudly,
+  * exactly like the API call.
   */
 final class GraftTableSource
-  extends RelationProvider with DataSourceRegister {
+  extends RelationProvider with CreatableRelationProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("path") => v
-    }.getOrElse(sys.error(
-      "graft-table requires option 'path' — the GraftTable root"))
+    val path = pathOf(parameters)
     val tbl = GraftTable.open(ctx.sparkSession, path)
     val v = parameters.collectFirst {
       case (k, s) if k.equalsIgnoreCase("versionAsOf") => s.trim.toLong
     }.getOrElse(tbl.version)
     new GraftTableRelation(ctx, tbl, v)
   }
+
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = ctx.sparkSession
+    val path = pathOf(parameters)
+    val exists = GraftTable.exists(spark, path)
+    def cols(key: String): Seq[String] = parameters.collectFirst {
+      case (k, s) if k.equalsIgnoreCase(key) =>
+        s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }.getOrElse(Nil)
+    def create(): Unit = {
+      val zs = cols("zoneCols")
+      require(zs.nonEmpty || cols("bloomCols").nonEmpty,
+        "creating a graft table through the write path needs option " +
+          "'zoneCols' (comma-separated) and/or 'bloomCols'")
+      GraftTable.create(data, path, zoneCols = zs,
+        bloomCols = cols("bloomCols"))
+      ()
+    }
+    mode match {
+      case SaveMode.Append =>
+        if (exists) GraftTable.open(spark, path).append(data) else create()
+      case SaveMode.Overwrite =>
+        if (exists) GraftTable.open(spark, path).replace(data) else create()
+      case SaveMode.ErrorIfExists =>
+        require(!exists, s"graft table $path already exists " +
+          "(SaveMode.ErrorIfExists)")
+        create()
+      case SaveMode.Ignore =>
+        if (!exists) create()
+    }
+    createRelation(ctx, parameters)
+  }
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("path") => v
+    }.getOrElse(sys.error(
+      "graft-table requires option 'path' — the GraftTable root"))
 }
 
 /** One snapshot-pinned relation; see [[GraftTableSource]]. */

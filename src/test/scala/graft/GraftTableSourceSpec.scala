@@ -87,4 +87,40 @@ class GraftTableSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("path"), e.getMessage)
   }
+
+  test("SQL write path: create-on-append, transactional append, modes, atomic replace") {
+    val p = base()
+    // first append CREATES (zoneCols option names the index)
+    rows(0, 100).write.format("graft-table").option("path", p)
+      .option("zoneCols", "k").mode("append").save()
+    val t = GraftTable.open(spark, p)
+    assert(t.version == 1 && t.read().count() == 100)
+    // later appends are transactional table appends
+    rows(100, 150).write.format("graft-table").option("path", p)
+      .mode("append").save()
+    assert(t.version == 2 && t.read().count() == 150)
+    // ErrorIfExists refuses; Ignore no-ops (no version, no rows)
+    intercept[Exception] {
+      rows(0, 1).write.format("graft-table").option("path", p)
+        .mode("errorifexists").save()
+    }
+    rows(0, 1).write.format("graft-table").option("path", p)
+      .mode("ignore").save()
+    assert(t.version == 2 && t.read().count() == 150)
+    // Overwrite is ONE atomic replace commit: only the new rows remain,
+    // stamped in the commit log
+    rows(500, 520).write.format("graft-table").option("path", p)
+      .mode("overwrite").save()
+    assert(t.version == 3 && t.read().count() == 20)
+    assert(t.history().orderBy("version").collect().last.getString(1)
+      == "overwrite")
+    // the replaced table still reads through the SQL path
+    assert(load(p).orderBy("k").select("k").collect().map(_.getLong(0)).toSeq
+      == (500L until 520L).toSeq)
+    // creating WITHOUT an index spec is loud
+    intercept[Exception] {
+      rows(0, 1).write.format("graft-table").option("path", base())
+        .mode("append").save()
+    }
+  }
 }
