@@ -81,8 +81,11 @@ final class GraftTableSource
       require(zs.nonEmpty || cols("bloomCols").nonEmpty,
         "creating a graft table through the write path needs option " +
           "'zoneCols' (comma-separated) and/or 'bloomCols'")
+      val keep = parameters.collectFirst {
+        case (k, s) if k.equalsIgnoreCase("keepVersions") => s.trim.toInt
+      }.getOrElse(1)
       GraftTable.create(data, path, zoneCols = zs,
-        bloomCols = cols("bloomCols"))
+        bloomCols = cols("bloomCols"), keepVersions = keep)
       ()
     }
     mode match {

@@ -123,4 +123,24 @@ class GraftTableSourceSpec extends SparkSpec {
         .mode("append").save()
     }
   }
+
+  test("SQL append evolves schema additively; overwrite feeds delete+insert through the CDF") {
+    val p = base()
+    rows(0, 50).write.format("graft-table").option("path", p)
+      .option("zoneCols", "k").option("keepVersions", "3")
+      .mode("append").save()
+    // an append with a NEW column evolves the schema like the API call
+    rows(50, 80).withColumn("extra", col("k") * 10)
+      .write.format("graft-table").option("path", p).mode("append").save()
+    val t = GraftTable.open(spark, p)
+    assert(t.read().schema.fieldNames.contains("extra"))
+    assert(t.read().filter(col("extra").isNull).count() == 50,
+      "pre-evolution rows read the new column as null")
+    // overwrite's change slice is the full delete(old) + insert(new)
+    rows(900, 910).write.format("graft-table").option("path", p)
+      .mode("overwrite").save()
+    val feed = t.readChanges(2, 3)
+    assert(feed.filter(col("_change_type") === "delete").count() == 80)
+    assert(feed.filter(col("_change_type") === "insert").count() == 10)
+  }
 }
