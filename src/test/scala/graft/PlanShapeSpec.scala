@@ -241,4 +241,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(rows.forall(_.getString(0) == "en"), rows.take(3).mkString(","))
     assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
+
+  test("graft-table SQL scan: filters and projection reach the relation node") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("plan_gt").toString + "/t"
+    graft.operators.GraftTable.create(
+      (0L until 400L).map(k => (k, k * 2.0, s"u${k % 7}")).toDF("k", "v", "u")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("k"))
+        .sortWithinPartitions("k"),
+      p, zoneCols = Seq("k"))
+    val df = spark.read.format("graft-table").option("path", p).load()
+      .filter(org.apache.spark.sql.functions.col("k") >= 100L &&
+        org.apache.spark.sql.functions.col("k") <= 150L)
+      .select("k", "v")
+    val s = plan(df)
+    // Catalyst hands the relation its filters (PushedFilters) and the
+    // 2-column projection (ReadSchema) — the manifest pruning path
+    assert(s.contains("PushedFilters") &&
+      s.contains("GreaterThanOrEqual(k,100)") &&
+      s.contains("LessThanOrEqual(k,150)"), s)
+    assert(s.contains("ReadSchema") && !s.contains("u#"), s)
+  }
 }
