@@ -515,12 +515,12 @@ private[graft] object EntryExt {
     val maxId = ev.agg(max("event_id")).head.getLong(0)
     val df = s.read.format("graft-table").option("path", base).load()
     val low = df.filter(col("event_id") <= maxId / 4)
-    sources.GraftTableRelation.lastScan = None
+    sources.GraftTableRelation.clearScan(base)
     low.count()
-    require(sources.GraftTableRelation.lastScan.exists {
+    require(sources.GraftTableRelation.lastScan(base).exists {
       case (opened, total) => opened >= 1 && opened < total
     }, s"the pushed <= filter must prune manifest files: " +
-      s"${sources.GraftTableRelation.lastScan}")
+      s"${sources.GraftTableRelation.lastScan(base)}")
     tbl.append(ev.filter(col("event_id") % 2 === 1))
     require(df.count() == evens,
       "the loaded frame is a snapshot — a later append must not shift it")

@@ -104,7 +104,8 @@ object GraftTable {
   def create(df: DataFrame, path: String, zoneCols: Seq[String],
       bloomCols: Seq[String] = Nil, nFiles: Int = 0,
       bloomItems: Long = 1000000L, bloomFpp: Double = 0.03,
-      firstBatchId: Long = -1L, keepVersions: Int = 1): GraftTable = {
+      firstBatchId: Long = -1L, keepVersions: Int = 1,
+      changeFeed: Boolean = true, keepHours: Double = -1.0): GraftTable = {
     require(zoneCols.nonEmpty || bloomCols.nonEmpty,
       "a graft table needs at least one zone or bloom column")
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
@@ -120,7 +121,8 @@ object GraftTable {
     val meta = Meta(zoneCols, bloomCols, bloomItems, bloomFpp, types,
       layoutCols = Nil, appliedHwm = firstBatchId,
       schemaDdl = df.schema.toDDL, keepVersions = keepVersions,
-      streamed = firstBatchId >= 0L)
+      streamed = firstBatchId >= 0L, changeFeed = changeFeed,
+      keepHours = keepHours)
     val v = currentVersion(spark, path).getOrElse(0L) + 1
     val sized = if (nFiles > 0) df.repartition(nFiles) else df
     publishGeneration(spark, path, sized, v, meta, carryForward = None,
@@ -220,7 +222,8 @@ object GraftTable {
       bloomCols: Seq[String], bloomItems: Long, bloomFpp: Double,
       types: Map[String, String], layoutCols: Seq[String],
       appliedHwm: Long, schemaDdl: String, keepVersions: Int,
-      streamed: Boolean, bloomScheme: String = ZoneMap.BloomScheme) {
+      streamed: Boolean, bloomScheme: String = ZoneMap.BloomScheme,
+      changeFeed: Boolean = true, keepHours: Double = -1.0) {
     def zoneMeta: ZoneMap.Meta =
       ZoneMap.Meta(zoneCols, bloomCols, bloomItems, bloomFpp, types,
         bloomScheme)
@@ -290,10 +293,11 @@ object GraftTable {
     val (tc, td) = m.types.toSeq.sorted.unzip
     Seq((m.zoneCols, m.bloomCols, m.bloomItems, m.bloomFpp, tc, td,
         m.layoutCols, m.appliedHwm, m.schemaDdl, m.keepVersions, m.streamed,
-        m.bloomScheme))
+        m.bloomScheme, m.changeFeed, m.keepHours))
       .toDF("zone_cols", "bloom_cols", "bloom_items", "bloom_fpp",
         "type_cols", "type_ddls", "layout_cols", "applied_hwm", "schema_ddl",
-        "keep_versions", "streamed", "bloom_scheme")
+        "keep_versions", "streamed", "bloom_scheme", "change_feed",
+        "keep_hours")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
@@ -316,6 +320,15 @@ object GraftTable {
       if (df.schema.fieldNames.contains("bloom_scheme"))
         r.getString(ix("bloom_scheme"))
       else ""
+    // policy fields that arrived after the first committed tables read
+    // back with their pre-field defaults (feed on; no time retention) —
+    // the shim only widens, never changes, committed semantics
+    val changeFeed = !df.schema.fieldNames.contains("change_feed") ||
+      r.getBoolean(ix("change_feed"))
+    val keepHours =
+      if (df.schema.fieldNames.contains("keep_hours"))
+        r.getDouble(ix("keep_hours"))
+      else -1.0
     val m = Meta(r.getSeq[String](ix("zone_cols")),
       r.getSeq[String](ix("bloom_cols")),
       r.getLong(ix("bloom_items")), r.getDouble(ix("bloom_fpp")),
@@ -323,7 +336,7 @@ object GraftTable {
         .zip(r.getSeq[String](ix("type_ddls"))).toMap,
       r.getSeq[String](ix("layout_cols")), r.getLong(ix("applied_hwm")),
       r.getString(ix("schema_ddl")), r.getInt(ix("keep_versions")), streamed,
-      scheme)
+      scheme, changeFeed, keepHours)
     require(m.bloomCols.isEmpty || m.bloomScheme == ZoneMap.BloomScheme,
       s"graft table $base has manifest blooms under hash scheme " +
         s"'${m.bloomScheme}' but this engine probes " +
@@ -443,10 +456,17 @@ object GraftTable {
         s"(retained: ${src.versions().mkString(", ")})")
     require(currentVersion(spark, destPath).isEmpty,
       s"clone destination $destPath is already a graft table")
-    require(new Path(srcPath).toUri.getPath !=
-      new Path(destPath).toUri.getPath, "clone destination == source")
+    require(fs(spark, srcPath).makeQualified(new Path(srcPath)).toUri.getPath
+      != fs(spark, destPath).makeQualified(new Path(destPath)).toUri.getPath,
+      "clone destination == source")
     val m = readMeta(spark, srcPath, v)
-    val srcRoot = new Path(srcPath).toUri.getPath
+    // fully qualify BEFORE rewriting manifest refs: a relative srcPath
+    // would emit refs without a leading '/', which the clone's resolve()
+    // re-roots under the CLONE — breaking every read. makeQualified pins
+    // the absolute form (authority-free, like every path key in this
+    // engine — ZoneMap.canonical's convention).
+    val srcRoot = fs(spark, srcPath)
+      .makeQualified(new Path(srcPath)).toUri.getPath
     val manifest = src.manifestDf(v).withColumn("file",
       when(col("file").startsWith("/"), col("file"))
         .otherwise(concat(lit(srcRoot + "/"), col("file"))))
@@ -469,6 +489,14 @@ object GraftTable {
       try f.delete(new Path(staging), true) catch { case _: Throwable => () }
       conflict(destPath, 1L)
     }
+    // register the clone against its SOURCE so a source vacuum is LOUD
+    // instead of silently breaking the clone's absolute references
+    // ([[GraftTable!.vacuum]]'s clone-safety check). Best-effort: a
+    // read-only source filesystem degrades to the documented caveat.
+    try writeSmall(fs(spark, srcPath),
+      new Path(s"$srcPath/_clones/$token"),
+      fs(spark, destPath).makeQualified(new Path(destPath)).toUri.getPath)
+    catch { case _: Throwable => () }
     new GraftTable(spark, destPath)
   }
 
@@ -535,9 +563,15 @@ object GraftTable {
     // (Delta CDF's _change_data discipline): when the mutation knows its
     // exact row-level effect — merge computes it anyway, compaction's is
     // empty by definition — the slice commits alongside the data and
-    // [[GraftTable.readChanges]] serves it instead of the whole-file diff
-    changes.foreach(_.write.mode(SaveMode.Overwrite)
-      .parquet(s"$staging/_changes"))
+    // [[GraftTable.readChanges]] serves it instead of the whole-file diff.
+    // A table created with `changeFeed = false` (no feed consumers) skips
+    // the persistence — and its cost: the slice DataFrame is lazy, so
+    // dropping it here means the extra write job never runs — and
+    // [[GraftTable.readChanges]] falls back to the file-granularity
+    // manifest diff, which stays exact (just coarser).
+    if (meta.changeFeed)
+      changes.foreach(_.write.mode(SaveMode.Overwrite)
+        .parquet(s"$staging/_changes"))
     // the operation marker feeds [[GraftTable.history]]; written inside
     // the staged commit so it is atomic with everything else
     writeSmall(f, new Path(s"$staging/_op"), op)
@@ -558,14 +592,26 @@ object GraftTable {
       conflict(base, v)
     }
     // retention: keep the newest `keepVersions` committed versions (the
-    // time-travel window); everything older is pruned marker-first,
-    // best-effort — and only AFTER the new commit, so a reader that
-    // resolved a retained version never loses it to the commit itself
+    // time-travel window); with `keepHours >= 0` a version ALSO survives
+    // while its commit is younger than that many hours (the RETAIN n
+    // HOURS twin operators actually configure — count-based alone prunes
+    // a burst of commits instantly). Everything past BOTH windows is
+    // pruned marker-first, best-effort — and only AFTER the new commit,
+    // so a reader that resolved a retained version never loses it to the
+    // commit itself.
+    val cutoff =
+      if (meta.keepHours < 0) Long.MaxValue
+      else System.currentTimeMillis() - (meta.keepHours * 3600000L).toLong
     committedVersions(spark, base).sorted.dropRight(meta.keepVersions)
       .foreach { old =>
         try {
-          f.delete(new Path(s"$base/v$old/meta/_SUCCESS"), false)
-          f.delete(new Path(s"$base/v$old"), true)
+          val young = meta.keepHours >= 0 &&
+            f.getFileStatus(new Path(s"$base/v$old")).getModificationTime >=
+              cutoff
+          if (!young) {
+            f.delete(new Path(s"$base/v$old/meta/_SUCCESS"), false)
+            f.delete(new Path(s"$base/v$old"), true)
+          }
         } catch { case _: Throwable => () } // prune is best-effort cleanup
       }
   }
@@ -662,23 +708,55 @@ final class GraftTable private[operators] (spark: SparkSession,
   /** The files a pruned scan of VERSION `v` must open (resolved), with
     * the total file count — the version-pinned planning primitive behind
     * the SQL read path ([[graft.sources.GraftTableSource]]), whose
-    * relation is a snapshot of the version it loaded. Empty `preds`
-    * skips pruning (full manifest).
+    * relation is a snapshot of the version it loaded. Predicates on
+    * columns the table does not index are DROPPED here, not refused:
+    * Catalyst pushes every comparison filter it sees, and a filter on an
+    * unindexed column simply cannot prune — the scan reads unpruned and
+    * the engine's re-applied residual keeps the result exact ([[scan]],
+    * the hand-held API, still refuses loudly — a caller naming a pred
+    * explicitly should learn it does nothing). Empty / fully-dropped
+    * `preds` skip pruning (full manifest).
     */
   private[graft] def pruneFiles(v: Long, preds: Seq[ZoneMap.Pred])
       : (Seq[String], Int) = {
     val all = storedFiles(v)
-    if (preds.isEmpty) (all.map(resolve), all.size)
-    else {
-      val m = readMeta(spark, path, v)
-      (ZoneMap.pruneZoneRows(manifestDf(v), m.zoneMeta, preds)._1
-        .map(resolve), all.size)
-    }
+    lazy val m = readMeta(spark, path, v)
+    val usable =
+      if (preds.isEmpty) Nil
+      else {
+        val zoned = m.zoneCols.toSet
+        val bloomed = m.bloomCols.toSet
+        preds.filter {
+          case ZoneMap.Range(c, _, _) => zoned(c)
+          case ZoneMap.Point(c, _) => zoned(c) || bloomed(c)
+        }
+      }
+    if (usable.isEmpty) (all.map(resolve), all.size)
+    else (ZoneMap.pruneZoneRows(manifestDf(v), m.zoneMeta, usable)._1
+      .map(resolve), all.size)
   }
 
   /** Schema of version `v` — for snapshot-pinned readers. */
   private[graft] def schemaAt(v: Long): StructType =
     readMeta(spark, path, v).schema
+
+  /** Estimated byte size of version `v` — manifest row counts × the
+    * schema's default row width, one metadata read. This is what the
+    * SQL read path reports as `BaseRelation.sizeInBytes`: without it
+    * Catalyst assumes `defaultSizeInBytes` (≈ Long.Max) and a
+    * metadata-sized graft dimension joined to a 100 TB fact would NEVER
+    * auto-broadcast — the user pays a full shuffle join on a 1,000-row
+    * table. Over-estimation is the safe direction (a too-big guess
+    * skips a broadcast; a too-small one OOMs the driver), and
+    * `defaultSize` over-estimates variable-width columns.
+    */
+  private[graft] def approxBytes(v: Long): Long = {
+    val r = manifestDf(v).agg(sum("cnt")).head()
+    val rows = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val width = math.max(1, schemaAt(v).defaultSize)
+    val b = BigInt(rows) * width
+    if (b > Long.MaxValue) Long.MaxValue else b.toLong
+  }
 
   /** Fold a batch in under `batchId`: new data files + the union
     * manifest + the advanced ledger commit as one version. Ids at or
@@ -1501,9 +1579,55 @@ final class GraftTable private[operators] (spark: SparkSession,
     * Single-writer: never run concurrently with a mutation (an in-flight
     * publish's staging dir would be swept).
     *
+    * CLONE SAFETY: a [[GraftTable.shallowClone]] registers itself under
+    * the SOURCE's `_clones/`, and a source vacuum REFUSES while live
+    * registrations exist — a clone holds absolute references into this
+    * root, and sweeping a generation its manifest still pins would break
+    * it SILENTLY (the shared-fate failure the public formats only
+    * document). Pass `force = true` after confirming every registered
+    * clone is gone or divergent, or [[unregisterClone]] the ones you
+    * deleted.
+    *
     * @return number of data files deleted
     */
-  def vacuum(): Long = {
+  def vacuum(force: Boolean = false): Long = {
+    val clones = registeredClones()
+    require(clones.isEmpty || force,
+      s"graft table $path has ${clones.size} registered shallow clone(s) " +
+        s"holding absolute references into this root: " +
+        s"${clones.mkString(", ")} — vacuuming the source can silently " +
+        "break them. Delete/unregister the clones (unregisterClone) or " +
+        "pass force = true after checking vacuumDryRun()")
+    val (debris, orphanFiles, deadGens) = sweepPlan()
+    val f = fs(spark, path)
+    debris.foreach(p => try { f.delete(p, true); () }
+      catch { case _: Throwable => () })
+    deadGens.foreach { case (p, _) => try { f.delete(p, true); () }
+      catch { case _: Throwable => () } }
+    orphanFiles.foreach(p => try { f.delete(p, false); () }
+      catch { case _: Throwable => () })
+    orphanFiles.size.toLong + deadGens.map(_._2.toLong).sum
+  }
+
+  /** What a [[vacuum]] WOULD delete, without deleting anything — the
+    * blast-radius report (`VACUUM … DRY RUN`): orphan data files,
+    * superseded whole generations, and crash debris dirs, as absolute
+    * paths. Run this before forcing a vacuum on a cloned source.
+    */
+  def vacuumDryRun(): Seq[String] = {
+    val (debris, orphanFiles, deadGens) = sweepPlan()
+    (debris ++ deadGens.map(_._1) ++ orphanFiles).map(_.toUri.getPath)
+  }
+
+  /** The sweep set, computed once and shared by [[vacuum]] and
+    * [[vacuumDryRun]]: (crash-debris dirs, orphan data files in live
+    * generations, (dead generation dir, its data-file count) pairs —
+    * whole generations with zero referenced files). Orphan files inside
+    * a dead generation are NOT double-listed — the generation dir
+    * subsumes them; the count keeps [[vacuum]]'s files-deleted return
+    * exact.
+    */
+  private def sweepPlan(): (Seq[Path], Seq[Path], Seq[(Path, Int)]) = {
     // every RETAINED version's manifest pins its files — time travel
     // must survive a vacuum (only unreferenced-by-anyone files go)
     val referenced = versions().flatMap(storedFiles(_).map(resolve)).toSet
@@ -1515,22 +1639,24 @@ final class GraftTable private[operators] (spark: SparkSession,
     // single-writer maintenance window, where no racing commit exists
     // to lose
     val baseDir = new Path(path)
-    if (f.exists(baseDir))
-      f.listStatus(baseDir).filter { st =>
+    val debris =
+      if (!f.exists(baseDir)) Nil
+      else f.listStatus(baseDir).toSeq.filter { st =>
         st.isDirectory && (st.getPath.getName.startsWith(".v") ||
           (st.getPath.getName match {
             case GraftTable.VerRe(n) =>
               !GraftTable.isCommitted(f, path, n.toLong)
             case _ => false
           }))
-      }.foreach(st => try f.delete(st.getPath, true)
-        catch { case _: Throwable => () })
+      }.map(_.getPath)
     val dataDir = new Path(s"$path/data")
-    if (!f.exists(dataDir)) return 0L
-    var deleted = 0L
+    if (!f.exists(dataDir)) return (debris, Nil, Nil)
+    val orphanFiles = Seq.newBuilder[Path]
+    val deadGens = Seq.newBuilder[(Path, Int)]
     f.listStatus(dataDir).filter(_.isDirectory).foreach { gen =>
       val it = f.listFiles(gen.getPath, true)
       val orphans = Seq.newBuilder[Path]
+      var nOrphans = 0
       var live = false
       while (it.hasNext) {
         val st = it.next()
@@ -1540,15 +1666,42 @@ final class GraftTable private[operators] (spark: SparkSession,
             !n.startsWith(".")
           if (isData) {
             if (referenced(st.getPath.toUri.getPath)) live = true
-            else orphans += st.getPath
+            else { orphans += st.getPath; nOrphans += 1 }
           }
         }
       }
-      val os = orphans.result()
-      deleted += os.size
-      if (!live) f.delete(gen.getPath, true) // whole generation superseded
-      else os.foreach(p => f.delete(p, false))
+      if (!live) deadGens += ((gen.getPath, nOrphans)) // superseded whole
+      else orphanFiles ++= orphans.result()
     }
-    deleted
+    (debris, orphanFiles.result(), deadGens.result())
+  }
+
+  /** Shallow clones registered against THIS table as a source — the
+    * destinations [[vacuum]] protects. A registration outliving its
+    * clone (the clone dir was deleted wholesale) is fine to
+    * [[unregisterClone]].
+    */
+  def registeredClones(): Seq[String] = {
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/_clones")
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.filter(_.isFile)
+      .flatMap(st => readSmall(f, st.getPath)).sorted
+  }
+
+  /** Drop `destPath`'s clone registration from this source — after the
+    * clone was deleted, or deliberately accepted as divergent-enough.
+    */
+  def unregisterClone(destPath: String): Unit = {
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/_clones")
+    if (!f.exists(dir)) return
+    val target = fs(spark, destPath)
+      .makeQualified(new Path(destPath)).toUri.getPath
+    f.listStatus(dir).filter(_.isFile).foreach { st =>
+      if (readSmall(f, st.getPath).contains(target))
+        try { f.delete(st.getPath, false); () }
+        catch { case _: Throwable => () }
+    }
   }
 }

@@ -384,9 +384,8 @@ object ZoneMap {
         require(zoned(c) || bloomed(c), s"column $c neither zone- nor " +
           s"bloom-indexed (zones: ${zoned.mkString(", ")}; " +
           s"blooms: ${bloomed.mkString(", ")})")
-        // the bloom half of a Point check runs driver-side over the
-        // collected zone rows ([[prunedFiles]]) — might_contain demands
-        // a constant bloom, and the rows are metadata we collect anyway
+        // the bloom half of a Point check is conjoined EXECUTOR-side by
+        // [[pruneFrame]] — bloom bytes never leave the executors
         if (zoned(c))
           col(s"max_$c").isNotNull && col(s"max_$c") >= lit(v) &&
             col(s"min_$c") <= lit(v)
@@ -405,36 +404,50 @@ object ZoneMap {
       case Point(c, v) => col(c) === lit(v)
     }.reduce(_ && _)
 
-  /** Survivors of zone + bloom pruning among the indexed rows of `z`:
-    * ONE collect of (file, zone verdict, bloom columns), then the bloom
-    * half of every Point check driver-side on the metadata rows — a
-    * null bloom (all-null column in that file) cannot contain the key,
-    * prune; no false negatives otherwise. Returns (survivor files,
-    * all indexed files). Shared with [[graft.operators.GraftTable]],
-    * whose manifest rows have the same shape.
+  /** The pruning verdict frame `(file, _keep)` for the indexed rows of
+    * `z` under `preds` — EVERY check, including the bloom half of each
+    * Point predicate, evaluates EXECUTOR-side, so the only thing a
+    * caller ever collects is file names and booleans. This matters at
+    * scale: at the default sizing (1M items, fpp 0.03 → ~912 KB of bits
+    * per file per column) an 800k-file table's blooms are ~700 GB —
+    * collecting them to probe driver-side (the pre-r15 shape) is an
+    * OOM, not a slowdown. The probe UDF deserializes each file's bloom
+    * once per predicate in the executor that holds the row (metadata
+    * scale — |files| rows), the exact [[GraftTable]] merge `anyHit`
+    * discipline. A null bloom (all-null column in that file) cannot
+    * contain the key → pruned; no false negatives otherwise.
     */
-  private[operators] def pruneZoneRows(z: DataFrame, meta: Meta,
-      preds: Seq[Pred]): (Seq[String], Set[String]) = {
+  private[operators] def pruneFrame(z: DataFrame, meta: Meta,
+      preds: Seq[Pred]): DataFrame = {
     val zoned = z.schema.fieldNames
       .collect { case f if f.startsWith("min_") => f.drop(4) }.toSet
     val bloomed = meta.bloomCols.toSet
     val bloomPts = preds.collect {
       case p: Point if bloomed(p.col) =>
         (s"bloom_${p.col}", probeHash(p.v, meta.dataType(p.col)))
+    }.distinct
+    val mightHit = udf((bytes: Array[Byte], h: Long) =>
+      bytes != null && org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .mightContainLong(h))
+    val keep = bloomPts.foldLeft(survives(preds, zoned, bloomed)) {
+      case (acc, (bc, h)) => acc && mightHit(col(bc), lit(h))
     }
-    val rows = z.select(
-      (Seq(col(FileCol), survives(preds, zoned, bloomed).as("_keep")) ++
-        bloomPts.map(_._1).distinct.map(col)): _*)
-      .collect()
-    val survivors = rows.filter { r =>
-      r.getBoolean(1) && bloomPts.forall { case (bc, h) =>
-        val bytes = r.getAs[Array[Byte]](bc)
-        bytes != null && org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(bytes))
-          .mightContainLong(h)
-      }
-    }.map(_.getString(0)).toSeq
-    (survivors, rows.map(_.getString(0)).toSet)
+    z.select(col(FileCol), keep.as("_keep"))
+  }
+
+  /** Survivors of zone + bloom pruning among the indexed rows of `z`:
+    * ONE collect of [[pruneFrame]]'s `(file, _keep)` rows — strings and
+    * booleans only, never bloom bytes (ZoneMapSpec pins the collected
+    * schema). Returns (survivor files, all indexed files). Shared with
+    * [[graft.operators.GraftTable]], whose manifest rows have the same
+    * shape.
+    */
+  private[operators] def pruneZoneRows(z: DataFrame, meta: Meta,
+      preds: Seq[Pred]): (Seq[String], Set[String]) = {
+    val rows = pruneFrame(z, meta, preds).collect()
+    (rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq,
+      rows.map(_.getString(0)).toSet)
   }
 
   /** File paths a pruned scan must read: indexed survivors that still

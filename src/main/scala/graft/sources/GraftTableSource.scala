@@ -64,6 +64,13 @@ final class GraftTableSource
     val v = parameters.collectFirst {
       case (k, s) if k.equalsIgnoreCase("versionAsOf") => s.trim.toLong
     }.getOrElse(tbl.version)
+    // validate HERE, not deep inside a later scan: a pruned or
+    // never-committed version must fail with the retention message, not
+    // a raw missing-path error mid-query (and never half-work)
+    require(tbl.versions().contains(v),
+      s"versionAsOf $v is not committed/retained under ${tbl.path} " +
+        s"(retained: ${tbl.versions().mkString(", ")}) — increase " +
+        "keepVersions to widen the time-travel window")
     new GraftTableRelation(ctx, tbl, v)
   }
 
@@ -84,8 +91,15 @@ final class GraftTableSource
       val keep = parameters.collectFirst {
         case (k, s) if k.equalsIgnoreCase("keepVersions") => s.trim.toInt
       }.getOrElse(1)
+      val feed = parameters.collectFirst {
+        case (k, s) if k.equalsIgnoreCase("changeFeed") => s.trim.toBoolean
+      }.getOrElse(true)
+      val hours = parameters.collectFirst {
+        case (k, s) if k.equalsIgnoreCase("keepHours") => s.trim.toDouble
+      }.getOrElse(-1.0)
       GraftTable.create(data, path, zoneCols = zs,
-        bloomCols = cols("bloomCols"), keepVersions = keep)
+        bloomCols = cols("bloomCols"), keepVersions = keep,
+        changeFeed = feed, keepHours = hours)
       ()
     }
     mode match {
@@ -119,6 +133,14 @@ final class GraftTableRelation(ctx: SQLContext, tbl: GraftTable,
 
   override val schema: StructType = tbl.schemaAt(snapshotVersion)
 
+  /** Manifest row counts × schema width — one metadata read, computed
+    * lazily once per relation. Without this the relation reports
+    * `defaultSizeInBytes` (≈ Long.Max) and a small graft dimension never
+    * auto-broadcasts against a big fact (see
+    * [[graft.operators.GraftTable.approxBytes]]).
+    */
+  override lazy val sizeInBytes: Long = tbl.approxBytes(snapshotVersion)
+
   /** Every filter is ALSO re-applied by the engine — this relation uses
     * them only to prune files and to push row-group filtering into the
     * inner parquet read, both conservative.
@@ -133,7 +155,7 @@ final class GraftTableRelation(ctx: SQLContext, tbl: GraftTable,
       filters: Array[Filter]): RDD[Row] = {
     val preds = filters.toSeq.flatMap(toPreds)
     val (files, total) = tbl.pruneFiles(snapshotVersion, preds)
-    GraftTableRelation.lastScan = Some((files.size, total))
+    GraftTableRelation.record(tbl.path, files.size, total)
     logInfo(s"graft-table scan of ${tbl.path}@v$snapshotVersion: " +
       s"${files.size}/$total files under ${filters.length} pushed filters")
     val spark = ctx.sparkSession
@@ -189,9 +211,20 @@ final class GraftTableRelation(ctx: SQLContext, tbl: GraftTable,
 }
 
 object GraftTableRelation {
-  /** Last scan's (files opened, files total) — observability for specs
-    * and in-body pruning requires. Process-global and set per action;
-    * read it immediately after the action whose scan you are asserting.
+  private val scans =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+
+  private[sources] def record(path: String, opened: Int, total: Int): Unit =
+    scans.put(path, (opened, total))
+
+  /** Last scan's (files opened, files total) FOR `path` — observability
+    * for specs and in-body pruning requires, keyed per table so two
+    * concurrent graft-table queries (a cotenant bench run, parallel
+    * suites) can never clobber each other's stats. Set per action; read
+    * it immediately after the action whose scan you are asserting.
     */
-  @volatile var lastScan: Option[(Int, Int)] = None
+  def lastScan(path: String): Option[(Int, Int)] = scans.get(path)
+
+  /** Forget `path`'s stats — the reset half of a reset-then-assert. */
+  def clearScan(path: String): Unit = { scans.remove(path); () }
 }

@@ -37,15 +37,15 @@ class GraftTableSourceSpec extends SparkSpec {
       t.read().orderBy("k").collect().toSeq)
 
     // a narrow range filter must open fewer files than the manifest holds
-    GraftTableRelation.lastScan = None
+    GraftTableRelation.clearScan(p)
     val got = df.filter(col("k") >= 650L && col("k") <= 720L)
       .select("k", "v").orderBy("k").collect().toSeq
     val want = t.read().filter(col("k") >= 650L && col("k") <= 720L)
       .select("k", "v").orderBy("k").collect().toSeq
     assert(got == want && got.size == 71)
-    assert(GraftTableRelation.lastScan.exists {
+    assert(GraftTableRelation.lastScan(p).exists {
       case (opened, total) => opened >= 1 && opened < total
-    }, s"range pushdown must prune: ${GraftTableRelation.lastScan}")
+    }, s"range pushdown must prune: ${GraftTableRelation.lastScan(p)}")
 
     // equality filter + single-column projection stays exact
     val one = df.filter(col("k") === 123L).select("u").collect()
@@ -60,12 +60,12 @@ class GraftTableSourceSpec extends SparkSpec {
     val df = load(p)
     // an OR across distant stripes is untranslatable for an AND-composed
     // zone check: the scan must open everything and return exact rows
-    GraftTableRelation.lastScan = None
+    GraftTableRelation.clearScan(p)
     val got = df.filter(col("k") < 10L || col("k") >= 390L).count()
     assert(got == 20)
-    assert(GraftTableRelation.lastScan.exists {
+    assert(GraftTableRelation.lastScan(p).exists {
       case (opened, total) => opened == total
-    }, s"OR must not prune: ${GraftTableRelation.lastScan}")
+    }, s"OR must not prune: ${GraftTableRelation.lastScan(p)}")
     assert(df.agg(sum("v")).head.getDouble(0) ==
       (0L until 400L).map(_ * 2.0).sum)
   }
@@ -86,6 +86,27 @@ class GraftTableSourceSpec extends SparkSpec {
       spark.read.format("graft-table").load()
     }
     assert(e.getMessage.contains("path"), e.getMessage)
+
+    // a pruned/never-committed version fails at load() with the
+    // retention message, not a raw missing-path error mid-query
+    val bad = intercept[IllegalArgumentException] {
+      spark.read.format("graft-table").option("path", p)
+        .option("versionAsOf", "99").load()
+    }
+    assert(bad.getMessage.contains("retained"), bad.getMessage)
+  }
+
+  test("a small graft dimension auto-broadcasts against a big fact (sizeInBytes wired)") {
+    val p = base()
+    GraftTable.create(rows(0, 1000), p, zoneCols = Seq("k"), nFiles = 1)
+    val dim = load(p)
+    val fact = spark.range(0, 200000L)
+      .selectExpr("id % 1000 as k", "id as x")
+    val plan = fact.join(dim, "k").queryExecution.executedPlan.toString
+    // without sizeInBytes the relation reports defaultSizeInBytes
+    // (≈ Long.Max) and this joins as a shuffle — the 100 TB pay-cut
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a 1,000-row graft dim must auto-broadcast without a hint:\n$plan")
   }
 
   test("SQL write path: create-on-append, transactional append, modes, atomic replace") {
@@ -142,5 +163,34 @@ class GraftTableSourceSpec extends SparkSpec {
     val feed = t.readChanges(2, 3)
     assert(feed.filter(col("_change_type") === "delete").count() == 80)
     assert(feed.filter(col("_change_type") === "insert").count() == 10)
+  }
+
+  test("filters on non-indexed columns scan unpruned and exact, never crash") {
+    val p = base()
+    val t = GraftTable.create(
+      rows(0, 400).repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      p, zoneCols = Seq("k"))
+    val df = load(p)
+    // Catalyst pushes EVERY comparison filter — a pushed filter on a
+    // column the manifest does not index must fall back to the full
+    // file list with the residual re-applied, not throw
+    GraftTableRelation.clearScan(p)
+    assert(df.filter(col("v") > 700.0).count() ==
+      t.read().filter(col("v") > 700.0).count())
+    assert(GraftTableRelation.lastScan(p).exists {
+      case (opened, total) => opened == total
+    }, s"non-indexed filter must not prune: ${GraftTableRelation.lastScan(p)}")
+    assert(df.filter(col("u") === "u3").count() ==
+      t.read().filter(col("u") === "u3").count())
+    // mixed: the indexed half still prunes, the non-indexed half rides
+    // as residual only
+    GraftTableRelation.clearScan(p)
+    val got = df.filter(col("k") < 100L && col("u") === "u3")
+      .select("k").orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got == (0L until 100L).filter(k => k % 7 == 3))
+    assert(GraftTableRelation.lastScan(p).exists {
+      case (opened, total) => opened < total
+    }, s"the indexed half of a mixed filter must still prune: " +
+      s"${GraftTableRelation.lastScan(p)}")
   }
 }

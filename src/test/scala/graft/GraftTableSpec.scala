@@ -844,6 +844,103 @@ class GraftTableSpec extends SparkSpec {
     assert(cl.read().count() == 800 && src.read().count() == 950)
   }
 
+  test("changeFeed = false: merge persists no _changes, feed falls back to exact file-granularity diff") {
+    val p = base()
+    val t = GraftTable.create(
+      rows(0, 400).repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      p, zoneCols = Seq("k"), keepVersions = 4, changeFeed = false)
+    t.merge(rows(0, 10).withColumn("v", col("v") + 1000.0), "k")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/v2/_changes")),
+      "an opted-out table must not pay the row-level slice write")
+    // the feed still serves — coarser (whole rewritten files as
+    // delete+insert pairs) but EXACT: folding latest-wins per key over
+    // the feed reproduces the head
+    val feed = t.readChanges(1, 2)
+    assert(feed.filter(col("_change_type") === "insert")
+      .filter(col("k") === 5L).head.getDouble(1) == 1010.0)
+    assert(feed.filter(col("_change_type") === "delete")
+      .filter(col("k") === 5L).head.getDouble(1) == 10.0)
+    // an opted-IN table of the same shape DOES persist the slice — the
+    // opt-out is the delta being asserted, not a changed default
+    val q = base()
+    val t2 = GraftTable.create(
+      rows(0, 400).repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      q, zoneCols = Seq("k"), keepVersions = 4)
+    t2.merge(rows(0, 10).withColumn("v", col("v") + 1000.0), "k")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$q/v2/_changes")))
+  }
+
+  test("keepHours extends retention in time: a commit burst can't prune inside the window") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 50), p, zoneCols = Seq("k"),
+      keepVersions = 1, keepHours = 1.0)
+    t.append(rows(50, 60))
+    t.append(rows(60, 70))
+    assert(t.versions() == Seq(1L, 2L, 3L),
+      s"keepVersions=1 alone would leave only v3; keepHours=1.0 must " +
+        s"retain the minutes-old burst: ${t.versions()}")
+    assert(t.readVersion(1).count() == 50, "time travel across the burst")
+    // keepHours = 0 degrades to pure count-based retention
+    val q = base()
+    val t2 = GraftTable.create(rows(0, 50), q, zoneCols = Seq("k"),
+      keepVersions = 1, keepHours = 0.0)
+    t2.append(rows(50, 60))
+    assert(t2.versions() == Seq(2L))
+  }
+
+  test("vacuum dry-run reports the blast radius without deleting; clone registration makes source vacuum loud") {
+    val p = base()
+    val t = GraftTable.create(rows(0, 200), p, zoneCols = Seq("k"),
+      nFiles = 4)
+    t.compact(targetRows = 200L) // supersedes the 4-file generation
+    val plan = t.vacuumDryRun()
+    assert(plan.count(_.endsWith(".parquet")) + plan.count(!_.contains("."))
+      >= 1, s"a superseded generation must appear in the report: $plan")
+    assert(t.read().count() == 200, "dry-run must not delete anything")
+    val before = t.files()
+    assert(before.forall(f => !plan.contains(f)),
+      "live files must never appear in the would-delete report")
+
+    // register a clone: source vacuum refuses, force overrides,
+    // unregister restores the quiet path
+    val cl = GraftTable.shallowClone(spark, p, base() + "/cl")
+    val e = intercept[IllegalArgumentException] { t.vacuum() }
+    assert(e.getMessage.contains("clone"), e.getMessage)
+    assert(t.registeredClones().size == 1)
+    val swept = t.vacuum(force = true)
+    assert(swept >= 0 && t.read().count() == 200)
+    t.unregisterClone(cl.path)
+    assert(t.registeredClones().isEmpty)
+    assert(t.vacuum() == 0L, "post-unregister vacuum is quiet again")
+  }
+
+  test("shallow clone from a RELATIVE source path qualifies refs (reads don't re-root under the clone)") {
+    val rel = s"target/tmp/clone_rel_${java.util.UUID.randomUUID()}"
+    val dest = base() + "/cl"
+    try {
+      GraftTable.create(rows(0, 100), s"$rel/src", zoneCols = Seq("k"),
+        nFiles = 2)
+      val cl = GraftTable.shallowClone(spark, s"$rel/src", dest)
+      // every inherited ref must resolve under the SOURCE's absolute
+      // root — a bare relative rewrite would re-root them under the
+      // clone and break every read
+      val cwd = new java.io.File(".").getCanonicalPath
+      assert(cl.files().forall(_.startsWith(s"$cwd/$rel/")),
+        s"clone refs must be source-absolute: ${cl.files().take(2)}")
+      assert(cl.read().count() == 100)
+    } finally {
+      val d = new java.io.File(rel)
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d)
+      }
+    }
+  }
+
   test("history + compactWhere: ops logged; fragmented stripe consolidates, rest carried") {
     val p = base()
     val t = GraftTable.create(

@@ -325,4 +325,37 @@ class ZoneMapSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not zone-indexed"))
   }
+
+  test("bloom probing is executor-side: the driver collects file names and booleans, never bloom bytes") {
+    import org.apache.spark.sql.types.{BinaryType, BooleanType, StringType}
+    val (data, _) = mkDirs()
+    (0L until 100L).map(k => (k, s"s$k")).toDF("k", "s")
+      .repartition(4, col("k")).write.parquet(data)
+    val z = ZoneMap.zoneRows(spark.read.parquet(data),
+        Seq("k"), Seq("k"), 1000L, 0.03)
+      .localCheckpoint(true)
+    val meta = ZoneMap.Meta(Seq("k"), Seq("k"), 1000L, 0.03,
+      Map("k" -> "BIGINT"))
+    // at 100 TB (~800k files × ~912 KB of bloom bits per column) the
+    // pruning collect must be metadata-sized: the verdict frame carries
+    // ONLY (file, _keep) — any binary column here means bloom bytes are
+    // riding to the driver again
+    val frame = ZoneMap.pruneFrame(z, meta, Seq(ZoneMap.Point("k", 7L)))
+    assert(frame.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("file", StringType), ("_keep", BooleanType)),
+      s"pruning verdict frame must be (file, _keep): ${frame.schema}")
+    assert(!frame.schema.fields.exists(_.dataType == BinaryType))
+
+    // and the executor-side probe is still a real bloom probe: a present
+    // key keeps its file, an absent key prunes everything the zone check
+    // alone could not (hash-scattered layout: every file spans the full
+    // range, only the bloom discriminates)
+    val (hit, all) = ZoneMap.pruneZoneRows(z, meta, Seq(ZoneMap.Point("k", 7L)))
+    assert(hit.nonEmpty && all.size == 4)
+    val (miss, _) =
+      ZoneMap.pruneZoneRows(z, meta, Seq(ZoneMap.Point("k", 123456L)))
+    assert(miss.size < all.size,
+      s"an absent key must bloom-prune on a hash-scattered layout: " +
+        s"${miss.size}/${all.size}")
+  }
 }
