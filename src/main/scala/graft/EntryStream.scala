@@ -291,6 +291,52 @@ private[graft] object EntryStream {
       .orderBy("event_type")
   }
 
+  /** [[streamTable]]'s lifecycle through the DataStreamWriter front
+    * door instead of the API harness:
+    * `writeStream.format("graft-table")` ([[graft.sources
+    * .GraftTableSink]]) — the first micro-batch CREATES the table with
+    * its batch id seeded into the create commit, every later batch is a
+    * ledgered transactional append, and the checkpoint lineage owns the
+    * ledger from birth (required in-body: a manual unledgered append
+    * REFUSES — the silent-batch-drop guard). Same waves, same final
+    * pruned scan, same oracle as `stream_table`: the sink is a new door
+    * into the same exactly-once machinery, not new semantics.
+    */
+  def streamTableSink(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val base = Scratch.dir("graft_stsink")
+    Seq(col("user_id") < 30, col("user_id") >= 30 && col("user_id") < 70,
+        col("user_id") >= 70)
+      .foreach(p => ev.filter(p).coalesce(1)
+        .write.mode("append").parquet(s"$base/in"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+      .writeStream.format("graft-table")
+      .option("path", s"$base/tbl").option("zoneCols", "user_id")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val tbl = graft.operators.GraftTable.open(s, s"$base/tbl")
+    require(tbl.lastAppliedBatch() >= 2,
+      s"three waves must ledger three batches: ${tbl.lastAppliedBatch()}")
+    val refused =
+      try { tbl.append(ev.limit(1)); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("stream-ledgered") }
+    require(refused, "a sink-bootstrapped table must refuse manual " +
+      "unledgered appends — the checkpoint owns the ledger")
+    tbl.scan(Seq(graft.operators.ZoneMap.Range("user_id", 25L, 65L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
+  }
+
   /** Continuous upsert (the CDC-apply shape) through
     * [[graft.operators.GraftTable.mergeStream]]: three pinned-order
     * waves — the even events, then value-bumped updates of the

@@ -1338,6 +1338,13 @@ private[graft] object OraclesExt {
         |FROM events
         |WHERE user_id BETWEEN 25 AND 65
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the sink front door drains the same waves into the same lifecycle:
+    // stream_table's oracle verbatim
+    "stream_table_sink" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events
+        |WHERE user_id BETWEEN 25 AND 65
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS h, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 2) AS v

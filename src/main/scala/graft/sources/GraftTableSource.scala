@@ -5,10 +5,13 @@ import org.apache.spark.internal.Logging
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.sources.{And, BaseRelation,
   CreatableRelationProvider, DataSourceRegister, EqualTo, Filter,
   GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
-  LessThanOrEqual, PrunedFilteredScan, RelationProvider}
+  LessThanOrEqual, PrunedFilteredScan, RelationProvider,
+  StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** The SQL batch read path for [[graft.operators.GraftTable]]:
@@ -53,9 +56,37 @@ import org.apache.spark.sql.types.StructType
   */
 final class GraftTableSource
   extends RelationProvider with CreatableRelationProvider
-  with DataSourceRegister {
+  with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  /** `df.writeStream.format("graft-table")` — the STREAMING write half
+    * of the source/sink symmetry ([[graft.streaming.TableChangesSource]]
+    * is the read half): every micro-batch lands as one ledgered
+    * transactional commit keyed on the micro-batch id, so the table is
+    * file-level EXACTLY-ONCE under at-least-once redelivery (a restart
+    * re-offers batch N, the ledger high-water mark no-ops it) — the
+    * [[graft.operators.GraftTable.ingestStream]] guarantee, now
+    * reachable without leaving the DataStreamWriter API. The first
+    * micro-batch CREATES the table (options: `zoneCols` required,
+    * `bloomCols`/`keepVersions`/`changeFeed`/`keepHours` as on the batch
+    * write path) with its batch id seeded into the create commit, and
+    * flips the stream-ledger flag — from then on the checkpoint lineage
+    * owns the ledger and manual unledgered mutations refuse, exactly
+    * like the API bootstrap. With option `mergeKey`, batches MERGE
+    * (latest-wins upsert, optional `opCol` tombstones) instead of
+    * appending — a CDC-apply sink.
+    */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-table sink supports Append output mode only, got $outputMode" +
+        " — aggregate with watermarks + append, or merge via 'mergeKey'")
+    require(partitionColumns.isEmpty,
+      "graft-table lays out files by its zone manifest, not directory " +
+        "partitioning — drop partitionBy and pass zoneCols instead")
+    new GraftTableSink(pathOf(parameters), parameters)
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -122,6 +153,59 @@ final class GraftTableSource
       case (k, v) if k.equalsIgnoreCase("path") => v
     }.getOrElse(sys.error(
       "graft-table requires option 'path' — the GraftTable root"))
+}
+
+/** The micro-batch half of [[GraftTableSource.createSink]]: one
+  * ledgered commit per batch id. The engine hands `addBatch` a frame
+  * over the micro-batch's incremental execution; it is re-planted as a
+  * plain batch frame first ([[org.apache.spark.sql.graft.StreamBridge
+  * .asBatchFrame]], the foreachBatch discipline) because the publish
+  * protocol runs several actions over it.
+  */
+final class GraftTableSink(path: String, parameters: Map[String, String])
+  extends Sink with Logging {
+
+  private def opt(key: String): Option[String] = parameters.collectFirst {
+    case (k, s) if k.equalsIgnoreCase(key) => s.trim
+  }
+
+  private def cols(key: String): Seq[String] =
+    opt(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val batch = org.apache.spark.sql.graft.StreamBridge.asBatchFrame(data)
+    val mergeKey = opt("mergeKey")
+    val opCol = opt("opCol").orNull
+    if (!GraftTable.exists(spark, path)) {
+      val zs = if (mergeKey.isDefined) mergeKey.toSeq else cols("zoneCols")
+      require(zs.nonEmpty,
+        "the graft-table sink's first micro-batch CREATES the table — " +
+          "pass option 'zoneCols' (comma-separated) or 'mergeKey'")
+      // tombstones against a not-yet-existing table are no-ops: seed
+      // from the upsert rows only (null-safe — a NULL op is an upsert)
+      val seed =
+        if (opCol == null) batch
+        else batch.filter(!(col(opCol) <=> lit(GraftTable.DeleteOp)))
+          .drop(opCol)
+      GraftTable.create(seed, path, zoneCols = zs,
+        bloomCols = cols("bloomCols"),
+        keepVersions = opt("keepVersions").map(_.toInt).getOrElse(1),
+        changeFeed = opt("changeFeed").forall(_.toBoolean),
+        keepHours = opt("keepHours").map(_.toDouble).getOrElse(-1.0),
+        firstBatchId = batchId)
+      ()
+    } else {
+      val tbl = GraftTable.open(spark, path)
+      mergeKey match {
+        case Some(k) => tbl.merge(batch, k, batchId, opCol); ()
+        case None => tbl.append(batch, batchId); ()
+      }
+    }
+  }
+
+  override def toString: String = s"GraftTableSink[$path]"
 }
 
 /** One snapshot-pinned relation; see [[GraftTableSource]]. */

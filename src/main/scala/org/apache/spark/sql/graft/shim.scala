@@ -44,4 +44,20 @@ object StreamBridge {
     cd.sparkSession.internalCreateDataFrame(
       cd.queryExecution.toRdd, schema, isStreaming = true)
   }
+
+  /** The inverse crossing: re-plant a DSv1 streaming Sink's `addBatch`
+    * frame (an IncrementalExecution plan stamped streaming) as a PLAIN
+    * batch frame over the same physical rows — what foreachBatch's
+    * internals do before handing the user their batch. A sink body that
+    * runs several actions (the graft-table publish protocol: write data,
+    * derive zones, stage, rename) must not re-execute the incremental
+    * plan per action.
+    */
+  def asBatchFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cd = df.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    cd.sparkSession.internalCreateDataFrame(
+      cd.queryExecution.toRdd, cd.schema, isStreaming = false)
+  }
 }
