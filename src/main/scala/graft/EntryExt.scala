@@ -492,6 +492,138 @@ private[graft] object EntryExt {
       .orderBy("event_type")
   }
 
+  /** One DSv2 catalog per session for the SQL-text front door
+    * ([[graft.sources.GraftCatalog]]): registered lazily (catalog confs
+    * resolve at first lookup), warehouse pinned for the process so
+    * repeated bench invocations of the same query share it — each
+    * invocation works on its own uniquely-named table inside.
+    */
+  private def sqlCatalog(s: SparkSession): String = {
+    val cat = "graftsql"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        Scratch.dir("graft_sqlwh"))
+    }
+    cat
+  }
+
+  private def freshSqlTable(s: SparkSession, prefix: String): String =
+    s"${sqlCatalog(s)}.${prefix}_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+
+  /** `DELETE FROM … WHERE …` as SQL TEXT through the DSv2 catalog
+    * ([[graft.sources.GraftCatalog]] → `SupportsDelete.deleteWhere` →
+    * the zone-pruned transactional rewrite): CREATE TABLE + INSERT INTO
+    * land the key-clustered events, the DELETE's WHERE routes through
+    * Spark's own filter translation, and the commit is [[qDeleteWhere]]'s
+    * — pruned rewrite (required in-body: untouched files carry across
+    * the commit), exact delete-only change slice (required in-body).
+    * Same set algebra, same oracle as `q_delete_where`.
+    */
+  private[graft] def qSqlDelete(s: SparkSession, d: String): DataFrame = {
+    val tn = freshSqlTable(s, "del")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    s.sql(s"CREATE TABLE $tn (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE) " +
+      "OPTIONS (zoneCols 'event_id', keepVersions '3')")
+    ev.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .createOrReplaceTempView("graft_sqldel_src")
+    s.sql(s"INSERT INTO $tn SELECT * FROM graft_sqldel_src")
+    val tbl = operators.GraftTable.open(s,
+      tn.split("\\.").last match { case leaf =>
+        s.conf.get("spark.sql.catalog.graftsql.warehouse") + "/" + leaf })
+    val v2 = tbl.version
+    val before = tbl.read().count()
+    val filesBefore = tbl.files().toSet
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    s.sql(s"DELETE FROM $tn WHERE event_id <= ${maxId / 4} " +
+      "AND value < 250.0")
+    require(tbl.version == v2 + 1, "one DELETE, one commit")
+    val carried = (filesBefore & tbl.files().toSet).size
+    require(carried >= 1 && carried < filesBefore.size,
+      s"the SQL DELETE must rewrite only the low-id stripe: " +
+        s"$carried of ${filesBefore.size} carried")
+    val gone = before - tbl.read().count()
+    val slice = tbl.readChanges(v2, v2 + 1)
+    require(slice.count() == gone &&
+      slice.filter(col("_change_type") =!= "delete").count() == 0,
+      "the change slice must be exactly the deleted rows")
+    s.sql(s"SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v " +
+      s"FROM $tn GROUP BY event_type ORDER BY event_type")
+  }
+
+  /** `UPDATE … SET … WHERE …` as SQL TEXT: Spark's connector API has no
+    * non-row-level UPDATE contract, so the resolved plan routes through
+    * the injected rule ([[graft.plans.GraftSqlDml]]) onto
+    * [[graft.operators.GraftTable.dmlWhere]] — the WHERE's literal
+    * conjuncts prune the rewrite (required in-body via the command's
+    * (files_rewritten, files_carried) result), SET expressions evaluate
+    * against current row values. Same arithmetic, same oracle as
+    * `q_update_where`.
+    */
+  private[graft] def qSqlUpdate(s: SparkSession, d: String): DataFrame = {
+    val tn = freshSqlTable(s, "upd")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    s.sql(s"CREATE TABLE $tn (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE) " +
+      "OPTIONS (zoneCols 'event_id', keepVersions '3')")
+    ev.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .createOrReplaceTempView("graft_squpd_src")
+    s.sql(s"INSERT INTO $tn SELECT * FROM graft_squpd_src")
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val res = s.sql(s"UPDATE $tn SET value = value * 2 + 7 " +
+      s"WHERE event_id >= ${maxId * 3 / 4} AND user_id % 3 = 0").head()
+    val (rew, carried) = (res.getLong(0), res.getLong(1))
+    require(rew >= 1 && carried >= 1,
+      s"the SQL UPDATE must rewrite only the high-id stripe: " +
+        s"$rew rewritten / $carried carried")
+    s.sql(s"SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v " +
+      s"FROM $tn GROUP BY event_type ORDER BY event_type")
+  }
+
+  /** `MERGE INTO … ON … WHEN MATCHED THEN UPDATE … WHEN NOT MATCHED
+    * THEN INSERT …` as SQL TEXT through the injected rule onto
+    * [[graft.operators.GraftTable.mergeCond]]: the multiples of 3
+    * update in place (value + 1000 from the source), fresh keys beyond
+    * the id range insert, everything else rides through — one pruned
+    * transactional commit (required in-body: one version, batch-key
+    * contract surfaced by the engine). The oracle is the same CASE +
+    * UNION the merge describes.
+    */
+  private[graft] def qSqlMerge(s: SparkSession, d: String): DataFrame = {
+    val tn = freshSqlTable(s, "mrg")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    s.sql(s"CREATE TABLE $tn (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE) " +
+      "OPTIONS (zoneCols 'event_id', keepVersions '3')")
+    ev.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .createOrReplaceTempView("graft_sqmrg_src")
+    s.sql(s"INSERT INTO $tn SELECT * FROM graft_sqmrg_src")
+    val tbl = operators.GraftTable.open(s,
+      s.conf.get("spark.sql.catalog.graftsql.warehouse") + "/" +
+        tn.split("\\.").last)
+    val v2 = tbl.version
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    ev.filter(col("event_id") % 3 === 0)
+      .withColumn("value", col("value") + 1000)
+      .unionByName(ev.filter(col("event_id") % 5 === 0)
+        .withColumn("event_id", col("event_id") + maxId + 1))
+      .createOrReplaceTempView("graft_sqmrg_batch")
+    s.sql(s"""MERGE INTO $tn AS t USING graft_sqmrg_batch AS s
+      ON t.event_id = s.event_id
+      WHEN MATCHED THEN UPDATE SET value = s.value, user_id = s.user_id,
+        event_type = s.event_type
+      WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, value)
+        VALUES (s.event_id, s.user_id, s.event_type, s.value)""")
+    require(tbl.version == v2 + 1, "one MERGE, one commit")
+    s.sql(s"SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v " +
+      s"FROM $tn GROUP BY event_type ORDER BY event_type")
+  }
+
   /** The unified table through the SQL READ PATH
     * ([[graft.sources.GraftTableSource]], `spark.read
     * .format("graft-table")`): the even events load as a plain

@@ -1251,6 +1251,37 @@ private[graft] object OraclesExt {
         |)
         |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
         |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the SQL-text DELETE routes through the catalog onto the same
+    // rewrite as q_delete_where: same set algebra, same oracle
+    "q_sql_delete" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+        |kept AS (
+        |  SELECT e.event_type, e.value FROM events e, mx
+        |  WHERE NOT (e.event_id <= mx.m // 4 AND e.value < 250.0)
+        |)
+        |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // SQL-text UPDATE: q_update_where's CASE arithmetic verbatim
+    "q_sql_update" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  ROUND(SUM(CASE WHEN e.event_id >= (3 * mx.m) // 4
+        |                  AND e.user_id % 3 = 0
+        |                 THEN e.value * 2 + 7 ELSE e.value END), 2) AS v
+        |FROM events e, mx
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // SQL-text MERGE: multiples of 3 update to value+1000 (latest
+    // batch image), multiples of 5 re-insert under fresh shifted keys
+    "q_sql_merge" ->
+      """WITH upd AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 3 = 0 THEN value + 1000 ELSE value END
+        |      AS value
+        |  FROM events),
+        |ins AS (SELECT event_type, value FROM events WHERE event_id % 5 = 0),
+        |allr AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM allr GROUP BY event_type ORDER BY event_type""".stripMargin,
     // predicate UPDATE is one CASE over the same arithmetic: the high
     // quarter's user_id ≡ 0 (mod 3) rows take value*2+7 (both exact
     // IEEE per row), everything else is unchanged

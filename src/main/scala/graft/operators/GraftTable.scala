@@ -1216,8 +1216,12 @@ final class GraftTable private[operators] (spark: SparkSession,
     * @return (files rewritten, files carried untouched)
     */
   def delete(preds: Seq[ZoneMap.Pred], extra: Column = lit(true))
-      : (Long, Long) =
+      : (Long, Long) = {
+    require(preds.nonEmpty,
+      "predicate DML needs at least one pruning predicate — use " +
+        "Range(col) with one-sided bounds for a broad condition")
     dmlImpl(preds, extra, None)
+  }
 
   /** Predicate UPDATE (the `UPDATE t SET … WHERE …` shape): for every
     * row satisfying `ZoneMap.predicate(preds) && extra`, replace each
@@ -1234,15 +1238,34 @@ final class GraftTable private[operators] (spark: SparkSession,
     */
   def update(preds: Seq[ZoneMap.Pred], set: Map[String, Column],
       extra: Column = lit(true)): (Long, Long) = {
+    require(preds.nonEmpty,
+      "predicate DML needs at least one pruning predicate — use " +
+        "Range(col) with one-sided bounds for a broad condition")
     require(set.nonEmpty, "update needs at least one SET column")
     dmlImpl(preds, extra, Some(set))
   }
 
+  /** The SQL front door's DML body ([[graft.plans]] routes `DELETE
+    * FROM`/`UPDATE` here): `preds` is best-effort pruning ONLY — preds
+    * on non-indexed columns are dropped, an empty survivor set means a
+    * full-manifest rewrite candidacy — and `extra` carries the EXACT
+    * SQL condition, so correctness never depends on what pruned (the
+    * [[graft.sources.GraftTableSource]] discipline). The hand-held
+    * [[delete]]/[[update]] keep their loud non-empty/indexed contract.
+    */
+  private[graft] def dmlWhere(preds: Seq[ZoneMap.Pred], extra: Column,
+      set: Option[Map[String, Column]]): (Long, Long) = {
+    val m = metaNow
+    val zoned = m.zoneCols.toSet
+    val bloomed = m.bloomCols.toSet
+    dmlImpl(preds.filter {
+      case ZoneMap.Range(c, _, _) => zoned(c)
+      case ZoneMap.Point(c, _) => zoned(c) || bloomed(c)
+    }, extra, set)
+  }
+
   private def dmlImpl(preds: Seq[ZoneMap.Pred], extra: Column,
       set: Option[Map[String, Column]]): (Long, Long) = {
-    require(preds.nonEmpty,
-      "predicate DML needs at least one pruning predicate — use " +
-        "Range(col) with one-sided bounds for a broad condition")
     var attempt = 0
     while (true) {
       val v = version
@@ -1254,12 +1277,15 @@ final class GraftTable private[operators] (spark: SparkSession,
       }
       val manifest = manifestDf(v)
       val affected =
-        ZoneMap.pruneZoneRows(manifest, m.zoneMeta, preds)._1.toSet
+        if (preds.isEmpty) storedFiles(v).toSet
+        else ZoneMap.pruneZoneRows(manifest, m.zoneMeta, preds)._1.toSet
       if (affected.isEmpty) return (0L, storedFiles(v).size.toLong)
       val carried = manifest.filter(!col("file").isInCollection(affected))
         .localCheckpoint(true)
       val carriedCount = carried.count()
-      val cond = coalesce(ZoneMap.predicate(preds) && extra, lit(false))
+      val cond = coalesce(
+        (if (preds.isEmpty) lit(true) else ZoneMap.predicate(preds)) &&
+          extra, lit(false))
       val stored = spark.read.schema(m.schema)
         .parquet(affected.toSeq.map(resolve): _*)
       val (rewritten, slice) = set match {
@@ -1283,9 +1309,20 @@ final class GraftTable private[operators] (spark: SparkSession,
               .unionByName(alignSlice(image(pre, lit(true))
                 .withColumn(ChangeType, lit("update_postimage")), m.schema)))
       }
+      // ROW-level no-op gate, not just file-level: zone pruning is
+      // conservative (a strict bound widens, a bloom false-positives),
+      // so "some file survived pruning" does not mean "some row
+      // matches" — and committing an identical rewrite of a 100 GB
+      // stripe because k < 0 could not rule out the min_k = 0 file is
+      // exactly the pointless I/O the manifest exists to avoid. The
+      // slice (the rows the DML would touch) is materialized once and
+      // reused for the `_changes` write, so the gate costs one scan the
+      // commit was going to pay anyway.
+      val sliceAtRest = slice.localCheckpoint(true)
+      if (sliceAtRest.isEmpty) return (0L, storedFiles(v).size.toLong)
       try {
         publishGeneration(spark, path, rewritten, v + 1, m,
-          carryForward = Some(carried), changes = Some(slice),
+          carryForward = Some(carried), changes = Some(sliceAtRest),
           op = if (set.isDefined) "update" else "delete")
         return (affected.size.toLong, carriedCount)
       } catch {

@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: users who write the composable HOF cosine get the
     // fused native kernel automatically (see RewriteCosine).
     ext.injectOptimizerRule(_ => RewriteCosine)
+    // SQL DML front door: UPDATE / MERGE INTO on graft-catalog tables
+    // route to the table's transactional machinery (Spark's connector
+    // API has no non-row-level contract for them — see GraftSqlDml).
+    ext.injectPostHocResolutionRule(_ => GraftSqlDml)
   }
 }

@@ -1,0 +1,400 @@
+package graft.sources
+
+import java.util
+
+import graft.operators.{GraftTable, ZoneMap}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.internal.Logging
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete,
+  SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability,
+  TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And,
+  BaseRelation, EqualNullSafe, EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan,
+  LessThanOrEqual, Not, Or, StringContains, StringEndsWith,
+  StringStartsWith, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 `TableCatalog` over a directory of graft tables — the SQL
+  * front door:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/tables")
+  *   spark.sql("CREATE TABLE graft.t (k BIGINT, v DOUBLE) " +
+  *     "OPTIONS (zoneCols 'k')")
+  *   spark.sql("INSERT INTO graft.t SELECT ...")
+  *   spark.sql("SELECT * FROM graft.t WHERE k = 42")      -- pruned scan
+  *   spark.sql("DELETE FROM graft.t WHERE k < 100")        -- native DSv2
+  *   spark.sql("UPDATE graft.t SET v = v + 1 WHERE k = 7") -- via rule
+  *   spark.sql("MERGE INTO graft.t USING s ON ...")        -- via rule
+  * }}}
+  * Identifiers map to paths under the catalog's `warehouse` option
+  * (`graft.db.t` → `warehouse/db/t`); the on-disk layout is exactly
+  * [[graft.operators.GraftTable]]'s, so the catalog, the path-based
+  * `format("graft-table")` reader and the API interoperate on the same
+  * tables.
+  *
+  * Architecture per operation (Spark-first: each SQL verb lands on the
+  * narrowest public connector contract that can express it):
+  *  - SELECT: [[V1Scan]] — DSv2 pushdown (filters + required columns)
+  *    bridged onto the proven [[GraftTableRelation]] pruned scan, so
+  *    the catalog and the path reader share one planning path.
+  *  - INSERT INTO / CTAS / INSERT OVERWRITE: [[V1Write]] →
+  *    transactional `append` / atomic `replace` commits.
+  *  - DELETE FROM: [[SupportsDelete]] — Spark routes the WHERE to
+  *    `deleteWhere` when every conjunct translates ([[canDeleteWhere]]),
+  *    which runs the zone/bloom-pruned rewrite with the EXACT residual.
+  *  - UPDATE / MERGE INTO: Spark has no non-row-level connector contract
+  *    for these, so [[graft.plans.GraftSqlDml]] (injected via
+  *    `graft.plans.GraftExtensions`) rewrites the resolved plans into
+  *    commands on the same `update`/`mergeCond` machinery.
+  *
+  * Snapshot semantics: a loaded table pins the version current at
+  * `loadTable` for READS (the time-travel guarantee); mutations resolve
+  * the head at execution, like every API mutation.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with Logging {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(sys.error(
+      s"catalog $name needs option 'warehouse' " +
+        s"(spark.sql.catalog.$name.warehouse = <dir of graft tables>)"))
+  }
+
+  override def name(): String = catalogName
+
+  private def part(s: String): String = {
+    require(s.nonEmpty && !s.contains("/") && s != ".." && s != ".",
+      s"illegal identifier part: '$s'")
+    s
+  }
+
+  private def pathFor(ident: Identifier): String =
+    (warehouse +: (ident.namespace().toSeq :+ ident.name()).map(part))
+      .mkString("/")
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace.toSeq.map(part))
+      .mkString("/"))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .filter(id => GraftTable.exists(spark, pathFor(id)))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftTable.exists(spark, pathFor(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathFor(ident)
+    if (!GraftTable.exists(spark, p)) throw new NoSuchTableException(ident)
+    new GraftTableV2(spark, p, ident.toString)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft tables lay out files by their zone manifest, not directory " +
+        "partitioning — use option zoneCols (and optionally bloomCols) " +
+        "instead of PARTITIONED BY")
+    def prop(key: String): Option[String] = {
+      val m = properties
+      Option(m.get(key)).orElse(Option(m.get(key.toLowerCase)))
+        .orElse(Option(m.get(TableCatalog.OPTION_PREFIX + key)))
+        .orElse(Option(m.get(TableCatalog.OPTION_PREFIX + key.toLowerCase)))
+    }
+    def colsOf(key: String): Seq[String] =
+      prop(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    val zs = colsOf("zoneCols")
+    val bs = colsOf("bloomCols")
+    require(zs.nonEmpty || bs.nonEmpty,
+      s"CREATE TABLE on catalog $catalogName needs OPTIONS " +
+        "(zoneCols '<c1,c2>') and/or bloomCols — the manifest is the " +
+        "table's pruning index")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    GraftTable.create(empty, pathFor(ident), zoneCols = zs, bloomCols = bs,
+      keepVersions = prop("keepVersions").map(_.toInt).getOrElse(1),
+      changeFeed = prop("changeFeed").forall(_.toBoolean),
+      keepHours = prop("keepHours").map(_.toDouble).getOrElse(-1.0))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft tables: schema evolves additively through " +
+        "writes (append/merge with new columns); layout/retention are " +
+        "table-creation options")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(pathFor(ident))
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  /** Graft tables store manifest paths TABLE-ROOT-RELATIVE, so a rename
+    * is one filesystem move — the committed table survives wholesale
+    * (the [[graft.operators.GraftTable]] relative-manifest guarantee).
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    require(fs.rename(new Path(pathFor(oldIdent)),
+      new Path(pathFor(newIdent))),
+      s"rename failed: ${pathFor(oldIdent)} -> ${pathFor(newIdent)}")
+  }
+
+  // --------------------------------------------------------- namespaces --
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = new Path(warehouse)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .filterNot(st => GraftTable.exists(spark,
+        s"$warehouse/${st.getPath.getName}"))
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      fs.exists(new Path((warehouse +: namespace.toSeq.map(part))
+        .mkString("/")))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(new Path((warehouse +: namespace.toSeq.map(part))
+      .mkString("/")))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*)
+      : Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces are plain directories — nothing to alter")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = new Path((warehouse +: namespace.toSeq.map(part)).mkString("/"))
+    if (!fs.exists(p)) false
+    else {
+      require(cascade || fs.listStatus(p).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty — " +
+          "use CASCADE")
+      fs.delete(p, true)
+    }
+  }
+}
+
+/** One catalog-resolved graft table: reads pin the version current at
+  * load (snapshot semantics), writes and DML resolve the head at
+  * execution. See [[GraftCatalog]] for the contract map.
+  */
+final class GraftTableV2(spark: SparkSession, val tablePath: String,
+    ident: String) extends Table with SupportsRead with SupportsWrite
+  with SupportsDelete with Logging {
+
+  private[graft] val tbl = GraftTable.open(spark, tablePath)
+  private val snapshot = tbl.version
+
+  override def name(): String = ident
+
+  override val schema: StructType = tbl.schemaAt(snapshot)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("path", tablePath)
+    m.put("version", snapshot.toString)
+    m
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftV2ScanBuilder(tbl, snapshot, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftV2WriteBuilder(tbl)
+
+  // ------------------------------------------------------- DELETE FROM --
+
+  /** Every conjunct must translate to an EXACT Column — unlike scan
+    * pruning (a hint), `deleteWhere` is authoritative: Spark deletes
+    * nothing else. Untranslatable shapes refuse here and Spark raises
+    * the standard cannot-delete error instead of guessing.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftTableV2.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val extra = filters.flatMap(GraftTableV2.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val preds = filters.toSeq.flatMap(GraftTableV2.toPreds)
+    val (rewritten, carried) = tbl.dmlWhere(preds, extra, None)
+    logInfo(s"DELETE on $tablePath: $rewritten file(s) rewritten, " +
+      s"$carried carried")
+  }
+
+  override def truncateTable(): Boolean = {
+    tbl.replace(tbl.read().limit(0))
+    true
+  }
+
+  override def toString: String = s"GraftTableV2[$ident @ $tablePath]"
+}
+
+private[sources] object GraftTableV2 {
+
+  /** Zone/bloom-prunable translation — conservative (strict bounds widen
+    * to inclusive; unknown shapes prune nothing). Only `And` recurses:
+    * an OR arm must never AND-compose into the prune list.
+    */
+  private[graft] def toPreds(f: Filter): Seq[ZoneMap.Pred] = f match {
+    case EqualTo(a, v) if v != null => Seq(ZoneMap.Point(a, v))
+    case GreaterThan(a, v) if v != null => Seq(ZoneMap.Range(a, lo = v))
+    case GreaterThanOrEqual(a, v) if v != null =>
+      Seq(ZoneMap.Range(a, lo = v))
+    case LessThan(a, v) if v != null => Seq(ZoneMap.Range(a, hi = v))
+    case LessThanOrEqual(a, v) if v != null =>
+      Seq(ZoneMap.Range(a, hi = v))
+    case And(l, r) => toPreds(l) ++ toPreds(r)
+    case _ => Nil
+  }
+
+  /** EXACT translation of a pushed Filter, or None when the shape has
+    * semantics a Column can't reproduce verbatim.
+    */
+  private[graft] def toColumn(f: Filter): Option[org.apache.spark.sql.Column] =
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+      case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+      case Not(c) => toColumn(c).map(not)
+      case _ => None
+    }
+}
+
+/** DSv2 pushdown (filters + column pruning) bridged onto the DSv1
+  * pruned scan: `build()` yields a [[V1Scan]] whose relation delegates
+  * to [[GraftTableRelation.buildScan]] — one planning path for the
+  * catalog and the path-based reader, manifest pruning included.
+  */
+final class GraftV2ScanBuilder(tbl: GraftTable, version: Long,
+    fullSchema: StructType) extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var filters: Array[Filter] = Array.empty
+
+  /** Keep a copy for pruning, return EVERYTHING as unhandled — the
+    * engine re-applies every filter above the scan; manifest pruning is
+    * a performance hint, never a correctness dependency (the
+    * [[GraftTableRelation.unhandledFilters]] discipline).
+    */
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs
+  }
+
+  override def pushedFilters(): Array[Filter] = filters
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def needConversion: Boolean = false
+        override def buildScan(): RDD[Row] =
+          new GraftTableRelation(context, tbl, version)
+            .buildScan(required.fieldNames, filters)
+      }.asInstanceOf[T]
+
+    override def description(): String =
+      s"GraftTableScan[${tbl.path}@v$version, " +
+        s"filters=${filters.mkString(", ")}]"
+  }
+}
+
+/** INSERT INTO → transactional append; INSERT OVERWRITE / CTAS-replace →
+  * atomic `replace` commit (`truncate()` flips the mode — Spark calls it
+  * for the literal-true overwrite INSERT OVERWRITE plans to).
+  */
+final class GraftV2WriteBuilder(tbl: GraftTable) extends WriteBuilder
+  with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ovw: Boolean): Unit =
+          if (overwrite || ovw) tbl.replace(data) else tbl.append(data)
+      }
+  }
+}

@@ -14,6 +14,31 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Bridge to `CatalystTypeConverters` — Catalyst literal internals
+  * (UTF8String, internal Decimal) must convert to Scala space before
+  * they can feed `lit()` or a [[graft.operators.ZoneMap.Pred]].
+  */
+object CatalystBridge {
+  def toScala(v: Any, dt: org.apache.spark.sql.types.DataType): Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .convertToScala(v, dt)
+}
+
+/** Bridge into `private[sql]` Dataset.ofRows — the one way an injected
+  * analyzer rule's command can turn an already-RESOLVED logical sub-plan
+  * (e.g. a MERGE statement's source) back into a DataFrame to hand the
+  * engine's API. Re-parsing the source's SQL text would double-resolve
+  * against a possibly-moved catalog state; planning the resolved tree is
+  * exact.
+  */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
+
 /** Bridge to the session's `private[sql]` CacheManager state — lets specs
   * assert "no cached queries remain" directly instead of inferring it from
   * `getPersistentRDDs`, whose count also moves when the ContextCleaner

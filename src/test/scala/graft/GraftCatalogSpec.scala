@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.GraftTable
+import org.apache.spark.sql.functions._
+
+/** The DSv2 catalog front door: CREATE/INSERT/SELECT/DELETE/UPDATE/
+  * MERGE as plain SQL text over graft tables, interoperating with the
+  * path-based API on the same on-disk layout.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cat = "gcat"
+  private lazy val warehouse: String = {
+    val wh = Files.createTempDirectory("graft_cat_spec").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    wh
+  }
+
+  private var n = 0
+  private def freshTable(): String = { n += 1; s"$cat.t$n" }
+
+  private def mk(name: String, hi: Long = 400L, keep: Int = 8): Unit = {
+    spark.sql(s"CREATE TABLE $name (k BIGINT, v DOUBLE, u STRING) " +
+      s"OPTIONS (zoneCols 'k', keepVersions '$keep')")
+    (0L until hi).map(k => (k, k * 2.0, s"u${k % 7}"))
+      .toDF("k", "v", "u")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .createOrReplaceTempView("mk_src")
+    spark.sql(s"INSERT INTO $name SELECT * FROM mk_src")
+  }
+
+  test("CREATE + INSERT INTO + SELECT: transactional commits, pruned reads, API interop") {
+    warehouse
+    val t = freshTable()
+    mk(t)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 400)
+    assert(spark.sql(s"SELECT SUM(v) FROM $t WHERE k < 10").head
+      .getDouble(0) == (0L until 10L).map(_ * 2.0).sum)
+    // same on-disk table through the path API (create=v1 empty, insert=v2)
+    val api = GraftTable.open(spark, s"$warehouse/t$n")
+    assert(api.version == 2 && api.read().count() == 400)
+    // catalog listing sees it; a second INSERT is a new transactional
+    // version; INSERT OVERWRITE is an atomic replace
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).contains(s"t$n"))
+    spark.sql(s"INSERT INTO $t VALUES (1000, 1.5, 'x')")
+    assert(api.version == 3 &&
+      spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 401)
+    spark.sql(s"INSERT OVERWRITE $t VALUES (1, 1.0, 'y'), (2, 2.0, 'z')")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 2)
+    assert(api.history().orderBy("version").collect().last.getString(1)
+      == "overwrite")
+  }
+
+  test("DELETE FROM routes through SupportsDelete: exact rows, pruned rewrite") {
+    warehouse
+    val t = freshTable()
+    mk(t)
+    val api = GraftTable.open(spark, s"$warehouse/t$n")
+    val before = api.version
+    spark.sql(s"DELETE FROM $t WHERE k < 100 AND u = 'u3'")
+    assert(api.version == before + 1)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) ==
+      400 - (0L until 100L).count(_ % 7 == 3))
+    // the change slice is delete-only and exact
+    val feed = api.readChanges(before, before + 1)
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    assert(feed.count() == (0L until 100L).count(_ % 7 == 3))
+    // a DELETE matching nothing commits nothing
+    spark.sql(s"DELETE FROM $t WHERE k < 0")
+    assert(api.version == before + 1)
+  }
+
+  test("UPDATE routes through the injected rule: SET exprs over current values, WHERE exact") {
+    warehouse
+    val t = freshTable()
+    mk(t)
+    spark.sql(s"UPDATE $t SET v = v + 1000, u = 'bumped' " +
+      s"WHERE k >= 100 AND k < 110")
+    val got = spark.sql(
+      s"SELECT k, v, u FROM $t WHERE k BETWEEN 95 AND 112 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    got.foreach { case (k, v, u) =>
+      if (k >= 100 && k < 110) {
+        assert(v == k * 2.0 + 1000 && u == "bumped", s"row $k")
+      } else assert(v == k * 2.0 && u == s"u${k % 7}", s"row $k")
+    }
+    // NULL-condition rows are not updated (SQL semantics ride through)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE u = 'bumped'")
+      .head.getLong(0) == 10)
+  }
+
+  test("MERGE INTO: upsert, conditional+partial update, delete-only, update-only") {
+    warehouse
+    val t = freshTable()
+    mk(t, hi = 100)
+    // upsert: update 3 existing (k 0,1,2), insert 2 new (k 500, 501)
+    Seq((0L, 9.0, "m"), (1L, 9.0, "m"), (2L, 9.0, "m"),
+      (500L, 5.0, "n"), (501L, 5.1, "n"))
+      .toDF("sk", "sv", "su").createOrReplaceTempView("m_src")
+    spark.sql(s"""MERGE INTO $t AS t USING m_src AS s ON t.k = s.sk
+      WHEN MATCHED THEN UPDATE SET v = s.sv, u = s.su
+      WHEN NOT MATCHED THEN INSERT (k, v, u) VALUES (s.sk, s.sv, s.su)""")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 102)
+    assert(spark.sql(s"SELECT SUM(v) FROM $t WHERE k IN (0,1,2,500,501)")
+      .head.getDouble(0) == 9.0 * 3 + 5.0 + 5.1)
+
+    // conditional + partial: bump v only where the source value is
+    // larger; u stays
+    Seq((0L, 100.0), (1L, 0.5)).toDF("sk", "sv")
+      .createOrReplaceTempView("m_src2")
+    spark.sql(s"""MERGE INTO $t AS t USING m_src2 AS s ON t.k = s.sk
+      WHEN MATCHED AND s.sv > t.v THEN UPDATE SET v = s.sv""")
+    val after = spark.sql(
+      s"SELECT k, v, u FROM $t WHERE k IN (0, 1) ORDER BY k").collect()
+    assert(after(0).getDouble(1) == 100.0 && after(0).getString(2) == "m",
+      "condition held: v updates, u preserved")
+    assert(after(1).getDouble(1) == 9.0, "condition failed: row untouched")
+    // update-only merge must NOT have inserted the unmatched key
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 102)
+
+    // delete-only merge: key-membership delete
+    Seq(500L, 501L, 999L).toDF("sk").createOrReplaceTempView("m_src3")
+    spark.sql(s"""MERGE INTO $t AS t USING m_src3 AS s ON t.k = s.sk
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 100)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE k >= 500")
+      .head.getLong(0) == 0)
+
+    // unsupported shapes refuse loudly, pointing at the API
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $t AS t USING m_src3 AS s ON t.k = s.sk
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(e.getMessage.contains("unsupported MERGE shape") ||
+      Option(e.getCause).exists(_.getMessage
+        .contains("unsupported MERGE shape")), e.getMessage)
+  }
+
+  test("DROP / RENAME / namespaces; missing table is loud") {
+    warehouse
+    val t = freshTable()
+    mk(t, hi = 10)
+    spark.sql(s"ALTER TABLE $t RENAME TO renamed_t")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.renamed_t")
+      .head.getLong(0) == 10)
+    spark.sql(s"DROP TABLE $cat.renamed_t")
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.renamed_t") }
+    spark.sql(s"CREATE NAMESPACE $cat.db1")
+    spark.sql(s"CREATE TABLE $cat.db1.x (k BIGINT) OPTIONS (zoneCols 'k')")
+    spark.sql(s"INSERT INTO $cat.db1.x VALUES (1), (2)")
+    assert(spark.sql(s"SELECT SUM(k) FROM $cat.db1.x").head.getLong(0) == 3)
+    assert(GraftTable.exists(spark, s"$warehouse/db1/x"),
+      "identifier maps to warehouse/db/table")
+  }
+}

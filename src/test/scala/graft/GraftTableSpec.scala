@@ -754,13 +754,17 @@ class GraftTableSpec extends SparkSpec {
     val filesNow = t.files().size.toLong
     assert(t.delete(Seq(ZoneMap.Range("k", 5000L, null))) == (0L, filesNow))
     assert(t.version == v, "a no-match DML must not commit a version")
-    // SQL NULL semantics: a NULL predicate row is NOT deleted — the
-    // files rewrite (pruning is conservative) but zero rows change
+    // SQL NULL semantics + the ROW-level no-op gate: a NULL predicate
+    // deletes nothing, and since zero rows match, the DML commits NO
+    // version at all — conservative pruning must never buy an identical
+    // rewrite of the surviving stripe
     val n = t.read().count()
+    val vNull = t.version
     t.delete(Seq(ZoneMap.Range("k", 0L, 5000L)),
       lit(null).cast("boolean"))
     assert(t.read().count() == n, "NULL predicate must delete nothing")
-    assert(t.readChanges(t.version - 1, t.version).count() == 0)
+    assert(t.version == vNull,
+      "a zero-row DML must not commit — even when files survive pruning")
   }
 
   test("predicate UPDATE: exact images, pre/post slice, zone column re-indexes, bad SET loud") {
