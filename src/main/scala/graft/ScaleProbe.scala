@@ -402,6 +402,34 @@ object ScaleProbe {
           s"$zmBase/zones", band).count()
         files.size.toLong * 1000000L + got
       },
+      time("bloom_point_scan") {
+        // bloom data-skipping leg on a HASH-SCATTERED layout: 256 files
+        // that each span the whole key range, so zone min/max prunes
+        // nothing and only the per-file blooms discriminate. The probe
+        // evaluates EXECUTOR-side (ZoneMap.pruneFrame): the driver
+        // collects (file, keep) verdicts, never the ~91 KB-per-file
+        // bloom bits — the invariant that keeps an 800k-file table's
+        // pushed `=` metadata-sized instead of a ~700 GB driver collect.
+        // Gates: a present key opens ~collision-many files (fpp 3% of
+        // 256, never the corpus), and the lookup is row-exact. Encoded
+        // files·10^6 + rows, the zonemap leg's convention.
+        val base = Scratch.dir("scale_bloom") + "/t"
+        val rows = corpus.select(col("doc_id").as("k"),
+          (col("doc_id") % 977L).as("v"))
+        val tbl = graft.operators.GraftTable.create(
+          rows.repartition(256, col("k")), base,
+          zoneCols = Seq("k"), bloomCols = Seq("k"),
+          bloomItems = 100000L)
+        val nf = tbl.files().size
+        val preds = Seq(graft.operators.ZoneMap.Point("k", 424242L))
+        val opened = tbl.scanFileCount(preds)
+        require(opened >= 1 && opened <= nf / 16,
+          s"a bloom Point probe on a hash-scattered layout must prune " +
+            s"to collision-many files: $opened of $nf")
+        val got = tbl.scan(preds).count()
+        require(got == 1L, s"point lookup must be row-exact: $got")
+        opened * 1000000L + got
+      },
       time("graft_table_lifecycle") {
         // unified-table leg: the zonemap leg's data-skipping invariant,
         // through ONE atomic handle — create 505k rows as 64 range-

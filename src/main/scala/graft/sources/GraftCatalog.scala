@@ -9,9 +9,13 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
   NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete,
-  SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability,
-  TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier,
+  ProcedureCatalog, SupportsDelete, SupportsNamespaces, SupportsRead,
+  SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.LocalScan
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
@@ -66,7 +70,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the head at execution, like every API mutation.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with Logging {
+  with ProcedureCatalog with Logging {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -114,6 +118,44 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = pathFor(ident)
     if (!GraftTable.exists(spark, p)) throw new NoSuchTableException(ident)
     new GraftTableV2(spark, p, ident.toString)
+  }
+
+  /** SQL time travel, `SELECT … FROM cat.t VERSION AS OF 3`: the pinned
+    * retained version, loudly validated (the retention window is the
+    * travel range — never guess across a pruned gap).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathFor(ident)
+    if (!GraftTable.exists(spark, p)) throw new NoSuchTableException(ident)
+    val t = GraftTable.open(spark, p)
+    val v = scala.util.Try(version.trim.toLong).getOrElse(sys.error(
+      s"VERSION AS OF on $ident takes a numeric graft version, got " +
+        s"'$version'"))
+    require(t.versions().contains(v),
+      s"version $v is not committed/retained under $p " +
+        s"(retained: ${t.versions().mkString(", ")}) — increase " +
+        "keepVersions to widen the time-travel window")
+    new GraftTableV2(spark, p, s"$ident@v$v", pinned = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF`: the newest retained version committed at or
+    * before the timestamp (micros, per the connector contract) — commit
+    * time is the version directory's publish rename, exactly how the
+    * public formats resolve a timestamp to a snapshot.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = pathFor(ident)
+    if (!GraftTable.exists(spark, p)) throw new NoSuchTableException(ident)
+    val t = GraftTable.open(spark, p)
+    val cutoffMs = timestampMicros / 1000L
+    val hfs = new Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = t.versions().filter(w =>
+      hfs.getFileStatus(new Path(s"$p/v$w")).getModificationTime
+        <= cutoffMs).lastOption.getOrElse(sys.error(
+      s"no retained version of $ident committed at or before " +
+        s"timestamp $cutoffMs ms (retained: ${t.versions().mkString(", ")})"))
+    new GraftTableV2(spark, p, s"$ident@v$v", pinned = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -225,18 +267,134 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       fs.delete(p, true)
     }
   }
+
+  // --------------------------------------------------------- procedures --
+  // `CALL cat.vacuum(table => 't')` — the maintenance verbs that have no
+  // DML sentence, on Spark 4's ProcedureCatalog contract (the public
+  // formats' `CALL system.…` shape). The `table` argument is an
+  // identifier relative to this catalog ("db.t" or "t").
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty)
+      GraftProcedures.Names.map(Identifier.of(Array.empty[String], _))
+        .toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().isEmpty &&
+      GraftProcedures.Names.contains(ident.name()),
+      s"unknown procedure $ident — graft procedures: " +
+        GraftProcedures.Names.mkString(", "))
+    GraftProcedures.load(this, ident.name())
+  }
+
+  private[sources] def openByName(table: String): GraftTable = {
+    val parts = table.split("\\.").toSeq
+    val id = Identifier.of(parts.init.toArray, parts.last)
+    val p = pathFor(id)
+    if (!GraftTable.exists(spark, p)) throw new NoSuchTableException(id)
+    GraftTable.open(spark, p)
+  }
+}
+
+/** The maintenance procedures ([[GraftCatalog.loadProcedure]]): each is
+  * one `BoundProcedure` whose `call` runs the table API and returns its
+  * report as a [[LocalScan]] — rows the engine serves as the CALL's
+  * result set.
+  */
+private[sources] object GraftProcedures {
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType,
+    StringType, StructField}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val Names: Seq[String] = Seq("vacuum", "history", "compact")
+
+  private def param(n: String, dt: org.apache.spark.sql.types.DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(n, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  private def scanOf(schema: StructType,
+      out: Seq[InternalRow]): java.util.Iterator[
+      org.apache.spark.sql.connector.read.Scan] =
+    java.util.Collections.singletonList(new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = out.toArray
+    }: org.apache.spark.sql.connector.read.Scan).iterator()
+
+  private def bound(procName: String, params: Seq[ProcedureParameter],
+      body: InternalRow => (StructType, Seq[InternalRow]))
+      : UnboundProcedure = new UnboundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = procName
+        override def parameters(): Array[ProcedureParameter] =
+          params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[
+            org.apache.spark.sql.connector.read.Scan] = {
+          val (schema, rows) = body(input)
+          scanOf(schema, rows)
+        }
+      }
+  }
+
+  def load(cat: GraftCatalog, name: String): UnboundProcedure = name match {
+    case "vacuum" =>
+      // vacuum(table, force = false, dry_run = false): dry_run returns
+      // the would-delete paths; a real vacuum returns the deleted count
+      // (and refuses on a cloned source unless force)
+      bound("vacuum", Seq(param("table", StringType),
+        param("force", BooleanType, Some("false")),
+        param("dry_run", BooleanType, Some("false"))), { in =>
+        val tbl = cat.openByName(in.getUTF8String(0).toString)
+        val force = !in.isNullAt(1) && in.getBoolean(1)
+        val dry = !in.isNullAt(2) && in.getBoolean(2)
+        if (dry)
+          (StructType(Seq(StructField("path", StringType))),
+            tbl.vacuumDryRun().map(p =>
+              InternalRow(UTF8String.fromString(p))))
+        else
+          (StructType(Seq(StructField("files_deleted", LongType))),
+            Seq(InternalRow(tbl.vacuum(force))))
+      })
+    case "history" =>
+      bound("history", Seq(param("table", StringType)), { in =>
+        val tbl = cat.openByName(in.getUTF8String(0).toString)
+        (StructType(Seq(StructField("version", LongType),
+          StructField("operation", StringType),
+          StructField("files", IntegerType))),
+          tbl.history().orderBy("version").collect().toSeq.map(r =>
+            InternalRow(r.getLong(0),
+              UTF8String.fromString(r.getString(1)), r.getInt(2))))
+      })
+    case "compact" =>
+      bound("compact", Seq(param("table", StringType),
+        param("target_rows", LongType)), { in =>
+        val tbl = cat.openByName(in.getUTF8String(0).toString)
+        val (before, after) = tbl.compact(in.getLong(1))
+        (StructType(Seq(StructField("files_before", LongType),
+          StructField("files_after", LongType))),
+          Seq(InternalRow(before, after)))
+      })
+  }
 }
 
 /** One catalog-resolved graft table: reads pin the version current at
-  * load (snapshot semantics), writes and DML resolve the head at
-  * execution. See [[GraftCatalog]] for the contract map.
+  * load — or the `pinned` time-travel version — (snapshot semantics);
+  * writes and DML resolve the head at execution. See [[GraftCatalog]]
+  * for the contract map.
   */
 final class GraftTableV2(spark: SparkSession, val tablePath: String,
-    ident: String) extends Table with SupportsRead with SupportsWrite
-  with SupportsDelete with Logging {
+    ident: String, pinned: Option[Long] = None) extends Table
+  with SupportsRead with SupportsWrite with SupportsDelete with Logging {
 
   private[graft] val tbl = GraftTable.open(spark, tablePath)
-  private val snapshot = tbl.version
+  private val snapshot = pinned.getOrElse(tbl.version)
 
   override def name(): String = ident
 

@@ -144,6 +144,70 @@ class GraftCatalogSpec extends SparkSpec {
         .contains("unsupported MERGE shape")), e.getMessage)
   }
 
+  test("SQL time travel: VERSION AS OF pins a retained snapshot, TIMESTAMP AS OF resolves by commit time") {
+    warehouse
+    val t = freshTable()
+    mk(t, hi = 50)
+    spark.sql(s"INSERT INTO $t VALUES (900, 9.0, 'x')")
+    // v2 = the 50 rows, v3 = 51
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 2")
+      .head.getLong(0) == 50)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 3")
+      .head.getLong(0) == 51)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("retained") ||
+      Option(e.getCause).exists(_.getMessage.contains("retained")),
+      e.getMessage)
+    // TIMESTAMP AS OF now = the head; far past = loud
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t TIMESTAMP AS OF " +
+      "(now() + INTERVAL 1 HOUR)").head.getLong(0) == 51)
+    intercept[Exception] {
+      spark.sql(s"SELECT COUNT(*) FROM $t TIMESTAMP AS OF " +
+        "TIMESTAMP '2000-01-01 00:00:00'").collect()
+    }
+  }
+
+  test("CALL procedures: history / vacuum (dry-run, clone guard) / compact") {
+    warehouse
+    val t = freshTable()
+    mk(t, keep = 1) // no time-travel window: superseded versions prune,
+                    // so their generations become vacuum fodder
+    val leaf = s"t$n"
+    val hist = spark.sql(s"CALL $cat.history(table => '$leaf')").collect()
+    assert(hist.map(_.getString(1)).toSeq == Seq("append"),
+      "keepVersions=1 retains only the head commit in history")
+    // compact: 4 range files fold into 1; history stamps it
+    val c = spark.sql(
+      s"CALL $cat.compact(table => '$leaf', target_rows => ${1000 * 1000})")
+      .head()
+    assert(c.getLong(0) == 4 && c.getLong(1) == 1,
+      s"compact report: ${c.toString}")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 400)
+    // dry-run lists the superseded generation's debris, deletes nothing
+    val dry = spark.sql(
+      s"CALL $cat.vacuum(table => '$leaf', dry_run => true)").collect()
+    assert(dry.nonEmpty, "superseded generation must appear in the report")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 400)
+    // real vacuum deletes them — at least the compacted-away 4 files
+    val swept = spark.sql(s"CALL $cat.vacuum(table => '$leaf')")
+      .head.getLong(0)
+    assert(swept >= 4, s"the 4 superseded files must sweep: $swept")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 400)
+    // clone guard: refuse, then force through the procedure
+    GraftTable.shallowClone(spark, s"$warehouse/$leaf",
+      warehouse + s"/${leaf}_clone")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.vacuum(table => '$leaf')").collect()
+    }
+    assert(e.getMessage.contains("clone") ||
+      Option(e.getCause).exists(_.getMessage.contains("clone")),
+      e.getMessage)
+    assert(spark.sql(s"CALL $cat.vacuum(table => '$leaf', force => true)")
+      .head.getLong(0) == 0L)
+  }
+
   test("DROP / RENAME / namespaces; missing table is loud") {
     warehouse
     val t = freshTable()
