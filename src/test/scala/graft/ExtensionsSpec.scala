@@ -29,30 +29,42 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("RewriteCosine: HOF cosine pattern is fused into the native kernel") {
-    spark.sparkContext
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .create()
+    // the shared session carries GraftExtensions since every engine
+    // session builder injects them (Session.local/Verify/Bench) — the
+    // fused plan is now the DEFAULT; the un-fused comparison comes from
+    // excluding the injected rule, not from a second session (a new
+    // session on the same context would inherit the extensions conf)
     import org.apache.spark.sql.functions.{col, reverse}
     // File-backed relation: over a LocalRelation the optimizer would
     // constant-fold the whole projection away before the rule could show.
-    def q(s: SparkSession) =
-      s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def q() =
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         .select(col("vec_id"),
           graft.functions.VectorOps.cosine(
             col("embedding"), reverse(col("embedding"))).as("cos"))
-    val fused = q(s2)
+    val fused = q()
     assert(fused.queryExecution.optimizedPlan.toString
       .toLowerCase.contains("cosinesimilarity"),
       s"expected fused kernel in:\n${fused.queryExecution.optimizedPlan}")
-    // and the rewrite preserves results bit-for-bit vs the un-fused session
-    val plain = q(spark)
-    assert(!plain.queryExecution.optimizedPlan.toString
-      .toLowerCase.contains("cosinesimilarity"))
-    val want = plain.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val got = fused.collect()
-    assert(got.nonEmpty)
-    got.foreach(r => assert(r.getDouble(1) == want(r.getLong(0))))
+    val key = "spark.sql.optimizer.excludedRules"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.plans.RewriteCosine")
+    try {
+      // and the rewrite preserves results bit-for-bit vs the un-fused plan
+      val plain = q()
+      assert(!plain.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("cosinesimilarity"),
+        s"rule exclusion must yield the declarative plan:\n" +
+          s"${plain.queryExecution.optimizedPlan}")
+      val want = plain.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val got = fused.collect()
+      assert(got.nonEmpty)
+      got.foreach(r => assert(r.getDouble(1) == want(r.getLong(0))))
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }
