@@ -1343,6 +1343,43 @@ final class GraftTable private[operators] (spark: SparkSession,
     sys.error("unreachable")
   }
 
+  /** Change the table's lifecycle POLICIES — retention (`keepVersions`,
+    * `keepHours`), change-feed persistence (`changeFeed`) — as ONE
+    * metadata-only commit: the new version carries the whole manifest
+    * forward (zero data files move) and only meta differs, so the
+    * switch is atomic and time-travel-consistent like every other
+    * mutation (the ALTER TABLE SET TBLPROPERTIES shape). Allowed on
+    * stream-ledgered tables — the ledger is untouched. The new
+    * retention applies from THIS commit's prune onward.
+    */
+  def setPolicies(keepVersions: Option[Int] = None,
+      keepHours: Option[Double] = None,
+      changeFeed: Option[Boolean] = None): Unit = {
+    require(keepVersions.forall(_ >= 1),
+      s"keepVersions must be >= 1: $keepVersions")
+    val v = version
+    val m = readMeta(spark, path, v)
+    val nm = m.copy(
+      keepVersions = keepVersions.getOrElse(m.keepVersions),
+      keepHours = keepHours.getOrElse(m.keepHours),
+      changeFeed = changeFeed.getOrElse(m.changeFeed))
+    if (nm == m) return
+    publishGeneration(spark, path,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema),
+      v + 1, nm,
+      carryForward = Some(manifestDf(v).localCheckpoint(true)),
+      changes = Some(emptySlice(m.schema)), op = "setpolicy")
+  }
+
+  /** The table's current lifecycle policies:
+    * (keepVersions, keepHours, changeFeed).
+    */
+  def policies(): (Int, Double, Boolean) = {
+    val m = metaNow
+    (m.keepVersions, m.keepHours, m.changeFeed)
+  }
+
   /** Row-level CHANGE FEED between two committed versions — Delta CDF
     * semantics, served at ROW granularity whenever the commit persisted
     * its change slice and at FILE granularity otherwise:

@@ -190,12 +190,38 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** `ALTER TABLE … SET TBLPROPERTIES` for the lifecycle POLICIES
+    * (`keepVersions` / `keepHours` / `changeFeed`) — one metadata-only
+    * commit ([[GraftTable!.setPolicies]]). Schema changes are refused:
+    * graft schemas evolve additively through writes (append/merge with
+    * new columns), never by DDL rewriting history.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft tables: schema evolves additively through " +
-        "writes (append/merge with new columns); layout/retention are " +
-        "table-creation options")
+      changes: TableChange*): Table = {
+    val p = pathFor(ident)
+    if (!GraftTable.exists(spark, p)) throw new NoSuchTableException(ident)
+    val tbl = GraftTable.open(spark, p)
+    var keepV: Option[Int] = None
+    var keepH: Option[Double] = None
+    var feed: Option[Boolean] = None
+    changes.foreach {
+      case sp: TableChange.SetProperty =>
+        sp.property().toLowerCase match {
+          case "keepversions" => keepV = Some(sp.value().trim.toInt)
+          case "keephours" => keepH = Some(sp.value().trim.toDouble)
+          case "changefeed" => feed = Some(sp.value().trim.toBoolean)
+          case other => throw new UnsupportedOperationException(
+            s"unsupported table property '$other' — alterable policies: " +
+              "keepVersions, keepHours, changeFeed")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change $other — graft schemas evolve " +
+          "additively through writes; only SET TBLPROPERTIES " +
+          "(keepVersions/keepHours/changeFeed) alters a table")
+    }
+    tbl.setPolicies(keepV, keepH, feed)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathFor(ident))

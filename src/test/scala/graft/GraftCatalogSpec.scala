@@ -208,6 +208,52 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) == 0L)
   }
 
+  test("CTAS creates-and-loads in one statement; DESCRIBE serves the schema") {
+    warehouse
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE $t OPTIONS (zoneCols 'id') AS " +
+      "SELECT id, id * 2 AS v FROM range(100)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 100)
+    assert(spark.sql(s"SELECT SUM(v) FROM $t WHERE id < 10")
+      .head.getLong(0) == (0L until 10L).map(_ * 2).sum)
+    assert(spark.sql(s"DESCRIBE TABLE $t").collect()
+      .map(_.getString(0)).toSeq.take(2) == Seq("id", "v"))
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES: lifecycle policies as one metadata-only commit") {
+    warehouse
+    val t = freshTable()
+    mk(t, hi = 60, keep = 1)
+    val api = GraftTable.open(spark, s"$warehouse/t$n")
+    assert(api.policies() == ((1, -1.0, true)))
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('keepVersions' = '3', 'changeFeed' = 'false')")
+    assert(api.policies() == ((3, -1.0, false)))
+    assert(api.history().orderBy("version").collect().last.getString(1)
+      == "setpolicy")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 60,
+      "a policy change moves zero data")
+    // the new retention applies: two more commits retain a window of 3
+    spark.sql(s"INSERT INTO $t VALUES (900, 9.0, 'x')")
+    spark.sql(s"INSERT INTO $t VALUES (901, 9.1, 'y')")
+    assert(api.versions().size == 3,
+      s"keepVersions=3 must now retain a window: ${api.versions()}")
+    // and the feed opt-out is live: a DELETE commits no _changes slice
+    spark.sql(s"DELETE FROM $t WHERE k < 5")
+    val fs = new org.apache.hadoop.fs.Path(s"$warehouse/t$n")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$warehouse/t$n/v${api.version}/_changes")),
+      "changeFeed=false must skip the row-level slice write")
+    // unknown properties and schema changes refuse loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('nope' = '1')")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMN z BIGINT")
+    }
+  }
+
   test("DROP / RENAME / namespaces; missing table is loud") {
     warehouse
     val t = freshTable()
