@@ -1380,6 +1380,12 @@ final class GraftTable private[operators] (spark: SparkSession,
     (m.keepVersions, m.keepHours, m.changeFeed)
   }
 
+  /** The manifest's index geometry: (zone columns, bloom columns). */
+  def indexedCols(): (Seq[String], Seq[String]) = {
+    val m = metaNow
+    (m.zoneCols, m.bloomCols)
+  }
+
   /** Row-level CHANGE FEED between two committed versions — Delta CDF
     * semantics, served at ROW granularity whenever the commit persisted
     * its change slice and at FILE granularity otherwise:

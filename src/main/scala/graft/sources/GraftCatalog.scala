@@ -430,10 +430,21 @@ final class GraftTableV2(spark: SparkSession, val tablePath: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** Surfaced by `SHOW TBLPROPERTIES`: the pinned snapshot plus the
+    * table's index geometry and lifecycle policies (the alterable ones
+    * round-trip through `ALTER TABLE … SET TBLPROPERTIES`).
+    */
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     m.put("path", tablePath)
     m.put("version", snapshot.toString)
+    val (keepV, keepH, feed) = tbl.policies()
+    m.put("keepVersions", keepV.toString)
+    m.put("keepHours", keepH.toString)
+    m.put("changeFeed", feed.toString)
+    val (zc, bc) = tbl.indexedCols()
+    m.put("zoneCols", zc.mkString(","))
+    m.put("bloomCols", bc.mkString(","))
     m
   }
 

@@ -218,6 +218,17 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) == (0L until 10L).map(_ * 2).sum)
     assert(spark.sql(s"DESCRIBE TABLE $t").collect()
       .map(_.getString(0)).toSeq.take(2) == Seq("id", "v"))
+    // SHOW TBLPROPERTIES surfaces geometry and policies
+    val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("zoneCols") == "id" && props("keepVersions") == "1" &&
+      props("changeFeed") == "true", props.toString)
+    // TRUNCATE TABLE routes through truncateTable(): an atomic empty
+    // replace, schema preserved
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 0)
+    assert(spark.sql(s"SELECT id FROM $t").schema.fieldNames.toSeq ==
+      Seq("id"))
   }
 
   test("ALTER TABLE SET TBLPROPERTIES: lifecycle policies as one metadata-only commit") {
