@@ -624,6 +624,93 @@ private[graft] object EntryExt {
       s"FROM $tn GROUP BY event_type ORDER BY event_type")
   }
 
+  /** `ALTER TABLE … SET TBLPROPERTIES` + the changeFeed OPT-OUT as one
+    * SQL lifecycle: the table is created feed-ON with no retention
+    * window, ALTERed to `keepVersions 3, changeFeed false` (one
+    * metadata-only commit — required in-body: zero data moved, history
+    * stamps `setpolicy`), then [[qSqlUpdate]]'s exact UPDATE runs under
+    * the new policies — the commit persists NO row-level slice
+    * (required in-body: no `_changes` dir) and the retention window now
+    * holds 3 versions (required in-body). Same arithmetic, same oracle
+    * as `q_update_where` — policies change costs, never answers.
+    */
+  private[graft] def qSqlAlter(s: SparkSession, d: String): DataFrame = {
+    val tn = freshSqlTable(s, "alt")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    s.sql(s"CREATE TABLE $tn (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE) OPTIONS (zoneCols 'event_id')")
+    ev.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .createOrReplaceTempView("graft_sqalt_src")
+    s.sql(s"INSERT INTO $tn SELECT * FROM graft_sqalt_src")
+    val root = s.conf.get("spark.sql.catalog.graftsql.warehouse") + "/" +
+      tn.split("\\.").last
+    val tbl = operators.GraftTable.open(s, root)
+    val rowsBefore = tbl.read().count()
+    s.sql(s"ALTER TABLE $tn SET TBLPROPERTIES " +
+      "('keepVersions' = '3', 'changeFeed' = 'false')")
+    require(tbl.policies() == ((3, -1.0, false)),
+      s"the ALTER must land both policies: ${tbl.policies()}")
+    require(tbl.read().count() == rowsBefore,
+      "a policy change is metadata-only — zero rows move")
+    require(tbl.history().orderBy("version").collect().last.getString(1)
+      == "setpolicy", "history must stamp the policy commit")
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    s.sql(s"UPDATE $tn SET value = value * 2 + 7 " +
+      s"WHERE event_id >= ${maxId * 3 / 4} AND user_id % 3 = 0")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/v${tbl.version}/_changes")),
+      "changeFeed=false must skip the row-level slice write")
+    require(tbl.versions().size == 3,
+      s"keepVersions=3 must retain the window: ${tbl.versions()}")
+    s.sql(s"SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v " +
+      s"FROM $tn GROUP BY event_type ORDER BY event_type")
+  }
+
+  /** The maintenance procedures as SQL (`CALL cat.compact/history/
+    * vacuum` — [[graft.sources.GraftCatalog]]'s `ProcedureCatalog`):
+    * compact folds the 8 range files to 2 and reports
+    * (files_before, files_after) as the CALL's result set (required
+    * in-body), history serves the op log (required in-body: the exact
+    * create→append→compact sequence), vacuum's dry-run lists the
+    * superseded generation without deleting and the real vacuum sweeps
+    * exactly it (required in-body: dry-run then count, reads intact
+    * throughout). Row-preserving maintenance, so the oracle is the
+    * plain aggregate.
+    */
+  private[graft] def qSqlCall(s: SparkSession, d: String): DataFrame = {
+    val tn = freshSqlTable(s, "call")
+    val leaf = tn.split("\\.").last
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    s.sql(s"CREATE TABLE $tn (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE) OPTIONS (zoneCols 'event_id')")
+    ev.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .createOrReplaceTempView("graft_sqcall_src")
+    s.sql(s"INSERT INTO $tn SELECT * FROM graft_sqcall_src")
+    val n = ev.count()
+    val rep = s.sql(s"CALL graftsql.compact(table => '$leaf', " +
+      s"target_rows => ${(n + 1) / 2})").head()
+    require(rep.getLong(0) == 8 && rep.getLong(1) == 2,
+      s"compact must report the fold: ${rep.toString}")
+    val ops = s.sql(s"CALL graftsql.history(table => '$leaf')")
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    require(ops == Seq("create", "append", "compact") ||
+      ops == Seq("append", "compact") || ops == Seq("compact"),
+      s"history must serve the op log within retention: $ops")
+    val dry = s.sql(s"CALL graftsql.vacuum(table => '$leaf', " +
+      "dry_run => true)").count()
+    require(dry >= 1, "the superseded generation must appear in dry-run")
+    val swept = s.sql(s"CALL graftsql.vacuum(table => '$leaf')")
+      .head.getLong(0)
+    require(swept >= 8,
+      s"vacuum must sweep the compacted-away generation: $swept")
+    s.sql(s"SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v " +
+      s"FROM $tn GROUP BY event_type ORDER BY event_type")
+  }
+
   /** The unified table through the SQL READ PATH
     * ([[graft.sources.GraftTableSource]], `spark.read
     * .format("graft-table")`): the even events load as a plain

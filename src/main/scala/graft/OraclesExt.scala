@@ -1270,6 +1270,21 @@ private[graft] object OraclesExt {
         |                 THEN e.value * 2 + 7 ELSE e.value END), 2) AS v
         |FROM events e, mx
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // ALTER TABLE changes policies, never answers: the post-ALTER
+    // UPDATE is q_update_where's arithmetic verbatim
+    "q_sql_alter" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  ROUND(SUM(CASE WHEN e.event_id >= (3 * mx.m) // 4
+        |                  AND e.user_id % 3 = 0
+        |                 THEN e.value * 2 + 7 ELSE e.value END), 2) AS v
+        |FROM events e, mx
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // CALL compact/history/vacuum are row-preserving maintenance: the
+    // oracle is the plain aggregate
+    "q_sql_call" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // SQL-text MERGE: multiples of 3 update to value+1000 (latest
     // batch image), multiples of 5 re-insert under fresh shifted keys
     "q_sql_merge" ->
