@@ -576,10 +576,16 @@ private[graft] object EntryExt {
     val maxId = ev.agg(max("event_id")).head.getLong(0)
     val res = s.sql(s"UPDATE $tn SET value = value * 2 + 7 " +
       s"WHERE event_id >= ${maxId * 3 / 4} AND user_id % 3 = 0").head()
-    val (rew, carried) = (res.getLong(0), res.getLong(1))
+    val (nRows, rew, carried) =
+      (res.getLong(0), res.getLong(1), res.getLong(2))
     require(rew >= 1 && carried >= 1,
       s"the SQL UPDATE must rewrite only the high-id stripe: " +
         s"$rew rewritten / $carried carried")
+    val expectRows = ev.filter(col("event_id") >= maxId * 3 / 4 &&
+      col("user_id") % 3 === 0).count()
+    require(nRows == expectRows,
+      s"num_affected_rows must be the exact matched count: " +
+        s"$nRows vs $expectRows")
     s.sql(s"SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v " +
       s"FROM $tn GROUP BY event_type ORDER BY event_type")
   }
@@ -622,6 +628,140 @@ private[graft] object EntryExt {
     require(tbl.version == v2 + 1, "one MERGE, one commit")
     s.sql(s"SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v " +
       s"FROM $tn GROUP BY event_type ORDER BY event_type")
+  }
+
+  /** SYNC MERGE as SQL TEXT — `WHEN NOT MATCHED BY SOURCE THEN DELETE`
+    * composed with the matched/not-matched wings in ONE commit: the
+    * table seeds with the even events, the source is every multiple of
+    * 3 at value + 1000, and the three wings make the table EQUAL the
+    * source (matched keys update, fresh keys insert, keys outside the
+    * source tombstone via the head-snapshot anti-join — the sync-merge
+    * every SQL CDC user types first). Required in-body: one commit,
+    * `num_affected_rows` equals the exact wing algebra. The oracle is
+    * the source itself — a full sync IS replacement.
+    */
+  private[graft] def qSqlMergeSync(s: SparkSession, d: String): DataFrame = {
+    val tn = freshSqlTable(s, "msync")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    s.sql(s"CREATE TABLE $tn (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE) " +
+      "OPTIONS (zoneCols 'event_id', keepVersions '3')")
+    ev.filter(col("event_id") % 2 === 0)
+      .repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .createOrReplaceTempView("graft_msync_seed")
+    s.sql(s"INSERT INTO $tn SELECT * FROM graft_msync_seed")
+    val tbl = operators.GraftTable.open(s,
+      s.conf.get("spark.sql.catalog.graftsql.warehouse") + "/" +
+        tn.split("\\.").last)
+    val v2 = tbl.version
+    ev.filter(col("event_id") % 3 === 0)
+      .withColumn("value", col("value") + 1000)
+      .createOrReplaceTempView("graft_msync_src")
+    val rep = s.sql(s"""MERGE INTO $tn AS t USING graft_msync_src AS s
+      ON t.event_id = s.event_id
+      WHEN MATCHED THEN UPDATE SET value = s.value, user_id = s.user_id,
+        event_type = s.event_type
+      WHEN NOT MATCHED THEN INSERT (event_id, user_id, event_type, value)
+        VALUES (s.event_id, s.user_id, s.event_type, s.value)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""").head()
+    require(tbl.version == v2 + 1, "one sync MERGE, one commit")
+    val evens = ev.filter(col("event_id") % 2 === 0).count()
+    val mult6 = ev.filter(col("event_id") % 6 === 0).count()
+    val mult3 = ev.filter(col("event_id") % 3 === 0).count()
+    // updates (even∩3) + inserts (3∖even) + sync-deletes (even∖3)
+    require(!rep.isNullAt(0) &&
+      rep.getLong(0) == mult3 + (evens - mult6),
+      s"num_affected_rows must be the exact wing algebra: ${rep.toString}")
+    s.sql(s"SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v " +
+      s"FROM $tn GROUP BY event_type ORDER BY event_type")
+  }
+
+  /** COMPOSITE-key MERGE + conditional INSERT as SQL TEXT: the ON is a
+    * two-column equality conjunction — the tuple matches, the LEADING
+    * key (`event_id`, the zone axis) prunes — and the NOT MATCHED wing
+    * carries `AND s.value >= 100`, so only the qualifying fresh tuples
+    * insert. Source rows sharing a stored event_id under a DIFFERENT
+    * event_type are NOT matched (required in-body: they land as
+    * inserts, which a single-key merge would have folded as updates).
+    * The oracle is the same CASE + filtered-UNION set algebra.
+    */
+  private[graft] def qSqlMerge2(s: SparkSession, d: String): DataFrame = {
+    val tn = freshSqlTable(s, "mrg2")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    s.sql(s"CREATE TABLE $tn (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE) " +
+      "OPTIONS (zoneCols 'event_id', keepVersions '3')")
+    ev.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .createOrReplaceTempView("graft_mrg2_seed")
+    s.sql(s"INSERT INTO $tn SELECT * FROM graft_mrg2_seed")
+    val tbl = operators.GraftTable.open(s,
+      s.conf.get("spark.sql.catalog.graftsql.warehouse") + "/" +
+        tn.split("\\.").last)
+    val v2 = tbl.version
+    val before = tbl.read().count()
+    // matched tuples: multiples of 3 under their OWN type (+1000);
+    // unmatched tuples: multiples of 5 under a SHIFTED type — same
+    // event_id as a stored row, different type component
+    ev.filter(col("event_id") % 3 === 0)
+      .withColumn("value", col("value") + 1000)
+      .unionByName(ev.filter(col("event_id") % 5 === 0)
+        .withColumn("event_type", concat(col("event_type"), lit("_x"))))
+      .createOrReplaceTempView("graft_mrg2_src")
+    val rep = s.sql(s"""MERGE INTO $tn AS t USING graft_mrg2_src AS s
+      ON t.event_id = s.event_id AND t.event_type = s.event_type
+      WHEN MATCHED THEN UPDATE SET value = s.value, user_id = s.user_id
+      WHEN NOT MATCHED AND s.value >= 100.0 THEN INSERT
+        (event_id, user_id, event_type, value)
+        VALUES (s.event_id, s.user_id, s.event_type, s.value)""").head()
+    require(tbl.version == v2 + 1, "one composite MERGE, one commit")
+    val inserted = ev.filter(col("event_id") % 5 === 0 &&
+      col("value") >= 100.0).count()
+    require(tbl.read().count() == before + inserted,
+      "shifted-type tuples must INSERT (tuple match), value < 100 " +
+        "tuples must be filtered by the conditional wing")
+    val updated = ev.filter(col("event_id") % 3 === 0).count()
+    require(!rep.isNullAt(0) && rep.getLong(0) == updated + inserted,
+      s"num_affected_rows must be updates + conditional inserts: " +
+        s"${rep.toString}")
+    s.sql(s"SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v " +
+      s"FROM $tn GROUP BY event_type ORDER BY event_type")
+  }
+
+  /** OR-predicate pruning on the SQL read path: the pushed
+    * `event_id <= lo OR event_id >= hi` prunes PER-DISJUNCT and unions
+    * the survivors — both edge stripes open, the middle never does
+    * (required in-body via the scan observability hook: opened ≥ 2 and
+    * < total), where the r15 engine read the whole manifest for any OR.
+    * An IN-list probe rides the same algebra (one Point disjunct per
+    * value). Exactness never depends on pruning — the oracle is the
+    * plain OR-filtered aggregate.
+    */
+  private[graft] def qTableSqlOr(s: SparkSession, d: String): DataFrame = {
+    val base = Scratch.dir("graft_tsqlor") + "/t"
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    val tbl = operators.GraftTable.create(
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"),
+      base, zoneCols = Seq("event_id"), keepVersions = 2)
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val (lo, hi) = (maxId / 8, maxId - maxId / 8)
+    val df = s.read.format("graft-table").option("path", base).load()
+    val edges = df.filter(col("event_id") <= lo || col("event_id") >= hi)
+    sources.GraftTableRelation.clearScan(base)
+    val edgeRows = edges.count()
+    require(sources.GraftTableRelation.lastScan(base).exists {
+      case (opened, total) => opened >= 2 && opened < total
+    }, s"the pushed OR must prune to the two edge stripes: " +
+      s"${sources.GraftTableRelation.lastScan(base)}")
+    require(edgeRows ==
+      ev.filter(col("event_id") <= lo || col("event_id") >= hi).count(),
+      "pruning must never change results")
+    require(tbl.files().size == 8, "fixture: 8 range files")
+    edges.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .orderBy("event_type")
   }
 
   /** `ALTER TABLE … SET TBLPROPERTIES` + the changeFeed OPT-OUT as one

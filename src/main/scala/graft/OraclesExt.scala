@@ -1285,6 +1285,40 @@ private[graft] object OraclesExt {
     "q_sql_call" ->
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // SYNC merge (matched update + unmatched insert + not-matched-by-
+    // source delete) makes the table EQUAL the source: every multiple
+    // of 3 at value + 1000 — a full sync IS replacement
+    "q_sql_merge_sync" ->
+      """WITH synced AS (
+        |  SELECT event_type, value + 1000 AS value
+        |  FROM events WHERE event_id % 3 = 0
+        |)
+        |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM synced GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // composite-key merge: (event_id, event_type) tuples — multiples of
+    // 3 under their own type update (+1000), multiples of 5 under the
+    // shifted type are UNMATCHED tuples and insert iff value >= 100
+    // (the conditional wing); same CASE + filtered-UNION set algebra
+    "q_sql_merge2" ->
+      """WITH upd AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 3 = 0 THEN value + 1000 ELSE value END
+        |      AS value
+        |  FROM events),
+        |ins AS (
+        |  SELECT event_type || '_x' AS event_type, value
+        |  FROM events WHERE event_id % 5 = 0 AND value >= 100.0),
+        |allr AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM allr GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // OR pruning is a performance hint — the engine re-applies the
+    // exact predicate, so the oracle is the plain OR-filtered aggregate
+    "q_table_sql_or" ->
+      """WITH mx AS (SELECT MAX(event_id) AS m FROM events)
+        |SELECT e.event_type, COUNT(*) AS n, ROUND(SUM(e.value), 2) AS v
+        |FROM events e, mx
+        |WHERE e.event_id <= mx.m // 8 OR e.event_id >= mx.m - mx.m // 8
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     // SQL-text MERGE: multiples of 3 update to value+1000 (latest
     // batch image), multiples of 5 re-insert under fresh shifted keys
     "q_sql_merge" ->

@@ -95,6 +95,13 @@ object GraftTable {
     */
   val DeleteOp = "delete"
 
+  /** One DML commit's report: file set algebra plus the EXACT number of
+    * rows the condition matched (deleted, or updated — pre/post pairs
+    * count once), the `num_affected_rows` SQL clients expect.
+    */
+  final case class DmlResult(filesRewritten: Long, filesCarried: Long,
+    rowsAffected: Long)
+
   /** Create version 1 from `df`: data files under `data/g1_*`, zone
     * manifest over them, meta last. `nFiles` bounds the initial file
     * count (0 = keep `df`'s partitioning). A live table already at
@@ -176,6 +183,10 @@ object GraftTable {
           val seed =
             if (opCol == null) batch
             else batch.filter(!(col(opCol) <=> lit(DeleteOp))).drop(opCol)
+          // the bootstrap batch honors the same key contract every
+          // later merge() enforces — duplicates in batch 0 must refuse
+          // as loudly as they would in batch 1
+          requireMergeContract(seed, keyCol)
           create(seed, path, Seq(keyCol), nFiles = nFiles,
             firstBatchId = id, keepVersions = keepVersions)
           ()
@@ -204,16 +215,27 @@ object GraftTable {
     *         use it to bound driver-adjacent work like the bloom-probe
     *         hash array)
     */
-  private[operators] def requireMergeContract(batch: DataFrame,
-      keyCol: String): Long = {
-    val stats = batch.agg(count(lit(1)).as("n"), count(col(keyCol)).as("nk"),
-      countDistinct(col(keyCol)).as("nd")).head()
+  private[graft] def requireMergeContract(batch: DataFrame,
+      keyCol: String): Long = requireMergeContract(batch, Seq(keyCol))
+
+  /** Composite form: the key is the TUPLE — every component non-null,
+    * tuples unique within the batch (same single-aggregate shape).
+    */
+  private[graft] def requireMergeContract(batch: DataFrame,
+      keyCols: Seq[String]): Long = {
+    val ks = keyCols.map(col)
+    val allSet = ks.map(_.isNotNull).reduce(_ && _)
+    val stats = batch.agg(count(lit(1)).as("n"),
+      count(when(allSet, lit(1))).as("nk"),
+      countDistinct(ks.head, ks.tail: _*).as("nd")).head()
     val (n, nk, nd) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     require(n == nk,
-      s"merge keys ($keyCol) must be non-null: ${n - nk} null keys in the batch")
+      s"merge keys (${keyCols.mkString(", ")}) must be non-null: " +
+        s"${n - nk} null-component keys in the batch")
     require(nk == nd,
-      s"merge batch keys ($keyCol) must be unique within the batch " +
-        s"($nk rows, $nd distinct) — latest-wins is order-dependent otherwise")
+      s"merge batch keys (${keyCols.mkString(", ")}) must be unique " +
+        s"within the batch ($nk rows, $nd distinct) — latest-wins is " +
+        "order-dependent otherwise")
     n
   }
 
@@ -347,18 +369,24 @@ object GraftTable {
     m
   }
 
-  private def listGeneration(spark: SparkSession, gen: String): Seq[String] = {
+  /** The new generation's data files as (path, on-disk bytes) — the
+    * byte sizes ride into the manifest so size estimation
+    * ([[GraftTable!.approxStats]]) reads REAL file bytes instead of
+    * guessing rows × schema width.
+    */
+  private def listGeneration(spark: SparkSession,
+      gen: String): Seq[(String, Long)] = {
     val p = new Path(gen)
     val f = fs(spark, gen)
     if (!f.exists(p)) return Nil
     val it = f.listFiles(p, true)
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Long)]
     while (it.hasNext) {
       val st = it.next()
       val n = st.getPath.getName
       if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
         !n.startsWith("."))
-        out += st.getPath.toUri.getPath
+        out += ((st.getPath.toUri.getPath, st.getLen))
     }
     out.result()
   }
@@ -489,15 +517,27 @@ object GraftTable {
       try f.delete(new Path(staging), true) catch { case _: Throwable => () }
       conflict(destPath, 1L)
     }
-    // register the clone against its SOURCE so a source vacuum is LOUD
-    // instead of silently breaking the clone's absolute references
-    // ([[GraftTable!.vacuum]]'s clone-safety check). Best-effort: a
-    // read-only source filesystem degrades to the documented caveat.
-    try writeSmall(fs(spark, srcPath),
-      new Path(s"$srcPath/_clones/$token"),
-      fs(spark, destPath).makeQualified(new Path(destPath)).toUri.getPath)
+    // register the clone against its SOURCE so a source vacuum/drop/
+    // rename is LOUD instead of silently breaking the clone's absolute
+    // references ([[GraftTable!.vacuum]]'s clone-safety check, shared by
+    // the catalog's DROP/RENAME guards). Best-effort: a read-only source
+    // filesystem degrades to the documented caveat.
+    try registerClone(spark, srcPath, destPath)
     catch { case _: Throwable => () }
     new GraftTable(spark, destPath)
+  }
+
+  /** Register `destPath` as a live shallow clone of `srcPath` — the
+    * record [[GraftTable!.vacuum]] and the catalog's DROP/RENAME guards
+    * consult before an operation that would break the clone's absolute
+    * manifest references. Written by [[shallowClone]]; re-written when a
+    * registered clone itself moves (catalog RENAME).
+    */
+  private[graft] def registerClone(spark: SparkSession, srcPath: String,
+      destPath: String): Unit = {
+    val token = java.util.UUID.randomUUID().toString
+    writeSmall(fs(spark, srcPath), new Path(s"$srcPath/_clones/$token"),
+      fs(spark, destPath).makeQualified(new Path(destPath)).toUri.getPath)
   }
 
   private[operators] def publishGeneration(spark: SparkSession, base: String,
@@ -537,9 +577,18 @@ object GraftTable {
     // the zone-row schema still has to come from somewhere, so derive it
     // from the (empty) generation rows instead of a zero-path read
     val genRows =
-      if (files.isEmpty) rows.limit(0) else spark.read.parquet(files: _*)
+      if (files.isEmpty) rows.limit(0)
+      else spark.read.parquet(files.map(_._1): _*)
+    import spark.implicits._
+    // REAL on-disk bytes per file, joined onto the zone rows (both
+    // metadata-scale) before relativization: size estimation must never
+    // guess from rows × schema width when the filesystem already told us
+    // — a string-heavy table under-estimates by 100× otherwise and a
+    // too-small sizeInBytes broadcasts what should shuffle (driver OOM)
+    val sizes = files.toDF("file", "bytes")
     val fresh = ZoneMap.zoneRows(genRows,
       meta.zoneCols, meta.bloomCols, meta.bloomItems, meta.bloomFpp)
+      .join(broadcast(sizes), Seq("file"), "left")
       // root-relative storage: the committed table survives a directory
       // move/rename/DR-copy; absolute rows (legacy, or files genuinely
       // outside the root) pass through and resolve as-is on read
@@ -548,7 +597,10 @@ object GraftTable {
           col("file").substr(lit(rootNorm.length + 2), lit(Int.MaxValue)))
           .otherwise(col("file")))
     val manifest = carryForward match {
-      case Some(prev) => prev.unionByName(fresh)
+      // allowMissingColumns: a carried manifest committed before the
+      // `bytes` column reads back null there — approxStats falls back to
+      // rows × width for exactly those rows
+      case Some(prev) => prev.unionByName(fresh, allowMissingColumns = true)
       case None => fresh
     }
     val staging = s"$base/.v${v}_stage_$token"
@@ -708,55 +760,81 @@ final class GraftTable private[operators] (spark: SparkSession,
   /** The files a pruned scan of VERSION `v` must open (resolved), with
     * the total file count — the version-pinned planning primitive behind
     * the SQL read path ([[graft.sources.GraftTableSource]]), whose
-    * relation is a snapshot of the version it loaded. Predicates on
-    * columns the table does not index are DROPPED here, not refused:
-    * Catalyst pushes every comparison filter it sees, and a filter on an
-    * unindexed column simply cannot prune — the scan reads unpruned and
-    * the engine's re-applied residual keeps the result exact ([[scan]],
-    * the hand-held API, still refuses loudly — a caller naming a pred
-    * explicitly should learn it does nothing). Empty / fully-dropped
-    * `preds` skip pruning (full manifest).
+    * relation is a snapshot of the version it loaded. The spec is a
+    * [[ZoneMap.Cnf]] (AND across pushed filters, OR-groups inside), so
+    * AND trees, OR trees and IN lists all prune: each OR-group keeps the
+    * union of its disjuncts' survivors, groups compose by intersection.
+    * Predicates on columns the table does not index are DROPPED here,
+    * not refused — Catalyst pushes every comparison filter it sees, and
+    * an unindexable check simply cannot prune; per-conjunct drops and
+    * whole-group drops both WIDEN the read, and the engine's re-applied
+    * residual keeps the result exact ([[scan]], the hand-held API,
+    * still refuses loudly — a caller naming a pred explicitly should
+    * learn it does nothing). An empty / fully-dropped spec skips
+    * pruning (full manifest).
     */
-  private[graft] def pruneFiles(v: Long, preds: Seq[ZoneMap.Pred])
+  private[graft] def pruneFilesCnf(v: Long, cnf: ZoneMap.Cnf)
       : (Seq[String], Int) = {
     val all = storedFiles(v)
     lazy val m = readMeta(spark, path, v)
-    val usable =
-      if (preds.isEmpty) Nil
-      else {
-        val zoned = m.zoneCols.toSet
-        val bloomed = m.bloomCols.toSet
-        preds.filter {
-          case ZoneMap.Range(c, _, _) => zoned(c)
-          case ZoneMap.Point(c, _) => zoned(c) || bloomed(c)
-        }
-      }
+    val usable = if (cnf.isEmpty) Nil else usableCnf(m, cnf)
     if (usable.isEmpty) (all.map(resolve), all.size)
-    else (ZoneMap.pruneZoneRows(manifestDf(v), m.zoneMeta, usable)._1
+    else (ZoneMap.pruneZoneRowsCnf(manifestDf(v), m.zoneMeta, usable)._1
       .map(resolve), all.size)
+  }
+
+  /** Drop what the version's index cannot check from a pruning spec —
+    * per-conjunct pred drops and whole-group drops, each a widening.
+    */
+  private def usableCnf(m: Meta, cnf: ZoneMap.Cnf): ZoneMap.Cnf = {
+    val zoned = m.zoneCols.toSet
+    val bloomed = m.bloomCols.toSet
+    def ok(p: ZoneMap.Pred): Boolean = p match {
+      case ZoneMap.Range(c, _, _) => zoned(c)
+      case ZoneMap.Point(c, _) => zoned(c) || bloomed(c)
+    }
+    cnf.map(dnf => dnf.map(_.filter(ok)))
+      .filter(dnf => dnf.nonEmpty && dnf.forall(_.nonEmpty))
   }
 
   /** Schema of version `v` — for snapshot-pinned readers. */
   private[graft] def schemaAt(v: Long): StructType =
     readMeta(spark, path, v).schema
 
-  /** Estimated byte size of version `v` — manifest row counts × the
-    * schema's default row width, one metadata read. This is what the
-    * SQL read path reports as `BaseRelation.sizeInBytes`: without it
-    * Catalyst assumes `defaultSizeInBytes` (≈ Long.Max) and a
-    * metadata-sized graft dimension joined to a 100 TB fact would NEVER
-    * auto-broadcast — the user pays a full shuffle join on a 1,000-row
-    * table. Over-estimation is the safe direction (a too-big guess
-    * skips a broadcast; a too-small one OOMs the driver), and
-    * `defaultSize` over-estimates variable-width columns.
+  /** Estimated (rows, bytes) of version `v` — one metadata read over
+    * the manifest. Bytes are the REAL on-disk file sizes the manifest
+    * records at publish ([[GraftTable.publishGeneration]]), scaled by
+    * `spark.sql.sources.fileCompressionFactor` (the engine's own knob
+    * for "parquet decompresses N×"), exactly how Spark's file sources
+    * size themselves — never rows × schema width, which UNDER-estimates
+    * string-heavy tables (StringType.defaultSize is 20 bytes) and a
+    * too-small size broadcasts what should shuffle (driver OOM, the
+    * unsafe direction). Manifest rows committed before the `bytes`
+    * column fall back to rows × width for just those rows.
+    *
+    * This feeds `BaseRelation.sizeInBytes` (DSv1) and the V2 scan's
+    * `SupportsReportStatistics`: without it Catalyst assumes
+    * `defaultSizeInBytes` (≈ Long.Max) and a metadata-sized graft
+    * dimension joined to a 100 TB fact would NEVER auto-broadcast.
     */
-  private[graft] def approxBytes(v: Long): Long = {
-    val r = manifestDf(v).agg(sum("cnt")).head()
-    val rows = if (r.isNullAt(0)) 0L else r.getLong(0)
+  private[graft] def approxStats(v: Long): (Long, Long) = {
+    val mdf = manifestDf(v)
     val width = math.max(1, schemaAt(v).defaultSize)
-    val b = BigInt(rows) * width
-    if (b > Long.MaxValue) Long.MaxValue else b.toLong
+    val bytesCol =
+      if (mdf.schema.fieldNames.contains("bytes"))
+        coalesce(col("bytes"), col("cnt") * lit(width.toLong))
+      else col("cnt") * lit(width.toLong)
+    val r = mdf.agg(sum("cnt"), sum(bytesCol)).head()
+    val rows = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val raw = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val factor = scala.util.Try(spark.conf
+      .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble)
+      .getOrElse(1.0)
+    val b = BigInt((raw * math.max(1.0, factor)).toLong)
+    (rows, if (b > Long.MaxValue) Long.MaxValue else b.toLong)
   }
+
+  private[graft] def approxBytes(v: Long): Long = approxStats(v)._2
 
   /** Fold a batch in under `batchId`: new data files + the union
     * manifest + the advanced ledger commit as one version. Ids at or
@@ -888,7 +966,23 @@ final class GraftTable private[operators] (spark: SparkSession,
     */
   def merge(batch: DataFrame, keyCol: String, batchId: Long,
       opCol: String): (Long, Long) =
-    mergeImpl(batch, keyCol, Some(batchId), opCol, None, Nil)
+    mergeImpl(batch, Seq(keyCol), Some(batchId), opCol, None, Nil)
+
+  /** COMPOSITE-key [[merge]] (CDC business keys are often multi-column):
+    * the key is the column TUPLE — deletes/upserts match on every
+    * component — while file pruning rides the LEADING key's zone range
+    * (and bloom), so make it the table's clustering axis. The leading
+    * key must be zone-indexed; the batch-key contract (non-null, unique)
+    * applies to the tuple.
+    */
+  def merge(batch: DataFrame, keyCols: Seq[String], batchId: Long,
+      opCol: String): (Long, Long) =
+    mergeImpl(batch, keyCols, Some(batchId), opCol, None, Nil)
+
+  /** Manual-ledger composite-key [[merge]] with an op column. */
+  def merge(batch: DataFrame, keyCols: Seq[String],
+      opCol: String): (Long, Long) =
+    mergeImpl(batch, keyCols, None, opCol, None, Nil)
 
   /** Conditional / partial-column MERGE (the public formats' WHEN MATCHED
     * AND … THEN UPDATE SET …): like [[merge]] but a MATCHED pair updates
@@ -911,7 +1005,7 @@ final class GraftTable private[operators] (spark: SparkSession,
     */
   def mergeCond(batch: DataFrame, keyCol: String, matchedCond: Column,
       updateCols: Seq[String], opCol: String, batchId: Long): (Long, Long) =
-    mergeImpl(batch, keyCol, Some(batchId), opCol, Some(matchedCond),
+    mergeImpl(batch, Seq(keyCol), Some(batchId), opCol, Some(matchedCond),
       updateCols)
 
   /** Manual-ledger [[mergeCond]] (id = high-water + 1, refused on a
@@ -919,7 +1013,14 @@ final class GraftTable private[operators] (spark: SparkSession,
     */
   def mergeCond(batch: DataFrame, keyCol: String, matchedCond: Column,
       updateCols: Seq[String] = Nil, opCol: String = null): (Long, Long) =
-    mergeImpl(batch, keyCol, None, opCol, Some(matchedCond), updateCols)
+    mergeImpl(batch, Seq(keyCol), None, opCol, Some(matchedCond), updateCols)
+
+  /** COMPOSITE-key manual-ledger [[mergeCond]] — match on the column
+    * tuple, prune on the leading key (see the composite [[merge]]).
+    */
+  def mergeCond(batch: DataFrame, keyCols: Seq[String], matchedCond: Column,
+      updateCols: Seq[String], opCol: String): (Long, Long) =
+    mergeImpl(batch, keyCols, None, opCol, Some(matchedCond), updateCols)
 
   private val ChangeType = "_change_type"
 
@@ -954,28 +1055,36 @@ final class GraftTable private[operators] (spark: SparkSession,
     * evolution) from the new head, so winner-added files that contain
     * batch keys are rewritten correctly.
     */
-  private def mergeImpl(batch: DataFrame, keyCol: String,
+  private def mergeImpl(batch: DataFrame, keyCols: Seq[String],
       batchId: Option[Long], opCol: String, matchedCond: Option[Column],
       updateCols: Seq[String]): (Long, Long) = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(keyCols.distinct.size == keyCols.size,
+      s"duplicate merge key columns: ${keyCols.mkString(", ")}")
     if (opCol != null)
       require(batch.columns.contains(opCol),
         s"merge op column $opCol is not in the batch: ${batch.columns.mkString(", ")}")
     require(updateCols.forall(batch.columns.contains),
       s"updateCols must exist in the batch: " +
         s"${updateCols.filterNot(batch.columns.contains).mkString(", ")}")
-    val batchRows = requireMergeContract(batch, keyCol)
+    // the PRUNING axis: file candidacy rides the leading key's zone
+    // range (and bloom) — trailing key components only join, composite
+    // pruning would multiply manifest columns for little extra power
+    val keyCol = keyCols.head
+    val batchRows = requireMergeContract(batch, keyCols)
     // null-safe: a NULL op is "any other value", i.e. an upsert — a bare
     // =!= would evaluate to null and silently drop the row while its key
     // still tombstoned through the delete set
     val isDel =
       if (opCol == null) lit(false) else col(opCol) <=> lit(DeleteOp)
-    val keys = batch.select(col(keyCol))
+    val keys = batch.select(keyCols.map(col): _*)
     var attempt = 0
     while (true) {
       val v = version
       val m = readMeta(spark, path, v)
       require(m.zoneCols.contains(keyCol),
-        s"merge key $keyCol must be zone-indexed (zones: ${m.zoneCols.mkString(", ")})")
+        s"the leading merge key $keyCol must be zone-indexed " +
+          s"(zones: ${m.zoneCols.mkString(", ")})")
       val id = batchId.getOrElse {
         requireManualLedgerAllowed(m, "merge")
         m.appliedHwm + 1
@@ -1037,9 +1146,9 @@ final class GraftTable private[operators] (spark: SparkSession,
           .parquet(affected.toSeq.map(resolve): _*))
       val (rewrittenRows, slice) = matchedCond match {
         case None =>
-          classicMerge(batch, keyCol, isDel, opCol, stored, sliceSchema)
+          classicMerge(batch, keyCols, isDel, opCol, stored, sliceSchema)
         case Some(cond) =>
-          condMerge(batch, keyCol, isDel, opCol, cond, updateCols, stored,
+          condMerge(batch, keyCols, isDel, opCol, cond, updateCols, stored,
             evolved, sliceSchema)
       }
       try {
@@ -1077,15 +1186,15 @@ final class GraftTable private[operators] (spark: SparkSession,
     * key appears in the batch, insert the non-tombstone batch rows.
     * Returns (rewritten rows, row-level change slice).
     */
-  private def classicMerge(batch: DataFrame, keyCol: String, isDel: Column,
-      opCol: String, stored: Option[DataFrame],
+  private def classicMerge(batch: DataFrame, keyCols: Seq[String],
+      isDel: Column, opCol: String, stored: Option[DataFrame],
       sliceSchema: StructType): (DataFrame, DataFrame) = {
-    val keys = batch.select(col(keyCol))
+    val keys = batch.select(keyCols.map(col): _*)
     val upserts = (if (opCol == null) batch else batch.filter(!isDel)
       .drop(opCol))
     val rewritten = stored match {
       case None => upserts
-      case Some(st) => st.join(keys, Seq(keyCol), "left_anti")
+      case Some(st) => st.join(keys, keyCols, "left_anti")
         .unionByName(upserts, allowMissingColumns = true)
     }
     // the row-level change slice the merge computes anyway: stored rows
@@ -1093,17 +1202,18 @@ final class GraftTable private[operators] (spark: SparkSession,
     // tombstoned keys, update_preimage otherwise); batch upserts are the
     // post-images (update_postimage when a pre-image exists, insert when
     // the key is new). O(batch + matched stored rows), never O(file).
-    val keyOps = batch.select(col(keyCol), isDel.as("_del"))
+    val keyOps = batch.select(keyCols.map(col) :+ isDel.as("_del"): _*)
     val slice = stored match {
       case None =>
         alignSlice(upserts.withColumn(ChangeType, lit("insert")), sliceSchema)
       case Some(st) =>
-        val pre = st.join(keyOps, Seq(keyCol), "inner")
+        val pre = st.join(keyOps, keyCols, "inner")
           .withColumn(ChangeType,
             when(col("_del"), lit("delete")).otherwise(lit("update_preimage")))
-        val existed = st.join(keys, Seq(keyCol), "left_semi")
-          .select(col(keyCol)).distinct().withColumn("_ex", lit(true))
-        val post = upserts.join(existed, Seq(keyCol), "left")
+        val existed = st.join(keys, keyCols, "left_semi")
+          .select(keyCols.map(col): _*).distinct()
+          .withColumn("_ex", lit(true))
+        val post = upserts.join(existed, keyCols, "left")
           .withColumn(ChangeType,
             when(col("_ex"), lit("update_postimage")).otherwise(lit("insert")))
         alignSlice(pre, sliceSchema)
@@ -1116,15 +1226,16 @@ final class GraftTable private[operators] (spark: SparkSession,
     * affected files (`t`) with the batch (`s`). Returns
     * (rewritten rows, row-level change slice).
     */
-  private def condMerge(batch: DataFrame, keyCol: String, isDel: Column,
-      opCol: String, cond: Column, updateCols: Seq[String],
+  private def condMerge(batch: DataFrame, keyCols: Seq[String],
+      isDel: Column, opCol: String, cond: Column, updateCols: Seq[String],
       stored: Option[DataFrame], evolved: StructType,
       sliceSchema: StructType): (DataFrame, DataFrame) = {
+    val keyCol = keyCols.head
     val s0 = batch.withColumn("_del", isDel)
     val sBatch = (if (opCol == null) s0 else s0.drop(opCol)).alias("s")
     val batchCols = batch.columns.filterNot(_ == opCol).toSet
     val updateSet =
-      if (updateCols.nonEmpty) updateCols.toSet else batchCols - keyCol
+      if (updateCols.nonEmpty) updateCols.toSet else batchCols -- keyCols
     def sCol(c: String) =
       if (batchCols(c)) col(s"s.$c")
       else lit(null).cast(evolved(c).dataType)
@@ -1135,8 +1246,12 @@ final class GraftTable private[operators] (spark: SparkSession,
         (img, alignSlice(img.withColumn(ChangeType, lit("insert")),
           sliceSchema))
       case Some(st) =>
-        val joined = st.alias("t")
-          .join(sBatch, col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
+        val joined = st.alias("t").join(sBatch,
+          keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+          "full_outer")
+        // key components are non-null per contract (stored side: they
+        // were merged in under it; batch side: requireMergeContract), so
+        // the leading component's null-ness identifies the join wing
         val matched = col(s"t.$keyCol").isNotNull && col(s"s.$keyCol").isNotNull
         val sOnly = col(s"t.$keyCol").isNull
         val doDelete = matched && col("_del")
@@ -1148,7 +1263,7 @@ final class GraftTable private[operators] (spark: SparkSession,
         val rewritten = joined.filter(!doDelete && !(sOnly && col("_del")))
           .select(evolved.fieldNames.map { c =>
             val out =
-              if (c == keyCol) coalesce(col(s"t.$c"), col(s"s.$c"))
+              if (keyCols.contains(c)) coalesce(col(s"t.$c"), col(s"s.$c"))
               else when(doInsert, sCol(c))
                 .when(doUpdate && lit(updateSet(c)), sCol(c))
                 .otherwise(col(s"t.$c"))
@@ -1161,7 +1276,7 @@ final class GraftTable private[operators] (spark: SparkSession,
         val postImage = joined.filter(doUpdate)
           .select(evolved.fieldNames.map { c =>
             val out =
-              if (c == keyCol) col(s"t.$c")
+              if (keyCols.contains(c)) col(s"t.$c")
               else if (updateSet(c)) sCol(c) else col(s"t.$c")
             out.as(c)
           }: _*)
@@ -1187,14 +1302,14 @@ final class GraftTable private[operators] (spark: SparkSession,
     * manual mergers of DISJOINT stripes both commit.
     */
   def merge(batch: DataFrame, keyCol: String): (Long, Long) =
-    mergeImpl(batch, keyCol, None, null, None, Nil)
+    mergeImpl(batch, Seq(keyCol), None, null, None, Nil)
 
   /** Manual [[merge]] with an op column ([[GraftTable.DeleteOp]] rows
     * tombstone); ledger id = high-water + 1, refused on a
     * stream-ledgered table.
     */
   def merge(batch: DataFrame, keyCol: String, opCol: String): (Long, Long) =
-    mergeImpl(batch, keyCol, None, opCol, None, Nil)
+    mergeImpl(batch, Seq(keyCol), None, opCol, None, Nil)
 
   /** Predicate DELETE (the `DELETE FROM t WHERE …` shape): remove every
     * row satisfying `ZoneMap.predicate(preds) && extra`, rewriting ONLY
@@ -1220,7 +1335,9 @@ final class GraftTable private[operators] (spark: SparkSession,
     require(preds.nonEmpty,
       "predicate DML needs at least one pruning predicate — use " +
         "Range(col) with one-sided bounds for a broad condition")
-    dmlImpl(preds, extra, None)
+    val r = dmlImpl(preds.map(p => Seq(Seq(p))),
+      ZoneMap.predicate(preds) && extra, None, filterUsable = false)
+    (r.filesRewritten, r.filesCarried)
   }
 
   /** Predicate UPDATE (the `UPDATE t SET … WHERE …` shape): for every
@@ -1242,8 +1359,11 @@ final class GraftTable private[operators] (spark: SparkSession,
       "predicate DML needs at least one pruning predicate — use " +
         "Range(col) with one-sided bounds for a broad condition")
     require(set.nonEmpty, "update needs at least one SET column")
-    dmlImpl(preds, extra, Some(set))
+    val r = dmlImpl(preds.map(p => Seq(Seq(p))),
+      ZoneMap.predicate(preds) && extra, Some(set), filterUsable = false)
+    (r.filesRewritten, r.filesCarried)
   }
+
 
   /** The SQL front door's DML body ([[graft.plans]] routes `DELETE
     * FROM`/`UPDATE` here): `preds` is best-effort pruning ONLY — preds
@@ -1254,18 +1374,27 @@ final class GraftTable private[operators] (spark: SparkSession,
     * [[delete]]/[[update]] keep their loud non-empty/indexed contract.
     */
   private[graft] def dmlWhere(preds: Seq[ZoneMap.Pred], extra: Column,
-      set: Option[Map[String, Column]]): (Long, Long) = {
-    val m = metaNow
-    val zoned = m.zoneCols.toSet
-    val bloomed = m.bloomCols.toSet
-    dmlImpl(preds.filter {
-      case ZoneMap.Range(c, _, _) => zoned(c)
-      case ZoneMap.Point(c, _) => zoned(c) || bloomed(c)
-    }, extra, set)
-  }
+      set: Option[Map[String, Column]]): DmlResult =
+    dmlWhereCnf(preds.map(p => Seq(Seq(p))), extra, set)
 
-  private def dmlImpl(preds: Seq[ZoneMap.Pred], extra: Column,
-      set: Option[Map[String, Column]]): (Long, Long) = {
+  /** [[dmlWhere]] with a [[ZoneMap.Cnf]] pruning spec — the SQL door's
+    * OR/IN trees prune per-disjunct and union ([[pruneFilesCnf]]'s
+    * algebra); `extra` stays the one EXACT condition.
+    */
+  private[graft] def dmlWhereCnf(cnf: ZoneMap.Cnf, extra: Column,
+      set: Option[Map[String, Column]]): DmlResult =
+    dmlImpl(cnf, extra, set, filterUsable = true)
+
+  /** @param cnf pruning spec ONLY (file candidacy, conservative)
+    * @param extra the EXACT row condition — correctness never depends
+    *              on what pruned
+    * @param filterUsable drop non-indexed preds from `cnf` (the SQL
+    *                     door's forgiving contract) instead of letting
+    *                     the zone check refuse loudly (the hand-held
+    *                     [[delete]]/[[update]] contract)
+    */
+  private def dmlImpl(cnf: ZoneMap.Cnf, extra: Column,
+      set: Option[Map[String, Column]], filterUsable: Boolean): DmlResult = {
     var attempt = 0
     while (true) {
       val v = version
@@ -1276,16 +1405,15 @@ final class GraftTable private[operators] (spark: SparkSession,
           s"SET columns not in the table schema: ${bad.mkString(", ")}")
       }
       val manifest = manifestDf(v)
+      val usable = if (filterUsable) usableCnf(m, cnf) else cnf
       val affected =
-        if (preds.isEmpty) storedFiles(v).toSet
-        else ZoneMap.pruneZoneRows(manifest, m.zoneMeta, preds)._1.toSet
-      if (affected.isEmpty) return (0L, storedFiles(v).size.toLong)
+        if (usable.isEmpty) storedFiles(v).toSet
+        else ZoneMap.pruneZoneRowsCnf(manifest, m.zoneMeta, usable)._1.toSet
+      if (affected.isEmpty) return DmlResult(0L, storedFiles(v).size.toLong, 0L)
       val carried = manifest.filter(!col("file").isInCollection(affected))
         .localCheckpoint(true)
       val carriedCount = carried.count()
-      val cond = coalesce(
-        (if (preds.isEmpty) lit(true) else ZoneMap.predicate(preds)) &&
-          extra, lit(false))
+      val cond = coalesce(extra, lit(false))
       val stored = spark.read.schema(m.schema)
         .parquet(affected.toSeq.map(resolve): _*)
       val (rewritten, slice) = set match {
@@ -1314,17 +1442,28 @@ final class GraftTable private[operators] (spark: SparkSession,
       // so "some file survived pruning" does not mean "some row
       // matches" — and committing an identical rewrite of a 100 GB
       // stripe because k < 0 could not rule out the min_k = 0 file is
-      // exactly the pointless I/O the manifest exists to avoid. The
-      // slice (the rows the DML would touch) is materialized once and
-      // reused for the `_changes` write, so the gate costs one scan the
-      // commit was going to pay anyway.
-      val sliceAtRest = slice.localCheckpoint(true)
-      if (sliceAtRest.isEmpty) return (0L, storedFiles(v).size.toLong)
+      // exactly the pointless I/O the manifest exists to avoid. Feed ON:
+      // the slice (the rows the DML would touch) is materialized once
+      // and reused for the `_changes` write, so the gate costs one scan
+      // the commit was going to pay anyway. Feed OFF: no slice is ever
+      // persisted, so checkpointing it would be pure overhead (~2× the
+      // touched rows in executor storage) — the gate is one COUNT of
+      // the matching rows instead, which doubles as the exact
+      // rows-affected report either way.
+      val (changesOpt, matchedRows) =
+        if (m.changeFeed) {
+          val sliceAtRest = slice.localCheckpoint(true)
+          val n = sliceAtRest.count()
+          // update slices are pre/post PAIRS — each matched row twice
+          (Some(sliceAtRest), if (set.isDefined) n / 2 else n)
+        } else (None, stored.filter(cond).count())
+      if (matchedRows == 0L)
+        return DmlResult(0L, storedFiles(v).size.toLong, 0L)
       try {
         publishGeneration(spark, path, rewritten, v + 1, m,
-          carryForward = Some(carried), changes = Some(sliceAtRest),
+          carryForward = Some(carried), changes = changesOpt,
           op = if (set.isDefined) "update" else "delete")
-        return (affected.size.toLong, carriedCount)
+        return DmlResult(affected.size.toLong, carriedCount, matchedRows)
       } catch {
         case e: Throwable
             if e.isInstanceOf[java.util.ConcurrentModificationException] ||
@@ -1461,6 +1600,22 @@ final class GraftTable private[operators] (spark: SparkSession,
   /** [[readChanges]] up to the current head. */
   def readChanges(fromVersion: Long): DataFrame =
     readChanges(fromVersion, version)
+
+  /** The row-level change slice commit `v` PERSISTED, or None when it
+    * didn't (change feed off, appends, legacy commits) — unlike
+    * [[readChanges]] this never widens to the file-granularity diff and
+    * never needs `v - 1` retained, so the SQL DML commands can report
+    * `num_affected_rows` off the commit they just made even under
+    * `keepVersions = 1`.
+    */
+  def commitChanges(v: Long): Option[DataFrame] = {
+    val f = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(new Path(s"$path/v$v/_changes/_SUCCESS"))) None
+    else Some(spark.read.schema(
+      StructType(schemaAt(v).fields :+ StructField(ChangeType, StringType)))
+      .parquet(s"$path/v$v/_changes"))
+  }
 
   /** The streaming-source shape over the change feed: resolve every
     * version committed since the durable cursor under `cursorDir`,
@@ -1768,6 +1923,22 @@ final class GraftTable private[operators] (spark: SparkSession,
     else f.listStatus(dir).toSeq.filter(_.isFile)
       .flatMap(st => readSmall(f, st.getPath)).sorted
   }
+
+  /** Roots of OTHER graft tables whose data files this table's retained
+    * manifests reference by absolute path — non-empty iff this table is
+    * a shallow clone that has not fully diverged from its source(s).
+    * Metadata-scale (distinct manifest refs of the retained versions);
+    * the catalog's RENAME/DROP use it to keep the sources' `_clones`
+    * registrations pointing at the clone's current location.
+    */
+  def cloneSources(): Seq[String] =
+    versions().flatMap(storedFiles).distinct
+      .filter(_.startsWith("/"))
+      .flatMap { r =>
+        val i = r.indexOf("/data/g")
+        if (i <= 0) None else Some(r.substring(0, i))
+      }
+      .distinct.filterNot(_ == rootNorm).sorted
 
   /** Drop `destPath`'s clone registration from this source — after the
     * clone was deleted, or deliberately accepted as divergent-enough.

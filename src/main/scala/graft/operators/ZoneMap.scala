@@ -404,6 +404,38 @@ object ZoneMap {
       case Point(c, v) => col(c) === lit(v)
     }.reduce(_ && _)
 
+  /** A pruning spec in conjunctive normal form: AND over the outer
+    * list, OR over the middle, AND over each inner conjunct list — the
+    * shape Catalyst's pushed filters naturally take (the filter array
+    * is an implicit AND; each filter may be an OR of prunable arms, an
+    * IN list expanding to one Point per value, or a plain conjunct).
+    * `Seq(Seq(preds))` is the classic all-AND spec.
+    */
+  type Cnf = Seq[Seq[Seq[Pred]]]
+
+  /** One conjunct's file-survival Column (zone check + the bloom half
+    * of each Point on a bloom-indexed column, all EXECUTOR-side). An
+    * empty conjunct survives everything (`true`), so disjunct algebra
+    * composes cleanly.
+    */
+  private def keepCond(meta: Meta, zoned: Set[String],
+      preds: Seq[Pred]): Column = {
+    val bloomed = meta.bloomCols.toSet
+    val bloomPts = preds.collect {
+      case p: Point if bloomed(p.col) =>
+        (s"bloom_${p.col}", probeHash(p.v, meta.dataType(p.col)))
+    }.distinct
+    val mightHit = udf((bytes: Array[Byte], h: Long) =>
+      bytes != null && org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .mightContainLong(h))
+    val base =
+      if (preds.isEmpty) lit(true) else survives(preds, zoned, bloomed)
+    bloomPts.foldLeft(base) {
+      case (acc, (bc, h)) => acc && mightHit(col(bc), lit(h))
+    }
+  }
+
   /** The pruning verdict frame `(file, _keep)` for the indexed rows of
     * `z` under `preds` — EVERY check, including the bloom half of each
     * Point predicate, evaluates EXECUTOR-side, so the only thing a
@@ -418,21 +450,25 @@ object ZoneMap {
     * contain the key → pruned; no false negatives otherwise.
     */
   private[operators] def pruneFrame(z: DataFrame, meta: Meta,
-      preds: Seq[Pred]): DataFrame = {
+      preds: Seq[Pred]): DataFrame = pruneFrameCnf(z, meta, Seq(Seq(preds)))
+
+  /** [[pruneFrame]] generalized to a [[Cnf]] spec: a file survives iff
+    * every OR-group has SOME disjunct whose conjuncts all intersect it —
+    * per-disjunct pruning unioned by the OR, exactly the conservative
+    * fix for `k < 10 OR k > 90` (each arm prunes independently; the
+    * survivor union is read). Still one executor-side pass, one
+    * (file, _keep) collect.
+    */
+  private[operators] def pruneFrameCnf(z: DataFrame, meta: Meta,
+      cnf: Cnf): DataFrame = {
     val zoned = z.schema.fieldNames
       .collect { case f if f.startsWith("min_") => f.drop(4) }.toSet
-    val bloomed = meta.bloomCols.toSet
-    val bloomPts = preds.collect {
-      case p: Point if bloomed(p.col) =>
-        (s"bloom_${p.col}", probeHash(p.v, meta.dataType(p.col)))
-    }.distinct
-    val mightHit = udf((bytes: Array[Byte], h: Long) =>
-      bytes != null && org.apache.spark.util.sketch.BloomFilter
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
-        .mightContainLong(h))
-    val keep = bloomPts.foldLeft(survives(preds, zoned, bloomed)) {
-      case (acc, (bc, h)) => acc && mightHit(col(bc), lit(h))
-    }
+    val keep =
+      if (cnf.isEmpty) lit(true)
+      else cnf.map { dnf =>
+        if (dnf.isEmpty) lit(true)
+        else dnf.map(conj => keepCond(meta, zoned, conj)).reduce(_ || _)
+      }.reduce(_ && _)
     z.select(col(FileCol), keep.as("_keep"))
   }
 
@@ -444,8 +480,14 @@ object ZoneMap {
     * shape.
     */
   private[operators] def pruneZoneRows(z: DataFrame, meta: Meta,
-      preds: Seq[Pred]): (Seq[String], Set[String]) = {
-    val rows = pruneFrame(z, meta, preds).collect()
+      preds: Seq[Pred]): (Seq[String], Set[String]) =
+    pruneZoneRowsCnf(z, meta, Seq(Seq(preds)))
+
+  /** [[pruneZoneRows]] over a [[Cnf]] spec — same single
+    * (file, _keep) collect. */
+  private[operators] def pruneZoneRowsCnf(z: DataFrame, meta: Meta,
+      cnf: Cnf): (Seq[String], Set[String]) = {
+    val rows = pruneFrameCnf(z, meta, cnf).collect()
     (rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq,
       rows.map(_.getString(0)).toSet)
   }

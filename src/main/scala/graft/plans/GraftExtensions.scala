@@ -43,5 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // route to the table's transactional machinery (Spark's connector
     // API has no non-row-level contract for them — see GraftSqlDml).
     ext.injectPostHocResolutionRule(_ => GraftSqlDml)
+    // Statistics for the catalog read path: V1ScanWrapper hides the
+    // scan's estimate from computeStats, so a pre-CBO rule (runs after
+    // V2ScanRelationPushDown, before join planning) rebuilds graft V2
+    // scan relations as LogicalRelations whose sizeInBytes is the
+    // manifest-derived real-byte estimate (see GraftV2ScanStats).
+    ext.injectPreCBORule(spark => GraftV2ScanStats(spark))
   }
 }

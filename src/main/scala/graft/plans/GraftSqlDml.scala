@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   AttributeReference, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
   DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias,
   UpdateAction, UpdateTable}
@@ -14,7 +14,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.lit
-import org.apache.spark.sql.graft.{CatalystBridge, ColumnBridge, PlanBridge}
+import org.apache.spark.sql.graft.{CatalystBridge, ColumnBridge,
+  PlanBridge}
 
 /** The SQL DML front door for graft-catalog tables: Spark's connector
   * API has no non-row-level contract for `UPDATE` and `MERGE INTO` (a
@@ -72,6 +73,61 @@ object GraftSqlDml extends Rule[LogicalPlan] {
       Some((r, r.table.asInstanceOf[GraftTableV2]))
     case _ => None
   }
+
+  /** The DML commands' result schema — Delta-style `num_affected_rows`
+    * first (the count SQL clients read; null when the table's change
+    * feed is off and the commit kept no row-level slice to count), the
+    * engine's file set algebra after.
+    */
+  private[plans] val dmlOutput: Seq[Attribute] = {
+    import org.apache.spark.sql.types.LongType
+    Seq(AttributeReference("num_affected_rows", LongType, nullable = true)(),
+      AttributeReference("files_rewritten", LongType, nullable = false)(),
+      AttributeReference("files_carried", LongType, nullable = false)())
+  }
+}
+
+/** Pre-CBO STATISTICS + planning rule for the catalog READ path: the
+  * optimizer wraps every `V1Scan` in a stats-opaque `V1ScanWrapper`, so
+  * a graft catalog table would report `defaultSizeInBytes` (~ Long.Max)
+  * and a 1,000-row dimension would NEVER auto-broadcast through SQL
+  * text. This rule -- injected at the pre-CBO hook, which runs before
+  * the V2 pushdown batch and before join planning -- rewrites a
+  * catalog-resolved graft READ relation into the classic
+  * `LogicalRelation` over the SAME [[graft.sources.GraftTableRelation]]
+  * the path-based reader uses (identical output attributes, identical
+  * pruned `buildScan`), so the SQL-text door gets the DSv1 path's
+  * whole discipline in one hop: `sizeInBytes` = the manifest-derived
+  * real-byte estimate (auto-broadcast works), filter/column pushdown
+  * via `PrunedFilteredScan` (manifest pruning included), snapshot
+  * pinning via the relation's version. Command plans are left
+  * untouched: INSERT/DELETE/UPDATE/MERGE targets must stay V2
+  * relations for their connector contracts (`V1Write`,
+  * `SupportsDelete`, the DML rule) to fire -- only pure reads convert.
+  * A session without the extensions still reads correctly through the
+  * [[graft.sources.GraftV1Scan]] bridge; it just plans without
+  * statistics.
+  */
+final case class GraftV2ScanStats(spark: SparkSession)
+  extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.plans.logical.Command
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+  import graft.sources.GraftTableRelation
+
+  // transform, not resolveOperators: optimizer-time plans are all
+  // marked analyzed, and resolveOperators skips analyzed subtrees
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case _: Command => plan
+    case _ => plan.transform {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] =>
+        val v2 = r.table.asInstanceOf[GraftTableV2]
+        LogicalRelation(
+          new GraftTableRelation(spark.sqlContext, v2.tbl,
+            v2.snapshotVersion),
+          r.output, None, isStreaming = false, None)
+    }
+  }
 }
 
 private[plans] object DmlExpr {
@@ -89,6 +145,45 @@ private[plans] object DmlExpr {
     */
   private def scalaV(l: Literal): Any =
     CatalystBridge.toScala(l.value, l.dataType)
+
+  /** Best-effort prunable spec of a resolved condition, in CNF (AND
+    * over the WHERE's top-level conjuncts, OR-groups inside —
+    * [[graft.operators.GraftTable.pruneFilesCnf]]'s algebra): each OR
+    * arm prunes independently and unions, IN lists expand to one Point
+    * per literal value, unknown shapes widen to no-prune; exactness
+    * always rides the full residual.
+    */
+  def toCnf(e: Expression): ZoneMap.Cnf = {
+    val NoPrune: Seq[Seq[ZoneMap.Pred]] = Seq(Seq.empty)
+    val MaxDisjuncts = 64
+    def dnf(g: Expression): Seq[Seq[ZoneMap.Pred]] = g match {
+      case Or(l, r) =>
+        val u = dnf(l) ++ dnf(r)
+        if (u.size > MaxDisjuncts) NoPrune else u
+      case And(l, r) =>
+        val (dl, dr) = (dnf(l), dnf(r))
+        if (dl.size.toLong * dr.size > MaxDisjuncts) NoPrune
+        else for (a <- dl; b <- dr) yield a ++ b
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) &&
+            vs.exists(_.asInstanceOf[Literal].value != null) =>
+        val arms = vs.collect {
+          case l: Literal if l.value != null =>
+            Seq(ZoneMap.Point(a.name, scalaV(l)): ZoneMap.Pred)
+        }.distinct
+        if (arms.size > MaxDisjuncts) NoPrune else arms
+      case leaf => toPreds(leaf) match {
+        case Nil => NoPrune
+        case ps => Seq(ps)
+      }
+    }
+    splitAnd(e).map(dnf)
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
 
   /** Best-effort prunable conjuncts of a resolved condition — strict
     * bounds widen (conservative), non-literal comparisons and OR trees
@@ -144,25 +239,28 @@ final case class GraftUpdateCommand(path: String,
     val set = assignments
       .map(a => DmlExpr.keyName(a) -> DmlExpr.toCol(a.value)).toMap
     val extra = condition.map(DmlExpr.toCol).getOrElse(lit(true))
-    val preds = condition.map(DmlExpr.toPreds).getOrElse(Nil)
-    val (rewritten, carried) = tbl.dmlWhere(preds, extra, Some(set))
-    Seq(Row(rewritten, carried))
+    val cnf = condition.map(DmlExpr.toCnf).getOrElse(Nil)
+    val r = tbl.dmlWhereCnf(cnf, extra, Some(set))
+    Seq(Row(r.rowsAffected, r.filesRewritten, r.filesCarried))
   }
 
-  override val output: Seq[Attribute] = {
-    import org.apache.spark.sql.types.LongType
-    Seq(AttributeReference("files_rewritten", LongType, nullable = false)(),
-      AttributeReference("files_carried", LongType, nullable = false)())
-  }
+  override val output: Seq[Attribute] = GraftSqlDml.dmlOutput
 }
 
-/** `MERGE INTO graft.t USING src ON t.k = s.k WHEN …` →
-  * [[GraftTable!.mergeCond]] / tombstone [[GraftTable!.merge]]. The
-  * resolved source sub-plan is planned back into a DataFrame
+/** `MERGE INTO graft.t USING src ON t.k = s.k [AND t.k2 = s.k2 …]
+  * WHEN …` → [[GraftTable!.mergeCond]] / tombstone [[GraftTable!.merge]].
+  * The resolved source sub-plan is planned back into a DataFrame
   * ([[PlanBridge.ofRows]]) and projected through the INSERT assignments
   * into the batch the engine's merge expects (target-named columns);
   * the matched condition and partial SET list ride as `mergeCond`'s
-  * `t`/`s` condition and `updateCols`.
+  * `t`/`s` condition and `updateCols`. The ON condition is a
+  * CONJUNCTION of target-key = source-key equalities (composite
+  * business keys); the LEADING pair is the table's pruning axis.
+  * `WHEN NOT MATCHED AND c THEN INSERT` pre-filters the batch's insert
+  * wing by `c` (matched rows ride regardless — their wing is the
+  * UPDATE's). `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE` — the
+  * sync-merge users type first — composes the head-snapshot anti-join
+  * with the engine's tombstone machinery in the SAME commit.
   */
 final case class GraftMergeCommand(path: String,
     targetOutput: Seq[Attribute], source: LogicalPlan, cond: Expression,
@@ -174,48 +272,94 @@ final case class GraftMergeCommand(path: String,
 
   private def refuse(why: String): Nothing = sys.error(
     s"unsupported MERGE shape on graft table $path: $why — supported: " +
-      "WHEN MATCHED [AND c] THEN UPDATE SET … [WHEN NOT MATCHED THEN " +
-      "INSERT …], or WHEN MATCHED THEN DELETE alone; use the " +
-      "GraftTable API (merge/mergeCond with opCol) for CDC shapes")
+      "WHEN MATCHED [AND c] THEN UPDATE SET … [WHEN NOT MATCHED [AND c] " +
+      "THEN INSERT …], WHEN MATCHED THEN DELETE alone, each optionally " +
+      "with WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE; use the " +
+      "GraftTable API (merge/mergeCond with opCol) for other CDC shapes")
+
+  private val OpCol = "_graft_op"
 
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, col}
     val tbl = GraftTable.open(spark, path)
     val targetIds = targetOutput.map(_.exprId).toSet
     val srcById = source.output.map(a => a.exprId -> a.name).toMap
 
-    // ON: exactly one target-key = source-key equality
-    val (tKey, sKeyExpr) = cond match {
+    // ON: a conjunction of target-key = source-key equalities; the
+    // leading pair is the pruning axis (the engine's composite-merge
+    // contract), so write the clustered column first
+    def eqPairs(c: Expression): Seq[(String, AttributeReference)] = c match {
+      case And(l, r) => eqPairs(l) ++ eqPairs(r)
       case EqualTo(l: AttributeReference, r: AttributeReference)
           if targetIds(l.exprId) && srcById.contains(r.exprId) =>
-        (l.name, r)
+        Seq((l.name, r))
       case EqualTo(l: AttributeReference, r: AttributeReference)
           if targetIds(r.exprId) && srcById.contains(l.exprId) =>
-        (r.name, l)
-      case other => refuse(s"ON must be a single target-key = source-key " +
-        s"equality (the merge key is the pruning axis), got $other")
+        Seq((r.name, l))
+      case other => refuse("ON must be a conjunction of target-key = " +
+        s"source-key equalities (the leading key is the pruning axis), " +
+        s"got $other")
     }
-    if (notMatchedBySource.nonEmpty)
-      refuse("WHEN NOT MATCHED BY SOURCE is not supported")
+    val pairs = eqPairs(cond)
+    require(pairs.map(_._1).distinct.size == pairs.size,
+      s"duplicate target keys in the MERGE ON: ${pairs.map(_._1)}")
+    val tKeys = pairs.map(_._1)
 
     val sourceDf = PlanBridge.ofRows(spark, source)
+    // the source's key tuple under target names — every wing joins on it
+    def srcKeyCols = pairs.map { case (tn, sa) => DmlExpr.toCol(sa).as(tn) }
 
-    (matched, notMatched) match {
+    // WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE: the head-snapshot
+    // keys (optionally condition-filtered — target columns only) absent
+    // from the source become tombstones; disjoint from every source key
+    // by construction, so the batch-key contract composes
+    val nmbsTombs: Option[org.apache.spark.sql.DataFrame] =
+      notMatchedBySource match {
+        case Seq() => None
+        case Seq(DeleteAction(c)) =>
+          c.foreach(e => e.references.foreach { a =>
+            if (!targetIds(a.exprId)) refuse(
+              "a NOT MATCHED BY SOURCE condition may reference target " +
+                s"columns only, got ${a.name}")
+          })
+          val head = tbl.read()
+          val filtered = c.map(e => head.filter(DmlExpr.toCol(e)))
+            .getOrElse(head)
+          Some(filtered.select(tKeys.map(col): _*).distinct()
+            .join(sourceDf.select(srcKeyCols: _*).distinct(),
+              tKeys, "left_anti"))
+        case other => refuse(
+          s"WHEN NOT MATCHED BY SOURCE supports THEN DELETE only, got $other")
+      }
+    def withTombs(batch: org.apache.spark.sql.DataFrame, op: String)
+        : org.apache.spark.sql.DataFrame = nmbsTombs match {
+      case None if op == null => batch
+      case None => batch.withColumn(OpCol, lit(op))
+      case Some(tombs) =>
+        (if (op == null) batch else batch.withColumn(OpCol, lit(op)))
+          .unionByName(tombs.withColumn(OpCol, lit(GraftTable.DeleteOp)),
+            allowMissingColumns = true)
+    }
+
+    val (rewritten, carried) = (matched, notMatched) match {
+      // sync-delete alone: MERGE … WHEN NOT MATCHED BY SOURCE THEN DELETE
+      case (Seq(), Seq()) if nmbsTombs.nonEmpty =>
+        val batch = nmbsTombs.get.withColumn(OpCol,
+          lit(GraftTable.DeleteOp))
+        tbl.merge(batch, tKeys, OpCol)
+
       // WHEN MATCHED THEN DELETE (alone): key-membership tombstones
+      // (+ the sync-delete wing when present)
       case (Seq(DeleteAction(None)), Seq()) =>
-        val opCol = "_graft_op"
-        val batch = sourceDf
-          .select(DmlExpr.toCol(sKeyExpr).as(tKey)).distinct()
-          .withColumn(opCol, lit(GraftTable.DeleteOp))
-        val (rewritten, carried) = tbl.merge(batch, tKey, opCol)
-        Seq(Row(rewritten, carried))
+        val batch = withTombs(
+          sourceDf.select(srcKeyCols: _*).distinct(), GraftTable.DeleteOp)
+        tbl.merge(batch, tKeys, OpCol)
 
-      // WHEN MATCHED [AND c] THEN UPDATE SET … [+ INSERT]
+      // WHEN MATCHED [AND c] THEN UPDATE SET … [+ INSERT [AND c]]
       case (Seq(UpdateAction(updCond, updAssigns, _)), ins) =>
-        val insAssigns = ins match {
-          case Seq() => Nil
-          case Seq(InsertAction(None, as)) => as
-          case Seq(InsertAction(Some(_), _)) =>
-            refuse("conditional INSERT is not supported")
+        val (insCond, insAssigns) = ins match {
+          case Seq() => (None, Nil)
+          case Seq(InsertAction(c, as)) => (c, as)
           case other => refuse(s"unsupported not-matched actions $other")
         }
         // batch columns: target-named projections of the source. With an
@@ -227,40 +371,69 @@ final case class GraftMergeCommand(path: String,
           s"duplicate assignment targets: $names")
         val byName = baseAssigns.map(a => DmlExpr.keyName(a) -> a.value)
           .toMap
-        require(insAssigns.isEmpty || byName.get(tKey).exists(
-          _.semanticEquals(sKeyExpr)),
-          s"INSERT must set the merge key $tKey from the ON condition's " +
-            "source key")
-        val projected = (if (byName.contains(tKey)) byName
-          else byName + (tKey -> (sKeyExpr: Expression))).toSeq
+        pairs.foreach { case (tn, sa) =>
+          require(insAssigns.isEmpty || byName.get(tn).exists(
+            _.semanticEquals(sa)),
+            s"INSERT must set the merge key $tn from the ON condition's " +
+              "source key")
+        }
+        val withKeys = pairs.foldLeft(byName) { case (m, (tn, sa)) =>
+          if (m.contains(tn)) m else m + (tn -> (sa: Expression))
+        }
+        val projected = withKeys.toSeq
           .map { case (n, e) => DmlExpr.toCol(e).as(n) }
         var batch = sourceDf.select(projected: _*)
         if (insAssigns.isEmpty)
           // update-only MERGE: unmatched source rows must do NOTHING —
           // restrict to keys present at the head snapshot
           batch = batch.join(
-            tbl.read().select(tKey).distinct(), Seq(tKey), "left_semi")
+            tbl.read().select(tKeys.map(col): _*).distinct(),
+            tKeys, "left_semi")
 
         // updateCols: each UPDATE assignment must set its column from the
         // same source expression the batch carries for it
         val updateCols = updAssigns.filterNot(a =>
-          DmlExpr.keyName(a) == tKey).map { a =>
+          tKeys.contains(DmlExpr.keyName(a))).map { a =>
           val n = DmlExpr.keyName(a)
-          val carried = byName.getOrElse(n, refuse(
+          val carriedE = byName.getOrElse(n, refuse(
             s"UPDATE sets $n but the batch (INSERT projection) does not " +
               "carry it"))
-          if (!a.value.semanticEquals(carried))
+          if (!a.value.semanticEquals(carriedE))
             refuse(s"UPDATE SET $n = ${a.value.sql} differs from the " +
-              s"INSERT value for $n (${carried.sql}); the engine's merge " +
+              s"INSERT value for $n (${carriedE.sql}); the engine's merge " +
               "updates matched rows FROM the batch row")
           n
         }
 
-        // matched condition over t (stored) / s (batch): source attrs
-        // must be carried by the batch under their target name
+        // source attrs must be carried by the batch under their target
+        // name for any condition evaluated against the batch
         val srcToBatch = byName.collect {
           case (n, ar: AttributeReference) => ar.exprId -> n
         }
+
+        // conditional INSERT: a batch row that is UNMATCHED and fails
+        // `c` must do nothing — filter the insert wing before the
+        // engine (matched rows ride regardless; their wing is UPDATE's)
+        insCond.foreach { ic =>
+          val cc = ColumnBridge.column(ic.transform {
+            case a: AttributeReference if srcToBatch.contains(a.exprId) =>
+              UnresolvedAttribute.quoted(srcToBatch(a.exprId))
+            case a: AttributeReference if srcById.contains(a.exprId) =>
+              refuse(s"NOT MATCHED condition references source column " +
+                s"${a.name} which the INSERT projection does not carry")
+            case a: AttributeReference if targetIds(a.exprId) =>
+              refuse("a NOT MATCHED condition may reference source " +
+                s"columns only, got target column ${a.name}")
+          })
+          val headKeys = tbl.read().select(tKeys.map(col): _*).distinct()
+            .withColumn("_graft_ex", lit(true))
+          batch = batch.join(headKeys, tKeys, "left")
+            .filter(coalesce(col("_graft_ex"), lit(false)) ||
+              coalesce(cc, lit(false)))
+            .drop("_graft_ex")
+        }
+
+        // matched condition over t (stored) / s (batch)
         val mc = updCond.map { c =>
           ColumnBridge.column(c.transform {
             case a: AttributeReference if targetIds(a.exprId) =>
@@ -272,17 +445,21 @@ final case class GraftMergeCommand(path: String,
                 s"${a.name} which the INSERT projection does not carry")
           })
         }.getOrElse(ColumnBridge.column(Literal(true)))
-        val (rewritten, carried) =
-          tbl.mergeCond(batch, tKey, mc, updateCols)
-        Seq(Row(rewritten, carried))
+        tbl.mergeCond(withTombs(batch,
+          if (nmbsTombs.isEmpty) null else "upsert"), tKeys, mc,
+          updateCols, if (nmbsTombs.isEmpty) null else OpCol)
 
       case other => refuse(s"actions $other")
     }
+    // num_affected_rows from the commit's persisted row-level slice —
+    // pre-images don't double-count (update pre/post pairs count once);
+    // null when the feed is off (no slice to count)
+    val affected: Any = tbl.commitChanges(tbl.version).map { sl =>
+      java.lang.Long.valueOf(sl.filter(col("_change_type")
+        .isin("insert", "delete", "update_postimage")).count())
+    }.orNull
+    Seq(Row(affected, rewritten, carried))
   }
 
-  override val output: Seq[Attribute] = {
-    import org.apache.spark.sql.types.LongType
-    Seq(AttributeReference("files_rewritten", LongType, nullable = false)(),
-      AttributeReference("files_carried", LongType, nullable = false)())
-  }
+  override val output: Seq[Attribute] = GraftSqlDml.dmlOutput
 }

@@ -18,7 +18,8 @@ import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
 import org.apache.spark.sql.connector.read.LocalScan
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+  Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns,
+  SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
   SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
@@ -139,9 +140,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `TIMESTAMP AS OF`: the newest retained version committed at or
-    * before the timestamp (micros, per the connector contract) — commit
-    * time is the version directory's publish rename, exactly how the
-    * public formats resolve a timestamp to a snapshot.
+    * before the timestamp (micros, per the connector contract). Commit
+    * time is read from the version's `meta/_SUCCESS` marker — a file
+    * stamped once at publish and never rewritten, unlike the version
+    * DIRECTORY's mtime, which a rename does not update and so reflects
+    * staging-time writes (skew ≲ the staging window, seconds; how the
+    * public formats' commit-file mtimes behave too). Each lookup is
+    * TOLERANT: a version pruned concurrently between `versions()` and
+    * the stat simply drops out of the candidate set — the loud
+    * "no retained version" message, never a raw FileNotFoundException
+    * mid-resolution.
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val p = pathFor(ident)
@@ -150,9 +158,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val cutoffMs = timestampMicros / 1000L
     val hfs = new Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = t.versions().filter(w =>
-      hfs.getFileStatus(new Path(s"$p/v$w")).getModificationTime
-        <= cutoffMs).lastOption.getOrElse(sys.error(
+    val v = t.versions().filter { w =>
+      scala.util.Try(
+        hfs.getFileStatus(new Path(s"$p/v$w/meta/_SUCCESS"))
+          .getModificationTime <= cutoffMs).getOrElse(false)
+    }.lastOption.getOrElse(sys.error(
       s"no retained version of $ident committed at or before " +
         s"timestamp $cutoffMs ms (retained: ${t.versions().mkString(", ")})"))
     new GraftTableV2(spark, p, s"$ident@v$v", pinned = Some(v))
@@ -223,21 +233,80 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean = {
-    val p = new Path(pathFor(ident))
-    fs.exists(p) && fs.delete(p, true)
+  /** CLONE-GUARDED drop (the discipline [[GraftTable!.vacuum]] already
+    * has): a shallow clone holds absolute manifest references into this
+    * root, so deleting a table with live `_clones/` registrations would
+    * silently break every clone — refuse and name them; `DROP TABLE …
+    * PURGE` ([[purgeTable]]) is the force escape after checking the
+    * clones are gone or deliberately abandoned. Dropping a table that is
+    * ITSELF a clone releases its sources' registrations, so their
+    * vacuum/drop guards unblock.
+    */
+  override def dropTable(ident: Identifier): Boolean =
+    dropImpl(ident, purge = false)
+
+  /** [[dropTable]] with the clone guard overridden — `DROP TABLE …
+    * PURGE`, the `vacuum(force = true)` analogue.
+    */
+  override def purgeTable(ident: Identifier): Boolean =
+    dropImpl(ident, purge = true)
+
+  private def dropImpl(ident: Identifier, purge: Boolean): Boolean = {
+    val pathStr = pathFor(ident)
+    val p = new Path(pathStr)
+    if (!fs.exists(p)) return false
+    if (GraftTable.exists(spark, pathStr)) {
+      val tbl = GraftTable.open(spark, pathStr)
+      val clones = tbl.registeredClones()
+      require(clones.isEmpty || purge,
+        s"table $ident has ${clones.size} registered shallow clone(s) " +
+          s"holding absolute references into its root: " +
+          s"${clones.mkString(", ")} — dropping it would silently break " +
+          "them. Delete/unregister the clones first, or DROP TABLE … " +
+          "PURGE to force")
+      // best-effort: a vanished or read-only source degrades to the
+      // documented shared-fate caveat, never blocks the drop itself
+      tbl.cloneSources().foreach { src =>
+        try GraftTable.open(spark, src).unregisterClone(pathStr)
+        catch { case _: Throwable => () }
+      }
+    }
+    fs.delete(p, true)
   }
 
   /** Graft tables store manifest paths TABLE-ROOT-RELATIVE, so a rename
     * is one filesystem move — the committed table survives wholesale
     * (the [[graft.operators.GraftTable]] relative-manifest guarantee).
+    * CLONE-GUARDED like [[dropTable]]: renaming a table with live
+    * `_clones/` registrations refuses (the clones' absolute references
+    * would dangle); renaming a table that IS a clone succeeds — its
+    * absolute references into the source still resolve after the move —
+    * and RE-REGISTERS the new destination with each source, so the
+    * source-side guards keep protecting the moved clone.
     */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
-    require(fs.rename(new Path(pathFor(oldIdent)),
-      new Path(pathFor(newIdent))),
-      s"rename failed: ${pathFor(oldIdent)} -> ${pathFor(newIdent)}")
+    val oldPath = pathFor(oldIdent)
+    val newPath = pathFor(newIdent)
+    val tbl = GraftTable.open(spark, oldPath)
+    val clones = tbl.registeredClones()
+    require(clones.isEmpty,
+      s"table $oldIdent has ${clones.size} registered shallow clone(s) " +
+        s"holding absolute references into its root: " +
+        s"${clones.mkString(", ")} — renaming it would silently break " +
+        "them. Delete/unregister the clones (GraftTable.unregisterClone) " +
+        "before renaming the source")
+    val sources = tbl.cloneSources()
+    require(fs.rename(new Path(oldPath), new Path(newPath)),
+      s"rename failed: $oldPath -> $newPath")
+    sources.foreach { src =>
+      try {
+        val s = GraftTable.open(spark, src)
+        s.unregisterClone(oldPath)
+        GraftTable.registerClone(spark, src, newPath)
+      } catch { case _: Throwable => () }
+    }
   }
 
   // --------------------------------------------------------- namespaces --
@@ -422,6 +491,11 @@ final class GraftTableV2(spark: SparkSession, val tablePath: String,
   private[graft] val tbl = GraftTable.open(spark, tablePath)
   private val snapshot = pinned.getOrElse(tbl.version)
 
+  /** The pinned read version — [[graft.plans.GraftV2ScanStats]] plants
+    * it into the classic relation it rebuilds reads as.
+    */
+  private[graft] def snapshotVersion: Long = snapshot
+
   override def name(): String = ident
 
   override val schema: StructType = tbl.schemaAt(snapshot)
@@ -468,10 +542,10 @@ final class GraftTableV2(spark: SparkSession, val tablePath: String,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val extra = filters.flatMap(GraftTableV2.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val preds = filters.toSeq.flatMap(GraftTableV2.toPreds)
-    val (rewritten, carried) = tbl.dmlWhere(preds, extra, None)
-    logInfo(s"DELETE on $tablePath: $rewritten file(s) rewritten, " +
-      s"$carried carried")
+    val cnf = filters.toSeq.map(GraftTableV2.toCnfGroup)
+    val r = tbl.dmlWhereCnf(cnf, extra, None)
+    logInfo(s"DELETE on $tablePath: ${r.filesRewritten} file(s) " +
+      s"rewritten, ${r.filesCarried} carried, ${r.rowsAffected} row(s)")
   }
 
   override def truncateTable(): Boolean = {
@@ -484,20 +558,53 @@ final class GraftTableV2(spark: SparkSession, val tablePath: String,
 
 private[sources] object GraftTableV2 {
 
-  /** Zone/bloom-prunable translation — conservative (strict bounds widen
-    * to inclusive; unknown shapes prune nothing). Only `And` recurses:
-    * an OR arm must never AND-compose into the prune list.
+  /** The `true` OR-group: one empty conjunct — survives every file, so
+    * a group this translation cannot prune drops out of the spec
+    * ([[graft.operators.GraftTable.pruneFilesCnf]]'s widening).
     */
-  private[graft] def toPreds(f: Filter): Seq[ZoneMap.Pred] = f match {
-    case EqualTo(a, v) if v != null => Seq(ZoneMap.Point(a, v))
-    case GreaterThan(a, v) if v != null => Seq(ZoneMap.Range(a, lo = v))
-    case GreaterThanOrEqual(a, v) if v != null =>
-      Seq(ZoneMap.Range(a, lo = v))
-    case LessThan(a, v) if v != null => Seq(ZoneMap.Range(a, hi = v))
-    case LessThanOrEqual(a, v) if v != null =>
-      Seq(ZoneMap.Range(a, hi = v))
-    case And(l, r) => toPreds(l) ++ toPreds(r)
-    case _ => Nil
+  private[graft] val NoPrune: Seq[Seq[ZoneMap.Pred]] = Seq(Seq.empty)
+
+  /** Cap on a group's disjunct count — a pathological OR/IN tree falls
+    * back to "prune nothing" instead of an exponential DNF expansion.
+    */
+  private[graft] val MaxDisjuncts = 64
+
+  /** Zone/bloom-prunable translation of ONE pushed filter into an
+    * OR-group (a DNF: OR over conjunct lists) — conservative by
+    * construction: strict bounds widen to inclusive, unknown shapes
+    * yield [[NoPrune]]. `Or` arms prune INDEPENDENTLY and union
+    * (an arm this translation cannot prune poisons only its own group);
+    * `In` expands to one Point disjunct per non-null value, so an IN
+    * list probes the blooms exactly like a union of equalities.
+    */
+  private[graft] def toCnfGroup(f: Filter): Seq[Seq[ZoneMap.Pred]] = {
+    def dnf(g: Filter): Seq[Seq[ZoneMap.Pred]] = g match {
+      case EqualTo(a, v) if v != null => Seq(Seq(ZoneMap.Point(a, v)))
+      case EqualNullSafe(a, v) if v != null => Seq(Seq(ZoneMap.Point(a, v)))
+      case GreaterThan(a, v) if v != null =>
+        Seq(Seq(ZoneMap.Range(a, lo = v)))
+      case GreaterThanOrEqual(a, v) if v != null =>
+        Seq(Seq(ZoneMap.Range(a, lo = v)))
+      case LessThan(a, v) if v != null => Seq(Seq(ZoneMap.Range(a, hi = v)))
+      case LessThanOrEqual(a, v) if v != null =>
+        Seq(Seq(ZoneMap.Range(a, hi = v)))
+      case In(a, vs) if vs.nonEmpty && vs.exists(_ != null) =>
+        // null IN-values match no row (`a = NULL` is never true) — the
+        // non-null values are the only disjuncts a file must cover
+        val arms = vs.toSeq.filter(_ != null).distinct
+          .map(v => Seq(ZoneMap.Point(a, v): ZoneMap.Pred))
+        if (arms.size > MaxDisjuncts) NoPrune else arms
+      case And(l, r) =>
+        // DNF product; either side's NoPrune is the identity
+        val (dl, dr) = (dnf(l), dnf(r))
+        if (dl.size.toLong * dr.size > MaxDisjuncts) NoPrune
+        else for (a <- dl; b <- dr) yield a ++ b
+      case Or(l, r) =>
+        val u = dnf(l) ++ dnf(r)
+        if (u.size > MaxDisjuncts) NoPrune else u
+      case _ => NoPrune
+    }
+    dnf(f)
   }
 
   /** EXACT translation of a pushed Filter, or None when the shape has
@@ -554,24 +661,68 @@ final class GraftV2ScanBuilder(tbl: GraftTable, version: Long,
     required = requiredSchema
   }
 
-  override def build(): Scan = new V1Scan {
-    override def readSchema(): StructType = required
+  override def build(): Scan = new GraftV1Scan(tbl, version, fullSchema,
+    required, filters)
+}
 
-    override def toV1TableScan[T <: BaseRelation with TableScan](
-        context: SQLContext): T =
-      new BaseRelation with TableScan {
-        override def sqlContext: SQLContext = context
-        override def schema: StructType = required
-        override def needConversion: Boolean = false
-        override def buildScan(): RDD[Row] =
-          new GraftTableRelation(context, tbl, version)
-            .buildScan(required.fieldNames, filters)
-      }.asInstanceOf[T]
+/** The catalog read path's V1 bridge scan - NAMED (not anonymous) so
+  * the statistics rule can recognize it: Spark's optimizer wraps every
+  * `V1Scan` in a stats-opaque `V1ScanWrapper`, so
+  * [[graft.plans.GraftV2ScanStats]] (pre-CBO) rebuilds the scan
+  * relation as a classic `LogicalRelation` over [[toV1TableScan]]'s
+  * relation, whose `sizeInBytes` below feeds join planning. Without it
+  * the SQL-text door reports `defaultSizeInBytes` (~ Long.Max) and a
+  * metadata-sized `graftsql` dimension joined to a big fact NEVER
+  * auto-broadcasts: a full shuffle join on a 1,000-row table, on the
+  * exact door users type queries into. The DSv1 path has reported the
+  * same estimate via `BaseRelation.sizeInBytes` since r14; this closes
+  * the V2 half. `SupportsReportStatistics` is also implemented for any
+  * engine path that consults the scan directly.
+  */
+final class GraftV1Scan(private[graft] val tbl: GraftTable,
+    private[graft] val version: Long, fullSchema: StructType,
+    required: StructType, filters: Array[Filter])
+  extends V1Scan with SupportsReportStatistics {
 
-    override def description(): String =
-      s"GraftTableScan[${tbl.path}@v$version, " +
-        s"filters=${filters.mkString(", ")}]"
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def needConversion: Boolean = false
+      override def sizeInBytes: Long = estimatedBytes
+      override def buildScan(): RDD[Row] =
+        new GraftTableRelation(context, tbl, version)
+          .buildScan(required.fieldNames, filters)
+    }.asInstanceOf[T]
+
+  /** Manifest-derived REAL on-disk bytes ([[GraftTable!.approxStats]]),
+    * pro-rated to the pruned column set.
+    */
+  private def estimatedBytes: Long = {
+    val (_, total) = tbl.approxStats(version)
+    val fullW = math.max(1, fullSchema.defaultSize)
+    val reqW = math.max(1, required.defaultSize)
+    val sized = (BigInt(total) * reqW / fullW).max(1)
+    if (sized > Long.MaxValue) Long.MaxValue else sized.toLong
   }
+
+  override def estimateStatistics(): Statistics = {
+    val rows = tbl.approxStats(version)._1
+    val sz = estimatedBytes
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(sz)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  override def description(): String =
+    s"GraftTableScan[${tbl.path}@v$version, " +
+      s"filters=${filters.mkString(", ")}]"
 }
 
 /** INSERT INTO → transactional append; INSERT OVERWRITE / CTAS-replace →

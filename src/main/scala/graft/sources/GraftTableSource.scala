@@ -6,11 +6,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{And, BaseRelation,
-  CreatableRelationProvider, DataSourceRegister, EqualTo, Filter,
-  GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
-  LessThanOrEqual, PrunedFilteredScan, RelationProvider,
-  StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation,
+  CreatableRelationProvider, DataSourceRegister, Filter,
+  PrunedFilteredScan, RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -189,6 +187,11 @@ final class GraftTableSink(path: String, parameters: Map[String, String])
         if (opCol == null) batch
         else batch.filter(!(col(opCol) <=> lit(GraftTable.DeleteOp)))
           .drop(opCol)
+      // a merge sink's FIRST batch must honor the same batch-key
+      // contract merge() enforces for every later one — duplicate or
+      // null keys in batch 0 would otherwise land silently and make the
+      // table's upsert state wrong from birth
+      mergeKey.foreach(k => GraftTable.requireMergeContract(seed, k))
       GraftTable.create(seed, path, zoneCols = zs,
         bloomCols = cols("bloomCols"),
         keepVersions = opt("keepVersions").map(_.toInt).getOrElse(1),
@@ -237,8 +240,12 @@ final class GraftTableRelation(ctx: SQLContext, tbl: GraftTable,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val preds = filters.toSeq.flatMap(toPreds)
-    val (files, total) = tbl.pruneFiles(snapshotVersion, preds)
+    // one OR-group per pushed filter ([[GraftTableV2.toCnfGroup]]): AND
+    // across filters, per-disjunct pruning unioned inside each — so
+    // `k < 10 OR k > 90` opens both stripes and nothing between, and an
+    // IN list probes the blooms per value
+    val cnf = filters.toSeq.map(GraftTableV2.toCnfGroup)
+    val (files, total) = tbl.pruneFilesCnf(snapshotVersion, cnf)
     GraftTableRelation.record(tbl.path, files.size, total)
     logInfo(s"graft-table scan of ${tbl.path}@v$snapshotVersion: " +
       s"${files.size}/$total files under ${filters.length} pushed filters")
@@ -259,36 +266,11 @@ final class GraftTableRelation(ctx: SQLContext, tbl: GraftTable,
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 
-  /** Zone-expressible translation — conservative by construction:
-    * strict bounds widen to inclusive (the zone check is min/max
-    * inclusive), untranslatable filters prune nothing. `Or` is skipped:
-    * `pruneZoneRows` ANDs its predicate list, and a wrongly-ANDed `Or`
-    * arm would prune files a disjunct still needs.
+  /** Inner-read residual — [[GraftTableV2.toColumn]]'s EXACT
+    * translation (Or/Not/strings included), so parquet row-group stats
+    * filter as much as the pushed shapes allow before rows surface.
     */
-  private def toPreds(f: Filter): Seq[ZoneMap.Pred] = f match {
-    case EqualTo(a, v) if v != null => Seq(ZoneMap.Point(a, v))
-    case GreaterThan(a, v) if v != null => Seq(ZoneMap.Range(a, lo = v))
-    case GreaterThanOrEqual(a, v) if v != null =>
-      Seq(ZoneMap.Range(a, lo = v))
-    case LessThan(a, v) if v != null => Seq(ZoneMap.Range(a, hi = v))
-    case LessThanOrEqual(a, v) if v != null => Seq(ZoneMap.Range(a, hi = v))
-    case And(l, r) => toPreds(l) ++ toPreds(r)
-    case _ => Nil
-  }
-
-  private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) if vs.nonEmpty => Some(col(a).isInCollection(vs.toSeq))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case And(l, r) =>
-      for (cl <- toColumn(l); cr <- toColumn(r)) yield cl && cr
-    case _ => None
-  }
+  private def toColumn(f: Filter): Option[Column] = GraftTableV2.toColumn(f)
 
   override def toString: String =
     s"GraftTableRelation[${tbl.path}@v$snapshotVersion]"

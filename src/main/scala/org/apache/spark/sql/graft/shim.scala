@@ -86,3 +86,4 @@ object StreamBridge {
       cd.queryExecution.toRdd, cd.schema, isStreaming = false)
   }
 }
+

@@ -95,6 +95,14 @@ class GraftCatalogSpec extends SparkSpec {
     // NULL-condition rows are not updated (SQL semantics ride through)
     assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE u = 'bumped'")
       .head.getLong(0) == 10)
+    // an OR WHERE prunes per-disjunct: the two edge files rewrite, the
+    // middle two carry — and num_affected_rows is the exact match count
+    val r = spark.sql(s"UPDATE $t SET u = 'edge' " +
+      s"WHERE k < 40 OR k >= 360").head()
+    assert(r.getLong(0) == 80 && r.getLong(1) == 2 && r.getLong(2) == 2,
+      s"(num_affected_rows, files_rewritten, files_carried) = $r")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE u = 'edge'")
+      .head.getLong(0) == 80)
   }
 
   test("MERGE INTO: upsert, conditional+partial update, delete-only, update-only") {
@@ -134,14 +142,84 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE k >= 500")
       .head.getLong(0) == 0)
 
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE (the sync-merge): target
+    // keys absent from the source tombstone in the SAME commit as the
+    // matched updates
+    (0L until 95L).map(k => (k, -1.0)).toDF("sk", "sv")
+      .createOrReplaceTempView("m_src4")
+    spark.sql(s"""MERGE INTO $t AS t USING m_src4 AS s ON t.k = s.sk
+      WHEN MATCHED THEN UPDATE SET v = s.sv
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 95)
+    assert(spark.sql(s"SELECT SUM(v) FROM $t").head.getDouble(0) == -95.0)
+
     // unsupported shapes refuse loudly, pointing at the API
     val e = intercept[Exception] {
-      spark.sql(s"""MERGE INTO $t AS t USING m_src3 AS s ON t.k = s.sk
-        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      spark.sql(s"""MERGE INTO $t AS t USING m_src4 AS s ON t.k = s.sk
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0.0""")
     }
     assert(e.getMessage.contains("unsupported MERGE shape") ||
       Option(e.getCause).exists(_.getMessage
         .contains("unsupported MERGE shape")), e.getMessage)
+  }
+
+  test("MERGE extensions: sync-delete alone, conditional INSERT, composite keys, num_affected_rows") {
+    warehouse
+    val t = freshTable()
+    mk(t, hi = 100)
+    // sync-delete ALONE: MERGE … WHEN NOT MATCHED BY SOURCE [AND c]
+    // THEN DELETE — rows outside the source sync away, condition-scoped
+    (0L until 90L).map(k => (k, 0.0)).toDF("sk", "sv")
+      .createOrReplaceTempView("x_src")
+    val r1 = spark.sql(s"""MERGE INTO $t AS t USING x_src AS s ON t.k = s.sk
+      WHEN NOT MATCHED BY SOURCE AND t.k < 95 THEN DELETE""").head()
+    // keys 90..94 delete (95..99 fail the target-side condition)
+    assert(!r1.isNullAt(0) && r1.getLong(0) == 5,
+      s"num_affected_rows must count the sync-deletes: $r1")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 95)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE k >= 95")
+      .head.getLong(0) == 5)
+
+    // conditional INSERT: only the qualifying unmatched rows insert;
+    // matched rows update regardless of the insert condition
+    Seq((0L, 50.0, "c"), (600L, 1.0, "lo"), (601L, 99.0, "hi"))
+      .toDF("sk", "sv", "su").createOrReplaceTempView("x_src2")
+    val r2 = spark.sql(s"""MERGE INTO $t AS t USING x_src2 AS s ON t.k = s.sk
+      WHEN MATCHED THEN UPDATE SET v = s.sv, u = s.su
+      WHEN NOT MATCHED AND s.sv > 50.0 THEN INSERT (k, v, u)
+        VALUES (s.sk, s.sv, s.su)""").head()
+    assert(!r2.isNullAt(0) && r2.getLong(0) == 2,
+      s"one update + one insert: $r2")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE k >= 600")
+      .head.getLong(0) == 1, "only the qualifying insert lands")
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 0").head.getDouble(0)
+      == 50.0, "matched row updates regardless of the insert condition")
+
+    // COMPOSITE merge keys: ON is a conjunction of equalities — match
+    // on the tuple, prune on the leading key
+    val t2 = freshTable()
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, k2 STRING, v DOUBLE) " +
+      "OPTIONS (zoneCols 'k', keepVersions '4')")
+    (0L until 40L).flatMap(k => Seq((k, "a", 1.0), (k, "b", 2.0)))
+      .toDF("k", "k2", "v").createOrReplaceTempView("x2_seed")
+    spark.sql(s"INSERT INTO $t2 SELECT * FROM x2_seed")
+    Seq((1L, "a", 100.0), (1L, "b", 200.0), (77L, "a", 7.0))
+      .toDF("sk", "sk2", "sv").createOrReplaceTempView("x2_src")
+    val r3 = spark.sql(
+      s"""MERGE INTO $t2 AS t USING x2_src AS s
+        ON t.k = s.sk AND t.k2 = s.sk2
+        WHEN MATCHED THEN UPDATE SET v = s.sv
+        WHEN NOT MATCHED THEN INSERT (k, k2, v) VALUES (s.sk, s.sk2, s.sv)""")
+      .head()
+    assert(!r3.isNullAt(0) && r3.getLong(0) == 3, s"2 updates + 1 insert: $r3")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t2").head.getLong(0) == 81)
+    val pair = spark.sql(
+      s"SELECT k2, v FROM $t2 WHERE k = 1 ORDER BY k2").collect()
+    assert(pair.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 100.0), ("b", 200.0)),
+      "each tuple component matches independently")
+    assert(spark.sql(s"SELECT v FROM $t2 WHERE k = 77").head.getDouble(0)
+      == 7.0)
   }
 
   test("SQL time travel: VERSION AS OF pins a retained snapshot, TIMESTAMP AS OF resolves by commit time") {
@@ -280,5 +358,53 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT SUM(k) FROM $cat.db1.x").head.getLong(0) == 3)
     assert(GraftTable.exists(spark, s"$warehouse/db1/x"),
       "identifier maps to warehouse/db/table")
+  }
+
+  test("DROP/RENAME clone guards: cloned source refuses (PURGE forces), renaming a clone re-registers") {
+    warehouse
+    val t = freshTable()
+    mk(t, hi = 20)
+    val leaf = s"t$n"
+    val srcPath = s"$warehouse/$leaf"
+    GraftTable.shallowClone(spark, srcPath, s"$warehouse/${leaf}_c")
+    // DROP / RENAME on a cloned SOURCE refuse, naming the clones — the
+    // clones' absolute manifest references would silently dangle
+    val eDrop = intercept[Exception] { spark.sql(s"DROP TABLE $t") }
+    assert(eDrop.getMessage.contains("clone") ||
+      Option(eDrop.getCause).exists(_.getMessage.contains("clone")),
+      eDrop.getMessage)
+    val eRen = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME TO ${leaf}_moved")
+    }
+    assert(eRen.getMessage.contains("clone") ||
+      Option(eRen.getCause).exists(_.getMessage.contains("clone")),
+      eRen.getMessage)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 20,
+      "the refused operations must leave the source intact")
+    // renaming the CLONE itself is allowed — its absolute references
+    // into the source still resolve — and the source's registration
+    // follows the move, so the guards keep protecting it
+    spark.sql(s"ALTER TABLE $cat.${leaf}_c RENAME TO ${leaf}_c2")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.${leaf}_c2")
+      .head.getLong(0) == 20, "clone reads survive the rename")
+    val reg = GraftTable.open(spark, srcPath).registeredClones()
+    assert(reg.exists(_.endsWith(s"${leaf}_c2")) &&
+      !reg.exists(_.endsWith(s"${leaf}_c")),
+      s"the registration must follow the clone's move: $reg")
+    // dropping the clone releases the registration; the source then
+    // drops without force
+    spark.sql(s"DROP TABLE $cat.${leaf}_c2")
+    assert(GraftTable.open(spark, srcPath).registeredClones().isEmpty,
+      "a dropped clone unregisters from its source")
+    // PURGE is the force escape while a clone is still registered
+    val t2 = freshTable()
+    mk(t2, hi = 10)
+    val leaf2 = s"t$n"
+    GraftTable.shallowClone(spark, s"$warehouse/$leaf2",
+      s"$warehouse/${leaf2}_c")
+    intercept[Exception] { spark.sql(s"DROP TABLE $t2") }
+    spark.sql(s"DROP TABLE $t2 PURGE")
+    assert(!GraftTable.exists(spark, s"$warehouse/$leaf2"))
+    spark.sql(s"DROP TABLE $t") // the first source: clones gone, plain drop
   }
 }

@@ -99,4 +99,22 @@ class GraftTableSinkSpec extends SparkSpec {
     drain(in, schema, tbl, ckpt, opts)
     assert(t.version == v && t.read().count() == 4)
   }
+
+  test("mergeKey sink: batch 0 honors the merge-key contract — duplicate seed keys refuse loudly") {
+    val (in, tbl, ckpt) = dirs()
+    // duplicate key 7 in the very first batch: merge() would refuse it
+    // in batch 1, so the CREATE path must refuse it in batch 0 too —
+    // not land it silently and corrupt the upsert state from birth
+    (rows(0, 10) union rows(7, 8)).coalesce(1)
+      .write.mode("append").parquet(in)
+    val e = intercept[Exception] {
+      drain(in, rows(0, 1).schema, tbl, ckpt, Map("mergeKey" -> "k"))
+    }
+    def hasUnique(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("unique")) ||
+        hasUnique(t.getCause))
+    assert(hasUnique(e), s"the seed-key contract must surface: $e")
+    assert(!GraftTable.exists(spark, tbl),
+      "a refused bootstrap must not leave a committed table")
+  }
 }

@@ -52,20 +52,34 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(one.map(_.getString(0)).toSeq == Seq(s"u${123 % 7}"))
   }
 
-  test("OR filters never wrongly prune; aggregates over the SQL path exact") {
+  test("OR filters prune per-disjunct and union survivors; IN lists probe per value; both exact") {
     val p = base()
     GraftTable.create(
       rows(0, 400).repartitionByRange(4, col("k")).sortWithinPartitions("k"),
       p, zoneCols = Seq("k"))
     val df = load(p)
-    // an OR across distant stripes is untranslatable for an AND-composed
-    // zone check: the scan must open everything and return exact rows
+    // an OR across distant stripes prunes EACH arm and reads the union
+    // of survivors: the two edge files open, the middle two never do —
+    // and the result is exact either way (pruning is a hint)
     GraftTableRelation.clearScan(p)
     val got = df.filter(col("k") < 10L || col("k") >= 390L).count()
     assert(got == 20)
-    assert(GraftTableRelation.lastScan(p).exists {
-      case (opened, total) => opened == total
-    }, s"OR must not prune: ${GraftTableRelation.lastScan(p)}")
+    assert(GraftTableRelation.lastScan(p).contains((2, 4)),
+      s"OR must prune to the two edge stripes: " +
+        s"${GraftTableRelation.lastScan(p)}")
+    // an IN list expands to one Point disjunct per value
+    GraftTableRelation.clearScan(p)
+    assert(df.filter(col("k").isInCollection(Seq(5L, 395L))).count() == 2)
+    assert(GraftTableRelation.lastScan(p).contains((2, 4)),
+      s"IN must prune per value: ${GraftTableRelation.lastScan(p)}")
+    // an OR with an arm pruning cannot check must NOT prune (the arm's
+    // rows live anywhere) — but stays row-exact
+    GraftTableRelation.clearScan(p)
+    assert(df.filter(col("k") < 10L || col("u") === "u3").count() ==
+      10 + (10L until 400L).count(_ % 7 == 3))
+    assert(GraftTableRelation.lastScan(p).contains((4, 4)),
+      s"an unprunable OR arm widens to a full scan: " +
+        s"${GraftTableRelation.lastScan(p)}")
     assert(df.agg(sum("v")).head.getDouble(0) ==
       (0L until 400L).map(_ * 2.0).sum)
   }

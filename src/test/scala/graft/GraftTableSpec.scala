@@ -980,4 +980,56 @@ class GraftTableSpec extends SparkSpec {
     assert(cl.history().collect().map(r =>
       (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "clone")))
   }
+
+  test("composite-key merge: tuples match independently, leading key prunes, contract on the tuple") {
+    val p = base()
+    val seed = (0L until 200L).flatMap(k => Seq((k, "a", 1.0), (k, "b", 2.0)))
+      .toDF("k", "k2", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    val t = GraftTable.create(seed, p, zoneCols = Seq("k"))
+    val files = t.files().size
+    // low-k batch: update (5,a), tombstone (6,b), insert (5,c)
+    val batch = Seq((5L, "a", 100.0, "upsert"), (6L, "b", 0.0, "delete"),
+      (5L, "c", 3.0, "upsert")).toDF("k", "k2", "v", "op")
+    val (rew, carried) = t.merge(batch, Seq("k", "k2"), "op")
+    assert(rew >= 1 && rew < files && carried == files - rew,
+      s"leading-key pruning must rewrite only the low stripe: $rew/$files")
+    val got = t.read().filter(col("k").isin(5L, 6L))
+      .orderBy("k", "k2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((5L, "a", 100.0), (5L, "b", 2.0), (5L, "c", 3.0),
+      (6L, "a", 1.0)),
+      s"tuple semantics: (5,a) updates, (5,b) untouched, (5,c) inserts, " +
+        s"(6,b) deletes, (6,a) survives — got $got")
+    assert(t.read().count() == 400 - 1 + 1)
+    // the batch-key contract is on the TUPLE: same k under two k2s is
+    // legal (above); a duplicated tuple refuses
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((1L, "a", 9.0), (1L, "a", 8.0)).toDF("k", "k2", "v"),
+        Seq("k", "k2"), null.asInstanceOf[String])
+    }
+  }
+
+  test("manifest records real file bytes; approxStats reads them (string-heavy ≫ rows × defaultSize)") {
+    val p = base()
+    // 2,000 rows × ~1 KB incompressible strings: rows × defaultSize
+    // (20 B/string) says ~56 KB — real parquet bytes are ~2 MB
+    val fat = (0L until 2000L)
+      .map(k => (k, Seq.tabulate(64)(i =>
+        ((k * 64 + i) * 2654435761L).toHexString).mkString))
+      .toDF("k", "s")
+    val t = GraftTable.create(fat, p, zoneCols = Seq("k"), nFiles = 2)
+    val (rows0, bytes) = t.approxStats(t.version)
+    assert(rows0 == 2000L)
+    val naive = 2000L * fat.schema.defaultSize
+    assert(bytes > naive,
+      s"real file bytes ($bytes) must beat the width guess ($naive) on " +
+        "string-heavy tables — under-estimation broadcasts what should " +
+        "shuffle")
+    // carried-forward rows keep their recorded bytes across a merge
+    t.merge(Seq((1L, "x")).toDF("k", "s"), "k")
+    val (rows1, bytes1) = t.approxStats(t.version)
+    assert(rows1 == 2000L && bytes1 > naive / 2,
+      s"bytes must survive the carry-forward: $bytes1")
+  }
 }

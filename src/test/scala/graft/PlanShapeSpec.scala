@@ -262,4 +262,47 @@ class PlanShapeSpec extends SparkSpec {
       s.contains("LessThanOrEqual(k,150)"), s)
     assert(s.contains("ReadSchema") && !s.contains("u#"), s)
   }
+
+  test("SQL-catalog dimension reports statistics and auto-broadcasts against a big fact") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_v2stats")
+      .toString
+    spark.conf.set("spark.sql.catalog.pstat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pstat.warehouse", wh)
+    spark.sql("CREATE TABLE pstat.dim (k BIGINT, name STRING) " +
+      "OPTIONS (zoneCols 'k')")
+    (0L until 1000L).map(k => (k, s"name_$k")).toDF("k", "name")
+      .createOrReplaceTempView("pstat_dim_src")
+    spark.sql("INSERT INTO pstat.dim SELECT * FROM pstat_dim_src")
+    // the V2 scan must report manifest-derived REAL bytes — without
+    // SupportsReportStatistics the optimized plan carries
+    // defaultSizeInBytes (≈ Long.Max) and never auto-broadcasts
+    val dimOpt = spark.table("pstat.dim").queryExecution.optimizedPlan
+    val dimStats = dimOpt.stats
+    assert(dimStats.sizeInBytes > 0 &&
+      dimStats.sizeInBytes < 10L * 1024 * 1024,
+      s"the catalog scan must report a metadata-derived size: $dimStats\n" +
+        s"plan: $dimOpt\nclass: ${dimOpt.getClass}")
+    // an incompressible fact bigger than the broadcast threshold: only
+    // the dimension side can broadcast
+    (0L until 200000L).map(i => (i % 1000, i * 2654435761L))
+      .toDF("k", "x").write.mode("overwrite").parquet(s"$wh/_fact")
+    val fact = spark.read.parquet(s"$wh/_fact")
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "1MB")
+    try {
+      val joined = spark.sql(
+        s"SELECT f.k, f.x, d.name FROM parquet.`$wh/_fact` f " +
+          "JOIN pstat.dim d ON f.k = d.k")
+      val p = plan(joined)
+      assert(p.contains("BroadcastHashJoin"),
+        s"a 1,000-row graft dimension must auto-broadcast through SQL " +
+          s"text:\n$p")
+      assert(joined.count() == 200000L)
+      assert(fact.count() == 200000L)
+    } finally spark.conf.set(conf, prev)
+  }
 }
