@@ -764,6 +764,49 @@ private[graft] object EntryExt {
       .orderBy("event_type")
   }
 
+  /** SQL-text TIME TRAVEL through the catalog (`VERSION AS OF` /
+    * `TIMESTAMP AS OF` — the `loadTable` overloads): the evens insert
+    * as one commit, the odds as the next; `VERSION AS OF` the first
+    * data version serves the pre-append snapshot while the head serves
+    * everything, both as plain SQL — and `TIMESTAMP AS OF now+1h`
+    * resolves to the head (required in-body, marker-based commit
+    * times). `q_time_travel`'s two-snapshot UNION oracle verbatim: the
+    * SQL door changes syntax, never snapshots.
+    */
+  private[graft] def qSqlTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val tn = freshSqlTable(s, "tt")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    s.sql(s"CREATE TABLE $tn (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE) " +
+      "OPTIONS (zoneCols 'event_id', keepVersions '3')")
+    ev.filter(col("event_id") % 2 === 0)
+      .createOrReplaceTempView("graft_sqtt_even")
+    ev.filter(col("event_id") % 2 === 1)
+      .createOrReplaceTempView("graft_sqtt_odd")
+    s.sql(s"INSERT INTO $tn SELECT * FROM graft_sqtt_even") // v2
+    s.sql(s"INSERT INTO $tn SELECT * FROM graft_sqtt_odd")  // v3 = head
+    val tbl = operators.GraftTable.open(s,
+      s.conf.get("spark.sql.catalog.graftsql.warehouse") + "/" +
+        tn.split("\\.").last)
+    require(tbl.versions().takeRight(2) == Seq(tbl.version - 1, tbl.version),
+      s"both snapshots must stay retained: ${tbl.versions()}")
+    val evens = ev.filter(col("event_id") % 2 === 0).count()
+    require(s.sql(s"SELECT COUNT(*) FROM $tn VERSION AS OF " +
+      s"${tbl.version - 1}").head.getLong(0) == evens,
+      "VERSION AS OF must pin the pre-append snapshot")
+    require(s.sql(s"SELECT COUNT(*) FROM $tn TIMESTAMP AS OF " +
+      "(now() + INTERVAL 1 HOUR)").head.getLong(0) == ev.count(),
+      "TIMESTAMP AS OF now+1h must resolve to the head")
+    s.sql(s"""SELECT 'v1' AS snap, event_type, COUNT(*) AS n,
+        ROUND(SUM(value), 2) AS v
+      FROM $tn VERSION AS OF ${tbl.version - 1} GROUP BY event_type
+      UNION ALL
+      SELECT 'v2' AS snap, event_type, COUNT(*) AS n,
+        ROUND(SUM(value), 2) AS v
+      FROM $tn GROUP BY event_type
+      ORDER BY snap, event_type""")
+  }
+
   /** `ALTER TABLE … SET TBLPROPERTIES` + the changeFeed OPT-OUT as one
     * SQL lifecycle: the table is created feed-ON with no retention
     * window, ALTERed to `keepVersions 3, changeFeed false` (one

@@ -1285,6 +1285,17 @@ private[graft] object OraclesExt {
     "q_sql_call" ->
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // SQL time travel changes syntax, never snapshots: q_time_travel's
+    // two-snapshot UNION verbatim (v1 = the evens, head = everything)
+    "q_sql_timetravel" ->
+      """SELECT 'v1' AS snap, event_type, COUNT(*) AS n,
+        |  ROUND(SUM(value), 2) AS v
+        |FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'v2' AS snap, event_type, COUNT(*) AS n,
+        |  ROUND(SUM(value), 2) AS v
+        |FROM events GROUP BY event_type
+        |ORDER BY snap, event_type""".stripMargin,
     // SYNC merge (matched update + unmatched insert + not-matched-by-
     // source delete) makes the table EQUAL the source: every multiple
     // of 3 at value + 1000 — a full sync IS replacement

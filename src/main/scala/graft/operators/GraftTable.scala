@@ -792,6 +792,7 @@ final class GraftTable private[operators] (spark: SparkSession,
     def ok(p: ZoneMap.Pred): Boolean = p match {
       case ZoneMap.Range(c, _, _) => zoned(c)
       case ZoneMap.Point(c, _) => zoned(c) || bloomed(c)
+      case ZoneMap.Nulls(c, _) => zoned(c)
     }
     cnf.map(dnf => dnf.map(_.filter(ok)))
       .filter(dnf => dnf.nonEmpty && dnf.forall(_.nonEmpty))

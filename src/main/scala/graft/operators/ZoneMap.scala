@@ -83,11 +83,24 @@ object ZoneMap {
   /** Equality predicate. Prunes by zone min/max (when the column is
     * zone-indexed) AND by the per-file bloom (when built) — both checks
     * are conservative, so they compose by AND. `IS NULL` is not a
-    * [[Point]]: blooms and min/max both ignore nulls.
+    * [[Point]]: blooms and min/max both ignore nulls — it is a
+    * [[Nulls]].
     */
   final case class Point(col: String, v: Any) extends Pred {
     require(v != null, s"Point on $col needs a non-null value")
   }
+
+  /** Null-membership predicate — the check min/max and blooms (which
+    * both ignore nulls) cannot express, pruned from the per-file
+    * `nulls_c` count the zone row already records: `IS NULL`
+    * (`want = true`) keeps only files that counted at least one null;
+    * `IS NOT NULL` keeps files with at least one NON-null row
+    * (`cnt > nulls_c` — an all-null stripe prunes away). Catalyst
+    * pushes `IsNotNull` beside every comparison it implies, so this
+    * rides free on most filters; the `IS NULL` direction is the win on
+    * tables where nulls cluster in few files.
+    */
+  final case class Nulls(col: String, want: Boolean) extends Pred
 
   private val FileCol = "file"
 
@@ -390,6 +403,12 @@ object ZoneMap {
           col(s"max_$c").isNotNull && col(s"max_$c") >= lit(v) &&
             col(s"min_$c") <= lit(v)
         else lit(true)
+      case Nulls(c, want) =>
+        require(zoned(c), s"column $c not zone-indexed " +
+          s"(indexed: ${zoned.mkString(", ")}) — null counts live in " +
+          "the zone row")
+        if (want) col(s"nulls_$c") > lit(0L)
+        else col("cnt") > col(s"nulls_$c")
     }.reduce(_ && _)
 
   /** The exact row-level predicate the preds describe — re-applied on
@@ -402,6 +421,7 @@ object ZoneMap {
         val hi = if (hi0 == null) lit(true) else col(c) <= lit(hi0)
         lo && hi
       case Point(c, v) => col(c) === lit(v)
+      case Nulls(c, want) => if (want) col(c).isNull else col(c).isNotNull
     }.reduce(_ && _)
 
   /** A pruning spec in conjunctive normal form: AND over the outer
@@ -463,11 +483,21 @@ object ZoneMap {
       cnf: Cnf): DataFrame = {
     val zoned = z.schema.fieldNames
       .collect { case f if f.startsWith("min_") => f.drop(4) }.toSet
+    // a [[Nulls]] check needs the per-file null count; a manifest
+    // predating it simply cannot prune that pred (dropping a conjunct
+    // member widens — conservative)
+    val nulled = z.schema.fieldNames
+      .collect { case f if f.startsWith("nulls_") => f.drop(6) }.toSet
+    def usable(conj: Seq[Pred]): Seq[Pred] = conj.filter {
+      case Nulls(c, _) => nulled(c)
+      case _ => true
+    }
     val keep =
       if (cnf.isEmpty) lit(true)
       else cnf.map { dnf =>
         if (dnf.isEmpty) lit(true)
-        else dnf.map(conj => keepCond(meta, zoned, conj)).reduce(_ || _)
+        else dnf.map(conj => keepCond(meta, zoned, usable(conj)))
+          .reduce(_ || _)
       }.reduce(_ && _)
     z.select(col(FileCol), keep.as("_keep"))
   }

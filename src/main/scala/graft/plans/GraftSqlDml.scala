@@ -211,6 +211,10 @@ private[plans] object DmlExpr {
         if l.value != null => Seq(ZoneMap.Range(a.name, lo = scalaV(l)))
     case LessThanOrEqual(l: Literal, a: AttributeReference)
         if l.value != null => Seq(ZoneMap.Range(a.name, lo = scalaV(l)))
+    case org.apache.spark.sql.catalyst.expressions.IsNull(
+        a: AttributeReference) => Seq(ZoneMap.Nulls(a.name, want = true))
+    case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+        a: AttributeReference) => Seq(ZoneMap.Nulls(a.name, want = false))
     case _ => Nil
   }
 
@@ -309,27 +313,38 @@ final case class GraftMergeCommand(path: String,
     // the source's key tuple under target names — every wing joins on it
     def srcKeyCols = pairs.map { case (tn, sa) => DmlExpr.toCol(sa).as(tn) }
 
-    // WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE: the head-snapshot
-    // keys (optionally condition-filtered — target columns only) absent
-    // from the source become tombstones; disjoint from every source key
+    // a NOT MATCHED BY SOURCE condition may reference target columns
+    // only (it evaluates against stored rows with no source row in
+    // scope — standard SQL)
+    def requireTargetOnly(c: Option[Expression]): Unit =
+      c.foreach(e => e.references.foreach { a =>
+        if (!targetIds(a.exprId)) refuse(
+          "a NOT MATCHED BY SOURCE condition may reference target " +
+            s"columns only, got ${a.name}")
+      })
+    // the stored rows no source key matches, optionally condition-
+    // filtered — the sync wings' input, disjoint from every source key
     // by construction, so the batch-key contract composes
+    def nmbsRows(c: Option[Expression]): org.apache.spark.sql.DataFrame = {
+      requireTargetOnly(c)
+      val head = tbl.read()
+      c.map(e => head.filter(DmlExpr.toCol(e))).getOrElse(head)
+        .join(sourceDf.select(srcKeyCols: _*).distinct(),
+          tKeys, "left_anti")
+    }
+    // WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE: the unmatched
+    // keys become tombstones riding the same commit
     val nmbsTombs: Option[org.apache.spark.sql.DataFrame] =
       notMatchedBySource match {
         case Seq() => None
         case Seq(DeleteAction(c)) =>
-          c.foreach(e => e.references.foreach { a =>
-            if (!targetIds(a.exprId)) refuse(
-              "a NOT MATCHED BY SOURCE condition may reference target " +
-                s"columns only, got ${a.name}")
-          })
-          val head = tbl.read()
-          val filtered = c.map(e => head.filter(DmlExpr.toCol(e)))
-            .getOrElse(head)
-          Some(filtered.select(tKeys.map(col): _*).distinct()
-            .join(sourceDf.select(srcKeyCols: _*).distinct(),
-              tKeys, "left_anti"))
+          Some(nmbsRows(c).select(tKeys.map(col): _*).distinct())
+        case Seq(UpdateAction(_, _, _))
+            if matched.isEmpty && notMatched.isEmpty =>
+          None // the sync-update branch below handles it whole
         case other => refuse(
-          s"WHEN NOT MATCHED BY SOURCE supports THEN DELETE only, got $other")
+          "WHEN NOT MATCHED BY SOURCE supports THEN DELETE (composable " +
+            "with the other wings) or THEN UPDATE alone, got " + other)
       }
     def withTombs(batch: org.apache.spark.sql.DataFrame, op: String)
         : org.apache.spark.sql.DataFrame = nmbsTombs match {
@@ -347,6 +362,34 @@ final case class GraftMergeCommand(path: String,
         val batch = nmbsTombs.get.withColumn(OpCol,
           lit(GraftTable.DeleteOp))
         tbl.merge(batch, tKeys, OpCol)
+
+      // sync-update alone: MERGE … WHEN NOT MATCHED BY SOURCE [AND c]
+      // THEN UPDATE SET … — the deprecate-stale-rows pattern: stored
+      // rows no source key matches take the assignments (target
+      // expressions, evaluated against the stored row), upserted as
+      // whole rows whose unassigned columns ARE the stored values
+      case (Seq(), Seq())
+          if notMatchedBySource.exists(_.isInstanceOf[UpdateAction]) =>
+        val (c, assigns) = notMatchedBySource match {
+          case Seq(UpdateAction(cc, aa, _)) => (cc, aa)
+          case other => refuse(s"unsupported not-matched-by-source " +
+            s"actions $other")
+        }
+        requireTargetOnly(c)
+        assigns.foreach(a => a.value.references.foreach { r =>
+          if (!targetIds(r.exprId)) refuse(
+            "a NOT MATCHED BY SOURCE assignment may reference target " +
+              s"columns only, got ${r.name}")
+        })
+        val byName = assigns.map(a => DmlExpr.keyName(a) -> a.value).toMap
+        tKeys.foreach(k => if (byName.contains(k)) refuse(
+          s"NOT MATCHED BY SOURCE UPDATE must not reassign merge key $k"))
+        val head = tbl.read()
+        val batch = nmbsRows(c).select(head.columns.toSeq.map { n =>
+          byName.get(n).map(e => DmlExpr.toCol(e).as(n))
+            .getOrElse(col(n))
+        }: _*)
+        tbl.merge(batch, tKeys, null: String)
 
       // WHEN MATCHED THEN DELETE (alone): key-membership tombstones
       // (+ the sync-delete wing when present)

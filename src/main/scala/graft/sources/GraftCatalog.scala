@@ -588,6 +588,8 @@ private[sources] object GraftTableV2 {
       case LessThan(a, v) if v != null => Seq(Seq(ZoneMap.Range(a, hi = v)))
       case LessThanOrEqual(a, v) if v != null =>
         Seq(Seq(ZoneMap.Range(a, hi = v)))
+      case IsNull(a) => Seq(Seq(ZoneMap.Nulls(a, want = true)))
+      case IsNotNull(a) => Seq(Seq(ZoneMap.Nulls(a, want = false)))
       case In(a, vs) if vs.nonEmpty && vs.exists(_ != null) =>
         // null IN-values match no row (`a = NULL` is never true) — the
         // non-null values are the only disjuncts a file must cover

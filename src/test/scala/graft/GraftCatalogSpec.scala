@@ -45,6 +45,15 @@ class GraftCatalogSpec extends SparkSpec {
     // same on-disk table through the path API (create=v1 empty, insert=v2)
     val api = GraftTable.open(spark, s"$warehouse/t$n")
     assert(api.version == 2 && api.read().count() == 400)
+    // the catalog read path plans through the SAME pruned relation the
+    // format reader uses (GraftV2ScanStats rewrites reads pre-CBO), so
+    // a pushed filter reaches the manifest: fewer files open
+    GraftTableRelation.clearScan(s"$warehouse/t$n")
+    spark.sql(s"SELECT SUM(v) FROM $t WHERE k < 10").head
+    assert(GraftTableRelation.lastScan(s"$warehouse/t$n").exists {
+      case (opened, total) => opened >= 1 && opened < total
+    }, s"catalog SELECT must prune manifest files: " +
+      s"${GraftTableRelation.lastScan(s"$warehouse/t$n")}")
     // catalog listing sees it; a second INSERT is a new transactional
     // version; INSERT OVERWRITE is an atomic replace
     assert(spark.sql(s"SHOW TABLES IN $cat").collect()
@@ -153,9 +162,11 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 95)
     assert(spark.sql(s"SELECT SUM(v) FROM $t").head.getDouble(0) == -95.0)
 
-    // unsupported shapes refuse loudly, pointing at the API
+    // unsupported shapes refuse loudly, pointing at the API: a sync-
+    // UPDATE composed with a matched wing has no one-batch expression
     val e = intercept[Exception] {
       spark.sql(s"""MERGE INTO $t AS t USING m_src4 AS s ON t.k = s.sk
+        WHEN MATCHED THEN UPDATE SET v = s.sv
         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0.0""")
     }
     assert(e.getMessage.contains("unsupported MERGE shape") ||
@@ -179,6 +190,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 95)
     assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE k >= 95")
       .head.getLong(0) == 5)
+
+    // sync-UPDATE alone: stored rows outside the source take the
+    // assignments (unassigned columns preserved) — the deprecate-stale
+    // pattern; keys 95..99 survive untouched via the condition
+    (0L until 50L).map(k => (k, 0.0)).toDF("sk", "sv")
+      .createOrReplaceTempView("x_src15")
+    val rU = spark.sql(s"""MERGE INTO $t AS t USING x_src15 AS s
+      ON t.k = s.sk
+      WHEN NOT MATCHED BY SOURCE AND t.k < 95 THEN UPDATE SET v = -5.0""")
+      .head()
+    assert(!rU.isNullAt(0) && rU.getLong(0) == 40,
+      s"keys 50..89 must sync-update: $rU")
+    assert(spark.sql(s"SELECT SUM(v) FROM $t WHERE k BETWEEN 50 AND 89")
+      .head.getDouble(0) == -5.0 * 40)
+    assert(spark.sql(s"SELECT u FROM $t WHERE k = 50").head.getString(0)
+      == s"u${50 % 7}", "unassigned columns preserve stored values")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE k >= 95 AND v <> -5.0")
+      .head.getLong(0) == 5, "the condition scopes the sync-update")
 
     // conditional INSERT: only the qualifying unmatched rows insert;
     // matched rows update regardless of the insert condition

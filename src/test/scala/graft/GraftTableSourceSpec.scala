@@ -84,6 +84,36 @@ class GraftTableSourceSpec extends SparkSpec {
       (0L until 400L).map(_ * 2.0).sum)
   }
 
+  test("IS NULL / IS NOT NULL prune from the manifest's per-file null counts") {
+    val p = base()
+    // three files: two all-non-null range stripes + one all-null stripe
+    val vals = (0L until 100L)
+      .map(k => (java.lang.Long.valueOf(k), k * 2.0)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+    val nulls = (0 until 20)
+      .map(i => (null.asInstanceOf[java.lang.Long], i * 1.0)).toDF("k", "v")
+      .coalesce(1)
+    GraftTable.create(vals.unionByName(nulls), p, zoneCols = Seq("k"))
+    val df = load(p)
+    // IS NULL opens only the stripe that counted nulls
+    GraftTableRelation.clearScan(p)
+    assert(df.filter(col("k").isNull).count() == 20)
+    assert(GraftTableRelation.lastScan(p).contains((1, 3)),
+      s"IS NULL must prune to the null-bearing stripe: " +
+        s"${GraftTableRelation.lastScan(p)}")
+    // IS NOT NULL prunes the all-null stripe away
+    GraftTableRelation.clearScan(p)
+    assert(df.filter(col("k").isNotNull).count() == 100)
+    assert(GraftTableRelation.lastScan(p).contains((2, 3)),
+      s"IS NOT NULL must prune the all-null stripe: " +
+        s"${GraftTableRelation.lastScan(p)}")
+    // and the free ride: a comparison's implied IsNotNull composes with
+    // the range check; results stay exact under any pruning
+    GraftTableRelation.clearScan(p)
+    assert(df.filter(col("k") < 10L).count() == 10)
+    assert(GraftTableRelation.lastScan(p).contains((1, 3)))
+  }
+
   test("snapshot pinning and versionAsOf; missing path loud") {
     val p = base()
     val t = GraftTable.create(rows(0, 100), p, zoneCols = Seq("k"),
