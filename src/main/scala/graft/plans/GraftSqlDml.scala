@@ -33,14 +33,22 @@ import org.apache.spark.sql.graft.{CatalystBridge, ColumnBridge,
   *
   * Supported MERGE shapes (the engine's merge semantics; anything else
   * refuses loudly with the API route):
-  *  - `WHEN MATCHED [AND c] THEN UPDATE SET …  WHEN NOT MATCHED THEN
-  *    INSERT …` — conditional/partial update + unconditional insert
-  *    ([[GraftTable!.mergeCond]]; update-only MERGE, with no insert
-  *    clause, pre-restricts the source to existing keys).
-  *  - `WHEN MATCHED THEN DELETE` (alone) — key-membership delete
-  *    (tombstone merge).
-  * The ON condition must be a single target-key = source-key equality —
-  * the merge key is the table's pruning axis, exactly the API contract.
+  *  - `WHEN MATCHED [AND c] THEN UPDATE SET …  [WHEN NOT MATCHED
+  *    [AND c] THEN INSERT …]` — conditional/partial update +
+  *    conditionally-filtered insert ([[GraftTable!.mergeCond]];
+  *    update-only MERGE pre-restricts the source to existing keys).
+  *  - `WHEN MATCHED [AND c] THEN DELETE` (alone) — key-membership
+  *    delete (tombstone merge; a condition resolves over the matched
+  *    t/s join first).
+  *  - `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE` — the
+  *    sync-merge wing, composable with any of the above (head-snapshot
+  *    anti-join tombstones in the same commit) or alone.
+  *  - `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET …` (alone) —
+  *    deprecate-stale-rows: whole-row upserts of the unmatched stored
+  *    rows with the target-expression assignments applied.
+  * The ON condition is a conjunction of target-key = source-key
+  * equalities (composite business keys) — the LEADING key is the
+  * table's pruning axis, exactly the API contract.
   */
 object GraftSqlDml extends Rule[LogicalPlan] {
 
@@ -277,8 +285,9 @@ final case class GraftMergeCommand(path: String,
   private def refuse(why: String): Nothing = sys.error(
     s"unsupported MERGE shape on graft table $path: $why — supported: " +
       "WHEN MATCHED [AND c] THEN UPDATE SET … [WHEN NOT MATCHED [AND c] " +
-      "THEN INSERT …], WHEN MATCHED THEN DELETE alone, each optionally " +
-      "with WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE; use the " +
+      "THEN INSERT …], WHEN MATCHED [AND c] THEN DELETE alone, each " +
+      "optionally with WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE; " +
+      "use the " +
       "GraftTable API (merge/mergeCond with opCol) for other CDC shapes")
 
   private val OpCol = "_graft_op"
@@ -397,6 +406,26 @@ final case class GraftMergeCommand(path: String,
         val batch = withTombs(
           sourceDf.select(srcKeyCols: _*).distinct(), GraftTable.DeleteOp)
         tbl.merge(batch, tKeys, OpCol)
+
+      // WHEN MATCHED AND c THEN DELETE (alone): the condition may
+      // reference BOTH sides, so resolve it over the matched join of
+      // the head snapshot (t) with the source (s) and tombstone the
+      // keys of the passing pairs — the same commit composition as the
+      // unconditional form (+ the sync-delete wing when present)
+      case (Seq(DeleteAction(Some(c))), Seq()) =>
+        val cc = ColumnBridge.column(c.transform {
+          case a: AttributeReference if targetIds(a.exprId) =>
+            UnresolvedAttribute(Seq("t", a.name))
+          case a: AttributeReference if srcById.contains(a.exprId) =>
+            UnresolvedAttribute(Seq("s", srcById(a.exprId)))
+        })
+        val joined = tbl.read().alias("t").join(sourceDf.alias("s"),
+          pairs.map { case (tn, sa) =>
+            col(s"t.$tn") === col(s"s.${sa.name}")
+          }.reduce(_ && _), "inner")
+        val delKeys = joined.filter(coalesce(cc, lit(false)))
+          .select(tKeys.map(k => col(s"t.$k")): _*).distinct()
+        tbl.merge(withTombs(delKeys, GraftTable.DeleteOp), tKeys, OpCol)
 
       // WHEN MATCHED [AND c] THEN UPDATE SET … [+ INSERT [AND c]]
       case (Seq(UpdateAction(updCond, updAssigns, _)), ins) =>

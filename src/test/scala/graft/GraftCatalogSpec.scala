@@ -151,6 +151,20 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE k >= 500")
       .head.getLong(0) == 0)
 
+    // CONDITIONAL matched delete: the condition resolves over the
+    // matched t/s pair — only passing pairs tombstone
+    Seq((10L, 1.0), (11L, 999.0), (999L, 999.0)).toDF("sk", "sv")
+      .createOrReplaceTempView("m_src3b")
+    val rCd = spark.sql(s"""MERGE INTO $t AS t USING m_src3b AS s
+      ON t.k = s.sk
+      WHEN MATCHED AND s.sv > t.v THEN DELETE""").head()
+    // t.v at k=10 is 20.0 > 1.0 (fails), at k=11 is 22.0 < 999 (passes)
+    assert(!rCd.isNullAt(0) && rCd.getLong(0) == 1, s"one pair passes: $rCd")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE k IN (10, 11)")
+      .head.getLong(0) == 1 &&
+      spark.sql(s"SELECT k FROM $t WHERE k IN (10, 11)").head.getLong(0)
+        == 10, "only the condition-passing matched key deletes")
+
     // WHEN NOT MATCHED BY SOURCE THEN DELETE (the sync-merge): target
     // keys absent from the source tombstone in the SAME commit as the
     // matched updates
@@ -159,8 +173,9 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"""MERGE INTO $t AS t USING m_src4 AS s ON t.k = s.sk
       WHEN MATCHED THEN UPDATE SET v = s.sv
       WHEN NOT MATCHED BY SOURCE THEN DELETE""")
-    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 95)
-    assert(spark.sql(s"SELECT SUM(v) FROM $t").head.getDouble(0) == -95.0)
+    // 94 = keys 0..94 minus the conditionally-deleted 11
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 94)
+    assert(spark.sql(s"SELECT SUM(v) FROM $t").head.getDouble(0) == -94.0)
 
     // unsupported shapes refuse loudly, pointing at the API: a sync-
     // UPDATE composed with a matched wing has no one-batch expression
