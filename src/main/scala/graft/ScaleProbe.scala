@@ -430,6 +430,50 @@ object ScaleProbe {
         require(got == 1L, s"point lookup must be row-exact: $got")
         opened * 1000000L + got
       },
+      time("or_null_scan") {
+        // CNF-pruning leg (the r16 algebra) at probe scale: an OR
+        // across the two EDGE stripes of a 64-file range-clustered
+        // table prunes each disjunct independently and reads the
+        // survivor union — the middle never opens — and IS NULL /
+        // IS NOT NULL prune from the manifest's per-file null counts
+        // (one all-null stripe planted). Row-exact throughout; encoded
+        // files·10^6 + rows, the zonemap leg's convention.
+        val onBase = Scratch.dir("scale_ornull") + "/t"
+        val vals = corpus.select(col("doc_id").as("k"),
+          (col("doc_id") % 977L).as("v"))
+        val nullStripe = spark.range(2000)
+          .select(lit(null).cast("long").as("k"), col("id").as("v"))
+          .coalesce(1)
+        val tbl = graft.operators.GraftTable.create(
+          vals.repartitionByRange(64, col("k")).sortWithinPartitions("k")
+            .unionByName(nullStripe),
+          onBase, zoneCols = Seq("k"))
+        val nf = tbl.files().size
+        val df = spark.read.format("graft-table")
+          .option("path", onBase).load()
+        val (loCut, hiCut) = (n / 64, n + 5000L - n / 64)
+        val edgeCond = col("k") < loCut || col("k") >= hiCut
+        graft.sources.GraftTableRelation.clearScan(onBase)
+        val edgeRows = df.filter(edgeCond).count()
+        val (opened, totalF) =
+          graft.sources.GraftTableRelation.lastScan(onBase).get
+        require(opened >= 2 && opened <= 8 && totalF == nf,
+          s"an OR across edge stripes must open only them: " +
+            s"$opened of $totalF")
+        require(edgeRows == vals.filter(edgeCond).count(),
+          s"row-exact under OR pruning: $edgeRows")
+        graft.sources.GraftTableRelation.clearScan(onBase)
+        val nNull = df.filter(col("k").isNull).count()
+        require(graft.sources.GraftTableRelation.lastScan(onBase)
+          .exists(_._1 == 1) && nNull == 2000L,
+          s"IS NULL must open only the null stripe: $nNull")
+        graft.sources.GraftTableRelation.clearScan(onBase)
+        require(df.filter(col("k").isNotNull).count() == total)
+        require(graft.sources.GraftTableRelation.lastScan(onBase)
+          .exists(_._1 == nf - 1),
+          "IS NOT NULL must drop the all-null stripe")
+        opened * 1000000L + edgeRows
+      },
       time("graft_table_lifecycle") {
         // unified-table leg: the zonemap leg's data-skipping invariant,
         // through ONE atomic handle — create 505k rows as 64 range-
