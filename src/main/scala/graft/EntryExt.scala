@@ -729,6 +729,168 @@ private[graft] object EntryExt {
       s"FROM $tn GROUP BY event_type ORDER BY event_type")
   }
 
+  /** The canonical SQL CDC APPLY — one MERGE with TWO matched clauses
+    * (first-match-wins) applying a mixed change log in ONE commit:
+    * `WHEN MATCHED AND s.op = 'd' THEN DELETE` tombstones the matched
+    * deletes, `WHEN MATCHED THEN UPDATE` takes the rest of the matched
+    * rows, `WHEN NOT MATCHED AND s.op <> 'd' THEN INSERT` lands the
+    * fresh keys while UNMATCHED deletes (phantom tombstones for keys
+    * that never existed) do NOTHING. `s.op` is not an INSERT column —
+    * it reaches the engine's full-outer join as a carry-only batch
+    * column and is never stored. Required in-body: one commit,
+    * `num_affected_rows` equals the exact three-wing algebra, the
+    * phantom deletes neither insert nor widen the schema.
+    */
+  private[graft] def qSqlMergeCdc(s: SparkSession, d: String): DataFrame = {
+    val tn = freshSqlTable(s, "mcdc")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    s.sql(s"CREATE TABLE $tn (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE) " +
+      "OPTIONS (zoneCols 'event_id', keepVersions '3')")
+    ev.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .createOrReplaceTempView("graft_mcdc_seed")
+    s.sql(s"INSERT INTO $tn SELECT * FROM graft_mcdc_seed")
+    val tbl = operators.GraftTable.open(s,
+      s.conf.get("spark.sql.catalog.graftsql.warehouse") + "/" +
+        tn.split("\\.").last)
+    val v2 = tbl.version
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    // the change log: deletes (every multiple of 3), updates (multiples
+    // of 4 not already deleted, value + 1000), inserts (multiples of 5
+    // re-keyed past the id range), phantom deletes (keys past 2×maxId
+    // that never existed — must no-op). Keys are disjoint by
+    // construction: one change per key, the CDC batch contract.
+    ev.filter(col("event_id") % 3 === 0).withColumn("op", lit("d"))
+      .unionByName(ev.filter(col("event_id") % 3 =!= 0 &&
+          col("event_id") % 4 === 0)
+        .withColumn("value", col("value") + 1000)
+        .withColumn("op", lit("u")))
+      .unionByName(ev.filter(col("event_id") % 5 === 0)
+        .withColumn("event_id", col("event_id") + maxId + 1)
+        .withColumn("op", lit("i")))
+      .unionByName(ev.filter(col("event_id") % 7 === 0)
+        .withColumn("event_id", col("event_id") + 2 * maxId + 2)
+        .withColumn("op", lit("d")))
+      .createOrReplaceTempView("graft_mcdc_src")
+    val rep = s.sql(s"""MERGE INTO $tn AS t USING graft_mcdc_src AS s
+      ON t.event_id = s.event_id
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET value = s.value, user_id = s.user_id,
+        event_type = s.event_type
+      WHEN NOT MATCHED AND s.op <> 'd' THEN INSERT
+        (event_id, user_id, event_type, value)
+        VALUES (s.event_id, s.user_id, s.event_type, s.value)""").head()
+    require(tbl.version == v2 + 1, "one CDC MERGE, one commit")
+    val dels = ev.filter(col("event_id") % 3 === 0).count()
+    val upds = ev.filter(col("event_id") % 3 =!= 0 &&
+      col("event_id") % 4 === 0).count()
+    val inss = ev.filter(col("event_id") % 5 === 0).count()
+    require(!rep.isNullAt(0) && rep.getLong(0) == dels + upds + inss,
+      s"num_affected_rows must be deletes + updates + inserts " +
+        s"($dels + $upds + $inss): ${rep.toString}")
+    require(tbl.read().count() == ev.count() - dels + inss,
+      "phantom deletes must no-op; matched deletes must remove rows")
+    require(tbl.read().columns.sameElements(
+      Seq("event_id", "user_id", "event_type", "value")),
+      "the carry-only op column must never be stored")
+    s.sql(s"SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v " +
+      s"FROM $tn GROUP BY event_type ORDER BY event_type")
+  }
+
+  /** `ALTER TABLE … ADD COLUMN` as SQL DDL — the additive evolution the
+    * write path already performs ([[qSchemaEvolve]]'s engine contract),
+    * declared FIRST by a metadata-only commit: the evens insert under
+    * the original 4-column schema, `ADD COLUMN flag BOOLEAN` widens the
+    * declared schema without moving a byte of data (required in-body:
+    * one version bump, flag reads NULL before any write), then the odds
+    * insert WITH the flag. Same aggregate, same oracle as
+    * `q_schema_evolve`.
+    */
+  private[graft] def qSqlEvolve(s: SparkSession, d: String): DataFrame = {
+    val tn = freshSqlTable(s, "sevo")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    s.sql(s"CREATE TABLE $tn (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE) " +
+      "OPTIONS (zoneCols 'event_id', keepVersions '3')")
+    ev.filter(col("event_id") % 2 === 0)
+      .repartitionByRange(4, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .createOrReplaceTempView("graft_sevo_even")
+    s.sql(s"INSERT INTO $tn SELECT * FROM graft_sevo_even")
+    val tbl = operators.GraftTable.open(s,
+      s.conf.get("spark.sql.catalog.graftsql.warehouse") + "/" +
+        tn.split("\\.").last)
+    val v2 = tbl.version
+    s.sql(s"ALTER TABLE $tn ADD COLUMN flag BOOLEAN")
+    require(tbl.version == v2 + 1,
+      "ADD COLUMN is one metadata-only commit")
+    require(s.table(tn).columns.sameElements(
+      Seq("event_id", "user_id", "event_type", "value", "flag")),
+      "the declared schema must widen immediately")
+    require(s.sql(s"SELECT COUNT(*) AS n FROM $tn WHERE flag IS NOT NULL")
+      .head.getLong(0) == 0,
+      "pre-evolution rows must read NULL for the new column")
+    ev.filter(col("event_id") % 2 === 1)
+      .withColumn("flag", col("event_id") % 3 === 0)
+      .createOrReplaceTempView("graft_sevo_odd")
+    s.sql(s"INSERT INTO $tn SELECT * FROM graft_sevo_odd")
+    s.sql(s"SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v, " +
+      "SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS flagged " +
+      s"FROM $tn GROUP BY event_type ORDER BY event_type")
+  }
+
+  /** ACCUMULATE MERGE — the matched UPDATE references the STORED row:
+    * `SET value = t.value + s.delta` (the running-total CDC form),
+    * update-only (no INSERT wing), so unmatched source rows — including
+    * deltas for keys past the id range — do NOTHING, with no
+    * pre-restriction join: the engine evaluates the target-referencing
+    * assignment on the merge's own full-outer join. Required in-body:
+    * unassigned columns ride through bit-identical, the fresh-key
+    * deltas neither insert nor count, `num_affected_rows` = the
+    * matched count.
+    */
+  private[graft] def qSqlMergeAcc(s: SparkSession, d: String): DataFrame = {
+    val tn = freshSqlTable(s, "macc")
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    s.sql(s"CREATE TABLE $tn (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE) " +
+      "OPTIONS (zoneCols 'event_id', keepVersions '3')")
+    ev.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .createOrReplaceTempView("graft_macc_seed")
+    s.sql(s"INSERT INTO $tn SELECT * FROM graft_macc_seed")
+    val tbl = operators.GraftTable.open(s,
+      s.conf.get("spark.sql.catalog.graftsql.warehouse") + "/" +
+        tn.split("\\.").last)
+    val v2 = tbl.version
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val userSum = tbl.read().agg(sum("user_id")).head.getLong(0)
+    // deltas for every multiple of 3, plus deltas for keys that do not
+    // exist (past the id range) — an update-only merge must ignore them
+    ev.filter(col("event_id") % 3 === 0)
+      .select(col("event_id"),
+        ((col("event_id") % 7).cast("double") + 0.5).as("delta"))
+      .unionByName(ev.filter(col("event_id") % 11 === 0)
+        .select((col("event_id") + maxId + 1).as("event_id"),
+          lit(99.0).as("delta")))
+      .createOrReplaceTempView("graft_macc_src")
+    val rep = s.sql(s"""MERGE INTO $tn AS t USING graft_macc_src AS s
+      ON t.event_id = s.event_id
+      WHEN MATCHED THEN UPDATE SET value = t.value + s.delta""").head()
+    require(tbl.version == v2 + 1, "one accumulate MERGE, one commit")
+    val matchedN = ev.filter(col("event_id") % 3 === 0).count()
+    require(!rep.isNullAt(0) && rep.getLong(0) == matchedN,
+      s"num_affected_rows must be the matched count $matchedN: " +
+        s"${rep.toString}")
+    require(tbl.read().count() == ev.count(),
+      "update-only MERGE: unmatched deltas must not insert")
+    require(tbl.read().agg(sum("user_id")).head.getLong(0) == userSum,
+      "unassigned columns must ride through bit-identical")
+    s.sql(s"SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v " +
+      s"FROM $tn GROUP BY event_type ORDER BY event_type")
+  }
+
   /** OR-predicate pruning on the SQL read path: the pushed
     * `event_id <= lo OR event_id >= hi` prunes PER-DISJUNCT and unions
     * the survivors — both edge stripes open, the middle never does
@@ -890,6 +1052,54 @@ private[graft] object EntryExt {
       .head.getLong(0)
     require(swept >= 8,
       s"vacuum must sweep the compacted-away generation: $swept")
+    s.sql(s"SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v " +
+      s"FROM $tn GROUP BY event_type ORDER BY event_type")
+  }
+
+  /** The OPTIMIZE verbs as SQL — `CALL graftsql.zorder(table, cols,
+    * n_files)` wrapping [[graft.operators.GraftTable.zorder]] and the
+    * predicate-scoped `CALL graftsql.compact(…, where => '…')` wrapping
+    * [[graft.operators.GraftTable.compactWhere]] (the `OPTIMIZE …
+    * ZORDER BY` / `OPTIMIZE … WHERE` pair Delta users type). The seed
+    * lands ROUND-ROBIN so every file spans the full user range
+    * (required in-body: the pre-zorder selective scan opens ALL files);
+    * after the CALL the Z-curve clusters user_id and the SAME scan
+    * prunes (required in-body: fewer files open), then a stripe-scoped
+    * compact rewrites ONLY the low-user stripe (required in-body:
+    * some files rewritten AND some carried). Both verbs are
+    * row-preserving relayouts — the oracle is the plain aggregate.
+    */
+  private[graft] def qSqlZorder(s: SparkSession, d: String): DataFrame = {
+    val tn = freshSqlTable(s, "zo")
+    val leaf = tn.split("\\.").last
+    val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+    s.sql(s"CREATE TABLE $tn (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE) " +
+      "OPTIONS (zoneCols 'event_id,user_id', keepVersions '3')")
+    ev.repartition(8).createOrReplaceTempView("graft_sqzo_src")
+    s.sql(s"INSERT INTO $tn SELECT * FROM graft_sqzo_src")
+    val base = s.conf.get("spark.sql.catalog.graftsql.warehouse") + "/" + leaf
+    val maxU = ev.agg(max("user_id")).head.getLong(0)
+    val cut = maxU / 8
+    sources.GraftTableRelation.clearScan(base)
+    s.sql(s"SELECT SUM(value) FROM $tn WHERE user_id <= $cut").head
+    val before = sources.GraftTableRelation.lastScan(base).get
+    require(before._1 == before._2,
+      s"round-robin layout must open every file pre-zorder: $before")
+    val rep = s.sql(s"CALL graftsql.zorder(table => '$leaf', " +
+      "cols => 'user_id,event_id', n_files => 8)").head()
+    require(rep.getLong(1) >= 1, s"zorder must report the relayout: $rep")
+    sources.GraftTableRelation.clearScan(base)
+    s.sql(s"SELECT SUM(value) FROM $tn WHERE user_id <= $cut").head
+    val after = sources.GraftTableRelation.lastScan(base).get
+    require(after._1 < after._2,
+      s"the post-zorder pruned scan must open fewer files: $after")
+    val n = ev.count()
+    val repC = s.sql(s"CALL graftsql.compact(table => '$leaf', " +
+      s"target_rows => ${(n + 3) / 4}, where => 'user_id <= $cut')").head()
+    require(repC.getLong(0) >= 1 && repC.getLong(1) >= 1,
+      s"the stripe-scoped compact must rewrite SOME files and carry " +
+        s"the rest: $repC")
     s.sql(s"SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v " +
       s"FROM $tn GROUP BY event_type ORDER BY event_type")
   }

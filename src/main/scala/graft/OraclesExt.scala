@@ -1322,6 +1322,42 @@ private[graft] object OraclesExt {
         |allr AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
         |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
         |FROM allr GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // CDC apply as ONE two-matched-clause MERGE: multiples of 3 delete,
+    // remaining multiples of 4 update to value+1000, multiples of 5
+    // re-insert under fresh shifted keys (original images), phantom
+    // deletes no-op — the tombstone-excluding replay
+    "q_sql_merge_cdc" ->
+      """WITH kept AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 4 = 0 THEN value + 1000 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id % 3 <> 0),
+        |ins AS (SELECT event_type, value FROM events WHERE event_id % 5 = 0),
+        |allr AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM allr GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // accumulate merge (SET value = t.value + s.delta) is one CASE of
+    // the same arithmetic: multiples of 3 add (event_id % 7) + 0.5
+    // (exact IEEE per row), everything else unchanged
+    "q_sql_merge_acc" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(SUM(CASE WHEN event_id % 3 = 0
+        |                 THEN value + (event_id % 7) + 0.5
+        |                 ELSE value END), 2) AS v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // ALTER TABLE ADD COLUMN changes declared shape, never stored rows:
+    // q_schema_evolve's CASE oracle verbatim (flag = odd multiples of 3;
+    // pre-evolution evens read NULL = unflagged)
+    "q_sql_evolve" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v,
+        |  CAST(SUM(CASE WHEN event_id % 2 = 1 AND event_id % 3 = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS flagged
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // CALL zorder / predicate-scoped compact are row-preserving
+    // relayouts: the oracle is the plain aggregate
+    "q_sql_zorder" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // OR pruning is a performance hint — the engine re-applies the
     // exact predicate, so the oracle is the plain OR-filtered aggregate
     "q_table_sql_or" ->

@@ -102,6 +102,48 @@ object GraftTable {
   final case class DmlResult(filesRewritten: Long, filesCarried: Long,
     rowsAffected: Long)
 
+  /** Declarative multi-wing MERGE — the full SQL `MERGE INTO` clause
+    * algebra ([[GraftTable!.mergeSpec]]): per-wing conditions evaluate
+    * ROW-LEVEL over the SAME full-outer join of the affected files (`t`,
+    * the stored row) with the batch (`s`) that [[GraftTable!.mergeCond]]
+    * already builds, so a three-wing CDC apply (`WHEN MATCHED AND c THEN
+    * DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED AND c THEN
+    * INSERT`) is ONE commit with NO extra head-snapshot reads — the
+    * matched/unmatched split, the clause routing and the insert filter
+    * all ride the join the merge pays for anyway.
+    *
+    *  - `update`: the matched-UPDATE wing's condition over `t`/`s`
+    *    (`lit(true)` = unconditional); `None` = no update wing. A
+    *    condition-passing update writes `updateExprs` (arbitrary `t`/`s`
+    *    expressions — `col("t.value") + col("s.delta")` accumulates) and
+    *    `updateCols` (batch-valued columns), preserving every other
+    *    stored column; with BOTH empty, every non-key batch column
+    *    updates from the batch ([[mergeCond]]'s default).
+    *  - `delete`: the matched-DELETE wing's condition over `t`/`s`;
+    *    `None` = no delete wing. `deleteFirst` encodes SQL's
+    *    first-match-wins clause order: delete-first routes a row passing
+    *    both conditions to DELETE; update-first to UPDATE.
+    *  - `insert`: the NOT MATCHED wing's condition over `s` only
+    *    (`lit(true)` = unconditional); `None` = NO insert wing — an
+    *    update/delete-only merge where unmatched batch rows do nothing
+    *    (no pre-restriction join needed).
+    *  - a matched row no wing claims carries the stored image UNCHANGED
+    *    and feeds nothing to the change feed.
+    *  - `carryCols`: batch columns visible to the `t`/`s` expressions but
+    *    NEVER stored (dropped from inserts and from schema evolution) —
+    *    how a CDC op/delta column rides the batch without widening the
+    *    table.
+    *  - `opCol`: [[DeleteOp]] rows tombstone unconditionally
+    *    ([[merge]]'s convention) — how the not-matched-by-source wing's
+    *    tombstones union into the same commit.
+    */
+  final case class MergeSpec(update: Option[Column],
+    updateCols: Seq[String] = Nil,
+    updateExprs: Seq[(String, Column)] = Nil,
+    delete: Option[Column] = None, deleteFirst: Boolean = true,
+    insert: Option[Column] = None, carryCols: Seq[String] = Nil,
+    opCol: String = null)
+
   /** Create version 1 from `df`: data files under `data/g1_*`, zone
     * manifest over them, meta last. `nFiles` bounds the initial file
     * count (0 = keep `df`'s partitioning). A live table already at
@@ -837,6 +879,42 @@ final class GraftTable private[operators] (spark: SparkSession,
 
   private[graft] def approxBytes(v: Long): Long = approxStats(v)._2
 
+  /** Per-ZONE-COLUMN plan statistics of version `v` — ONE metadata fold
+    * over the manifest: global min/max from the per-file zone ranges,
+    * null count from the per-file null counts (when the manifest
+    * records them). Zero write-path cost — everything falls out of
+    * statistics the manifest already carries; NDV derivation (bounded
+    * by the integral value-range width) happens in the consumer. Feeds
+    * the CBO-facing `CatalogTable` [[graft.plans.GraftV2ScanStats]]
+    * synthesizes when `spark.sql.cbo.enabled` is on — per-column
+    * min/max/null/NDV is what lets join reordering over three or more
+    * graft tables estimate instead of guess.
+    *
+    * @return (column, min, max, nullCount; nullCount = -1 when the
+    *         manifest predates per-file null counts)
+    */
+  private[graft] def columnStats(v: Long): Seq[(String, Any, Any, Long)] = {
+    val m = readMeta(spark, path, v)
+    val mdf = manifestDf(v)
+    val have = mdf.schema.fieldNames.toSet
+    val cols = m.zoneCols.filter(c => have(s"min_$c") && have(s"max_$c"))
+    if (cols.isEmpty) return Nil
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(s"min_$c")).as(s"mn_$c"),
+        max(col(s"max_$c")).as(s"mx_$c")) ++
+        (if (have(s"nulls_$c")) Seq(sum(col(s"nulls_$c")).as(s"nl_$c"))
+         else Nil)
+    }
+    val r = mdf.agg(aggs.head, aggs.tail: _*).head()
+    cols.map { c =>
+      val nl =
+        if (have(s"nulls_$c") && !r.isNullAt(r.fieldIndex(s"nl_$c")))
+          r.getAs[Number](s"nl_$c").longValue()
+        else -1L
+      (c, r.getAs[Any](s"mn_$c"), r.getAs[Any](s"mx_$c"), nl)
+    }
+  }
+
   /** Fold a batch in under `batchId`: new data files + the union
     * manifest + the advanced ledger commit as one version. Ids at or
     * below the high-water mark no-op (at-least-once redelivery re-uses
@@ -967,7 +1045,7 @@ final class GraftTable private[operators] (spark: SparkSession,
     */
   def merge(batch: DataFrame, keyCol: String, batchId: Long,
       opCol: String): (Long, Long) =
-    mergeImpl(batch, Seq(keyCol), Some(batchId), opCol, None, Nil)
+    mergeImpl(batch, Seq(keyCol), Some(batchId), opCol, None)
 
   /** COMPOSITE-key [[merge]] (CDC business keys are often multi-column):
     * the key is the column TUPLE — deletes/upserts match on every
@@ -978,12 +1056,12 @@ final class GraftTable private[operators] (spark: SparkSession,
     */
   def merge(batch: DataFrame, keyCols: Seq[String], batchId: Long,
       opCol: String): (Long, Long) =
-    mergeImpl(batch, keyCols, Some(batchId), opCol, None, Nil)
+    mergeImpl(batch, keyCols, Some(batchId), opCol, None)
 
   /** Manual-ledger composite-key [[merge]] with an op column. */
   def merge(batch: DataFrame, keyCols: Seq[String],
       opCol: String): (Long, Long) =
-    mergeImpl(batch, keyCols, None, opCol, None, Nil)
+    mergeImpl(batch, keyCols, None, opCol, None)
 
   /** Conditional / partial-column MERGE (the public formats' WHEN MATCHED
     * AND … THEN UPDATE SET …): like [[merge]] but a MATCHED pair updates
@@ -1006,22 +1084,41 @@ final class GraftTable private[operators] (spark: SparkSession,
     */
   def mergeCond(batch: DataFrame, keyCol: String, matchedCond: Column,
       updateCols: Seq[String], opCol: String, batchId: Long): (Long, Long) =
-    mergeImpl(batch, Seq(keyCol), Some(batchId), opCol, Some(matchedCond),
-      updateCols)
+    mergeImpl(batch, Seq(keyCol), Some(batchId), opCol,
+      Some(GraftTable.MergeSpec(update = Some(matchedCond),
+        updateCols = updateCols, insert = Some(lit(true)))))
 
   /** Manual-ledger [[mergeCond]] (id = high-water + 1, refused on a
     * stream-ledgered table).
     */
   def mergeCond(batch: DataFrame, keyCol: String, matchedCond: Column,
       updateCols: Seq[String] = Nil, opCol: String = null): (Long, Long) =
-    mergeImpl(batch, Seq(keyCol), None, opCol, Some(matchedCond), updateCols)
+    mergeImpl(batch, Seq(keyCol), None, opCol,
+      Some(GraftTable.MergeSpec(update = Some(matchedCond),
+        updateCols = updateCols, insert = Some(lit(true)))))
 
   /** COMPOSITE-key manual-ledger [[mergeCond]] — match on the column
     * tuple, prune on the leading key (see the composite [[merge]]).
     */
   def mergeCond(batch: DataFrame, keyCols: Seq[String], matchedCond: Column,
       updateCols: Seq[String], opCol: String): (Long, Long) =
-    mergeImpl(batch, keyCols, None, opCol, Some(matchedCond), updateCols)
+    mergeImpl(batch, keyCols, None, opCol,
+      Some(GraftTable.MergeSpec(update = Some(matchedCond),
+        updateCols = updateCols, insert = Some(lit(true)))))
+
+  /** Multi-wing MERGE per `spec` ([[GraftTable.MergeSpec]]'s clause
+    * algebra: conditional matched DELETE + matched UPDATE with
+    * target-referencing SET expressions + conditional NOT MATCHED
+    * INSERT, first-match-wins), composite keys matching on the tuple and
+    * pruning on the leading key. Manual ledger (id = high-water + 1,
+    * refused on a stream-ledgered table); file pruning, the change
+    * slice, the batch-key contract and the optimistic rebase are all
+    * [[merge]]'s. `spec.opCol` rows equal to [[GraftTable.DeleteOp]]
+    * tombstone unconditionally.
+    */
+  def mergeSpec(batch: DataFrame, keyCols: Seq[String],
+      spec: GraftTable.MergeSpec): (Long, Long) =
+    mergeImpl(batch, keyCols, None, spec.opCol, Some(spec))
 
   private val ChangeType = "_change_type"
 
@@ -1057,17 +1154,22 @@ final class GraftTable private[operators] (spark: SparkSession,
     * batch keys are rewritten correctly.
     */
   private def mergeImpl(batch: DataFrame, keyCols: Seq[String],
-      batchId: Option[Long], opCol: String, matchedCond: Option[Column],
-      updateCols: Seq[String]): (Long, Long) = {
+      batchId: Option[Long], opCol: String,
+      spec: Option[GraftTable.MergeSpec]): (Long, Long) = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(keyCols.distinct.size == keyCols.size,
       s"duplicate merge key columns: ${keyCols.mkString(", ")}")
     if (opCol != null)
       require(batch.columns.contains(opCol),
         s"merge op column $opCol is not in the batch: ${batch.columns.mkString(", ")}")
-    require(updateCols.forall(batch.columns.contains),
+    val carryCols = spec.map(_.carryCols).getOrElse(Nil)
+    require(carryCols.forall(batch.columns.contains),
+      s"carryCols must exist in the batch: " +
+        s"${carryCols.filterNot(batch.columns.contains).mkString(", ")}")
+    require(spec.forall(_.updateCols.forall(batch.columns.contains)),
       s"updateCols must exist in the batch: " +
-        s"${updateCols.filterNot(batch.columns.contains).mkString(", ")}")
+        s"${spec.map(_.updateCols.filterNot(batch.columns.contains))
+          .getOrElse(Nil).mkString(", ")}")
     // the PRUNING axis: file candidacy rides the leading key's zone
     // range (and bloom) — trailing key components only join, composite
     // pruning would multiply manifest columns for little extra power
@@ -1139,18 +1241,19 @@ final class GraftTable private[operators] (spark: SparkSession,
         .localCheckpoint(true)
       val carriedCount = carried.count()
       val evolved = GraftTable.evolveSchema(m,
-        StructType(batch.schema.filterNot(_.name == opCol)))
+        StructType(batch.schema.filterNot(f =>
+          f.name == opCol || carryCols.contains(f.name))))
       val sliceSchema = evolved
       val stored =
         if (affected.isEmpty) None
         else Some(spark.read.schema(evolved)
           .parquet(affected.toSeq.map(resolve): _*))
-      val (rewrittenRows, slice) = matchedCond match {
+      val (rewrittenRows, slice) = spec match {
         case None =>
           classicMerge(batch, keyCols, isDel, opCol, stored, sliceSchema)
-        case Some(cond) =>
-          condMerge(batch, keyCols, isDel, opCol, cond, updateCols, stored,
-            evolved, sliceSchema)
+        case Some(sp) =>
+          condMerge(batch, keyCols, isDel, opCol, sp, stored, evolved,
+            sliceSchema)
       }
       try {
         publishGeneration(spark, path, rewrittenRows, v + 1,
@@ -1223,26 +1326,46 @@ final class GraftTable private[operators] (spark: SparkSession,
     (rewritten, slice)
   }
 
-  /** [[mergeCond]]'s SQL-MERGE body over one full-outer join of the
-    * affected files (`t`) with the batch (`s`). Returns
+  /** [[mergeCond]]/[[mergeSpec]]'s SQL-MERGE body over one full-outer
+    * join of the affected files (`t`) with the batch (`s`): every wing
+    * condition ([[GraftTable.MergeSpec]]) evaluates row-level on that
+    * join — no extra table reads, first-match-wins between the matched
+    * DELETE and UPDATE wings per `deleteFirst`. Returns
     * (rewritten rows, row-level change slice).
     */
   private def condMerge(batch: DataFrame, keyCols: Seq[String],
-      isDel: Column, opCol: String, cond: Column, updateCols: Seq[String],
+      isDel: Column, opCol: String, spec: GraftTable.MergeSpec,
       stored: Option[DataFrame], evolved: StructType,
       sliceSchema: StructType): (DataFrame, DataFrame) = {
     val keyCol = keyCols.head
     val s0 = batch.withColumn("_del", isDel)
     val sBatch = (if (opCol == null) s0 else s0.drop(opCol)).alias("s")
-    val batchCols = batch.columns.filterNot(_ == opCol).toSet
+    // columns the batch can STORE: carry-only columns are visible to the
+    // t/s expressions below but never insert and never evolve the schema
+    val batchCols = batch.columns
+      .filterNot(c => c == opCol || spec.carryCols.contains(c)).toSet
+    val exprFor = spec.updateExprs.toMap
     val updateSet =
-      if (updateCols.nonEmpty) updateCols.toSet else batchCols -- keyCols
+      if (spec.updateCols.nonEmpty || exprFor.nonEmpty)
+        (spec.updateCols ++ exprFor.keys).toSet
+      else batchCols -- keyCols
     def sCol(c: String) =
       if (batchCols(c)) col(s"s.$c")
       else lit(null).cast(evolved(c).dataType)
+    // a condition-passing update writes the wing's own t/s expression for
+    // exprFor columns (cast to the stored type, SQL UPDATE semantics) and
+    // the batch value for the rest of updateSet
+    def updVal(c: String) =
+      exprFor.get(c).map(_.cast(evolved(c).dataType)).getOrElse(sCol(c))
+    val insOk = spec.insert.map(c => coalesce(c, lit(false)))
+      .getOrElse(lit(false))
+    val uc = spec.update.map(c => coalesce(c, lit(false)))
+      .getOrElse(lit(false))
+    val dc = spec.delete.map(c => coalesce(c, lit(false)))
+      .getOrElse(lit(false))
     stored match {
       case None =>
-        val ins = sBatch.filter(!col("_del"))
+        val ins = sBatch.filter(!col("_del") && insOk)
         val img = ins.select(evolved.fieldNames.map(c => sCol(c).as(c)): _*)
         (img, alignSlice(img.withColumn(ChangeType, lit("insert")),
           sliceSchema))
@@ -1255,18 +1378,24 @@ final class GraftTable private[operators] (spark: SparkSession,
         // the leading component's null-ness identifies the join wing
         val matched = col(s"t.$keyCol").isNotNull && col(s"s.$keyCol").isNotNull
         val sOnly = col(s"t.$keyCol").isNull
-        val doDelete = matched && col("_del")
-        val doUpdate = matched && !col("_del") && coalesce(cond, lit(false))
-        val doInsert = sOnly && !col("_del")
+        // first-match-wins between the matched wings: the clause written
+        // first claims a row passing both conditions; opCol tombstones
+        // ride the delete wing unconditionally (the merge() convention)
+        val doDelete = matched && (col("_del") ||
+          (!col("_del") && (if (spec.deleteFirst) dc else !uc && dc)))
+        val doUpdate = matched && !col("_del") &&
+          (if (spec.deleteFirst) !dc && uc else uc)
+        val doInsert = sOnly && !col("_del") && insOk
         // per-column final image: insert rows take the batch value,
-        // condition-passing updates take the batch value for updateSet
-        // columns, everything else preserves the stored value
-        val rewritten = joined.filter(!doDelete && !(sOnly && col("_del")))
+        // condition-passing updates take the wing's value for updateSet
+        // columns, everything else (including matched rows no wing
+        // claims) preserves the stored value
+        val rewritten = joined.filter(!doDelete && !(sOnly && !doInsert))
           .select(evolved.fieldNames.map { c =>
             val out =
               if (keyCols.contains(c)) coalesce(col(s"t.$c"), col(s"s.$c"))
               else when(doInsert, sCol(c))
-                .when(doUpdate && lit(updateSet(c)), sCol(c))
+                .when(doUpdate && lit(updateSet(c)), updVal(c))
                 .otherwise(col(s"t.$c"))
             out.as(c)
           }: _*)
@@ -1278,7 +1407,7 @@ final class GraftTable private[operators] (spark: SparkSession,
           .select(evolved.fieldNames.map { c =>
             val out =
               if (keyCols.contains(c)) col(s"t.$c")
-              else if (updateSet(c)) sCol(c) else col(s"t.$c")
+              else if (updateSet(c)) updVal(c) else col(s"t.$c")
             out.as(c)
           }: _*)
         val slice =
@@ -1303,14 +1432,14 @@ final class GraftTable private[operators] (spark: SparkSession,
     * manual mergers of DISJOINT stripes both commit.
     */
   def merge(batch: DataFrame, keyCol: String): (Long, Long) =
-    mergeImpl(batch, Seq(keyCol), None, null, None, Nil)
+    mergeImpl(batch, Seq(keyCol), None, null, None)
 
   /** Manual [[merge]] with an op column ([[GraftTable.DeleteOp]] rows
     * tombstone); ledger id = high-water + 1, refused on a
     * stream-ledgered table.
     */
   def merge(batch: DataFrame, keyCol: String, opCol: String): (Long, Long) =
-    mergeImpl(batch, Seq(keyCol), None, opCol, None, Nil)
+    mergeImpl(batch, Seq(keyCol), None, opCol, None)
 
   /** Predicate DELETE (the `DELETE FROM t WHERE …` shape): remove every
     * row satisfying `ZoneMap.predicate(preds) && extra`, rewriting ONLY
@@ -1510,6 +1639,40 @@ final class GraftTable private[operators] (spark: SparkSession,
       v + 1, nm,
       carryForward = Some(manifestDf(v).localCheckpoint(true)),
       changes = Some(emptySlice(m.schema)), op = "setpolicy")
+  }
+
+  /** `ALTER TABLE … ADD COLUMN` — ADDITIVE schema evolution declared by
+    * DDL instead of a write: ONE metadata-only commit widens the stored
+    * schema by `cols` (forced nullable — rows written before the
+    * evolution read NULL, exactly the contract when a wider append
+    * evolves the schema), the whole manifest carries forward, zero data
+    * files move. Re-declaring an existing column with the SAME type is
+    * a no-op (idempotent migrations); a differing type refuses —
+    * parquet files cannot re-type. Allowed on stream-ledgered tables —
+    * the ledger is untouched.
+    */
+  def addColumns(cols: StructType): Unit = {
+    require(cols.nonEmpty, "ADD COLUMN needs at least one column")
+    val v = version
+    val m = readMeta(spark, path, v)
+    val stored = m.schema.fields.map(f => f.name -> f.dataType).toMap
+    cols.foreach { f =>
+      stored.get(f.name).foreach { dt =>
+        require(dt == f.dataType, s"column ${f.name} already exists " +
+          s"with type ${dt.sql} — parquet files cannot re-type " +
+          s"(ADD COLUMN declared ${f.dataType.sql})")
+      }
+    }
+    val fresh = cols.fields.filterNot(f => stored.contains(f.name))
+      .map(_.copy(nullable = true))
+    if (fresh.isEmpty) return
+    val evolved = StructType(m.schema.fields ++ fresh)
+    publishGeneration(spark, path,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved),
+      v + 1, m.copy(schemaDdl = evolved.toDDL),
+      carryForward = Some(manifestDf(v).localCheckpoint(true)),
+      changes = Some(emptySlice(evolved)), op = "addcolumns")
   }
 
   /** The table's current lifecycle policies:

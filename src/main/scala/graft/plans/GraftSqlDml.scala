@@ -33,13 +33,16 @@ import org.apache.spark.sql.graft.{CatalystBridge, ColumnBridge,
   *
   * Supported MERGE shapes (the engine's merge semantics; anything else
   * refuses loudly with the API route):
-  *  - `WHEN MATCHED [AND c] THEN UPDATE SET …  [WHEN NOT MATCHED
-  *    [AND c] THEN INSERT …]` — conditional/partial update +
-  *    conditionally-filtered insert ([[GraftTable!.mergeCond]];
-  *    update-only MERGE pre-restricts the source to existing keys).
-  *  - `WHEN MATCHED [AND c] THEN DELETE` (alone) — key-membership
-  *    delete (tombstone merge; a condition resolves over the matched
-  *    t/s join first).
+  *  - the GENERAL clause algebra: at most one `WHEN MATCHED [AND c]
+  *    THEN UPDATE SET …` and at most one `WHEN MATCHED [AND c] THEN
+  *    DELETE` (first-match-wins in clause order — the SQL CDC apply),
+  *    plus at most one `WHEN NOT MATCHED [AND c] THEN INSERT …`, in any
+  *    combination. UPDATE SET expressions may reference the stored row
+  *    (`SET value = t.value + s.delta` accumulates); matched conditions
+  *    may reference both sides; a NOT MATCHED condition the source
+  *    only. All wings evaluate on the engine merge's own full-outer
+  *    join ([[GraftTable.MergeSpec]]) — one pruned head read per
+  *    statement, no pre-restriction scans.
   *  - `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE` — the
   *    sync-merge wing, composable with any of the above (head-snapshot
   *    anti-join tombstones in the same commit) or alone.
@@ -130,11 +133,75 @@ final case class GraftV2ScanStats(spark: SparkSession)
     case _ => plan.transform {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTableV2] =>
         val v2 = r.table.asInstanceOf[GraftTableV2]
+        // COLUMN-LEVEL statistics for CBO, strictly opt-in: with
+        // `spark.sql.cbo.enabled` the relation carries a synthesized
+        // CatalogTable whose stats fold out of the manifest (rowCount,
+        // real bytes, per-zone-column min/max/nulls/NDV) — what join
+        // reordering over 3+ graft tables needs to estimate instead of
+        // guess. CBO off (the default) skips the manifest fold entirely:
+        // plan time is unchanged on the common path.
+        val ct =
+          if (spark.sessionState.conf.cboEnabled)
+            Some(GraftV2ScanStats.cboCatalogTable(v2))
+          else None
         LogicalRelation(
           new GraftTableRelation(spark.sqlContext, v2.tbl,
             v2.snapshotVersion),
-          r.output, None, isStreaming = false, None)
+          r.output, ct, isStreaming = false, None)
     }
+  }
+}
+
+object GraftV2ScanStats {
+  import org.apache.spark.sql.catalyst.TableIdentifier
+  import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat,
+    CatalogStatistics, CatalogStorageFormat, CatalogTable,
+    CatalogTableType}
+  import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType,
+    FloatType, IntegerType, LongType, ShortType}
+
+  /** Synthesize the CBO-facing [[CatalogTable]] for a graft relation:
+    * `LogicalRelation.computeStats` serves `catalogTable.stats` as plan
+    * statistics (rowCount + attributeStats under CBO), so the manifest
+    * fold ([[graft.operators.GraftTable!.columnStats]]) reaches join
+    * estimation without an ANALYZE TABLE pass. NDV for integral
+    * columns is bounded by min(non-null rows, value-range width) — a
+    * safe over-estimate cap derived from zone ranges alone; fractional
+    * types get min/max/nulls without an NDV claim.
+    */
+  private[plans] def cboCatalogTable(v2: GraftTableV2): CatalogTable = {
+    val tbl = v2.tbl
+    val v = v2.snapshotVersion
+    val (rows, bytes) = tbl.approxStats(v)
+    val schema = tbl.schemaAt(v)
+    val colStats = tbl.columnStats(v).flatMap { case (c, mn, mx, nl) =>
+      schema.find(_.name == c).flatMap { f =>
+        val nullCount = if (nl >= 0) Some(BigInt(nl)) else None
+        f.dataType match {
+          case _ if mn == null || mx == null => None
+          case ByteType | ShortType | IntegerType | LongType =>
+            val span = BigInt(mx.toString) - BigInt(mn.toString) + 1
+            val nonNull = BigInt(rows) - nullCount.getOrElse(BigInt(0))
+            Some(c -> CatalogColumnStat(
+              distinctCount = Some(span.min(nonNull).max(1)),
+              min = Some(mn.toString), max = Some(mx.toString),
+              nullCount = nullCount, avgLen = None, maxLen = None))
+          case FloatType | DoubleType | _: DecimalType =>
+            Some(c -> CatalogColumnStat(distinctCount = None,
+              min = Some(mn.toString), max = Some(mx.toString),
+              nullCount = nullCount, avgLen = None, maxLen = None))
+          case _ => None
+        }
+      }
+    }.toMap
+    CatalogTable(
+      identifier = TableIdentifier(v2.name()),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty,
+      schema = schema,
+      provider = Some("graft-table"),
+      stats = Some(CatalogStatistics(BigInt(bytes), Some(BigInt(rows)),
+        colStats)))
   }
 }
 
@@ -284,11 +351,11 @@ final case class GraftMergeCommand(path: String,
 
   private def refuse(why: String): Nothing = sys.error(
     s"unsupported MERGE shape on graft table $path: $why — supported: " +
-      "WHEN MATCHED [AND c] THEN UPDATE SET … [WHEN NOT MATCHED [AND c] " +
-      "THEN INSERT …], WHEN MATCHED [AND c] THEN DELETE alone, each " +
-      "optionally with WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE; " +
-      "use the " +
-      "GraftTable API (merge/mergeCond with opCol) for other CDC shapes")
+      "at most one WHEN MATCHED [AND c] THEN UPDATE SET … and one WHEN " +
+      "MATCHED [AND c] THEN DELETE (first-match-wins), with an optional " +
+      "WHEN NOT MATCHED [AND c] THEN INSERT …, each optionally with " +
+      "WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE (or THEN UPDATE " +
+      "alone); use the GraftTable API (merge/mergeSpec) for other shapes")
 
   private val OpCol = "_graft_op"
 
@@ -427,24 +494,42 @@ final case class GraftMergeCommand(path: String,
           .select(tKeys.map(k => col(s"t.$k")): _*).distinct()
         tbl.merge(withTombs(delKeys, GraftTable.DeleteOp), tKeys, OpCol)
 
-      // WHEN MATCHED [AND c] THEN UPDATE SET … [+ INSERT [AND c]]
-      case (Seq(UpdateAction(updCond, updAssigns, _)), ins) =>
-        val (insCond, insAssigns) = ins match {
-          case Seq() => (None, Nil)
-          case Seq(InsertAction(c, as)) => (c, as)
-          case other => refuse(s"unsupported not-matched actions $other")
-        }
-        // batch columns: target-named projections of the source. With an
-        // INSERT clause those are its assignments; update-only merges
-        // project the UPDATE's sources and pre-restrict to existing keys.
-        val baseAssigns = if (insAssigns.nonEmpty) insAssigns else updAssigns
-        val names = baseAssigns.map(DmlExpr.keyName)
+      // GENERIC CLAUSE ALGEBRA — any combination of one matched UPDATE
+      // and/or one matched DELETE (first-match-wins in the user's clause
+      // order, SQL semantics) with an optional conditional NOT MATCHED
+      // INSERT, routed through the engine's [[GraftTable.MergeSpec]]:
+      // every wing condition and every (target-referencing) SET
+      // expression evaluates ROW-LEVEL on the single full-outer join the
+      // merge builds anyway, so the whole statement — including the CDC
+      // apply `WHEN MATCHED AND s.op = 'd' THEN DELETE WHEN MATCHED THEN
+      // UPDATE … WHEN NOT MATCHED THEN INSERT …` and the accumulate form
+      // `UPDATE SET value = t.value + s.delta` — costs ONE pruned head
+      // read (the merge's own): no pre-restriction semi-join, no insert-
+      // filter scan. Source columns the INSERT projection doesn't store
+      // (a CDC op column, a delta) ride as carry-only batch columns.
+      case (ms, ins)
+          if ms.forall(a => a.isInstanceOf[UpdateAction] ||
+            a.isInstanceOf[DeleteAction]) &&
+            ms.count(_.isInstanceOf[UpdateAction]) <= 1 &&
+            ms.count(_.isInstanceOf[DeleteAction]) <= 1 &&
+            ins.forall(_.isInstanceOf[InsertAction]) && ins.size <= 1 &&
+            (ms.nonEmpty || ins.nonEmpty) =>
+        val updA = ms.collectFirst { case UpdateAction(c, as, _) => (c, as) }
+        val delA = ms.collectFirst { case DeleteAction(c) => c }
+        val insA = ins.collectFirst { case InsertAction(c, as) => (c, as) }
+        val deleteFirst = ms.headOption.exists(_.isInstanceOf[DeleteAction])
+
+        // batch projection: the INSERT assignments under target names
+        // (the merge keys must come from the ON's source keys), or bare
+        // keys for an update/delete-only statement
+        val insAssigns = insA.map(_._2).getOrElse(Nil)
+        val names = insAssigns.map(DmlExpr.keyName)
         require(names.distinct.size == names.size,
           s"duplicate assignment targets: $names")
-        val byName = baseAssigns.map(a => DmlExpr.keyName(a) -> a.value)
+        val byName = insAssigns.map(a => DmlExpr.keyName(a) -> a.value)
           .toMap
         pairs.foreach { case (tn, sa) =>
-          require(insAssigns.isEmpty || byName.get(tn).exists(
+          require(insA.isEmpty || byName.get(tn).exists(
             _.semanticEquals(sa)),
             s"INSERT must set the merge key $tn from the ON condition's " +
               "source key")
@@ -452,74 +537,70 @@ final case class GraftMergeCommand(path: String,
         val withKeys = pairs.foldLeft(byName) { case (m, (tn, sa)) =>
           if (m.contains(tn)) m else m + (tn -> (sa: Expression))
         }
-        val projected = withKeys.toSeq
-          .map { case (n, e) => DmlExpr.toCol(e).as(n) }
-        var batch = sourceDf.select(projected: _*)
-        if (insAssigns.isEmpty)
-          // update-only MERGE: unmatched source rows must do NOTHING —
-          // restrict to keys present at the head snapshot
-          batch = batch.join(
-            tbl.read().select(tKeys.map(col): _*).distinct(),
-            tKeys, "left_semi")
-
-        // updateCols: each UPDATE assignment must set its column from the
-        // same source expression the batch carries for it
-        val updateCols = updAssigns.filterNot(a =>
-          tKeys.contains(DmlExpr.keyName(a))).map { a =>
-          val n = DmlExpr.keyName(a)
-          val carriedE = byName.getOrElse(n, refuse(
-            s"UPDATE sets $n but the batch (INSERT projection) does not " +
-              "carry it"))
-          if (!a.value.semanticEquals(carriedE))
-            refuse(s"UPDATE SET $n = ${a.value.sql} differs from the " +
-              s"INSERT value for $n (${carriedE.sql}); the engine's merge " +
-              "updates matched rows FROM the batch row")
-          n
-        }
-
-        // source attrs must be carried by the batch under their target
-        // name for any condition evaluated against the batch
-        val srcToBatch = byName.collect {
+        // batch column already carrying a source attr (INSERT values
+        // that are bare source columns double as the s-side of the wing
+        // expressions)…
+        val srcToBatch0 = withKeys.collect {
           case (n, ar: AttributeReference) => ar.exprId -> n
         }
+        // …and every OTHER source attr a wing condition / SET expression
+        // references rides as a CARRY-ONLY column: visible to the t/s
+        // expressions inside the engine, never stored, never evolves the
+        // schema — how `s.op` / `s.delta` reach the join without widening
+        // the table
+        val needed = (updA.toSeq.flatMap { case (c, as) =>
+            c.toSeq ++ as.map(_.value) } ++
+          delA.toSeq.flatten ++ insA.toSeq.flatMap(_._1))
+          .flatMap(_.references.toSeq)
+          .filter(a => srcById.contains(a.exprId) &&
+            !srcToBatch0.contains(a.exprId))
+          .distinctBy(_.exprId)
+        val carries = needed.zipWithIndex.map { case (a, i) =>
+          a -> s"_graft_c$i" }
+        val srcToBatch = srcToBatch0 ++
+          carries.map { case (a, n) => a.exprId -> n }
+        val batch = sourceDf.select(withKeys.toSeq
+          .map { case (n, e) => DmlExpr.toCol(e).as(n) } ++
+          carries.map { case (a, n) => DmlExpr.toCol(a).as(n) }: _*)
 
-        // conditional INSERT: a batch row that is UNMATCHED and fails
-        // `c` must do nothing — filter the insert wing before the
-        // engine (matched rows ride regardless; their wing is UPDATE's)
-        insCond.foreach { ic =>
-          val cc = ColumnBridge.column(ic.transform {
-            case a: AttributeReference if srcToBatch.contains(a.exprId) =>
-              UnresolvedAttribute.quoted(srcToBatch(a.exprId))
-            case a: AttributeReference if srcById.contains(a.exprId) =>
-              refuse(s"NOT MATCHED condition references source column " +
-                s"${a.name} which the INSERT projection does not carry")
-            case a: AttributeReference if targetIds(a.exprId) =>
-              refuse("a NOT MATCHED condition may reference source " +
-                s"columns only, got target column ${a.name}")
-          })
-          val headKeys = tbl.read().select(tKeys.map(col): _*).distinct()
-            .withColumn("_graft_ex", lit(true))
-          batch = batch.join(headKeys, tKeys, "left")
-            .filter(coalesce(col("_graft_ex"), lit(false)) ||
-              coalesce(cc, lit(false)))
-            .drop("_graft_ex")
+        // rewrite a clause expression onto the engine's join aliases:
+        // target attrs → t.<col> (the stored row), source attrs → the
+        // batch column carrying them → s.<col>
+        def overTS(e: Expression): Column = ColumnBridge.column(e.transform {
+          case a: AttributeReference if targetIds(a.exprId) =>
+            UnresolvedAttribute(Seq("t", a.name))
+          case a: AttributeReference if srcToBatch.contains(a.exprId) =>
+            UnresolvedAttribute(Seq("s", srcToBatch(a.exprId)))
+        })
+        val tColSet = targetOutput.map(_.name).toSet
+        val updateExprs = updA.toSeq.flatMap(_._2).map { a =>
+          val n = DmlExpr.keyName(a)
+          if (tKeys.contains(n))
+            refuse(s"UPDATE must not reassign merge key $n")
+          if (!tColSet(n)) refuse(s"UPDATE sets unknown column $n")
+          n -> overTS(a.value)
         }
-
-        // matched condition over t (stored) / s (batch)
-        val mc = updCond.map { c =>
-          ColumnBridge.column(c.transform {
-            case a: AttributeReference if targetIds(a.exprId) =>
-              UnresolvedAttribute(Seq("t", a.name))
-            case a: AttributeReference if srcToBatch.contains(a.exprId) =>
-              UnresolvedAttribute(Seq("s", srcToBatch(a.exprId)))
-            case a: AttributeReference if srcById.contains(a.exprId) =>
-              refuse(s"matched condition references source column " +
-                s"${a.name} which the INSERT projection does not carry")
+        require(updateExprs.map(_._1).distinct.size == updateExprs.size,
+          s"duplicate UPDATE targets: ${updateExprs.map(_._1)}")
+        val insCond = insA.map { case (c, _) =>
+          c.foreach(_.references.foreach { a =>
+            if (targetIds(a.exprId)) refuse(
+              "a NOT MATCHED condition may reference source columns " +
+                s"only, got target column ${a.name}")
           })
-        }.getOrElse(ColumnBridge.column(Literal(true)))
-        tbl.mergeCond(withTombs(batch,
-          if (nmbsTombs.isEmpty) null else "upsert"), tKeys, mc,
-          updateCols, if (nmbsTombs.isEmpty) null else OpCol)
+          c.map(overTS).getOrElse(ColumnBridge.column(Literal(true)))
+        }
+        val spec = GraftTable.MergeSpec(
+          update = updA.map { case (c, _) => c.map(overTS)
+            .getOrElse(ColumnBridge.column(Literal(true))) },
+          updateExprs = updateExprs,
+          delete = delA.map(_.map(overTS)
+            .getOrElse(ColumnBridge.column(Literal(true)))),
+          deleteFirst = deleteFirst, insert = insCond,
+          carryCols = carries.map(_._2),
+          opCol = if (nmbsTombs.isEmpty) null else OpCol)
+        tbl.mergeSpec(withTombs(batch,
+          if (nmbsTombs.isEmpty) null else "upsert"), tKeys, spec)
 
       case other => refuse(s"actions $other")
     }

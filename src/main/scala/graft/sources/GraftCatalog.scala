@@ -172,10 +172,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "graft tables lay out files by their zone manifest, not directory " +
-        "partitioning — use option zoneCols (and optionally bloomCols) " +
-        "instead of PARTITIONED BY")
+    // `PARTITIONED BY (c1, c2)` ports as the pruning axis: IDENTITY
+    // partition columns map onto zone columns (the manifest's file-
+    // pruning index — the role directory partitioning plays in hive-
+    // style DDL), so existing DDL runs unchanged. Non-identity
+    // transforms (bucket/days/hours/truncate) have no zone analogue and
+    // refuse loudly rather than silently changing layout semantics.
+    val partCols = partitions.toSeq.map { tr =>
+      require(tr.name == "identity",
+        s"unsupported PARTITIONED BY transform ${tr.describe()} — only " +
+          "identity partition columns map onto graft zone columns " +
+          "(bucket/days/… have no zone analogue)")
+      val refs = tr.references
+      require(refs.length == 1 && refs.head.fieldNames().length == 1,
+        s"PARTITIONED BY must reference one top-level column, got " +
+          tr.describe())
+      refs.head.fieldNames().head
+    }
     def prop(key: String): Option[String] = {
       val m = properties
       Option(m.get(key)).orElse(Option(m.get(key.toLowerCase)))
@@ -185,11 +198,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     def colsOf(key: String): Seq[String] =
       prop(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
-    val zs = colsOf("zoneCols")
+    val zs = (colsOf("zoneCols") ++ partCols).distinct
     val bs = colsOf("bloomCols")
     require(zs.nonEmpty || bs.nonEmpty,
       s"CREATE TABLE on catalog $catalogName needs OPTIONS " +
-        "(zoneCols '<c1,c2>') and/or bloomCols — the manifest is the " +
+        "(zoneCols '<c1,c2>') and/or bloomCols — or PARTITIONED BY " +
+        "(identity columns become zone columns); the manifest is the " +
         "table's pruning index")
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
@@ -202,9 +216,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `ALTER TABLE … SET TBLPROPERTIES` for the lifecycle POLICIES
     * (`keepVersions` / `keepHours` / `changeFeed`) — one metadata-only
-    * commit ([[GraftTable!.setPolicies]]). Schema changes are refused:
-    * graft schemas evolve additively through writes (append/merge with
-    * new columns), never by DDL rewriting history.
+    * commit ([[GraftTable!.setPolicies]]) — and `ALTER TABLE … ADD
+    * COLUMN[S]` — the ADDITIVE schema evolution the write path already
+    * performs, declared by DDL first ([[GraftTable!.addColumns]]: one
+    * metadata-only commit, pre-evolution rows read NULL). Every other
+    * schema change (rename/retype/drop/reposition) is refused: graft
+    * history is immutable parquet, it cannot re-shape.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -214,6 +231,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     var keepV: Option[Int] = None
     var keepH: Option[Double] = None
     var feed: Option[Boolean] = None
+    val added = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     changes.foreach {
       case sp: TableChange.SetProperty =>
         sp.property().toLowerCase match {
@@ -224,12 +242,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"unsupported table property '$other' — alterable policies: " +
               "keepVersions, keepHours, changeFeed")
         }
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames().length == 1,
+          "graft ADD COLUMN adds top-level columns only, got " +
+            ac.fieldNames().mkString("."))
+        require(ac.isNullable,
+          s"ADD COLUMN ${ac.fieldNames().head} must be nullable — rows " +
+            "written before the evolution read NULL for the new column")
+        require(ac.position() == null,
+          "ADD COLUMN FIRST/AFTER is not supported — additive evolution " +
+            "appends at the end (parquet field order is physical)")
+        added += org.apache.spark.sql.types.StructField(
+          ac.fieldNames().head, ac.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
-        s"unsupported ALTER TABLE change $other — graft schemas evolve " +
-          "additively through writes; only SET TBLPROPERTIES " +
-          "(keepVersions/keepHours/changeFeed) alters a table")
+        s"unsupported ALTER TABLE change $other — graft tables support " +
+          "SET TBLPROPERTIES (keepVersions/keepHours/changeFeed) and " +
+          "ADD COLUMN; other schema changes would re-shape immutable " +
+          "parquet history")
     }
-    tbl.setPolicies(keepV, keepH, feed)
+    val cols = added.result()
+    if (cols.nonEmpty)
+      tbl.addColumns(org.apache.spark.sql.types.StructType(cols))
+    if (keepV.nonEmpty || keepH.nonEmpty || feed.nonEmpty)
+      tbl.setPolicies(keepV, keepH, feed)
     loadTable(ident)
   }
 
@@ -403,7 +438,56 @@ private[sources] object GraftProcedures {
     StringType, StructField}
   import org.apache.spark.unsafe.types.UTF8String
 
-  val Names: Seq[String] = Seq("vacuum", "history", "compact")
+  val Names: Seq[String] = Seq("vacuum", "history", "compact", "zorder")
+
+  /** Parse an `OPTIMIZE … WHERE`-style predicate string into the zone
+    * pruning algebra: conjunctions of `<col> (=|<|<=|>|>=) <literal>`
+    * (both operand orders). Anything the manifest cannot prune on
+    * refuses loudly — a silent no-prune would quietly rewrite the whole
+    * table, the opposite of a stripe-scoped compact.
+    */
+  private def parsePreds(spark: org.apache.spark.sql.SparkSession,
+      where: String): Seq[graft.operators.ZoneMap.Pred] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import graft.operators.ZoneMap
+    def cname(x: ce.Expression): Option[String] = x match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case _ => None
+    }
+    def litV(x: ce.Expression): Option[Any] = x match {
+      case l: ce.Literal if l.value != null =>
+        Some(org.apache.spark.sql.graft.CatalystBridge
+          .toScala(l.value, l.dataType))
+      case _ => None
+    }
+    def walk(e: ce.Expression): Seq[ZoneMap.Pred] = e match {
+      case ce.And(l, r) => walk(l) ++ walk(r)
+      case ce.EqualTo(a, b) => (for (n <- cname(a); v <- litV(b))
+        yield ZoneMap.Point(n, v)).orElse(
+        for (n <- cname(b); v <- litV(a)) yield ZoneMap.Point(n, v))
+        .map(Seq(_: ZoneMap.Pred)).getOrElse(bad(e))
+      case ce.GreaterThanOrEqual(a, b) => (for (n <- cname(a); v <- litV(b))
+        yield ZoneMap.Range(n, lo = v)).orElse(
+        for (n <- cname(b); v <- litV(a)) yield ZoneMap.Range(n, hi = v))
+        .map(Seq(_: ZoneMap.Pred)).getOrElse(bad(e))
+      case ce.LessThanOrEqual(a, b) => (for (n <- cname(a); v <- litV(b))
+        yield ZoneMap.Range(n, hi = v)).orElse(
+        for (n <- cname(b); v <- litV(a)) yield ZoneMap.Range(n, lo = v))
+        .map(Seq(_: ZoneMap.Pred)).getOrElse(bad(e))
+      // strict bounds widen to inclusive (conservative: a compact may
+      // touch one extra boundary file; row preservation never depends
+      // on the pruning)
+      case ce.GreaterThan(a, b) => walk(ce.GreaterThanOrEqual(a, b))
+      case ce.LessThan(a, b) => walk(ce.LessThanOrEqual(a, b))
+      case other => bad(other)
+    }
+    def bad(e: ce.Expression): Nothing = sys.error(
+      s"unsupported compact WHERE shape: ${e.sql} — conjunctions of " +
+        "<zone col> (=|<|<=|>|>=) <literal> only")
+    walk(spark.sessionState.sqlParser.parseExpression(where))
+  }
 
   private def param(n: String, dt: org.apache.spark.sql.types.DataType,
       default: Option[String] = None): ProcedureParameter = {
@@ -468,13 +552,53 @@ private[sources] object GraftProcedures {
               UTF8String.fromString(r.getString(1)), r.getInt(2))))
       })
     case "compact" =>
+      // compact(table, target_rows[, where, sort_cols]): whole-table
+      // pass by default; a `where` predicate scopes it to the matching
+      // zone stripe ([[GraftTable!.compactWhere]] — the `OPTIMIZE …
+      // WHERE` form: stripe-by-stripe debt payment, the only way
+      // compaction scales at 100 TB)
       bound("compact", Seq(param("table", StringType),
-        param("target_rows", LongType)), { in =>
+        param("target_rows", LongType),
+        param("where", StringType, Some("null")),
+        param("sort_cols", StringType, Some("null"))), { in =>
         val tbl = cat.openByName(in.getUTF8String(0).toString)
-        val (before, after) = tbl.compact(in.getLong(1))
-        (StructType(Seq(StructField("files_before", LongType),
-          StructField("files_after", LongType))),
-          Seq(InternalRow(before, after)))
+        val sortCols =
+          if (in.isNullAt(3)) Nil
+          else in.getUTF8String(3).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+        if (in.isNullAt(2)) {
+          val (before, after) = tbl.compact(in.getLong(1), sortCols)
+          (StructType(Seq(StructField("files_before", LongType),
+            StructField("files_after", LongType))),
+            Seq(InternalRow(before, after)))
+        } else {
+          val preds = parsePreds(
+            org.apache.spark.sql.SparkSession.active,
+            in.getUTF8String(2).toString)
+          val (rew, carried) =
+            tbl.compactWhere(preds, in.getLong(1), sortCols)
+          (StructType(Seq(StructField("files_rewritten", LongType),
+            StructField("files_carried", LongType))),
+            Seq(InternalRow(rew, carried)))
+        }
+      })
+    case "zorder" =>
+      // zorder(table, cols, n_files[, bits]): the SQL door for
+      // [[GraftTable!.zorder]] (the `OPTIMIZE … ZORDER BY` verb) — one
+      // atomic relayout along the Z-curve of `cols`, after which the
+      // manifest prunes on ANY interleaved column
+      bound("zorder", Seq(param("table", StringType),
+        param("cols", StringType), param("n_files", IntegerType),
+        param("bits", IntegerType, Some("16"))), { in =>
+        val tbl = cat.openByName(in.getUTF8String(0).toString)
+        val cols = in.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "zorder needs at least one column")
+        tbl.zorder(cols, in.getInt(2),
+          if (in.isNullAt(3)) 16 else in.getInt(3))
+        (StructType(Seq(StructField("version", LongType),
+          StructField("files", LongType))),
+          Seq(InternalRow(tbl.version, tbl.files().size.toLong)))
       })
   }
 }

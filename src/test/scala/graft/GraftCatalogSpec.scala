@@ -378,12 +378,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       s"$warehouse/t$n/v${api.version}/_changes")),
       "changeFeed=false must skip the row-level slice write")
-    // unknown properties and schema changes refuse loudly
+    // unknown properties and non-additive schema changes refuse loudly
+    // (ADD COLUMN is supported — its own test below)
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('nope' = '1')")
     }
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $t ADD COLUMN z BIGINT")
+      spark.sql(s"ALTER TABLE $t DROP COLUMN u")
     }
   }
 
@@ -450,5 +451,118 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $t2 PURGE")
     assert(!GraftTable.exists(spark, s"$warehouse/$leaf2"))
     spark.sql(s"DROP TABLE $t") // the first source: clones gone, plain drop
+  }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only additive evolution; refusals stay loud") {
+    warehouse
+    val t = freshTable()
+    mk(t, hi = 50)
+    val api = GraftTable.open(spark, s"$warehouse/t$n")
+    val v0 = api.version
+    spark.sql(s"ALTER TABLE $t ADD COLUMN w DOUBLE")
+    assert(api.version == v0 + 1, "ADD COLUMN is ONE metadata-only commit")
+    assert(spark.table(t).columns.toSeq == Seq("k", "v", "u", "w"))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE w IS NOT NULL")
+      .head.getLong(0) == 0, "pre-evolution rows read NULL")
+    // the widened shape inserts; old rows stay null
+    spark.sql(s"INSERT INTO $t VALUES (1000, 1.0, 'x', 9.5)")
+    assert(spark.sql(s"SELECT SUM(w) FROM $t").head.getDouble(0) == 9.5)
+    // re-declaring an existing column refuses at ANALYSIS (Spark's own
+    // FIELD_ALREADY_EXISTS check, before the catalog is consulted); the
+    // engine-level API keeps same-type idempotency for migrations
+    val v1 = api.version
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t ADD COLUMN w DOUBLE") }
+    api.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.DoubleType))))
+    assert(api.version == v1, "API same-type re-declare is a no-op")
+    val e = intercept[Exception] {
+      api.addColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType)))) }
+    assert(e.getMessage.contains("re-type"), e.getMessage)
+    // multi-add in one statement, one commit
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (a BIGINT, b STRING)")
+    assert(api.version == v1 + 1 &&
+      spark.table(t).columns.toSeq ==
+        Seq("k", "v", "u", "w", "a", "b"))
+    // rename/drop refuse with the additive-evolution pointer
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN u TO u2") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP COLUMN u") }
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("CREATE TABLE PARTITIONED BY ports identity columns as the zone axis") {
+    warehouse
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE, u STRING) " +
+      "PARTITIONED BY (k)")
+    (0L until 100L).map(k => (k, k * 2.0, s"u${k % 7}")).toDF("k", "v", "u")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .createOrReplaceTempView("pby_src")
+    spark.sql(s"INSERT INTO $t SELECT * FROM pby_src")
+    val api = GraftTable.open(spark, s"$warehouse/t$n")
+    assert(api.indexedCols()._1 == Seq("k"),
+      "PARTITIONED BY (k) must become zoneCols k")
+    // …and the ported axis actually prunes
+    GraftTableRelation.clearScan(s"$warehouse/t$n")
+    assert(spark.sql(s"SELECT SUM(v) FROM $t WHERE k < 10")
+      .head.getDouble(0) == 90.0)
+    assert(GraftTableRelation.lastScan(s"$warehouse/t$n").exists {
+      case (opened, total) => opened >= 1 && opened < total })
+    // non-identity transforms refuse loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE ${freshTable()} (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))") }
+    assert(e.getMessage.contains("identity"), e.getMessage)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("CALL zorder + predicate-scoped compact: the OPTIMIZE verbs as SQL") {
+    warehouse
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE $t (k BIGINT, j BIGINT, v DOUBLE) " +
+      "OPTIONS (zoneCols 'k,j', keepVersions '8')")
+    // interleave so k-ranges are wide in every file pre-zorder
+    (0L until 4000L).map(k => (k, (k * 37) % 4000, k * 1.0))
+      .toDF("k", "j", "v").repartition(8)
+      .createOrReplaceTempView("zo_src")
+    spark.sql(s"INSERT INTO $t SELECT * FROM zo_src")
+    val path = s"$warehouse/t$n"
+    GraftTableRelation.clearScan(path)
+    spark.sql(s"SELECT SUM(v) FROM $t WHERE j < 100").head
+    val before = GraftTableRelation.lastScan(path).get
+    assert(before._1 == before._2,
+      s"round-robin layout must open every file pre-zorder: $before")
+    val r = spark.sql(
+      s"CALL $cat.zorder(table => 't$n', cols => 'j,k', n_files => 8)")
+      .head()
+    assert(r.getLong(1) >= 1, r.toString)
+    // post-zorder: the clustered key prunes — fewer files open
+    GraftTableRelation.clearScan(path)
+    assert(spark.sql(s"SELECT SUM(v) FROM $t WHERE j < 100").head
+      .getDouble(0) ==
+      (0L until 4000L).filter(k => (k * 37) % 4000 < 100)
+        .map(_ * 1.0).sum)
+    val after = GraftTableRelation.lastScan(path).get
+    assert(after._1 < after._2,
+      s"a post-zorder pruned scan must open fewer files: $after")
+    // predicate-scoped compact: only the matching stripe rewrites
+    val hist0 = spark.sql(
+      s"CALL $cat.compact(table => 't$n', target_rows => 500, " +
+        "where => 'j <= 500')").head()
+    assert(hist0.getLong(0) >= 1 && hist0.getLong(1) >= 1,
+      s"stripe compact must rewrite SOME files and carry the rest: " +
+        s"$hist0")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 4000,
+      "compaction is row-preserving")
+    // an unprunable WHERE shape refuses instead of silently rewriting
+    // the whole table
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.compact(table => 't$n', target_rows => 500, " +
+        "where => 'j % 2 = 0')").head() }
+    assert(e.getMessage.contains("WHERE shape"), e.getMessage)
+    spark.sql(s"DROP TABLE $t")
   }
 }

@@ -585,6 +585,56 @@ class GraftTableSpec extends SparkSpec {
       "tombstones ignore the matched condition")
   }
 
+  test("mergeSpec: clause algebra — conditional delete wing, target-referencing SET, carry columns, no insert wing, first-match-wins order") {
+    val p = base()
+    val t = GraftTable.create(
+      rows(0, 200).repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      p, zoneCols = Seq("k"), keepVersions = 2)
+    // one CDC batch: op 'd' deletes (k < 10), op 'u' ACCUMULATES into the
+    // stored row (10 <= k < 30, v += delta), fresh keys with NO insert
+    // wing must no-op, and a phantom delete (k = 5000) must no-op
+    val batch = ((0L until 10L).map(k => (k, 0.0, "d")) ++
+      (10L until 30L).map(k => (k, k + 0.5, "u")) ++
+      (1000L until 1010L).map(k => (k, 9.9, "u")) ++
+      Seq((5000L, 1.0, "d")))
+      .toDF("k", "delta", "op")
+    val v1 = t.version
+    t.mergeSpec(batch, Seq("k"), GraftTable.MergeSpec(
+      update = Some(lit(true)),
+      updateExprs = Seq("v" -> (col("t.v") + col("s.delta"))),
+      delete = Some(col("s.op") === "d"), deleteFirst = true,
+      insert = None, carryCols = Seq("delta", "op")))
+    assert(t.version == v1 + 1, "one spec merge, one commit")
+    assert(t.read().count() == 190,
+      "10 conditional deletes; no insert wing — fresh keys do NOTHING")
+    assert(t.read().filter(col("k") >= 10 && col("k") < 30)
+      .select("v").as[Double].collect().sorted.toSeq ==
+      (10L until 30L).map(k => 2.0 * k + k + 0.5).sorted,
+      "SET v = t.v + s.delta accumulates into the stored value")
+    assert(t.read().columns.toSeq == Seq("k", "v", "u"),
+      "carry-only columns must never be stored")
+    assert(t.read().filter(col("k") === 15L)
+      .select("u").as[String].head() == "u1",
+      "unassigned columns ride through")
+    // the change feed carries only the real changes: 10 deletes +
+    // 20 updates (pre + post); the no-op rows feed nothing
+    assert(t.readChanges(v1, v1 + 1).count() == 50)
+
+    // UPDATE-first clause order: a row passing BOTH conditions routes to
+    // the FIRST clause (SQL first-match-wins)
+    val batch2 = Seq((40L, 7.0, "d"), (41L, 7.0, "x")).toDF("k", "delta", "op")
+    t.mergeSpec(batch2, Seq("k"), GraftTable.MergeSpec(
+      update = Some(col("s.op") === "d"),
+      updateExprs = Seq("v" -> (col("t.v") + col("s.delta"))),
+      delete = Some(lit(true)), deleteFirst = false,
+      insert = None, carryCols = Seq("delta", "op")))
+    assert(t.read().filter(col("k") === 40L)
+      .select("v").as[Double].head() == 87.0,
+      "update-first: the update clause claims its rows before the delete")
+    assert(t.read().filter(col("k") === 41L).count() == 0,
+      "rows failing the first clause fall through to the delete clause")
+  }
+
   test("NULL op upserts as documented — never a silent tombstone") {
     val p = base()
     val t = GraftTable.create(

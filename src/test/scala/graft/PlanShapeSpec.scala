@@ -305,4 +305,42 @@ class PlanShapeSpec extends SparkSpec {
       assert(fact.count() == 200000L)
     } finally spark.conf.set(conf, prev)
   }
+
+  test("CBO column statistics: manifest-derived rowCount/min/max/NDV reach the optimized plan, opt-in only") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_cbostats")
+      .toString
+    spark.conf.set("spark.sql.catalog.pcbo",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pcbo.warehouse", wh)
+    spark.sql("CREATE TABLE pcbo.t (k BIGINT, v DOUBLE, u STRING) " +
+      "OPTIONS (zoneCols 'k')")
+    (0L until 500L).map(k => (k, k * 2.0, s"u$k")).toDF("k", "v", "u")
+      .createOrReplaceTempView("pcbo_src")
+    spark.sql("INSERT INTO pcbo.t SELECT * FROM pcbo_src")
+    def planStats = spark.table("pcbo.t")
+      .queryExecution.optimizedPlan.stats
+    // CBO off (the default): size-only statistics, no manifest fold
+    assert(planStats.rowCount.isEmpty && planStats.attributeStats.isEmpty,
+      s"stats must stay size-only without CBO: $planStats")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val st = planStats
+      assert(st.rowCount.contains(BigInt(500)),
+        s"CBO stats must carry the manifest row count: $st")
+      val kStat = st.attributeStats.find(_._1.name == "k").map(_._2)
+        .getOrElse(fail(s"no column statistics for the zone column: $st"))
+      assert(kStat.min.contains(0L) && kStat.max.contains(499L),
+        s"zone min/max must fold into the column stats: $kStat")
+      assert(kStat.distinctCount.contains(BigInt(500)),
+        s"integral NDV = min(non-null rows, range width): $kStat")
+      assert(kStat.nullCount.contains(BigInt(0)), s"$kStat")
+      // …and the estimate is live: a selective filter's row estimate
+      // shrinks instead of defaulting
+      val f = spark.table("pcbo.t").filter($"k" < 50L)
+        .queryExecution.optimizedPlan.stats
+      assert(f.rowCount.exists(rc => rc > 0 && rc < 200),
+        s"CBO must estimate the selective filter from min/max: $f")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
 }
