@@ -545,6 +545,77 @@ object ScaleProbe {
           col("k") % 2 === 0).count()
         rew * 1000000L + tomb
       },
+      time("merge_spec_cdc") {
+        // multi-wing MergeSpec leg at 505k: ONE CDC batch — conditional
+        // deletes (op 'd' on the stripe's evens), ACCUMULATE updates
+        // (v += delta on the odds, a target-referencing SET), fresh-key
+        // inserts gated by `op <> 'd'`, and phantom deletes for keys
+        // that never existed — applied as ONE commit through the wing
+        // algebra: every condition evaluates on the merge's own
+        // full-outer join over ONLY the stripe-affected files, the
+        // carry columns (op, delta) never store, and there is NO
+        // pre-restriction head read by construction. Invariants
+        // count-not-time: rewrite a strict file subset, survivor/
+        // accumulate/insert counts exact, phantom deletes no-op, change
+        // slice O(changed). Encoded rewritten·10^6 + slice rows.
+        val base = Scratch.dir("scale_mspec") + "/t"
+        val rows = corpus.select(col("doc_id").as("k"),
+          (col("doc_id") % 977L).as("v"))
+        val tbl = graft.operators.GraftTable.create(
+          rows.filter(col("k") < n)
+            .repartitionByRange(64, col("k")).sortWithinPartitions("k"),
+          base, zoneCols = Seq("k"), keepVersions = 3)
+        val nf = tbl.files().size
+        val stripe = col("k") >= 1000L && col("k") < 3000L
+        val img = (col("k") % 977L).cast("long")
+        val batch = rows.filter(stripe && col("k") % 2 === 0)
+          .select(col("k"), img.as("v"), lit(0L).as("delta"),
+            lit("d").as("op"))
+          .unionByName(rows.filter(stripe && col("k") % 2 === 1)
+            .select(col("k"), img.as("v"), lit(10000L).as("delta"),
+              lit("u").as("op")))
+          .unionByName(spark.range(10000000L, 10001000L)
+            .select(col("id").as("k"), (col("id") % 977L).as("v"),
+              lit(0L).as("delta"), lit("i").as("op")))
+          .unionByName(spark.range(20000000L, 20000100L)
+            .select(col("id").as("k"), img.as("v"), lit(0L).as("delta"),
+              lit("d").as("op")))
+        val v0 = tbl.version
+        val (rew, _) = tbl.mergeSpec(batch, Seq("k"),
+          graft.operators.GraftTable.MergeSpec(
+            update = Some(lit(true)),
+            updateExprs = Seq("v" -> (col("t.v") + col("s.delta"))),
+            delete = Some(col("s.op") === "d"), deleteFirst = true,
+            insert = Some(col("s.op") =!= "d"),
+            carryCols = Seq("delta", "op")))
+        require(tbl.version == v0 + 1, "one CDC apply, one commit")
+        require(rew >= 1 && rew < nf,
+          s"a stripe-confined CDC apply must rewrite a file subset: " +
+            s"$rew of $nf")
+        val strip = tbl.scan(
+          Seq(graft.operators.ZoneMap.Range("k", 1000L, 2999L)))
+        require(strip.count() == 1000L,
+          "conditional deletes must remove exactly the stripe's evens")
+        require(strip.filter(col("v") >= 10000L).count() == 1000L,
+          "the accumulate wing must bump every surviving odd")
+        require(tbl.read().filter(col("k") >= 10000000L &&
+          col("k") < 20000000L).count() == 1000L,
+          "the conditional insert wing must land the fresh keys")
+        require(tbl.read().filter(col("k") >= 20000000L).count() == 0L,
+          "phantom deletes (unmatched, op='d') must do NOTHING")
+        require(!tbl.read().columns.contains("op") &&
+          !tbl.read().columns.contains("delta"),
+          "carry columns must never store")
+        val slice = tbl.readChanges(v0, v0 + 1)
+        val sliceN = slice.count()
+        require(slice.filter(col("_change_type") === "delete")
+          .count() == 1000L &&
+          slice.filter(col("_change_type") === "insert").count() == 1000L &&
+          slice.filter(col("_change_type") === "update_postimage")
+            .count() == 1000L,
+          "the change slice must be O(changed): exact wing counts")
+        rew * 1000000L + sliceN
+      },
       time("graft_table_contention") {
         // commit-contention leg: 4 writers × 2 appends racing ONE table
         // at 505k rows — optimistic rebase must land ALL 8 commits

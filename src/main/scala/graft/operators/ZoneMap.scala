@@ -436,23 +436,24 @@ object ZoneMap {
   /** One conjunct's file-survival Column (zone check + the bloom half
     * of each Point on a bloom-indexed column, all EXECUTOR-side). An
     * empty conjunct survives everything (`true`), so disjunct algebra
-    * composes cleanly.
+    * composes cleanly. The bloom half reads from `hitIdx`/`_bloomhits_*`
+    * — the per-column BATCHED probe [[pruneFrameCnf]] projects once per
+    * file row — so a 50-way IN (50 Point disjuncts on one column)
+    * deserializes each file's bloom ONCE, not 50 times.
     */
   private def keepCond(meta: Meta, zoned: Set[String],
-      preds: Seq[Pred]): Column = {
+      hitIdx: Map[(String, Long), Int], preds: Seq[Pred]): Column = {
     val bloomed = meta.bloomCols.toSet
     val bloomPts = preds.collect {
       case p: Point if bloomed(p.col) =>
-        (s"bloom_${p.col}", probeHash(p.v, meta.dataType(p.col)))
-    }.distinct
-    val mightHit = udf((bytes: Array[Byte], h: Long) =>
-      bytes != null && org.apache.spark.util.sketch.BloomFilter
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
-        .mightContainLong(h))
+        (p.col, probeHash(p.v, meta.dataType(p.col)))
+    }.distinct.filter(hitIdx.contains)
     val base =
       if (preds.isEmpty) lit(true) else survives(preds, zoned, bloomed)
-    bloomPts.foldLeft(base) {
-      case (acc, (bc, h)) => acc && mightHit(col(bc), lit(h))
+    bloomPts.foldLeft(base) { case (acc, key @ (bc, _)) =>
+      // element_at is 1-indexed; the hits array is positionally aligned
+      // with the distinct hash list projected for this column
+      acc && element_at(col(s"_bloomhits_$bc"), hitIdx(key) + 1)
     }
   }
 
@@ -492,14 +493,42 @@ object ZoneMap {
       case Nulls(c, _) => nulled(c)
       case _ => true
     }
+    // BATCH the bloom probes: every distinct (bloom column, hash) the
+    // whole CNF will ever ask about is probed in ONE pass per column —
+    // `_bloomhits_c` holds the per-hash verdicts, each file's bloom
+    // deserializing once per COLUMN instead of once per predicate
+    // (|files| × |preds| deserializations was the pre-r17 shape; a
+    // 50-way IN paid it 50×). Verdicts are booleans, bloom bytes still
+    // never leave the executors.
+    val bloomed = meta.bloomCols.toSet
+    val have = z.schema.fieldNames.toSet
+    val colHashes: Map[String, Seq[Long]] = cnf.flatten.flatMap(usable)
+      .collect {
+        case p: Point if bloomed(p.col) && have(s"bloom_${p.col}") =>
+          (p.col, probeHash(p.v, meta.dataType(p.col)))
+      }.distinct.groupBy(_._1).map { case (c, hs) => c -> hs.map(_._2) }
+    val hitIdx: Map[(String, Long), Int] = colHashes.flatMap {
+      case (c, hs) => hs.zipWithIndex.map { case (h, i) => (c, h) -> i }
+    }
+    val probeAll = udf((bytes: Array[Byte], hs: Seq[Long]) =>
+      if (bytes == null) hs.map(_ => false)
+      else {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        hs.map(bf.mightContainLong)
+      })
+    val z2 = colHashes.foldLeft(z) { case (acc, (c, hs)) =>
+      acc.withColumn(s"_bloomhits_$c",
+        probeAll(col(s"bloom_$c"), typedLit(hs)))
+    }
     val keep =
       if (cnf.isEmpty) lit(true)
       else cnf.map { dnf =>
         if (dnf.isEmpty) lit(true)
-        else dnf.map(conj => keepCond(meta, zoned, usable(conj)))
+        else dnf.map(conj => keepCond(meta, zoned, hitIdx, usable(conj)))
           .reduce(_ || _)
       }.reduce(_ && _)
-    z.select(col(FileCol), keep.as("_keep"))
+    z2.select(col(FileCol), keep.as("_keep"))
   }
 
   /** Survivors of zone + bloom pruning among the indexed rows of `z`:

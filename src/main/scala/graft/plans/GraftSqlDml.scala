@@ -67,6 +67,11 @@ object GraftSqlDml extends Rule[LogicalPlan] {
       case m: MergeIntoTable if m.resolved =>
         graftTarget(m.targetTable) match {
           case Some((rel, v2)) =>
+            // probed, not assumed: Spark's analyzer only evolves MERGE
+            // targets implementing the row-level-operation contract —
+            // for this table an evolution column fails resolution (or a
+            // star expansion silently DROPS it), so honoring the clause
+            // would silently not evolve; refuse with the API route
             require(!m.withSchemaEvolution,
               "MERGE WITH SCHEMA EVOLUTION is not supported on graft " +
                 "tables — append/merge through the API evolve additively")
@@ -573,12 +578,20 @@ final case class GraftMergeCommand(path: String,
             UnresolvedAttribute(Seq("s", srcToBatch(a.exprId)))
         })
         val tColSet = targetOutput.map(_.name).toSet
-        val updateExprs = updA.toSeq.flatMap(_._2).map { a =>
+        val updateExprs = updA.toSeq.flatMap(_._2).flatMap { a =>
           val n = DmlExpr.keyName(a)
-          if (tKeys.contains(n))
-            refuse(s"UPDATE must not reassign merge key $n")
-          if (!tColSet(n)) refuse(s"UPDATE sets unknown column $n")
-          n -> overTS(a.value)
+          if (tKeys.contains(n)) {
+            // `UPDATE SET *` expands to EVERY column including the merge
+            // key: a key reassignment is fine iff it is the ON pair's
+            // no-op (k = s.k on a matched row) — drop it; anything else
+            // would re-key matched rows, which a merge cannot express
+            val sk = pairs.collectFirst { case (tn, sa) if tn == n => sa }
+            if (!sk.exists(a.value.semanticEquals(_)))
+              refuse(s"UPDATE must not reassign merge key $n (only the " +
+                "no-op k = s.k of the ON condition, as SET * expands to)")
+            None
+          } else if (!tColSet(n)) refuse(s"UPDATE sets unknown column $n")
+          else Some(n -> overTS(a.value))
         }
         require(updateExprs.map(_._1).distinct.size == updateExprs.size,
           s"duplicate UPDATE targets: ${updateExprs.map(_._1)}")
