@@ -352,21 +352,77 @@ object GraftTable {
       spark: SparkSession, base: String): Option[Long] =
     committedVersions(spark, base).lastOption
 
+  /** Meta is ONE driver-sized record per version: serializing it as a
+    * JSON blob written directly through the FileSystem (plus the
+    * `_SUCCESS` marker [[isCommitted]] gates on) costs zero Spark jobs,
+    * where the previous one-row-parquet form paid a full job per commit
+    * — per-commit latency, the hot axis of every DML/stream lifecycle.
+    * Tables committed before the switch read back through the parquet
+    * fallback in [[readMeta]]; the on-disk contract (meta dir +
+    * `_SUCCESS`, atomic under the publish rename) is unchanged.
+    */
   private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
-    import spark.implicits._
-    val (tc, td) = m.types.toSeq.sorted.unzip
-    Seq((m.zoneCols, m.bloomCols, m.bloomItems, m.bloomFpp, tc, td,
-        m.layoutCols, m.appliedHwm, m.schemaDdl, m.keepVersions, m.streamed,
-        m.bloomScheme, m.changeFeed, m.keepHours))
-      .toDF("zone_cols", "bloom_cols", "bloom_items", "bloom_fpp",
-        "type_cols", "type_ddls", "layout_cols", "applied_hwm", "schema_ddl",
-        "keep_versions", "streamed", "bloom_scheme", "change_feed",
-        "keep_hours")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(dir)
+    val f = fs(spark, dir)
+    writeSmall(f, new Path(dir, "meta.json"), metaJson(m))
+    writeSmall(f, new Path(dir, "_SUCCESS"), "")
   }
 
+  private def metaJson(m: Meta): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val (tc, td) = m.types.toSeq.sorted.unzip
+    JsonMethods.compact(JsonMethods.render(
+      ("zone_cols" -> m.zoneCols) ~ ("bloom_cols" -> m.bloomCols) ~
+        ("bloom_items" -> m.bloomItems) ~ ("bloom_fpp" -> m.bloomFpp) ~
+        ("type_cols" -> tc) ~ ("type_ddls" -> td) ~
+        ("layout_cols" -> m.layoutCols) ~ ("applied_hwm" -> m.appliedHwm) ~
+        ("schema_ddl" -> m.schemaDdl) ~ ("keep_versions" -> m.keepVersions) ~
+        ("streamed" -> m.streamed) ~ ("bloom_scheme" -> m.bloomScheme) ~
+        ("change_feed" -> m.changeFeed) ~ ("keep_hours" -> m.keepHours)))
+  }
+
+  private def parseMetaJson(s: String, base: String): Meta = {
+    import org.json4s.DefaultFormats
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    val j = JsonMethods.parse(s)
+    val m = Meta(
+      (j \ "zone_cols").extract[Seq[String]],
+      (j \ "bloom_cols").extract[Seq[String]],
+      (j \ "bloom_items").extract[Long],
+      (j \ "bloom_fpp").extract[Double],
+      (j \ "type_cols").extract[Seq[String]]
+        .zip((j \ "type_ddls").extract[Seq[String]]).toMap,
+      (j \ "layout_cols").extract[Seq[String]],
+      (j \ "applied_hwm").extract[Long],
+      (j \ "schema_ddl").extract[String],
+      (j \ "keep_versions").extract[Int],
+      (j \ "streamed").extract[Boolean],
+      (j \ "bloom_scheme").extract[String],
+      (j \ "change_feed").extract[Boolean],
+      (j \ "keep_hours").extract[Double])
+    requireBloomScheme(m, base)
+    m
+  }
+
+  private def requireBloomScheme(m: Meta, base: String): Unit =
+    require(m.bloomCols.isEmpty || m.bloomScheme == ZoneMap.BloomScheme,
+      s"graft table $base has manifest blooms under hash scheme " +
+        s"'${m.bloomScheme}' but this engine probes " +
+        s"'${ZoneMap.BloomScheme}' — tables committed before the UTC cast " +
+        "pin hashed session-local timestamp strings and can silently " +
+        "false-negative on probe; rewrite the table (compact) instead of " +
+        "probing it")
+
   private[operators] def readMeta(spark: SparkSession, base: String,
+      v: Long): Meta = {
+    readSmall(fs(spark, base), new Path(s"$base/v$v/meta/meta.json")) match {
+      case Some(s) => parseMetaJson(s, base)
+      case None => readMetaParquet(spark, base, v) // pre-JSON commits
+    }
+  }
+
+  private def readMetaParquet(spark: SparkSession, base: String,
       v: Long): Meta = {
     val df = spark.read.parquet(s"$base/v$v/meta")
     val r = df.head()
@@ -401,13 +457,7 @@ object GraftTable {
       r.getSeq[String](ix("layout_cols")), r.getLong(ix("applied_hwm")),
       r.getString(ix("schema_ddl")), r.getInt(ix("keep_versions")), streamed,
       scheme, changeFeed, keepHours)
-    require(m.bloomCols.isEmpty || m.bloomScheme == ZoneMap.BloomScheme,
-      s"graft table $base has manifest blooms under hash scheme " +
-        s"'${m.bloomScheme}' but this engine probes " +
-        s"'${ZoneMap.BloomScheme}' — tables committed before the UTC cast " +
-        "pin hashed session-local timestamp strings and can silently " +
-        "false-negative on probe; rewrite the table (compact) instead of " +
-        "probing it")
+    requireBloomScheme(m, base)
     m
   }
 
@@ -586,6 +636,7 @@ object GraftTable {
       rows: DataFrame, v: Long, meta: Meta,
       carryForward: Option[DataFrame],
       changes: Option[DataFrame] = None,
+      changesEmpty: Boolean = false,
       op: String = "write"): Unit = {
     val f = fs(spark, base)
     val verDir = new Path(s"$base/v$v")
@@ -618,9 +669,11 @@ object GraftTable {
     // an all-delete merge can land a generation with ZERO data files —
     // the zone-row schema still has to come from somewhere, so derive it
     // from the (empty) generation rows instead of a zero-path read
+    // schema pinned from the rows just written: skips the read-back's
+    // driver-side footer inference — the generation IS that schema
     val genRows =
       if (files.isEmpty) rows.limit(0)
-      else spark.read.parquet(files.map(_._1): _*)
+      else spark.read.schema(rows.schema).parquet(files.map(_._1): _*)
     import spark.implicits._
     // REAL on-disk bytes per file, joined onto the zone rows (both
     // metadata-scale) before relativization: size estimation must never
@@ -650,8 +703,7 @@ object GraftTable {
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
     writeMeta(spark, s"$staging/meta", meta)
     require(f.exists(new Path(s"$staging/meta/_SUCCESS")),
-      s"parquet commit left no _SUCCESS under $staging/meta " +
-        "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?) — " +
+      s"meta commit left no _SUCCESS under $staging/meta — " +
         "versioned publication depends on the marker")
     // the ROW-LEVEL change slice, persisted inside the same atomic commit
     // (Delta CDF's _change_data discipline): when the mutation knows its
@@ -663,9 +715,16 @@ object GraftTable {
     // dropping it here means the extra write job never runs — and
     // [[GraftTable.readChanges]] falls back to the file-granularity
     // manifest diff, which stays exact (just coarser).
-    if (meta.changeFeed)
-      changes.foreach(_.write.mode(SaveMode.Overwrite)
+    // `changesEmpty` is the PROVABLY-EMPTY slice (relayouts, policy/DDL
+    // commits: row-preserving by construction): a zero-byte marker file
+    // replaces the empty-parquet Spark job — same feed semantics
+    // ([[GraftTable.readChanges]]/[[GraftTable!.commitChanges]] serve an
+    // empty slice for the version), one job less per commit.
+    if (meta.changeFeed) {
+      if (changesEmpty) writeSmall(f, new Path(s"$staging/_changes_none"), "")
+      else changes.foreach(_.write.mode(SaveMode.Overwrite)
         .parquet(s"$staging/_changes"))
+    }
     // the operation marker feeds [[GraftTable.history]]; written inside
     // the staged commit so it is atomic with everything else
     writeSmall(f, new Path(s"$staging/_op"), op)
@@ -817,12 +876,18 @@ final class GraftTable private[operators] (spark: SparkSession,
     */
   private[graft] def pruneFilesCnf(v: Long, cnf: ZoneMap.Cnf)
       : (Seq[String], Int) = {
-    val all = storedFiles(v)
     lazy val m = readMeta(spark, path, v)
     val usable = if (cnf.isEmpty) Nil else usableCnf(m, cnf)
-    if (usable.isEmpty) (all.map(resolve), all.size)
-    else (ZoneMap.pruneZoneRowsCnf(manifestDf(v), m.zoneMeta, usable)._1
-      .map(resolve), all.size)
+    if (usable.isEmpty) {
+      val all = storedFiles(v)
+      (all.map(resolve), all.size)
+    } else {
+      // the pruning collect already carries every manifest row — the
+      // total file count reads off it, no second manifest pass
+      val (survivors, all) =
+        ZoneMap.pruneZoneRowsCnf(manifestDf(v), m.zoneMeta, usable)
+      (survivors.map(resolve), all.size)
+    }
   }
 
   /** Drop what the version's index cannot check from a pruning spec —
@@ -860,7 +925,19 @@ final class GraftTable private[operators] (spark: SparkSession,
     * `defaultSizeInBytes` (≈ Long.Max) and a metadata-sized graft
     * dimension joined to a 100 TB fact would NEVER auto-broadcast.
     */
-  private[graft] def approxStats(v: Long): (Long, Long) = {
+  private[graft] def approxStats(v: Long): (Long, Long) =
+    statsCache.getOrElseUpdate(v, approxStatsUncached(v))
+
+  /** A committed version's manifest is IMMUTABLE — its aggregate can be
+    * folded once per handle and served from memory: the planner asks for
+    * table statistics several times per statement (size estimate, row
+    * estimate, CBO), and each ask was a full manifest aggregate job.
+    * Handle-scoped (two longs per version), never persisted.
+    */
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)]
+
+  private def approxStatsUncached(v: Long): (Long, Long) = {
     val mdf = manifestDf(v)
     val width = math.max(1, schemaAt(v).defaultSize)
     val bytesCol =
@@ -1174,13 +1251,24 @@ final class GraftTable private[operators] (spark: SparkSession,
     // range (and bloom) — trailing key components only join, composite
     // pruning would multiply manifest columns for little extra power
     val keyCol = keyCols.head
-    val batchRows = requireMergeContract(batch, keyCols)
+    // cache the batch ONCE (the Delta merge-source discipline): the
+    // contract aggregate, the pruning join, the merge join and every
+    // change-slice leg all re-evaluate the batch plan otherwise — for a
+    // CDC batch built from scans+unions that is 4-6 full re-executions
+    // per commit. LAZY persist, not an eager checkpoint: no extra job —
+    // the contract aggregate (the first consumer) populates the cache in
+    // the pass it pays anyway; O(batch) rows in spillable storage,
+    // released explicitly after the commit.
+    val batch0 = batch.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val batchRows = requireMergeContract(batch0, keyCols)
     // null-safe: a NULL op is "any other value", i.e. an upsert — a bare
     // =!= would evaluate to null and silently drop the row while its key
     // still tombstoned through the delete set
     val isDel =
       if (opCol == null) lit(false) else col(opCol) <=> lit(DeleteOp)
-    val keys = batch.select(keyCols.map(col): _*)
+    val keys = batch0.select(keyCols.map(col): _*)
     var attempt = 0
     while (true) {
       val v = version
@@ -1202,12 +1290,11 @@ final class GraftTable private[operators] (spark: SparkSession,
       // one broadcast join, manifest side (metadata-scale) broadcast: a
       // file is affected iff SOME batch key — upsert or tombstone — falls
       // inside its zone range…
-      val rangeAffected = keys.join(
+      val rangeCand = keys.join(
           broadcast(manifest.select(col("file"),
             col(s"min_$keyCol").as("_mn"), col(s"max_$keyCol").as("_mx"))),
           col(keyCol) >= col("_mn") && col(keyCol) <= col("_mx"))
         .select("file").distinct()
-        .collect().map(_.getString(0)).toSet
       // …tightened by the per-file manifest blooms when the key column
       // carries them: on a hash-scattered layout every file spans the
       // full key range (min/max prunes nothing) but contains only its
@@ -1216,9 +1303,12 @@ final class GraftTable private[operators] (spark: SparkSession,
       // Distinct key hashes ride as ONE array row (executor-side, never
       // the driver), each candidate file's bloom deserializes once;
       // capped so a giant batch can't fold into a single fat row.
+      // Range candidacy and bloom probe fuse into ONE plan / ONE
+      // metadata-scale collect (the range set alone never visits the
+      // driver on the bloomed path).
       val affected =
-        if (!m.bloomCols.contains(keyCol) || rangeAffected.isEmpty ||
-          batchRows > 5000000L) rangeAffected
+        if (!m.bloomCols.contains(keyCol) || batchRows > 5000000L)
+          rangeCand.collect().map(_.getString(0)).toSet
         else {
           val anyHit = udf((bytes: Array[Byte], hs: Seq[Long]) =>
             bytes != null && {
@@ -1229,7 +1319,7 @@ final class GraftTable private[operators] (spark: SparkSession,
           val khs = keys
             .select(ZoneMap.bloomHash(col(keyCol)).as("_kh")).distinct()
             .agg(collect_list("_kh").as("_khs"))
-          manifest.filter(col("file").isInCollection(rangeAffected))
+          manifest.join(rangeCand, Seq("file"), "left_semi")
             .select(col("file"), col(s"bloom_$keyCol").as("_bl"))
             .crossJoin(khs)
             .filter(anyHit(col("_bl"), col("_khs")))
@@ -1244,15 +1334,25 @@ final class GraftTable private[operators] (spark: SparkSession,
         StructType(batch.schema.filterNot(f =>
           f.name == opCol || carryCols.contains(f.name))))
       val sliceSchema = evolved
+      // feed ON: the affected stripe is read by the rewrite AND by every
+      // change-slice leg (2-4 more evaluations) — cache it once
+      // (lazily: the rewrite's own pass populates it, no extra job),
+      // spillable storage proportional to the rewrite the commit pays
+      // anyway, released after the commit. Feed OFF: the slice never
+      // executes, so the single lazy read stays the cheapest plan.
       val stored =
         if (affected.isEmpty) None
-        else Some(spark.read.schema(evolved)
-          .parquet(affected.toSeq.map(resolve): _*))
+        else {
+          val st = spark.read.schema(evolved)
+            .parquet(affected.toSeq.map(resolve): _*)
+          Some(if (m.changeFeed) st.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else st)
+        }
       val (rewrittenRows, slice) = spec match {
         case None =>
-          classicMerge(batch, keyCols, isDel, opCol, stored, sliceSchema)
+          classicMerge(batch0, keyCols, isDel, opCol, stored, sliceSchema)
         case Some(sp) =>
-          condMerge(batch, keyCols, isDel, opCol, sp, stored, evolved,
+          condMerge(batch0, keyCols, isDel, opCol, sp, stored, evolved,
             sliceSchema)
       }
       try {
@@ -1281,8 +1381,9 @@ final class GraftTable private[operators] (spark: SparkSession,
           DedupIndex.log.info(s"graft table $path: merge lost the v${v + 1} " +
             s"race but is disjoint from the winner — rebasing onto v$head " +
             s"(attempt $attempt)")
-      }
+      } finally stored.foreach(_.unpersist(false))
     }
+    } finally batch0.unpersist(false)
     sys.error("unreachable")
   }
 
@@ -1544,8 +1645,14 @@ final class GraftTable private[operators] (spark: SparkSession,
         .localCheckpoint(true)
       val carriedCount = carried.count()
       val cond = coalesce(extra, lit(false))
+      // the stripe feeds the row gate, the rewrite AND (feed on) the
+      // change slice — 2-3 evaluations; a LAZY persist lets the gate's
+      // count populate the cache in the pass it pays anyway (no extra
+      // job) and the later consumers read it back. Released per attempt.
       val stored = spark.read.schema(m.schema)
         .parquet(affected.toSeq.map(resolve): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val (rewritten, slice) = set match {
         case None =>
           (stored.filter(!cond),
@@ -1572,21 +1679,15 @@ final class GraftTable private[operators] (spark: SparkSession,
       // so "some file survived pruning" does not mean "some row
       // matches" — and committing an identical rewrite of a 100 GB
       // stripe because k < 0 could not rule out the min_k = 0 file is
-      // exactly the pointless I/O the manifest exists to avoid. Feed ON:
-      // the slice (the rows the DML would touch) is materialized once
-      // and reused for the `_changes` write, so the gate costs one scan
-      // the commit was going to pay anyway. Feed OFF: no slice is ever
-      // persisted, so checkpointing it would be pure overhead (~2× the
-      // touched rows in executor storage) — the gate is one COUNT of
-      // the matching rows instead, which doubles as the exact
-      // rows-affected report either way.
-      val (changesOpt, matchedRows) =
-        if (m.changeFeed) {
-          val sliceAtRest = slice.localCheckpoint(true)
-          val n = sliceAtRest.count()
-          // update slices are pre/post PAIRS — each matched row twice
-          (Some(sliceAtRest), if (set.isDefined) n / 2 else n)
-        } else (None, stored.filter(cond).count())
+      // exactly the pointless I/O the manifest exists to avoid. The gate
+      // is one COUNT of the matching rows (over the feed-ON path's
+      // materialized stripe, so it costs a cache pass, not a re-scan),
+      // which doubles as the exact rows-affected report; the slice stays
+      // LAZY — feed ON, the `_changes` write inside the commit evaluates
+      // it once from the same materialized stripe, feed OFF it never
+      // runs at all.
+      val matchedRows = stored.filter(cond).count()
+      val changesOpt = if (m.changeFeed) Some(slice) else None
       if (matchedRows == 0L)
         return DmlResult(0L, storedFiles(v).size.toLong, 0L)
       try {
@@ -1608,6 +1709,7 @@ final class GraftTable private[operators] (spark: SparkSession,
             s"race but is disjoint from the winner — rebasing onto v$head " +
             s"(attempt $attempt)")
       }
+      } finally stored.unpersist(false)
     }
     sys.error("unreachable")
   }
@@ -1638,7 +1740,7 @@ final class GraftTable private[operators] (spark: SparkSession,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema),
       v + 1, nm,
       carryForward = Some(manifestDf(v).localCheckpoint(true)),
-      changes = Some(emptySlice(m.schema)), op = "setpolicy")
+      changesEmpty = true, op = "setpolicy")
   }
 
   /** `ALTER TABLE … ADD COLUMN` — ADDITIVE schema evolution declared by
@@ -1672,7 +1774,7 @@ final class GraftTable private[operators] (spark: SparkSession,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved),
       v + 1, m.copy(schemaDdl = evolved.toDDL),
       carryForward = Some(manifestDf(v).localCheckpoint(true)),
-      changes = Some(emptySlice(evolved)), op = "addcolumns")
+      changesEmpty = true, op = "addcolumns")
   }
 
   /** The table's current lifecycle policies:
@@ -1739,7 +1841,9 @@ final class GraftTable private[operators] (spark: SparkSession,
     def fileSet(w: Long): Set[String] =
       fileSets.getOrElseUpdate(w, storedFiles(w).toSet)
     val parts = ((fromVersion + 1) to toVersion).flatMap { w =>
-      if (f.exists(new Path(s"$path/v$w/_changes/_SUCCESS")))
+      if (f.exists(new Path(s"$path/v$w/_changes_none")))
+        Seq.empty // provably-empty slice (relayout/policy): feeds NOTHING
+      else if (f.exists(new Path(s"$path/v$w/_changes/_SUCCESS")))
         Seq(spark.read.schema(sliceSchema).parquet(s"$path/v$w/_changes")
           .withColumn("_commit_version", lit(w)))
       else {
@@ -1775,7 +1879,9 @@ final class GraftTable private[operators] (spark: SparkSession,
   def commitChanges(v: Long): Option[DataFrame] = {
     val f = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(new Path(s"$path/v$v/_changes/_SUCCESS"))) None
+    if (f.exists(new Path(s"$path/v$v/_changes_none")))
+      Some(emptySlice(schemaAt(v))) // marker = a persisted EMPTY slice
+    else if (!f.exists(new Path(s"$path/v$v/_changes/_SUCCESS"))) None
     else Some(spark.read.schema(
       StructType(schemaAt(v).fields :+ StructField(ChangeType, StringType)))
       .parquet(s"$path/v$v/_changes"))
@@ -1860,7 +1966,7 @@ final class GraftTable private[operators] (spark: SparkSession,
     // whole table through file-diff delete+insert pairs
     publishGeneration(spark, path, out, v + 1,
       m.copy(layoutCols = sortCols), carryForward = None,
-      changes = Some(emptySlice(m.schema)), op = "compact")
+      changesEmpty = true, op = "compact")
     (before.size.toLong, files().size.toLong)
   }
 
@@ -1920,7 +2026,7 @@ final class GraftTable private[operators] (spark: SparkSession,
       else df.coalesce(n)
     publishGeneration(spark, path, out, v + 1, m,
       carryForward = Some(carried),
-      changes = Some(emptySlice(m.schema)), op = "compact")
+      changesEmpty = true, op = "compact")
     (affected.size.toLong, carriedCount)
   }
 
@@ -1966,7 +2072,7 @@ final class GraftTable private[operators] (spark: SparkSession,
       .drop("__zkey")
     publishGeneration(spark, path, out, v + 1,
       m.copy(layoutCols = cols), carryForward = None,
-      changes = Some(emptySlice(m.schema)), op = "zorder")
+      changesEmpty = true, op = "zorder")
   }
 
   /** Delete data files no committed manifest references (orphans from

@@ -720,11 +720,18 @@ class GraftTableSpec extends SparkSpec {
     val t = GraftTable.create(rows(0, 200).repartition(4), p,
       zoneCols = Seq("v"), bloomCols = Seq("k"), bloomItems = 1000L)
     assert(t.scanFileCount(Seq(ZoneMap.Point("k", 7L))) <= 4)
-    // simulate a pre-tag table: rewrite v1's meta without bloom_scheme
+    // simulate a PRE-TAG table: hand-write the legacy one-row-parquet
+    // meta shape without bloom_scheme (a genuinely old table also has no
+    // meta.json — the overwrite clears it, so readMeta takes the parquet
+    // fallback exactly as it would on a pre-JSON commit)
     val metaDir = s"$p/v${t.version}/meta"
-    val legacy = spark.read.parquet(metaDir).drop("bloom_scheme")
-      .localCheckpoint(true)
-    legacy.coalesce(1).write.mode("overwrite").parquet(metaDir)
+    val ddl = t.read().schema.toDDL
+    Seq((Seq("v"), Seq("k"), 1000L, 0.03, Seq("k", "v"),
+        Seq("BIGINT", "DOUBLE"), Seq.empty[String], -1L, ddl, 1, false))
+      .toDF("zone_cols", "bloom_cols", "bloom_items", "bloom_fpp",
+        "type_cols", "type_ddls", "layout_cols", "applied_hwm",
+        "schema_ddl", "keep_versions", "streamed")
+      .coalesce(1).write.mode("overwrite").parquet(metaDir)
     val e = intercept[IllegalArgumentException] {
       GraftTable.open(spark, p).scan(Seq(ZoneMap.Point("k", 7L)))
     }
