@@ -258,7 +258,7 @@ private[graft] object EntryDedup {
         .schema(StructType(Seq(
           StructField("i", LongType), StructField("j", LongType))))
         .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
-      s"$base/ckpt")
+      Scratch.ckptDir("sdcomp_ck"))
     idx.assignments().orderBy("doc_id")
   }
 

@@ -47,7 +47,7 @@ private[graft] object EntryStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
     idx.probeStream(stream, "doc_id", "text",
-      s"$base/pairs", s"$base/ckpt", threshold = 0.8)
+      s"$base/pairs", Scratch.ckptDir("sdedup_ck"), threshold = 0.8)
     s.read.parquet(s"$base/pairs").orderBy("i", "j")
   }
 
@@ -83,7 +83,7 @@ private[graft] object EntryStream {
           StructField("vec_id", LongType),
           StructField("embedding", ArrayType(FloatType)))))
         .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
-      "vec_id", "embedding", s"$base/ckpt")
+      "vec_id", "embedding", Scratch.ckptDir("sann_ck"))
     val qs = emb.filter(col("vec_id") < 5)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
       .as[(Long, Array[Double])].collect().toMap
@@ -116,7 +116,7 @@ private[graft] object EntryStream {
           StructField("doc_id", LongType),
           StructField("text", StringType))))
         .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
-      "doc_id", "text", s"$base/ckpt")
+      "doc_id", "text", Scratch.ckptDir("sbm25_ck"))
     idx.search(Seq("table", "scan", "join"), 15)
   }
 
@@ -144,7 +144,7 @@ private[graft] object EntryStream {
     }
     m.updateStream(
       s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
-        .parquet(s"$base/in"), s"$base/ck")
+        .parquet(s"$base/in"), Scratch.ckptDir("sincr_ck"))
     m.read().select(col("lang"), col("source"), col("n"),
         col("s_n_chars").as("s"), col("mn_n_chars").as("mn"),
         col("mx_n_chars").as("mx"))
@@ -163,7 +163,7 @@ private[graft] object EntryStream {
     val base = Scratch.dir("graft_shll")
     graft.operators.Sketches.hllSliceStream(
       EventStreams.readEvents(s, d).select(col("event_type"), col("user_id")),
-      Seq("event_type"), "user_id", s"$base/slices", s"$base/ckpt")
+      Seq("event_type"), "user_id", s"$base/slices", Scratch.ckptDir("shll_ck"))
     graft.operators.Sketches.hllRollup(
         s.read.parquet(s"$base/slices"), Seq("event_type"))
       .orderBy("event_type")
@@ -192,7 +192,7 @@ private[graft] object EntryStream {
         .schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType))))
         .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
-      "doc_id", "text", s"$base/pairs", s"$base/ckpt")
+      "doc_id", "text", s"$base/pairs", Scratch.ckptDir("sidx_ck"))
     s.read.parquet(s"$base/pairs").distinct().orderBy("i", "j")
   }
 
@@ -213,7 +213,7 @@ private[graft] object EntryStream {
     val m = graft.operators.MaterializedAgg.build(
       shape(t(s, d, "events")).filter(lit(false)),
       Seq("day", "event_type", "user_id"), Seq.empty, s"$base/agg")
-    m.updateStream(shape(EventStreams.readEvents(s, d)), s"$base/ck")
+    m.updateStream(shape(EventStreams.readEvents(s, d)), Scratch.ckptDir("sagg_ck"))
     val slices = m.read().select(col("day"), col("event_type"),
       col("user_id"), col("n").as("mg_count"))
     val rolled = graft.operators.Sketches.mgRollup(
@@ -249,7 +249,7 @@ private[graft] object EntryStream {
     graft.operators.ZoneMap.ingestStream(
       s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$base/in"),
-      Seq("user_id"), s"$base/data", s"$base/zones", s"$base/ckpt")
+      Seq("user_id"), s"$base/data", s"$base/zones", Scratch.ckptDir("szm_ck"))
     graft.operators.ZoneMap.scan(s, s"$base/data", s"$base/zones",
         Seq(graft.operators.ZoneMap.Range("user_id", 20L, 60L)))
       .groupBy("event_type")
@@ -281,7 +281,7 @@ private[graft] object EntryStream {
     graft.operators.GraftTable.ingestStream(
       s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$base/in"),
-      s"$base/tbl", Seq("user_id"), s"$base/ckpt")
+      s"$base/tbl", Seq("user_id"), Scratch.ckptDir("stbl_ck"))
     val tbl = graft.operators.GraftTable.open(s, s"$base/tbl")
     require(tbl.lastAppliedBatch() >= 2,
       s"three waves must ledger three batches: ${tbl.lastAppliedBatch()}")
@@ -318,7 +318,7 @@ private[graft] object EntryStream {
       .parquet(s"$base/in")
       .writeStream.format("graft-table")
       .option("path", s"$base/tbl").option("zoneCols", "user_id")
-      .option("checkpointLocation", s"$base/ckpt")
+      .option("checkpointLocation", Scratch.ckptDir("ssink_ck"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -371,7 +371,7 @@ private[graft] object EntryStream {
     graft.operators.GraftTable.mergeStream(
       s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$base/in/w*"),
-      s"$base/tbl", "event_id", s"$base/ckpt")
+      s"$base/tbl", "event_id", Scratch.ckptDir("smrg_ck"))
     val tbl = graft.operators.GraftTable.open(s, s"$base/tbl")
     require(tbl.lastAppliedBatch() >= 2,
       s"three waves must ledger three merges: ${tbl.lastAppliedBatch()}")
@@ -421,7 +421,7 @@ private[graft] object EntryStream {
     graft.operators.GraftTable.mergeStream(
       s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$base/in/w*"),
-      s"$base/tbl", "event_id", s"$base/ckpt", opCol = "op")
+      s"$base/tbl", "event_id", Scratch.ckptDir("smrgd_ck"), opCol = "op")
     val tbl = graft.operators.GraftTable.open(s, s"$base/tbl")
     require(tbl.lastAppliedBatch() >= 2,
       s"three waves must ledger three merges: ${tbl.lastAppliedBatch()}")
@@ -562,6 +562,9 @@ private[graft] object EntryStream {
     tbl.compact(targetRows = 1000000)
 
     val out = s"$base/consumed"
+    // ONE checkpoint dir shared by all three run() invocations — the
+    // restart-from-checkpoint semantics under test depend on it
+    val ckpt = Scratch.ckptDir("scfsrc_ck")
     val sizes = scala.collection.concurrent.TrieMap[Long, Long]()
     def run(): Unit = {
       val q = s.readStream.format("graft-table-changes")
@@ -570,7 +573,7 @@ private[graft] object EntryStream {
         .option("maxVersionsPerTrigger", 1)
         .load()
         .writeStream
-        .option("checkpointLocation", s"$base/ckpt")
+        .option("checkpointLocation", ckpt)
         .foreachBatch { (b: DataFrame, id: Long) =>
           val rows = b.count()
           sizes.put(id, rows)
@@ -651,7 +654,7 @@ private[graft] object EntryStream {
       .option("maxVersionsPerTrigger", 1)
       .load()
       .writeStream
-      .option("checkpointLocation", s"$base/ckpt")
+      .option("checkpointLocation", Scratch.ckptDir("srepl_ck"))
       .foreachBatch { (b: DataFrame, _: Long) =>
         val cdc = b.filter(col("_change_type") =!= "update_preimage")
           .withColumn("op",
@@ -709,7 +712,7 @@ private[graft] object EntryStream {
       s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
         .parquet(s"$base/in/w*"),
       "user_id", Seq("ts", "event_id"), "value", q,
-      s"$base/out", s"$base/state", s"$base/ck")
+      s"$base/out", s"$base/state", Scratch.ckptDir("sser_ck"))
     s.read.parquet(s"$base/out")
       .distinct() // at-least-once redelivery re-appends identical rows
       .select(col("user_id"), col("off"), round(col("dist"), 6).as("dist"))

@@ -18,8 +18,28 @@ object Scratch {
   private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** A fresh temp directory, registered for sweep at JVM exit. */
-  def dir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  def dir(prefix: String): String =
+    register(java.nio.file.Files.createTempDirectory(prefix))
+
+  /** A fresh checkpoint directory for an EPHEMERAL in-query stream —
+    * prefers tmpfs (/dev/shm) when the box has one: a query-scoped
+    * stream's offset/commit logs and state-store deltas are fsynced per
+    * micro-batch, and on shared disk that fsync jitter dominated stream
+    * timings (the [[graft.streaming.EventStreams.runToMemory]] finding,
+    * extended to the index/table stream queries). Durable pipelines
+    * pass their own directories to the operator APIs — this helper is
+    * only for query bodies whose stream dies with the query. Swept at
+    * exit like every scratch dir.
+    */
+  def ckptDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    register(
+      if (shm.isDirectory && shm.canWrite)
+        java.nio.file.Files.createTempDirectory(shm.toPath, prefix)
+      else java.nio.file.Files.createTempDirectory(prefix))
+  }
+
+  private def register(p: java.nio.file.Path): String = {
     dirs.add(p)
     if (hooked.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(

@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max}
+import org.apache.spark.storage.StorageLevel
 
 /** The counted-drops idempotent-append core all six persistent indexes
   * share (minhash, SRP embedding, IVF, PQ codes, IVF-PQ composite, BM25
@@ -14,10 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[operators] object GuardedAppend {
 
-  /** Checkpoint the prepared batch (ONE kernel/encode pass, materialized
-    * before the guard so the guard's effect is measurable without
-    * re-running it), collapse WITHIN-batch duplicate keys, left-anti on
-    * `keyCol` against the live `guardTable`, count every stage, WARN
+  /** Cache the prepared batch (ONE kernel/encode pass, shared by the
+    * guard stats and the write so the guard's effect is measurable
+    * without re-running it), collapse WITHIN-batch duplicate keys,
+    * left-anti on `keyCol` against the live `guardTable`, WARN
     * with both drop counts, hand the surviving rows to `write` — each
     * index's derived writes and their ORDER stay with the caller; they
     * are load-bearing (e.g. the SRP index's buckets-before-vectors
@@ -40,32 +42,42 @@ private[operators] object GuardedAppend {
   def apply(spark: SparkSession, prepared: DataFrame, keyCol: String,
       guardTable: String, payload: String)(
       write: DataFrame => Unit): Long = {
-    val raw = prepared.localCheckpoint(true)
+    // LAZY persist on the batch (its first consumer — the fused stats
+    // aggregate — populates the cache in the pass it pays anyway) and
+    // ONE aggregate for both warning inputs (batch size and distinct
+    // keys — dropDuplicates collapses all-null keys to one row, hence
+    // the null-presence term) instead of the former per-stage
+    // checkpoint+count ladder. `kept` stays an EAGER localCheckpoint on
+    // purpose: its plan references the live guard table, and a merely
+    // persisted plan would be RE-CACHED (fully re-executed) by the
+    // CacheManager the moment `write` appends to that table — the
+    // checkpoint cuts the lineage so the guard-table write cannot
+    // invalidate it (measured: persist here cost ~2× on the stream_*
+    // index queries).
+    val raw = prepared.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // checkpoint each stage: every frame below has two consumers (its
-      // count + the next stage or the write) which must not each re-run
-      // the kernel pass / dedup shuffle / anti-join scan of the live
-      // table — at continuous-ingest scale that doubles per-batch work
-      val p0 = raw.dropDuplicates(keyCol).localCheckpoint(true)
+      val s = raw.agg(count(lit(1)), countDistinct(col(keyCol)),
+        max(col(keyCol).isNull)).head()
+      val in = s.getLong(0)
+      val uniq = s.getLong(1) +
+        (if (!s.isNullAt(2) && s.getBoolean(2)) 1L else 0L)
+      val kept = raw.dropDuplicates(keyCol)
+        .join(spark.table(guardTable).select(keyCol), Seq(keyCol), "left_anti")
+        .localCheckpoint(true)
       try {
-        val kept = p0
-          .join(spark.table(guardTable).select(keyCol), Seq(keyCol), "left_anti")
-          .localCheckpoint(true)
-        try {
-          val (in, uniq, n) = (raw.count(), p0.count(), kept.count())
-          if (uniq < in) DedupIndex.log.warn(
-            s"append collapsed ${in - uniq} of $in rows repeating a $keyCol " +
-              s"WITHIN the batch ($guardTable): one arbitrary copy per key " +
-              s"was kept - a batch carrying two different ${payload}s under " +
-              s"one $keyCol violates the append contract")
-          if (n < uniq) DedupIndex.log.warn(
-            s"append dropped ${uniq - n} of $uniq already-indexed ${keyCol}s " +
-              s"($guardTable): redelivery is benign, but a changed $payload " +
-              s"under a re-sent $keyCol is NOT updated - delete+append to replace")
-          write(kept)
-          n
-        } finally kept.unpersist()
-      } finally p0.unpersist()
-    } finally raw.unpersist()
+        val n = kept.count()
+        if (uniq < in) DedupIndex.log.warn(
+          s"append collapsed ${in - uniq} of $in rows repeating a $keyCol " +
+            s"WITHIN the batch ($guardTable): one arbitrary copy per key " +
+            s"was kept - a batch carrying two different ${payload}s under " +
+            s"one $keyCol violates the append contract")
+        if (n < uniq) DedupIndex.log.warn(
+          s"append dropped ${uniq - n} of $uniq already-indexed ${keyCol}s " +
+            s"($guardTable): redelivery is benign, but a changed $payload " +
+            s"under a re-sent $keyCol is NOT updated - delete+append to replace")
+        write(kept)
+        n
+      } finally kept.unpersist(false)
+    } finally raw.unpersist(false)
   }
 }
