@@ -188,18 +188,24 @@ object GraftTable {
     */
   def ingestStream(rows: DataFrame, path: String, zoneCols: Seq[String],
       checkpointDir: String, bloomCols: Seq[String] = Nil, nFiles: Int = 0,
-      bloomItems: Long = 1000000L, bloomFpp: Double = 0.03): Unit =
+      bloomItems: Long = 1000000L, bloomFpp: Double = 0.03): Unit = {
+    // ONE handle across micro-batches (a handle re-resolves the current
+    // version per call, so reuse is safe by contract) — its per-version
+    // stats/file caches then serve the whole drain instead of being
+    // rebuilt per batch
+    var handle: GraftTable = null
     IndexStream.runIndexed(rows, checkpointDir) { (batch, id) =>
       val spark = batch.sparkSession
-      currentVersion(spark, path) match {
-        case None =>
-          create(batch, path, zoneCols, bloomCols, nFiles, bloomItems,
-            bloomFpp, firstBatchId = id)
-          ()
-        case Some(_) =>
-          new GraftTable(spark, path).append(batch, id); ()
+      if (handle == null && currentVersion(spark, path).isEmpty) {
+        handle = create(batch, path, zoneCols, bloomCols, nFiles, bloomItems,
+          bloomFpp, firstBatchId = id)
+        ()
+      } else {
+        if (handle == null) handle = new GraftTable(spark, path)
+        handle.append(batch, id); ()
       }
     }
+  }
 
   /** Continuous CDC apply: one ledgered [[GraftTable.merge]] per
     * micro-batch — latest-wins on `keyCol` within and across batches,
@@ -213,29 +219,32 @@ object GraftTable {
     */
   def mergeStream(rows: DataFrame, path: String, keyCol: String,
       checkpointDir: String, nFiles: Int = 0,
-      keepVersions: Int = 1, opCol: String = null): Unit =
+      keepVersions: Int = 1, opCol: String = null): Unit = {
+    // ONE handle across micro-batches — see [[ingestStream]]
+    var handle: GraftTable = null
     IndexStream.runIndexed(rows, checkpointDir) { (batch, id) =>
       val spark = batch.sparkSession
-      currentVersion(spark, path) match {
-        case None =>
-          // bootstrap: deletes against a table that does not exist yet
-          // are no-ops by definition — seed from the upsert rows only
-          // null-safe: a NULL op is "any other value", i.e. an upsert —
-          // a bare =!= would evaluate to null and silently drop the row
-          val seed =
-            if (opCol == null) batch
-            else batch.filter(!(col(opCol) <=> lit(DeleteOp))).drop(opCol)
-          // the bootstrap batch honors the same key contract every
-          // later merge() enforces — duplicates in batch 0 must refuse
-          // as loudly as they would in batch 1
-          requireMergeContract(seed, keyCol)
-          create(seed, path, Seq(keyCol), nFiles = nFiles,
-            firstBatchId = id, keepVersions = keepVersions)
-          ()
-        case Some(_) =>
-          new GraftTable(spark, path).merge(batch, keyCol, id, opCol); ()
+      if (handle == null && currentVersion(spark, path).isEmpty) {
+        // bootstrap: deletes against a table that does not exist yet
+        // are no-ops by definition — seed from the upsert rows only
+        // null-safe: a NULL op is "any other value", i.e. an upsert —
+        // a bare =!= would evaluate to null and silently drop the row
+        val seed =
+          if (opCol == null) batch
+          else batch.filter(!(col(opCol) <=> lit(DeleteOp))).drop(opCol)
+        // the bootstrap batch honors the same key contract every
+        // later merge() enforces — duplicates in batch 0 must refuse
+        // as loudly as they would in batch 1
+        requireMergeContract(seed, keyCol)
+        handle = create(seed, path, Seq(keyCol), nFiles = nFiles,
+          firstBatchId = id, keepVersions = keepVersions)
+        ()
+      } else {
+        if (handle == null) handle = new GraftTable(spark, path)
+        handle.merge(batch, keyCol, id, opCol); ()
       }
     }
+  }
 
   /** Reopen a committed table; all geometry comes from meta (the family
     * meta-wins rule — `open` never guesses what `create` was told).
@@ -267,9 +276,13 @@ object GraftTable {
       keyCols: Seq[String]): Long = {
     val ks = keyCols.map(col)
     val allSet = ks.map(_.isNotNull).reduce(_ && _)
-    val stats = batch.agg(count(lit(1)).as("n"),
-      count(when(allSet, lit(1))).as("nk"),
-      countDistinct(ks.head, ks.tail: _*).as("nd")).head()
+    val stats = labeled(batch.sparkSession, "graft:merge:contract") {
+      withoutAqe(batch.sparkSession) {
+        batch.agg(count(lit(1)).as("n"),
+          count(when(allSet, lit(1))).as("nk"),
+          countDistinct(ks.head, ks.tail: _*).as("nd")).head()
+      }
+    }
     val (n, nk, nd) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     require(n == nk,
       s"merge keys (${keyCols.mkString(", ")}) must be non-null: " +
@@ -325,6 +338,39 @@ object GraftTable {
 
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Label the Spark jobs `body` submits (guide-§1.5 observability: the
+    * commit protocol runs several small jobs per mutation and an
+    * unlabeled UI/job-profile cannot attribute them). Thread-local;
+    * restores the caller's description.
+    */
+  private[operators] def labeled[T](spark: SparkSession, desc: String)(
+      body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
+  /** Run a METADATA/BATCH-BOUNDED planning action without AQE: adaptive
+    * execution re-optimizes per exchange, which costs one extra scheduled
+    * job per stage — pure overhead for the commit protocol's small
+    * bounded queries (batch contract aggregate, file-candidacy probe),
+    * whose shuffles are already sized by `spark.sql.shuffle.partitions`
+    * and gain nothing from runtime re-planning (AQE's skew handling is
+    * join-only and these plans' joins are broadcast by construction).
+    * The DATA-scale legs — generation writes, the merge join itself —
+    * keep AQE untouched. Restores the caller's setting.
+    */
+  private[operators] def withoutAqe[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   private val VerRe = "v(\\d+)".r
 
@@ -506,6 +552,27 @@ object GraftTable {
         "this handle raced a concurrent mutation (single-writer contract " +
         "violated); re-open the table and retry against the new head")
 
+  /** Process-wide manifest caches, keyed by (table root, version,
+    * publisher token): a committed version's manifest is immutable and
+    * the token is unique per commit ATTEMPT, so the key is stable across
+    * handles AND across a table being dropped and re-created at the same
+    * path (the new incarnation's commits carry fresh tokens — a stale
+    * entry can never be served). Handle-scoped caches (the r17 shape)
+    * missed exactly the hot case: the SQL door opens a fresh handle per
+    * statement, so every statement re-collected the same file list and
+    * re-aggregated the same stats as small Spark jobs. Bounded: metadata
+    * strings/longs only, cleared wholesale past the cap.
+    */
+  private val filesCacheG = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String), Seq[String]]
+  private val statsCacheG = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String), (Long, Long)]
+  private val manifestSchemaG = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String), StructType]
+  private def boundCache(
+      m: scala.collection.concurrent.TrieMap[(String, Long, String), _]): Unit =
+    if (m.size > 4096) m.clear()
+
   private def writeSmall(f: FileSystem, p: Path, s: String): Unit = {
     val out = f.create(p, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
@@ -593,8 +660,12 @@ object GraftTable {
     val f = fs(spark, destPath)
     val token = java.util.UUID.randomUUID().toString
     val staging = s"$destPath/.v1_stage_$token"
-    manifest.repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
+    labeled(spark, "graft:clone:manifest") {
+      withoutAqe(spark) {
+        manifest.coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
+      }
+    }
     writeMeta(spark, s"$staging/meta",
       m.copy(appliedHwm = -1L, streamed = false,
         keepVersions = keepVersions))
@@ -663,34 +734,60 @@ object GraftTable {
       }
     }
     val gen = s"$base/data/g${v}_$token"
-    rows.write.mode(SaveMode.Overwrite).parquet(gen)
+    labeled(spark, s"graft:publish:generation v$v ($op)") {
+      rows.write.mode(SaveMode.Overwrite).parquet(gen)
+    }
     val files = listGeneration(spark, gen)
     val rootNorm = new Path(base).toUri.getPath
-    // an all-delete merge can land a generation with ZERO data files —
-    // the zone-row schema still has to come from somewhere, so derive it
-    // from the (empty) generation rows instead of a zero-path read
-    // schema pinned from the rows just written: skips the read-back's
-    // driver-side footer inference — the generation IS that schema
-    val genRows =
-      if (files.isEmpty) rows.limit(0)
-      else spark.read.schema(rows.schema).parquet(files.map(_._1): _*)
-    import spark.implicits._
-    // REAL on-disk bytes per file, joined onto the zone rows (both
-    // metadata-scale) before relativization: size estimation must never
-    // guess from rows × schema width when the filesystem already told us
-    // — a string-heavy table under-estimates by 100× otherwise and a
-    // too-small sizeInBytes broadcasts what should shuffle (driver OOM)
-    val sizes = files.toDF("file", "bytes")
-    val fresh = ZoneMap.zoneRows(genRows,
-      meta.zoneCols, meta.bloomCols, meta.bloomItems, meta.bloomFpp)
-      .join(broadcast(sizes), Seq("file"), "left")
-      // root-relative storage: the committed table survives a directory
-      // move/rename/DR-copy; absolute rows (legacy, or files genuinely
-      // outside the root) pass through and resolve as-is on read
-      .withColumn("file",
-        when(col("file").startsWith(rootNorm + "/"),
-          col("file").substr(lit(rootNorm.length + 2), lit(Int.MaxValue)))
-          .otherwise(col("file")))
+    // root-relative storage: the committed table survives a directory
+    // move/rename/DR-copy; absolute rows (legacy, or files genuinely
+    // outside the root) pass through and resolve as-is on read
+    def relativize(p: String): String =
+      if (p.startsWith(rootNorm + "/")) p.drop(rootNorm.length + 1) else p
+    // ZONE STATS FROM THE FOOTERS the generation write just produced
+    // ([[FooterStats]], the Delta/Iceberg stats-at-write idea): min/max/
+    // null-count/row-count per file read from row-group metadata, so the
+    // manifest job stops RE-READING the whole generation — at 100 TB that
+    // second full pass is the single largest per-commit cost, and on the
+    // bench it is one full Spark scan per commit. Bloom-indexed tables
+    // (bits need the values) and any footer outside the provably-exact
+    // cases fall back to the aggregate pass unchanged.
+    val footerFresh =
+      if (meta.bloomCols.nonEmpty) None
+      else FooterStats.zoneRowsFromFooters(
+        spark.sparkContext.hadoopConfiguration, files, meta.zoneCols,
+        rows.schema).map { rs =>
+        import scala.jdk.CollectionConverters._
+        val relativized = rs.map(r =>
+          org.apache.spark.sql.Row.fromSeq(
+            relativize(r.getString(0)) +: r.toSeq.tail))
+        spark.createDataFrame(relativized.asJava,
+          FooterStats.manifestSchema(meta.zoneCols, rows.schema))
+      }
+    val fresh = footerFresh.getOrElse {
+      // an all-delete merge can land a generation with ZERO data files —
+      // the zone-row schema still has to come from somewhere, so derive it
+      // from the (empty) generation rows instead of a zero-path read
+      // schema pinned from the rows just written: skips the read-back's
+      // driver-side footer inference — the generation IS that schema
+      val genRows =
+        if (files.isEmpty) rows.limit(0)
+        else spark.read.schema(rows.schema).parquet(files.map(_._1): _*)
+      import spark.implicits._
+      // REAL on-disk bytes per file, joined onto the zone rows (both
+      // metadata-scale) before relativization: size estimation must never
+      // guess from rows × schema width when the filesystem already told us
+      // — a string-heavy table under-estimates by 100× otherwise and a
+      // too-small sizeInBytes broadcasts what should shuffle (driver OOM)
+      val sizes = files.toDF("file", "bytes")
+      ZoneMap.zoneRows(genRows,
+        meta.zoneCols, meta.bloomCols, meta.bloomItems, meta.bloomFpp)
+        .join(broadcast(sizes), Seq("file"), "left")
+        .withColumn("file",
+          when(col("file").startsWith(rootNorm + "/"),
+            col("file").substr(lit(rootNorm.length + 2), lit(Int.MaxValue)))
+            .otherwise(col("file")))
+    }
     val manifest = carryForward match {
       // allowMissingColumns: a carried manifest committed before the
       // `bytes` column reads back null there — approxStats falls back to
@@ -699,8 +796,16 @@ object GraftTable {
       case None => fresh
     }
     val staging = s"$base/.v${v}_stage_$token"
-    manifest.repartition(1) // |files| metadata rows — one file keeps reads cheap
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
+    labeled(spark, s"graft:publish:manifest v$v ($op)") {
+      // |files| metadata rows — one file keeps reads cheap. coalesce, not
+      // repartition: no exchange, so the whole write (carried-manifest
+      // read + fresh rows) is ONE single-task job, and AQE has no stage
+      // boundary to re-optimize (the repartition form cost 2 jobs/commit)
+      withoutAqe(spark) {
+        manifest.coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
+      }
+    }
     writeMeta(spark, s"$staging/meta", meta)
     require(f.exists(new Path(s"$staging/meta/_SUCCESS")),
       s"meta commit left no _SUCCESS under $staging/meta — " +
@@ -722,8 +827,9 @@ object GraftTable {
     // empty slice for the version), one job less per commit.
     if (meta.changeFeed) {
       if (changesEmpty) writeSmall(f, new Path(s"$staging/_changes_none"), "")
-      else changes.foreach(_.write.mode(SaveMode.Overwrite)
-        .parquet(s"$staging/_changes"))
+      else changes.foreach(c => labeled(spark, s"graft:publish:changes v$v") {
+        c.write.mode(SaveMode.Overwrite).parquet(s"$staging/_changes")
+      })
     }
     // the operation marker feeds [[GraftTable.history]]; written inside
     // the staged commit so it is atomic with everything else
@@ -815,11 +921,69 @@ final class GraftTable private[operators] (spark: SparkSession,
 
   private def metaNow: Meta = readMeta(spark, path, version)
 
-  private def manifestDf(v: Long): DataFrame =
-    spark.read.parquet(s"$path/v$v/manifest")
+  /** Manifest schema read DRIVER-SIDE from the (single) manifest file's
+    * footer, memoized process-wide: a bare `spark.read.parquet` runs
+    * schema inference as its own Spark JOB, and the commit/read paths
+    * open the manifest several times per statement — that job was ~40 ms
+    * of scheduling per ask, every ask. Falls back to engine inference if
+    * the directory shape is unexpected.
+    */
+  private def manifestSchema(v: Long): StructType = {
+    val key = (rootNorm, v, commitToken(v))
+    GraftTable.boundCache(GraftTable.manifestSchemaG)
+    GraftTable.manifestSchemaG.getOrElseUpdate(key, {
+      val dir = new Path(s"$path/v$v/manifest")
+      val f = fs(spark, path)
+      val file = f.listStatus(dir).find(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      file match {
+        case Some(st) =>
+          val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              st.getPath, spark.sparkContext.hadoopConfiguration))
+          val msg = try in.getFooter.getFileMetaData.getSchema
+            finally in.close()
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetToSparkSchemaConverter(
+              org.apache.spark.sql.internal.SQLConf.get).convert(msg)
+        case None => spark.read.parquet(dir.toString).schema
+      }
+    })
+  }
 
-  private def storedFiles(v: Long): Seq[String] =
-    manifestDf(v).select("file").collect().map(_.getString(0)).toSeq
+  private def manifestDf(v: Long): DataFrame =
+    spark.read.schema(manifestSchema(v)).parquet(s"$path/v$v/manifest")
+
+  /** This handle's (version → publisher token) memo — one tiny FS read
+    * per version instead of one per cache lookup. Handle-scoped like the
+    * single-writer contract that makes it safe.
+    */
+  private val tokenCache =
+    scala.collection.concurrent.TrieMap.empty[Long, String]
+
+  private def commitToken(v: Long): String =
+    tokenCache.getOrElseUpdate(v,
+      readSmall(fs(spark, path), new Path(s"$path/v$v/_publisher"))
+        .getOrElse(""))
+
+  /** A committed version's manifest is IMMUTABLE — its file list is
+    * collected once PROCESS-WIDE (see [[GraftTable.filesCacheG]]): the
+    * read/scan/history/DML paths each ask for it, and every ask was a
+    * small Spark collect job. |files| strings per version, never
+    * persisted.
+    */
+  private def storedFiles(v: Long): Seq[String] = {
+    val key = (rootNorm, v, commitToken(v))
+    GraftTable.filesCacheG.get(key).getOrElse {
+      GraftTable.boundCache(GraftTable.filesCacheG)
+      GraftTable.filesCacheG.getOrElseUpdate(key,
+        GraftTable.labeled(spark, s"graft:manifest:files v$v") {
+          manifestDf(v).select("file").collect().map(_.getString(0)).toSeq
+        })
+    }
+  }
 
   /** The files the current version references (resolved to full paths) —
     * the authoritative scan list; no directory listing happens anywhere
@@ -925,19 +1089,28 @@ final class GraftTable private[operators] (spark: SparkSession,
     * `defaultSizeInBytes` (≈ Long.Max) and a metadata-sized graft
     * dimension joined to a 100 TB fact would NEVER auto-broadcast.
     */
-  private[graft] def approxStats(v: Long): (Long, Long) =
-    statsCache.getOrElseUpdate(v, approxStatsUncached(v))
-
-  /** A committed version's manifest is IMMUTABLE — its aggregate can be
-    * folded once per handle and served from memory: the planner asks for
-    * table statistics several times per statement (size estimate, row
-    * estimate, CBO), and each ask was a full manifest aggregate job.
-    * Handle-scoped (two longs per version), never persisted.
+  /** A committed version's manifest is IMMUTABLE — its aggregate is
+    * folded once PROCESS-WIDE (see [[GraftTable.statsCacheG]]): the
+    * planner asks for table statistics several times per statement (size
+    * estimate, row estimate, CBO), each ask was a manifest aggregate job,
+    * and the SQL door opens a fresh handle per statement so a
+    * handle-scoped memo re-paid it per statement. Two longs per version,
+    * never persisted.
     */
-  private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)]
+  private[graft] def approxStats(v: Long): (Long, Long) = {
+    val key = (rootNorm, v, commitToken(v))
+    GraftTable.statsCacheG.get(key).getOrElse {
+      GraftTable.boundCache(GraftTable.statsCacheG)
+      GraftTable.statsCacheG.getOrElseUpdate(key, approxStatsUncached(v))
+    }
+  }
 
-  private def approxStatsUncached(v: Long): (Long, Long) = {
+  private def approxStatsUncached(v: Long): (Long, Long) =
+    GraftTable.labeled(spark, s"graft:manifest:stats v$v") {
+      GraftTable.withoutAqe(spark) { approxStatsBody(v) }
+    }
+
+  private def approxStatsBody(v: Long): (Long, Long) = {
     val mdf = manifestDf(v)
     val width = math.max(1, schemaAt(v).defaultSize)
     val bytesCol =
@@ -1035,10 +1208,14 @@ final class GraftTable private[operators] (spark: SparkSession,
         val evolved = GraftTable.evolveSchema(m, batch.schema)
         publishGeneration(spark, path, batch, v + 1,
           m.copy(appliedHwm = id, schemaDdl = evolved.toDDL),
-          // materialized NOW: under contention a racing winner's
-          // retention prune can delete v's manifest dir before this
-          // attempt's staging write evaluates the lazy read
-          carryForward = Some(manifestDf(v).localCheckpoint(true)),
+          // LAZY carry: the staging manifest write evaluates this read
+          // while v is still retained (our own prune runs after the
+          // commit rename). Under contention a racing winner's retention
+          // prune can delete v's manifest dir mid-staging-write — that
+          // surfaces as a raceArtifact this very catch rebases, so the
+          // eager localCheckpoint job the pre-r18 shape paid per commit
+          // defended nothing the retry loop doesn't already cover.
+          carryForward = Some(manifestDf(v)),
           op = "append")
         return true
       } catch {
@@ -1306,7 +1483,8 @@ final class GraftTable private[operators] (spark: SparkSession,
       // Range candidacy and bloom probe fuse into ONE plan / ONE
       // metadata-scale collect (the range set alone never visits the
       // driver on the bloomed path).
-      val affected =
+      val affected = GraftTable.labeled(spark, s"graft:merge:affected v$v") {
+        GraftTable.withoutAqe(spark) {
         if (!m.bloomCols.contains(keyCol) || batchRows > 5000000L)
           rangeCand.collect().map(_.getString(0)).toSet
         else {
@@ -1325,11 +1503,15 @@ final class GraftTable private[operators] (spark: SparkSession,
             .filter(anyHit(col("_bl"), col("_khs")))
             .select("file").collect().map(_.getString(0)).toSet
         }
+        }
+      }
+      // LAZY carry (the appendImpl discipline): evaluated by the staging
+      // manifest write while v is still retained; a racing winner's prune
+      // surfaces as a raceArtifact the rebase catch below retries. The
+      // carried COUNT is set arithmetic over the cached file list —
+      // affected ⊆ stored by construction — not a Spark job.
       val carried = manifest.filter(!col("file").isInCollection(affected))
-        // the previous manifest dir is superseded by this publish — cut
-        // lineage so the carried rows outlive its pruning
-        .localCheckpoint(true)
-      val carriedCount = carried.count()
+      val carriedCount = storedFiles(v).size.toLong - affected.size
       val evolved = GraftTable.evolveSchema(m,
         StructType(batch.schema.filterNot(f =>
           f.name == opCol || carryCols.contains(f.name))))
@@ -1641,9 +1823,9 @@ final class GraftTable private[operators] (spark: SparkSession,
         if (usable.isEmpty) storedFiles(v).toSet
         else ZoneMap.pruneZoneRowsCnf(manifest, m.zoneMeta, usable)._1.toSet
       if (affected.isEmpty) return DmlResult(0L, storedFiles(v).size.toLong, 0L)
+      // LAZY carry + arithmetic count — the mergeImpl discipline
       val carried = manifest.filter(!col("file").isInCollection(affected))
-        .localCheckpoint(true)
-      val carriedCount = carried.count()
+      val carriedCount = storedFiles(v).size.toLong - affected.size
       val cond = coalesce(extra, lit(false))
       // the stripe feeds the row gate, the rewrite AND (feed on) the
       // change slice — 2-3 evaluations; a LAZY persist lets the gate's
@@ -1739,7 +1921,7 @@ final class GraftTable private[operators] (spark: SparkSession,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema),
       v + 1, nm,
-      carryForward = Some(manifestDf(v).localCheckpoint(true)),
+      carryForward = Some(manifestDf(v)),
       changesEmpty = true, op = "setpolicy")
   }
 
@@ -1773,7 +1955,7 @@ final class GraftTable private[operators] (spark: SparkSession,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved),
       v + 1, m.copy(schemaDdl = evolved.toDDL),
-      carryForward = Some(manifestDf(v).localCheckpoint(true)),
+      carryForward = Some(manifestDf(v)),
       changesEmpty = true, op = "addcolumns")
   }
 
@@ -1954,7 +2136,10 @@ final class GraftTable private[operators] (spark: SparkSession,
     val m = readMeta(spark, path, v)
     val before = files()
     val df = spark.read.schema(m.schema).parquet(before: _*)
-    val rows = df.count()
+    // the manifest already records the EXACT per-file row count (`cnt`)
+    // — sizing the relayout from its sum ([[approxStats]], cached) costs
+    // one metadata fold instead of a full count() scan of the table
+    val rows = approxStats(v)._1
     val n = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
     val out =
       if (sortCols.nonEmpty)
@@ -2013,11 +2198,14 @@ final class GraftTable private[operators] (spark: SparkSession,
     if (affected.isEmpty) return (0L, storedFiles(v).size.toLong)
     val carried = manifestDf(v)
       .filter(!col("file").isInCollection(affected))
-      .localCheckpoint(true)
-    val carriedCount = carried.count()
+    val carriedCount = storedFiles(v).size.toLong - affected.size
     val df = spark.read.schema(m.schema)
       .parquet(affected.toSeq.map(resolve): _*)
-    val rows = df.count()
+    // stripe row count from the manifest's exact per-file `cnt` — one
+    // metadata-scale aggregate instead of a full count() of the stripe
+    val rowsRow = manifestDf(v).filter(col("file").isInCollection(affected))
+      .agg(sum("cnt")).head()
+    val rows = if (rowsRow.isNullAt(0)) 0L else rowsRow.getLong(0)
     val n = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
     val out =
       if (sortCols.nonEmpty)
@@ -2065,7 +2253,30 @@ final class GraftTable private[operators] (spark: SparkSession,
     val v = version
     val m = readMeta(spark, path, v)
     val df = spark.read.schema(m.schema).parquet(files(): _*)
-    val key = Layout.zkey(cols, Layout.colStats(df, cols), bits)
+    // global (min, max) per curve column from the MANIFEST when every
+    // column is zone-indexed and numeric (min-of-mins/max-of-maxes is the
+    // global bound; cast monotone) — one metadata fold replaces the full
+    // column-stats scan of the table. Non-indexed or non-numeric columns
+    // keep the data-scan path.
+    val numeric: Set[String] =
+      Set("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT")
+    val manifestStats: Option[Map[String, (Double, Double)]] =
+      if (cols.forall(c => m.zoneCols.contains(c) &&
+          numeric(m.types.getOrElse(c, "").toUpperCase))) {
+        val st = columnStats(v)
+        def d(a: Any): Double = a match {
+          case null => Double.NaN
+          case n: Number => n.doubleValue()
+          case _ => Double.NaN
+        }
+        val got = st.collect { case (c, mn, mx, _) if cols.contains(c) =>
+          c -> (if (mn == null) (0.0, 0.0) else (d(mn), d(mx)))
+        }.toMap
+        if (cols.forall(c => got.get(c).exists(p =>
+          !p._1.isNaN && !p._2.isNaN))) Some(got) else None
+      } else None
+    val key = Layout.zkey(cols,
+      manifestStats.getOrElse(Layout.colStats(df, cols)), bits)
     val out = df.withColumn("__zkey", key)
       .repartitionByRange(nFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")

@@ -382,13 +382,28 @@ object ZoneMap {
     * miss (no false negatives) proves the key absent. Every check is
     * conservative, so multiple checks on one column compose by AND.
     */
+  /** Is a probe literal a float/double NaN? NaN check values must not
+    * prune on min/max: footer-derived bounds (and any writer following
+    * PARQUET-1246) EXCLUDE NaN from min/max, while Spark's ordering
+    * calls NaN the maximum — so a NaN-bearing file could carry clean
+    * bounds below the probe and be mis-pruned. NaN probes are vanishingly
+    * rare; surviving them unconditionally is the conservative fix.
+    */
+  private def isNan(v: Any): Boolean = v match {
+    case d: Double => d.isNaN
+    case f: Float => f.isNaN
+    case d: java.lang.Double => d.isNaN
+    case f: java.lang.Float => f.isNaN
+    case _ => false
+  }
+
   private[operators] def survives(preds: Seq[Pred], zoned: Set[String],
       bloomed: Set[String]): Column =
     preds.map {
       case Range(c, lo0, hi0) =>
         require(zoned(c), s"column $c not zone-indexed " +
           s"(indexed: ${zoned.mkString(", ")})")
-        val lo = if (lo0 == null) lit(true)
+        val lo = if (lo0 == null || isNan(lo0)) lit(true)
           else col(s"max_$c").isNotNull && col(s"max_$c") >= lit(lo0)
         val hi = if (hi0 == null) lit(true)
           else col(s"min_$c").isNotNull && col(s"min_$c") <= lit(hi0)
@@ -399,7 +414,7 @@ object ZoneMap {
           s"blooms: ${bloomed.mkString(", ")})")
         // the bloom half of a Point check is conjoined EXECUTOR-side by
         // [[pruneFrame]] — bloom bytes never leave the executors
-        if (zoned(c))
+        if (zoned(c) && !isNan(v))
           col(s"max_$c").isNotNull && col(s"max_$c") >= lit(v) &&
             col(s"min_$c") <= lit(v)
         else lit(true)

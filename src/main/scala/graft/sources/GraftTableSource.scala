@@ -171,12 +171,16 @@ final class GraftTableSink(path: String, parameters: Map[String, String])
     opt(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
+  // ONE handle across the sink's micro-batches (re-resolves the current
+  // version per call) so its per-version caches serve the whole drain
+  private var handle: GraftTable = null
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
     val batch = org.apache.spark.sql.graft.StreamBridge.asBatchFrame(data)
     val mergeKey = opt("mergeKey")
     val opCol = opt("opCol").orNull
-    if (!GraftTable.exists(spark, path)) {
+    if (handle == null && !GraftTable.exists(spark, path)) {
       val zs = if (mergeKey.isDefined) mergeKey.toSeq else cols("zoneCols")
       require(zs.nonEmpty,
         "the graft-table sink's first micro-batch CREATES the table — " +
@@ -192,7 +196,7 @@ final class GraftTableSink(path: String, parameters: Map[String, String])
       // null keys in batch 0 would otherwise land silently and make the
       // table's upsert state wrong from birth
       mergeKey.foreach(k => GraftTable.requireMergeContract(seed, k))
-      GraftTable.create(seed, path, zoneCols = zs,
+      handle = GraftTable.create(seed, path, zoneCols = zs,
         bloomCols = cols("bloomCols"),
         keepVersions = opt("keepVersions").map(_.toInt).getOrElse(1),
         changeFeed = opt("changeFeed").forall(_.toBoolean),
@@ -200,10 +204,10 @@ final class GraftTableSink(path: String, parameters: Map[String, String])
         firstBatchId = batchId)
       ()
     } else {
-      val tbl = GraftTable.open(spark, path)
+      if (handle == null) handle = GraftTable.open(spark, path)
       mergeKey match {
-        case Some(k) => tbl.merge(batch, k, batchId, opCol); ()
-        case None => tbl.append(batch, batchId); ()
+        case Some(k) => handle.merge(batch, k, batchId, opCol); ()
+        case None => handle.append(batch, batchId); ()
       }
     }
   }
