@@ -222,20 +222,20 @@ object Bm25Index extends CacheLedger {
   def open(
       spark: SparkSession, name: String, path: String,
       buckets: Int = 32): Bm25Index = {
-    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val b =
-      if (fs.exists(metaPath))
+    import org.json4s.DefaultFormats
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    val b = MetaIo.read(spark, s"$path/meta") match {
+      case Some(j) => (j \ "buckets").extract[Int]
+      case None if MetaIo.exists(spark, s"$path/meta") => // pre-JSON index
         spark.read.parquet(s"$path/meta").head().getAs[Int]("buckets")
-      else buckets
+      case None => buckets
+    }
     new Bm25Index(spark, s"${name}_postings", s"${name}_doclens", path, b)
   }
 
   private[operators] def writeMeta(
       spark: SparkSession, path: String, buckets: Int): Unit = {
-    import spark.implicits._
-    Seq(Tuple1(buckets)).toDF("buckets")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    import org.json4s.JsonDSL._
+    MetaIo.write(spark, s"$path/meta", "buckets" -> buckets)
   }
 }

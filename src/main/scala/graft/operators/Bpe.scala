@@ -56,17 +56,43 @@ object Bpe {
   def charSyms(w: Column): Column =
     filter(split(w, ""), s => s =!= lit(""))
 
+  /** Word tables at or under this many distinct words train on the
+    * DRIVER (see [[trainMerges]]) — the [[Dedup.components]]
+    * driverThreshold discipline. ~10 MB of driver strings at the cap;
+    * the bound is on the VOCABULARY, never on corpus-sized data.
+    */
+  val DriverWords = 500000
+
   /** Train `k` merges. Returns (merges in rank order, the final
     * word→symbols table). Stops early when no adjacent pair remains.
     *
-    * Per round: one pair-count aggregate (shuffle ∝ distinct pairs) + a
-    * 1-row argmax collect + a narrow merge application. Lineage is cut
-    * with a lazy localCheckpoint every 4 rounds, same policy as
-    * [[Dedup.components]].
+    * Small-vocabulary fast path: the (word, count) table is
+    * vocabulary-sized by construction, and the distributed loop's cost
+    * is k rounds × (one pair-count aggregate + a 1-row argmax collect) —
+    * per-round FIXED Spark-job cost that dwarfs the actual work on any
+    * but enormous vocabularies. When one bounded probe shows the table
+    * has ≤ [[DriverWords]] rows, the whole loop runs on the driver
+    * (identical argmax tie-break, identical greedy-leftmost merge — the
+    * BpeSpec reference semantics), zero jobs per round. Above the bound
+    * the distributed loop runs unchanged: one pair-count aggregate
+    * (shuffle ∝ distinct pairs) + a 1-row argmax collect + a narrow
+    * merge application per round, lineage cut with a lazy
+    * localCheckpoint every 4 rounds ([[Dedup.components]]' policy).
     */
   def trainMerges(
       wordCounts: DataFrame, k: Int): (Seq[(String, String, Long)], DataFrame) = {
     require(k > 0, s"k must be positive: $k")
+    // bounded probe: ≤ DriverWords rows back means we hold the WHOLE
+    // table (a LIMIT one past the cap can only be short when the input
+    // is), and the collected rows ARE the driver path's input
+    val probe = wordCounts.limit(DriverWords + 1).collect()
+    if (probe.length <= DriverWords) {
+      val spark = wordCounts.sparkSession
+      import spark.implicits._
+      val (merges, words) = trainMergesLocal(
+        probe.map(r => (r.getString(0), r.getLong(1))).toSeq, k)
+      return (merges, words.toDF("syms", "count"))
+    }
     var words = wordCounts.select(charSyms(col("word")).as("syms"), col("count"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var round = 0
@@ -85,6 +111,55 @@ object Bpe {
       }
     }
     (merges.toSeq, words)
+  }
+
+  /** The driver-side loop — same algebra as the distributed one: exact
+    * Long pair counts, argmax by (count desc, left, right), greedy
+    * leftmost merge per word. One row per input word throughout, exactly
+    * like the distributed `words` frame (identical sym-lists are NOT
+    * grouped; pair counts are sums either way).
+    */
+  private def trainMergesLocal(wordCounts: Seq[(String, Long)], k: Int)
+      : (Seq[(String, String, Long)], Seq[(Seq[String], Long)]) = {
+    var words: Array[(Array[String], Long)] = wordCounts.iterator
+      .map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    var done = false
+    while (round < k && !done) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          pairs.update(p, pairs.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), c) = pairs.minBy { case ((l, r), n) => (-n, l, r) }
+        merges += ((a, b, c))
+        words = words.map { case (syms, n) => (mergeWord(syms, a, b), n) }
+        round += 1
+      }
+    }
+    (merges.toSeq, words.iterator.map { case (s, c) => (s.toSeq, c) }.toSeq)
+  }
+
+  /** Greedy leftmost merge of one word's symbols — the driver twin of
+    * [[applyMerge]]'s fold (a merged token never re-matches as the left
+    * side in the same pass).
+    */
+  private def mergeWord(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
   }
 
   /** Tokenize a corpus with a learned merge table: per-word symbol arrays

@@ -250,10 +250,8 @@ private object CompIndex {
     */
   private[operators] def writeBucketsMeta(
       spark: SparkSession, path: String, buckets: Int): Unit = {
-    import spark.implicits._
-    Seq(Tuple1(buckets)).toDF("buckets")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    import org.json4s.JsonDSL._
+    MetaIo.write(spark, s"$path/meta", "buckets" -> buckets)
   }
 
   /** Fallback to the caller's count ONLY for a genuinely absent meta
@@ -264,9 +262,16 @@ private object CompIndex {
     */
   private[operators] def readBucketsMeta(
       spark: SparkSession, path: String): Option[Int] = {
-    val p = new Path(s"$path/meta")
-    if (!fs(spark, path).exists(p)) None
-    else Some(spark.read.parquet(s"$path/meta").head().getAs[Int]("buckets"))
+    import org.json4s.DefaultFormats
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    MetaIo.read(spark, s"$path/meta") match {
+      case Some(j) => Some((j \ "buckets").extract[Int])
+      case None =>
+        val p = new Path(s"$path/meta")
+        if (!fs(spark, path).exists(p)) None // genuinely pre-meta
+        else Some( // pre-JSON index
+          spark.read.parquet(s"$path/meta").head().getAs[Int]("buckets"))
+    }
   }
 
   private def fs(spark: SparkSession, p: String): FileSystem =

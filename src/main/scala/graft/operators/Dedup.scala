@@ -495,7 +495,14 @@ object Dedup extends CacheLedger {
         r
       }
       import scala.jdk.CollectionConverters._
-      rawEdges.toLocalIterator().asScala.foreach { row =>
+      // coalesce(1) first: toLocalIterator submits ONE JOB PER PARTITION,
+      // and the cached edge list inherits the upstream shuffle's partition
+      // count (cache pins it — AQE cannot coalesce a cached plan), so a
+      // 32-partition tiny edge list paid 32 scheduled jobs here (~100 ms
+      // each — the q103 over-parallelization the r17 verdict flagged).
+      // One narrow task streams the cache blocks instead; driver memory
+      // unchanged (still an iterator, one batch resident).
+      rawEdges.coalesce(1).toLocalIterator().asScala.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))

@@ -322,16 +322,19 @@ object DedupIndex {
       spark: SparkSession, name: String, path: String,
       shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
       buckets: Int = 32): MinHashIndex = {
-    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m =
-      if (fs.exists(metaPath)) Some(spark.read.parquet(s"$path/meta").head())
-      else None
-    m match {
-      case Some(r) => new MinHashIndex(
+    import org.json4s.DefaultFormats
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    MetaIo.read(spark, s"$path/meta") match {
+      case Some(j) => new MinHashIndex(
         spark, s"${name}_buckets", s"${name}_sets", path,
-        r.getAs[Int]("shingleN"), r.getAs[Int]("numHashes"),
-        r.getAs[Int]("bands"), r.getAs[Int]("buckets"))
+        (j \ "shingleN").extract[Int], (j \ "numHashes").extract[Int],
+        (j \ "bands").extract[Int], (j \ "buckets").extract[Int])
+      case None if MetaIo.exists(spark, s"$path/meta") => // pre-JSON index
+        val r = spark.read.parquet(s"$path/meta").head()
+        new MinHashIndex(
+          spark, s"${name}_buckets", s"${name}_sets", path,
+          r.getAs[Int]("shingleN"), r.getAs[Int]("numHashes"),
+          r.getAs[Int]("bands"), r.getAs[Int]("buckets"))
       case None => new MinHashIndex(
         spark, s"${name}_buckets", s"${name}_sets", path,
         shingleN, numHashes, bands, buckets)
@@ -341,10 +344,9 @@ object DedupIndex {
   private[operators] def writeMeta(
       spark: SparkSession, path: String, shingleN: Int,
       numHashes: Int, bands: Int, buckets: Int): Unit = {
-    import spark.implicits._
-    Seq((shingleN, numHashes, bands, buckets))
-      .toDF("shingleN", "numHashes", "bands", "buckets")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    import org.json4s.JsonDSL._
+    MetaIo.write(spark, s"$path/meta",
+      ("shingleN" -> shingleN) ~ ("numHashes" -> numHashes) ~
+        ("bands" -> bands) ~ ("buckets" -> buckets))
   }
 }

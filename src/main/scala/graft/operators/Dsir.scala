@@ -230,13 +230,14 @@ object Dsir {
     */
   def save(spark: SparkSession, w: Weights, path: String): Unit = {
     import spark.implicits._
+    import org.json4s.JsonDSL._
     val base = baselineOf(w.logRatio)
     w.logRatio.zipWithIndex.collect { case (v, i) if v != base => (i, v) }
       .toSeq.toDF("idx", "w")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/weights")
-    Seq((w.dims, w.seed, w.alpha, base))
-      .toDF("dims", "seed", "alpha", "base")
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    MetaIo.write(spark, s"$path/meta",
+      ("dims" -> w.dims) ~ ("seed" -> w.seed) ~ ("alpha" -> w.alpha) ~
+        ("base" -> base))
   }
 
   /** Modal value of the ratio vector — the shared untouched-bucket
@@ -253,19 +254,28 @@ object Dsir {
   }
 
   def open(spark: SparkSession, path: String): Weights = {
-    val meta = spark.read.parquet(s"$path/meta").collect()
-    require(meta.length == 1, s"corrupt DSIR meta at $path: ${meta.length} rows")
-    val m = meta(0)
-    val dims = m.getInt(0)
-    // models written before the sparse layout stored every NON-ZERO row
-    // and no baseline — absent row ⇒ 0.0, exactly the value that cut
-    // dropped, so zero-filling reconstructs the old format bit-exactly
-    val base =
-      if (m.schema.fieldNames.contains("base")) m.getDouble(3) else 0.0
+    import org.json4s.DefaultFormats
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    val (dims, seed, alpha, base) = MetaIo.read(spark, s"$path/meta") match {
+      case Some(j) => ((j \ "dims").extract[Int], (j \ "seed").extract[Long],
+        (j \ "alpha").extract[Double], (j \ "base").extract[Double])
+      case None => // pre-JSON model
+        val meta = spark.read.parquet(s"$path/meta").collect()
+        require(meta.length == 1,
+          s"corrupt DSIR meta at $path: ${meta.length} rows")
+        val m = meta(0)
+        // models written before the sparse layout stored every NON-ZERO
+        // row and no baseline — absent row ⇒ 0.0, exactly the value that
+        // cut dropped, so zero-filling reconstructs the old format
+        // bit-exactly
+        val b =
+          if (m.schema.fieldNames.contains("base")) m.getDouble(3) else 0.0
+        (m.getInt(0), m.getLong(1), m.getDouble(2), b)
+    }
     val lr = Array.fill(dims)(base)
     spark.read.parquet(s"$path/weights").collect().foreach { r =>
       lr(r.getInt(0)) = r.getDouble(1)
     }
-    new Weights(dims, m.getLong(1), m.getDouble(2), lr)
+    new Weights(dims, seed, alpha, lr)
   }
 }

@@ -397,24 +397,35 @@ object EmbedIndex {
     * — the derived key width depends on the corpus size at build time).
     */
   def open(spark: SparkSession, name: String, path: String): SrpEmbedIndex = {
-    val df = spark.read.parquet(s"$path/meta")
-    val m = df.head()
-    // indexes written before meta carried the design threshold default to
-    // the historical 0.95
-    val t = if (df.schema.fieldNames.contains("threshold"))
-      m.getAs[Double]("threshold") else 0.95
-    new SrpEmbedIndex(spark, s"${name}_ebuckets", s"${name}_evectors", path,
-      m.getAs[Int]("dim"), m.getAs[Int]("bits"), m.getAs[Int]("tables"),
-      m.getAs[Long]("seed"), m.getAs[Int]("buckets"), t)
+    import org.json4s.DefaultFormats
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    MetaIo.read(spark, s"$path/meta") match {
+      case Some(j) => new SrpEmbedIndex(
+        spark, s"${name}_ebuckets", s"${name}_evectors", path,
+        (j \ "dim").extract[Int], (j \ "bits").extract[Int],
+        (j \ "tables").extract[Int], (j \ "seed").extract[Long],
+        (j \ "buckets").extract[Int], (j \ "threshold").extract[Double])
+      case None => // pre-JSON index
+        val df = spark.read.parquet(s"$path/meta")
+        val m = df.head()
+        // indexes written before meta carried the design threshold default
+        // to the historical 0.95
+        val t = if (df.schema.fieldNames.contains("threshold"))
+          m.getAs[Double]("threshold") else 0.95
+        new SrpEmbedIndex(spark, s"${name}_ebuckets", s"${name}_evectors",
+          path, m.getAs[Int]("dim"), m.getAs[Int]("bits"),
+          m.getAs[Int]("tables"), m.getAs[Long]("seed"),
+          m.getAs[Int]("buckets"), t)
+    }
   }
 
   private[operators] def writeMeta(
       spark: SparkSession, path: String, dim: Int, bits: Int,
       tables: Int, seed: Long, buckets: Int, threshold: Double): Unit = {
-    import spark.implicits._
-    Seq((dim, bits, tables, seed, buckets, threshold))
-      .toDF("dim", "bits", "tables", "seed", "buckets", "threshold")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    import org.json4s.JsonDSL._
+    MetaIo.write(spark, s"$path/meta",
+      ("dim" -> dim) ~ ("bits" -> bits) ~ ("tables" -> tables) ~
+        ("seed" -> seed) ~ ("buckets" -> buckets) ~
+        ("threshold" -> threshold))
   }
 }

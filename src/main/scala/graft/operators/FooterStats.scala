@@ -55,6 +55,29 @@ private[operators] object FooterStats {
     case _ => false
   }
 
+  /** EXACT row count of a parquet directory from footers only (row
+    * counts are mandatory footer metadata — no fallback needed, unlike
+    * column statistics). Replaces count() Spark jobs over metadata-scale
+    * directories.
+    */
+  def dirRowCount(conf: Configuration, dir: String): Long = {
+    val d = new Path(dir)
+    val f = d.getFileSystem(conf)
+    var n = 0L
+    val it = f.listFiles(d, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_") &&
+        !name.startsWith(".")) {
+        val in = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        try in.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+        finally in.close()
+      }
+    }
+    n
+  }
+
   /** Zone rows for `files` (path → on-disk bytes) of a freshly written
     * generation, derived from footers only — `Some(rows)` in the
     * manifest shape `(file, cnt, min_c…, max_c…, nulls_c…, bytes)`

@@ -109,19 +109,23 @@ object IvfPq extends CacheLedger {
 
   private def writeVariant(spark: SparkSession, path: String,
       residual: Boolean): Unit = {
-    import spark.implicits._
-    Seq(Tuple1(residual)).toDF("residual").coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/variant")
+    import org.json4s.JsonDSL._
+    MetaIo.write(spark, s"$path/variant", "residual" -> residual)
   }
 
   private def readVariant(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/variant/_SUCCESS")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // absent = raw: indexes written before the variant entered the meta
-    // ARE raw-coded, so the default reads them correctly
-    fs.exists(p) &&
-      spark.read.parquet(s"$path/variant").head().getBoolean(0)
+    import org.json4s.DefaultFormats
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    MetaIo.read(spark, s"$path/variant") match {
+      case Some(j) => (j \ "residual").extract[Boolean]
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/variant/_SUCCESS")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // absent = raw: indexes written before the variant entered the
+        // meta ARE raw-coded, so the default reads them correctly
+        fs.exists(p) && // pre-JSON index
+          spark.read.parquet(s"$path/variant").head().getBoolean(0)
+    }
   }
 
   /** Re-open a saved index: both quantizers load to the driver (always
@@ -133,10 +137,7 @@ object IvfPq extends CacheLedger {
     */
   def open(spark: SparkSession, name: String, path: String,
       buckets: Int = 16): IvfPqIndex = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .collect()
-      .sortBy(_.getInt(0))
-      .map(_.getSeq[Double](1).toArray)
+    val cents = Similarity.IvfIndex.readCentroids(spark, path)
     require(cents.nonEmpty, s"no centroids at $path/centroids")
     val (cb, stored) = Pq.readCodebook(spark, path)
     new IvfPqIndex(spark, cents, cb,
@@ -323,13 +324,10 @@ object IvfPq extends CacheLedger {
       require(newBuckets >= 0,
         s"newBuckets must be positive, or 0 to keep the current count: $newBuckets")
       val b = if (newBuckets > 0) newBuckets else buckets
-      // files, not the catalog table — the rewrite must not depend on
-      // the table it is about to redefine; the codebook meta is
-      // REWRITTEN (not copied) so the bucket count it records is the one
-      // just used
-      spark.read.parquet(s"$path/centroids").coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$toPath/centroids")
+      // model-sized copy, driver-side; the codebook meta is REWRITTEN
+      // (not copied) so the bucket count it records is the one just used
+      Similarity.IvfIndex.writeCentroids(spark, toPath,
+        Similarity.IvfIndex.readCentroids(spark, path))
       Pq.writeCodebook(spark, toPath, cb, b)
       writeVariant(spark, toPath, residual)
       Sinks.bucketed(

@@ -67,10 +67,28 @@ object MaterializedAgg {
   def open(spark: SparkSession, path: String): MatAgg = {
     val v = currentVersion(spark, path).getOrElse(
       sys.error(s"no committed materialized-aggregate version under $path"))
-    val m = spark.read.parquet(s"$path/v$v/meta").collect()
-    require(m.length == 1, s"corrupt meta under $path/v$v: ${m.length} rows")
-    new MatAgg(spark, path,
-      m(0).getSeq[String](0), m(0).getSeq[String](1))
+    val (gc, vc, _) = readMeta(spark, path, v)
+    new MatAgg(spark, path, gc, vc)
+  }
+
+  /** (group cols, value cols, applied high-water mark) of version `v` —
+    * JSON (driver read), parquet fallback for pre-JSON versions.
+    */
+  private[operators] def readMeta(spark: SparkSession, path: String,
+      v: Long): (Seq[String], Seq[String], Long) = {
+    import org.json4s.DefaultFormats
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    MetaIo.read(spark, s"$path/v$v/meta") match {
+      case Some(j) => ((j \ "group_cols").extract[Seq[String]],
+        (j \ "val_cols").extract[Seq[String]],
+        (j \ "applied_hwm").extract[Long])
+      case None => // pre-JSON version
+        val rows = spark.read.parquet(s"$path/v$v/meta").collect()
+        require(rows.length == 1,
+          s"corrupt meta under $path/v$v: ${rows.length} rows")
+        val m = rows(0)
+        (m.getSeq[String](0), m.getSeq[String](1), m.getLong(2))
+    }
   }
 
   /** One map-side-combined hash aggregate over a frame — the monoid's
@@ -127,17 +145,18 @@ object MaterializedAgg {
   private def publish(spark: SparkSession, base: String, state: DataFrame,
       ver: Long, groupCols: Seq[String], valCols: Seq[String],
       appliedHwm: Long): Unit = {
-    import spark.implicits._
+    import org.json4s.JsonDSL._
     // Overwrite clears any uncommitted partial a previous crash left here
     state.write.mode(SaveMode.Overwrite).parquet(s"$base/v$ver/state")
-    Seq((groupCols, valCols, appliedHwm))
-      .toDF("group_cols", "val_cols", "applied_hwm")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$base/v$ver/meta")
+    // driver-written JSON (zero Spark jobs; this runs per micro-batch on
+    // updateStream's hot path) — MetaIo writes the _SUCCESS marker the
+    // committed-version checks gate on
+    MetaIo.write(spark, s"$base/v$ver/meta",
+      ("group_cols" -> groupCols) ~ ("val_cols" -> valCols) ~
+        ("applied_hwm" -> appliedHwm))
     val f = fs(spark, base)
     require(f.exists(new Path(s"$base/v$ver/meta/_SUCCESS")),
-      s"parquet commit left no _SUCCESS under $base/v$ver/meta " +
-        "(mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?) — " +
+      s"meta commit left no _SUCCESS under $base/v$ver/meta — " +
         "versioned publication depends on the marker")
     committedVersions(spark, base).filter(_ < ver).foreach { v =>
       try {
@@ -158,13 +177,8 @@ object MaterializedAgg {
     private def cur: Long = currentVersion(spark, path).getOrElse(
       sys.error(s"no committed version under $path — concurrent prune?"))
 
-    private def meta(v: Long): (Seq[String], Seq[String], Long) = {
-      val rows = spark.read.parquet(s"$path/v$v/meta").collect()
-      require(rows.length == 1,
-        s"corrupt meta under $path/v$v: ${rows.length} rows")
-      val m = rows(0)
-      (m.getSeq[String](0), m.getSeq[String](1), m.getLong(2))
-    }
+    private def meta(v: Long): (Seq[String], Seq[String], Long) =
+      MaterializedAgg.readMeta(spark, path, v)
 
     /** Highest batch id folded in (−1 before any update) — the
       * exactly-once ledger's high-water mark.

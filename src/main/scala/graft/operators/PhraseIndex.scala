@@ -233,12 +233,14 @@ object PhraseIndex {
     */
   def open(spark: SparkSession, name: String, path: String,
       buckets: Int = 32): PhraseIndex = {
-    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val b =
-      if (fs.exists(metaPath))
+    import org.json4s.DefaultFormats
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    val b = MetaIo.read(spark, s"$path/meta") match {
+      case Some(j) => (j \ "buckets").extract[Int]
+      case None if MetaIo.exists(spark, s"$path/meta") => // pre-JSON index
         spark.read.parquet(s"$path/meta").head().getAs[Int]("buckets")
-      else buckets
+      case None => buckets
+    }
     new PhraseIndex(spark, s"${name}_postings", s"${name}_docs", path, b)
   }
 }

@@ -339,28 +339,42 @@ object Pq {
     */
   private[operators] def writeCodebook(
       spark: SparkSession, path: String, cb: Codebook, buckets: Int): Unit = {
-    import spark.implicits._
-    Seq((cb.m, cb.k, cb.dsub, cb.trainMse, buckets,
-        cb.mseSampleSize, cb.mseSeed))
-      .toDF("m", "k", "dsub", "train_mse", "buckets",
-        "mse_sample_size", "mse_seed")
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/codebook/meta")
-    cb.cents.zipWithIndex
-      .flatMap { case (cs, sub) =>
-        cs.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
-      }.toSeq
-      .toDF("sub", "code", "c")
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/codebook/cents")
+    import org.json4s.JsonDSL._
+    // model-sized (m·k·dsub doubles), driver-written JSON: the two-parquet
+    // form cost a Spark job per save AND per open (schema inference +
+    // collect). Double.toString round-trips exactly; trainMse can be NaN
+    // (unmeasured), which JSON cannot express — MetaIo encodes it null.
+    MetaIo.write(spark, s"$path/codebook/meta",
+      ("m" -> cb.m) ~ ("k" -> cb.k) ~ ("dsub" -> cb.dsub) ~
+        ("train_mse" -> MetaIo.jsonDouble(cb.trainMse)) ~
+        ("buckets" -> buckets) ~
+        ("mse_sample_size" -> cb.mseSampleSize) ~
+        ("mse_seed" -> cb.mseSeed) ~
+        ("cents" -> cb.cents.toSeq.map(_.toSeq.map(_.toSeq))))
   }
 
   /** @return the codebook plus the persisted bucket count (None only for
     *         indexes written before buckets entered the meta)
     */
   private[operators] def readCodebook(
+      spark: SparkSession, path: String): (Codebook, Option[Int]) = {
+    import org.json4s.DefaultFormats
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    MetaIo.read(spark, s"$path/codebook/meta") match {
+      case Some(j) =>
+        val cents = (j \ "cents").extract[Seq[Seq[Seq[Double]]]]
+          .map(_.map(_.toArray).toArray).toArray
+        (new Codebook((j \ "m").extract[Int], (j \ "k").extract[Int],
+          (j \ "dsub").extract[Int], cents,
+          MetaIo.doubleOf(j \ "train_mse"),
+          (j \ "mse_sample_size").extract[Int],
+          (j \ "mse_seed").extract[Long]),
+          Some((j \ "buckets").extract[Int]))
+      case None => readCodebookParquet(spark, path) // pre-JSON index
+    }
+  }
+
+  private def readCodebookParquet(
       spark: SparkSession, path: String): (Codebook, Option[Int]) = {
     val df = spark.read.parquet(s"$path/codebook/meta")
     val meta = df.head()

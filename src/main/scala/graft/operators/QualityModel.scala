@@ -191,22 +191,31 @@ object QualityModel {
     */
   def save(spark: SparkSession, m: Model, path: String): Unit = {
     import spark.implicits._
+    import org.json4s.JsonDSL._
     m.weights.zipWithIndex.collect { case (v, i) if v != 0.0 => (i, v) }
       .toSeq.toDF("idx", "w")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/weights")
-    Seq((m.dims, m.bias, m.seed)).toDF("dims", "bias", "seed")
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+    MetaIo.write(spark, s"$path/meta",
+      ("dims" -> m.dims) ~ ("bias" -> m.bias) ~ ("seed" -> m.seed))
   }
 
   def open(spark: SparkSession, path: String): Model = {
-    val meta = spark.read.parquet(s"$path/meta").collect()
-    require(meta.length == 1, s"corrupt model meta at $path: ${meta.length} rows")
-    val dims = meta(0).getInt(0)
+    import org.json4s.DefaultFormats
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    val (dims, bias, seed) = MetaIo.read(spark, s"$path/meta") match {
+      case Some(j) => ((j \ "dims").extract[Int],
+        (j \ "bias").extract[Double], (j \ "seed").extract[Long])
+      case None => // pre-JSON model
+        val meta = spark.read.parquet(s"$path/meta").collect()
+        require(meta.length == 1,
+          s"corrupt model meta at $path: ${meta.length} rows")
+        (meta(0).getInt(0), meta(0).getDouble(1), meta(0).getLong(2))
+    }
     val w = new Array[Double](dims)
     spark.read.parquet(s"$path/weights").collect().foreach { r =>
       w(r.getInt(0)) = r.getDouble(1)
     }
-    new Model(dims, meta(0).getDouble(1), w, meta(0).getLong(2))
+    new Model(dims, bias, w, seed)
   }
 
   // ─────────────────── drift observability + refit ───────────────────

@@ -163,8 +163,7 @@ class ScreenIndex private[operators] (
     */
   def needsRebuild(tolerance: Double = 0.5): Boolean = {
     require(tolerance >= 0, s"tolerance must be non-negative: $tolerance")
-    val built = spark.read.parquet(s"$path/meta").head()
-      .getAs[Long]("built_docs")
+    val built = ScreenIndex.readBuiltDocs(spark, path)
     indexedDocs() > built * (1 + tolerance)
   }
 
@@ -217,8 +216,7 @@ class ScreenIndex private[operators] (
     require(newBuckets >= 0,
       s"newBuckets must be positive, or 0 to keep the current count: $newBuckets")
     val b = if (newBuckets > 0) newBuckets else buckets
-    val builtDocs = spark.read.parquet(s"$path/meta").head()
-      .getAs[Long]("built_docs")
+    val builtDocs = ScreenIndex.readBuiltDocs(spark, path)
     // read the parquet paths, not the tables: the rewrite re-registers
     // each table at toPath, and Spark refuses an overwrite of a table
     // the plan is also reading (the PhraseIndex.rewrite rule)
@@ -245,10 +243,21 @@ object ScreenIndex {
   private[operators] def writeMeta(spark: SparkSession, path: String,
       buckets: Int, shingleN: Int, tNum: Long, tDen: Long,
       builtDocs: Long): Unit = {
-    import spark.implicits._
-    Seq((buckets, shingleN, tNum, tDen, builtDocs))
-      .toDF("buckets", "shingle_n", "t_num", "t_den", "built_docs")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    import org.json4s.JsonDSL._
+    MetaIo.write(spark, s"$path/meta",
+      ("buckets" -> buckets) ~ ("shingle_n" -> shingleN) ~
+        ("t_num" -> tNum) ~ ("t_den" -> tDen) ~
+        ("built_docs" -> builtDocs))
+  }
+
+  private def readBuiltDocs(spark: SparkSession, path: String): Long = {
+    import org.json4s.DefaultFormats
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    MetaIo.read(spark, s"$path/meta") match {
+      case Some(j) => (j \ "built_docs").extract[Long]
+      case None => // pre-JSON index
+        spark.read.parquet(s"$path/meta").head().getAs[Long]("built_docs")
+    }
   }
 
   /** Materialize the benchmark's screen state at `path`: one tokenize
@@ -292,9 +301,17 @@ object ScreenIndex {
       shingleN: Int = 3, threshold: Double = 0.8,
       buckets: Int = 8): ScreenIndex = {
     val (setsT, prefT, dfT) = tables(name)
+    import org.json4s.DefaultFormats
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    val fromJson = MetaIo.read(spark, s"$path/meta").map { j =>
+      new ScreenIndex(spark, setsT, prefT, dfT, path,
+        (j \ "buckets").extract[Int], (j \ "shingle_n").extract[Int],
+        (j \ "t_num").extract[Long], (j \ "t_den").extract[Long])
+    }
     val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(metaPath)) {
+    if (fromJson.isDefined) fromJson.get
+    else if (fs.exists(metaPath)) { // pre-JSON index
       val m = spark.read.parquet(s"$path/meta").head()
       new ScreenIndex(spark, setsT, prefT, dfT, path,
         m.getAs[Int]("buckets"), m.getAs[Int]("shingle_n"),

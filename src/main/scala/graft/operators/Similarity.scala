@@ -357,9 +357,10 @@ object Similarity extends CacheLedger {
         s"newBuckets must be positive, or 0 to keep the current count: $newBuckets")
       val b = if (newBuckets > 0) newBuckets else ref.buckets
       val spark = baseAssigned.sparkSession
-      spark.read.parquet(s"${ref.path}/centroids").coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$toPath/centroids")
+      // model-sized copy, driver-side (no Spark job): delete/compact move
+      // data, never the quantizer
+      IvfIndex.writeCentroids(spark, toPath,
+        IvfIndex.readCentroids(spark, ref.path))
       IvfIndex.writeIvfMeta(spark, toPath, b)
       // repartition on cluster with numPartitions == buckets: bucket id is
       // hash pmod numBuckets, so each write task owns its bucket's rows —
@@ -602,29 +603,38 @@ object Similarity extends CacheLedger {
     private[operators] def writeStats(
         spark: SparkSession, path: String, mqe: Double,
         sampleSize: Int, seed: Long): Unit = {
-      import spark.implicits._
-      val n = spark.read.parquet(s"$path/assigned").count()
-      Seq((mqe, n, sampleSize, seed))
-        .toDF("mqe", "n", "sample_size", "seed")
-        .coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/stats")
+      import org.json4s.JsonDSL._
+      // corpus size from the assigned table's parquet FOOTERS — exact,
+      // driver-side, where the count() here was a Spark job per save
+      val n = FooterStats.dirRowCount(
+        spark.sparkContext.hadoopConfiguration, s"$path/assigned")
+      MetaIo.write(spark, s"$path/stats",
+        ("mqe" -> mqe) ~ ("n" -> n) ~ ("sample_size" -> sampleSize) ~
+          ("seed" -> seed))
     }
 
     /** None ONLY for a genuinely absent stats dir (index saved before
       * drift tracking) — explicit existence check, never a broad catch: a
-      * corrupt stats parquet must fail needsRetrain loudly, not silently
+      * corrupt stats record must fail needsRetrain loudly, not silently
       * disable drift observation.
       */
     private[operators] def readStats(
         spark: SparkSession, path: String): Option[Stats] = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/stats")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None
-      else {
-        val r = spark.read.parquet(s"$path/stats").head()
-        Some(Stats(r.getAs[Double]("mqe"), r.getAs[Long]("n"),
-          r.getAs[Int]("sample_size"), r.getAs[Long]("seed")))
+      import org.json4s.DefaultFormats
+      implicit val fmts: DefaultFormats.type = DefaultFormats
+      MetaIo.read(spark, s"$path/stats") match {
+        case Some(j) => Some(Stats((j \ "mqe").extract[Double],
+          (j \ "n").extract[Long], (j \ "sample_size").extract[Int],
+          (j \ "seed").extract[Long]))
+        case None =>
+          val p = new org.apache.hadoop.fs.Path(s"$path/stats")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) None // genuinely pre-drift-tracking
+          else { // pre-JSON index
+            val r = spark.read.parquet(s"$path/stats").head()
+            Some(Stats(r.getAs[Double]("mqe"), r.getAs[Long]("n"),
+              r.getAs[Int]("sample_size"), r.getAs[Long]("seed")))
+          }
       }
     }
 
@@ -635,11 +645,8 @@ object Similarity extends CacheLedger {
       */
     private[operators] def writeIvfMeta(
         spark: SparkSession, path: String, buckets: Int): Unit = {
-      import spark.implicits._
-      Seq(Tuple1(buckets)).toDF("buckets")
-        .coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/meta")
+      import org.json4s.JsonDSL._
+      MetaIo.write(spark, s"$path/meta", "buckets" -> buckets)
     }
 
     /** Caller's-count fallback ONLY for a genuinely absent meta
@@ -649,22 +656,49 @@ object Similarity extends CacheLedger {
       */
     private[operators] def readIvfMeta(
         spark: SparkSession, path: String): Option[Int] = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/meta")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None
-      else Some(spark.read.parquet(s"$path/meta").head().getAs[Int]("buckets"))
+      import org.json4s.DefaultFormats
+      implicit val fmts: DefaultFormats.type = DefaultFormats
+      MetaIo.read(spark, s"$path/meta") match {
+        case Some(j) => Some((j \ "buckets").extract[Int])
+        case None =>
+          val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) None // genuinely pre-meta
+          else Some( // pre-JSON index
+            spark.read.parquet(s"$path/meta").head().getAs[Int]("buckets"))
+      }
     }
 
+    /** Centroids are MODEL-sized (nClusters × dim doubles) — persisted as
+      * a driver-written JSON record: the one-row-parquet form cost a
+      * Spark job to write at save/retrain and another (schema inference +
+      * collect) at every open. Java's Double.toString round-trips
+      * exactly, so the quantizer is bit-identical across the JSON hop.
+      */
     private[operators] def writeCentroids(
         spark: SparkSession, path: String,
         cents: Array[Array[Double]]): Unit = {
-      import spark.implicits._
-      cents.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cluster", "c")
-        .coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/centroids")
+      import org.json4s.JsonDSL._
+      MetaIo.write(spark, s"$path/centroids",
+        "centroids" -> cents.toSeq.map(_.toSeq))
+    }
+
+    /** Centroids ascending by cluster id; pre-JSON indexes read the
+      * legacy parquet form.
+      */
+    private[operators] def readCentroids(
+        spark: SparkSession, path: String): Array[Array[Double]] = {
+      import org.json4s.DefaultFormats
+      implicit val fmts: DefaultFormats.type = DefaultFormats
+      MetaIo.read(spark, s"$path/centroids") match {
+        case Some(j) =>
+          (j \ "centroids").extract[Seq[Seq[Double]]].map(_.toArray).toArray
+        case None => // pre-JSON index
+          spark.read.parquet(s"$path/centroids")
+            .collect()
+            .sortBy(_.getInt(0))
+            .map(_.getSeq[Double](1).toArray)
+      }
     }
 
     /** Nearest-centroid assignment: broadcast centroids, narrow map —
@@ -721,10 +755,7 @@ object Similarity extends CacheLedger {
       */
     def open(spark: SparkSession, name: String, path: String,
         buckets: Int = 16): IvfIndex = {
-      val cents = spark.read.parquet(s"$path/centroids")
-        .collect()
-        .sortBy(_.getInt(0))
-        .map(_.getSeq[Double](1).toArray)
+      val cents = readCentroids(spark, path)
       require(cents.nonEmpty, s"no centroids at $path/centroids")
       spark.catalog.refreshTable(s"${name}_ivf")
       val b = readIvfMeta(spark, path).getOrElse(buckets)

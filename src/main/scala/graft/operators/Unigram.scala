@@ -76,10 +76,33 @@ object Unigram {
     } finally subs.unpersist()
   }
 
+  /** One word's expected piece counts — the forward-backward lattice
+    * pass shared VERBATIM by the distributed and driver E-steps (the two
+    * must not diverge).
+    */
+  private def wordExpectations(w: String, cnt: Long,
+      lp: Map[String, Double], maxLen: Int): Iterator[(String, Double)] = {
+    val n = w.length
+    val alpha = forward(w, lp, maxLen)
+    val z = alpha(n)
+    if (z == Double.NegativeInfinity) Iterator.empty
+    else {
+      val beta = backward(w, lp, maxLen)
+      for {
+        i <- (0 until n).iterator
+        j <- (i + 1) to math.min(n, i + maxLen)
+        p = w.substring(i, j)
+        l <- lp.get(p).iterator
+      } yield (p, math.exp(alpha(i) + l + beta(j) - z) * cnt)
+    }
+  }
+
   /** One E-step: expected piece counts over all segmentations of every
     * word (forward-backward over each word's lattice, weighted by word
     * frequency), aggregated corpus-wide. Narrow over the word table; the
-    * model broadcasts.
+    * model broadcasts. Counts round to 9 dp after the aggregate, so the
+    * result is partitioning-invariant — which is also what makes the
+    * driver E-step below equal this one.
     */
   private[operators] def expectedCounts(words: Dataset[(String, Long)],
       model: Map[String, Double], maxLen: Int): Seq[(String, Double)] = {
@@ -88,25 +111,26 @@ object Unigram {
     val bc = spark.sparkContext.broadcast(model)
     words.mapPartitions { it =>
       val lp = bc.value
-      it.flatMap { case (w, cnt) =>
-        val n = w.length
-        val alpha = forward(w, lp, maxLen)
-        val z = alpha(n)
-        if (z == Double.NegativeInfinity) Iterator.empty
-        else {
-          val beta = backward(w, lp, maxLen)
-          for {
-            i <- (0 until n).iterator
-            j <- (i + 1) to math.min(n, i + maxLen)
-            p = w.substring(i, j)
-            l <- lp.get(p).iterator
-          } yield (p, math.exp(alpha(i) + l + beta(j) - z) * cnt)
-        }
-      }
+      it.flatMap { case (w, cnt) => wordExpectations(w, cnt, lp, maxLen) }
     }.toDF("piece", "c").groupBy("piece").agg(sum("c").as("c"))
       .as[(String, Double)].collect()
       .map { case (p, c) => (p, round9(c)) }
       .sortBy(_._1).toSeq
+  }
+
+  /** The driver E-step — same lattice code, same 9-dp post-aggregate
+    * round (the invariance argument that already covers arbitrary
+    * partitionings covers this single-partition fold), zero Spark jobs.
+    */
+  private def expectedCountsLocal(words: Seq[(String, Long)],
+      model: Map[String, Double], maxLen: Int): Seq[(String, Double)] = {
+    val acc = scala.collection.mutable.HashMap.empty[String, Double]
+    words.foreach { case (w, cnt) =>
+      wordExpectations(w, cnt, model, maxLen).foreach { case (p, c) =>
+        acc.update(p, acc.getOrElse(p, 0.0) + c)
+      }
+    }
+    acc.iterator.map { case (p, c) => (p, round9(c)) }.toSeq.sortBy(_._1)
   }
 
   private def forward(w: String, lp: Map[String, Double],
@@ -211,12 +235,60 @@ object Unigram {
     finally wc0.unpersist()
   }
 
+  /** Local twin of [[seed]] — exact Long sums, identical (c·len desc,
+    * piece) ranking and single-char floor.
+    */
+  private def seedLocal(words: Seq[(String, Long)], seedSize: Int,
+      maxPieceLen: Int): Seq[(String, Long)] = {
+    val acc = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var j = i + 1
+        val hi = math.min(w.length, i + maxPieceLen)
+        while (j <= hi) {
+          val p = w.substring(i, j)
+          acc.update(p, acc.getOrElse(p, 0L) + c)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val (chars, multi) = acc.toSeq.partition(_._1.length == 1)
+    val sortedChars = chars.sortBy(_._1)
+    val topMulti = multi
+      .sortBy { case (p, c) => (-(c * p.length), p) }
+      .take(math.max(0, seedSize - sortedChars.length))
+    sortedChars ++ topMulti
+  }
+
   private def trainOn(wc0: DataFrame, vocabSize: Int, seedSize: Int,
       maxPieceLen: Int, emIters: Int, shrink: Double): Model = {
     val spark = wc0.sparkSession
     import spark.implicits._
+    // Small-vocabulary fast path (the [[Bpe.trainMerges]] /
+    // [[Dedup.components]] discipline): the word table is
+    // vocabulary-sized, and each of the ~3·rounds E-steps costs a fixed
+    // Spark job — on a bounded vocabulary the whole EM loop runs on the
+    // driver through the SAME lattice/seed/normalize code, zero jobs per
+    // round. The probe is one bounded collect off the already-
+    // checkpointed table; above the cap the distributed loop runs
+    // unchanged.
+    val probe = wc0.limit(Bpe.DriverWords + 1).collect()
+    val localWords: Option[Seq[(String, Long)]] =
+      if (probe.length <= Bpe.DriverWords)
+        Some(probe.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq)
+      else None
     val words = wc0.as[(String, Long)]
-    val s0 = seed(wc0, seedSize, maxPieceLen)
+    def counts(model: Map[String, Double]): Seq[(String, Double)] =
+      localWords match {
+        case Some(ws) => expectedCountsLocal(ws, model, maxPieceLen)
+        case None => expectedCounts(words, model, maxPieceLen)
+      }
+    val s0 = localWords match {
+      case Some(ws) => seedLocal(ws, seedSize, maxPieceLen)
+      case None => seed(wc0, seedSize, maxPieceLen)
+    }
     val total0 = s0.iterator.map(_._2.toDouble).sum
     var model: Map[String, Double] =
       s0.iterator.map { case (p, c) =>
@@ -227,17 +299,17 @@ object Unigram {
     while (vocab > vocabSize) {
       var it = 0
       while (it < emIters) {
-        model = normalize(expectedCounts(words, model, maxPieceLen))
+        model = normalize(counts(model))
         it += 1
       }
       // prune on driver: loss of removing x = c_x * (lp_x - alt_x)
-      val counts = expectedCounts(words, model, maxPieceLen).toMap
+      val cts = counts(model).toMap
       val (chars, multi) = model.keys.toSeq.partition(_.length == 1)
       val keep = math.max(vocabSize - chars.length,
         math.min(multi.length - 1, (multi.length * shrink).toInt))
       val kept = multi
         .map { p =>
-          val c = counts.getOrElse(p, 0.0)
+          val c = cts.getOrElse(p, 0.0)
           val loss = round9(c * (model(p) - viterbi(p, model, maxPieceLen, p)))
           (p, loss)
         }
@@ -258,7 +330,7 @@ object Unigram {
     }
     var it = 0
     while (it < emIters) {
-      model = normalize(expectedCounts(words, model, maxPieceLen))
+      model = normalize(counts(model))
       it += 1
     }
     Model(model.toSeq.sortBy { case (p, l) => (-l, p) })

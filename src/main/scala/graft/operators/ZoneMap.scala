@@ -240,25 +240,38 @@ object ZoneMap {
   }
 
   private def writeMeta(spark: SparkSession, indexPath: String, m: Meta): Unit = {
-    import spark.implicits._
+    import org.json4s.JsonDSL._
     val (tc, td) = m.types.toSeq.sorted.unzip
-    Seq((m.cols, m.bloomCols, m.bloomItems, m.bloomFpp, tc, td, m.scheme))
-      .toDF("cols", "bloom_cols", "bloom_items", "bloom_fpp",
-        "type_cols", "type_ddls", "bloom_scheme")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexPath/meta")
+    MetaIo.write(spark, s"$indexPath/meta",
+      ("cols" -> m.cols) ~ ("bloom_cols" -> m.bloomCols) ~
+        ("bloom_items" -> m.bloomItems) ~ ("bloom_fpp" -> m.bloomFpp) ~
+        ("type_cols" -> tc) ~ ("type_ddls" -> td) ~
+        ("bloom_scheme" -> m.scheme))
   }
 
   private def readMeta(spark: SparkSession, indexPath: String): Meta = {
-    val df = spark.read.parquet(s"$indexPath/meta")
-    val r = df.head()
-    val scheme =
-      if (df.schema.fieldNames.contains("bloom_scheme"))
-        r.getString(r.fieldIndex("bloom_scheme"))
-      else "" // pre-tag index: unknown hash basis
-    val m = Meta(r.getSeq[String](0), r.getSeq[String](1), r.getLong(2),
-      r.getDouble(3), r.getSeq[String](4).zip(r.getSeq[String](5)).toMap,
-      scheme)
+    import org.json4s.DefaultFormats
+    implicit val fmts: DefaultFormats.type = DefaultFormats
+    val m = MetaIo.read(spark, s"$indexPath/meta") match {
+      case Some(j) => Meta(
+        (j \ "cols").extract[Seq[String]],
+        (j \ "bloom_cols").extract[Seq[String]],
+        (j \ "bloom_items").extract[Long],
+        (j \ "bloom_fpp").extract[Double],
+        (j \ "type_cols").extract[Seq[String]]
+          .zip((j \ "type_ddls").extract[Seq[String]]).toMap,
+        (j \ "bloom_scheme").extract[String])
+      case None => // pre-JSON index
+        val df = spark.read.parquet(s"$indexPath/meta")
+        val r = df.head()
+        val scheme =
+          if (df.schema.fieldNames.contains("bloom_scheme"))
+            r.getString(r.fieldIndex("bloom_scheme"))
+          else "" // pre-tag index: unknown hash basis
+        Meta(r.getSeq[String](0), r.getSeq[String](1), r.getLong(2),
+          r.getDouble(3), r.getSeq[String](4).zip(r.getSeq[String](5)).toMap,
+          scheme)
+    }
     require(m.bloomCols.isEmpty || m.scheme == BloomScheme,
       s"zone-map index at $indexPath has bloom bits under hash scheme " +
         s"'${m.scheme}' but this engine probes '$BloomScheme' — indexes " +

@@ -286,15 +286,22 @@ class ZoneMapSpec extends SparkSpec {
     // bits can silently false-negative. Simulate one by rewriting a
     // fresh index's meta WITHOUT the tag column: any read must refuse
     // with a rebuild instruction. Min/max-only indexes stay readable.
+    // a pre-tag index wrote its meta as a ONE-ROW PARQUET without the
+    // bloom_scheme column — construct that legacy layout explicitly (the
+    // current writer emits JSON; the parquet fallback is exactly what a
+    // pre-tag index exercises)
+    import spark.implicits._
+    def writeLegacyMeta(idx: String, bloomCols: Seq[String],
+        items: Long, fpp: Double): Unit =
+      Seq((Seq("k"), bloomCols, items, fpp, Seq("k"), Seq("BIGINT")))
+        .toDF("cols", "bloom_cols", "bloom_items", "bloom_fpp",
+          "type_cols", "type_ddls")
+        .coalesce(1).write.mode("overwrite").parquet(s"$idx/meta")
     val (data, idx) = mkDirs()
     writeFixture(data)
     ZoneMap.build(spark, data, Seq("k"), idx, bloomCols = Seq("k"),
       bloomItems = 1000L, bloomFpp = 0.01)
-    val legacy = spark.read.parquet(s"$idx/meta")
-      .drop("bloom_scheme").collect()
-    val schema = spark.read.parquet(s"$idx/meta").drop("bloom_scheme").schema
-    spark.createDataFrame(spark.sparkContext.parallelize(legacy.toSeq), schema)
-      .coalesce(1).write.mode("overwrite").parquet(s"$idx/meta")
+    writeLegacyMeta(idx, Seq("k"), 1000L, 0.01)
     val e = intercept[IllegalArgumentException] {
       ZoneMap.prunedFiles(spark, data, idx, Seq(ZoneMap.Point("k", 10L)))
     }
@@ -304,11 +311,7 @@ class ZoneMapSpec extends SparkSpec {
     val (data2, idx2) = mkDirs()
     writeFixture(data2)
     ZoneMap.build(spark, data2, Seq("k"), idx2)
-    val legacy2 = spark.read.parquet(s"$idx2/meta").drop("bloom_scheme")
-      .collect()
-    val schema2 = spark.read.parquet(s"$idx2/meta").drop("bloom_scheme").schema
-    spark.createDataFrame(spark.sparkContext.parallelize(legacy2.toSeq), schema2)
-      .coalesce(1).write.mode("overwrite").parquet(s"$idx2/meta")
+    writeLegacyMeta(idx2, Nil, 1000000L, 0.03)
     assert(ZoneMap.scan(spark, data2, idx2, Seq(ZoneMap.Range("k", 10L, 20L)))
       .count() == 11, "min/max-only legacy indexes are scheme-independent")
   }
