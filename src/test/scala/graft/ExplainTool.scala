@@ -15,6 +15,9 @@ object ExplainTool {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // same extensions as Bench/Verify — the SQL-door queries (MERGE/
+      // UPDATE rewrites, CBO stats) cannot even plan without them
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
