@@ -563,12 +563,21 @@ object GraftTable {
     * re-aggregated the same stats as small Spark jobs. Bounded: metadata
     * strings/longs only, cleared wholesale past the cap.
     */
-  private val filesCacheG = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, String), Seq[String]]
   private val statsCacheG = scala.collection.concurrent.TrieMap
     .empty[(String, Long, String), (Long, Long)]
   private val manifestSchemaG = scala.collection.concurrent.TrieMap
     .empty[(String, Long, String), StructType]
+  /** A committed version's NON-BLOOM manifest columns, collected once
+    * process-wide (schema + rows): the metadata every per-statement ask
+    * needs — file list, size/row stats, per-column zone ranges, merge
+    * range-candidacy — served from ONE collect per version instead of
+    * one Spark job per ask. Bloom bytes (the only heavy manifest
+    * payload) are EXCLUDED and stay executor-side; what remains is the
+    * same O(|files|) of strings/longs [[GraftTable!.storedFiles]] always
+    * collected.
+    */
+  private val snapCacheG = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, String), (StructType, Array[org.apache.spark.sql.Row])]
   private def boundCache(
       m: scala.collection.concurrent.TrieMap[(String, Long, String), _]): Unit =
     if (m.size > 4096) m.clear()
@@ -968,21 +977,35 @@ final class GraftTable private[operators] (spark: SparkSession,
       readSmall(fs(spark, path), new Path(s"$path/v$v/_publisher"))
         .getOrElse(""))
 
-  /** A committed version's manifest is IMMUTABLE — its file list is
-    * collected once PROCESS-WIDE (see [[GraftTable.filesCacheG]]): the
-    * read/scan/history/DML paths each ask for it, and every ask was a
-    * small Spark collect job. |files| strings per version, never
-    * persisted.
+  /** A committed version's manifest is IMMUTABLE — its non-bloom rows
+    * are collected once PROCESS-WIDE ([[GraftTable.snapCacheG]]) and
+    * every metadata ask (file list, stats, column ranges, merge
+    * candidacy ranges) folds over the snapshot driver-side instead of
+    * running its own Spark job.
     */
-  private def storedFiles(v: Long): Seq[String] = {
+  private def manifestSnap(v: Long)
+      : (StructType, Array[org.apache.spark.sql.Row]) = {
     val key = (rootNorm, v, commitToken(v))
-    GraftTable.filesCacheG.get(key).getOrElse {
-      GraftTable.boundCache(GraftTable.filesCacheG)
-      GraftTable.filesCacheG.getOrElseUpdate(key,
-        GraftTable.labeled(spark, s"graft:manifest:files v$v") {
-          manifestDf(v).select("file").collect().map(_.getString(0)).toSeq
+    GraftTable.snapCacheG.get(key).getOrElse {
+      GraftTable.boundCache(GraftTable.snapCacheG)
+      GraftTable.snapCacheG.getOrElseUpdate(key,
+        GraftTable.labeled(spark, s"graft:manifest:snap v$v") {
+          GraftTable.withoutAqe(spark) {
+            val mdf = manifestDf(v)
+            val cols = mdf.schema.fieldNames
+              .filterNot(_.startsWith("bloom_"))
+            val pruned = mdf.select(cols.map(col): _*)
+            (pruned.schema, pruned.collect())
+          }
         })
     }
+  }
+
+  /** The version's file list, off the manifest snapshot. */
+  private def storedFiles(v: Long): Seq[String] = {
+    val (schema, rows) = manifestSnap(v)
+    val ix = schema.fieldIndex("file")
+    rows.toSeq.map(_.getString(ix))
   }
 
   /** The files the current version references (resolved to full paths) —
@@ -1105,21 +1128,25 @@ final class GraftTable private[operators] (spark: SparkSession,
     }
   }
 
-  private def approxStatsUncached(v: Long): (Long, Long) =
-    GraftTable.labeled(spark, s"graft:manifest:stats v$v") {
-      GraftTable.withoutAqe(spark) { approxStatsBody(v) }
-    }
-
-  private def approxStatsBody(v: Long): (Long, Long) = {
-    val mdf = manifestDf(v)
+  /** Driver fold over the manifest snapshot — same algebra as the
+    * former `sum(cnt), sum(coalesce(bytes, cnt*width))` aggregate, zero
+    * Spark jobs.
+    */
+  private def approxStatsUncached(v: Long): (Long, Long) = {
+    val (schema, rowsArr) = manifestSnap(v)
     val width = math.max(1, schemaAt(v).defaultSize)
-    val bytesCol =
-      if (mdf.schema.fieldNames.contains("bytes"))
-        coalesce(col("bytes"), col("cnt") * lit(width.toLong))
-      else col("cnt") * lit(width.toLong)
-    val r = mdf.agg(sum("cnt"), sum(bytesCol)).head()
-    val rows = if (r.isNullAt(0)) 0L else r.getLong(0)
-    val raw = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val cntIx = schema.fieldIndex("cnt")
+    val bytesIx =
+      if (schema.fieldNames.contains("bytes")) schema.fieldIndex("bytes")
+      else -1
+    var rows = 0L
+    var raw = 0L
+    rowsArr.foreach { r =>
+      val c = if (r.isNullAt(cntIx)) 0L else r.getLong(cntIx)
+      rows += c
+      raw += (if (bytesIx >= 0 && !r.isNullAt(bytesIx)) r.getLong(bytesIx)
+              else c * width.toLong)
+    }
     val factor = scala.util.Try(spark.conf
       .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble)
       .getOrElse(1.0)
@@ -1145,23 +1172,38 @@ final class GraftTable private[operators] (spark: SparkSession,
     */
   private[graft] def columnStats(v: Long): Seq[(String, Any, Any, Long)] = {
     val m = readMeta(spark, path, v)
-    val mdf = manifestDf(v)
-    val have = mdf.schema.fieldNames.toSet
+    val (schema, rowsArr) = manifestSnap(v)
+    val have = schema.fieldNames.toSet
     val cols = m.zoneCols.filter(c => have(s"min_$c") && have(s"max_$c"))
     if (cols.isEmpty) return Nil
-    val aggs = cols.flatMap { c =>
-      Seq(min(col(s"min_$c")).as(s"mn_$c"),
-        max(col(s"max_$c")).as(s"mx_$c")) ++
-        (if (have(s"nulls_$c")) Seq(sum(col(s"nulls_$c")).as(s"nl_$c"))
-         else Nil)
-    }
-    val r = mdf.agg(aggs.head, aggs.tail: _*).head()
+    // driver fold over the snapshot — min-of-mins / max-of-maxes /
+    // sum-of-null-counts, null-skipping like the Spark aggregates it
+    // replaces (zone values are Comparable: numerics, strings,
+    // timestamps — the types [[ZoneMap]] indexes)
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
     cols.map { c =>
-      val nl =
-        if (have(s"nulls_$c") && !r.isNullAt(r.fieldIndex(s"nl_$c")))
-          r.getAs[Number](s"nl_$c").longValue()
-        else -1L
-      (c, r.getAs[Any](s"mn_$c"), r.getAs[Any](s"mx_$c"), nl)
+      val mnIx = schema.fieldIndex(s"min_$c")
+      val mxIx = schema.fieldIndex(s"max_$c")
+      val nlIx = if (have(s"nulls_$c")) schema.fieldIndex(s"nulls_$c") else -1
+      var mn: Any = null
+      var mx: Any = null
+      var nl = 0L
+      var sawNl = false
+      rowsArr.foreach { r =>
+        if (!r.isNullAt(mnIx)) {
+          val v0 = r.get(mnIx)
+          if (mn == null || cmp(v0, mn) < 0) mn = v0
+        }
+        if (!r.isNullAt(mxIx)) {
+          val v0 = r.get(mxIx)
+          if (mx == null || cmp(v0, mx) > 0) mx = v0
+        }
+        if (nlIx >= 0 && !r.isNullAt(nlIx)) {
+          nl += r.getAs[Number](nlIx).longValue(); sawNl = true
+        }
+      }
+      (c, mn, mx, if (nlIx >= 0 && sawNl) nl else -1L)
     }
   }
 
@@ -1464,14 +1506,43 @@ final class GraftTable private[operators] (spark: SparkSession,
         return (0L, 0L)
       }
       val manifest = manifestDf(v)
-      // one broadcast join, manifest side (metadata-scale) broadcast: a
-      // file is affected iff SOME batch key — upsert or tombstone — falls
-      // inside its zone range…
-      val rangeCand = keys.join(
-          broadcast(manifest.select(col("file"),
-            col(s"min_$keyCol").as("_mn"), col(s"max_$keyCol").as("_mx"))),
-          col(keyCol) >= col("_mn") && col(keyCol) <= col("_mx"))
-        .select("file").distinct()
+      // a file is affected iff SOME batch key — upsert or tombstone —
+      // falls inside its zone range. The candidacy probe keeps batch
+      // keys executor-side; the manifest side rides into the plan as a
+      // LITERAL range array off the per-version snapshot when it fits
+      // (one narrow job, no broadcast-exchange build job), and falls
+      // back to the broadcast join beyond the literal cap (a 100 TB
+      // manifest belongs in an exchange, not an expression tree). Files
+      // whose zone range is all-null exclude every non-null batch key —
+      // the join semantics — so they drop from the literal up front.
+      val (snapSchema, snapRows) = manifestSnap(v)
+      val ranges: Seq[(String, Any, Any)] = {
+        val fIx = snapSchema.fieldIndex("file")
+        val mnIx = snapSchema.fieldIndex(s"min_$keyCol")
+        val mxIx = snapSchema.fieldIndex(s"max_$keyCol")
+        snapRows.toSeq.collect {
+          case r if !r.isNullAt(mnIx) && !r.isNullAt(mxIx) =>
+            (r.getString(fIx), r.get(mnIx), r.get(mxIx))
+        }
+      }
+      val litRanges: Option[Column] =
+        if (ranges.isEmpty || ranges.size > 4096) None
+        else scala.util.Try(array(ranges.map { case (f, mn, mx) =>
+          struct(lit(f).as("f"), lit(mn).as("mn"), lit(mx).as("mx"))
+        }: _*)).toOption
+      def rangeCand = litRanges match {
+        case Some(arr) =>
+          keys.select(explode(filter(arr, r =>
+              col(keyCol) >= r.getField("mn") &&
+                col(keyCol) <= r.getField("mx"))).as("_r"))
+            .select(col("_r.f").as("file")).distinct()
+        case None =>
+          keys.join(
+              broadcast(manifest.select(col("file"),
+                col(s"min_$keyCol").as("_mn"), col(s"max_$keyCol").as("_mx"))),
+              col(keyCol) >= col("_mn") && col(keyCol) <= col("_mx"))
+            .select("file").distinct()
+      }
       // …tightened by the per-file manifest blooms when the key column
       // carries them: on a hash-scattered layout every file spans the
       // full key range (min/max prunes nothing) but contains only its
@@ -1480,12 +1551,12 @@ final class GraftTable private[operators] (spark: SparkSession,
       // Distinct key hashes ride as ONE array row (executor-side, never
       // the driver), each candidate file's bloom deserializes once;
       // capped so a giant batch can't fold into a single fat row.
-      // Range candidacy and bloom probe fuse into ONE plan / ONE
-      // metadata-scale collect (the range set alone never visits the
-      // driver on the bloomed path).
       val affected = GraftTable.labeled(spark, s"graft:merge:affected v$v") {
         GraftTable.withoutAqe(spark) {
-        if (!m.bloomCols.contains(keyCol) || batchRows > 5000000L)
+        if (ranges.isEmpty && litRanges.isEmpty && snapRows.nonEmpty)
+          Set.empty[String] // every zone range is null: nothing can match
+        else if (snapRows.isEmpty) Set.empty[String]
+        else if (!m.bloomCols.contains(keyCol) || batchRows > 5000000L)
           rangeCand.collect().map(_.getString(0)).toSet
         else {
           val anyHit = udf((bytes: Array[Byte], hs: Seq[Long]) =>
@@ -1530,12 +1601,13 @@ final class GraftTable private[operators] (spark: SparkSession,
           Some(if (m.changeFeed) st.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else st)
         }
-      val (rewrittenRows, slice) = spec match {
+      val (rewrittenRows, slice, sliceCleanup) = spec match {
         case None =>
-          classicMerge(batch0, keyCols, isDel, opCol, stored, sliceSchema)
+          classicMerge(batch0, keyCols, isDel, opCol, stored, sliceSchema,
+            m.changeFeed)
         case Some(sp) =>
           condMerge(batch0, keyCols, isDel, opCol, sp, stored, evolved,
-            sliceSchema)
+            sliceSchema, m.changeFeed)
       }
       try {
         publishGeneration(spark, path, rewrittenRows, v + 1,
@@ -1563,7 +1635,10 @@ final class GraftTable private[operators] (spark: SparkSession,
           DedupIndex.log.info(s"graft table $path: merge lost the v${v + 1} " +
             s"race but is disjoint from the winner — rebasing onto v$head " +
             s"(attempt $attempt)")
-      } finally stored.foreach(_.unpersist(false))
+      } finally {
+        sliceCleanup()
+        stored.foreach(_.unpersist(false))
+      }
     }
     } finally batch0.unpersist(false)
     sys.error("unreachable")
@@ -1575,7 +1650,8 @@ final class GraftTable private[operators] (spark: SparkSession,
     */
   private def classicMerge(batch: DataFrame, keyCols: Seq[String],
       isDel: Column, opCol: String, stored: Option[DataFrame],
-      sliceSchema: StructType): (DataFrame, DataFrame) = {
+      sliceSchema: StructType, changeFeed: Boolean)
+      : (DataFrame, DataFrame, () => Unit) = {
     val keys = batch.select(keyCols.map(col): _*)
     val upserts = (if (opCol == null) batch else batch.filter(!isDel)
       .drop(opCol))
@@ -1606,7 +1682,7 @@ final class GraftTable private[operators] (spark: SparkSession,
         alignSlice(pre, sliceSchema)
           .unionByName(alignSlice(post, sliceSchema))
     }
-    (rewritten, slice)
+    (rewritten, slice, () => ())
   }
 
   /** [[mergeCond]]/[[mergeSpec]]'s SQL-MERGE body over one full-outer
@@ -1619,7 +1695,8 @@ final class GraftTable private[operators] (spark: SparkSession,
   private def condMerge(batch: DataFrame, keyCols: Seq[String],
       isDel: Column, opCol: String, spec: GraftTable.MergeSpec,
       stored: Option[DataFrame], evolved: StructType,
-      sliceSchema: StructType): (DataFrame, DataFrame) = {
+      sliceSchema: StructType, changeFeed: Boolean)
+      : (DataFrame, DataFrame, () => Unit) = {
     val keyCol = keyCols.head
     val s0 = batch.withColumn("_del", isDel)
     val sBatch = (if (opCol == null) s0 else s0.drop(opCol)).alias("s")
@@ -1651,7 +1728,7 @@ final class GraftTable private[operators] (spark: SparkSession,
         val ins = sBatch.filter(!col("_del") && insOk)
         val img = ins.select(evolved.fieldNames.map(c => sCol(c).as(c)): _*)
         (img, alignSlice(img.withColumn(ChangeType, lit("insert")),
-          sliceSchema))
+          sliceSchema), () => ())
       case Some(st) =>
         val joined = st.alias("t").join(sBatch,
           keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
@@ -1682,26 +1759,25 @@ final class GraftTable private[operators] (spark: SparkSession,
                 .otherwise(col(s"t.$c"))
             out.as(c)
           }: _*)
-        def leg(rows: DataFrame, tpe: String) =
-          alignSlice(rows.withColumn(ChangeType, lit(tpe)), sliceSchema)
-        def tImage(of: DataFrame) =
-          of.select(evolved.fieldNames.map(c => col(s"t.$c").as(c)): _*)
-        val postImage = joined.filter(doUpdate)
-          .select(evolved.fieldNames.map { c =>
-            val out =
-              if (keyCols.contains(c)) col(s"t.$c")
-              else if (updateSet(c)) updVal(c) else col(s"t.$c")
-            out.as(c)
-          }: _*)
-        val slice =
-          leg(tImage(joined.filter(doDelete)), "delete")
-            .unionByName(leg(tImage(joined.filter(doUpdate)),
-              "update_preimage"))
-            .unionByName(leg(postImage, "update_postimage"))
-            .unionByName(leg(joined.filter(doInsert)
-              .select(evolved.fieldNames.map(c => sCol(c).as(c)): _*),
-              "insert"))
-        (rewritten, slice)
+        def sliceStruct(tpe: String, img: String => Column): Column =
+          struct((evolved.fieldNames.map(c => img(c).as(c)) :+
+            lit(tpe).as(ChangeType)): _*)
+        val tImg = (c: String) => col(s"t.$c")
+        val postImg = (c: String) =>
+          if (keyCols.contains(c)) col(s"t.$c")
+          else if (updateSet(c)) updVal(c) else col(s"t.$c")
+        // the WHOLE slice in one pass over ONE evaluation of the join
+        // instead of a 4-leg union re-executing it per change type: each
+        // joined row contributes its 0-2 slice rows (an update emits its
+        // pre+post pair) — same rows, one evaluation, one write job
+        val slice = joined.select(explode(array_compact(array(
+            when(doDelete, sliceStruct("delete", tImg)),
+            when(doUpdate, sliceStruct("update_preimage", tImg)),
+            when(doUpdate, sliceStruct("update_postimage", postImg)),
+            when(doInsert, sliceStruct("insert", sCol))))).as("_r"))
+          .select((evolved.fieldNames.map(c => col(s"_r.$c")) :+
+            col(s"_r.$ChangeType")): _*)
+        (rewritten, slice, () => ())
     }
   }
 
