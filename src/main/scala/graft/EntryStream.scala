@@ -18,6 +18,20 @@ private[graft] object EntryStream {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Multiset equality in ONE action — the `a.exceptAll(b).isEmpty &&
+    * b.exceptAll(a).isEmpty` contract the in-body checks state, computed
+    * as one signed-count group-by so each side is evaluated once instead
+    * of twice per direction (the checks sit on expensive frames: change
+    * feeds, head snapshots).
+    */
+  private def sameMultiset(a: DataFrame, b: DataFrame): Boolean =
+    a.withColumn("_s", lit(1L))
+      .unionByName(b.withColumn("_s", lit(-1L)))
+      .groupBy(a.columns.map(col): _*)
+      .agg(sum("_s").as("_d"))
+      .filter(col("_d") =!= 0)
+      .isEmpty
+
   /** Continuous-ingest dedup THROUGH the persistent index: the documents
     * arrive as a file-source stream in three micro-batches; each batch is
     * probed against everything indexed before it (plus itself via the
@@ -510,7 +524,7 @@ private[graft] object EntryStream {
       .diff(tbl.readVersion(v1), tbl.read(), Seq("event_id"))
       .filter(col("status") =!= "unchanged")
     val got = folded.select("event_id", "status")
-    require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+    require(sameMultiset(got, want),
       "the folded change feed must equal the head-minus-base diff")
     folded
       .withColumn("val", when(col("status") === "removed", col("pre.value"))
@@ -670,8 +684,7 @@ private[graft] object EntryStream {
     finally q.stop()
 
     val (srcHead, dstHead) = (src.read(), replica.read())
-    require(srcHead.exceptAll(dstHead).isEmpty &&
-      dstHead.exceptAll(srcHead).isEmpty,
+    require(sameMultiset(srcHead, dstHead),
       "the replica must equal the source head row-for-row")
     dstHead.groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))

@@ -617,8 +617,24 @@ class GraftTableSpec extends SparkSpec {
       .select("u").as[String].head() == "u1",
       "unassigned columns ride through")
     // the change feed carries only the real changes: 10 deletes +
-    // 20 updates (pre + post); the no-op rows feed nothing
-    assert(t.readChanges(v1, v1 + 1).count() == 50)
+    // 20 updates (pre + post); the no-op rows feed nothing — and each
+    // type carries the exact image (pins the single-pass slice shape)
+    val sl = t.readChanges(v1, v1 + 1)
+    assert(sl.count() == 50)
+    assert(sl.filter(col("_change_type") === "delete")
+      .select("v").as[Double].collect().sorted.toSeq ==
+      (0L until 10L).map(k => 2.0 * k).sorted,
+      "deletes carry the stored image")
+    assert(sl.filter(col("_change_type") === "update_preimage")
+      .select("v").as[Double].collect().sorted.toSeq ==
+      (10L until 30L).map(k => 2.0 * k).sorted,
+      "pre-images carry the stored value")
+    assert(sl.filter(col("_change_type") === "update_postimage")
+      .select("v").as[Double].collect().sorted.toSeq ==
+      (10L until 30L).map(k => 2.0 * k + k + 0.5).sorted,
+      "post-images carry the wing's SET expression result")
+    assert(sl.filter(col("_change_type") === "insert").count() == 0,
+      "no insert wing, no insert rows")
 
     // UPDATE-first clause order: a row passing BOTH conditions routes to
     // the FIRST clause (SQL first-match-wins)
