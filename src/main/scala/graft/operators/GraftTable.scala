@@ -717,7 +717,9 @@ object GraftTable {
       carryForward: Option[DataFrame],
       changes: Option[DataFrame] = None,
       changesEmpty: Boolean = false,
-      op: String = "write"): Unit = {
+      op: String = "write",
+      carrySnap: Option[(StructType, Seq[org.apache.spark.sql.Row])] = None)
+      : Unit = {
     val f = fs(spark, base)
     val verDir = new Path(s"$base/v$v")
     if (isCommitted(f, base, v)) conflict(base, v)
@@ -761,19 +763,33 @@ object GraftTable {
     // bench it is one full Spark scan per commit. Bloom-indexed tables
     // (bits need the values) and any footer outside the provably-exact
     // cases fall back to the aggregate pass unchanged.
-    val footerFresh =
+    val footerRows: Option[Seq[org.apache.spark.sql.Row]] =
       if (meta.bloomCols.nonEmpty) None
       else FooterStats.zoneRowsFromFooters(
         spark.sparkContext.hadoopConfiguration, files, meta.zoneCols,
-        rows.schema).map { rs =>
-        import scala.jdk.CollectionConverters._
-        val relativized = rs.map(r =>
-          org.apache.spark.sql.Row.fromSeq(
-            relativize(r.getString(0)) +: r.toSeq.tail))
-        spark.createDataFrame(relativized.asJava,
-          FooterStats.manifestSchema(meta.zoneCols, rows.schema))
-      }
-    val fresh = footerFresh.getOrElse {
+        rows.schema).map(_.map(r =>
+        org.apache.spark.sql.Row.fromSeq(
+          relativize(r.getString(0)) +: r.toSeq.tail)))
+    val footerSchema = FooterStats.manifestSchema(meta.zoneCols, rows.schema)
+    // the WHOLE new manifest driver-side when both halves already are —
+    // fresh rows from the footers just written, carried rows from the
+    // previous version's snapshot: written without a Spark job
+    // ([[ManifestIo.write]]) and seeding the new version's snapshot for
+    // free after the commit. Any gap (bloom table, exotic type, write
+    // failure) falls back to the engine write path unchanged.
+    val driverManifest: Option[(StructType, Seq[org.apache.spark.sql.Row])] =
+      footerRows.flatMap { fr =>
+        carryForward match {
+          case None => Some((footerSchema, fr))
+          case Some(_) => carrySnap.map { case (cs, cr) =>
+            ManifestIo.unionAligned(cs, cr, footerSchema, fr) }
+        }
+      }.filter(m => ManifestIo.driverWritable(m._1))
+    lazy val footerFresh = footerRows.map { rs =>
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rs.asJava, footerSchema)
+    }
+    lazy val fresh = footerFresh.getOrElse {
       // an all-delete merge can land a generation with ZERO data files —
       // the zone-row schema still has to come from somewhere, so derive it
       // from the (empty) generation rows instead of a zero-path read
@@ -797,22 +813,26 @@ object GraftTable {
             col("file").substr(lit(rootNorm.length + 2), lit(Int.MaxValue)))
             .otherwise(col("file")))
     }
-    val manifest = carryForward match {
-      // allowMissingColumns: a carried manifest committed before the
-      // `bytes` column reads back null there — approxStats falls back to
-      // rows × width for exactly those rows
-      case Some(prev) => prev.unionByName(fresh, allowMissingColumns = true)
-      case None => fresh
-    }
     val staging = s"$base/.v${v}_stage_$token"
-    labeled(spark, s"graft:publish:manifest v$v ($op)") {
-      // |files| metadata rows — one file keeps reads cheap. coalesce, not
-      // repartition: no exchange, so the whole write (carried-manifest
-      // read + fresh rows) is ONE single-task job, and AQE has no stage
-      // boundary to re-optimize (the repartition form cost 2 jobs/commit)
-      withoutAqe(spark) {
-        manifest.coalesce(1)
-          .write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
+    val wroteDriver = driverManifest.exists { case (ms, mr) =>
+      ManifestIo.write(spark, s"$staging/manifest", ms, mr) }
+    if (!wroteDriver) {
+      val manifest = carryForward match {
+        // allowMissingColumns: a carried manifest committed before the
+        // `bytes` column reads back null there — approxStats falls back to
+        // rows × width for exactly those rows
+        case Some(prev) => prev.unionByName(fresh, allowMissingColumns = true)
+        case None => fresh
+      }
+      labeled(spark, s"graft:publish:manifest v$v ($op)") {
+        // |files| metadata rows — one file keeps reads cheap. coalesce, not
+        // repartition: no exchange, so the whole write (carried-manifest
+        // read + fresh rows) is ONE single-task job, and AQE has no stage
+        // boundary to re-optimize (the repartition form cost 2 jobs/commit)
+        withoutAqe(spark) {
+          manifest.coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(s"$staging/manifest")
+        }
       }
     }
     writeMeta(spark, s"$staging/meta", meta)
@@ -858,6 +878,14 @@ object GraftTable {
       catch { case _: Throwable => () }
       try f.delete(new Path(gen), true) catch { case _: Throwable => () }
       conflict(base, v)
+    }
+    // the driver-written manifest IS the new version's snapshot: seed the
+    // process-wide cache so no consumer ever pays the snap collect job
+    // for this version (the rows equal a collect of the file just
+    // written, by construction)
+    if (wroteDriver) driverManifest.foreach { case (ms, mr) =>
+      boundCache(snapCacheG)
+      snapCacheG.put((rootNorm, v, token), (ms, mr.toArray))
     }
     // retention: keep the newest `keepVersions` committed versions (the
     // time-travel window); with `keepHours >= 0` a version ALSO survives
@@ -1007,6 +1035,23 @@ final class GraftTable private[operators] (spark: SparkSession,
     val ix = schema.fieldIndex("file")
     rows.toSeq.map(_.getString(ix))
   }
+
+  /** The previous version's snapshot minus `drop`ped files, as
+    * [[GraftTable.publishGeneration]]'s `carrySnap` — the carried half
+    * of a driver-written manifest. None on bloom tables: the snapshot
+    * deliberately excludes the bloom bytes a carried manifest must keep,
+    * so those tables stay on the engine write path.
+    */
+  private def carrySnapOf(v: Long, m: Meta, drop: Set[String] = Set.empty)
+      : Option[(StructType, Seq[org.apache.spark.sql.Row])] =
+    if (m.bloomCols.nonEmpty) None
+    else {
+      val (s, r) = manifestSnap(v)
+      val fIx = s.fieldIndex("file")
+      Some((s,
+        if (drop.isEmpty) r.toSeq
+        else r.toSeq.filterNot(x => drop(x.getString(fIx)))))
+    }
 
   /** The files the current version references (resolved to full paths) —
     * the authoritative scan list; no directory listing happens anywhere
@@ -1258,7 +1303,7 @@ final class GraftTable private[operators] (spark: SparkSession,
           // eager localCheckpoint job the pre-r18 shape paid per commit
           // defended nothing the retry loop doesn't already cover.
           carryForward = Some(manifestDf(v)),
-          op = "append")
+          op = "append", carrySnap = carrySnapOf(v, m))
         return true
       } catch {
         case e: Throwable
@@ -1613,7 +1658,7 @@ final class GraftTable private[operators] (spark: SparkSession,
         publishGeneration(spark, path, rewrittenRows, v + 1,
           m.copy(appliedHwm = id, schemaDdl = evolved.toDDL),
           carryForward = Some(carried), changes = Some(slice),
-          op = "merge")
+          op = "merge", carrySnap = carrySnapOf(v, m, affected))
         return (affected.size.toLong, carriedCount)
       } catch {
         case e: Throwable
@@ -1951,7 +1996,8 @@ final class GraftTable private[operators] (spark: SparkSession,
       try {
         publishGeneration(spark, path, rewritten, v + 1, m,
           carryForward = Some(carried), changes = changesOpt,
-          op = if (set.isDefined) "update" else "delete")
+          op = if (set.isDefined) "update" else "delete",
+          carrySnap = carrySnapOf(v, m, affected))
         return DmlResult(affected.size.toLong, carriedCount, matchedRows)
       } catch {
         case e: Throwable
@@ -1998,7 +2044,7 @@ final class GraftTable private[operators] (spark: SparkSession,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema),
       v + 1, nm,
       carryForward = Some(manifestDf(v)),
-      changesEmpty = true, op = "setpolicy")
+      changesEmpty = true, op = "setpolicy", carrySnap = carrySnapOf(v, m))
   }
 
   /** `ALTER TABLE … ADD COLUMN` — ADDITIVE schema evolution declared by
@@ -2032,7 +2078,7 @@ final class GraftTable private[operators] (spark: SparkSession,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved),
       v + 1, m.copy(schemaDdl = evolved.toDDL),
       carryForward = Some(manifestDf(v)),
-      changesEmpty = true, op = "addcolumns")
+      changesEmpty = true, op = "addcolumns", carrySnap = carrySnapOf(v, m))
   }
 
   /** The table's current lifecycle policies:
@@ -2290,7 +2336,8 @@ final class GraftTable private[operators] (spark: SparkSession,
       else df.coalesce(n)
     publishGeneration(spark, path, out, v + 1, m,
       carryForward = Some(carried),
-      changesEmpty = true, op = "compact")
+      changesEmpty = true, op = "compact",
+      carrySnap = carrySnapOf(v, m, affected))
     (affected.size.toLong, carriedCount)
   }
 
