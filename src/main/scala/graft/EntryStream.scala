@@ -512,6 +512,9 @@ private[graft] object EntryStream {
       .groupBy("event_id")
       .agg(min_by(img, col("_commit_version")).as("pre"),
         min("_commit_version").as("vdMin"), max("_commit_version").as("vdMax"))
+    // persisted: the fold feeds BOTH the in-body equality check and the
+    // returned frame — one evaluation of the feed join instead of two
+    // (the harness clears caches after consuming each query)
     val folded = ins.join(dels, Seq("event_id"), "full_outer")
       .withColumn("status",
         when(col("vi").isNull || col("vdMax") > col("vi"), lit("removed"))
@@ -519,6 +522,7 @@ private[graft] object EntryStream {
           .when(col("pre") <=> col("post"), lit("unchanged"))
           .otherwise(lit("changed")))
       .filter(col("status") =!= "unchanged")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the feed IS the diff: fold == Ingest.diff(base snapshot, head)
     val want = graft.operators.Ingest
       .diff(tbl.readVersion(v1), tbl.read(), Seq("event_id"))
@@ -683,7 +687,11 @@ private[graft] object EntryStream {
     try q.awaitTermination()
     finally q.stop()
 
-    val (srcHead, dstHead) = (src.read(), replica.read())
+    // replica head persisted: it feeds the in-body equality check AND
+    // the returned aggregate — one read instead of two (caches are
+    // cleared by the harness after each query)
+    val (srcHead, dstHead) = (src.read(),
+      replica.read().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     require(sameMultiset(srcHead, dstHead),
       "the replica must equal the source head row-for-row")
     dstHead.groupBy("event_type")

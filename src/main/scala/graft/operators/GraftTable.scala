@@ -1065,6 +1065,24 @@ final class GraftTable private[operators] (spark: SparkSession,
   /** Full read of the current version. */
   def read(): DataFrame = readVersion(version)
 
+  /** One pruning pass for version `v` under a CNF spec: driver-side over
+    * the manifest snapshot when the table has no blooms and every probe
+    * literal matches its zone value class ([[ZoneMap.pruneSnapCnf]] —
+    * zero Spark jobs), the executor (file, _keep) collect otherwise —
+    * identical survivor algebra either way.
+    */
+  private def pruneVersion(v: Long, m: Meta, cnf: ZoneMap.Cnf)
+      : (Seq[String], Set[String]) = {
+    val driver =
+      if (m.bloomCols.nonEmpty) None
+      else {
+        val (ss, sr) = manifestSnap(v)
+        ZoneMap.pruneSnapCnf(ss, sr, m.zoneMeta, cnf)
+      }
+    driver.getOrElse(
+      ZoneMap.pruneZoneRowsCnf(manifestDf(v), m.zoneMeta, cnf))
+  }
+
   /** Zone-and-bloom-pruned scan under `preds`: manifest rows prune to
     * the surviving file list ([[ZoneMap.pruneZoneRows]], conservative by
     * construction) and the exact predicate re-applies on read — result
@@ -1074,8 +1092,7 @@ final class GraftTable private[operators] (spark: SparkSession,
   def scan(preds: Seq[ZoneMap.Pred]): DataFrame = {
     require(preds.nonEmpty, "GraftTable.scan needs at least one predicate")
     val m = metaNow
-    val (survivors, _) =
-      ZoneMap.pruneZoneRows(manifestDf(version), m.zoneMeta, preds)
+    val (survivors, _) = pruneVersion(version, m, Seq(Seq(preds)))
     if (survivors.isEmpty)
       read().filter(lit(false)) // schema-only, zero splits read
     else spark.read.schema(m.schema).parquet(survivors.map(resolve): _*)
@@ -1087,8 +1104,7 @@ final class GraftTable private[operators] (spark: SparkSession,
     * any data.
     */
   def scanFileCount(preds: Seq[ZoneMap.Pred]): Long =
-    ZoneMap.pruneZoneRows(manifestDf(version), metaNow.zoneMeta, preds)
-      ._1.size.toLong
+    pruneVersion(version, metaNow, Seq(Seq(preds)))._1.size.toLong
 
   /** The files a pruned scan of VERSION `v` must open (resolved), with
     * the total file count — the version-pinned planning primitive behind
@@ -1114,10 +1130,9 @@ final class GraftTable private[operators] (spark: SparkSession,
       val all = storedFiles(v)
       (all.map(resolve), all.size)
     } else {
-      // the pruning collect already carries every manifest row — the
+      // the pruning pass already carries every manifest row — the
       // total file count reads off it, no second manifest pass
-      val (survivors, all) =
-        ZoneMap.pruneZoneRowsCnf(manifestDf(v), m.zoneMeta, usable)
+      val (survivors, all) = pruneVersion(v, m, usable)
       (survivors.map(resolve), all.size)
     }
   }
@@ -1942,7 +1957,7 @@ final class GraftTable private[operators] (spark: SparkSession,
       val usable = if (filterUsable) usableCnf(m, cnf) else cnf
       val affected =
         if (usable.isEmpty) storedFiles(v).toSet
-        else ZoneMap.pruneZoneRowsCnf(manifest, m.zoneMeta, usable)._1.toSet
+        else pruneVersion(v, m, usable)._1.toSet
       if (affected.isEmpty) return DmlResult(0L, storedFiles(v).size.toLong, 0L)
       // LAZY carry + arithmetic count — the mergeImpl discipline
       val carried = manifest.filter(!col("file").isInCollection(affected))
@@ -2315,8 +2330,7 @@ final class GraftTable private[operators] (spark: SparkSession,
     require(targetRows > 0, s"targetRows must be positive: $targetRows")
     val v = version
     val m = readMeta(spark, path, v)
-    val affected =
-      ZoneMap.pruneZoneRows(manifestDf(v), m.zoneMeta, preds)._1.toSet
+    val affected = pruneVersion(v, m, Seq(Seq(preds)))._1.toSet
     if (affected.isEmpty) return (0L, storedFiles(v).size.toLong)
     val carried = manifestDf(v)
       .filter(!col("file").isInCollection(affected))

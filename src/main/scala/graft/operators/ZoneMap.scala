@@ -579,6 +579,110 @@ object ZoneMap {
       rows.map(_.getString(0)).toSet)
   }
 
+  /** Driver-side twin of [[pruneZoneRowsCnf]] over an already-collected
+    * manifest snapshot (NON-BLOOM tables only — bloom bytes must stay
+    * executor-side): the same conservative algebra as [[survives]] /
+    * [[keepCond]], evaluated per row with zero Spark jobs. STRICTLY
+    * GATED: returns None — caller falls back to the executor path,
+    * which also owns the loud non-indexed-pred requires — whenever the
+    * table carries blooms, a pred names a non-indexed column, or a probe
+    * literal's runtime class differs from the zone value's (the executor
+    * path's Catalyst coercion has no driver twin). Comparison semantics
+    * mirror Spark's: UTF8String byte order for strings, NaN greatest and
+    * ±0.0 equal for floats.
+    */
+  private[operators] def pruneSnapCnf(schema: org.apache.spark.sql.types.StructType,
+      rows: Array[org.apache.spark.sql.Row], meta: Meta, cnf: Cnf)
+      : Option[(Seq[String], Set[String])] = {
+    if (meta.bloomCols.nonEmpty) return None
+    val names = schema.fieldNames
+    val zoned = names.collect { case f if f.startsWith("min_") => f.drop(4) }.toSet
+    val nulled = names.collect { case f if f.startsWith("nulls_") => f.drop(6) }.toSet
+    def usable(conj: Seq[Pred]): Seq[Pred] = conj.filter {
+      case Nulls(c, _) => nulled(c)
+      case _ => true
+    }
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        Some(if (x.doubleValue == y.doubleValue) 0
+             else java.lang.Double.compare(x, y))
+      case (x: java.lang.Float, y: java.lang.Float) =>
+        Some(if (x.floatValue == y.floatValue) 0
+             else java.lang.Float.compare(x, y))
+      case (x: String, y: String) =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
+      case (x: java.lang.Long, y: java.lang.Long) => Some(x.compareTo(y))
+      case (x: java.lang.Integer, y: java.lang.Integer) => Some(x.compareTo(y))
+      case (x: java.lang.Short, y: java.lang.Short) => Some(x.compareTo(y))
+      case (x: java.lang.Byte, y: java.lang.Byte) => Some(x.compareTo(y))
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+      case _ => None
+    }
+    val fileIx = schema.fieldIndex(FileCol)
+    val ixOf = names.zipWithIndex.toMap
+    def check(r: org.apache.spark.sql.Row, p: Pred): Option[Boolean] = p match {
+      case Range(c, lo0, hi0) =>
+        if (!zoned(c)) return None
+        val mnIx = ixOf(s"min_$c"); val mxIx = ixOf(s"max_$c")
+        val lo =
+          if (lo0 == null || isNan(lo0)) Some(true)
+          else if (r.isNullAt(mxIx)) Some(false)
+          else cmp(r.get(mxIx), lo0).map(_ >= 0)
+        val hi =
+          if (hi0 == null) Some(true)
+          else if (r.isNullAt(mnIx)) Some(false)
+          else cmp(r.get(mnIx), hi0).map(_ <= 0)
+        for (a <- lo; b <- hi) yield a && b
+      case Point(c, v) =>
+        if (!zoned(c)) None // bloom-only Point or unindexed: executor path
+        else if (isNan(v)) Some(true)
+        else {
+          val mnIx = ixOf(s"min_$c"); val mxIx = ixOf(s"max_$c")
+          if (r.isNullAt(mxIx) || r.isNullAt(mnIx)) Some(false)
+          else for (a <- cmp(r.get(mxIx), v); b <- cmp(r.get(mnIx), v))
+            yield a >= 0 && b <= 0
+        }
+      case Nulls(c, want) =>
+        if (!zoned(c)) return None
+        val nlIx = ixOf(s"nulls_$c")
+        if (want) Some(!r.isNullAt(nlIx) && r.getLong(nlIx) > 0L)
+        else {
+          val cntIx = ixOf("cnt")
+          Some(!r.isNullAt(nlIx) && !r.isNullAt(cntIx) &&
+            r.getLong(cntIx) > r.getLong(nlIx))
+        }
+    }
+    def keep(r: org.apache.spark.sql.Row): Option[Boolean] =
+      if (cnf.isEmpty) Some(true)
+      else cnf.foldLeft(Option(true)) { (accO, dnf) =>
+        accO.flatMap { acc =>
+          if (dnf.isEmpty) Some(acc)
+          else dnf.foldLeft(Option(false)) { (orO, conj) =>
+            orO.flatMap { or =>
+              val preds = usable(conj)
+              if (preds.isEmpty) Some(true)
+              else preds.foldLeft(Option(true)) { (andO, p) =>
+                andO.flatMap(and => check(r, p).map(and && _))
+              }.map(or || _)
+            }
+          }.map(acc && _)
+        }
+      }
+    val survivors = Seq.newBuilder[String]
+    val all = Set.newBuilder[String]
+    rows.foreach { r =>
+      val f = r.getString(fileIx)
+      all += f
+      keep(r) match {
+        case Some(true) => survivors += f
+        case Some(false) => ()
+        case None => return None
+      }
+    }
+    Some((survivors.result(), all.result()))
+  }
+
   /** File paths a pruned scan must read: indexed survivors that still
     * exist, plus every not-yet-indexed file (unpruned — staleness must
     * widen the read, never narrow it). None = no committed index, caller
